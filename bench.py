@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, zero driver
+collect cost) — the honest measure of plan throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hpcc_platform_spark.queries import REGISTRY  # noqa: E402
+from hpcc_platform_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per load-bearing operator family (scan+agg, joins,
+# global sort, window, dedup, text, embeddings).
+HEADLINE = [
+    "groupagg_q1",
+    "join_inner",
+    "lookup_join",
+    "join_left_only",
+    "global_sort_rank",
+    "topn",
+    "dedup_keep_first",
+    "iterate_running",
+    "sessionize",
+    "denormalize_summary",
+    "parse_tokenize",
+    "doc_exact_dedup",
+    "ann_bruteforce",
+]
+
+
+def main() -> None:
+    spark = get_spark("hpcc_platform_spark_bench")
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch setup.
+    REGISTRY["global_agg"].fn(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Aggregation family (SURVEY.md §2.4).
+
+Reference contract: per-group processFirst/processNext + cross-partition
+mergeAggregate (IHThorRowAggregator, rtl/include/eclhelper.hpp:1553-1558) —
+the classic partial/final split Thor does by hand
+(thorlcr/activities/aggregate/thaggregateslave.cpp:184, slaves send partials,
+node 1 merges). Spark's HashAggregate already emits partial→exchange→final,
+so every combinator here is a plain groupBy/agg and inherits map-side
+combine for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_agg(df: DataFrame, *aggs: Column) -> DataFrame:
+    """Whole-dataset aggregate (TAKaggregate :896; COUNT/EXISTS fused
+    variants :1010-1011). One partial per partition, single final merge."""
+    return df.agg(*aggs)
+
+
+def table_agg(
+    df: DataFrame, keys: Sequence[str | Column], *aggs: Column
+) -> DataFrame:
+    """TABLE(ds, {keys, aggs}, keys) — grouped hash aggregate
+    (TAKhashaggregate :897; thorlcr/activities/hashdistrib/ hash tables)."""
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.groupBy(*cols).agg(*aggs)
+
+
+def group_having(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    having: Column,
+) -> DataFrame:
+    """TABLE + HAVING — grouped aggregate with post-aggregation filter.
+
+    ECL expresses this as a filter on the TABLE result; Catalyst pushes
+    nothing back (correct: the predicate reads aggregates)."""
+    return df.groupBy(*keys).agg(*aggs).where(having)
+
+
+def quantile_exact(
+    df: DataFrame,
+    value_col: str,
+    n_tiles: int,
+    tiebreak: Sequence[str],
+) -> DataFrame:
+    """QUANTILE(ds, n) (TAKquantile :1082, IHThorQuantileArg
+    eclhelper.hpp:1399) — exact n-tile boundary rows.
+
+    The reference returns the ranked rows that split the sorted input into n
+    equal parts (Roxie ccdserver.cpp:8921-9170). Exact distributed form:
+    ntile(n) over the total order, take the last row of each tile. For
+    approximate at 100 TB scale prefer ``percentile_approx`` — this exact
+    form pays one global sort (range partition), same as the reference's.
+    ``tiebreak`` makes the total order deterministic.
+    """
+    order = [F.col(value_col)] + [F.col(c) for c in tiebreak]
+    w = Window.orderBy(*order)
+    ranked = df.withColumn("__tile__", F.ntile(n_tiles).over(w)).withColumn(
+        "__rn__", F.row_number().over(Window.partitionBy("__tile__").orderBy(*[c.desc() for c in order]))
+    )
+    return (
+        ranked.where((F.col("__rn__") == 1) & (F.col("__tile__") < n_tiles))
+        .select(F.col("__tile__").alias("tile"), F.col(value_col))
+    )
+
+
+def distribution(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """DISTRIBUTION(ds[, fields]) (TAKdistribution :916) — per-field profile.
+
+    The reference builds per-type value-distribution tables capped at 10,000
+    distinct values (rtl/eclrtl/rtldistr.cpp:26 DISTRIBUTION_THRESHOLD) and
+    reports XML. Spark-first: one pass computing count / distinct / min / max
+    per requested column via a melt + groupBy — returns a tidy DataFrame
+    rather than XML. Exact distinct counts shuffle per column; at extreme
+    scale swap count_distinct→approx_count_distinct at the call site.
+    """
+    cols = list(cols) if cols is not None else df.columns
+    stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    melted = df.selectExpr(f"stack({len(cols)}, {stack_expr}) as (field, value)")
+    return melted.groupBy("field").agg(
+        F.count("value").alias("n_nonnull"),
+        F.count_distinct("value").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -1,0 +1,199 @@
+"""Join family (SURVEY.md §2.3).
+
+Reference ground truth: join flags at rtl/include/eclhelper.hpp:1714-1746
+(JFleftouter/JFrightouter/JFexclude → outer/only joins; ATMOST/LIMIT :1726,
+1735; JFslidingmatch :1729 range conditions; JFsmart :1744). Physical
+implementations the reference hand-rolls — global sort-merge
+(thorlcr/activities/join/thjoinslave.cpp), hash-distributed
+(thhashdistribslave.cpp), broadcast LOOKUP with in-memory failover
+(thlookupjoinslave.cpp) — all collapse onto Catalyst's join selection + AQE:
+SortMergeJoin / ShuffledHashJoin / BroadcastHashJoin picked at plan or
+runtime. We only encode *semantics* (match cardinality limits, only/exclude
+forms); the physical strategy is Spark's.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ECL join-form → Spark how-string. LEFT ONLY (JFleftouter|JFexclude,
+# eclhelper.hpp:1717) is Spark's left_anti; RIGHT ONLY mirrors it.
+_HOW = {
+    "inner": "inner",
+    "left outer": "left",
+    "right outer": "right",
+    "full outer": "full",
+    "left only": "left_anti",
+    "left semi": "left_semi",
+}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """JOIN(l, r, cond[, form]) (TAKjoin :1042 / TAKhashjoin :1043).
+
+    ``how`` accepts ECL forms ('left only', 'left outer', ...) or Spark names.
+    'right only' is expressed by swapping sides to left_anti.
+    """
+    key = how.lower()
+    if key == "right only":
+        return right.join(left, on, "left_anti")
+    return left.join(right, on, _HOW.get(key, key))
+
+
+def lookup_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """JOIN(..., LOOKUP) (TAKlookupjoin :1044) — broadcast the RHS.
+
+    The reference broadcasts the RHS to every node over a spanning tree
+    (thlookupjoinslave.cpp:88-151 CBroadcaster) and hash-probes. Spark:
+    ``broadcast()`` hint → BroadcastHashJoin (TorrentBroadcast). SMART join
+    (TAKsmartjoin :1048), whose whole point is runtime failover to a
+    partitioned join when the RHS doesn't fit, is Spark AQE's join demotion —
+    use plain ``join`` with AQE on for that.
+    """
+    key = how.lower()
+    if key == "right only":
+        return right.join(F.broadcast(left), on, "left_anti")
+    return left.join(F.broadcast(right), on, _HOW.get(key, key))
+
+
+def all_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """JOIN(..., ALL) (TAKalljoin :1047) — no equality portion, arbitrary
+    theta condition against a broadcast RHS (BroadcastNestedLoopJoin).
+
+    Only sane when the RHS is small — identical constraint to the reference
+    (RHS is broadcast there too, Roxie ccdserver.cpp:19960).
+    """
+    if cond is None:
+        return left.crossJoin(F.broadcast(right))
+    return left.join(F.broadcast(right), cond, _HOW.get(how.lower(), how))
+
+
+def self_join(
+    df: DataFrame,
+    on_keys: Sequence[str],
+    cond: Column | None = None,
+    how: str = "inner",
+    left_alias: str = "l",
+    right_alias: str = "r",
+) -> DataFrame:
+    """SELF JOIN (TAKselfjoin :1045) — join a dataset to itself.
+
+    The reference sorts once and matches within key groups
+    (thorlcr/activities/selfjoin/). Spark: alias both sides; the single
+    shuffle-reuse is Catalyst's ReuseExchange. ``cond`` is an extra predicate
+    over ``l``/``r`` aliases (e.g. exclude self-matches, JFnevermatchself).
+    """
+    lhs, rhs = df.alias(left_alias), df.alias(right_alias)
+    eq = None
+    for k in on_keys:
+        c = F.col(f"{left_alias}.{k}") == F.col(f"{right_alias}.{k}")
+        eq = c if eq is None else (eq & c)
+    if cond is not None:
+        eq = cond if eq is None else (eq & cond)
+    return lhs.join(rhs, eq, _HOW.get(how.lower(), how))
+
+
+def keyed_join(
+    left: DataFrame,
+    index: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """KEYED JOIN (TAKkeyedjoin :1046, IHThorKeyedJoinArg eclhelper.hpp:1870).
+
+    The reference probes a B+tree index per LHS row, then optionally fetches
+    the base file by fileposition (thkeyedjoinslave.cpp). Spark's model: the
+    index IS a (sorted/partitioned) table — an equi-join, with dynamic
+    partition pruning / broadcast standing in for per-row probes. The
+    'fetch' step (TAKfetch :926) is a second join on the surrogate row id.
+    """
+    return join(left, index, on, how)
+
+
+def join_atmost(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    atmost: int,
+    keep_unmatched: bool = True,
+) -> DataFrame:
+    """JOIN(..., ATMOST(n)) (eclhelper.hpp:1726).
+
+    ECL semantics: if a key group on the RHS yields more than n matches, the
+    group is abandoned — the LHS row is treated as UNMATCHED (kept with
+    nulls under LEFT OUTER, dropped under inner). Lowered to a window count
+    on the RHS key + conditional join — no driver-side work.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    rhs = (
+        right.withColumn("__kc__", F.count(F.lit(1)).over(w))
+        .where(F.col("__kc__") <= atmost)
+        .drop("__kc__")
+    )
+    return left.join(rhs, list(keys), "left" if keep_unmatched else "inner")
+
+
+def join_limit(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    limit: int,
+    on_exceed: str = "skip",
+) -> DataFrame:
+    """JOIN(..., LIMIT(n[, SKIP])) (eclhelper.hpp:1735).
+
+    LIMIT(n, SKIP): LHS rows whose match group exceeds n are dropped
+    entirely. on_exceed='fail' raises (the reference's default aborts the
+    workunit) — checked distributed via a count, not a collect.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    rhs = right.withColumn("__kc__", F.count(F.lit(1)).over(w))
+    if on_exceed == "fail":
+        n_bad = rhs.where(F.col("__kc__") > limit).limit(1).count()
+        if n_bad:
+            raise RuntimeError(f"JOIN LIMIT({limit}) exceeded")
+        return left.join(rhs.drop("__kc__"), list(keys), "inner")
+    return left.join(
+        rhs.where(F.col("__kc__") <= limit).drop("__kc__"), list(keys), "inner"
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    eq_keys: Sequence[str],
+    cond: Column,
+) -> DataFrame:
+    """Sliding/range match (JFslidingmatch eclhelper.hpp:1729): equality
+    prefix + bounded inequality tail.
+
+    With an equality prefix this is an equi-join + residual filter (Catalyst
+    evaluates the residual inside the join), so it shuffles only on the
+    prefix. A pure range join (no prefix) should bucketize the range key
+    first — see pipeline.similarity for that pattern.
+    """
+    lhs, rhs = left.alias("l"), right.alias("r")
+    eq = None
+    for k in eq_keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        eq = c if eq is None else (eq & c)
+    full = cond if eq is None else (eq & cond)
+    return lhs.join(rhs, full, "inner")

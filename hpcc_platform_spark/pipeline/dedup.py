@@ -1,0 +1,188 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB: every stage is a key-shuffle or map-only transform.
+Signatures are computed with JVM-side hash functions (xxhash64/md5 — no
+Python in the hot path); candidate generation is a band-bucket self-join
+(shuffle on bucket id), never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest-id representative per
+    hash, with the duplicate count. One shuffle on the 128-bit hash."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    wo = w.orderBy(id_col)
+    return (
+        hashed.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "text_hash", "n_copies")
+    )
+
+
+def _shingles(text_col: str, k: int) -> F.Column:
+    """k-word shingles as strings (whitespace tokens joined by a space)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: num_hashes permutations approximated
+    by xxhash64(shingle, seed_i); signature[i] = min over shingles.
+
+    All array lambdas — JVM-side, map-only, no shuffle. Output:
+    (id, signature array<long>).
+    """
+    sh = _shingles(text_col, shingle_k).alias("sh")
+    base = df.select(F.col(id_col), sh)
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    ).alias("signature")
+    return base.select(F.col(id_col), sig)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values, hash each band to a bucket, self-join on
+    (band, bucket) to emit candidate pairs (id_a < id_b), then estimate
+    Jaccard from full-signature agreement.
+
+    Scale: the self-join shuffles on band-bucket — cardinality ~n·bands —
+    and never materializes the n² pair space. Skewed buckets (boilerplate
+    docs) are handled by AQE skew-join splitting.
+    """
+    exploded = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = pairs.withColumn(
+        "jaccard_est", n_agree.cast("double") / F.size("sig_a")
+    ).select("id_a", "id_b", "jaccard_est")
+    if jaccard_threshold is not None:
+        est = est.where(F.col("jaccard_est") >= jaccard_threshold)
+    return est
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, sum ±1 per bit
+    position, sign → bit. Near-dups differ in few bits (hamming distance).
+
+    Pure array lambdas over the token list — map-only. Output (id, simhash).
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    hashes = F.transform(words, F.xxhash64)
+    bit_sums = F.array(
+        *[
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h, i=i: acc
+                + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+            )
+            for i in range(64)
+        ]
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda s, i: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage after
+    LSH): joins the shingle sets back onto (id_a, id_b) and computes
+    |A∩B| / |A∪B| with array ops. Only candidates pay the exact cost."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(_shingles(text_col, n)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidate_pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    )

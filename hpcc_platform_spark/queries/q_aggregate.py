@@ -1,0 +1,228 @@
+"""Aggregation coverage queries (SURVEY.md §2.4).
+
+Determinism: every double-typed aggregate is rounded to 4 places on both
+sides (summation order differs across engines/partitionings). Integer sums
+are cast to BIGINT in the oracle (DuckDB SUM(int) returns HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.operators import (
+    distribution,
+    global_agg,
+    group_having,
+    quantile_exact,
+    table_agg,
+)
+from hpcc_platform_spark.queries.registry import query, tables
+
+
+@query(
+    "groupagg_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="aggregate",
+)
+def groupagg_q1(spark, sf_dir):
+    """Flagship: TPC-H Q1-shaped grouped hash aggregate (TAKhashaggregate).
+
+    The whole pipeline is one scan → partial agg → exchange on the (tiny
+    cardinality) group key → final agg; Catalyst does map-side combine
+    exactly like the reference's mergeAggregate partial/final protocol.
+    """
+    (li,) = tables(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return table_agg(
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "global_agg",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           ROUND(SUM(l_quantity), 4) AS total_qty,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price,
+           CAST(COUNT(*) > 0 AS BOOLEAN) AS exists_any
+    FROM lineitem
+    """,
+    category="aggregate",
+)
+def global_agg_q(spark, sf_dir):
+    """Whole-dataset aggregate (TAKaggregate :896) + EXISTS/COUNT fused
+    variants (TAKexistsaggregate/TAKcountaggregate :1010-1011)."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return global_agg(
+        li,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        (F.count(F.lit(1)) > 0).alias("exists_any"),
+    )
+
+
+@query(
+    "group_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS spend
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+    """,
+    category="aggregate",
+)
+def group_having_q(spark, sf_dir):
+    """TABLE + HAVING (post-aggregation filter on grouped result)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return group_having(
+        orders,
+        ["o_custkey"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+        ],
+        F.col("n_orders") >= 10,
+    )
+
+
+@query(
+    "stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(var_pop(l_quantity), 4) AS var_qty,
+           ROUND(stddev_pop(l_quantity), 4) AS std_qty,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def stats_agg(spark, sf_dir):
+    """VARIANCE/COVARIANCE/CORRELATION (no_variance/covariance/correlation,
+    ecl/hql/hqlexpr.hpp:634-636 in the reference)."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return table_agg(
+        li,
+        ["l_returnflag"],
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("std_qty"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    category="aggregate",
+)
+def cube_agg(spark, sf_dir):
+    """CUBE grouping sets — a Spark-free superset of the reference (ECL has
+    no CUBE; nearest is multiple TABLEs unioned, SURVEY §2.4)."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "distribution_profile",
+    oracle="""
+    SELECT 'c_mktsegment' AS field,
+           COUNT(c_mktsegment) AS n_nonnull,
+           COUNT(DISTINCT c_mktsegment) AS n_distinct,
+           MIN(c_mktsegment) AS min_value, MAX(c_mktsegment) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey',
+           COUNT(c_nationkey), COUNT(DISTINCT c_nationkey),
+           MIN(CAST(c_nationkey AS VARCHAR)), MAX(CAST(c_nationkey AS VARCHAR))
+    FROM customer
+    """,
+    category="aggregate",
+)
+def distribution_profile(spark, sf_dir):
+    """DISTRIBUTION(ds, fields) (TAKdistribution :916; reference impl
+    rtl/eclrtl/rtldistr.cpp) — per-field profile as a tidy DataFrame."""
+    (cust,) = tables(spark, sf_dir, "customer")
+    return distribution(cust, ["c_mktsegment", "c_nationkey"])
+
+
+@query(
+    "quantile_exact",
+    oracle="""
+    WITH tiled AS (
+      SELECT l_quantity, l_orderkey, l_linenumber,
+             ntile(4) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS tile
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_quantity, tile,
+             row_number() OVER (
+               PARTITION BY tile
+               ORDER BY l_quantity DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+      FROM tiled
+    )
+    SELECT CAST(tile AS INT) AS tile, l_quantity FROM ranked WHERE rn = 1 AND tile < 4
+    """,
+    category="aggregate",
+)
+def quantile_exact_q(spark, sf_dir):
+    """QUANTILE(ds, 4) (TAKquantile :1082) — exact quartile boundary rows."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    out = quantile_exact(li, "l_quantity", 4, ["l_orderkey", "l_linenumber"])
+    return out.select(F.col("tile").cast("int").alias("tile"), "l_quantity")
+
+
+@query(
+    "approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_supps
+    FROM lineitem
+    """,
+    category="aggregate",
+)
+def approx_distinct(spark, sf_dir):
+    """COUNT DISTINCT — exact form for the oracle; the 100 TB path is
+    approx_count_distinct (HLL), exercised in tests (no cross-engine oracle
+    since sketches differ)."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return global_agg(
+        li,
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+    )

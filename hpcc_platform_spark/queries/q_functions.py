@@ -1,0 +1,246 @@
+"""Scalar-function surface coverage (SURVEY.md §2.9).
+
+The reference's ~484 RTL functions (Std.Str/Date/Math + built-ins) map
+nearly 1:1 onto pyspark.sql.functions; these queries pin a representative
+slice per family against DuckDB. Engines must agree on semantics, not just
+names — e.g. md5 over UTF-8 bytes, C-style printf formatting, Java vs RE2
+regex (queries stick to the common dialect subset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.queries.registry import query, tables
+
+
+@query(
+    "str_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_uc,
+           LOWER(p_brand) AS brand_lc,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           SUBSTRING(p_type, 1, 8) AS type_prefix,
+           REPLACE(p_brand, 'Brand#', 'B') AS brand_short,
+           REVERSE(p_brand) AS brand_rev,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CONCAT(p_brand, '/', p_type) AS brand_type,
+           CAST(STARTS_WITH(p_type, 'STANDARD') AS BOOLEAN) AS is_standard,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS lev_dist,
+           TRIM(p_name) AS name_trim
+    FROM part WHERE p_partkey <= 500
+    """,
+    category="functions",
+)
+def str_functions(spark, sf_dir):
+    """Std.Str family (ecllibrary/std/Str.ecl: ToUpperCase :167, Reverse
+    :195, FindReplace :205, EditDistance :313, etc.) → built-in F.*."""
+    (part,) = tables(spark, sf_dir, "part")
+    return part.where(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_uc"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 8).alias("type_prefix"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).cast("int").alias("lev_dist"),
+        F.trim("p_name").alias("name_trim"),
+    )
+
+
+@query(
+    "regex_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(regexp_matches(p_type, 'BRASS|COPPER') AS BOOLEAN) AS is_metal
+    FROM part WHERE p_partkey <= 500
+    """,
+    category="functions",
+)
+def regex_functions(spark, sf_dir):
+    """REGEXFIND/REGEXREPLACE (ecl/hql/hqllex.l:917-919; impl
+    rtl/eclrtl/eclregex.cpp) → regexp_extract / regexp_replace. Patterns
+    stay in the Java∩RE2 common dialect."""
+    (part,) = tables(spark, sf_dir, "part")
+    return part.where(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("BRASS|COPPER").alias("is_metal"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dy,
+           CAST(strftime(o_orderdate + INTERVAL 30 DAY, '%Y%m%d') AS INT) AS due_date,
+           CAST(strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS INT) AS order_month,
+           CAST(strftime(last_day(CAST(o_orderdate AS DATE)), '%Y%m%d') AS INT) AS month_end
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    category="functions",
+)
+def date_functions(spark, sf_dir):
+    """Std.Date family (ecllibrary/std/Date.ecl: Year/Month/Day :66-86,
+    AdjustDate, 129 exports) → year/month/day/date_add/date_trunc/last_day.
+    Derived dates are emitted in the reference's own Date_t encoding
+    (YYYYMMDD int, Date.ecl:23) via the functions.dates codec — which also
+    sidesteps DATE-vs-TIMESTAMP representation skew between engines."""
+    from hpcc_platform_spark.functions import date_to_int
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mo"),
+        F.dayofmonth(d).cast("int").alias("dy"),
+        date_to_int(F.date_add(d.cast("date"), 30)).alias("due_date"),
+        date_to_int(F.date_trunc("month", d).cast("date")).alias("order_month"),
+        date_to_int(F.last_day(d.cast("date"))).alias("month_end"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25) AS abs_dev,
+           ROUND(l_extendedprice, 0) AS price_rounded,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(POWER(l_quantity, 2), 4) AS qty_sq,
+           CAST(l_orderkey % 97 AS BIGINT) AS mod97,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS key_xor,
+           CAST(l_orderkey & 255 AS BIGINT) AS key_and
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    category="functions",
+)
+def math_functions(spark, sf_dir):
+    """Math built-ins (no_ln/no_sqrt/no_power hqlexpr.hpp:253-265, no_abs
+    :306, bit ops no_band/bor/bxor :392-395) → F.* 1:1. Transcendentals
+    rounded to 6 places (libm last-ulp variation across engines)."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") <= 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.round("l_extendedprice", 0).alias("price_rounded"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
+        (F.col("l_orderkey") % 97).cast("long").alias("mod97"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).cast("long").alias("key_xor"),
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).cast("long").alias("key_and"),
+    )
+
+
+@query(
+    "hash_functions",
+    oracle="""
+    SELECT c_custkey, md5(c_name) AS name_md5
+    FROM customer WHERE c_custkey <= 300
+    """,
+    category="functions",
+)
+def hash_functions(spark, sf_dir):
+    """HASHMD5 (no_hashmd5, hqlexpr.hpp:566) — md5 over UTF-8 bytes agrees
+    across engines; HASH32/HASH64/CRC use engine-specific algorithms in the
+    reference too (tested Spark-side only, tests/)."""
+    (cust,) = tables(spark, sf_dir, "customer")
+    return cust.where(F.col("c_custkey") <= 300).select(
+        "c_custkey", F.md5(F.col("c_name").cast("binary")).alias("name_md5")
+    )
+
+
+@query(
+    "format_functions",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%010d', o_orderkey) AS key_padded,
+           printf('%.2f', o_totalprice) AS price_str
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    category="functions",
+)
+def format_functions(spark, sf_dir):
+    """INTFORMAT/REALFORMAT (no_intformat/no_realformat hqlexpr.hpp:304-305;
+    rtlIntFormat eclrtl.hpp:132) → C-style format_string."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.format_string("%010d", "o_orderkey").alias("key_padded"),
+        F.format_string("%.2f", "o_totalprice").alias("price_str"),
+    )
+
+
+@query(
+    "case_map",
+    oracle="""
+    SELECT c_custkey,
+           CASE c_mktsegment
+             WHEN 'BUILDING' THEN 'construction'
+             WHEN 'AUTOMOBILE' THEN 'vehicles'
+             WHEN 'MACHINERY' THEN 'industrial'
+             ELSE 'other' END AS segment_group,
+           CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier
+    FROM customer
+    """,
+    category="functions",
+)
+def case_map(spark, sf_dir):
+    """CASE/MAP/IF expression forms (TAKcase :930, TAKif :914 at the scalar
+    level) → when/otherwise chains."""
+    (cust,) = tables(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.when(seg == "BUILDING", "construction")
+        .when(seg == "AUTOMOBILE", "vehicles")
+        .when(seg == "MACHINERY", "industrial")
+        .otherwise("other")
+        .alias("segment_group"),
+        F.when(bal < 0, "delinquent")
+        .when(bal < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+    )
+
+
+@query(
+    "fromjson",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+    category="functions",
+)
+def fromjson(spark, sf_dir):
+    """FROMJSON (no_json, hqlexpr.hpp:519; fromjson*.ecl tests) — parse a
+    JSON string column; get_json_object keeps it JVM-side."""
+    (events,) = tables(spark, sf_dir, "events")
+    return events.where(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )

@@ -1,0 +1,290 @@
+"""Join-family coverage queries (SURVEY.md §2.3).
+
+The reference's physical variety (global sort-merge thjoinslave.cpp, hash
+distributed thhashdistribslave.cpp, broadcast thlookupjoinslave.cpp, smart
+failover) is Catalyst's job; these queries pin the *semantics*: join forms
+(inner/outer/only/semi), LOOKUP broadcast hint, ALL theta, SELF, ATMOST,
+LIMIT-skip, and sliding/range matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.operators import (
+    all_join,
+    join,
+    join_atmost,
+    join_limit,
+    keyed_join,
+    lookup_join,
+    range_join,
+    self_join,
+)
+from hpcc_platform_spark.queries.registry import query, tables
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+    category="join",
+)
+def join_inner(spark, sf_dir):
+    """JOIN inner (TAKjoin :1042) — Catalyst picks SMJ/SHJ/broadcast."""
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    out = join(
+        orders.where(F.col("o_orderstatus") == "F"),
+        cust,
+        orders.o_custkey == cust.c_custkey,
+    )
+    return out.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+    """,
+    category="join",
+)
+def join_left_outer(spark, sf_dir):
+    """LEFT OUTER JOIN (JFleftouter, eclhelper.hpp:1714) with a non-key
+    residual — unmatched customers survive with nulls."""
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    out = join(
+        cust,
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 300000),
+        "left outer",
+    )
+    return out.select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, s.o_custkey, s.n_orders
+    FROM customer c FULL OUTER JOIN spend s ON c.c_custkey = s.o_custkey
+    """,
+    category="join",
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER JOIN (JFleftouter|JFrightouter)."""
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    spend = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    out = join(cust, spend, cust.c_custkey == spend.o_custkey, "full outer")
+    return out.select("c_custkey", "c_name", "o_custkey", "n_orders")
+
+
+@query(
+    "join_left_only",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    category="join",
+)
+def join_left_only(spark, sf_dir):
+    """LEFT ONLY (JFleftouter|JFexclude, eclhelper.hpp:1717) ≡ anti-join."""
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    return join(cust, orders, cust.c_custkey == orders.o_custkey, "left only").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    category="join",
+)
+def join_semi(spark, sf_dir):
+    """KEEP(1)-style inner ≡ left semi (existence check, no duplication)."""
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    open_orders = orders.where(F.col("o_orderstatus") == "O")
+    return join(
+        cust, open_orders, cust.c_custkey == open_orders.o_custkey, "left semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "lookup_join",
+    oracle="""
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    category="join",
+)
+def lookup_join_q(spark, sf_dir):
+    """LOOKUP join (TAKlookupjoin :1044): small dims broadcast — the
+    reference's CBroadcaster tree ≡ Spark BroadcastHashJoin. At 100 TB the
+    fact side never shuffles for these dims."""
+    cust, nation, region = tables(spark, sf_dir, "customer", "nation", "region")
+    step1 = lookup_join(cust, nation, cust.c_nationkey == nation.n_nationkey)
+    step2 = lookup_join(step1, region, step1.n_regionkey == region.r_regionkey)
+    return step2.select("c_custkey", "n_name", "r_name")
+
+
+@query(
+    "all_join_theta",
+    oracle="""
+    SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+    FROM region r JOIN nation n ON r.r_regionkey < n.n_regionkey
+    """,
+    category="join",
+)
+def all_join_theta(spark, sf_dir):
+    """JOIN ALL (TAKalljoin :1047) — no equality, arbitrary theta condition,
+    RHS broadcast (BroadcastNestedLoopJoin)."""
+    region, nation = tables(spark, sf_dir, "region", "nation")
+    r, n = region.alias("r"), nation.alias("n")
+    out = all_join(r, n, F.col("r.r_regionkey") < F.col("n.n_regionkey"))
+    return out.select("r_regionkey", "r_name", "n_nationkey", "n_name")
+
+
+@query(
+    "self_join",
+    oracle="""
+    SELECT a.s_nationkey, a.s_suppkey AS supp_a, b.s_suppkey AS supp_b
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+    category="join",
+)
+def self_join_q(spark, sf_dir):
+    """SELF JOIN (TAKselfjoin :1045) — supplier pairs within a nation;
+    single input, one shuffle reused for both sides."""
+    (supp,) = tables(spark, sf_dir, "supplier")
+    out = self_join(
+        supp,
+        ["s_nationkey"],
+        cond=F.col("l.s_suppkey") < F.col("r.s_suppkey"),
+    )
+    return out.select(
+        F.col("l.s_nationkey").alias("s_nationkey"),
+        F.col("l.s_suppkey").alias("supp_a"),
+        F.col("r.s_suppkey").alias("supp_b"),
+    )
+
+
+@query(
+    "keyed_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_retailprice
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 50
+    """,
+    category="join",
+)
+def keyed_join_q(spark, sf_dir):
+    """KEYED JOIN (TAKkeyedjoin :1046): per-row B+tree probe in the
+    reference → equi-join against the index-as-table in Spark; the KEYED
+    filter (p_size) prunes via pushdown before the join."""
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    idx = part.where(F.col("p_size") == 50)
+    out = keyed_join(li, idx, li.l_partkey == idx.p_partkey)
+    return out.select("l_orderkey", "l_linenumber", "p_name", "p_retailprice")
+
+
+@query(
+    "join_atmost",
+    oracle="""
+    WITH counted AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS kc
+      FROM lineitem
+    ), kept AS (
+      SELECT l_orderkey, l_linenumber, l_quantity FROM counted WHERE kc <= 3
+    )
+    SELECT o.o_orderkey, k.l_linenumber, k.l_quantity
+    FROM orders o LEFT JOIN kept k ON o.o_orderkey = k.l_orderkey
+    """,
+    category="join",
+)
+def join_atmost_q(spark, sf_dir):
+    """JOIN ATMOST(3) (eclhelper.hpp:1726): orders whose match group exceeds
+    3 lineitems are treated as unmatched (nulls under LEFT OUTER)."""
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    out = join_atmost(
+        orders.select("o_orderkey"),
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+        ),
+        ["o_orderkey"],
+        atmost=3,
+        keep_unmatched=True,
+    )
+    return out.select("o_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "join_limit_skip",
+    oracle="""
+    WITH counted AS (
+      SELECT l_orderkey, l_linenumber,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS kc
+      FROM lineitem
+    ), kept AS (
+      SELECT l_orderkey, l_linenumber FROM counted WHERE kc <= 2
+    )
+    SELECT o.o_orderkey, o.o_totalprice, k.l_linenumber
+    FROM orders o JOIN kept k ON o.o_orderkey = k.l_orderkey
+    """,
+    category="join",
+)
+def join_limit_skip(spark, sf_dir):
+    """JOIN LIMIT(2, SKIP) (eclhelper.hpp:1735): LHS rows with over-limit
+    match groups are dropped entirely."""
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    out = join_limit(
+        orders.select("o_orderkey", "o_totalprice"),
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_linenumber"),
+        ["o_orderkey"],
+        limit=2,
+        on_exceed="skip",
+    )
+    return out.select("o_orderkey", "o_totalprice", "l_linenumber")
+
+
+@query(
+    "range_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_extendedprice BETWEEN p.p_retailprice * 0.5 AND p.p_retailprice * 20.0
+    WHERE l.l_quantity >= 49
+    """,
+    category="join",
+)
+def range_join_q(spark, sf_dir):
+    """Sliding/range match (JFslidingmatch :1729): equality prefix + bounded
+    inequality — shuffles only on the equality prefix, residual evaluated
+    inside the join."""
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    out = range_join(
+        li.where(F.col("l_quantity") >= 49),
+        part,
+        [],
+        cond=(F.col("l.l_partkey") == F.col("r.p_partkey"))
+        & F.col("l.l_extendedprice").between(
+            F.col("r.p_retailprice") * 0.5, F.col("r.p_retailprice") * 20.0
+        ),
+    )
+    return out.select("l.l_orderkey", "l.l_linenumber", "r.p_partkey").toDF(
+        "l_orderkey", "l_linenumber", "p_partkey"
+    )

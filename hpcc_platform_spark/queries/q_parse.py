@@ -1,0 +1,69 @@
+"""PARSE / text-tokenization coverage (SURVEY.md §2.10).
+
+The reference's PARSE (TAKparse :934) spans a regex-NFA engine
+(common/thorhelper/thorrparse.cpp) and a Tomita GLR parser
+(thortparse.cpp). The regex/tokenize subset lowers to split +
+explode — fully JVM-side; grammar parsing is a later-round mapInPandas
+UDTF (see operators roadmap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.queries.registry import query, tables
+
+
+@query(
+    "parse_tokenize",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    )
+    SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM words GROUP BY word
+    """,
+    category="parse",
+)
+def parse_tokenize(spark, sf_dir):
+    """PARSE tokenize-and-match (TAKparse :934, regex engine subset): split
+    documents into words, one row per match, aggregate term frequencies —
+    the inverted-index build of the reference's ts.ecl text-search setup."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        ).alias("word"),
+    )
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
+    "parse_extract_positions",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, unnest(ws) AS word,
+           CAST(unnest(range(1, len(ws) + 1)) AS INT) AS wpos
+    FROM toks
+    """,
+    category="parse",
+)
+def parse_extract_positions(spark, sf_dir):
+    """PARSE with position capture — word + 1-based word position per doc
+    (the {word, doc, wpos} shape of the reference's textSearchIndex,
+    testing/regress/ecl/setup/ts.ecl:57)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias(
+            "pos0", "word"
+        ),
+    ).select("doc_id", "word", (F.col("pos0") + 1).cast("int").alias("wpos"))

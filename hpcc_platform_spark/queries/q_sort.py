@@ -1,0 +1,83 @@
+"""Sort / top-k / merge coverage queries (SURVEY.md §2.6).
+
+The value-hash compare is order-insensitive, so sort queries make order
+*observable* by materializing a rank column — the sorted position IS the
+tested output, exactly how the reference's terasort verifies order with a
+pairwise ROLLUP (testing/benchmarks/ecl/terasort.ecl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.operators import global_sort, merge_sorted, project_counter, topn
+from hpcc_platform_spark.queries.registry import query, tables
+
+
+@query(
+    "global_sort_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate,
+           CAST(row_number() OVER (
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INT) AS sort_pos
+    FROM lineitem WHERE l_quantity >= 48
+    """,
+    category="sort",
+)
+def global_sort_rank(spark, sf_dir):
+    """Global SORT (TAKsort :889): Spark range-partition sort ≡ the
+    reference's sampled-split-point msort (thorlcr/msort/tsortm.cpp). The
+    sort position is materialized so the oracle verifies total order."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    sorted_df = global_sort(
+        li.where(F.col("l_quantity") >= 48).select(
+            "l_orderkey", "l_linenumber", "l_shipdate"
+        ),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return project_counter(
+        sorted_df, ["l_shipdate", "l_orderkey", "l_linenumber"], "sort_pos"
+    )
+
+
+@query(
+    "topn",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+    category="sort",
+)
+def topn_q(spark, sf_dir):
+    """TOPN(ds, 100) (TAKtopn :936) — TakeOrderedAndProject: per-partition
+    heaps + merge, identical algorithm to thorlcr/activities/topn/."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return topn(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        100,
+        F.col("l_extendedprice").desc(),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@query(
+    "merge_sorted",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           CAST(row_number() OVER (ORDER BY s_acctbal, s_suppkey) AS INT) AS pos
+    FROM supplier
+    """,
+    category="sort",
+)
+def merge_sorted_q(spark, sf_dir):
+    """MERGE of sorted streams (TAKmerge :937): two disjoint sorted halves
+    re-merged; the rank column proves the merged order is total."""
+    (supp,) = tables(spark, sf_dir, "supplier")
+    base = supp.select("s_suppkey", "s_acctbal")
+    lo = global_sort(base.where(F.col("s_acctbal") < 0), "s_acctbal", "s_suppkey")
+    hi = global_sort(base.where(F.col("s_acctbal") >= 0), "s_acctbal", "s_suppkey")
+    merged = merge_sorted([lo, hi], "s_acctbal", "s_suppkey")
+    return project_counter(merged, ["s_acctbal", "s_suppkey"], "pos")

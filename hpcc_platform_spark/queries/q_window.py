@@ -1,0 +1,131 @@
+"""Window-function coverage (SURVEY.md §2.14).
+
+ECL predates SQL windows; its idioms (RANK/RANKED, ITERATE lag, DEDUP BEST
+top-k, COUNTER numbering) all lower to Window.partitionBy().orderBy() — the
+Spark engine exposes windows directly as a strict superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.queries.registry import query, tables
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           CAST(rank()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS drnk,
+           CAST(row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS rn
+    FROM supplier
+    """,
+    category="window",
+)
+def window_rank(spark, sf_dir):
+    """RANK/RANKED (no_rank/no_ranked, ecl/hql/hqlexpr.hpp:407-408) —
+    ranking within nation by account balance."""
+    (supp,) = tables(spark, sf_dir, "supplier")
+    by_bal = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    by_bal_tb = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    )
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(by_bal).cast("int").alias("rnk"),
+        F.dense_rank().over(by_bal).cast("int").alias("drnk"),
+        F.row_number().over(by_bal_tb).cast("int").alias("rn"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS delta_prev
+    FROM orders
+    """,
+    category="window",
+)
+def window_lag_delta(spark, sf_dir):
+    """ITERATE's previous-row access (TAKiterate :895) as LAG: per-customer
+    spend delta between consecutive orders."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 4).alias(
+            "delta_prev"
+        ),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+    FROM events
+    """,
+    category="window",
+)
+def window_moving_avg(spark, sf_dir):
+    """Moving frame aggregate — rowsBetween(-2, 0) 3-row moving average."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg3"),
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+    FROM gaps
+    """,
+    category="window",
+)
+def sessionize(spark, sf_dir):
+    """Sessionization — the batch analogue of session windows: lag-gap >
+    30 min starts a new session; cumulative sum numbers sessions per user.
+    (The reference has no streaming/session construct at all — SURVEY §2.13;
+    this is part of the Spark-side superset.)"""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("new_session", new_s)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("new_session").over(run).cast("int").alias("session_id"),
+        )
+    )

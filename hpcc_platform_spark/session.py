@@ -1,0 +1,97 @@
+"""SparkSession factory + table loading.
+
+Scale posture: configs below are chosen so the same logical plans survive a
+1000-executor cluster — AQE handles runtime re-planning (broadcast selection,
+skew-join splitting, partition coalescing), which replaces the reference's
+hand-rolled SMART join failover (thorlcr/activities/lookupjoin/
+thlookupjoinslave.cpp:1711-1735 "failover to local lookupjoin") and its
+engine-choice step (ecl/hqlcpp/hqlttcpp.cpp pickBestEngine).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "hpcc_platform_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Local-mode knobs mirror what we'd set cluster-side:
+    - ``spark.sql.shuffle.partitions`` ≈ total cores locally; on a real
+      cluster AQE coalesces, so an over-estimate is safe.
+    - AQE on: runtime broadcast/skew handling at 100 TB where static
+      planning guesses wrong.
+    - session TZ pinned UTC so results are comparable to the DuckDB oracle.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one TESTDATA parquet table, normalizing physical quirks.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects; we read nanos as long (legacy flag — runtime-settable)
+    and convert with integer division (``div`` keeps exact µs — a double
+    roundtrip would wobble the low microseconds at 2024-epoch magnitudes).
+    This is record-layout translation in the reference's sense
+    (thorread.hpp:33-64 actual→expected mapping).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load the TESTDATA star schema; register each as a temp view.
+
+    Parquet scan is the Spark analogue of the reference's flat-file read
+    (TAKdiskread, thorlcr/activities/diskread/) with filter+project fusion —
+    Catalyst pushes predicates/projections into the scan automatically.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

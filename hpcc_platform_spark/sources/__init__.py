@@ -1,0 +1,31 @@
+"""Sources & sinks (SURVEY.md §2.1): file formats with ECL-dialect options,
+index build/read, superfiles, inline tables, PIPE, workunit results."""
+
+from hpcc_platform_spark.sources.files import (
+    read_csv,
+    read_json,
+    read_superfile,
+    read_xml,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from hpcc_platform_spark.sources.index import build_index, read_index
+from hpcc_platform_spark.sources.inline import inline_dataset
+from hpcc_platform_spark.sources.pipe import pipe_through
+from hpcc_platform_spark.sources.results import WorkunitResults
+
+__all__ = [
+    "WorkunitResults",
+    "build_index",
+    "inline_dataset",
+    "pipe_through",
+    "read_csv",
+    "read_index",
+    "read_json",
+    "read_superfile",
+    "read_xml",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+]
