@@ -53,11 +53,14 @@ def minhash_signatures(
     """
     sh = _shingles(text_col, shingle_k).alias("sh")
     base = df.select(F.col(id_col), sh)
+    def perm(i: int):
+        # Closure factory, NOT a default-arg lambda: PySpark binds 2-param
+        # lambdas as (element, array_index), which would silently replace
+        # the permutation seed with the shingle position.
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     sig = F.array(
-        *[
-            F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform("sh", perm(i))) for i in range(num_hashes)]
     ).alias("signature")
     return base.select(F.col(id_col), sig)
 
@@ -139,30 +142,33 @@ def simhash64(
     Pure array lambdas over the token list — map-only. Output (id, simhash).
     """
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    hashes = F.transform(words, F.xxhash64)
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def bit_vote(i: int):
+        # Closure factory (see perm() above for why default args break).
+        # Bit 63's mask must be the signed-long representation: 1<<63
+        # overflows Java long as an unsigned literal.
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
     bit_sums = F.array(
-        *[
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h, i=i: acc
-                + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
-            )
-            for i in range(64)
-        ]
+        *[F.aggregate(hashes, F.lit(0), bit_vote(i)) for i in range(64)]
     )
-    sim = F.aggregate(
-        F.zip_with(
-            bit_sums,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda s, i: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+    # Materialize the 64 votes once, then assemble the word from the stored
+    # array — referencing the raw expression 64 more times would square the
+    # expression tree.
+    staged = df.select(F.col(id_col), bit_sums.alias("__bits__"))
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        sim = sim.bitwiseOR(
+            F.when(F.col("__bits__").getItem(i) > 0, F.lit(mask).cast("long")).otherwise(
                 F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
-    return df.select(F.col(id_col), sim.alias("simhash"))
+            )
+        )
+    return staged.select(F.col(id_col), sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

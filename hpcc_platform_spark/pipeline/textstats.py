@@ -62,13 +62,17 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     ws = F.transform(_TOKENS(text_col), F.lower)
     n = F.size(ws).cast("double")
+    def stop_match(stop_list: list[str]):
+        # Closure factory: a 2-param/default-arg lambda would be bound by
+        # PySpark as (element, array_index) and corrupt the capture.
+        lits = F.array(*[F.lit(s) for s in stop_list])
+        return lambda w: F.array_contains(lits, w)
+
     scores = F.array(
         *[
             F.struct(
                 (
-                    F.size(
-                        F.filter(ws, lambda w, sl=stop: w.isin(*sl))
-                    ).cast("double")
+                    F.size(F.filter(ws, stop_match(stop))).cast("double")
                     / F.nullif(n, F.lit(0.0))
                 ).alias("score"),
                 F.lit(lang).alias("lang"),

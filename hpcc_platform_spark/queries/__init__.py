@@ -11,6 +11,8 @@ from hpcc_platform_spark.queries.registry import REGISTRY, QueryDef, query, tabl
 # Category modules — importing registers their queries.
 from hpcc_platform_spark.queries import (  # noqa: E402,F401
     q_aggregate,
+    q_analytic,
+    q_control,
     q_dedup,
     q_functions,
     q_join,

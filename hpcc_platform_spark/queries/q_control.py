@@ -1,0 +1,147 @@
+"""Control-flow / workflow / distribution coverage (SURVEY.md §2.8, §2.11,
+§2.12): LOOP, GRAPH, PIPE, LIMIT, DISTRIBUTE, PERSIST."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.operators import (
+    distribute_hash,
+    graph_loop,
+    limit_skip,
+    loop_count,
+    rollup_adjacent,
+)
+from hpcc_platform_spark.plans import PersistCache
+from hpcc_platform_spark.queries.registry import query, tables
+from hpcc_platform_spark.sources import pipe_through
+
+
+@query(
+    "loop_count",
+    oracle="""
+    SELECT n_nationkey, CAST(n_nationkey * 8 + 7 AS BIGINT) AS value
+    FROM nation
+    """,
+    category="control",
+)
+def loop_count_q(spark, sf_dir):
+    """LOOP(ds, 3, body) (TAKloopcount :987): three applications of
+    v ← 2v+1 starting from the key; the oracle checks the closed form
+    8k+7 — proving the driver-side loop re-applies the transform."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    start = nation.select(
+        "n_nationkey", F.col("n_nationkey").cast("long").alias("value")
+    )
+    out = loop_count(
+        start, 3, lambda df, i: df.withColumn("value", F.col("value") * 2 + 1)
+    )
+    return out
+
+
+@query(
+    "graph_loop",
+    oracle="""
+    SELECT n_nationkey, CAST(8 AS BIGINT) AS v FROM nation
+    """,
+    category="control",
+)
+def graph_loop_q(spark, sf_dir):
+    """GRAPH loop (TAKgraphloop :995): body reads BOTH previous results
+    (ROWSET semantics) — Fibonacci recurrence v_i = v_{i-1} + v_{i-2}
+    from v_0 = 1 gives 8 after 4 steps, checked in closed form."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    base = nation.select("n_nationkey", F.lit(1).cast("long").alias("v"))
+
+    def body(results, i):
+        prev = results[-1].alias("p1")
+        prev2 = results[-2 if len(results) >= 2 else -1].alias("p2")
+        return prev.join(
+            prev2.select(
+                F.col("n_nationkey").alias("k2"), F.col("v").alias("v2")
+            ),
+            F.col("n_nationkey") == F.col("k2"),
+        ).select("n_nationkey", (F.col("v") + F.col("v2")).alias("v"))
+
+    return graph_loop(base, 4, body)
+
+
+@query(
+    "pipe_through",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    category="control",
+)
+def pipe_through_q(spark, sf_dir):
+    """PIPE(ds, 'cat') (TAKpipethrough :922): rows stream through an
+    external process per partition with CSV framing; identity command
+    proves the ser/de roundtrip."""
+    (region,) = tables(spark, sf_dir, "region")
+    return pipe_through(
+        region.select("r_regionkey", "r_name"),
+        ["cat"],
+        "r_regionkey int, r_name string",
+    )
+
+
+@query(
+    "limit_skip",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+    category="control",
+)
+def limit_skip_q(spark, sf_dir):
+    """LIMIT(ds, n, SKIP) (TAKskiplimit :975): bound not exceeded → dataset
+    passes through unchanged (the exceeded path raises/empties — tests/)."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    return limit_skip(nation.select("n_nationkey", "n_name"), 1000)
+
+
+@query(
+    "distribute_local_agg",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 4) AS qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    category="control",
+)
+def distribute_local_agg(spark, sf_dir):
+    """DISTRIBUTE(ds, HASH(key)) + LOCAL aggregate (TAKhashdistribute :905):
+    explicit hash partitioning followed by a grouped agg on the same key —
+    Catalyst reuses the exchange (no second shuffle), mirroring the
+    reference's distribute-once-use-many idiom."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    parted = distribute_hash(li, ["l_orderkey"])
+    return rollup_adjacent(
+        parted,
+        ["l_orderkey"],
+        [
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        ],
+    )
+
+
+@query(
+    "persist_cache",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    category="control",
+)
+def persist_cache_q(spark, sf_dir):
+    """PERSIST (workflow engine, WFModePersist workunit.hpp:585-603):
+    content-hash materialization — first call computes+writes parquet,
+    repeat calls with unchanged plan+inputs read back. Values identical
+    either way (the oracle sees through the cache)."""
+    (cust,) = tables(spark, sf_dir, "customer")
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+    )
+    cache = PersistCache(
+        spark, os.path.join(tempfile.gettempdir(), "hpcc_platform_spark_persist")
+    )
+    return cache.persist(agg, "cust_segment_rollup")

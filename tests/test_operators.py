@@ -1,0 +1,127 @@
+"""Behavioral tests for operators whose semantics aren't (fully) covered by
+the SQL-oracle gate: failure paths, pandas-lowered recurrences, partition
+mechanics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.operators import (
+    iterate_pandas,
+    limit_fail,
+    loop_until,
+    rollup_pandas,
+    salt_skew,
+    subsort,
+)
+from hpcc_platform_spark.operators.limit import LimitExceeded, limit_onfail, limit_skip
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "c", 5.0), (2, "d", 15.0), (2, "e", 25.0)],
+        "grp int, tag string, val double",
+    )
+
+
+def test_limit_fail_raises(small):
+    with pytest.raises(LimitExceeded):
+        limit_fail(small, 3)
+    assert limit_fail(small, 5).count() == 5
+
+
+def test_limit_skip_empties(small):
+    assert limit_skip(small, 3).count() == 0
+    assert limit_skip(small, 10).count() == 5
+
+
+def test_limit_onfail_substitutes(small, spark):
+    from pyspark.sql import Row
+
+    sub = Row(grp=-1, tag="FAILED", val=0.0)
+    out = limit_onfail(small, 2, sub).collect()
+    assert len(out) == 1 and out[0].tag == "FAILED"
+
+
+def test_iterate_pandas_general_recurrence(small):
+    """EMA — a genuinely non-associative ITERATE the window can't express."""
+
+    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = None
+        out = []
+        for v in pdf["val"]:
+            state = v if state is None else 0.5 * v + 0.5 * state
+            out.append(state)
+        return pdf.assign(ema=out)
+
+    got = (
+        iterate_pandas(small, ["grp"], ["tag"], ema, "grp int, tag string, val double, ema double")
+        .orderBy("grp", "tag")
+        .collect()
+    )
+    by_key = {(r.grp, r.tag): r.ema for r in got}
+    assert by_key[(1, "a")] == 10.0
+    assert by_key[(1, "b")] == 15.0  # 0.5*20 + 0.5*10
+    assert by_key[(2, "e")] == 0.5 * 25 + 0.5 * (0.5 * 15 + 0.5 * 5)
+
+
+def test_rollup_pandas_adjacent_merge(small):
+    """Order-dependent pairwise merge: concat tags in sort order per group."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "tags": ["+".join(pdf["tag"])],
+                "total": [pdf["val"].sum()],
+            }
+        )
+
+    got = {
+        r.grp: (r.tags, r.total)
+        for r in rollup_pandas(
+            small, ["grp"], ["tag"], merge, "grp int, tags string, total double"
+        ).collect()
+    }
+    assert got[1] == ("a+b", 30.0)
+    assert got[2] == ("c+d+e", 45.0)
+
+
+def test_loop_until_condition(spark):
+    df = spark.range(1).select(F.lit(1).alias("v"))
+    out = loop_until(
+        df,
+        body=lambda d, i: d.withColumn("v", F.col("v") * 2),
+        done=lambda d, i: d.head().v >= 16,
+        max_iters=20,
+    )
+    assert out.head().v == 16
+
+
+def test_subsort_orders_within_prefix(spark):
+    df = spark.createDataFrame(
+        [(1, 3), (1, 1), (2, 9), (1, 2), (2, 4)], "pfx int, x int"
+    )
+    out = subsort(df, ["pfx"], ["x"])
+    # Within each partition, rows must be ordered by (pfx, x).
+    def check(it):
+        prev = None
+        for row in it:
+            if prev is not None:
+                assert (row.pfx, row.x) >= prev
+            prev = (row.pfx, row.x)
+        return iter([])
+
+    out.rdd.mapPartitions(lambda it: check(it)).count()
+
+
+def test_salt_skew_deterministic_and_bounded(spark):
+    df = spark.createDataFrame([(i % 3, i) for i in range(100)], "k int, v int")
+    salted = salt_skew(df, "k", n_salts=8)
+    vals = [r["__salt__"] for r in salted.orderBy("v").collect()]
+    assert all(0 <= s < 8 for s in vals)
+    again = [r["__salt__"] for r in salt_skew(df, "k", 8).orderBy("v").collect()]
+    assert vals == again  # deterministic

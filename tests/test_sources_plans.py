@@ -1,0 +1,76 @@
+"""Sources, workunit results, PERSIST cache semantics, scalar wrappers."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.functions import (
+    clean_spaces,
+    date_to_int,
+    ecl_hashmd5,
+    int_to_date,
+    wild_match,
+)
+from hpcc_platform_spark.plans import PersistCache
+from hpcc_platform_spark.sources import WorkunitResults, build_index, read_index
+
+
+def test_workunit_results_roundtrip(spark):
+    wu = WorkunitResults(spark)
+    df = spark.range(5).withColumn("x", F.col("id") * 2)
+    wu.write("doubled", df)
+    wu.write("threshold", 42)
+    assert wu.read("threshold") == 42
+    assert wu.read("doubled").count() == 5
+    assert spark.sql("SELECT sum(x) AS s FROM wu_doubled").head().s == 20
+    assert wu.names() == ["doubled", "threshold"]
+
+
+def test_persist_cache_hits_and_invalidates(spark, tmp_path):
+    cache = PersistCache(spark, str(tmp_path / "persist"))
+    df = spark.range(100).withColumn("y", F.col("id") % 7)
+    first = cache.persist(df, "mod7")
+    n_dirs = len(os.listdir(tmp_path / "persist"))
+    again = cache.persist(df, "mod7")
+    assert len(os.listdir(tmp_path / "persist")) == n_dirs  # cache hit
+    assert first.count() == again.count() == 100
+    # Different plan → different key → new materialization.
+    cache.persist(df.where(F.col("y") == 0), "mod7")
+    assert len(os.listdir(tmp_path / "persist")) == n_dirs + 1
+
+
+def test_index_pushdown_reaches_scan(spark, sf_dir, tmp_path):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    idx_path = str(tmp_path / "part_idx")
+    build_index(part, idx_path, keyed=["p_partkey"], n_parts=4)
+    out = read_index(
+        spark, idx_path, keyed_filter=F.col("p_partkey") <= 100, columns=["p_partkey"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey,100)" in plan
+    assert out.count() == part.where("p_partkey <= 100").count()
+
+
+def test_date_codecs_roundtrip(spark):
+    df = spark.sql("SELECT DATE'2024-02-29' AS d")
+    got = df.select(
+        date_to_int("d").alias("i"), int_to_date(date_to_int("d")).alias("back")
+    ).head()
+    assert got.i == 20240229
+    assert str(got.back) == "2024-02-29"
+
+
+def test_string_wrappers(spark):
+    df = spark.createDataFrame([("  a   b  c ", "file_001.txt")], "s string, f string")
+    row = df.select(
+        clean_spaces("s").alias("cs"),
+        wild_match("f", "file_*.txt").alias("m1"),
+        wild_match("f", "file_???.txt").alias("m2"),
+        wild_match("f", "data_*.txt").alias("m3"),
+        ecl_hashmd5("s").alias("h"),
+    ).head()
+    assert row.cs == "a b c"
+    assert row.m1 and row.m2 and not row.m3
+    assert len(row.h) == 32

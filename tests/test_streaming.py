@@ -1,0 +1,66 @@
+"""Structured Streaming parity: drive the windowed aggs with a file source
+and memory sink (processAllAvailable) — deterministic local verification;
+the Kafka source swaps in at deploy time (SURVEY §2.13: the reference has
+only a Kafka plugin, no streaming engine, so batch/stream parity is the
+bar)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.session import read_table
+from hpcc_platform_spark.streaming import sessionized_stream, tumbling_counts
+
+
+def test_tumbling_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events")
+    # Stage as parquet (µs timestamps) so the same files drive both paths.
+    staged = str(tmp_path / "events_staged")
+    events.write.mode("overwrite").parquet(staged)
+
+    batch = tumbling_counts(spark.read.parquet(staged))
+    b = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 4))
+        for r in batch.collect()
+    }
+
+    stream_src = (
+        spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    )
+    q = (
+        tumbling_counts(stream_src)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        s = {
+            (r.window_start, r.event_type): (r.n, round(r.total_value, 4))
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+    finally:
+        q.stop()
+    assert s == b and len(b) > 0
+
+
+def test_session_window_batch(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    n_in = events.count()
+    out = sessionized_stream(events)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.session_start <= r.session_end for r in rows)
+    # Total events across sessions == input rows.
+    assert sum(r.n_events for r in rows) == n_in
+
+
+def test_watermark_is_attached_on_streams(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events")
+    staged = str(tmp_path / "events_wm")
+    events.limit(100).write.mode("overwrite").parquet(staged)
+    src = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    agg = tumbling_counts(src)
+    assert agg.isStreaming
+    assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()
