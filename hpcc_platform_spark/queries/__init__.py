@@ -15,6 +15,7 @@ from hpcc_platform_spark.queries import (  # noqa: E402,F401
     q_control,
     q_dedup,
     q_functions,
+    q_grouped,
     q_join,
     q_nested,
     q_parse,
@@ -22,6 +23,7 @@ from hpcc_platform_spark.queries import (  # noqa: E402,F401
     q_setops,
     q_sort,
     q_sources,
+    q_textsearch,
     q_transform,
     q_window,
 )

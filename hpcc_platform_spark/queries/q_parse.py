@@ -67,3 +67,34 @@ def parse_extract_positions(spark, sf_dir):
             "pos0", "word"
         ),
     ).select("doc_id", "word", (F.col("pos0") + 1).cast("int").alias("wpos"))
+
+
+@query(
+    "parse_pattern_scan",
+    oracle="""
+    WITH ms AS (
+      SELECT doc_id, regexp_extract_all(text, 'b[a-z]+') AS m
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, unnest(m) AS match_text,
+           CAST(unnest(range(1, len(m) + 1)) AS INT) AS match_ord
+    FROM ms
+    """,
+    category="parse",
+)
+def parse_pattern_scan(spark, sf_dir):
+    """PARSE with the PATTERN algebra (no_pat_* constructors → regex-NFA
+    engine): scan for words starting with 'b', one row per match with its
+    ordinal — the Arrow-batched mapInPandas scanner."""
+    from hpcc_platform_spark.operators.parse import (
+        parse,
+        pat_charset,
+        pat_regex,
+        pat_repeat,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    pattern = pat_regex("b") + pat_repeat(pat_charset("a-z"), 1)
+    return parse(
+        docs.where(F.col("doc_id") < 100), "text", pattern, keep_cols=["doc_id"]
+    ).select("doc_id", "match_text", "match_ord")
