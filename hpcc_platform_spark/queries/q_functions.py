@@ -244,3 +244,37 @@ def fromjson(spark, sf_dir):
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
     )
+
+
+@query(
+    "base64_functions",
+    oracle="""
+    SELECT c_custkey,
+           base64(encode(c_name)) AS name_b64,
+           decode(from_base64(base64(encode(c_name)))) AS name_roundtrip
+    FROM customer WHERE c_custkey <= 200
+    """,
+    category="functions",
+)
+def base64_functions(spark, sf_dir):
+    """Std.Str Base64 encode/decode (Str.ecl:440-453) — RFC 4648 agrees
+    across engines; roundtrip proves both directions."""
+    (cust,) = tables(spark, sf_dir, "customer")
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    return cust.where(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.unbase64(b64).cast("string").alias("name_roundtrip"),
+    )
+
+
+@query("phonetic_soundex", oracle=None, category="functions")
+def phonetic_soundex(spark, sf_dir):
+    """Phonetic keys (Std.Metaphone / plugins/dmetaphone in the reference):
+    Spark's built-in soundex as the JVM-side baseline (rows-only — DuckDB
+    has no phonetic functions); the metaphone-style variant and its
+    properties are pinned in tests/test_functions.py."""
+    (cust,) = tables(spark, sf_dir, "customer")
+    return cust.where(F.col("c_custkey") <= 300).select(
+        "c_custkey", F.soundex(F.regexp_replace("c_name", "[^A-Za-z]", "")).alias("sdx")
+    )

@@ -125,3 +125,118 @@ def superfile_read(spark, sf_dir):
     write_parquet(base.where(F.col("o_orderstatus") == "F"), p1)
     write_parquet(base.where(F.col("o_orderstatus") == "O"), p2)
     return read_superfile(spark, [p1, p2])
+
+
+@query(
+    "xml_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    category="sources",
+)
+def xml_roundtrip(spark, sf_dir):
+    """XML write+read (TAKxmlwrite :933 / TAKxmlread :978): Spark 4 native
+    XML source with rowTag — the row-path extraction the reference does via
+    XPath row tags (thorxmlread.cpp)."""
+    (supp,) = tables(spark, sf_dir, "supplier")
+    path = _scratch("supplier_xml")
+    supp.select("s_suppkey", "s_name", "s_acctbal").write.mode("overwrite").format(
+        "xml"
+    ).option("rowTag", "supplier").save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey long, s_name string, s_acctbal double")
+        .load(path)
+    )
+
+
+@query(
+    "partitioned_write_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    """,
+    category="sources",
+)
+def partitioned_write_prune(spark, sf_dir):
+    """NWAY DISTRIBUTE / partitioned write (TAKnwaydistribute :1086 +
+    TAKdiskwrite): write hive-partitioned by status, read back one
+    partition — the filter becomes partition pruning (zero non-F files
+    touched), the Spark analogue of writing per-category part files."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    path = _scratch("orders_by_status")
+    write_parquet(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        path,
+        partition_by=["o_orderstatus"],
+    )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "fetch_by_position",
+    oracle="""
+    WITH idx AS (
+      SELECT l_partkey, l_orderkey, l_linenumber FROM lineitem
+      WHERE l_partkey BETWEEN 500 AND 520
+    )
+    SELECT b.l_orderkey, b.l_linenumber, b.l_partkey, b.l_quantity, b.l_extendedprice
+    FROM idx i JOIN lineitem b
+      ON i.l_orderkey = b.l_orderkey AND i.l_linenumber = b.l_linenumber
+     AND i.l_partkey = b.l_partkey
+    """,
+    category="sources",
+)
+def fetch_by_position(spark, sf_dir):
+    """FETCH (TAKfetch :926): an index probe yields row positions
+    (fileposition payload in the reference, thorlcr/activities/fetch/);
+    fetching the base rows is a join on the surrogate position — here the
+    natural key (orderkey, linenumber) stands in for the physical offset."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    idx = (
+        li.where(F.col("l_partkey").between(500, 520))
+        .select("l_partkey", "l_orderkey", "l_linenumber")
+    )
+    base = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    return idx.join(
+        base, ["l_orderkey", "l_linenumber", "l_partkey"], "inner"
+    ).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "workunit_results",
+    oracle="""
+    WITH top_cust AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS spend
+      FROM orders GROUP BY o_custkey ORDER BY spend DESC, o_custkey LIMIT 10
+    )
+    SELECT t.o_custkey, t.spend, c.c_name
+    FROM top_cust t JOIN customer c ON t.o_custkey = c.c_custkey
+    """,
+    category="sources",
+)
+def workunit_results(spark, sf_dir):
+    """Workunit result slots (TAKworkunitwrite :902 / TAKworkunitread :927):
+    stage a named result, then a second query reads it back through the
+    registry's view — the OUTPUT(NAMED)/DATASET(WORKUNIT) pattern."""
+    from hpcc_platform_spark.sources import WorkunitResults
+
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    wu = WorkunitResults(spark, prefix="q")
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("spend"))
+        .orderBy(F.col("spend").desc(), "o_custkey")
+        .limit(10)
+    )
+    wu.write("top_cust", top)
+    staged = wu.read("top_cust")
+    return staged.join(cust, staged.o_custkey == cust.c_custkey).select(
+        "o_custkey", "spend", "c_name"
+    )

@@ -249,3 +249,154 @@ def combine_zip(spark, sf_dir):
         ["r_regionkey"],
         ["n_nationkey"],
     )
+
+
+@query(
+    "case_dataset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+    """,
+    category="transform",
+)
+def case_dataset(spark, sf_dir):
+    """Dataset-level IF/CASE (TAKif :914, TAKcase :930): the condition picks
+    which dataset to evaluate; the unused branch never executes (Roxie
+    devdoc: 'conditional branches never start unused inputs' — Python
+    laziness gives the same property: the unpicked plan is never acted)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice")
+    # Condition over metadata (row count parity of the source) — stable for
+    # a given sf_dir, so the oracle pins the taken branch.
+    take_high_value = base.count() > 100
+    high = base.where(F.col("o_totalprice") > 200000)
+    low = base.where(F.col("o_totalprice") <= 200000)
+    return high if take_high_value else low
+
+
+@query("process_stateful", oracle=None, category="transform")
+def process_stateful(spark, sf_dir):
+    """PROCESS (TAKprocess :994): stateful scan with a RIGHT state record —
+    here a floor-at-zero running balance (max(0, prev + delta)), a genuinely
+    non-linear recurrence no window frame expresses. Rows-only at the
+    driver; closed-form unit test pins semantics (tests/test_operators.py)."""
+    import pandas as pd
+
+    from hpcc_platform_spark.operators import iterate_pandas
+
+    (events,) = tables(spark, sf_dir, "events")
+    deltas = events.select(
+        "user_id", "event_id", "ts",
+        (F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(-F.col("value"))).alias("delta"),
+    )
+
+    def floor_balance(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal, out = 0.0, []
+        for d in pdf["delta"]:
+            bal = max(0.0, bal + d)
+            out.append(round(bal, 4))
+        return pdf.assign(balance=out)[["user_id", "event_id", "balance"]]
+
+    return iterate_pandas(
+        deltas,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        fn=floor_balance,
+        schema="user_id long, event_id long, balance double",
+    )
+
+
+@query(
+    "aggregate_user_transform",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="transform",
+)
+def aggregate_user_transform(spark, sf_dir):
+    """AGGREGATE with a user TRANSFORM (no_aggregate hqlexpr.hpp:446):
+    arbitrary per-group fold via applyInPandas (the pandas-UDAF lowering of
+    the reference's processFirst/processNext/mergeAggregate contract) —
+    quantity-weighted average price, verified against its SQL closed form."""
+    import pandas as pd
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+
+    def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["l_quantity"].sum()
+        v = (pdf["l_extendedprice"] * pdf["l_quantity"]).sum()
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "wavg_price": [round(v / w, 4)]}
+        )
+
+    return (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(wavg, schema="l_returnflag string, wavg_price double")
+    )
+
+
+@query(
+    "denormalize_group",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           COUNT(l.l_orderkey) AS n_children,
+           COALESCE(ROUND(SUM(l.l_extendedprice), 4), 0.0) AS child_value
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    category="transform",
+)
+def denormalize_group(spark, sf_dir):
+    """DENORMALIZE GROUP (TAKdenormalizegroup :1068): whole-group variant —
+    parent + ALL children folded in one transform call; parents with no
+    children keep an empty child set (LEFT OUTER fold)."""
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    children = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_extendedprice")).alias("items")
+    )
+    folded = orders.join(
+        children, orders.o_orderkey == children.l_orderkey, "left"
+    )
+    return folded.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce(F.size("items"), F.lit(0)).cast("long").alias("n_children"),
+        F.coalesce(
+            F.round(
+                F.aggregate(
+                    "items", F.lit(0.0), lambda acc, x: acc + x["l_extendedprice"]
+                ),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("child_value"),
+    )
+
+
+@query(
+    "regroup_union",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM (
+      SELECT user_id, value FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, value FROM events WHERE event_type = 'signup'
+    ) GROUP BY user_id
+    """,
+    category="transform",
+)
+def regroup_union(spark, sf_dir):
+    """REGROUP (TAKregroup :982): interleave two grouped streams into one
+    grouped dataset — under the carried-keys convention, union then
+    per-group ops see each key's rows from both inputs."""
+    from hpcc_platform_spark.operators import regroup
+
+    (events,) = tables(spark, sf_dir, "events")
+    a = events.where(F.col("event_type") == "purchase").select("user_id", "value")
+    b = events.where(F.col("event_type") == "signup").select("user_id", "value")
+    merged = regroup(["user_id"], a, b)
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )

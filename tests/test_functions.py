@@ -1,0 +1,48 @@
+"""Scalar-function wrappers not covered by the SQL oracle: phonetics,
+engine-internal hashes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.functions.hashing import ecl_hash32, ecl_hash64
+from hpcc_platform_spark.functions.phonetic import metaphone_key, soundex_key
+
+
+def test_soundex_blocks_similar_names(spark):
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("Smith",), ("Smyth",), ("Jones",)], "name string"
+    )
+    got = dict(
+        (r.name, r.sdx) for r in df.select("name", soundex_key("name").alias("sdx")).collect()
+    )
+    assert got["Robert"] == got["Rupert"] == "R163"
+    assert got["Smith"] == got["Smyth"]
+    assert got["Jones"] != got["Smith"]
+
+
+def test_metaphone_key_properties(spark):
+    df = spark.createDataFrame(
+        [("Philip",), ("Filip",), ("Catherine",), ("Katherine",), ("Zachary",)],
+        "name string",
+    )
+    got = dict(
+        (r.name, r.mk)
+        for r in df.select("name", metaphone_key("name").alias("mk")).collect()
+    )
+    assert got["Philip"] == got["Filip"]  # PH→F
+    assert got["Catherine"] == got["Katherine"]  # C→K before A
+    assert got["Zachary"].startswith("S")  # Z→S
+    # Deterministic non-empty keys.
+    assert all(v for v in got.values())
+
+
+def test_engine_hashes_stable_and_distributing(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    out = df.select(
+        ecl_hash32("k").alias("h32"), ecl_hash64("k").alias("h64")
+    ).collect()
+    h64s = {r.h64 for r in out}
+    assert len(h64s) == 1000  # no collisions on 1k keys
+    again = df.select(ecl_hash64("k").alias("h64")).collect()
+    assert [r.h64 for r in again] == [r.h64 for r in out]  # stable across runs
