@@ -44,12 +44,15 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: num_hashes permutations approximated
-    by xxhash64(shingle, seed_i); signature[i] = min over shingles.
+    by hash(shingle, seed_i); signature[i] = min over shingles.
 
-    All array lambdas — JVM-side, map-only, no shuffle. Output:
-    (id, signature array<long>).
+    ``hash_mode='xxhash64'`` (default, fastest — signature array<long>) or
+    ``'md5'`` (portable: md5(seed || ':' || shingle) hex strings, identical
+    in any engine with md5 — signature array<string>, used by the
+    oracle-checked query). All array lambdas — JVM-side, map-only.
     """
     sh = _shingles(text_col, shingle_k).alias("sh")
     base = df.select(F.col(id_col), sh)
@@ -57,6 +60,8 @@ def minhash_signatures(
         # Closure factory, NOT a default-arg lambda: PySpark binds 2-param
         # lambdas as (element, array_index), which would silently replace
         # the permutation seed with the shingle position.
+        if hash_mode == "md5":
+            return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary"))
         return lambda s: F.xxhash64(s, F.lit(i))
 
     sig = F.array(
@@ -89,14 +94,14 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    F.md5(
                         F.concat_ws(
                             ",",
                             F.transform(
                                 F.slice("signature", b * rows_per_band + 1, rows_per_band),
                                 lambda x: x.cast("string"),
                             ),
-                        )
+                        ).cast("binary")
                     ).alias("bucket"),
                 ),
             )
@@ -169,6 +174,42 @@ def simhash64(
             )
         )
     return staged.select(F.col(id_col), sim.alias("simhash"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
+    rolling hash = md5 of each character ``gram_len``-gram; keep the min
+    hash of every ``window`` consecutive grams; distinct mins are the
+    fingerprint set. Guarantees any shared substring of length
+    gram_len+window-1 yields a shared fingerprint.
+
+    Portable (md5) and map-only — array lambdas over substrings, no UDF,
+    no shuffle; the fingerprint explode/self-join for matching is a key
+    shuffle like every other dedup stage. Output: (id, fingerprint) rows.
+    """
+    txt = F.col(text_col)
+    n_grams = F.greatest(F.length(txt) - (gram_len - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(txt.substr(i, F.lit(gram_len)).cast("binary")),
+    )
+    staged = df.select(F.col(id_col), grams.alias("__grams__"))
+    n_windows = F.greatest(F.size("__grams__") - (window - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice("__grams__", i, window)),
+        )
+    )
+    return staged.select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -89,3 +89,120 @@ def lsh_bucket_topk(
     bucketed = df.withColumn("__bucket__", bucket_of(F.col(vec_col)))
     probe = bucketed.where(F.col("__bucket__") == q_bits)
     return brute_force_topk(probe, qvec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def _sign_bucket(vcol: F.Column, hyperplanes: Sequence[Sequence[float]]) -> F.Column:
+    """Random-hyperplane sign signature as a bit-string column."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vcol,
+                    F.array(*[F.lit(float(x)) for x in h]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for h in hyperplanes
+    ]
+    return F.concat(*bits)
+
+
+def pair_cosine(a_col: str, b_col: str) -> F.Column:
+    """Cosine similarity between two array<float> columns (double math,
+    sequential fold — matches a dot/(|a||b|) oracle formula exactly)."""
+    av = F.transform(F.col(a_col), lambda x: x.cast("double"))
+    bv = F.transform(F.col(b_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(av, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(bv, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    hyperplanes: Sequence[Sequence[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup: candidates = pairs sharing an LSH sign
+    bucket (equi-join on the bit-string — a key shuffle, never n² pairs),
+    verified by exact cosine >= threshold.
+
+    The bucket join is the 100 TB shape: candidate cardinality is
+    sum-over-buckets of |bucket|², bounded by making the signature longer;
+    skewed buckets split via AQE skew-join. Recall is tunable by signature
+    length (fewer bits → higher recall, more candidates).
+    """
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), _sign_bucket(F.col(vec_col), hyperplanes).alias("__bucket__")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket__"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket__"
+    )
+    cos = pair_cosine("va", "vb")
+    return (
+        a.join(b, ["__bucket__"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos__", cos)
+        .where(F.col("__cos__") >= threshold)
+        .select("id_a", "id_b", F.round("__cos__", 4).alias("cos_sim"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: deterministic centroids
+    (every ``centroid_stride``-th vector by id — a seeded k-means drop-in),
+    map-side assignment of each vector to its nearest centroid via a
+    broadcast join, probe only the ``nprobe`` centroid cells nearest the
+    query, exact re-rank inside the probed cells.
+
+    Scale path: persist the assignment partitioned by centroid id; a probe
+    then prunes to nprobe/C of the corpus before any distance math. The
+    broadcast centroid table is tiny (C rows) so assignment adds no
+    meaningful shuffle beyond the groupBy(id) argmin.
+    """
+    from pyspark.sql.functions import broadcast
+
+    cents = df.where((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    # Assign: argmax cosine over centroids, ties → lowest cid (max struct
+    # of (cos, -cid) matches the oracle's ORDER BY cos DESC, cid).
+    assigned = (
+        df.crossJoin(broadcast(cents))
+        .withColumn("__ccos__", pair_cosine(vec_col, "cvec"))
+        .groupBy(id_col, vec_col)
+        .agg(F.max(F.struct(F.col("__ccos__"), (-F.col("cid")).alias("ncid"))).alias("best"))
+        .select(F.col(id_col), F.col(vec_col), (-F.col("best.ncid")).alias("cid"))
+    )
+    probe_cids = [
+        int(r["cid"])
+        for r in brute_force_topk(
+            cents, qvec, k=nprobe, vec_col="cvec", id_col="cid"
+        ).collect()
+    ]
+    probed = assigned.where(F.col("cid").isin(probe_cids))
+    return brute_force_topk(probed, qvec, k=k, vec_col=vec_col, id_col=id_col)

@@ -145,3 +145,54 @@ def persist_cache_q(spark, sf_dir):
         spark, os.path.join(tempfile.gettempdir(), "hpcc_platform_spark_persist")
     )
     return cache.persist(agg, "cust_segment_rollup")
+
+
+@query(
+    "catch_row_errors",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 7 = 0 THEN -1.0
+                ELSE ROUND(o_totalprice / (o_custkey % 7), 4) END AS ratio,
+           CAST(o_custkey % 7 = 0 AS BOOLEAN) AS failed
+    FROM orders
+    """,
+    category="control",
+)
+def catch_row_errors(spark, sf_dir):
+    """Row-level CATCH (TAKcatch family :1022-1024): the risky expression
+    runs through try_divide — a row error becomes NULL instead of killing
+    the stage (the only safe contract at 1000 executors) — then ONFAIL
+    substitutes a marker value. SKIP is the same plumbing with a filter
+    (operators.catchop.rows_skip_on_null)."""
+    from hpcc_platform_spark.operators.catchop import rows_substitute_on_null
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    risky = orders.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7), 4).alias("ratio"),
+    ).withColumn("failed", F.col("ratio").isNull())
+    return rows_substitute_on_null(risky, {"ratio": -1.0})
+
+
+@query(
+    "limit_onfail_row",
+    oracle="""
+    SELECT CAST(-1 AS BIGINT) AS o_orderkey, CAST(-1.0 AS DOUBLE) AS o_totalprice
+    WHERE (SELECT COUNT(*) FROM orders) > 100
+    """,
+    category="control",
+)
+def limit_onfail_row(spark, sf_dir):
+    """LIMIT(ds, n, ONFAIL(transform)) (TAKcreaterowlimit :1009): the bound
+    is exceeded, so the dataset collapses to the single ONFAIL marker row.
+    The count guard scans only n+1 rows (incremental take), not the input."""
+    from pyspark.sql import Row
+
+    from hpcc_platform_spark.operators.limit import limit_onfail
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    return limit_onfail(
+        orders.select("o_orderkey", "o_totalprice"),
+        100,
+        Row(o_orderkey=-1, o_totalprice=-1.0),
+    )

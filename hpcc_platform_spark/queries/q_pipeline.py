@@ -178,11 +178,232 @@ def simhash_docs(spark, sf_dir):
     return simhash64(docs.where(F.col("doc_id") < 200))
 
 
-@query("language_id", oracle=None, category="pipeline")
+_LANG_STOP_SQL = None  # built below from textstats.STOPWORDS
+
+
+def _language_id_oracle() -> str:
+    from hpcc_platform_spark.pipeline.textstats import STOPWORDS
+
+    score_cols = ",\n           ".join(
+        f"len(list_filter(ws, w -> list_contains({stop}, w))) / NULLIF(len(ws), 0) AS s_{lang}"
+        for lang, stop in STOPWORDS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in STOPWORDS) + ")"
+    # Tie-break must match Spark's array_max over (score, lang) structs:
+    # max score, then alphabetically-last language among ties.
+    pick = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'"
+        for lang in sorted(STOPWORDS, reverse=True)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''), w -> lower(w)) AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+           {score_cols}
+      FROM t
+    ), b AS (
+      SELECT *, {best} AS best FROM s
+    )
+    SELECT doc_id, lang,
+           CASE WHEN best > 0 THEN (CASE {pick} END) ELSE 'und' END AS lang_pred,
+           ROUND(COALESCE(best, 0), 4) AS lang_score
+    FROM b
+    """
+
+
+@query("language_id", oracle=_language_id_oracle(), category="pipeline")
 def language_id_q(spark, sf_dir):
-    """Stopword-ratio language ID over documents (rows-only: the heuristic
-    is engine-internal; tests pin behavior on constructed texts)."""
+    """Stopword-ratio language ID (argmax of per-language stopword hit
+    fraction, ties alphabetically-last, zero-score → 'und') — map-only
+    array intersections; the oracle replicates the scoring closed-form."""
     from hpcc_platform_spark.pipeline.textstats import language_id
 
     (docs,) = tables(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "lang", "lang_pred", "lang_score")
+
+
+# Deterministic LSH hyperplanes / IVF probe vector, shared verbatim by the
+# Spark plan and the oracle SQL (Rademacher ±1 entries, fixed seeds).
+import random as _random
+
+_rng = _random.Random(42)
+_PLANES = [[1.0 if _rng.random() < 0.5 else -1.0 for _ in range(64)] for _ in range(6)]
+_qrng = _random.Random(7)
+_QVEC = [round(_qrng.uniform(-1, 1), 3) for _ in range(64)]
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN list_dot_product(v, {p}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+    for p in _PLANES
+)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           ROUND(list_dot_product(a.v,b2.v) /
+                 (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b2.v,b2.v))), 4) AS cos_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE list_dot_product(a.v,b2.v) /
+          (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b2.v,b2.v))) >= 0.35
+    """,
+    category="pipeline",
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: candidates from a 6-bit random-hyperplane
+    sign bucket (equi-join key shuffle — never the n² pair space), exact
+    cosine >= 0.35 on candidates only. The oracle replicates bucket +
+    cosine bit-for-bit from the shared hyperplane literals."""
+    from hpcc_platform_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, _PLANES, threshold=0.35)
+
+
+@query(
+    "ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+    q AS (SELECT {_QVEC}::DOUBLE[] AS qv),
+    assign AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v,c.cv) /
+               (sqrt(list_dot_product(e.v,e.v)) * sqrt(list_dot_product(c.cv,c.cv))) DESC, c.cid) AS rn
+      FROM e CROSS JOIN c
+    ),
+    probes AS (
+      SELECT cid FROM c, q
+      ORDER BY list_dot_product(cv,qv) /
+               (sqrt(list_dot_product(cv,cv)) * sqrt(list_dot_product(qv,qv))) DESC, cid
+      LIMIT 2
+    )
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v,q.qv) /
+                 (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(q.qv,q.qv))), 4) AS cos_sim
+    FROM assign a, q WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probes)
+    ORDER BY list_dot_product(a.v,q.qv) /
+             (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(q.qv,q.qv))) DESC, a.vec_id
+    LIMIT 10
+    """,
+    category="pipeline",
+)
+def ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbor: deterministic centroids (every
+    50th id), broadcast-join assignment to nearest centroid, probe the 2
+    cells nearest the query, exact re-rank inside. The scale path prunes
+    (C-nprobe)/C of the corpus before any distance math; the oracle
+    replicates centroid choice, assignment tie-break, and probe order."""
+    from hpcc_platform_spark.pipeline.similarity import ivf_topk
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _QVEC, k=10, centroid_stride=50, nprobe=2)
+
+
+@query(
+    "minhash_lsh_portable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, CASE WHEN len(words) >= 2
+        THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+        ELSE [array_to_string(words, ' ')] END AS shingles
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), h ->
+               list_min(list_transform(shingles, s -> md5(h::VARCHAR || ':' || s)))) AS signature
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b, md5(array_to_string(signature[b*4+1 : b*4+4], ',')) AS bucket
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           (len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) / 16.0) AS jaccard_est
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE (len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) / 16.0) >= 0.4
+    """,
+    category="pipeline",
+)
+def minhash_lsh_portable(spark, sf_dir):
+    """MinHash+LSH with the portable md5 hash family (hash_i = md5(i:shingle),
+    min over 2-word shingles; 4 bands × 4 rows; candidates from band-bucket
+    equi-join; Jaccard estimated from signature agreement). Same pipeline
+    shape as the xxhash64 production variant — this one is engine-portable
+    so DuckDB verifies every stage end-to-end."""
+    from hpcc_platform_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs.where(F.col("doc_id") < 200),
+        num_hashes=16,
+        shingle_k=2,
+        hash_mode="md5",
+    )
+    return minhash_lsh_candidates(
+        sigs, bands=4, rows_per_band=4, jaccard_threshold=0.4
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text)-7, 1)+1), i -> md5(text[i:i+7])) AS grams
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(grams)-3, 1)+1),
+                                               i -> list_min(grams[i:i+3])))) AS fingerprint
+    FROM g
+    """,
+    category="pipeline",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting by winnowing (rolling md5 over char 8-grams,
+    min per 4-gram window, distinct) — any shared substring of length 11
+    yields a shared fingerprint; matching is then a fingerprint equi-join.
+    Map-only signature stage; portable hash → full oracle verification."""
+    from hpcc_platform_spark.pipeline.dedup import winnow_fingerprints
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return winnow_fingerprints(
+        docs.where(F.col("doc_id") < 100), gram_len=8, window=4
+    )
+
+
+@query("multimodal_features", oracle=None, category="pipeline")
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary media column + typed metadata →
+    mapInPandas feature extraction (Arrow-batched, re-chunked so MB-sized
+    blobs never blow an Arrow batch). Decode is a deterministic stub (no
+    codec libs in-container); schema/partitioning/batch shape are real.
+    Rows-only: the media table is synthesized (no parquet fixture), so the
+    driver checks row count + schema; tests pin hash/feature values."""
+    from hpcc_platform_spark.pipeline.multimodal import (
+        extract_features,
+        fake_media_table,
+    )
+
+    media = fake_media_table(spark, n=200).repartition(8, "media_id")
+    return extract_features(media, batch_rows=64).select(
+        "media_id", "kind", "n_bytes", "content_hash",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+    )

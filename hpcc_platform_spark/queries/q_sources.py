@@ -240,3 +240,49 @@ def workunit_results(spark, sf_dir):
     return staged.join(cust, staged.o_custkey == cust.c_custkey).select(
         "o_custkey", "spend", "c_name"
     )
+
+
+@query(
+    "soapcall_enrich",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           CAST(length(c_name) AS INT) AS name_len,
+           CASE WHEN c_acctbal >= 5000 THEN 'high'
+                WHEN c_acctbal >= 0 THEN 'mid'
+                ELSE 'neg' END AS bal_tier
+    FROM customer
+    """,
+    category="sources",
+)
+def soapcall_enrich(spark, sf_dir):
+    """SOAPCALL (TAKsoap_rowdataset :941-944, thorsoapcall.cpp): per-batch
+    service calls via mapInPandas with retry plumbing. The transport here is
+    a deterministic fake (no network in-container) whose response the
+    oracle replicates; swapping in an HTTP POST wrapper changes nothing in
+    the dataflow — batching, retries, and schema are the tested surface."""
+    from hpcc_platform_spark.sources.soapcall import soapcall
+
+    def fake_service(reqs: list[dict]) -> list[dict]:
+        # Stands in for a SOAP/HTTP endpoint: echoes key + derived fields.
+        return [
+            {
+                "c_custkey": r["c_custkey"],
+                "name_upper": r["c_name"].upper(),
+                "name_len": len(r["c_name"]),
+                "bal_tier": (
+                    "high" if r["c_acctbal"] >= 5000
+                    else "mid" if r["c_acctbal"] >= 0 else "neg"
+                ),
+            }
+            for r in reqs
+        ]
+
+    (cust,) = tables(spark, sf_dir, "customer")
+    return soapcall(
+        cust.select("c_custkey", "c_name", "c_acctbal"),
+        transport=fake_service,
+        response_schema="c_custkey long, name_upper string, name_len int, bal_tier string",
+        batch_rows=100,
+        retries=2,
+    )

@@ -125,3 +125,36 @@ def test_salt_skew_deterministic_and_bounded(spark):
     assert all(0 <= s < 8 for s in vals)
     again = [r["__salt__"] for r in salt_skew(df, "k", 8).orderBy("v").collect()]
     assert vals == again  # deterministic
+
+
+def test_catch_dataset_substitutes_on_error(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators.catchop import catch_dataset
+
+    df = spark.range(3).select(
+        F.assert_true(F.col("id") < 2).alias("x"), F.col("id")
+    )
+    out = catch_dataset(df, on_fail="substitute", substitute=Row(x=None, id=-1))
+    assert [r.id for r in out.collect()] == [-1]
+
+    ok = catch_dataset(spark.range(3).selectExpr("null as x", "id"), on_fail="skip")
+    assert ok.count() == 3
+
+
+def test_soapcall_retries_then_succeeds(spark):
+    from hpcc_platform_spark.sources.soapcall import soapcall
+
+    def flaky(reqs, _state={"n": 0}):
+        # fails on the first attempt per executor task, then succeeds —
+        # exercises the retry loop without the network
+        _state["n"] += 1
+        if _state["n"] == 1:
+            raise ConnectionError("transient")
+        return [{"id": r["id"], "twice": r["id"] * 2} for r in reqs]
+
+    df = spark.range(10).coalesce(1)
+    out = soapcall(df, flaky, "id long, twice long", batch_rows=4, retries=3)
+    rows = {r.id: r.twice for r in out.collect()}
+    assert rows == {i: 2 * i for i in range(10)}

@@ -110,3 +110,59 @@ def test_multimodal_decode_is_gated(spark):
 
     with pytest.raises(NotImplementedError):
         decode_resize(fake_media_table(spark, 2), (32, 32))
+
+
+def test_md5_minhash_mode_matches_semantics(docs_with_dups):
+    sigs = minhash_signatures(
+        docs_with_dups, num_hashes=16, shingle_k=2, hash_mode="md5"
+    )
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard_est for r in cands}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.4
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    from hpcc_platform_spark.pipeline.dedup import winnow_fingerprints
+
+    shared = "identical_chunk_of_text_long_enough_to_guarantee_overlap"
+    rows = [(1, "prefix one " + shared), (2, "other start " + shared + " tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, gram_len=8, window=4)
+    a = {r.fingerprint for r in fps.where("doc_id = 1").collect()}
+    b = {r.fingerprint for r in fps.where("doc_id = 2").collect()}
+    # winnowing guarantee: shared substring >= gram_len+window-1 chars
+    # implies at least one shared fingerprint
+    assert a & b
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    from hpcc_platform_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    import random
+    rng = random.Random(1)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [x + rng.uniform(-0.01, 0.01) for x in base]
+    far = [rng.uniform(-1, 1) for _ in range(16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    planes = [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(16)] for _ in range(4)]
+    pairs = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_near_dup_pairs(df, planes, threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from hpcc_platform_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import random
+    qrng = random.Random(7)
+    qvec = [round(qrng.uniform(-1, 1), 3) for _ in range(64)]
+    exact = [r.vec_id for r in brute_force_topk(emb, qvec, k=10, id_col="vec_id").collect()]
+    approx = [r.vec_id for r in
+              ivf_topk(emb, qvec, k=10, centroid_stride=50, nprobe=4).collect()]
+    # probing 4 of ~10 cells must still recover most true neighbors
+    assert len(set(exact) & set(approx)) >= 5
