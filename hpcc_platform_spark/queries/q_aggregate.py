@@ -226,3 +226,70 @@ def approx_distinct(spark, sf_dir):
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_suppkey").alias("exact_supps"),
     )
+
+
+@query(
+    "benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(FLOOR(o_totalprice / POWER(10, FLOOR(LOG10(o_totalprice)))) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(n / (SELECT SUM(n)::DOUBLE FROM c), 4) AS observed_freq,
+           ROUND(LOG10(1.0 + 1.0 / digit), 4) AS expected_freq
+    FROM c
+    """,
+    category="aggregate",
+)
+def benford_digits(spark, sf_dir):
+    """Benford first-significant-digit profile
+    (ecllibrary/std/DataPatterns/Benford.ecl): numeric digit extraction —
+    no string-format dependence — one groupBy, map-side partial agg."""
+    from hpcc_platform_spark.functions.profile import benford_first_digit
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    return benford_first_digit(orders, "o_totalprice")
+
+
+@query(
+    "profile_fields",
+    oracle="""
+    WITH tall AS (
+      SELECT 'c_mktsegment' AS field, CAST(c_mktsegment AS VARCHAR) AS value,
+             regexp_replace(regexp_replace(regexp_replace(c_mktsegment, '[A-Z]', 'A', 'g'),
+                            '[a-z]', 'a', 'g'), '[0-9]', '9', 'g') AS pattern
+      FROM customer
+      UNION ALL
+      SELECT 'c_name', CAST(c_name AS VARCHAR),
+             regexp_replace(regexp_replace(regexp_replace(c_name, '[A-Z]', 'A', 'g'),
+                            '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')
+      FROM customer
+    ), per_field AS (
+      SELECT field,
+             COUNT(value) AS fill_count,
+             ROUND(COUNT(value) / (SELECT COUNT(*)::DOUBLE FROM customer), 4) AS fill_rate,
+             COUNT(DISTINCT value) AS cardinality,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM tall GROUP BY field
+    ), pat AS (
+      SELECT field, pattern AS top_pattern, COUNT(*) AS top_pattern_n,
+             row_number() OVER (PARTITION BY field ORDER BY COUNT(*) DESC, pattern) AS rn
+      FROM tall WHERE pattern IS NOT NULL GROUP BY field, pattern
+    )
+    SELECT p.field, p.fill_count, p.fill_rate, p.cardinality, p.min_value, p.max_value,
+           t.top_pattern, t.top_pattern_n
+    FROM per_field p LEFT JOIN pat t ON p.field = t.field AND t.rn = 1
+    """,
+    category="aggregate",
+)
+def profile_fields(spark, sf_dir):
+    """DataPatterns Profile (ecllibrary/std/DataPatterns/Profile.ecl): per
+    field — fill count/rate, cardinality, min/max, most popular A/a/9 text
+    pattern. Tall-frame union + one (field[, pattern]) groupBy each."""
+    from hpcc_platform_spark.functions.profile import profile
+
+    (cust,) = tables(spark, sf_dir, "customer")
+    return profile(cust, ["c_mktsegment", "c_name"])

@@ -196,3 +196,72 @@ def limit_onfail_row(spark, sf_dir):
         100,
         Row(o_orderkey=-1, o_totalprice=-1.0),
     )
+
+
+@query(
+    "published_query_stored",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, ROUND(SUM(o.o_totalprice), 4) AS spend
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_custkey, c.c_name
+    HAVING SUM(o.o_totalprice) > 100000
+    """,
+    category="control",
+)
+def published_query_stored(spark, sf_dir):
+    """Published query + STORED parameters (Roxie compile-once pattern,
+    devdoc/roxie.md:16-37; STORED = workflow inputs): inputs persisted
+    once, each request re-plans the parameterized builder against the
+    cache — the low-latency serving shape."""
+    from hpcc_platform_spark.plans.published import PublishedQuery
+
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+
+    def builder(inputs, segment: str, min_spend: float):
+        c, o = inputs["customer"], inputs["orders"]
+        return (
+            c.where(F.col("c_mktsegment") == segment)
+            .join(o, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("spend"))
+            .where(F.col("spend") > min_spend)
+        )
+
+    q = PublishedQuery({"customer": cust, "orders": orders}, builder)
+    try:
+        return q(segment="BUILDING", min_spend=100000.0)
+    finally:
+        pass  # cache stays for the session (published queries serve many calls)
+
+
+@query(
+    "when_success_action",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    category="control",
+)
+def when_success_action(spark, sf_dir):
+    """WHEN/SUCCESS (TAKwhen_dataset :1027, thorlcr/activities/when/):
+    the aggregate materializes eagerly and fires the SUCCESS callback (here
+    an audit counter); the returned DataFrame reuses the checkpointed
+    result — trigger semantics without recompute."""
+    from hpcc_platform_spark.operators.workflow import when_action
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    agg = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fired = {"success": 0}
+
+    def on_success():
+        fired["success"] += 1
+
+    out = when_action(agg, success=on_success)
+    assert fired["success"] == 1
+    return out

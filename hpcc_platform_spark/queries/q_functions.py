@@ -278,3 +278,30 @@ def phonetic_soundex(spark, sf_dir):
     return cust.where(F.col("c_custkey") <= 300).select(
         "c_custkey", F.soundex(F.regexp_replace("c_name", "[^A-Za-z]", "")).alias("sdx")
     )
+
+
+@query(
+    "unicode_functions",
+    oracle="""
+    SELECT c_custkey,
+           nfc_normalize(c_name || ' Élève Müller') AS name_nfc,
+           strip_accents(c_name || ' Élève Müller') AS name_plain,
+           lower(c_name || ' Élève Müller') AS name_lower
+    FROM customer WHERE c_custkey <= 200
+    """,
+    category="functions",
+)
+def unicode_functions(spark, sf_dir):
+    """Std.Uni surface (ecllibrary/std/Uni.ecl, plugins/unicodelib ICU):
+    NFC normalization + accent stripping via Arrow-batched pandas UDFs over
+    stdlib unicodedata (the ICU-plugin analogue); lower stays JVM-side."""
+    from hpcc_platform_spark.functions.unicode import nfc_normalize, strip_accents
+
+    (cust,) = tables(spark, sf_dir, "customer")
+    name_acc = F.concat(F.col("c_name"), F.lit(" Élève Müller"))
+    return cust.where(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        nfc_normalize(name_acc).alias("name_nfc"),
+        strip_accents(name_acc).alias("name_plain"),
+        F.lower(name_acc).alias("name_lower"),
+    )

@@ -288,3 +288,52 @@ def range_join_q(spark, sf_dir):
     return out.select("l.l_orderkey", "l.l_linenumber", "r.p_partkey").toDF(
         "l_orderkey", "l_linenumber", "p_partkey"
     )
+
+
+@query(
+    "bucketed_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    category="join",
+)
+def bucketed_join(spark, sf_dir):
+    """Co-located join via bucketing (the Spark analogue of the reference's
+    KEYED DISTRIBUTE + local join, thhashdistribslave.cpp): both sides
+    written CLUSTERED BY (orderkey) INTO 8 BUCKETS, so the join needs no
+    Exchange — at 100 TB this is the difference between a full shuffle of
+    the fact table per query and none. tests/test_sources_plans.py asserts
+    the plan is exchange-free with broadcast disabled."""
+    import os
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(), "hpcc_platform_spark_scratch")
+    lineitem, orders = tables(spark, sf_dir, "lineitem", "orders")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    for name, df, cols in (
+        (f"bkt_orders_{sf_tag}", orders, ["o_orderkey", "o_totalprice", "o_orderstatus"]),
+        (f"bkt_lineitem_{sf_tag}", lineitem, ["l_orderkey", "l_extendedprice", "l_discount"]),
+    ):
+        loc = os.path.join(scratch, name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        key = cols[0]
+        (
+            df.select(*cols)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", loc)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table(f"bkt_orders_{sf_tag}").where(F.col("o_orderstatus") == "F")
+    l = spark.table(f"bkt_lineitem_{sf_tag}")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )

@@ -46,3 +46,38 @@ def test_engine_hashes_stable_and_distributing(spark):
     assert len(h64s) == 1000  # no collisions on 1k keys
     again = df.select(ecl_hash64("k").alias("h64")).collect()
     assert [r.h64 for r in again] == [r.h64 for r in out]  # stable across runs
+
+
+def test_unicode_strip_accents_and_nfc(spark):
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.functions.unicode import (
+        casefold,
+        nfc_normalize,
+        strip_accents,
+    )
+
+    # NFD input (decomposed e + combining acute) must NFC-fold to é and
+    # accent-strip to plain e; ß casefolds to ss.
+    decomposed = "été Straße"
+    df = spark.createDataFrame([(decomposed,)], "s string")
+    row = df.select(
+        nfc_normalize(F.col("s")).alias("nfc"),
+        strip_accents(F.col("s")).alias("plain"),
+        casefold(F.col("s")).alias("folded"),
+    ).head()
+    assert row.nfc == unicodedata.normalize("NFC", decomposed) == "été Straße"
+    assert row.plain == "ete Straße"
+    assert row.folded == "été strasse"
+
+
+def test_benford_profile_sums_to_one(spark, sf_dir):
+    from hpcc_platform_spark.functions.profile import benford_first_digit
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = benford_first_digit(orders, "o_totalprice").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 0.01
+    assert abs(sum(r.expected_freq for r in rows) - 1.0) < 0.01

@@ -74,3 +74,39 @@ def test_string_wrappers(spark):
     assert row.cs == "a b c"
     assert row.m1 and row.m2 and not row.m3
     assert len(row.h) == 32
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Both sides bucketed on the join key -> no shuffle Exchange in the
+    physical plan (broadcast disabled to force the SMJ path)."""
+    from hpcc_platform_spark.queries.registry import REGISTRY
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["bucketed_join"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_published_query_replans_against_cache(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.plans.published import PublishedQuery
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def builder(inputs, segment):
+        return inputs["customer"].where(F.col("c_mktsegment") == segment)
+
+    q = PublishedQuery({"customer": cust}, builder)
+    try:
+        n1 = q(segment="BUILDING").count()
+        n2 = q(segment="MACHINERY").count()
+        assert n1 > 0 and n2 > 0
+        assert q(segment="BUILDING").count() == n1  # stable across calls
+    finally:
+        q.unpublish()
