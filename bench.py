@@ -36,6 +36,8 @@ HEADLINE = [
     "parse_tokenize",
     "doc_exact_dedup",
     "ann_bruteforce",
+    "embedding_near_dup",
+    "terasort_verify",
 ]
 
 

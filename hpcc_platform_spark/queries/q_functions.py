@@ -305,3 +305,74 @@ def unicode_functions(spark, sf_dir):
         strip_accents(name_acc).alias("name_plain"),
         F.lower(name_acc).alias("name_lower"),
     )
+
+
+@query(
+    "str_functions2",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_brand, '#', '-') AS brand_dash,
+           regexp_replace(p_name, ' +', ' ', 'g') AS name_clean,
+           CAST(p_name LIKE '%spring%' AS BOOLEAN) AS wild_spring,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+           CAST(instr(p_name, 'red') AS INT) AS find_red,
+           array_to_string(list_filter(string_split(p_name, ' '), w -> w <> ''), '_') AS combined
+    FROM part WHERE p_partkey <= 400
+    """,
+    category="functions",
+)
+def str_functions2(spark, sf_dir):
+    """Std.Str second wave (Str.ecl: Translate :149, CleanSpaces :225,
+    WildMatch :75, FilterOut :98, Find :54, CombineWords :299) — all
+    JVM-side built-ins; WildMatch's */? map to SQL LIKE %/_."""
+    (part,) = tables(spark, sf_dir, "part")
+    return part.where(F.col("p_partkey") <= 400).select(
+        "p_partkey",
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.regexp_replace("p_name", " +", " ").alias("name_clean"),
+        F.col("p_name").like("%spring%").alias("wild_spring"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.instr(F.col("p_name"), "red").cast("int").alias("find_red"),
+        F.concat_ws(
+            "_", F.filter(F.split("p_name", " "), lambda w: w != "")
+        ).alias("combined"),
+    )
+
+
+@query(
+    "fromxml_scalar",
+    oracle="""
+    WITH x AS (
+      SELECT s_suppkey,
+             '<supplier><key>' || s_suppkey || '</key><name>' || s_name ||
+             '</name><bal>' || CAST(s_acctbal AS VARCHAR) || '</bal></supplier>' AS doc
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           CAST(regexp_extract(doc, '<key>([^<]*)</key>', 1) AS BIGINT) AS xml_key,
+           regexp_extract(doc, '<name>([^<]*)</name>', 1) AS xml_name,
+           CAST(regexp_extract(doc, '<bal>([^<]*)</bal>', 1) AS DOUBLE) AS xml_bal
+    FROM x
+    """,
+    category="functions",
+)
+def fromxml_scalar(spark, sf_dir):
+    """FROMXML scalar parsing (no_xml hqlexpr.hpp:518, tests
+    testing/regress/ecl/fromxml*.ecl): roundtrip a constructed XML doc
+    through Spark 4's native from_xml — schema-directed field extraction,
+    the XPath-row-tag pattern at expression level. (DuckDB has no XML
+    parser, so the oracle re-extracts with anchored regexes — exact for
+    this controlled doc shape.)"""
+    (supp,) = tables(spark, sf_dir, "supplier")
+    doc = F.concat(
+        F.lit("<supplier><key>"), F.col("s_suppkey"), F.lit("</key><name>"),
+        F.col("s_name"), F.lit("</name><bal>"),
+        F.col("s_acctbal").cast("string"), F.lit("</bal></supplier>"),
+    )
+    parsed = F.from_xml(doc, "key BIGINT, name STRING, bal DOUBLE")
+    return supp.select(
+        "s_suppkey",
+        parsed.getField("key").alias("xml_key"),
+        parsed.getField("name").alias("xml_name"),
+        parsed.getField("bal").alias("xml_bal"),
+    )

@@ -81,3 +81,54 @@ def merge_sorted_q(spark, sf_dir):
     hi = global_sort(base.where(F.col("s_acctbal") >= 0), "s_acctbal", "s_suppkey")
     merged = merge_sorted([lo, hi], "s_acctbal", "s_suppkey")
     return project_counter(merged, ["s_acctbal", "s_suppkey"], "pos")
+
+
+@query(
+    "terasort_verify",
+    oracle="SELECT CAST(500000 AS BIGINT) AS n_rows, TRUE AS is_sorted",
+    category="sort",
+)
+def terasort_verify(spark, sf_dir):
+    """Scaled terasort self-check (the reference's own benchmark
+    definition: testing/benchmarks/ecl/terasort.ecl — global SORT by a
+    random-ish key, then order verification; its double-ROLLUP check maps
+    to per-partition monotonicity + partition-boundary ordering).
+    Generation is deterministic (md5 of row id); the sort is Spark's
+    sample-based range partition + per-partition sort — the same design as
+    thorlcr/msort (tsortm.cpp split points from samples)."""
+    import pandas as pd
+
+    n = 500_000
+    rows = spark.range(n).select(
+        F.md5(F.col("id").cast("string").cast("binary")).alias("key"),
+        F.col("id").alias("seq"),
+    )
+    sorted_df = rows.orderBy("key")
+
+    def check(pdfs):
+        cnt, ok, first, last = 0, True, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ok = ok and bool(pdf["key"].is_monotonic_increasing)
+            if first is None:
+                first = pdf["key"].iloc[0]
+            else:
+                ok = ok and (last <= pdf["key"].iloc[0])
+            last = pdf["key"].iloc[-1]
+            cnt += len(pdf)
+        yield pd.DataFrame({"cnt": [cnt], "ok": [ok], "first": [first], "last": [last]})
+
+    parts = [
+        r
+        for r in sorted_df.mapInPandas(
+            check, "cnt long, ok boolean, first string, last string"
+        ).collect()
+        if r.cnt
+    ]
+    parts.sort(key=lambda r: r.first)
+    total = sum(r.cnt for r in parts)
+    is_sorted = all(r.ok for r in parts) and all(
+        parts[i].last <= parts[i + 1].first for i in range(len(parts) - 1)
+    )
+    return spark.createDataFrame([(total, is_sorted)], "n_rows long, is_sorted boolean")

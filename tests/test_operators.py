@@ -158,3 +158,29 @@ def test_soapcall_retries_then_succeeds(spark):
     out = soapcall(df, flaky, "id long, twice long", batch_rows=4, retries=3)
     rows = {r.id: r.twice for r in out.collect()}
     assert rows == {i: 2 * i for i in range(10)}
+
+
+def test_salted_join_matches_unsalted(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators.skew import salted_agg_sum, salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, ["o_custkey"]).count()
+    salted = salted_join(orders, cust, ["o_custkey"], salt_n=8).count()
+    assert salted == plain
+
+    plain_agg = {
+        r.o_custkey: round(r.s, 4)
+        for r in orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s")).collect()
+    }
+    salted_agg = {
+        r.o_custkey: round(r.total, 4)
+        for r in salted_agg_sum(
+            orders, ["o_custkey"], {"o_totalprice": "total"}, salt_n=8
+        ).collect()
+    }
+    assert salted_agg == plain_agg

@@ -64,3 +64,44 @@ def test_watermark_is_attached_on_streams(spark, sf_dir, tmp_path):
     agg = tumbling_counts(src)
     assert agg.isStreaming
     assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — final
+    per-key totals equal the batch groupBy, regardless of batch split."""
+    from hpcc_platform_spark.streaming.stateful import running_totals_stream
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "value")
+    # Two staged files -> maxFilesPerTrigger=1 forces two micro-batches.
+    staged = str(tmp_path / "ev")
+    events.repartition(2).write.mode("overwrite").parquet(staged)
+
+    expected = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        running_totals_stream(src)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM running_out").collect()
+    finally:
+        q.stop()
+    # update mode re-emits per batch: the LAST emission per key is final
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, round(r.total, 4))
+    assert final == expected and len(final) > 0
