@@ -265,3 +265,57 @@ def when_success_action(spark, sf_dir):
     out = when_action(agg, success=on_success)
     assert fired["success"] == 1
     return out
+
+
+@query(
+    "distribute_merge_sorted",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS locally_sorted, TRUE AS ranges_disjoint
+    FROM orders
+    """,
+    category="control",
+)
+def distribute_merge_sorted(spark, sf_dir):
+    """DISTRIBUTE ... MERGE (TAKhashdistributemerge :1032): repartition
+    maintaining sort order — Spark's repartitionByRange + sortWithinPartitions
+    (sampled range split points, the same design as the reference's sorted
+    redistribution). Verified structurally: every partition internally
+    sorted AND partition key ranges pairwise disjoint, so the concatenation
+    of partitions in range order IS the globally sorted dataset — no merge
+    pass needed downstream."""
+    import pandas as pd
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    dist = (
+        orders.select("o_orderkey", "o_custkey")
+        .repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+    )
+
+    def check(pdfs):
+        cnt, ok, lo, hi = 0, True, None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ok = ok and bool(
+                pdf[["o_custkey", "o_orderkey"]]
+                .apply(tuple, axis=1)
+                .is_monotonic_increasing
+            )
+            lo = pdf["o_custkey"].iloc[0] if lo is None else lo
+            hi = pdf["o_custkey"].iloc[-1]
+            cnt += len(pdf)
+        yield pd.DataFrame({"cnt": [cnt], "ok": [ok], "lo": [lo], "hi": [hi]})
+
+    parts = [
+        r
+        for r in dist.mapInPandas(check, "cnt long, ok boolean, lo long, hi long").collect()
+        if r.cnt
+    ]
+    parts.sort(key=lambda r: r.lo)
+    disjoint = all(parts[i].hi <= parts[i + 1].lo for i in range(len(parts) - 1))
+    n = sum(r.cnt for r in parts)
+    return spark.createDataFrame(
+        [(n, all(r.ok for r in parts), disjoint)],
+        "n_rows long, locally_sorted boolean, ranges_disjoint boolean",
+    )

@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis): operator semantics vs pure-Python
+models on generated inputs.
+
+The reference ships no property testing (SURVEY.md §5) — its oracle is
+cross-engine agreement on a curated corpus. Here the DuckDB oracle plays
+that role for SQL-expressible queries; these properties additionally pin
+the *operator contracts* (dedup keep/best choice, choosesets bounds,
+stateful iterate recurrences, top-k ties) on adversarial small inputs that
+the TPC-H-ish fixtures never produce (ties, empty groups, single rows).
+
+Example counts are modest: each example pays a Spark job; the value is in
+the generated edge cases, not volume.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+# (key, val) rows: few distinct keys → plenty of ties and dup keys.
+rows_st = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-10, 10)), min_size=0, max_size=30
+)
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_dedup_best_keeps_extreme_per_key(spark, rows):
+    from hpcc_platform_spark.operators.dedup import dedup_best
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, k, v) for i, (k, v) in enumerate(rows)], columns=["id", "k", "v"]
+        ),
+        "id long, k long, v long",
+    )
+    got = {
+        (r.k, r.v, r.id)
+        for r in dedup_best(df, ["k"], [F.desc("v"), F.asc("id")]).collect()
+    }
+    best: dict[int, tuple] = {}
+    for i, (k, v) in enumerate(rows):
+        # max v wins, lowest id breaks ties — mirrors (desc(v), asc(id))
+        if k not in best or (-v, i) < (-best[k][1], best[k][2]):
+            best[k] = (k, v, i)
+    assert got == set(best.values())
+
+
+@given(rows=rows_st, n=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_choosesets_bounds_and_membership(spark, rows, n):
+    from hpcc_platform_spark.operators.transform import choosesets
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, k, v) for i, (k, v) in enumerate(rows)], columns=["id", "k", "v"]
+        ),
+        "id long, k long, v long",
+    )
+    out = choosesets(df, ["k"], n, ["v", "id"]).collect()
+    per_key = defaultdict(list)
+    for r in out:
+        per_key[r.k].append((r.v, r.id))
+    model = defaultdict(list)
+    for i, (k, v) in enumerate(rows):
+        model[k].append((v, i))
+    for k, vals in model.items():
+        expect = sorted(vals)[:n]
+        assert sorted(per_key[k]) == expect  # exactly the n first by order
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_iterate_pandas_matches_sequential_fold(spark, rows):
+    """Non-associative recurrence (clamped running sum) — per key, in order,
+    must equal the sequential Python fold."""
+    from hpcc_platform_spark.operators.transform import iterate_pandas
+
+    if not rows:
+        return
+    pdf_in = pd.DataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], columns=["id", "k", "v"]
+    )
+    df = spark.createDataFrame(pdf_in, "id long, k long, v long")
+
+    def clamp_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc, out = 0, []
+        for v in pdf["v"]:
+            acc = min(15, max(-15, acc + int(v)))
+            out.append(acc)
+        return pdf.assign(acc=out)[["id", "k", "acc"]]
+
+    got = {
+        r.id: r.acc
+        for r in iterate_pandas(
+            df, keys=["k"], order_by=["id"], fn=clamp_fold, schema="id long, k long, acc long"
+        ).collect()
+    }
+    model = {}
+    accs: dict[int, int] = defaultdict(int)
+    for i, (k, v) in enumerate(rows):
+        accs[k] = min(15, max(-15, accs[k] + v))
+        model[i] = accs[k]
+    assert got == model
+
+
+@given(rows=rows_st, n=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_topn_is_sorted_prefix(spark, rows, n):
+    from hpcc_platform_spark.operators.sort import topn
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, k, v) for i, (k, v) in enumerate(rows)], columns=["id", "k", "v"]
+        ),
+        "id long, k long, v long",
+    )
+    got = [(r.v, r.id) for r in topn(df, n, F.asc("v"), F.asc("id")).collect()]
+    expect = sorted((v, i) for i, (_k, v) in enumerate(rows))[:n]
+    assert got == expect
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_identical_docs_estimate_one(spark, words):
+    """Identical docs always estimate Jaccard 1.0 and always collide in
+    every band (minhash correctness invariant)."""
+    from hpcc_platform_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=16, shingle_k=2)
+    out = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4).collect()
+    assert len(out) == 1 and out[0].jaccard_est == 1.0
