@@ -145,16 +145,31 @@ def embedding_near_dup_pairs(
     skewed buckets split via AQE skew-join. Recall is tunable by signature
     length (fewer bits → higher recall, more candidates).
     """
+    # Normalize once per row (n× 64-element folds), so each candidate pair
+    # pays only the dot product — at scale the pair side dominates by the
+    # candidate multiplier, so hoisting the norms is a ~3× expression cut.
+    v_dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(v_dbl, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), _sign_bucket(F.col(vec_col), hyperplanes).alias("__bucket__")
+        F.col(id_col),
+        v_dbl.alias("__v__"),
+        norm.alias("__norm__"),
+        _sign_bucket(F.col(vec_col), hyperplanes).alias("__bucket__"),
     )
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket__"
+        F.col(id_col).alias("id_a"), F.col("__v__").alias("va"),
+        F.col("__norm__").alias("na"), "__bucket__",
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket__"
+        F.col(id_col).alias("id_b"), F.col("__v__").alias("vb"),
+        F.col("__norm__").alias("nb"), "__bucket__",
     )
-    cos = pair_cosine("va", "vb")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["__bucket__"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -186,14 +201,34 @@ def ivf_topk(
     """
     from pyspark.sql.functions import broadcast
 
+    def _norm(vcol):
+        vd = F.transform(vcol, lambda x: x.cast("double"))
+        return F.sqrt(
+            F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+
     cents = df.where((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
     )
     # Assign: argmax cosine over centroids, ties → lowest cid (max struct
-    # of (cos, -cid) matches the oracle's ORDER BY cos DESC, cid).
+    # of (cos, -cid) matches the oracle's ORDER BY cos DESC, cid). Norms
+    # are hoisted to once per row / per centroid; the n×C pair expression
+    # is a single dot product.
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.transform(F.col("cvec"), lambda x: x.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     assigned = (
-        df.crossJoin(broadcast(cents))
-        .withColumn("__ccos__", pair_cosine(vec_col, "cvec"))
+        df.withColumn("__vnorm__", _norm(F.col(vec_col)))
+        .crossJoin(broadcast(cents))
+        .withColumn("__ccos__", dot / (F.col("__vnorm__") * F.col("cnorm")))
         .groupBy(id_col, vec_col)
         .agg(F.max(F.struct(F.col("__ccos__"), (-F.col("cid")).alias("ncid"))).alias("best"))
         .select(F.col(id_col), F.col(vec_col), (-F.col("best.ncid")).alias("cid"))
