@@ -38,6 +38,8 @@ HEADLINE = [
     "ann_bruteforce",
     "embedding_near_dup",
     "terasort_verify",
+    "workload_shipping_priority",
+    "workload_local_supplier_volume",
 ]
 
 

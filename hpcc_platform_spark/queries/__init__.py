@@ -26,6 +26,7 @@ from hpcc_platform_spark.queries import (  # noqa: E402,F401
     q_textsearch,
     q_transform,
     q_window,
+    q_workload,
 )
 
 __all__ = ["REGISTRY", "QueryDef", "query", "tables"]

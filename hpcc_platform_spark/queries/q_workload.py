@@ -1,0 +1,167 @@
+"""Composite workload queries — full multi-operator pipelines of the shape
+reference users run end-to-end (TPC-H-like star joins + aggregation +
+top-k, and event-funnel analytics). Each composes the §2 operator surface:
+scan pushdown → broadcast/shuffle joins → partial/final aggregation →
+TakeOrderedAndProject.
+
+These are the bench-grade "would a reference user's real query run, and
+run fast" proof — the regression corpus analogue of
+testing/regress/ecl/'s larger query files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from hpcc_platform_spark.queries.registry import query, tables
+
+
+@query(
+    "workload_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    category="workload",
+)
+def workload_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment filter → 3-table join → revenue agg → top
+    10. Filters sit in the scans (pushdown); the join order lets AQE
+    broadcast the filtered customer side; top-k is a per-partition heap."""
+    cust, orders, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.where(F.col("o_orderdate") < cutoff),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.where(F.col("l_shipdate") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "workload_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    category="workload",
+)
+def workload_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join with a local-supplier condition
+    (supplier and customer share a nation). region/nation broadcast
+    explicitly (tiny dims); the fact-side joins shuffle on their keys once
+    each — the canonical 100 TB star-join plan."""
+    region, nation, cust, orders, li, supp = tables(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    return (
+        broadcast(region.where(F.col("r_name") == "ASIA"))
+        .join(broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@query(
+    "workload_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    category="workload",
+)
+def workload_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    returnflag filter pushed to the lineitem scan, nation broadcast."""
+    cust, orders, li, nation = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.where(F.col("l_returnflag") == "R"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "workload_event_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN views > 0 THEN 1 ELSE 0 END) AS BIGINT) AS with_view,
+           CAST(SUM(CASE WHEN views > 0 AND clicks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS view_click,
+           CAST(SUM(CASE WHEN views > 0 AND clicks > 0 AND purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+    FROM per_user
+    """,
+    category="workload",
+)
+def workload_event_funnel(spark, sf_dir):
+    """Event-funnel analytics over the events table: per-user conditional
+    counts (one shuffle on user_id) folded to funnel-stage totals — the
+    conversion-funnel query every event pipeline runs."""
+    (events,) = tables(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("views") > 0).cast("long")).alias("with_view"),
+        F.sum(((F.col("views") > 0) & (F.col("clicks") > 0)).cast("long")).alias("view_click"),
+        F.sum(
+            ((F.col("views") > 0) & (F.col("clicks") > 0) & (F.col("purchases") > 0)).cast("long")
+        ).alias("full_funnel"),
+    )
