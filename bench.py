@@ -54,6 +54,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        # Warm pass (codegen/JIT/broadcast reuse), then measure — the
+        # steady-state number a serving cluster sees, not first-touch.
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)

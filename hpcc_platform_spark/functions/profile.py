@@ -51,6 +51,35 @@ def text_pattern(col: str) -> F.Column:
     return F.regexp_replace(c, "[0-9]", "9")
 
 
+def best_record_structure(df: DataFrame, cols: list[str]) -> DataFrame:
+    """DataPatterns BestRecordStructure: recommend the tightest ECL-style
+    type per (string) field from observed values — fixed STRINGn when all
+    lengths equal, UNSIGNEDn/INTEGERn when all-numeric, else variable
+    STRING. One aggregate pass over a tall frame."""
+    tall = None
+    for c in cols:
+        part = df.select(
+            F.lit(c).alias("field"), F.col(c).cast("string").alias("value")
+        )
+        tall = part if tall is None else tall.unionAll(part)
+    stats = tall.groupBy("field").agg(
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+        F.min(F.col("value").rlike("^[0-9]+$").cast("int")).alias("all_digits"),
+        F.min(F.col("value").rlike("^-?[0-9]+$").cast("int")).alias("all_ints"),
+    )
+    return stats.select(
+        "field",
+        F.when(F.col("all_digits") == 1, F.concat(F.lit("UNSIGNED"), F.ceil(F.col("max_len") / 2).cast("string")))
+        .when(F.col("all_ints") == 1, F.concat(F.lit("INTEGER"), F.ceil((F.col("max_len") + 1) / 2).cast("string")))
+        .when(F.col("min_len") == F.col("max_len"), F.concat(F.lit("STRING"), F.col("max_len").cast("string")))
+        .otherwise(F.lit("STRING"))
+        .alias("best_type"),
+        "min_len",
+        "max_len",
+    )
+
+
 def profile(df: DataFrame, cols: list[str], top_patterns: int = 3) -> DataFrame:
     """Per-field profile: fill count/rate, cardinality, min/max (as
     strings), most popular text pattern. One groupBy per field over a

@@ -293,3 +293,41 @@ def profile_fields(spark, sf_dir):
 
     (cust,) = tables(spark, sf_dir, "customer")
     return profile(cust, ["c_mktsegment", "c_name"])
+
+
+@query(
+    "best_record_structure",
+    oracle="""
+    WITH tall AS (
+      SELECT 'c_name' AS field, CAST(c_name AS VARCHAR) AS value FROM customer
+      UNION ALL
+      SELECT 'c_custkey', CAST(c_custkey AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', CAST(c_mktsegment AS VARCHAR) FROM customer
+    ), stats AS (
+      SELECT field,
+             MIN(length(value)) AS min_len,
+             MAX(length(value)) AS max_len,
+             MIN(CASE WHEN regexp_matches(value, '^[0-9]+$') THEN 1 ELSE 0 END) AS all_digits,
+             MIN(CASE WHEN regexp_matches(value, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS all_ints
+      FROM tall GROUP BY field
+    )
+    SELECT field,
+           CASE WHEN all_digits = 1 THEN 'UNSIGNED' || CAST(CAST(CEIL(max_len / 2.0) AS BIGINT) AS VARCHAR)
+                WHEN all_ints = 1 THEN 'INTEGER' || CAST(CAST(CEIL((max_len + 1) / 2.0) AS BIGINT) AS VARCHAR)
+                WHEN min_len = max_len THEN 'STRING' || CAST(max_len AS VARCHAR)
+                ELSE 'STRING' END AS best_type,
+           min_len, max_len
+    FROM stats
+    """,
+    category="aggregate",
+)
+def best_record_structure_q(spark, sf_dir):
+    """DataPatterns BestRecordStructure
+    (ecllibrary/std/DataPatterns/BestRecordStructure.ecl): tightest
+    ECL-style type recommendation per field from observed values — one
+    aggregate pass, no driver iteration."""
+    from hpcc_platform_spark.functions.profile import best_record_structure
+
+    (cust,) = tables(spark, sf_dir, "customer")
+    return best_record_structure(cust, ["c_name", "c_custkey", "c_mktsegment"])

@@ -146,3 +146,37 @@ def set_functions(spark, sf_dir):
         F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
         F.size(F.collect_set("c_mktsegment")).cast("int").alias("n_segments"),
     )
+
+
+@query(
+    "child_dataset_hof",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 30) AS INT) AS n_big,
+           ROUND(COALESCE(SUM(l_extendedprice) FILTER (WHERE l_quantity > 30), 0), 4) AS big_value,
+           CAST(COUNT(*) AS INT) AS n_children
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    category="nested",
+)
+def child_dataset_hof(spark, sf_dir):
+    """Child-dataset operations WITHOUT re-exploding (sq.ecl-style nested
+    records operated on in place): build the nested form once
+    (collect_list(struct)), then filter/aggregate the child dataset with
+    higher-order array functions — the Spark-first form of ECL's
+    ds.children(filter) aggregation, one shuffle total, children never
+    leave their parent row."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_quantity", "l_extendedprice")).alias("items")
+    )
+    big = F.filter("items", lambda x: x["l_quantity"] > 30)
+    return nested.select(
+        "l_orderkey",
+        F.size(big).alias("n_big"),
+        F.round(
+            F.aggregate(big, F.lit(0.0), lambda acc, x: acc + x["l_extendedprice"]), 4
+        ).alias("big_value"),
+        F.size("items").alias("n_children"),
+    )

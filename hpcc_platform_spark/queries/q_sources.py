@@ -286,3 +286,36 @@ def soapcall_enrich(spark, sf_dir):
         batch_rows=100,
         retries=2,
     )
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal ELSE NULL END AS s_acctbal
+    FROM supplier
+    """,
+    category="sources",
+)
+def schema_evolution_read(spark, sf_dir):
+    """Record-layout translation (thorread.hpp:33-64 actual/expected/
+    projected; RecordTranslationMode): two generations of the same file —
+    old parts lack a column — read as one dataset with mergeSchema; the
+    missing column is NULL-filled for old rows, exactly the reference's
+    actual→expected mapping. Split is by parity so the oracle can replicate
+    which rows carry the evolved column."""
+    (supp,) = tables(spark, sf_dir, "supplier")
+    base = _scratch("supplier_evolving")
+    old = os.path.join(base, "gen=0")
+    new = os.path.join(base, "gen=1")
+    supp.where(F.col("s_suppkey") % 2 == 1).select("s_suppkey", "s_name").write.mode(
+        "overwrite"
+    ).parquet(old)
+    supp.where(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).write.mode("overwrite").parquet(new)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(old, new)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
