@@ -1,0 +1,193 @@
+"""PARSE tier 2 — full context-free RULE grammars (SURVEY.md §2.10).
+
+Reference: ECL's Tomita GLR engine (common/thorhelper/thortparse.cpp,
+codegen ecl/hqlcpp/hqltomita.cpp) parses RULE grammars — arbitrary CFGs,
+including left recursion — over tokenized text, with productions carrying
+TRANSFORMs (semantic actions).
+
+Spark-first translation: an Earley parser (same language class as GLR:
+all CFGs, cubic worst case, linear on practical grammars) executed per row
+inside an Arrow-batched ``mapInPandas`` scanner — map-only, parallel over
+partitions, no shuffle; the grammar object is closure-captured and compiled
+once per task. Productions carry Python semantic actions in place of ECL
+TRANSFORMs; terminals are regex tokens.
+
+API shape (ECL analogue in comments):
+
+    g = Grammar()
+    g.token("NUM", r"\\d+(?:\\.\\d+)?")            # PATTERN num := ...
+    g.token("PLUS", r"\\+")
+    g.rule("expr", ["term", "PLUS", "expr"],     # RULE expr := term '+' expr
+           action=lambda t, _p, e: t + e)
+    g.rule("expr", ["term"])
+    ...
+    parse_grammar(df, "text", g, start="expr", keep_cols=["id"])
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class _Prod:
+    lhs: str
+    rhs: tuple[str, ...]
+    action: object  # Callable[*child_values] -> value, or None
+
+
+@dataclass
+class Grammar:
+    """Tokenizer + CFG productions (the RULE algebra)."""
+
+    tokens: dict[str, str] = field(default_factory=dict)  # name -> regex
+    prods: list[_Prod] = field(default_factory=list)
+    skip: str = r"\s+"
+
+    def token(self, name: str, rx: str) -> None:
+        self.tokens[name] = rx
+
+    def rule(self, lhs: str, rhs: Sequence[str], action=None) -> None:
+        self.prods.append(_Prod(lhs, tuple(rhs), action))
+
+    # -- lexer ---------------------------------------------------------------
+    def lex(self, text: str) -> list[tuple[str, str]] | None:
+        """Longest-match tokenization; None if any char can't lex."""
+        spec = [(n, re.compile(rx)) for n, rx in self.tokens.items()]
+        skip = re.compile(self.skip)
+        out, i, n = [], 0, len(text)
+        while i < n:
+            m = skip.match(text, i)
+            if m and m.end() > i:
+                i = m.end()
+                continue
+            best = None
+            for name, rx in spec:
+                mm = rx.match(text, i)
+                if mm and (best is None or mm.end() > best[1]):
+                    best = (name, mm.end())
+            if best is None:
+                return None
+            out.append((best[0], text[i : best[1]]))
+            i = best[1]
+        return out
+
+
+def _earley(grammar: Grammar, toks: list[tuple[str, str]], start: str):
+    """Earley parse; returns the semantic value of one full derivation of
+    ``start`` over all tokens, or None. Ambiguity resolved deterministically
+    (first-completed derivation wins — the reference's Tomita keeps all;
+    MATCHED best-parse selection picks one, as here)."""
+    prods_by_lhs: dict[str, list[_Prod]] = {}
+    for p in grammar.prods:
+        prods_by_lhs.setdefault(p.lhs, []).append(p)
+    n = len(toks)
+
+    # item: (prod_index, dot, origin); value store per completed item
+    P = grammar.prods
+    chart: list[dict[tuple[int, int, int], list]] = [dict() for _ in range(n + 1)]
+
+    def add(k, item, vals):
+        if item not in chart[k]:
+            chart[k][item] = vals
+
+    for i, p in enumerate(P):
+        if p.lhs == start:
+            add(0, (i, 0, 0), [])
+
+    for k in range(n + 1):
+        changed = True
+        while changed:
+            changed = False
+            for item, vals in list(chart[k].items()):
+                pi, dot, org = item
+                p = P[pi]
+                if dot < len(p.rhs):
+                    sym = p.rhs[dot]
+                    if sym in prods_by_lhs:  # predict
+                        for j, q in enumerate(P):
+                            if q.lhs == sym:
+                                before = len(chart[k])
+                                add(k, (j, 0, k), [])
+                                changed = changed or len(chart[k]) > before
+                    elif k < n and toks[k][0] == sym:  # scan
+                        before = len(chart[k + 1])
+                        add(k + 1, (pi, dot + 1, org), vals + [toks[k][1]])
+                        changed = changed or len(chart[k + 1]) > before
+                else:  # complete
+                    val = p.action(*vals) if p.action else (vals[0] if len(vals) == 1 else vals)
+                    for item2, vals2 in list(chart[org].items()):
+                        pi2, dot2, org2 = item2
+                        p2 = P[pi2]
+                        if dot2 < len(p2.rhs) and p2.rhs[dot2] == p.lhs:
+                            before = len(chart[k])
+                            add(k, (pi2, dot2 + 1, org2), vals2 + [val])
+                            changed = changed or len(chart[k]) > before
+
+    for item, vals in chart[n].items():
+        pi, dot, org = item
+        p = P[pi]
+        if p.lhs == start and dot == len(p.rhs) and org == 0:
+            return p.action(*vals) if p.action else (vals[0] if len(vals) == 1 else vals)
+    return None
+
+
+def parse_grammar(
+    df: DataFrame,
+    text_col: str,
+    grammar: Grammar,
+    start: str,
+    keep_cols: Sequence[str],
+    value_type: str = "double",
+) -> DataFrame:
+    """PARSE(ds, text, RULE grammar): parse each row's full text with the
+    CFG; emit (keep_cols..., parse_ok, value) — ``value`` is the semantic
+    action result (NULL when the text doesn't derive from ``start``)."""
+    keep = list(keep_cols)
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["parse_ok boolean", f"value {value_type}"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                text = getattr(rec, text_col) or ""
+                toks = grammar.lex(text)
+                val = _earley(grammar, toks, start) if toks is not None else None
+                rows.append(
+                    tuple(getattr(rec, c) for c in keep) + (val is not None, val)
+                )
+            yield pd.DataFrame(rows, columns=keep + ["parse_ok", "value"])
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def arithmetic_grammar() -> Grammar:
+    """Demo RULE grammar: arithmetic with precedence and parentheses —
+    left-recursive (expr := expr '+' term), which PEG/packrat can't
+    express naturally but Earley (like the reference's Tomita) handles
+    directly."""
+    g = Grammar()
+    g.token("NUM", r"\d+(?:\.\d+)?")
+    g.token("PLUS", r"\+")
+    g.token("MINUS", r"-")
+    g.token("MUL", r"\*")
+    g.token("DIV", r"/")
+    g.token("LP", r"\(")
+    g.token("RP", r"\)")
+    g.rule("expr", ["expr", "PLUS", "term"], action=lambda a, _o, b: a + b)
+    g.rule("expr", ["expr", "MINUS", "term"], action=lambda a, _o, b: a - b)
+    g.rule("expr", ["term"])
+    g.rule("term", ["term", "MUL", "factor"], action=lambda a, _o, b: a * b)
+    g.rule("term", ["term", "DIV", "factor"], action=lambda a, _o, b: a / b)
+    g.rule("term", ["factor"])
+    g.rule("factor", ["NUM"], action=lambda t: float(t))
+    g.rule("factor", ["LP", "expr", "RP"], action=lambda _l, v, _r: v)
+    return g

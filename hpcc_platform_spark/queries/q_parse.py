@@ -98,3 +98,36 @@ def parse_pattern_scan(spark, sf_dir):
     return parse(
         docs.where(F.col("doc_id") < 100), "text", pattern, keep_cols=["doc_id"]
     ).select("doc_id", "match_text", "match_ord")
+
+
+@query(
+    "parse_rule_grammar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, TRUE AS parse_ok,
+           CAST((l_partkey + l_linenumber) * l_suppkey AS DOUBLE) AS value
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    category="parse",
+)
+def parse_rule_grammar(spark, sf_dir):
+    """PARSE with a full RULE grammar (TAKparse :934 tier 2 — the Tomita
+    GLR engine, thortparse.cpp): expression text is parsed by an Earley CFG
+    (left-recursive arithmetic with precedence/parens) whose semantic
+    actions compute the value — the oracle recomputes it arithmetically
+    from the source columns, proving the parse end-to-end."""
+    from hpcc_platform_spark.operators.grammar import arithmetic_grammar, parse_grammar
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    with_text = li.where(F.col("l_orderkey") <= 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit("("), F.col("l_partkey").cast("string"),
+            F.lit(" + "), F.col("l_linenumber").cast("string"),
+            F.lit(") * "), F.col("l_suppkey").cast("string"),
+        ).alias("text"),
+    )
+    return parse_grammar(
+        with_text, "text", arithmetic_grammar(), start="expr",
+        keep_cols=["l_orderkey", "l_linenumber"],
+    )
