@@ -319,3 +319,49 @@ def distribute_merge_sorted(spark, sf_dir):
         [(n, all(r.ok for r in parts), disjoint)],
         "n_rows long, locally_sorted boolean, ranges_disjoint boolean",
     )
+
+
+@query(
+    "loop_transitive_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT n_nationkey AS a, (n_nationkey * 2 + 1) % 25 AS b FROM nation
+    ), r AS (
+      SELECT 0 AS node
+      UNION
+      SELECT e.b FROM r JOIN edges e ON e.a = r.node
+    )
+    SELECT node FROM r
+    """,
+    category="control",
+)
+def loop_transitive_closure(spark, sf_dir):
+    """LOOP until convergence (TAKloopdataset :989, thorlcr/activities/
+    loop/): transitive closure over a functional graph — the frontier
+    expands through a join each iteration until the reachable set stops
+    growing (the dataflow-iteration pattern behind ECL graph algorithms).
+    Oracle: DuckDB recursive CTE — exact same fixpoint."""
+    from hpcc_platform_spark.operators.loop import loop_until
+
+    (nation,) = tables(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.col("n_nationkey").alias("a"),
+        ((F.col("n_nationkey") * 2 + 1) % 25).alias("b"),
+    )
+    start = spark.createDataFrame([(0,)], "node long")
+    state = {"prev": -1}
+
+    def body(nodes, _i):
+        new = nodes.join(edges, F.col("a") == F.col("node")).select(
+            F.col("b").alias("node")
+        )
+        return nodes.unionAll(new).distinct()
+
+    def done(nodes, _i):
+        n = nodes.count()
+        if n == state["prev"]:
+            return True
+        state["prev"] = n
+        return False
+
+    return loop_until(start, body, done, max_iters=30, checkpoint_every=3)

@@ -376,3 +376,35 @@ def fromxml_scalar(spark, sf_dir):
         parsed.getField("name").alias("xml_name"),
         parsed.getField("bal").alias("xml_bal"),
     )
+
+
+@query(
+    "ecl_type_semantics",
+    oracle="""
+    SELECT p_partkey,
+           rpad(p_brand, 10, ' ') AS brand_fixed,
+           CAST(rtrim(rpad(p_brand, 10, ' ')) = p_brand AS BOOLEAN) AS fixed_eq,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) + CAST('0.005' AS DECIMAL(12,3)) AS DOUBLE) AS price_dec
+    FROM part WHERE p_partkey <= 300
+    """,
+    category="functions",
+)
+def ecl_type_semantics(spark, sf_dir):
+    """ECL physical-type semantics (SURVEY §1.2, schema.py type layer):
+    fixed-width STRINGn is blank-padded (rpad) with trailing-space-
+    insensitive equality (rtrim on compare — the reference's fixed-string
+    collation), and DECIMALn_m arithmetic is exact (BCD in the reference,
+    rtl/nbcd/nbcd.hpp; DecimalType here — no float drift on the +0.005)."""
+    (part,) = tables(spark, sf_dir, "part")
+    from hpcc_platform_spark.schema import fixed_eq
+
+    brand_fixed = F.rpad(F.col("p_brand"), 10, " ")
+    return part.where(F.col("p_partkey") <= 300).select(
+        "p_partkey",
+        brand_fixed.alias("brand_fixed"),
+        fixed_eq(brand_fixed, F.col("p_brand")).alias("fixed_eq"),
+        (
+            F.col("p_retailprice").cast("decimal(12,2)")
+            + F.lit("0.005").cast("decimal(12,3)")
+        ).cast("double").alias("price_dec"),
+    )
