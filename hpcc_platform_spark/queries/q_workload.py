@@ -165,3 +165,42 @@ def workload_event_funnel(spark, sf_dir):
             ((F.col("views") > 0) & (F.col("clicks") > 0) & (F.col("purchases") > 0)).cast("long")
         ).alias("full_funnel"),
     )
+
+
+@query(
+    "workload_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           ROUND(s.qty, 4) AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey) s
+      ON s.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 25
+    """,
+    category="workload",
+)
+def workload_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-quantity orders via a grouped HAVING
+    subquery used as a semi-join filter, then customer enrichment and
+    top-k — the aggregate-then-semi-join composition (one lineitem
+    shuffle reused for both the filter and the quantity payload)."""
+    cust, orders, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    qty = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    big = qty.where(F.col("qty") > 150).select("l_orderkey")
+    return (
+        orders.join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(qty, qty["l_orderkey"] == F.col("o_orderkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice",
+            F.round("qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
