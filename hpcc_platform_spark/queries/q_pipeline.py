@@ -407,3 +407,86 @@ def multimodal_features(spark, sf_dir):
         "media_id", "kind", "n_bytes", "content_hash",
         F.round(F.element_at("feature", 1), 4).alias("f0"),
     )
+
+
+@query(
+    "bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+    category="pipeline",
+)
+def bpe_token_count(spark, sf_dir):
+    """BPE-style token counting: a GPT-ish pre-tokenizer regex (letter
+    runs | digit runs | single punctuation) alongside the whitespace count
+    — the cheap token-budget estimator before real BPE. JVM-side
+    regexp_extract_all, map-only."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+        ).cast("int").alias("n_bpe_tokens"),
+        F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).cast("int").alias(
+            "n_ws_tokens"
+        ),
+    )
+
+
+@query(
+    "pipeline_compose_clean",
+    oracle="""
+    WITH lang AS (
+      SELECT doc_id, text,
+             list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''), w -> lower(w)) AS ws
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, len(ws) AS n_tokens,
+             len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w)))
+               / NULLIF(len(ws), 0) AS en_score
+      FROM lang
+    ), kept AS (
+      SELECT doc_id, text, n_tokens FROM scored
+      WHERE en_score >= 0.08 AND n_tokens BETWEEN 10 AND 5000
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens FROM ranked WHERE rn = 1
+    """,
+    category="pipeline",
+)
+def pipeline_compose_clean(spark, sf_dir):
+    """The composed cleaning pipeline a training-data run actually executes:
+    English-score filter → length/quality bounds → exact dedup keep-first —
+    one DAG, all map-side until the single dedup shuffle. Each stage is the
+    already-tested operator; this query proves they compose."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ws = F.transform(
+        F.filter(F.split("text", r"\s+"), lambda w: w != ""), F.lower
+    )
+    en_stop = F.array(*[F.lit(s) for s in
+                        ["the","a","of","and","to","in","is","that","it","for"]])
+    scored = docs.select(
+        "doc_id", "text",
+        F.size(ws).alias("n_tokens"),
+        (
+            F.size(F.filter(ws, lambda w: F.array_contains(en_stop, w))).cast("double")
+            / F.nullif(F.size(ws).cast("double"), F.lit(0.0))
+        ).alias("en_score"),
+    )
+    kept = scored.where(
+        (F.col("en_score") >= 0.08) & F.col("n_tokens").between(10, 5000)
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
+    )
