@@ -110,3 +110,26 @@ def test_published_query_replans_against_cache(spark, sf_dir):
         assert q(segment="BUILDING").count() == n1  # stable across calls
     finally:
         q.unpublish()
+
+
+def test_query_library_interface_check(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.plans.library import QueryLibrary
+
+    lib = QueryLibrary()
+    lib.define(
+        "top_nations",
+        lambda df, n: df.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(n),
+        schema="n_regionkey int, n bigint",
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = lib.call("top_nations", nation, 3)
+    assert out.count() <= 3
+
+    lib.define("bad", lambda df: df.select("n_name"), schema="wrong_col string")
+    with pytest.raises(TypeError, match="interface mismatch"):
+        lib.call("bad", nation)
