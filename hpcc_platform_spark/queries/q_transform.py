@@ -273,12 +273,32 @@ def case_dataset(spark, sf_dir):
     return high if take_high_value else low
 
 
-@query("process_stateful", oracle=None, category="transform")
+@query(
+    "process_stateful",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase' THEN value ELSE -value END AS delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ), bal AS (
+      SELECT user_id, event_id, rn, GREATEST(0.0, delta) AS balance FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn, GREATEST(0.0, b.balance + s.delta)
+      FROM bal b JOIN seq s ON s.user_id = b.user_id AND s.rn = b.rn + 1
+    )
+    SELECT user_id, event_id, ROUND(balance, 4) AS balance FROM bal
+    """,
+    category="transform",
+)
 def process_stateful(spark, sf_dir):
     """PROCESS (TAKprocess :994): stateful scan with a RIGHT state record —
-    here a floor-at-zero running balance (max(0, prev + delta)), a genuinely
-    non-linear recurrence no window frame expresses. Rows-only at the
-    driver; closed-form unit test pins semantics (tests/test_operators.py)."""
+    a floor-at-zero running balance (max(0, prev + delta)), a genuinely
+    non-linear recurrence no window frame expresses. The oracle is a
+    recursive CTE stepping the same recurrence row-by-row per user (ts cast
+    to µs so ordering matches the ingested timestamps); the unit test in
+    tests/test_operators.py additionally pins the closed form."""
     import pandas as pd
 
     from hpcc_platform_spark.operators import iterate_pandas
