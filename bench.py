@@ -54,12 +54,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        # Warm pass (codegen/JIT/broadcast reuse), then measure — the
-        # steady-state number a serving cluster sees, not first-touch.
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Two timed executions, report the min — the steady-state number a
+        # serving cluster sees; the max of the pair absorbs first-touch
+        # codegen and stray local-mode GC pauses. Cache/broadcast state is
+        # cleared between queries so measurements stay independent.
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
