@@ -408,3 +408,33 @@ def ecl_type_semantics(spark, sf_dir):
             + F.lit("0.005").cast("decimal(12,3)")
         ).cast("double").alias("price_dec"),
     )
+
+
+@query(
+    "date_functions2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy,
+           CAST((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate)) AS INT) AS months_to_dec98,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    category="functions",
+)
+def date_functions2(spark, sf_dir):
+    """Std.Date wave 2 (Date.ecl: DayOfWeek :356 — Sunday=1, ISO week,
+    interval arithmetic): day-of-week in the reference's 1-based Sunday
+    convention, ISO week number, day/month interval arithmetic done as
+    integer math (identical across engines), quarter."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).cast("int").alias("days_to_eoy"),
+        ((F.lit(1998) - F.year(d)) * 12 + (F.lit(12) - F.month(d))).cast("int").alias("months_to_dec98"),
+        F.quarter(d).cast("int").alias("qtr"),
+    )
