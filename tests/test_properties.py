@@ -152,3 +152,34 @@ def test_minhash_identical_docs_estimate_one(spark, words):
     sigs = minhash_signatures(df, num_hashes=16, shingle_k=2)
     out = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4).collect()
     assert len(out) == 1 and out[0].jaccard_est == 1.0
+
+
+@given(
+    doc_words=st.lists(
+        st.lists(st.sampled_from(["apple", "bear", "cat", "dog", "elk"]),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=8,
+    ),
+    m=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_m_of_n_matches_set_model(spark, doc_words, m):
+    """search_m_of_n must return exactly the docs containing >= m of the
+    query terms — checked against a Python set model on generated corpora."""
+    from hpcc_platform_spark.operators.textsearch import (
+        build_inverted_index,
+        search_m_of_n,
+    )
+
+    terms = ["apple", "bear", "cat"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doc_words)],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs)
+    got = {r.doc for r in search_m_of_n(idx, terms, m).collect()}
+    model = {
+        i for i, ws in enumerate(doc_words)
+        if sum(t in set(ws) for t in terms) >= m
+    }
+    assert got == model
