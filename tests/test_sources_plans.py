@@ -133,3 +133,27 @@ def test_query_library_interface_check(spark, sf_dir):
     lib.define("bad", lambda df: df.select("n_name"), schema="wrong_col string")
     with pytest.raises(TypeError, match="interface mismatch"):
         lib.call("bad", nation)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_shapes_headline_queries(spark, sf_dir):
+    """Plan-shape contracts for the load-bearing operators: broadcast on
+    the dim side, map-side partial aggregation, top-k without global sort,
+    and filter pushdown into the scan."""
+    from hpcc_platform_spark.queries.registry import REGISTRY
+
+    plan = _plan(REGISTRY["lookup_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    plan = _plan(REGISTRY["groupagg_q1"].fn(spark, sf_dir))
+    assert "partial_sum" in plan or "partial_" in plan  # map-side combine
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+    plan = _plan(REGISTRY["topn"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no sort
+
+    plan = _plan(REGISTRY["workload_shipping_priority"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "BUILDING" in plan  # segment filter at scan
