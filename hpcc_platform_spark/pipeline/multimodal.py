@@ -106,3 +106,45 @@ def fake_media_table(spark, n: int = 100) -> DataFrame:
              64 + i % 8, 64 + i % 8, 1000 + i)
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary, frame_hash string"
+
+
+def frame_sample(df: DataFrame, every_n: int = 2, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling: emit every ``every_n``-th frame, capped at
+    ``max_frames`` per media row — the fan-out transform of a video
+    pipeline (one input row → k frame rows).
+
+    The frame *decode* is a deterministic fake (fixed-size byte slices of
+    the content standing in for decoded frames — no codec libs
+    in-container); the plumbing is real: mapInPandas fan-out, per-frame
+    rows with ordinals, batch shape independent of blob size. Swap the
+    slicer for PyAV's ``container.decode(video=0)`` without touching the
+    dataflow."""
+    import hashlib
+    from collections.abc import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                if rec.kind != "video" or rec.content is None:
+                    continue
+                raw = bytes(rec.content)
+                # fake decode: 16-byte windows act as "frames"
+                n_frames = max(len(raw) // 16, 1)
+                taken = 0
+                for idx in range(0, n_frames, every_n):
+                    if taken >= max_frames:
+                        break
+                    fb = raw[idx * 16 : idx * 16 + 16] or raw[:16]
+                    rows.append(
+                        (rec.media_id, idx, fb, hashlib.md5(fb).hexdigest())
+                    )
+                    taken += 1
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_bytes", "frame_hash"]
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

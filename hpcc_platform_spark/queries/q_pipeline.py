@@ -490,3 +490,15 @@ def pipeline_compose_clean(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"))
     )
+
+
+@query("multimodal_frame_sample", oracle=None, category="pipeline")
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling (multimodal fan-out: one media row → k frame
+    rows via mapInPandas). Decode is a deterministic stub; ordinals,
+    per-frame hashes and the 1→k batch shape are the tested surface.
+    Rows-only (synthesized media)."""
+    from hpcc_platform_spark.pipeline.multimodal import fake_media_table, frame_sample
+
+    media = fake_media_table(spark, n=120).repartition(8, "media_id")
+    return frame_sample(media, every_n=2, max_frames=4)

@@ -166,3 +166,23 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
               ivf_topk(emb, qvec, k=10, centroid_stride=50, nprobe=4).collect()]
     # probing 4 of ~10 cells must still recover most true neighbors
     assert len(set(exact) & set(approx)) >= 5
+
+
+def test_frame_sample_fanout_and_determinism(spark):
+    from hpcc_platform_spark.pipeline.multimodal import fake_media_table, frame_sample
+
+    media = fake_media_table(spark, n=30)
+    frames = frame_sample(media, every_n=2, max_frames=4).collect()
+    assert frames  # videos exist in the fake table (every 3rd row)
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        assert len(rows) <= 4
+        idxs = sorted(r.frame_idx for r in rows)
+        assert all(i % 2 == 0 for i in idxs)  # every-2nd sampling
+    # determinism: same input -> same hashes
+    again = {(r.media_id, r.frame_idx): r.frame_hash
+             for r in frame_sample(media, every_n=2, max_frames=4).collect()}
+    first = {(r.media_id, r.frame_idx): r.frame_hash for r in frames}
+    assert again == first
