@@ -233,3 +233,36 @@ def ngram_jaccard_pairs(
     return joined.select(
         "id_a", "id_b", (inter / union).alias("jaccard")
     )
+
+
+def simhash16_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable 16-bit SimHash: token hash = first 4 nibbles of md5, per-bit
+    ±1 majority vote, sign → bit. Same construction as simhash64 but with
+    an engine-portable hash so DuckDB can replicate it bit-for-bit (the
+    oracle path); use simhash64 (xxhash64) in production — same shape,
+    wider fingerprint, faster hash."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    hexdigits = "0123456789abcdef"
+
+    def vote(i: int):
+        q, k = divmod(i, 4)
+
+        def _v(acc, h):
+            nib = F.instr(F.lit(hexdigits), F.substring(h, q + 1, 1)) - 1
+            bit = F.shiftright(nib, k).bitwiseAND(F.lit(1))
+            return acc + (bit * 2 - 1)
+
+        return _v
+
+    hashes = F.transform(words, lambda w: F.md5(w.cast("binary")))
+    staged = df.select(F.col(id_col), hashes.alias("__h__"))
+    votes = F.array(
+        *[F.aggregate("__h__", F.lit(0), vote(i)) for i in range(16)]
+    )
+    staged = staged.select(F.col(id_col), votes.alias("__votes__"))
+    fp = F.lit(0)
+    for i in range(16):
+        fp = fp + F.when(F.col("__votes__").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return staged.select(F.col(id_col), fp.cast("int").alias("simhash16"))

@@ -502,3 +502,36 @@ def multimodal_frame_sample(spark, sf_dir):
 
     media = fake_media_table(spark, n=120).repartition(8, "media_id")
     return frame_sample(media, every_n=2, max_frames=4)
+
+
+@query(
+    "simhash_portable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''), w -> md5(w)) AS hs
+      FROM documents WHERE doc_id < 200
+    ), votes AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_sum(list_transform(hs, h ->
+                 (((strpos('0123456789abcdef', h[CAST(i // 4 AS INT) + 1 : CAST(i // 4 AS INT) + 1]) - 1)
+                   // CAST(POWER(2, i % 4) AS INT)) % 2) * 2 - 1))) AS v
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 16), i ->
+             CASE WHEN v[CAST(i AS INT) + 1] > 0 THEN CAST(POWER(2, i) AS INT) ELSE 0 END)) AS INT) AS simhash16
+    FROM votes
+    """,
+    category="pipeline",
+)
+def simhash_portable(spark, sf_dir):
+    """SimHash with the portable md5-nibble hash (16-bit): per-token hash,
+    ±1 majority vote per bit, sign → fingerprint — the oracle replicates
+    every vote bit-for-bit, proving the SimHash construction end-to-end
+    (the production simhash64 is the same shape over xxhash64)."""
+    from hpcc_platform_spark.pipeline.dedup import simhash16_portable
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return simhash16_portable(docs.where(F.col("doc_id") < 200))
