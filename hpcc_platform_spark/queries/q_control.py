@@ -365,3 +365,82 @@ def loop_transitive_closure(spark, sf_dir):
     reach = closure.where(F.col("a") == 0).select(F.col("b").alias("node"))
     start = spark.createDataFrame([(0,)], "node long")
     return start.unionAll(reach).distinct()
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH edges AS (
+      SELECT n_nationkey AS src, (n_nationkey * 2 + 1) % 25 AS dst FROM nation
+      UNION ALL
+      SELECT n_nationkey, (n_nationkey * 3 + 2) % 25 FROM nation
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT n_nationkey AS node, 1.0 / 25 AS rank FROM nation
+    ), r1 AS (
+      SELECT n.n_nationkey AS node,
+             0.15 / 25 + 0.85 * COALESCE(SUM(r0.rank / deg.outdeg), 0) AS rank
+      FROM nation n
+      LEFT JOIN edges e ON e.dst = n.n_nationkey
+      LEFT JOIN r0 ON r0.node = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY n.n_nationkey
+    ), r2 AS (
+      SELECT n.n_nationkey AS node,
+             0.15 / 25 + 0.85 * COALESCE(SUM(r1.rank / deg.outdeg), 0) AS rank
+      FROM nation n
+      LEFT JOIN edges e ON e.dst = n.n_nationkey
+      LEFT JOIN r1 ON r1.node = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY n.n_nationkey
+    ), r3 AS (
+      SELECT n.n_nationkey AS node,
+             0.15 / 25 + 0.85 * COALESCE(SUM(r2.rank / deg.outdeg), 0) AS rank
+      FROM nation n
+      LEFT JOIN edges e ON e.dst = n.n_nationkey
+      LEFT JOIN r2 ON r2.node = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY n.n_nationkey
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """,
+    category="control",
+)
+def graph_pagerank(spark, sf_dir):
+    """GRAPH iteration (TAKgraphloop :995): 3 fixed PageRank rounds
+    (damping 0.85) over a deterministic 2-out-degree graph — each round is
+    one join + one aggregation, the canonical iterative-numeric dataflow.
+    The oracle unrolls the same three rounds as CTEs. At scale the rank
+    vector co-partitions with the edge list (both keyed by node) so each
+    round is a single co-located shuffle."""
+    from hpcc_platform_spark.operators.loop import loop_count
+
+    (nation,) = tables(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.col("n_nationkey").alias("src"),
+        ((F.col("n_nationkey") * 2 + 1) % 25).alias("dst"),
+    ).unionAll(
+        nation.select(
+            F.col("n_nationkey").alias("src"),
+            ((F.col("n_nationkey") * 3 + 2) % 25).alias("dst"),
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks0 = nodes.select("node", (F.lit(1.0) / 25).alias("rank"))
+
+    def step(ranks, _i):
+        contrib = (
+            edges.join(ranks, ranks["node"] == edges["src"])
+            .join(deg, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        return (
+            nodes.join(contrib, contrib["dst"] == nodes["node"], "left")
+            .groupBy("node")
+            .agg((F.lit(0.15 / 25) + 0.85 * F.coalesce(F.sum("c"), F.lit(0.0))).alias("rank"))
+            .coalesce(1)
+        )
+
+    final = loop_count(ranks0, 3, step, checkpoint_every=1)
+    return final.select("node", F.round("rank", 6).alias("rank"))

@@ -157,3 +157,43 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
         q.stop()
     assert n == events.count()
     assert total == n  # duplicates eliminated
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream join with watermarks + time-bound condition (Spark
+    superset over the reference's Kafka-only surface): purchases joined to
+    the same user's views within the preceding hour; stream result equals
+    the equivalent batch range join."""
+    events = read_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    buys = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"), "value"
+    )
+    vp, bp = str(tmp_path / "views"), str(tmp_path / "buys")
+    views.write.mode("overwrite").parquet(vp)
+    buys.write.mode("overwrite").parquet(bp)
+
+    cond = (
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("v_ts") <= F.col("b_ts"))
+        & (F.col("v_ts") >= F.col("b_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    expected = views.join(buys, cond).count()
+
+    sv = spark.readStream.schema(views.schema).parquet(vp).withWatermark("v_ts", "2 hours")
+    sb = spark.readStream.schema(buys.schema).parquet(bp).withWatermark("b_ts", "2 hours")
+    q = (
+        sv.join(sb, cond)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT COUNT(*) AS n FROM ssj_out").head().n
+    finally:
+        q.stop()
+    assert got == expected and expected > 0
