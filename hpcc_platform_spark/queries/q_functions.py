@@ -438,3 +438,45 @@ def date_functions2(spark, sf_dir):
         ((F.lit(1998) - F.year(d)) * 12 + (F.lit(12) - F.month(d))).cast("int").alias("months_to_dec98"),
         F.quarter(d).cast("int").alias("qtr"),
     )
+
+
+@query(
+    "xml_encode_decode",
+    oracle="""
+    SELECT n_nationkey,
+           raw,
+           REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(raw,
+             '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;') AS encoded,
+           REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+             REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(raw,
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS roundtrip
+    FROM (SELECT n_nationkey, CONCAT('<', n_name, ' & "co" >') AS raw FROM nation)
+    """,
+    category="functions",
+)
+def xml_encode_decode(spark, sf_dir):
+    """XMLENCODE/XMLDECODE (no_xmlencode/no_xmldecode hqlexpr.hpp:542-543;
+    RTL impl rtl/eclrtl/eclrtl.cpp xml entity escaping): escape the five XML
+    entities and invert. Pure replace chains — JVM-side, codegen-friendly;
+    the decode chain applies &amp; last so nested escapes survive, matching
+    the reference's single-pass entity scanner on round-trip inputs."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    raw = F.concat(F.lit("<"), F.col("n_name"), F.lit(' & "co" >'))
+
+    def enc(c):
+        for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")]:
+            c = F.replace(c, F.lit(a), F.lit(b))
+        return c
+
+    def dec(c):
+        for a, b in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]:
+            c = F.replace(c, F.lit(a), F.lit(b))
+        return c
+
+    return nation.select(
+        "n_nationkey",
+        raw.alias("raw"),
+        enc(raw).alias("encoded"),
+        dec(enc(raw)).alias("roundtrip"),
+    )

@@ -131,3 +131,44 @@ def parse_rule_grammar(spark, sf_dir):
         with_text, "text", arithmetic_grammar(), start="expr",
         keep_cols=["l_orderkey", "l_linenumber"],
     )
+
+
+@query(
+    "xml_parse_rows",
+    oracle="""
+    SELECT n_regionkey, CAST(n_nationkey AS INT) AS k, n_name AS name
+    FROM nation
+    """,
+    category="parse",
+)
+def xml_parse_rows(spark, sf_dir):
+    """XML PARSE (TAKxmlparse :939, common/thorhelper/thorxmlread.cpp row
+    xpath extraction): an XML text field containing repeated <n> elements is
+    exploded into one output row per element. Round-trip construction: the
+    per-region document is built from the nation table (order-stable via
+    array_sort), then from_xml + explode recovers exactly the source rows —
+    the oracle states that identity. At scale the parse is per-row and
+    embarrassingly parallel; no shuffle beyond the doc-building groupBy."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    frag = F.concat(
+        F.lit("<n><k>"), F.col("n_nationkey").cast("string"),
+        F.lit("</k><name>"), F.col("n_name"), F.lit("</name></n>"),
+    )
+    docs = (
+        nation.select("n_regionkey", F.struct(F.col("n_nationkey"), frag.alias("frag")).alias("s"))
+        .groupBy("n_regionkey")
+        .agg(
+            F.concat(
+                F.lit("<doc>"),
+                F.concat_ws("", F.transform(F.array_sort(F.collect_list("s")), lambda s: s["frag"])),
+                F.lit("</doc>"),
+            ).alias("xml")
+        )
+    )
+    parsed = docs.select(
+        "n_regionkey",
+        F.from_xml("xml", "n ARRAY<STRUCT<k: INT, name: STRING>>").alias("p"),
+    )
+    return parsed.select("n_regionkey", F.explode("p.n").alias("r")).select(
+        "n_regionkey", F.col("r.k").alias("k"), F.col("r.name").alias("name")
+    )

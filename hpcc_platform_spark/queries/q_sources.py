@@ -319,3 +319,56 @@ def schema_evolution_read(spark, sf_dir):
         .parquet(old, new)
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+@query(
+    "keydiff_keypatch",
+    oracle="""
+    WITH old AS (
+      SELECT p_partkey AS k, ROUND(p_retailprice, 2) AS v
+      FROM part WHERE p_partkey % 11 <> 3
+    ), new AS (
+      SELECT p_partkey AS k,
+             ROUND(p_retailprice + CASE WHEN p_partkey % 17 = 0 THEN 1 ELSE 0 END, 2) AS v
+      FROM part WHERE p_partkey % 13 <> 5
+    )
+    SELECT COALESCE(old.k, new.k) AS p_partkey,
+           CASE WHEN new.k IS NULL THEN 'DEL'
+                WHEN old.k IS NULL THEN 'ADD'
+                ELSE 'UPD' END AS action,
+           new.v AS new_price
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    WHERE new.k IS NULL OR old.k IS NULL OR old.v <> new.v
+    """,
+    category="sources",
+)
+def keydiff_keypatch(spark, sf_dir):
+    """KEYDIFF/KEYPATCH (tools/keydiff, thorlcr/activities/keydiff/ — delta
+    between two versions of a sorted index, shipped as a patch file): two
+    generations of a keyed table are diffed into DEL/ADD/UPD patch rows.
+    Spark-first: a single full-outer sort-merge join on the key replaces the
+    reference's paired sequential index scans; with both generations
+    bucketed by key the join is exchange-free, and the patch (typically tiny
+    vs the index) streams out without materializing either side."""
+    (part,) = tables(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    old = part.where(pk % 11 != 3).select(
+        pk.alias("ok"), F.round("p_retailprice", 2).alias("ov")
+    )
+    new = part.where(pk % 13 != 5).select(
+        pk.alias("nk"),
+        F.round(
+            F.col("p_retailprice") + F.when(pk % 17 == 0, 1).otherwise(0), 2
+        ).alias("nv"),
+    )
+    j = old.join(new, old["ok"] == new["nk"], "full_outer")
+    return j.where(
+        F.col("nk").isNull() | F.col("ok").isNull() | (F.col("ov") != F.col("nv"))
+    ).select(
+        F.coalesce("ok", "nk").alias("p_partkey"),
+        F.when(F.col("nk").isNull(), "DEL")
+        .when(F.col("ok").isNull(), "ADD")
+        .otherwise("UPD")
+        .alias("action"),
+        F.col("nv").alias("new_price"),
+    )
