@@ -29,4 +29,75 @@ from hpcc_platform_spark.queries import (  # noqa: E402,F401
     q_workload,
 )
 
-__all__ = ["REGISTRY", "QueryDef", "query", "tables"]
+# Driver-window ordering: the correctness driver verifies the FIRST 50
+# entries of ``queries()``, so family coverage there matters more than
+# registration order. Families earlier in this list get the spare slots
+# when 50 isn't a multiple of the family count.
+_FAMILY_PRIORITY = [
+    "dedup_pipeline",
+    "similarity",
+    "join",
+    "sort",
+    "textsearch",
+    "nested",
+    "parse",
+    "workload",
+    "window",
+    "transform",
+    "sources",
+    "setops",
+    "grouped",
+    "dedup",
+    "analytic",
+    "textstats",
+    "multimodal",
+    "scheduler",
+    "aggregate",
+    "control",
+    "functions",
+]
+
+# Flagship queries pulled to the front of their family's rotation (after the
+# oracle-backed-first rule) so the driver window verifies the headline
+# operator, not just whichever registered first.
+_WITHIN_FAMILY_PRIORITY: dict[str, list[str]] = {
+    "dedup_pipeline": ["doc_exact_dedup", "minhash_lsh_portable", "simhash_portable"],
+    "similarity": ["ann_bruteforce", "embedding_near_dup", "ann_ivf"],
+    "sort": ["global_sort_rank", "topn", "terasort_verify"],
+    "transform": ["project_transform", "iterate_running", "rollup_group"],
+    "control": ["loop_count", "graph_pagerank", "catch_row_errors"],
+}
+
+
+def ordered_registry() -> dict[str, QueryDef]:
+    """Registry re-ordered round-robin across SURVEY §2 families.
+
+    One query per family per round (oracle-backed before rows-only within a
+    family), so any prefix of length >= #families contains a verifiable
+    representative of every family. Contents are identical to ``REGISTRY``.
+    """
+    by_family: dict[str, list[QueryDef]] = {}
+    for qd in REGISTRY.values():
+        by_family.setdefault(qd.category, []).append(qd)
+    known = [f for f in _FAMILY_PRIORITY if f in by_family]
+    families = known + sorted(set(by_family) - set(known))
+    for f in families:
+        front = _WITHIN_FAMILY_PRIORITY.get(f, [])
+        by_family[f].sort(
+            key=lambda qd: (
+                qd.oracle is None,
+                front.index(qd.name) if qd.name in front else len(front),
+            )
+        )  # stable beyond the keyed prefix
+    ordered: dict[str, QueryDef] = {}
+    round_no = 0
+    while len(ordered) < len(REGISTRY):
+        for f in families:
+            if round_no < len(by_family[f]):
+                qd = by_family[f][round_no]
+                ordered[qd.name] = qd
+        round_no += 1
+    return ordered
+
+
+__all__ = ["REGISTRY", "QueryDef", "ordered_registry", "query", "tables"]

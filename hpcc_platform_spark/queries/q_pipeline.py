@@ -26,7 +26,7 @@ from hpcc_platform_spark.queries.registry import query, tables
     )
     SELECT doc_id, text_hash, n_copies FROM ranked WHERE rn = 1
     """,
-    category="pipeline",
+    category="dedup_pipeline",
 )
 def doc_exact_dedup(spark, sf_dir):
     """Exact dedup: content-hash groupBy, keep lowest doc_id per hash,
@@ -44,7 +44,7 @@ def doc_exact_dedup(spark, sf_dir):
            n_chars
     FROM documents
     """,
-    category="pipeline",
+    category="textstats",
 )
 def token_count_q(spark, sf_dir):
     """Token counting (whitespace tokenizer) — JVM-side split/filter/size,
@@ -68,7 +68,7 @@ def token_count_q(spark, sf_dir):
            ROUND(len(list_distinct(ws)) / NULLIF(len(ws), 0), 4) AS unique_ratio
     FROM toks
     """,
-    category="pipeline",
+    category="textstats",
 )
 def text_quality(spark, sf_dir):
     """Quality scoring: token count, mean token length, type/token ratio —
@@ -90,7 +90,7 @@ def text_quality(spark, sf_dir):
     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
     LIMIT 10
     """,
-    category="pipeline",
+    category="similarity",
 )
 def ann_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k over the embedding column — the exact
@@ -117,7 +117,7 @@ def ann_bruteforce(spark, sf_dir):
     WHERE len(list_intersect(a.ws, b.ws)) /
           (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.2
     """,
-    category="pipeline",
+    category="dedup_pipeline",
 )
 def word_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup (n=1 word sets): all-pairs over a bounded
@@ -143,7 +143,7 @@ def word_jaccard_pairs(spark, sf_dir):
     )
 
 
-@query("minhash_lsh", oracle=None, category="pipeline")
+@query("minhash_lsh", oracle=None, category="dedup_pipeline")
 def minhash_lsh_q(spark, sf_dir):
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join).
 
@@ -166,7 +166,7 @@ def minhash_lsh_q(spark, sf_dir):
     )
 
 
-@query("simhash_docs", oracle=None, category="pipeline")
+@query("simhash_docs", oracle=None, category="dedup_pipeline")
 def simhash_docs(spark, sf_dir):
     """SimHash fingerprints (64-bit, token-hash sign aggregation).
 
@@ -214,7 +214,7 @@ def _language_id_oracle() -> str:
     """
 
 
-@query("language_id", oracle=_language_id_oracle(), category="pipeline")
+@query("language_id", oracle=_language_id_oracle(), category="textstats")
 def language_id_q(spark, sf_dir):
     """Stopword-ratio language ID (argmax of per-language stopword hit
     fraction, ties alphabetically-last, zero-score → 'und') — map-only
@@ -252,7 +252,7 @@ _BUCKET_SQL = " || ".join(
     WHERE list_dot_product(a.v,b2.v) /
           (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b2.v,b2.v))) >= 0.35
     """,
-    category="pipeline",
+    category="similarity",
 )
 def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: candidates from a 6-bit random-hyperplane
@@ -292,7 +292,7 @@ def embedding_near_dup(spark, sf_dir):
              (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(q.qv,q.qv))) DESC, a.vec_id
     LIMIT 10
     """,
-    category="pipeline",
+    category="similarity",
 )
 def ann_ivf(spark, sf_dir):
     """IVF approximate nearest neighbor: deterministic centroids (every
@@ -336,7 +336,7 @@ def ann_ivf(spark, sf_dir):
     JOIN sigs sb ON sb.doc_id = c.id_b
     WHERE (len(list_filter(range(1, 17), i -> sa.signature[i] = sb.signature[i])) / 16.0) >= 0.4
     """,
-    category="pipeline",
+    category="dedup_pipeline",
 )
 def minhash_lsh_portable(spark, sf_dir):
     """MinHash+LSH with the portable md5 hash family (hash_i = md5(i:shingle),
@@ -374,7 +374,7 @@ def minhash_lsh_portable(spark, sf_dir):
                                                i -> list_min(grams[i:i+3])))) AS fingerprint
     FROM g
     """,
-    category="pipeline",
+    category="dedup_pipeline",
 )
 def doc_fingerprint(spark, sf_dir):
     """Document fingerprinting by winnowing (rolling md5 over char 8-grams,
@@ -389,7 +389,7 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
-@query("multimodal_features", oracle=None, category="pipeline")
+@query("multimodal_features", oracle=None, category="multimodal")
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary media column + typed metadata →
     mapInPandas feature extraction (Arrow-batched, re-chunked so MB-sized
@@ -417,7 +417,7 @@ def multimodal_features(spark, sf_dir):
            CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS INT) AS n_ws_tokens
     FROM documents
     """,
-    category="pipeline",
+    category="textstats",
 )
 def bpe_token_count(spark, sf_dir):
     """BPE-style token counting: a GPT-ish pre-tokenizer regex (letter
@@ -458,7 +458,7 @@ def bpe_token_count(spark, sf_dir):
     )
     SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens FROM ranked WHERE rn = 1
     """,
-    category="pipeline",
+    category="textstats",
 )
 def pipeline_compose_clean(spark, sf_dir):
     """The composed cleaning pipeline a training-data run actually executes:
@@ -492,7 +492,7 @@ def pipeline_compose_clean(spark, sf_dir):
     )
 
 
-@query("multimodal_frame_sample", oracle=None, category="pipeline")
+@query("multimodal_frame_sample", oracle=None, category="multimodal")
 def multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling (multimodal fan-out: one media row → k frame
     rows via mapInPandas). Decode is a deterministic stub; ordinals,
@@ -524,7 +524,7 @@ def multimodal_frame_sample(spark, sf_dir):
              CASE WHEN v[CAST(i AS INT) + 1] > 0 THEN CAST(POWER(2, i) AS INT) ELSE 0 END)) AS INT) AS simhash16
     FROM votes
     """,
-    category="pipeline",
+    category="dedup_pipeline",
 )
 def simhash_portable(spark, sf_dir):
     """SimHash with the portable md5-nibble hash (16-bit): per-token hash,
