@@ -37,6 +37,7 @@ from hpcc_platform_spark.operators.join import (
 )
 from hpcc_platform_spark.operators.limit import limit_fail, limit_skip
 from hpcc_platform_spark.operators.loop import apply_action, graph_loop, loop_count, loop_until
+from hpcc_platform_spark.operators.numbering import global_row_number
 from hpcc_platform_spark.operators.setops import funnel, nonempty, regroup
 from hpcc_platform_spark.operators.sort import (
     global_sort,
@@ -79,6 +80,7 @@ __all__ = [
     "filter_group",
     "funnel",
     "global_agg",
+    "global_row_number",
     "global_sort",
     "graph_loop",
     "group_having",

@@ -13,8 +13,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from hpcc_platform_spark.operators.numbering import numbered
 
 
 def global_agg(df: DataFrame, *aggs: Column) -> DataFrame:
@@ -56,19 +58,30 @@ def quantile_exact(
 
     The reference returns the ranked rows that split the sorted input into n
     equal parts (Roxie ccdserver.cpp:8921-9170). Exact distributed form:
-    ntile(n) over the total order, take the last row of each tile. For
-    approximate at 100 TB scale prefer ``percentile_approx`` — this exact
-    form pays one global sort (range partition), same as the reference's.
-    ``tiebreak`` makes the total order deterministic.
+    two-phase global numbering (operators/numbering.py — range partition +
+    rank offsets, NO single-partition exchange), then pick the boundary row
+    of each tile by its exact global position (ntile semantics: the first
+    ``total % n`` tiles hold one extra row). For approximate at 100 TB scale
+    prefer ``percentile_approx`` — this exact form pays one global range
+    sort, same as the reference's. ``tiebreak`` makes the order total.
     """
     order = [F.col(value_col)] + [F.col(c) for c in tiebreak]
-    w = Window.orderBy(*order)
-    ranked = df.withColumn("__tile__", F.ntile(n_tiles).over(w)).withColumn(
-        "__rn__", F.row_number().over(Window.partitionBy("__tile__").orderBy(*[c.desc() for c in order]))
-    )
+    ranked, total = numbered(df, order, name="__rn__")
+    base, rem = divmod(total, n_tiles)
+    boundaries: dict[int, int] = {}
+    for t in range(1, n_tiles):
+        if base == 0 and t > rem:  # empty tile — no boundary row
+            continue
+        boundaries[t * base + min(t, rem)] = t
+    if not boundaries:
+        return df.select(
+            F.lit(None).cast("int").alias("tile"), F.col(value_col)
+        ).limit(0)
+    pairs = [x for rn, t in boundaries.items() for x in (F.lit(rn), F.lit(t))]
+    tile_col = F.create_map(*pairs)[F.col("__rn__")]
     return (
-        ranked.where((F.col("__rn__") == 1) & (F.col("__tile__") < n_tiles))
-        .select(F.col("__tile__").alias("tile"), F.col(value_col))
+        ranked.where(F.col("__rn__").isin(*boundaries))
+        .select(tile_col.alias("tile"), F.col(value_col))
     )
 
 

@@ -1,0 +1,112 @@
+"""Two-phase global row numbering — the scale-safe total-order primitive.
+
+Every ordinal operator (PROJECT COUNTER, ENTH, SELECTNth, COMBINE, exact
+QUANTILE) needs a global row number. The naive Spark plan —
+``Window.orderBy(...)`` with no partitionBy — funnels the entire dataset
+through ONE WindowExec task (``Exchange SinglePartition``): a guaranteed OOM
+at 100 TB. The reference solves the same problem in its distributed merge
+sort: sample, compute range split points, partition-exchange, and each node
+derives its global rank offset from the nodes before it
+(thorlcr/msort/tsortm.cpp:66,242; tsorts.cpp partition-row-count exchange).
+
+This module is the Spark-first equivalent:
+
+1. ``repartitionByRange(order_keys)`` — range exchange, same sampled-split
+   design as the reference's msort (executed by Spark's RangePartitioner).
+2. Cache the ranged data, then count rows per partition — an action that
+   moves ONE ROW PER PARTITION to the driver (thousands at most).
+3. Broadcast cumulative offsets back as a literal map expression.
+4. ``row_number() over (partitionBy(partition_id) orderBy(keys))`` + offset —
+   fully parallel, no single-partition exchange anywhere in the plan.
+
+The cache between steps 2 and 4 is required for correctness: without it the
+count job and the numbering job would each re-plan the range exchange, and
+the RangePartitioner's reservoir sample (random seed per job) could pick
+different split points.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PID = "__pid__"
+
+
+def _cols(spec: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in spec]
+
+
+def ranged_partitions(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[int, int], dict[int, int]]:
+    """Range-partition ``df`` by ``order_by`` and count rows per partition.
+
+    Returns ``(ranged, counts, offsets)`` where ``ranged`` is the cached
+    range-partitioned frame with a ``__pid__`` column, ``counts`` maps
+    partition id → row count and ``offsets`` maps partition id → number of
+    rows in all earlier partitions. Partition 0 holds the smallest keys, so
+    ``offsets[pid] + local_row_number`` is the exact global position.
+    """
+    order = _cols(order_by)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    ranged = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn(PID, F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r[PID]: r["cnt"]
+        for r in ranged.groupBy(PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return ranged, counts, offsets
+
+
+def _offset_col(offsets: dict[int, int]) -> Column:
+    if not offsets:
+        return F.lit(0)
+    pairs = [x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    return F.coalesce(F.create_map(*pairs)[F.col(PID)], F.lit(0))
+
+
+def numbered(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    name: str = "__rn__",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Attach a 1-based global row number in ``order_by`` order.
+
+    Returns ``(numbered_df, total_rows)``; ``numbered_df`` still carries the
+    ``__pid__`` column (callers drop it). The window is partitioned by
+    ``__pid__`` so the plan contains NO single-partition exchange.
+    """
+    ranged, _counts, offsets = ranged_partitions(df, order_by, num_partitions)
+    w = Window.partitionBy(PID).orderBy(*_cols(order_by))
+    out = ranged.withColumn(
+        name, (F.row_number().over(w) + _offset_col(offsets)).cast("int")
+    )
+    return out, sum(_counts.values())
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    name: str = "counter",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The public combinator: ``df`` plus a global 1-based ``name`` column."""
+    out, _ = numbered(df, order_by, name=name, num_partitions=num_partitions)
+    return out.drop(PID)

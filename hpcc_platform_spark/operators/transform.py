@@ -21,6 +21,13 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hpcc_platform_spark.operators.numbering import (
+    PID,
+    global_row_number,
+    numbered,
+    ranged_partitions,
+)
+
 
 def _cols(spec: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in spec]
@@ -43,13 +50,13 @@ def project_counter(
     """PROJECT with COUNTER (TAKcountproject :917) — global row numbering.
 
     The reference numbers rows in stream order; Spark needs an explicit total
-    order. A single global window is a 1-partition bottleneck at 100 TB —
-    callers that can tolerate partition-local numbering should use
-    ``zipWithIndex``-style ``monotonically_increasing_id`` instead; this
-    combinator is for when the numbered order is semantic.
+    order. Lowered to the two-phase range-partition + offset scheme in
+    ``operators/numbering.py`` (the reference's own msort rank-offset design,
+    thorlcr/msort/tsortm.cpp:66,242) — no single-partition exchange, scales
+    to arbitrary data sizes. Callers that can tolerate partition-local
+    numbering should use ``monotonically_increasing_id`` instead.
     """
-    w = Window.orderBy(*_cols(order_by))
-    return df.withColumn(counter_name, F.row_number().over(w))
+    return global_row_number(df, order_by, name=counter_name)
 
 
 def filter_group(
@@ -235,24 +242,39 @@ def enth(
     """ENTH / deterministic SAMPLE (TAKenth :913, TAKsample :899).
 
     ECL's ENTH picks every interval-th record deterministically (not random
-    sampling). Needs a total order to be well-defined distributed; numbered
-    rows where rn % interval == which.
+    sampling). Needs a total order to be well-defined distributed; two-phase
+    numbered rows (numbering.py, no single-partition exchange) where
+    rn % interval == which.
     """
-    w = Window.orderBy(*_cols(order_by))
+    out, _ = numbered(df, order_by, name="__rn__")
     return (
-        df.withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") % interval == which % interval)
-        .drop("__rn__")
+        out.where(F.col("__rn__") % interval == which % interval)
+        .drop("__rn__", PID)
     )
 
 
 def selectnth(df: DataFrame, n: int, order_by: Sequence[str | Column]) -> DataFrame:
-    """ds[n] (TAKselectn :912) — the single n-th row in the given order."""
-    w = Window.orderBy(*_cols(order_by))
+    """ds[n] (TAKselectn :912) — the single n-th row in the given order.
+
+    Scale path: range-partition + per-partition counts locate the ONE
+    partition containing position n; only that partition is scanned for the
+    local row_number (the reference seeks the n-th row of a single sorted
+    stream, thorlcr/activities/selectnth/ — this is the distributed analog).
+    """
+    ranged, counts, offsets = ranged_partitions(df, order_by)
+    target = None
+    for pid in sorted(counts):
+        if offsets[pid] < n <= offsets[pid] + counts[pid]:
+            target = pid
+            break
+    if target is None:  # n exceeds the row count → empty, same shape
+        return df.limit(0)
+    w = Window.partitionBy(PID).orderBy(*_cols(order_by))
     return (
-        df.withColumn("__rn__", F.row_number().over(w))
+        ranged.where(F.col(PID) == target)
+        .withColumn("__rn__", F.row_number().over(w) + F.lit(offsets[target]))
         .where(F.col("__rn__") == n)
-        .drop("__rn__")
+        .drop("__rn__", PID)
     )
 
 
@@ -261,17 +283,28 @@ def combine(
     df_right: DataFrame,
     order_left: Sequence[str | Column],
     order_right: Sequence[str | Column],
+    strict: bool = True,
 ) -> DataFrame:
     """COMBINE(l, r, TRANSFORM) (TAKcombine :981) — positional zip.
 
     The reference zips two equal-length datasets row-by-row (Roxie
-    ccdserver.cpp:14789). Spark has no stable positional identity across
-    shuffles, so we make the position explicit: row_number on each side in
-    the caller-declared order, then an equi-join on position. Callers then
-    project/transform the joined row.
+    ccdserver.cpp:14789) and errors on length mismatch. Spark has no stable
+    positional identity across shuffles, so position is made explicit via
+    two-phase global numbering (numbering.py — no single-partition
+    exchange), then an equi-join on position. With ``strict`` (the
+    reference's semantics) a length mismatch raises instead of silently
+    truncating to the shorter side; the counts are free — the numbering
+    pass already computed them.
     """
-    wl = Window.orderBy(*_cols(order_left))
-    wr = Window.orderBy(*_cols(order_right))
-    lhs = df_left.withColumn("__pos__", F.row_number().over(wl))
-    rhs = df_right.withColumn("__pos__", F.row_number().over(wr))
-    return lhs.join(rhs, "__pos__", "inner").drop("__pos__")
+    lhs, n_left = numbered(df_left, order_left, name="__pos__")
+    rhs, n_right = numbered(df_right, order_right, name="__pos__")
+    if strict and n_left != n_right:
+        raise ValueError(
+            f"COMBINE length mismatch: left has {n_left} rows, right has "
+            f"{n_right} (reference TAKcombine requires equal lengths)"
+        )
+    return (
+        lhs.drop(PID)
+        .join(rhs.drop(PID), "__pos__", "inner")
+        .drop("__pos__")
+    )

@@ -25,20 +25,18 @@ from hpcc_platform_spark.queries.registry import query, tables
     category="sort",
 )
 def global_sort_rank(spark, sf_dir):
-    """Global SORT (TAKsort :889): Spark range-partition sort ≡ the
-    reference's sampled-split-point msort (thorlcr/msort/tsortm.cpp). The
-    sort position is materialized so the oracle verifies total order."""
+    """Global SORT (TAKsort :889): two-phase range-partition numbering ≡ the
+    reference's sampled-split-point msort + rank-offset exchange
+    (thorlcr/msort/tsortm.cpp:66,242). The sort position is materialized so
+    the oracle verifies total order; no single-partition exchange anywhere
+    in the plan."""
     (li,) = tables(spark, sf_dir, "lineitem")
-    sorted_df = global_sort(
+    return project_counter(
         li.where(F.col("l_quantity") >= 48).select(
             "l_orderkey", "l_linenumber", "l_shipdate"
         ),
-        "l_shipdate",
-        "l_orderkey",
-        "l_linenumber",
-    )
-    return project_counter(
-        sorted_df, ["l_shipdate", "l_orderkey", "l_linenumber"], "sort_pos"
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "sort_pos",
     )
 
 
