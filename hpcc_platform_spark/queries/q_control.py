@@ -355,11 +355,17 @@ def loop_transitive_closure(spark, sf_dir):
     n_nodes = 25
     rounds = math.ceil(math.log2(n_nodes))
 
+    # Per-round partitioning: keyed repartition sized to the cluster (NOT
+    # coalesce(1) — that serializes every round through one task). The path
+    # set stays hash-partitioned by join key `a` across rounds, so each
+    # squaring join reuses the partitioning.
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+
     def square(paths, _i):
         hop = paths.select(F.col("a").alias("x"), F.col("b").alias("m")).join(
             paths.select(F.col("a").alias("m"), F.col("b").alias("y")), "m"
         ).select(F.col("x").alias("a"), F.col("y").alias("b"))
-        return paths.unionAll(hop).distinct().coalesce(1)
+        return paths.unionAll(hop).distinct().repartition(n_parts, F.col("a"))
 
     closure = loop_count(edges, rounds, square, checkpoint_every=2)
     reach = closure.where(F.col("a") == 0).select(F.col("b").alias("node"))
@@ -429,6 +435,11 @@ def graph_pagerank(spark, sf_dir):
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     ranks0 = nodes.select("node", (F.lit(1.0) / 25).alias("rank"))
 
+    # Rank vector stays hash-partitioned by node across rounds (sized to
+    # the cluster, not coalesce(1)) so each round's edge join and the
+    # groupBy("node") reuse the partitioning.
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+
     def step(ranks, _i):
         contrib = (
             edges.join(ranks, ranks["node"] == edges["src"])
@@ -439,7 +450,7 @@ def graph_pagerank(spark, sf_dir):
             nodes.join(contrib, contrib["dst"] == nodes["node"], "left")
             .groupBy("node")
             .agg((F.lit(0.15 / 25) + 0.85 * F.coalesce(F.sum("c"), F.lit(0.0))).alias("rank"))
-            .coalesce(1)
+            .repartition(n_parts, F.col("node"))
         )
 
     final = loop_count(ranks0, 3, step, checkpoint_every=1)
