@@ -86,8 +86,15 @@ def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                         "n_bytes": chunk["content"].map(
                             lambda b: 0 if b is None else len(b)
                         ),
+                        # Fingerprint = md5 of the lowercase-hex encoding of
+                        # the bytes (not the raw bytes): equivalent collision
+                        # strength, and computable by any SQL engine with
+                        # only a string md5 — which keeps this column
+                        # cross-engine oracle-checkable.
                         "content_hash": chunk["content"].map(
-                            lambda b: "" if b is None else __import__("hashlib").md5(b).hexdigest()
+                            lambda b: ""
+                            if b is None
+                            else __import__("hashlib").md5(b.hex().encode()).hexdigest()
                         ),
                         "feature": chunk["content"].map(_decode_image),
                     }
@@ -139,8 +146,10 @@ def frame_sample(df: DataFrame, every_n: int = 2, max_frames: int = 8) -> DataFr
                     if taken >= max_frames:
                         break
                     fb = raw[idx * 16 : idx * 16 + 16] or raw[:16]
+                    # md5-of-hex, same cross-engine-oracle rationale as
+                    # extract_features' content_hash.
                     rows.append(
-                        (rec.media_id, idx, fb, hashlib.md5(fb).hexdigest())
+                        (rec.media_id, idx, fb, hashlib.md5(fb.hex().encode()).hexdigest())
                     )
                     taken += 1
             yield pd.DataFrame(

@@ -389,14 +389,36 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
-@query("multimodal_features", oracle=None, category="multimodal")
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id,
+             (['image','audio','video'])[CAST(i % 3 AS INT) + 1] AS kind,
+             32 + (i % 5) * 16 AS n
+      FROM range(0, 200) t(i)
+    ), hexed AS (
+      SELECT media_id, kind, n,
+             list_aggregate(list_transform(range(0, n),
+                 j -> lpad(lower(hex((media_id*7 + j*13) % 256)), 2, '0')),
+                 'string_agg', '') AS hexstr
+      FROM m
+    )
+    SELECT media_id, kind, CAST(n AS INT) AS n_bytes,
+           md5(hexstr) AS content_hash,
+           ROUND(CAST(n % 251 AS DOUBLE), 4) AS f0
+    FROM hexed
+    """,
+    category="multimodal",
+)
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary media column + typed metadata →
     mapInPandas feature extraction (Arrow-batched, re-chunked so MB-sized
-    blobs never blow an Arrow batch). Decode is a deterministic stub (no
-    codec libs in-container); schema/partitioning/batch shape are real.
-    Rows-only: the media table is synthesized (no parquet fixture), so the
-    driver checks row count + schema; tests pin hash/feature values."""
+    blobs never blow an Arrow batch). Decode is a deterministic fake (no
+    codec libs in-container); schema/partitioning/batch shape are real —
+    which makes every metadata column exactly computable, so the oracle
+    replays the byte synthesis + md5-of-hex fingerprint + first feature in
+    pure SQL."""
     from hpcc_platform_spark.pipeline.multimodal import (
         extract_features,
         fake_media_table,
@@ -405,7 +427,7 @@ def multimodal_features(spark, sf_dir):
     media = fake_media_table(spark, n=200).repartition(8, "media_id")
     return extract_features(media, batch_rows=64).select(
         "media_id", "kind", "n_bytes", "content_hash",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
     )
 
 
@@ -492,16 +514,39 @@ def pipeline_compose_clean(spark, sf_dir):
     )
 
 
-@query("multimodal_frame_sample", oracle=None, category="multimodal")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT i AS media_id, 32 + (i % 5) * 16 AS n
+      FROM range(0, 120) t(i) WHERE i % 3 = 2
+    )
+    SELECT media_id, CAST(fi.frame_idx AS INT) AS frame_idx,
+           md5(list_aggregate(list_transform(
+               range(fi.frame_idx*16, fi.frame_idx*16+16),
+               k -> lpad(lower(hex((media_id*7 + k*13) % 256)), 2, '0')),
+               'string_agg', '')) AS frame_hash,
+           16 AS n_frame_bytes
+    FROM vids, LATERAL (SELECT unnest(range(0, n // 16, 2)) AS frame_idx) fi
+    """,
+    category="multimodal",
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling (multimodal fan-out: one media row → k frame
-    rows via mapInPandas). Decode is a deterministic stub; ordinals,
-    per-frame hashes and the 1→k batch shape are the tested surface.
-    Rows-only (synthesized media)."""
+    rows via mapInPandas). Decode is a deterministic fake; ordinals,
+    per-frame md5-of-hex fingerprints and the 1→k batch shape are the
+    verified surface — the oracle replays the 16-byte frame slicing in SQL.
+    Raw frame bytes stay in the engine (binary doesn't hash-compare across
+    engines); the projection exposes hash + length instead."""
     from hpcc_platform_spark.pipeline.multimodal import fake_media_table, frame_sample
 
     media = fake_media_table(spark, n=120).repartition(8, "media_id")
-    return frame_sample(media, every_n=2, max_frames=4)
+    return frame_sample(media, every_n=2, max_frames=4).select(
+        "media_id",
+        "frame_idx",
+        "frame_hash",
+        F.length("frame_bytes").cast("int").alias("n_frame_bytes"),
+    )
 
 
 @query(
