@@ -455,3 +455,85 @@ def graph_pagerank(spark, sf_dir):
 
     final = loop_count(ranks0, 3, step, checkpoint_every=1)
     return final.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "workflow_schedule",
+    oracle="""
+    WITH reg AS (SELECT COUNT(*) AS n FROM region),
+         nat AS (SELECT COUNT(*) AS n FROM nation)
+    SELECT 1 AS fire_seq, 'CRON' AS event, 'cron' AS handler,
+           '2026-01-15T10:30:00' AS event_text, 'tick' AS result
+    UNION ALL
+    SELECT 2, 'start', 'on_start', '<Event><from>cron</from></Event>',
+           CAST((SELECT n FROM reg) AS VARCHAR)
+    UNION ALL
+    SELECT 3, 'loaded', 'on_loaded',
+           '<Event><table>region</table><rows>' ||
+             CAST((SELECT n FROM reg) AS VARCHAR) || '</rows></Event>',
+           CAST((SELECT n FROM nat) AS VARCHAR)
+    UNION ALL
+    SELECT 4, 'done', 'on_done',
+           '<Event><total>' ||
+             CAST((SELECT reg.n + nat.n FROM reg, nat) AS VARCHAR) ||
+             '</total></Event>',
+           CAST((SELECT reg.n + nat.n FROM reg, nat) AS VARCHAR)
+    UNION ALL
+    SELECT 5, 'done', 'waiter',
+           '<Event><total>' ||
+             CAST((SELECT reg.n + nat.n FROM reg, nat) AS VARCHAR) ||
+             '</total></Event>',
+           'acked'
+    """,
+    category="scheduler",
+)
+def workflow_schedule(spark, sf_dir):
+    """Workflow event scheduler (WHEN/NOTIFY/EVENT/WAIT/CRON —
+    common/workunit/workflow.cpp state machine;
+    ecl/schedulectrl/scheduleread.hpp:45-62 name+text matching;
+    testing/regress/ecl/schedule1.ecl chain shape): a CRON tick NOTIFYs
+    'start', whose handler counts a table and NOTIFYs 'loaded' with an XML
+    payload; that handler reads EVENTEXTRA fields and NOTIFYs 'done',
+    consumed by both a WHEN handler and a WAIT continuation. The firing log
+    (global order + payloads + results) is the oracle-checked output; a
+    second cron entry whose spec doesn't match the tick proves cron
+    filtering. Deterministic: injected clock, FIFO event queue,
+    registration-order dispatch."""
+    from datetime import datetime
+
+    from hpcc_platform_spark.plans import EventScheduler
+
+    region, nation = tables(spark, sf_dir, "region", "nation")
+    sched = EventScheduler(spark)
+
+    def on_cron(ev):
+        sched.notify("start", "<Event><from>cron</from></Event>")
+        return "tick"
+
+    def on_start(ev):
+        n = region.count()
+        sched.notify(
+            "loaded", f"<Event><table>region</table><rows>{n}</rows></Event>"
+        )
+        return n
+
+    def on_loaded(ev):
+        rows = int(ev.extra("rows"))
+        total = rows + nation.count()
+        sched.notify("done", f"<Event><total>{total}</total></Event>")
+        return nation.count()
+
+    def on_done(ev):
+        return ev.extra("total")
+
+    sched.cron("* * * * *", on_cron, count=1, label="cron")
+    sched.cron("0 0 1 1 *", on_cron, count=1, label="never")  # filtered out
+    sched.when("start", on_start, count=1, label="on_start")
+    sched.when(
+        "loaded", on_loaded, text_filter="*<table>region</table>*", label="on_loaded"
+    )
+    sched.when("done", on_done, label="on_done")
+    sched.wait("done", lambda ev: "acked", label="waiter")
+
+    sched.tick(datetime(2026, 1, 15, 10, 30))
+    return sched.log_df()

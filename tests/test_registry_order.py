@@ -25,8 +25,33 @@ def test_driver_window_covers_every_family():
 def test_driver_window_prefers_oracle_backed():
     window = list(entry_mod.queries())[:WINDOW]
     rows_only = [n for n in window if REGISTRY[n].oracle is None]
-    # Only genuinely non-SQL families (multimodal stubs) may be rows-only.
-    assert all(REGISTRY[n].category == "multimodal" for n in rows_only)
+    # Only families with NO oracle-backed member may appear rows-only in the
+    # window (derived, not hardcoded — any family that *can* go green must).
+    oracleless_families = {
+        f
+        for f in {qd.category for qd in REGISTRY.values()}
+        if all(qd.oracle is None for qd in REGISTRY.values() if qd.category == f)
+    }
+    assert all(REGISTRY[n].category in oracleless_families for n in rows_only), (
+        rows_only
+    )
+
+
+def test_priority_lists_reference_real_entries():
+    from hpcc_platform_spark.queries import _FAMILY_PRIORITY, _WITHIN_FAMILY_PRIORITY
+
+    families = {qd.category for qd in REGISTRY.values()}
+    for fam in _FAMILY_PRIORITY:
+        assert fam in families, f"_FAMILY_PRIORITY lists unknown family {fam!r}"
+    for fam, flagships in _WITHIN_FAMILY_PRIORITY.items():
+        assert fam in families, f"_WITHIN_FAMILY_PRIORITY unknown family {fam!r}"
+        for name in flagships:
+            assert name in REGISTRY, f"flagship {name!r} not registered"
+            # Flagship priority only works if the flagship sorts with the
+            # oracle-backed front of its family.
+            assert REGISTRY[name].oracle is not None, (
+                f"flagship {name!r} is rows-only"
+            )
 
 
 def test_flagships_in_window():
