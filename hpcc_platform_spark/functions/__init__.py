@@ -6,6 +6,13 @@ this package holds the wrappers where semantics need glue: ECL date-int
 codecs (Std.Date stores YYYYMMDD ints), hashing, and string edge cases.
 """
 
+from hpcc_platform_spark.functions.collation import (
+    collated,
+    collated_sort,
+    collation_name,
+    compare_at_strength,
+    locale_compare_ignore_case,
+)
 from hpcc_platform_spark.functions.dates import (
     date_to_int,
     int_to_date,
@@ -22,6 +29,10 @@ from hpcc_platform_spark.functions.strings import (
 
 __all__ = [
     "clean_spaces",
+    "collated",
+    "collated_sort",
+    "collation_name",
+    "compare_at_strength",
     "date_to_int",
     "ecl_hash32",
     "ecl_hash64",
@@ -30,6 +41,7 @@ __all__ = [
     "edit_distance",
     "find_replace",
     "int_to_date",
+    "locale_compare_ignore_case",
     "split_words",
     "time_to_int",
     "wild_match",

@@ -480,3 +480,82 @@ def xml_encode_decode(spark, sf_dir):
         enc(raw).alias("encoded"),
         dec(enc(raw)).alias("roundtrip"),
     )
+
+
+_COLLATION_NAMES = [
+    "Müller", "Mueller", "Muller", "Äpfel", "Apfel", "Zebra",
+    "côte", "cote", "coté", "côté", "élan", "Elan", "ñandú", "nandu",
+    "Øre", "Ore", "straße", "strasse", "Ångström", "Angstrom",
+]
+
+
+def _collation_values_sql() -> str:
+    return ", ".join(
+        f"({i}, '{n}')" for i, n in enumerate(_COLLATION_NAMES)
+    )
+
+
+@query(
+    "collated_sort_locale",
+    oracle=f"""
+    SELECT id, name,
+           CAST(row_number() OVER (ORDER BY name COLLATE de, id) AS INT) AS pos
+    FROM (VALUES {_collation_values_sql()}) t(id, name)
+    """,
+    category="functions",
+)
+def collated_sort_locale(spark, sf_dir):
+    """Locale-collated global SORT (Std.Uni locale sort surface,
+    plugins/unicodelib/unicodelib.cpp; Uni.ecl:193-243): German ICU
+    collation via Spark 4 collated strings — comparisons stay JVM-side,
+    the range partitioner sorts under the collation, and DuckDB's ICU
+    'de' collation is the independent oracle. Rank materialized through
+    the two-phase numbering so order is observable AND scale-safe."""
+    from hpcc_platform_spark.functions.collation import collated
+    from hpcc_platform_spark.operators.numbering import global_row_number
+
+    df = spark.createDataFrame(
+        list(enumerate(_COLLATION_NAMES)), "id int, name string"
+    )
+    return global_row_number(
+        df, [collated("name", "de"), "id"], name="pos", num_partitions=4
+    ).select("id", "name", "pos")
+
+
+@query(
+    "collation_compare_strengths",
+    oracle=f"""
+    WITH names AS (SELECT * FROM (VALUES {_collation_values_sql()}) t(id, name))
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+           CASE WHEN a.name COLLATE de < b.name THEN -1
+                WHEN a.name COLLATE de > b.name THEN 1 ELSE 0 END AS cmp_tertiary,
+           CAST(a.name COLLATE NOCASE = b.name AS BOOLEAN) AS eq_secondary,
+           CAST(a.name COLLATE NOCASE.NOACCENT = b.name AS BOOLEAN) AS eq_primary
+    FROM names a JOIN names b ON a.id < b.id AND a.id < 8 AND b.id < 8
+    """,
+    category="functions",
+)
+def collation_compare_strengths(spark, sf_dir):
+    """Std.Uni.CompareAtStrength / LocaleCompareIgnoreCase
+    (unicodelib.cpp UnicodeLocaleCompareAtStrength; Uni.ecl:213,225):
+    pairwise locale comparison at ICU primary/secondary/tertiary
+    strengths. Both engines bind ICU, so the -1/0/1 results and
+    strength-equalities cross-check exactly."""
+    from hpcc_platform_spark.functions.collation import (
+        collated,
+        compare_at_strength,
+    )
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(_COLLATION_NAMES) if i < 8],
+        "id int, name string",
+    )
+    a = df.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    b = df.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", "name_a", "name_b",
+        compare_at_strength("name_a", F.col("name_b"), 3, "de").alias("cmp_tertiary"),
+        (collated("name_a", "UNICODE", 2) == collated("name_b", "UNICODE", 2)).alias("eq_secondary"),
+        (collated("name_a", "UNICODE", 1) == collated("name_b", "UNICODE", 1)).alias("eq_primary"),
+    )
