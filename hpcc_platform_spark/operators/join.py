@@ -161,15 +161,18 @@ def join_limit(
     """JOIN(..., LIMIT(n[, SKIP])) (eclhelper.hpp:1735).
 
     LIMIT(n, SKIP): LHS rows whose match group exceeds n are dropped
-    entirely. on_exceed='fail' raises (the reference's default aborts the
-    workunit) — checked distributed via a count, not a collect.
+    entirely. on_exceed='fail' aborts at EXECUTION time via an in-plan
+    ``assert_true`` guard (the reference's default aborts the workunit) —
+    one scan, and the guard can never disagree with the returned plan on
+    nondeterministic input (the old eager pre-count scanned the RHS twice).
     """
     w = Window.partitionBy(*[F.col(k) for k in keys])
     rhs = right.withColumn("__kc__", F.count(F.lit(1)).over(w))
     if on_exceed == "fail":
-        n_bad = rhs.where(F.col("__kc__") > limit).limit(1).count()
-        if n_bad:
-            raise RuntimeError(f"JOIN LIMIT({limit}) exceeded")
+        guard = F.assert_true(
+            F.col("__kc__") <= limit, F.lit(f"JOIN LIMIT({limit}) exceeded")
+        )
+        rhs = rhs.where(guard.isNull())  # assert_true is NULL when it passes
         return left.join(rhs.drop("__kc__"), list(keys), "inner")
     return left.join(
         rhs.where(F.col("__kc__") <= limit).drop("__kc__"), list(keys), "inner"

@@ -13,7 +13,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in out.columns:
         if pd.api.types.is_datetime64_any_dtype(out[c]):
             out[c] = pd.to_datetime(out[c]).dt.tz_localize(None)
-    return out.sort_values(by=list(out.columns), kind="stable").reset_index(drop=True)
+    # Row alignment: sort by non-float columns first, and use ROUNDED floats
+    # as trailing sort keys — a last-ulp float difference between engines
+    # must not reorder rows and misalign the element-wise compare.
+    non_float = [c for c in out.columns if not pd.api.types.is_float_dtype(out[c])]
+    floats = [c for c in out.columns if pd.api.types.is_float_dtype(out[c])]
+    key = out.copy()
+    for c in floats:
+        key[c] = key[c].round(6)
+    order = key.sort_values(by=non_float + floats, kind="stable").index
+    return out.loc[order].reset_index(drop=True)
 
 
 def _values_equal(a, b) -> bool:
