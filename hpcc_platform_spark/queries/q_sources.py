@@ -372,3 +372,35 @@ def keydiff_keypatch(spark, sf_dir):
         .alias("action"),
         F.col("nv").alias("new_price"),
     )
+
+
+@query(
+    "superfile_append",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+    category="sources",
+)
+def superfile_append(spark, sf_dir):
+    """Transactional superfile append (AddSuperFile within
+    StartSuperFileTransaction/Finish — ecllibrary/std/File.ecl:982-1065;
+    IDistributedSuperFile::addSubFile dadfs.hpp:504-509): the incremental
+    ingest idiom. One generation lands per status; later generations are
+    appended atomically through the manifest catalog, and the read sees
+    the whole container as one multi-path scan. The oracle is the full
+    orders table — proving read-across-append completeness."""
+    from hpcc_platform_spark.sources.superfile import SuperFileCatalog
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    parts = {}
+    for status in ("F", "O", "P"):
+        p = _scratch(f"orders_gen_{status}")
+        write_parquet(base.where(F.col("o_orderstatus") == status), p)
+        parts[status] = p
+    cat = SuperFileCatalog(_scratch("superfile_catalog"))
+    cat.create("orders_all", [parts["F"]])  # initial generation
+    with cat.transaction() as txn:  # atomic multi-append
+        txn.add_sub_file("orders_all", parts["O"])
+        txn.add_sub_file("orders_all", parts["P"])
+    return cat.read(spark, "orders_all")

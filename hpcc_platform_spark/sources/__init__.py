@@ -13,6 +13,7 @@ from hpcc_platform_spark.sources.files import (
 from hpcc_platform_spark.sources.index import build_index, read_index
 from hpcc_platform_spark.sources.inline import inline_dataset
 from hpcc_platform_spark.sources.pipe import pipe_through
+from hpcc_platform_spark.sources.superfile import SuperFileCatalog
 from hpcc_platform_spark.sources.results import WorkunitResults
 
 __all__ = [
@@ -24,6 +25,7 @@ __all__ = [
     "read_index",
     "read_json",
     "read_superfile",
+    "SuperFileCatalog",
     "read_xml",
     "write_csv",
     "write_json",
