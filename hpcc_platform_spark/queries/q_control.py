@@ -537,3 +537,38 @@ def workflow_schedule(spark, sf_dir):
 
     sched.tick(datetime(2026, 1, 15, 10, 30))
     return sched.log_df()
+
+
+@query(
+    "apply_action_counts",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s_nationkey) AS BIGINT) AS key_sum
+    FROM supplier
+    """,
+    category="control",
+)
+def apply_action_counts(spark, sf_dir):
+    """APPLY(ds, action) (TAKapply :904): the per-partition side-effect
+    operator — one action invocation per partition (connection/file-handle
+    granularity), not per row. The side effect here feeds accumulators;
+    returning their totals as a one-row DataFrame makes the action's
+    execution (every partition, every row, exactly once) oracle-checkable."""
+    from hpcc_platform_spark.operators import apply_action
+
+    (supp,) = tables(spark, sf_dir, "supplier")
+    rows_acc = spark.sparkContext.accumulator(0)
+    keysum_acc = spark.sparkContext.accumulator(0)
+
+    def per_partition(it):
+        n = ks = 0
+        for row in it:
+            n += 1
+            ks += row.s_nationkey
+        rows_acc.add(n)
+        keysum_acc.add(ks)
+
+    apply_action(supp.select("s_suppkey", "s_nationkey"), per_partition)
+    return spark.createDataFrame(
+        [(rows_acc.value, keysum_acc.value)], "n_rows bigint, key_sum bigint"
+    )

@@ -337,3 +337,35 @@ def bucketed_join(spark, sf_dir):
         .groupBy("o_orderkey", "o_totalprice")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )
+
+
+@query(
+    "salted_join",
+    oracle="""
+    SELECT s.s_nationkey, COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_quantity), 4) AS qty
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    category="join",
+)
+def salted_join_q(spark, sf_dir):
+    """Skew-salted join (the static fallback behind the reference's
+    SKEW() join options; AQE covers the runtime case): the fact side gets
+    a random salt, the dimension side is replicated salt_n ways, and the
+    join key becomes (key, salt) — each hot supplier spreads over salt_n
+    reducers. Result rows are identical to the unsalted join, which is
+    exactly what the oracle checks."""
+    from hpcc_platform_spark.operators.skew import salted_join
+
+    li, supp = tables(spark, sf_dir, "lineitem", "supplier")
+    joined = salted_join(
+        li.select(F.col("l_suppkey"), "l_quantity"),
+        supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
+        ["l_suppkey"],
+        salt_n=8,
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+    )

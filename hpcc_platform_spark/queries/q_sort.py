@@ -130,3 +130,60 @@ def terasort_verify(spark, sf_dir):
         parts[i].last <= parts[i + 1].first for i in range(len(parts) - 1)
     )
     return spark.createDataFrame([(total, is_sorted)], "n_rows long, is_sorted boolean")
+
+
+@query(
+    "subsort_runs",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           CAST(row_number() OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS pos
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+    category="sort",
+)
+def subsort_runs(spark, sf_dir):
+    """SUBSORT (TAKsubsort :1029): refine an existing sort by extra keys
+    without a global exchange — repartition on the run prefix, sort within
+    partitions. Verification mirrors terasort_verify: a sequential
+    mapInPandas scan numbers each prefix run AS DELIVERED, so the oracle's
+    per-group row_number only matches if rows genuinely arrive grouped and
+    sorted (the numbering is not a window that would re-sort them)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from hpcc_platform_spark.operators import subsort
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    refined = subsort(
+        li.where(F.col("l_quantity") >= 45).select(
+            "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+        ),
+        ["l_returnflag"],
+        ["l_quantity", "l_orderkey", "l_linenumber"],
+    )
+
+    def number_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last, c = None, 0
+        for pdf in batches:
+            pos = []
+            for rf in pdf["l_returnflag"]:
+                if rf != last:
+                    last, c = rf, 0
+                c += 1
+                pos.append(c)
+            yield pd.DataFrame(
+                {
+                    "l_returnflag": pdf["l_returnflag"],
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "pos": pd.array(pos, dtype="int32"),
+                }
+            )
+
+    return refined.mapInPandas(
+        number_runs,
+        schema="l_returnflag string, l_orderkey bigint, l_linenumber int, pos int",
+    )
