@@ -559,3 +559,39 @@ def collation_compare_strengths(spark, sf_dir):
         (collated("name_a", "UNICODE", 2) == collated("name_b", "UNICODE", 2)).alias("eq_secondary"),
         (collated("name_a", "UNICODE", 1) == collated("name_b", "UNICODE", 1)).alias("eq_primary"),
     )
+
+
+@query(
+    "decimal_bcd_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(ROUND(CAST(o_orderkey AS DECIMAL(20,3)) + CAST('0.005' AS DECIMAL(4,3)), 2) AS DECIMAL(22,2)) AS VARCHAR) AS half_up,
+           CAST(CAST(ROUND(-(CAST(o_orderkey AS DECIMAL(20,3)) + CAST('0.005' AS DECIMAL(4,3))), 2) AS DECIMAL(22,2)) AS VARCHAR) AS half_up_neg,
+           CAST(CAST(o_orderkey AS DECIMAL(19,0)) * CAST('9999999999999999999' AS DECIMAL(19,0)) AS VARCHAR) AS product38
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    category="functions",
+)
+def decimal_bcd_semantics(spark, sf_dir):
+    """DECIMAL BCD edge semantics (rtl/nbcd/nbcd.cpp:421-445 Decimal::round
+    — round-half-up on the magnitude, sign handled separately, i.e. half
+    AWAY FROM ZERO): Spark's DecimalType scale-reduction cast uses exactly
+    that rule, so a trailing ...x.005 rounds up and its negation rounds
+    down; DuckDB's cast truncates, so the oracle goes through ROUND()
+    (also half-away-from-zero) before casting. The 38-digit product
+    exercises exact wide arithmetic past the reference's 32-digit BCD
+    capacity. Outputs cast to VARCHAR so wide decimals compare as exact
+    digit strings."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    val3 = F.col("o_orderkey").cast("decimal(20,3)") + F.lit("0.005").cast(
+        "decimal(4,3)"
+    )
+    big = F.col("o_orderkey").cast("decimal(19,0)") * F.lit(
+        "9999999999999999999"
+    ).cast("decimal(19,0)")
+    return orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        val3.cast("decimal(22,2)").cast("string").alias("half_up"),
+        (-val3).cast("decimal(22,2)").cast("string").alias("half_up_neg"),
+        big.cast("string").alias("product38"),
+    )
