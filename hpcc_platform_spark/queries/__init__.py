@@ -6,6 +6,8 @@ category. ``__spark_entry__.py`` at the repo root re-exports the registry in
 the driver's contract shape.
 """
 
+import os
+
 from hpcc_platform_spark.queries.registry import REGISTRY, QueryDef, query, tables
 
 # Category modules — importing registers their queries.
@@ -66,16 +68,49 @@ _WITHIN_FAMILY_PRIORITY: dict[str, list[str]] = {
     "sort": ["global_sort_rank", "topn", "terasort_verify"],
     "transform": ["project_transform", "iterate_running", "rollup_group"],
     "control": ["loop_count", "graph_pagerank", "catch_row_errors"],
+    "join": ["join_inner"],
+    "textsearch": ["textsearch_and"],
+    "parse": ["parse_tokenize"],
+    "workload": ["workload_shipping_priority"],
 }
+
+
+def _driver_verified_names() -> set[str]:
+    """Query names already hash-verified by the external driver in ANY past
+    round (the CORRECTNESS_r*.json records the driver leaves at repo root).
+
+    Used to rotate the verification window: queries the driver has never
+    checked sort ahead of already-green ones, so successive rounds walk the
+    whole registry instead of re-verifying the same 50."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                results = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, r in results.items():
+            if isinstance(r, dict) and r.get("hash_match"):
+                green.add(name)
+    return green
 
 
 def ordered_registry() -> dict[str, QueryDef]:
     """Registry re-ordered round-robin across SURVEY §2 families.
 
-    One query per family per round (oracle-backed before rows-only within a
-    family), so any prefix of length >= #families contains a verifiable
-    representative of every family. Contents are identical to ``REGISTRY``.
+    One query per family per round, so any prefix of length >= #families
+    contains a representative of every family. Within a family: flagships
+    first (headline operators stay in every round's window), then
+    oracle-backed queries the driver has NOT yet verified, then
+    already-verified ones, then rows-only — so the 50-slot driver window
+    verifies new ground each round until all queries are covered.
+    Contents are identical to ``REGISTRY``.
     """
+    verified = _driver_verified_names()
     by_family: dict[str, list[QueryDef]] = {}
     for qd in REGISTRY.values():
         by_family.setdefault(qd.category, []).append(qd)
@@ -85,8 +120,9 @@ def ordered_registry() -> dict[str, QueryDef]:
         front = _WITHIN_FAMILY_PRIORITY.get(f, [])
         by_family[f].sort(
             key=lambda qd: (
-                qd.oracle is None,
                 front.index(qd.name) if qd.name in front else len(front),
+                qd.oracle is None,
+                qd.name in verified,
             )
         )  # stable beyond the keyed prefix
     ordered: dict[str, QueryDef] = {}
