@@ -120,6 +120,7 @@ def iterate_running(
     df: DataFrame,
     order_by: Sequence[str | Column],
     partition_by: Sequence[str | Column] | None = None,
+    combine: dict[str, str] | None = None,
     **running: Column,
 ) -> DataFrame:
     """ITERATE (TAKiterate :895) — the *linear* cases.
@@ -130,16 +131,79 @@ def iterate_running(
     output name → aggregate Column; each is applied over
     rowsBetween(unboundedPreceding, currentRow).
 
+    With ``partition_by`` the window is already distributed. WITHOUT it a
+    naive global window would funnel everything through one task, so the
+    global case goes two-phase instead (the msort rank-offset design,
+    thorlcr/msort/tsortm.cpp:66,242): range-partition on the order keys,
+    aggregate per-partition totals (few rows to the driver), broadcast
+    cumulative prefixes, and combine them with the partition-local running
+    value. ``combine`` names each output's prefix combiner — '+' (default,
+    for sum/count), 'min', or 'max'; anything non-associative needs
+    ``iterate_pandas``.
+
     Reference: thorlcr/activities/iterate/, Roxie ccdserver.cpp:18264.
     """
-    w = Window.orderBy(*_cols(order_by))
     if partition_by:
-        w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
-    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = df
+        w = (
+            Window.partitionBy(*_cols(partition_by))
+            .orderBy(*_cols(order_by))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = df
+        for name, expr in running.items():
+            out = out.withColumn(name, expr.over(w))
+        return out
+
+    combine = combine or {}
+    ranged, _counts, _ = ranged_partitions(df, order_by)
+    totals = {
+        r["__pid__"]: r
+        for r in ranged.groupBy(PID)
+        .agg(*[expr.alias(n) for n, expr in running.items()])
+        .collect()
+    }
+    w = (
+        Window.partitionBy(PID)
+        .orderBy(*_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged
     for name, expr in running.items():
-        out = out.withColumn(name, expr.over(w))
-    return out
+        op = combine.get(name, "+")
+        # Cumulative prefix over all earlier partitions, driver-side (one
+        # value per partition), broadcast back as a literal map.
+        prefix: dict[int, object] = {}
+        acc = None
+        for pid in sorted(totals):
+            if acc is not None:
+                prefix[pid] = acc
+            t = totals[pid][name]
+            if t is None:
+                continue
+            if acc is None:
+                acc = t
+            elif op == "+":
+                acc = acc + t
+            elif op == "min":
+                acc = min(acc, t)
+            elif op == "max":
+                acc = max(acc, t)
+            else:
+                raise ValueError(f"unknown combine {op!r} for {name!r}")
+        local = expr.over(w)
+        if prefix:
+            pairs = [x for pid, v in prefix.items() for x in (F.lit(pid), F.lit(v))]
+            pref_col = F.create_map(*pairs)[F.col(PID)]
+            if op == "+":
+                merged = local + F.coalesce(pref_col, F.lit(0))
+            elif op == "min":
+                merged = F.least(local, F.coalesce(pref_col, local))
+            else:
+                merged = F.greatest(local, F.coalesce(pref_col, local))
+        else:
+            merged = local
+        out = out.withColumn(name, merged)
+    return out.drop(PID)
 
 
 def iterate_pandas(

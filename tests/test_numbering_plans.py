@@ -84,3 +84,26 @@ def test_operator_plans_have_no_single_partition_exchange(spark):
         quantile_exact(df.withColumn("v", F.col("k") % 50), "v", 4, ["k"]),
     ):
         assert "SinglePartition" not in _plan(out)
+
+
+def test_global_iterate_running_two_phase(spark):
+    from hpcc_platform_spark.operators import iterate_running
+
+    df = spark.range(0, 2000).select(
+        ((F.col("id") * 131) % 2000).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = iterate_running(
+        df,
+        ["k"],
+        running_sum=F.sum("v"),
+        running_max=F.max("v"),
+        n=F.count(F.lit(1)),
+        combine={"running_sum": "+", "running_max": "max", "n": "+"},
+    )
+    assert "SinglePartition" not in _plan(out)
+    rows = sorted(out.collect(), key=lambda r: r.k)
+    acc = m = 0
+    for i, r in enumerate(rows):
+        acc += r.v
+        m = max(m, r.v)
+        assert (r.running_sum, r.running_max, r.n) == (acc, m, i + 1), r
