@@ -51,15 +51,37 @@ class Grammar:
 
     def token(self, name: str, rx: str) -> None:
         self.tokens[name] = rx
+        self.__dict__.pop("_spec", None)
 
     def rule(self, lhs: str, rhs: Sequence[str], action=None) -> None:
         self.prods.append(_Prod(lhs, tuple(rhs), action))
+        self.__dict__.pop("_by_lhs", None)
+
+    # -- compiled caches (per process: executors compile once per task, not
+    # per row — the old per-call re.compile dominated the parse cost) -------
+    def _compiled_spec(self):
+        spec = self.__dict__.get("_spec")
+        if spec is None:
+            spec = (
+                [(n, re.compile(rx)) for n, rx in self.tokens.items()],
+                re.compile(self.skip),
+            )
+            self.__dict__["_spec"] = spec
+        return spec
+
+    def _prod_indices_by_lhs(self) -> dict[str, list[int]]:
+        by = self.__dict__.get("_by_lhs")
+        if by is None:
+            by = {}
+            for i, p in enumerate(self.prods):
+                by.setdefault(p.lhs, []).append(i)
+            self.__dict__["_by_lhs"] = by
+        return by
 
     # -- lexer ---------------------------------------------------------------
     def lex(self, text: str) -> list[tuple[str, str]] | None:
         """Longest-match tokenization; None if any char can't lex."""
-        spec = [(n, re.compile(rx)) for n, rx in self.tokens.items()]
-        skip = re.compile(self.skip)
+        spec, skip = self._compiled_spec()
         out, i, n = [], 0, len(text)
         while i < n:
             m = skip.match(text, i)
@@ -83,9 +105,7 @@ def _earley(grammar: Grammar, toks: list[tuple[str, str]], start: str):
     ``start`` over all tokens, or None. Ambiguity resolved deterministically
     (first-completed derivation wins — the reference's Tomita keeps all;
     MATCHED best-parse selection picks one, as here)."""
-    prods_by_lhs: dict[str, list[_Prod]] = {}
-    for p in grammar.prods:
-        prods_by_lhs.setdefault(p.lhs, []).append(p)
+    prods_by_lhs = grammar._prod_indices_by_lhs()
     n = len(toks)
 
     # item: (prod_index, dot, origin); value store per completed item
@@ -110,11 +130,10 @@ def _earley(grammar: Grammar, toks: list[tuple[str, str]], start: str):
                 if dot < len(p.rhs):
                     sym = p.rhs[dot]
                     if sym in prods_by_lhs:  # predict
-                        for j, q in enumerate(P):
-                            if q.lhs == sym:
-                                before = len(chart[k])
-                                add(k, (j, 0, k), [])
-                                changed = changed or len(chart[k]) > before
+                        for j in prods_by_lhs[sym]:
+                            before = len(chart[k])
+                            add(k, (j, 0, k), [])
+                            changed = changed or len(chart[k]) > before
                     elif k < n and toks[k][0] == sym:  # scan
                         before = len(chart[k + 1])
                         add(k + 1, (pi, dot + 1, org), vals + [toks[k][1]])
