@@ -595,3 +595,53 @@ def decimal_bcd_semantics(spark, sf_dir):
         (-val3).cast("decimal(22,2)").cast("string").alias("half_up_neg"),
         big.cast("string").alias("product38"),
     )
+
+
+# Shared-literal fixture for exotic ingest: EBCDIC bytes generated with
+# Python's cp037 codec at import time, baked into BOTH the Spark plan (as
+# binary values) and the oracle SQL (as the expected decoded strings).
+_EBCDIC_NAMES = ["ALICE", "Bob Jr.", "Müller & Söhne", "data/42"]
+_EXOTIC_ROWS = [
+    (i, bytearray(n.encode("cp037")), (i * 2654435761) % (1 << 12), i % 4)
+    for i, n in enumerate(_EBCDIC_NAMES)
+]
+
+
+@query(
+    "exotic_ingest_types",
+    oracle=f"""
+    SELECT i AS id, name,
+           (packed // 16) % 16 AS mid4,
+           packed % 16 AS low4,
+           CASE code WHEN 1 THEN 'open' WHEN 2 THEN 'closed' ELSE 'unknown' END AS status,
+           CASE WHEN code = 2 THEN 'audited' END AS audit_note
+    FROM (VALUES {", ".join(f"({i}, '{n}', {p}, {c})" for i, (_, nm, p, c) in zip([r[0] for r in _EXOTIC_ROWS], _EXOTIC_ROWS) for n in [nm.decode("cp037").replace("'", "''")])}) t(i, name, packed, code)
+    """,
+    category="functions",
+)
+def exotic_ingest_types(spark, sf_dir):
+    """Exotic binary-ingest types (rtlconst.hpp: EBCDIC :79, BITFIELD :36,
+    ENUM :39, IFBLOCK :70): EBCDIC bytes decode JVM-side through a
+    256-entry translate table; bitfields unpack with shift+mask; enums map
+    through a literal lookup; IFBLOCK fields null out when the guard on
+    earlier fields is false. The oracle carries the cp037 decodes as
+    shared literals (generated by the same codec at import) plus integer
+    arithmetic for the bitfields."""
+    from hpcc_platform_spark.schema import (
+        bitfield_extract,
+        ebcdic_to_string,
+        enum_decode,
+        ifblock,
+    )
+
+    df = spark.createDataFrame(
+        _EXOTIC_ROWS, "id int, name_raw binary, packed long, code int"
+    )
+    return df.select(
+        "id",
+        ebcdic_to_string("name_raw").alias("name"),
+        bitfield_extract("packed", 4, 4).alias("mid4"),
+        bitfield_extract("packed", 0, 4).alias("low4"),
+        enum_decode("code", {1: "open", 2: "closed"}, "unknown").alias("status"),
+        *ifblock(F.col("code") == 2, audit_note=F.lit("audited")),
+    )

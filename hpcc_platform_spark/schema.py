@@ -123,3 +123,51 @@ def fixed_eq(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.rtrim(ca) == F.rtrim(cb)
+
+
+# -- exotic ingest types (rtlconst.hpp: type_ebcdic :79, type_bitfield :36,
+# -- type_enumerated :39, type_ifblock :70) ---------------------------------
+
+def _ebcdic_tables(codepage: str) -> tuple[str, str]:
+    src = "".join(chr(i) for i in range(256))
+    dst = bytes(range(256)).decode(codepage)
+    return src, dst
+
+
+def ebcdic_to_string(col: Column | str, codepage: str = "cp037") -> Column:
+    """EBCDIC string ingest (type_ebcdic, rtlconst.hpp:79): decode an
+    EBCDIC-encoded binary/fixed-string field to a Unicode string.
+
+    JVM-side: the 256-entry code page is baked into one ``translate`` call
+    (byte -> latin-1 char -> code-page char), so decoding stays inside
+    whole-stage codegen — no Python UDF for a per-row byte remap."""
+    c = F.col(col) if isinstance(col, str) else col
+    src, dst = _ebcdic_tables(codepage)
+    return F.translate(F.decode(c, "ISO-8859-1"), src, dst)
+
+
+def bitfield_extract(col: Column | str, start_bit: int, n_bits: int) -> Column:
+    """BITFIELD unpack (type_bitfield, rtlconst.hpp:36): ``n_bits`` wide
+    field starting at ``start_bit`` (LSB=0) of an integer container —
+    shift + mask, pure codegen arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    mask = (1 << n_bits) - 1
+    return F.shiftright(c.cast("long"), start_bit).bitwiseAND(F.lit(mask))
+
+
+def enum_decode(
+    col: Column | str, mapping: dict[int, str], default: str | None = None
+) -> Column:
+    """ENUM ingest (type_enumerated, rtlconst.hpp:39): integer code ->
+    label via a literal map lookup (broadcast into the plan)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pairs = [x for k, v in mapping.items() for x in (F.lit(k), F.lit(v))]
+    looked = F.create_map(*pairs)[c]
+    return F.coalesce(looked, F.lit(default)) if default is not None else looked
+
+
+def ifblock(cond: Column, **fields: Column) -> list[Column]:
+    """IFBLOCK (type_ifblock, rtlconst.hpp:70): fields that exist only when
+    the guard condition on earlier fields holds — absent fields are NULL,
+    exactly the reference's semantics when the block isn't present."""
+    return [F.when(cond, c).alias(n) for n, c in fields.items()]

@@ -64,3 +64,42 @@ def test_fixed_eq_ignores_trailing_blanks(spark):
     df = spark.createDataFrame([("ab   ", "ab"), ("ab", "ac")], "a string, b string")
     got = [r.eq for r in df.select(fixed_eq("a", "b").alias("eq")).collect()]
     assert got == [True, False]
+
+
+def test_ebcdic_decode_roundtrip(spark):
+    from hpcc_platform_spark.schema import ebcdic_to_string
+
+    texts = ["HELLO", "Wörld & Co", "1234567890", "a-b/c.d"]
+    df = spark.createDataFrame(
+        [(t, bytearray(t.encode("cp037"))) for t in texts], "expect string, raw binary"
+    )
+    rows = df.select("expect", ebcdic_to_string("raw").alias("got")).collect()
+    for r in rows:
+        assert r.got == r.expect
+
+
+def test_bitfield_extract_all_fields(spark):
+    from hpcc_platform_spark.schema import bitfield_extract
+
+    packed = 0b101_0110_11111111
+    df = spark.createDataFrame([(packed,)], "p long")
+    row = df.select(
+        bitfield_extract("p", 0, 8).alias("low"),
+        bitfield_extract("p", 8, 4).alias("mid"),
+        bitfield_extract("p", 12, 3).alias("high"),
+    ).head()
+    assert (row.low, row.mid, row.high) == (0b11111111, 0b0110, 0b101)
+
+
+def test_enum_decode_default_and_ifblock_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.schema import enum_decode, ifblock
+
+    df = spark.createDataFrame([(1,), (9,)], "code int")
+    rows = df.select(
+        enum_decode("code", {1: "one"}, "other").alias("s"),
+        *ifblock(F.col("code") == 1, extra=F.lit("present")),
+    ).collect()
+    got = {(r.s, r.extra) for r in rows}
+    assert got == {("one", "present"), ("other", None)}
