@@ -404,3 +404,38 @@ def superfile_append(spark, sf_dir):
         txn.add_sub_file("orders_all", parts["O"])
         txn.add_sub_file("orders_all", parts["P"])
     return cat.read(spark, "orders_all")
+
+
+@query(
+    "layout_translation_widen",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(CAST(s_acctbal AS FLOAT) AS DOUBLE) AS s_acctbal,
+           CAST(NULL AS VARCHAR) AS audit_tag
+    FROM supplier
+    """,
+    category="sources",
+)
+def layout_translation_widen(spark, sf_dir):
+    """Record-layout translation triple (thorread.hpp:33-64;
+    RecordTranslationMode rtldynfield.hpp:106-115, Payload mode): the disk
+    generation stores s_suppkey narrow (int) and s_acctbal as float32; the
+    declared layout widens both (bigint/double) and adds a field the disk
+    doesn't have (NULL-filled). The translator is a projection of casts,
+    folded into the scan by Catalyst. Strict modes ('none',
+    'remove_only') raise instead — covered in tests."""
+    from hpcc_platform_spark.sources.translate import read_translated
+
+    (supp,) = tables(spark, sf_dir, "supplier")
+    gen = _scratch("supplier_narrow_gen")
+    supp.select(
+        F.col("s_suppkey").cast("int").alias("s_suppkey"),
+        "s_name",
+        F.col("s_acctbal").cast("float").alias("s_acctbal"),
+    ).write.mode("overwrite").parquet(gen)
+    return read_translated(
+        spark,
+        gen,
+        "s_suppkey bigint, s_name string, s_acctbal double, audit_tag string",
+        mode="payload",
+    )

@@ -14,6 +14,7 @@ from hpcc_platform_spark.sources.index import build_index, read_index
 from hpcc_platform_spark.sources.inline import inline_dataset
 from hpcc_platform_spark.sources.pipe import pipe_through
 from hpcc_platform_spark.sources.superfile import SuperFileCatalog
+from hpcc_platform_spark.sources.translate import read_translated
 from hpcc_platform_spark.sources.results import WorkunitResults
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "read_index",
     "read_json",
     "read_superfile",
+    "read_translated",
     "SuperFileCatalog",
     "read_xml",
     "write_csv",

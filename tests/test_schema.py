@@ -103,3 +103,38 @@ def test_enum_decode_default_and_ifblock_nulls(spark):
     ).collect()
     got = {(r.s, r.extra) for r in rows}
     assert got == {("one", "present"), ("other", None)}
+
+
+def test_translation_modes(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.sources import read_translated
+
+    path = str(tmp_path / "gen")
+    spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit("x").alias("extra"),
+        F.col("id").cast("float").alias("v"),
+    ).write.parquet(path)
+
+    # Payload: widen k, drop extra, NULL-fill added
+    out = read_translated(spark, path, "k bigint, v double, added string")
+    assert out.schema.simpleString() == "struct<k:bigint,v:double,added:string>"
+    assert out.where(F.col("added").isNull()).count() == 10
+
+    # remove_only: dropping 'extra' is fine; a missing declared field raises
+    ok = read_translated(spark, path, "k bigint, v double", mode="remove_only")
+    assert ok.count() == 10
+    with pytest.raises(ValueError, match="missing from disk"):
+        read_translated(spark, path, "k bigint, nope int", mode="remove_only")
+
+    # none: exact match required
+    with pytest.raises(ValueError, match="layout mismatch"):
+        read_translated(spark, path, "k bigint, v double", mode="none")
+    exact = read_translated(spark, path, "k int, extra string, v float", mode="none")
+    assert exact.count() == 10
+
+    # narrowing refused
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        read_translated(spark, path, "k smallint, v double, extra string")
