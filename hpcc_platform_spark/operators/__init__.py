@@ -40,6 +40,7 @@ from hpcc_platform_spark.operators.loop import apply_action, graph_loop, loop_co
 from hpcc_platform_spark.operators.numbering import global_row_number
 from hpcc_platform_spark.operators.setops import funnel, nonempty, regroup
 from hpcc_platform_spark.operators.sort import (
+    assert_sorted,
     global_sort,
     local_sort,
     merge_sorted,
@@ -66,6 +67,7 @@ from hpcc_platform_spark.operators.transform import (
 __all__ = [
     "all_join",
     "apply_action",
+    "assert_sorted",
     "choosen",
     "choosesets",
     "combine",

@@ -76,3 +76,42 @@ def merge_sorted(dfs: Sequence[DataFrame], *order_by: str | Column, dedup: bool 
         out = out.unionByName(d)
     out = out.orderBy(*_cols(order_by))
     return out.dropDuplicates() if dedup else out
+
+
+def assert_sorted(df: DataFrame, *order_by: str | Column) -> DataFrame:
+    """SORTED(ds, keys) assertion (TAKsorted :1000): pass rows through
+    unchanged, failing the job if any partition's rows are not
+    non-decreasing on the keys.
+
+    Distributed check, zero extra shuffle: a window ordered by the
+    EXISTING partition layout isn't expressible, so instead each row is
+    compared with its predecessor inside an Arrow batch scan
+    (mapInPandas) — the same pairwise check the reference's terasort
+    verification uses. Note: validates the per-partition (LOCAL SORTED)
+    property; global order additionally needs boundary checks as in
+    queries/q_sort.terasort_verify."""
+    import pandas as pd
+
+    names = [c if isinstance(c, str) else c._jc.toString() for c in order_by]
+    schema = df.schema
+
+    def check(batches):
+        prev_tail = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[names]
+            both = keys if prev_tail is None else pd.concat(
+                [prev_tail, keys], ignore_index=True
+            )
+            arr = list(both.itertuples(index=False, name=None))
+            for a, b in zip(arr, arr[1:]):
+                if a > b:
+                    raise AssertionError(
+                        f"SORTED assertion failed: {a!r} > {b!r} on {names}"
+                    )
+            prev_tail = keys.tail(1)
+            yield pdf
+
+    out = df.mapInPandas(check, schema=schema)
+    return out

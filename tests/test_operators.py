@@ -184,3 +184,17 @@ def test_salted_join_matches_unsalted(spark, sf_dir):
         ).collect()
     }
     assert salted_agg == plain_agg
+
+
+def test_assert_sorted_passes_and_fails(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators import assert_sorted, local_sort
+
+    df = spark.range(1000).select((F.col("id") * 37 % 1000).alias("k")).repartition(4)
+    ok = assert_sorted(local_sort(df, "k"), "k")
+    assert ok.count() == 1000  # sorted input passes through unchanged
+    bad = assert_sorted(df, "k")  # unsorted: the check must trip
+    with pytest.raises(Exception, match="SORTED assertion failed"):
+        bad.count()
