@@ -21,6 +21,7 @@ from hpcc_platform_spark.operators.dedup import (
 )
 from hpcc_platform_spark.operators.distribute import (
     distribute_hash,
+    partition_meta,
     distribute_merge,
     distribute_range,
     salt_skew,
@@ -101,6 +102,7 @@ __all__ = [
     "loop_until",
     "merge_sorted",
     "nonempty",
+    "partition_meta",
     "normalize",
     "normalize_counter",
     "project",

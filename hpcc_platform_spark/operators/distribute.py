@@ -68,3 +68,21 @@ def salt_skew(
     return df.withColumn(
         salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
+
+
+def partition_meta(df: DataFrame, *key_cols: str) -> DataFrame:
+    """PARTITION metadata (TAKpartition :953, meta activity :1001): one row
+    per physical partition — id, row count, and per-key min/max — the
+    reference's partition-boundary metadata surfaced as a DataFrame.
+
+    One narrow aggregation (spark_partition_id groupBy); used for skew
+    diagnostics and to audit a DISTRIBUTE/range layout without touching
+    row data twice."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for k in key_cols:
+        aggs += [F.min(k).alias(f"min_{k}"), F.max(k).alias(f"max_{k}")]
+    return (
+        df.withColumn("__pid__", F.spark_partition_id())
+        .groupBy(F.col("__pid__").alias("partition_id"))
+        .agg(*aggs)
+    )

@@ -85,3 +85,101 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_pred",
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
     ).withColumn("lang_score", F.round(F.coalesce(best["score"], F.lit(0.0)), 4))
+
+
+# -- character-trigram language ID (the production-shaped path) -------------
+#
+# Per-language trigram log-probability profiles derived at import time from
+# small embedded seed corpora (deterministic, no model files) — the classic
+# Cavnar-Trenkle n-gram profile method. Both the Spark plan and the DuckDB
+# oracle consume the SAME literal profiles (shared-literal pattern), so the
+# classifier is fully oracle-checkable. A real deployment regenerates the
+# profiles from real corpora (or swaps in fastText) behind the same API.
+
+_SEED_CORPORA = {
+    "en": "the quick brown fox jumps over the lazy dog and this is a test of "
+          "the language identification system which should work on english "
+          "text with common words that appear in everyday writing for people",
+    "de": "der schnelle braune fuchs springt über den faulen hund und dies "
+          "ist ein test des systems zur spracherkennung das auf deutschen "
+          "texten mit häufigen wörtern funktionieren sollte für die menschen",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et ceci "
+          "est un test du système d'identification de la langue qui devrait "
+          "fonctionner sur des textes français avec des mots courants pour les",
+    "es": "el rápido zorro marrón salta sobre el perro perezoso y esta es una "
+          "prueba del sistema de identificación de idiomas que debería "
+          "funcionar en textos españoles con palabras comunes para la gente",
+    "it": "la rapida volpe marrone salta sopra il cane pigro e questo è un "
+          "test del sistema di identificazione della lingua che dovrebbe "
+          "funzionare su testi italiani con parole comuni per le persone",
+}
+_PROFILE_K = 64
+_UNSEEN_LOGP = -12.0
+
+
+def _trigram_profiles() -> dict[str, dict[str, float]]:
+    import math
+    from collections import Counter
+
+    out = {}
+    for lang, corpus in _SEED_CORPORA.items():
+        text = corpus.lower()
+        grams = Counter(text[i : i + 3] for i in range(len(text) - 2))
+        total = sum(grams.values())
+        top = grams.most_common(_PROFILE_K)
+        out[lang] = {g: round(math.log((c + 1) / (total + 1000)), 6) for g, c in top}
+    return out
+
+
+TRIGRAM_PROFILES = _trigram_profiles()
+
+
+def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-trigram language ID (Cavnar-Trenkle profile scoring):
+    mean log-probability of the document's trigrams under each language
+    profile; argmax wins, empty/too-short docs → 'und'.
+
+    Fully JVM-side: trigram extraction is transform(sequence(...)) over
+    the string, scoring is an ``aggregate`` fold against literal maps —
+    map-only at any scale, no Python, no shuffle."""
+    # CASE guard: Spark's sequence(1, stop) counts DOWN when stop < 1, so a
+    # too-short string must short-circuit to an empty array.
+    tri = F.expr(
+        f"CASE WHEN length({text_col}) >= 3 THEN"
+        f" transform(sequence(1, length({text_col}) - 2),"
+        f" i -> lower(substr({text_col}, i, 3)))"
+        f" ELSE array() END"
+    )
+    n = F.size(tri)
+
+    def lang_score(profile: dict[str, float]):
+        pairs = [x for g, lp in profile.items() for x in (F.lit(g), F.lit(lp))]
+        m = F.create_map(*pairs)
+        return F.aggregate(
+            tri,
+            F.lit(0.0),
+            lambda acc, t: acc + F.coalesce(m[t], F.lit(_UNSEEN_LOGP)),
+        ) / n.cast("double")
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(lang_score(prof), 4).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, prof in TRIGRAM_PROFILES.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return (
+        df.withColumn("__n_tri__", n)
+        .withColumn(
+            "lang_pred",
+            F.when(F.col("__n_tri__") >= 1, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn(
+            "lang_score",
+            F.when(F.col("__n_tri__") >= 1, best["score"]).otherwise(F.lit(None).cast("double")),
+        )
+        .drop("__n_tri__")
+    )

@@ -580,3 +580,61 @@ def simhash_portable(spark, sf_dir):
 
     (docs,) = tables(spark, sf_dir, "documents")
     return simhash16_portable(docs.where(F.col("doc_id") < 200))
+
+
+def _trigram_profile_values() -> str:
+    from hpcc_platform_spark.pipeline.textstats import TRIGRAM_PROFILES
+
+    rows = []
+    for lang, prof in TRIGRAM_PROFILES.items():
+        for g, lp in prof.items():
+            g_sql = g.replace("'", "''")
+            rows.append(f"('{lang}', '{g_sql}', {lp!r})")
+    return ", ".join(rows)
+
+
+@query(
+    "language_id_ngram",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+    ), tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(text)-2, 0)+1),
+                                   i -> lower(text[i:i+2]))) AS g,
+             greatest(length(text)-2, 0) AS n_tri
+      FROM docs
+    ), prof(lang, g, lp) AS (
+      SELECT * FROM (VALUES {{PROFILE_VALUES}}) v
+    ), langs(lang) AS (SELECT DISTINCT lang FROM prof),
+    scores AS (
+      SELECT t.doc_id, l.lang,
+             ROUND(SUM(COALESCE(p.lp, -12.0)) / MAX(t.n_tri), 4) AS score
+      FROM tri t CROSS JOIN langs l
+      LEFT JOIN prof p ON p.lang = l.lang AND p.g = t.g
+      GROUP BY t.doc_id, l.lang
+    ), best AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM scores
+    )
+    SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred,
+           b.score AS lang_score
+    FROM docs d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """.replace("{PROFILE_VALUES}", _trigram_profile_values()),
+    category="textstats",
+)
+def language_id_ngram_q(spark, sf_dir):
+    """Character-trigram language ID (Cavnar-Trenkle profile scoring) —
+    the production-shaped upgrade over the stopword heuristic: mean
+    trigram log-probability under per-language profiles baked as shared
+    literals into plan AND oracle. JVM-side transform/aggregate fold —
+    map-only at 100 TB. Argmax ties break on language code (struct max ≡
+    the oracle's ORDER BY score DESC, lang DESC)."""
+    from hpcc_platform_spark.pipeline.textstats import language_id_ngram
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return language_id_ngram(docs.where(F.col("doc_id") < 200)).select(
+        "doc_id", "lang_pred", "lang_score"
+    )

@@ -198,3 +198,18 @@ def test_assert_sorted_passes_and_fails(spark):
     bad = assert_sorted(df, "k")  # unsorted: the check must trip
     with pytest.raises(Exception, match="SORTED assertion failed"):
         bad.count()
+
+
+def test_partition_meta_reports_range_layout(spark):
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators import distribute_range, partition_meta
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    ranged = distribute_range(df, ["k"], 4)
+    meta = partition_meta(ranged, "k").collect()
+    assert sum(r.n_rows for r in meta) == 1000
+    # Range layout: partition key intervals are disjoint and ordered.
+    spans = sorted((r.min_k, r.max_k) for r in meta if r.n_rows)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2

@@ -186,3 +186,22 @@ def test_frame_sample_fanout_and_determinism(spark):
              for r in frame_sample(media, every_n=2, max_frames=4).collect()}
     first = {(r.media_id, r.frame_idx): r.frame_hash for r in frames}
     assert again == first
+
+
+def test_language_id_ngram_classifies_seed_languages(spark):
+    from hpcc_platform_spark.pipeline.textstats import language_id_ngram
+
+    samples = [
+        (1, "en", "the people should work with the system for everyday writing"),
+        (2, "de", "der hund und der fuchs springen über die menschen mit wörtern"),
+        (3, "fr", "le chien et le renard devraient fonctionner avec la langue pour les mots"),
+        (4, "es", "el perro y el zorro deberían funcionar con palabras comunes para la gente"),
+        (5, "it", "il cane e la volpe dovrebbero funzionare su testi con parole comuni"),
+        (6, "und", "xq"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in samples], "doc_id int, text string"
+    )
+    got = {r.doc_id: r.lang_pred for r in language_id_ngram(df).collect()}
+    for i, expect, _ in samples:
+        assert got[i] == expect, (i, got[i], expect)
