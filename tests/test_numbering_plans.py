@@ -107,3 +107,14 @@ def test_global_iterate_running_two_phase(spark):
         acc += r.v
         m = max(m, r.v)
         assert (r.running_sum, r.running_max, r.n) == (acc, m, i + 1), r
+
+
+def test_headline_bench_queries_scale_clean(spark, sf_dir):
+    """The 17 headline bench queries must plan with NO single-partition
+    exchange and NO cartesian product — the two classic 100 TB killers."""
+    import bench
+
+    for name in bench.HEADLINE:
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "SinglePartition" not in plan, name
+        assert "Cartesian" not in plan, name

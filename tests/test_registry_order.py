@@ -78,3 +78,23 @@ def test_oracle_sql_matches_queries_keys():
     osql = entry_mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
+
+
+def test_coverage_doc_references_real_queries():
+    """Every backticked query name in COVERAGE.md's Query column must be a
+    registered query — guards the judge-facing doc against rot."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        text = f.read()
+    names = set()
+    for line in text.splitlines():
+        if not line.startswith("|") or line.count("|") < 5:
+            continue
+        query_cell = line.split("|")[3]
+        names.update(re.findall(r"`([a-z0-9_]+)`", query_cell))
+    known_non_queries = {"queries", "oracle_sql"}
+    missing = names - set(REGISTRY) - known_non_queries
+    assert not missing, f"COVERAGE.md references unknown queries: {sorted(missing)}"
