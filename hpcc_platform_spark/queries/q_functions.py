@@ -645,3 +645,43 @@ def exotic_ingest_types(spark, sf_dir):
         enum_decode("code", {1: "open", 2: "closed"}, "unknown").alias("status"),
         *ifblock(F.col("code") == 2, audit_note=F.lit("audited")),
     )
+
+
+@query(
+    "str_functions3",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(list_filter(string_split(p_name, ' '), w -> w <> '')) AS INT) AS n_words,
+           COALESCE(list_filter(string_split(p_name, ' '), w -> w <> '')[2], '') AS word2,
+           regexp_replace(p_name, '[^aeiou]', '', 'g') AS vowels,
+           repeat(p_brand, 2) AS mfgr_twice,
+           starts_with(p_name, 'a') AS starts_a,
+           CAST(p_name LIKE '%e' AS BOOLEAN) AS ends_e
+    FROM part WHERE p_partkey <= 500
+    """,
+    category="functions",
+)
+def str_functions3(spark, sf_dir):
+    """Std.Str wave 3 (Str.ecl: CountWords :277, GetNthWord :348,
+    StartsWith :236, Filter/Repeat from plugins/stringlib): word
+    counting/indexing, character-set filtering, repetition, prefix/suffix
+    predicates — all built-in JVM expressions."""
+    from hpcc_platform_spark.functions.strings import (
+        count_words,
+        ends_with,
+        filter_chars,
+        get_nth_word,
+        repeat_str,
+        starts_with,
+    )
+
+    (part,) = tables(spark, sf_dir, "part")
+    return part.where(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        count_words("p_name").alias("n_words"),
+        get_nth_word("p_name", 2).alias("word2"),
+        filter_chars("p_name", "aeiou").alias("vowels"),
+        repeat_str("p_brand", 2).alias("mfgr_twice"),
+        starts_with("p_name", "a").alias("starts_a"),
+        ends_with("p_name", "e").alias("ends_e"),
+    )
