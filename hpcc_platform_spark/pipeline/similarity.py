@@ -212,6 +212,63 @@ def ivf_topk(
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cnorm"),
     )
+    return _assign_and_probe(df, cents, qvec, k, nprobe, vec_col, id_col)
+
+
+def ivf_topk_kmeans(
+    df: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF with REAL k-means centroids (pyspark.ml KMeans, seeded) — the
+    production replacement for ``ivf_topk``'s stride-sampled seam. Same
+    probe dataflow; only centroid training differs (k-means|| init, a few
+    Lloyd iterations — one job over the corpus, amortized across every
+    subsequent query). No cross-engine oracle (k-means is engine-specific);
+    recall vs exact brute force is pinned in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+
+    def _norm_list(v):
+        return sum(x * x for x in v) ** 0.5
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    cents = df.sparkSession.createDataFrame(
+        [(i, c, _norm_list(c)) for i, c in enumerate(centers)],
+        "cid int, cvec array<double>, cnorm double",
+    )
+    return _assign_and_probe(df, cents, qvec, k, nprobe, vec_col, id_col)
+
+
+def _assign_and_probe(
+    df: DataFrame,
+    cents: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    def _norm(vcol):
+        vd = F.transform(vcol, lambda x: x.cast("double"))
+        return F.sqrt(
+            F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+
     # Assign: argmax cosine over centroids, ties → lowest cid (max struct
     # of (cos, -cid) matches the oracle's ORDER BY cos DESC, cid). Norms
     # are hoisted to once per row / per centroid; the n×C pair expression

@@ -205,3 +205,31 @@ def test_language_id_ngram_classifies_seed_languages(spark):
     got = {r.doc_id: r.lang_pred for r in language_id_ngram(df).collect()}
     for i, expect, _ in samples:
         assert got[i] == expect, (i, got[i], expect)
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk_kmeans,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.where(F.col("vec_id") == 0).head().embedding)
+    corpus = emb.where(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in brute_force_topk(corpus, qvec, k=10).collect()}
+    approx = ivf_topk_kmeans(
+        corpus, qvec, k=10, n_centroids=8, nprobe=3, seed=7
+    )
+    got = {r.vec_id for r in approx.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall
+    # Seeded training → deterministic result set.
+    again = {
+        r.vec_id
+        for r in ivf_topk_kmeans(
+            corpus, qvec, k=10, n_centroids=8, nprobe=3, seed=7
+        ).collect()
+    }
+    assert got == again
