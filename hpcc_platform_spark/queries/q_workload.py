@@ -204,3 +204,44 @@ def workload_large_orders(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(25)
     )
+
+
+@query(
+    "workload_nation_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(CASE WHEN n.n_name = 'GERMANY'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END) /
+                 SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY year(o.o_orderdate)
+    """,
+    category="workload",
+)
+def workload_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (market share): one supplier nation's revenue share
+    per order year — conditional aggregation ratio over a 4-table join.
+    Plan: broadcast nation, shuffle joins on the fact keys, single
+    partial/final agg on year; the CASE lives inside the sum so both
+    numerator and denominator come from ONE pass."""
+    li, orders, supp, nation = tables(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "GERMANY", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+    )
