@@ -4,5 +4,6 @@ the WHEN/NOTIFY/WAIT/CRON workflow event scheduler."""
 
 from hpcc_platform_spark.plans.persist import PersistCache, auto_persist
 from hpcc_platform_spark.plans.scheduler import Event, EventScheduler, cron_matches
+from hpcc_platform_spark.plans.workflow_modes import checkpoint, independent, once, recovery
 
-__all__ = ["Event", "EventScheduler", "PersistCache", "auto_persist", "cron_matches"]
+__all__ = ["Event", "EventScheduler", "PersistCache", "auto_persist", "checkpoint", "cron_matches", "independent", "once", "recovery"]

@@ -115,3 +115,45 @@ def test_cron_matches(spec, when, expect):
 def test_cron_rejects_bad_spec():
     with pytest.raises(ValueError):
         cron_matches("* * *", datetime(2026, 1, 1))
+
+
+def test_once_builds_once(spark):
+    from hpcc_platform_spark.plans import once
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5)
+
+    a = once("test_once_key", build)
+    b = once("test_once_key", build)
+    assert a is b and len(calls) == 1
+
+
+def test_recovery_retries_then_succeeds_and_raises():
+    from hpcc_platform_spark.plans import recovery
+
+    state = {"n": 0}
+
+    def flaky():
+        state["n"] += 1
+        if state["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert recovery(flaky, attempts=3) == "ok"
+    with pytest.raises(RuntimeError, match="always"):
+        recovery(lambda: (_ for _ in ()).throw(RuntimeError("always")), attempts=2)
+
+
+def test_checkpoint_cuts_lineage(spark):
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.plans import checkpoint
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    cp = checkpoint(df)
+    plan = cp._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan  # sources gone
+    assert cp.count() == 100
