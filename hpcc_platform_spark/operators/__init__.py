@@ -35,6 +35,7 @@ from hpcc_platform_spark.operators.join import (
     lookup_join,
     range_join,
     self_join,
+    smart_join,
 )
 from hpcc_platform_spark.operators.limit import limit_fail, limit_skip
 from hpcc_platform_spark.operators.loop import apply_action, graph_loop, loop_count, loop_until
@@ -115,6 +116,7 @@ __all__ = [
     "salt_skew",
     "selectnth",
     "self_join",
+    "smart_join",
     "subsort",
     "table_agg",
     "topn",

@@ -200,3 +200,22 @@ def range_join(
         eq = c if eq is None else (eq & c)
     full = cond if eq is None else (eq & cond)
     return lhs.join(rhs, full, "inner")
+
+
+def smart_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """SMART join (TAKsmartjoin :1048): the reference tries an in-memory
+    LOOKUP join and fails over to a distributed hash join when the RHS
+    doesn't fit (thorlcr smart-join failover). Spark-first this is exactly
+    AQE's runtime join selection: plan with NO hint and let adaptive
+    execution pick BroadcastHashJoin when the built side's runtime size is
+    under the threshold, SortMergeJoin otherwise — decided from true sizes
+    after each stage, which is strictly better information than the
+    reference's estimate-then-fail-over. Behavior pinned in
+    tests/test_sources_plans.py (small RHS → runtime broadcast; large RHS
+    → SMJ, same results either way)."""
+    return left.join(right, list(on), _HOW.get(how.lower(), how.lower()))

@@ -157,3 +157,31 @@ def test_plan_shapes_headline_queries(spark, sf_dir):
 
     plan = _plan(REGISTRY["workload_shipping_priority"].fn(spark, sf_dir))
     assert "PushedFilters" in plan and "BUILDING" in plan  # segment filter at scan
+
+
+def test_smart_join_aqe_runtime_selection(spark, sf_dir):
+    """SMART join == AQE runtime join selection: a small RHS becomes a
+    broadcast join AT RUNTIME (no hint in the plan); a large RHS stays a
+    shuffle join. Results identical either way."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators import smart_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    supp_small = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = smart_join(li, supp_small, ["l_suppkey"])
+    n = joined.count()  # run it so AQE finalizes the physical plan
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final_plan, "AQE should broadcast the small RHS"
+    assert "ShuffledHashJoin" not in final_plan.split("BroadcastHashJoin")[0]
+    # Parity with an explicit shuffle join (broadcast disabled).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        m = smart_join(li, supp_small, ["l_suppkey"]).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert n == m
