@@ -685,3 +685,41 @@ def str_functions3(spark, sf_dir):
         starts_with("p_name", "a").alias("starts_a"),
         ends_with("p_name", "e").alias("ends_e"),
     )
+
+
+@query(
+    "date_functions3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST((year(o_orderdate) % 4 = 0) AND
+                ((year(o_orderdate) % 100 <> 0) OR (year(o_orderdate) % 400 = 0))
+                AS BOOLEAN) AS leap,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02') AS INT) AS days_to_ref,
+           strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE), '%Y-%m-%d') AS plus_45d,
+           strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 14 MONTH AS DATE), '%Y-%m-%d') AS plus_14m
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    category="functions",
+)
+def date_functions3(spark, sf_dir):
+    """Std.Date wave 3 (Date.ecl: IsLeapYear :220, DayOfYear :337,
+    DaysBetween :551, AdjustDate :962): leap rule, ordinal day, signed day
+    distance, calendar-aware adjustment — all built-in date arithmetic."""
+    from hpcc_platform_spark.functions.dates import (
+        adjust_date,
+        day_of_year,
+        days_between,
+        is_leap_year,
+    )
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        is_leap_year(F.year(d)).alias("leap"),
+        day_of_year(d).alias("doy"),
+        days_between(d, F.lit("1998-08-02")).alias("days_to_ref"),
+        F.date_format(adjust_date(d, days=45), "yyyy-MM-dd").alias("plus_45d"),
+        F.date_format(adjust_date(d, months=14), "yyyy-MM-dd").alias("plus_14m"),
+    )
