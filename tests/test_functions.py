@@ -81,3 +81,23 @@ def test_benford_profile_sums_to_one(spark, sf_dir):
     assert {r.digit for r in rows} <= set(range(1, 10))
     assert abs(sum(r.observed_freq for r in rows) - 1.0) < 0.01
     assert abs(sum(r.expected_freq for r in rows) - 1.0) < 0.01
+
+
+def test_months_between_ecl_whole_months(spark):
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.functions.dates import months_between_ecl
+
+    cases = [
+        ("2024-01-15", "2024-03-15", 2),   # exact anniversaries
+        ("2024-01-15", "2024-03-14", 1),   # day not reached -> truncate
+        ("2024-03-15", "2024-01-16", -1),  # negative, truncated toward zero
+        ("2024-01-31", "2024-02-29", 0),   # leap February, day short of 31
+    ]
+    df = spark.createDataFrame(cases, "f string, t string, expect int")
+    rows = df.select(
+        months_between_ecl(F.col("f").cast("date"), F.col("t").cast("date")).alias("m"),
+        "expect",
+    ).collect()
+    for r in rows:
+        assert r.m == r.expect, (r.m, r.expect)
