@@ -439,3 +439,49 @@ def layout_translation_widen(spark, sf_dir):
         "s_suppkey bigint, s_name string, s_acctbal double, audit_tag string",
         mode="payload",
     )
+
+
+@query(
+    "fixed_width_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    category="sources",
+)
+def fixed_width_roundtrip(spark, sf_dir):
+    """Fixed-width flat file (the reference's native THOR record layout —
+    fixed-length records, no delimiters; TAKdiskread :957 fixed-size fast
+    path): write a declared layout, read it back by byte ranges. The read
+    is a text scan with substring slicing fused into the scan projection —
+    pure codegen. The oracle sees through the roundtrip."""
+    from hpcc_platform_spark.sources import (
+        FixedLayout,
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    layout = FixedLayout(
+        [
+            ("o_orderkey", 12, "long"),
+            ("o_orderstatus", 1, "string"),
+            ("o_orderpriority", 15, "string"),
+            ("o_orderdate", 8, "date"),
+        ]
+    )
+    path = _scratch("orders_fixed")
+    write_fixed_width(
+        orders.where(F.col("o_orderkey") <= 1000).select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        ),
+        path,
+        layout,
+    )
+    out = read_fixed_width(spark, path, layout)
+    return out.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )

@@ -1,6 +1,12 @@
 """Sources & sinks (SURVEY.md §2.1): file formats with ECL-dialect options,
 index build/read, superfiles, inline tables, PIPE, workunit results."""
 
+from hpcc_platform_spark.sources.fixedwidth import (
+    FixedField,
+    FixedLayout,
+    read_fixed_width,
+    write_fixed_width,
+)
 from hpcc_platform_spark.sources.files import (
     read_csv,
     read_json,
@@ -18,11 +24,14 @@ from hpcc_platform_spark.sources.translate import read_translated
 from hpcc_platform_spark.sources.results import WorkunitResults
 
 __all__ = [
+    "FixedField",
+    "FixedLayout",
     "WorkunitResults",
     "build_index",
     "inline_dataset",
     "pipe_through",
     "read_csv",
+    "read_fixed_width",
     "read_index",
     "read_json",
     "read_superfile",
@@ -30,6 +39,7 @@ __all__ = [
     "SuperFileCatalog",
     "read_xml",
     "write_csv",
+    "write_fixed_width",
     "write_json",
     "write_parquet",
 ]
