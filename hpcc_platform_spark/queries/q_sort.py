@@ -198,3 +198,26 @@ def subsort_runs(spark, sf_dir):
         number_runs,
         schema="l_returnflag string, l_orderkey bigint, l_linenumber int, pos int",
     )
+
+
+@query(
+    "sorted_assertion",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+    """,
+    category="sort",
+)
+def sorted_assertion(spark, sf_dir):
+    """SORTED(ds, keys) assertion (TAKsorted :1000): rows pass through
+    unchanged when the declared order holds; the job FAILS on the first
+    out-of-order pair (failure path pinned in tests). Here the input is
+    locally sorted by the declared keys, so the assertion passes and the
+    oracle sees the identity projection."""
+    from hpcc_platform_spark.operators import assert_sorted, local_sort
+
+    (supp,) = tables(spark, sf_dir, "supplier")
+    base = local_sort(
+        supp.select("s_suppkey", "s_nationkey", "s_acctbal"),
+        "s_nationkey", "s_acctbal", "s_suppkey",
+    )
+    return assert_sorted(base, "s_nationkey", "s_acctbal", "s_suppkey")
