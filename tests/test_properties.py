@@ -183,3 +183,39 @@ def test_m_of_n_matches_set_model(spark, doc_words, m):
         if sum(t in set(ws) for t in terms) >= m
     }
     assert got == model
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_global_row_number_matches_sorted_enumerate(spark, rows):
+    from hpcc_platform_spark.operators import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "uid int, k int, v int"
+    ) if rows else spark.createDataFrame([], "uid int, k int, v int")
+    out = global_row_number(df, ["k", "v", "uid"], name="rn", num_partitions=4)
+    got = {r.uid: r.rn for r in out.collect()}
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][0], rows[i][1], i))
+    expect = {uid: pos + 1 for pos, uid in enumerate(order)}
+    assert got == expect
+
+
+@given(rows=rows_st, n=st.integers(1, 8))
+@settings(**SETTINGS)
+def test_enth_and_selectnth_agree_with_model(spark, rows, n):
+    from hpcc_platform_spark.operators import enth, selectnth
+
+    df = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(rows)], "uid int, k int"
+    ) if rows else spark.createDataFrame([], "uid int, k int")
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][0], i))
+    # ENTH: every n-th in total order (1-based positions where pos % n == 1 % n)
+    got_enth = sorted(r.uid for r in enth(df, n, ["k", "uid"]).collect())
+    exp_enth = sorted(
+        uid for pos, uid in enumerate(order) if (pos + 1) % n == 1 % n
+    )
+    assert got_enth == exp_enth
+    # SELECTNth: the single n-th row (empty past the end)
+    got_nth = [r.uid for r in selectnth(df, n, ["k", "uid"]).collect()]
+    exp_nth = [order[n - 1]] if n <= len(order) else []
+    assert got_nth == exp_nth
