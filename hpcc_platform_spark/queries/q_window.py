@@ -129,3 +129,54 @@ def sessionize(spark, sf_dir):
             F.sum("new_session").over(run).cast("int").alias("session_id"),
         )
     )
+
+
+_MAINT_WINDOWS = [
+    ("w1", "2024-01-03 06:00:00", "2024-01-04 18:00:00"),
+    ("w2", "2024-01-10 00:00:00", "2024-01-10 23:59:59"),
+    ("w3", "2024-01-15 12:00:00", "2024-01-18 12:00:00"),
+    ("w4", "2024-01-25 00:00:00", "2024-01-27 06:00:00"),
+]
+
+
+@query(
+    "interval_bucket_join",
+    oracle=f"""
+    WITH win(win_id, w_start, w_end) AS (
+      SELECT * FROM (VALUES {", ".join(f"('{w}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for w, s, e in _MAINT_WINDOWS)}) v
+    )
+    SELECT w.win_id, COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM win w JOIN events e ON e.ts >= w.w_start AND e.ts <= w.w_end
+    GROUP BY w.win_id
+    """,
+    category="window",
+)
+def interval_bucket_join(spark, sf_dir):
+    """Pure range/interval join WITHOUT an equality prefix (the general
+    JFslidingmatch case, eclhelper.hpp:1729): naive form is a cartesian ×
+    range filter — a non-starter at 100 TB. Scale shape used here: bucket
+    time into days, explode each interval to its covered day-buckets, and
+    equi-join on the bucket with the precise range predicate as the
+    residual — candidate pairs are |events| × overlapping-buckets, never
+    |events| × |intervals|. Skewed buckets split via AQE."""
+    windows = spark.createDataFrame(
+        _MAINT_WINDOWS, "win_id string, w_start_s string, w_end_s string"
+    ).select(
+        "win_id",
+        F.col("w_start_s").cast("timestamp").alias("w_start"),
+        F.col("w_end_s").cast("timestamp").alias("w_end"),
+    )
+    (events,) = tables(spark, sf_dir, "events")
+    day = lambda c: F.to_date(c)  # noqa: E731 — day-granularity bucket
+    win_buckets = windows.withColumn(
+        "bucket", F.explode(F.sequence(day(F.col("w_start")), day(F.col("w_end"))))
+    )
+    ev = events.withColumn("bucket", day(F.col("ts")))
+    joined = ev.join(F.broadcast(win_buckets), "bucket").where(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end"))
+    )
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
