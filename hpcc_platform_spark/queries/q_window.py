@@ -180,3 +180,52 @@ def interval_bucket_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 4) AS day_value
+      FROM events WHERE user_id < 40 GROUP BY user_id, CAST(ts AS DATE)
+    ), spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, CAST(g.day AS DATE) AS day
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS day
+      ) g
+    )
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           COALESCE(d.day_value, 0.0) AS day_value,
+           CAST(d.day_value IS NULL AS BOOLEAN) AS filled
+    FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+    category="window",
+)
+def timeseries_gapfill(spark, sf_dir):
+    """Time-series resample / gap fill: per-user daily totals with missing
+    days zero-filled over each user's [min_day, max_day] span — the dense
+    grid a downstream model expects. Scale shape: the grid is generated by
+    exploding sequence(min, max) per user (rows ∝ span, distributed by
+    user), then ONE left join back on (user, day) — never a driver loop,
+    never a global calendar cross join."""
+    (events,) = tables(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("user_id") < 40)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("day_value"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    out = grid.join(daily, ["user_id", "day"], "left")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        F.col("day_value").isNull().alias("filled"),
+    )
