@@ -331,3 +331,34 @@ def best_record_structure_q(spark, sf_dir):
 
     (cust,) = tables(spark, sf_dir, "customer")
     return best_record_structure(cust, ["c_name", "c_custkey", "c_mktsegment"])
+
+
+@query(
+    "salted_agg",
+    oracle="""
+    SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS qty,
+           ROUND(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def salted_agg(spark, sf_dir):
+    """Hot-key-safe two-phase aggregation (the static fallback behind the
+    reference's SKEW() options): partial sums by (key, salt), final sums by
+    key — the reduce side of a dominant key spreads over salt_n reducers.
+    l_returnflag has only 3 values (maximal skew for a hash agg), and the
+    oracle proves salted == plain."""
+    from hpcc_platform_spark.operators.skew import salted_agg_sum
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    out = salted_agg_sum(
+        li,
+        ["l_returnflag"],
+        {"l_quantity": "qty", "l_extendedprice": "revenue"},
+        salt_n=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("qty", 4).alias("qty"),
+        F.round("revenue", 4).alias("revenue"),
+    )

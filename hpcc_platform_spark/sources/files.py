@@ -110,11 +110,16 @@ def write_parquet(
     path: str,
     partition_by: Sequence[str] | None = None,
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
     """Flat-file write (TAKdiskwrite :888) → parquet, optionally
     hive-partitioned (the Spark analogue of writing part files + DFS
-    registration via Dali)."""
+    registration via Dali). ``compression`` maps ECL's OUTPUT,COMPRESSED
+    (the reference LZW-compresses THOR files) onto parquet codecs —
+    'zstd'/'snappy'/'gzip'/'none'; default inherits the session codec."""
     w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

@@ -185,3 +185,31 @@ def test_smart_join_aqe_runtime_selection(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     assert n == m
+
+
+def test_compressed_write_roundtrip_and_smaller(spark, tmp_path):
+    """OUTPUT,COMPRESSED analogue: zstd parquet roundtrips and compresses
+    better than uncompressed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.sources import write_parquet
+
+    df = spark.range(50_000).select(
+        F.col("id"), F.lpad(F.col("id").cast("string"), 30, "x").alias("pad")
+    )
+    zst, raw = str(tmp_path / "zst"), str(tmp_path / "raw")
+    write_parquet(df, zst, compression="zstd")
+    write_parquet(df, raw, compression="none")
+
+    def size(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert spark.read.parquet(zst).count() == 50_000
+    assert size(zst) < size(raw)
