@@ -22,8 +22,6 @@ def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
     log10(1 + 1/d) frequency. The digit extraction is numeric
     (x / 10^floor(log10 x)) — identical across engines, no string-format
     dependence."""
-    from pyspark.sql.window import Window
-
     x = F.col(col)
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
     counts = (
@@ -32,11 +30,13 @@ def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = F.sum("n").over(Window.partitionBy())
-    return counts.select(
+    # Total via broadcast scalar join (not an empty-partition window —
+    # keeps every plan in the repo free of SinglePartition exchanges).
+    total = counts.agg(F.sum("n").alias("__total__"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "digit",
         "n",
-        F.round(F.col("n") / total, 4).alias("observed_freq"),
+        F.round(F.col("n") / F.col("__total__"), 4).alias("observed_freq"),
         F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 4).alias(
             "expected_freq"
         ),
