@@ -266,3 +266,36 @@ def simhash16_portable(
     for i in range(16):
         fp = fp + F.when(F.col("__votes__").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return staged.select(F.col(id_col), fp.cast("int").alias("simhash16"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-subset detection: containment C(A,B) = |A∩B| / |A| over word
+    sets — catches quotes, boilerplate-wrapped copies, and excerpt
+    relationships that symmetric Jaccard under-scores (a 100-word doc fully
+    contained in a 10,000-word doc has Jaccard ≈ 0.01 but containment 1.0).
+
+    The all-pairs form here is the verification stage; at scale candidates
+    come from the MinHash/LSH band join first (same contract as
+    ngram_jaccard_pairs)."""
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+        ).alias("ws"),
+    )
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "containment", inter / F.size("ws_a").cast("double")
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
+    )

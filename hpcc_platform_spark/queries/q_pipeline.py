@@ -638,3 +638,31 @@ def language_id_ngram_q(spark, sf_dir):
     return language_id_ngram(docs.where(F.col("doc_id") < 200)).select(
         "doc_id", "lang_pred", "lang_score"
     )
+
+
+@query(
+    "containment_pairs",
+    oracle="""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS ws
+      FROM documents WHERE doc_id < 80
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.ws, b.ws)) / CAST(len(a.ws) AS DOUBLE), 4) AS containment
+    FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.ws, b.ws)) / CAST(len(a.ws) AS DOUBLE) >= 0.6
+    """,
+    category="dedup_pipeline",
+)
+def containment_pairs_q(spark, sf_dir):
+    """Asymmetric containment near-dup (|A∩B|/|A| over word sets): the
+    excerpt/boilerplate detector symmetric Jaccard misses. Bounded slice
+    keeps the oracle's quadratic join honest; the production path feeds
+    LSH candidates into the same verification."""
+    from hpcc_platform_spark.pipeline.dedup import containment_pairs
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs.where(F.col("doc_id") < 80), threshold=0.6
+    )
