@@ -27,12 +27,43 @@ different split points.
 
 from __future__ import annotations
 
+from collections import deque
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 PID = "__pid__"
+
+# Persisted range-partitioned frames, oldest first. The consuming action runs
+# after ranged_partitions() returns (lazy plan), so we cannot unpersist
+# eagerly; instead keep a bounded window of live caches and evict the oldest
+# once a newer numbering has certainly consumed its cache. Bounds executor
+# storage in long-running drivers (e.g. the bench loop) to a handful of
+# ranged frames instead of one per invocation for the session's lifetime.
+_LIVE_CACHE_LIMIT = 4
+_live_caches: deque[DataFrame] = deque()
+
+
+def _track_cache(df: DataFrame) -> None:
+    _live_caches.append(df)
+    while len(_live_caches) > _LIVE_CACHE_LIMIT:
+        try:
+            _live_caches.popleft().unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
+
+def release_numbering_caches() -> None:
+    """Unpersist every ranged frame still cached by numbering operators.
+
+    Call after the consuming action is fully materialized (e.g. between
+    bench iterations) to return executor storage immediately."""
+    while _live_caches:
+        try:
+            _live_caches.popleft().unpersist()
+        except Exception:
+            pass
 
 
 def _cols(spec: Sequence[str | Column]) -> list[Column]:
@@ -62,6 +93,7 @@ def ranged_partitions(
         .withColumn(PID, F.spark_partition_id())
         .persist()
     )
+    _track_cache(ranged)
     counts = {
         r[PID]: r["cnt"]
         for r in ranged.groupBy(PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -95,8 +127,10 @@ def numbered(
     """
     ranged, _counts, offsets = ranged_partitions(df, order_by, num_partitions)
     w = Window.partitionBy(PID).orderBy(*_cols(order_by))
+    # 64-bit: the reference's row counts are unsigned8 (rtl); a 32-bit cast
+    # would silently wrap past 2^31-1 rows, well within 100 TB scale.
     out = ranged.withColumn(
-        name, (F.row_number().over(w) + _offset_col(offsets)).cast("int")
+        name, (F.row_number().over(w) + _offset_col(offsets)).cast("long")
     )
     return out, sum(_counts.values())
 

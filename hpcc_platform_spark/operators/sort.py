@@ -92,8 +92,25 @@ def assert_sorted(df: DataFrame, *order_by: str | Column) -> DataFrame:
     queries/q_sort.terasort_verify."""
     import pandas as pd
 
-    names = [c if isinstance(c, str) else c._jc.toString() for c in order_by]
+    # String column names only: Column -> name extraction via _jc.toString()
+    # is classic-JVM-only (breaks under Spark Connect) and loses NULL
+    # ordering info. Keys must name real columns of df.
+    names = []
+    for c in order_by:
+        if not isinstance(c, str):
+            raise TypeError(
+                "assert_sorted takes column NAMES (str); got a Column "
+                "expression — alias it onto the frame first"
+            )
+        names.append(c)
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        raise ValueError(f"assert_sorted: unknown columns {missing}")
     schema = df.schema
+
+    def sort_key(row):
+        # NULLS FIRST (Spark's asc default): None sorts below everything.
+        return tuple((v is not None, v) for v in row)
 
     def check(batches):
         prev_tail = None
@@ -104,9 +121,12 @@ def assert_sorted(df: DataFrame, *order_by: str | Column) -> DataFrame:
             both = keys if prev_tail is None else pd.concat(
                 [prev_tail, keys], ignore_index=True
             )
-            arr = list(both.itertuples(index=False, name=None))
-            for a, b in zip(arr, arr[1:]):
-                if a > b:
+            raw = [
+                tuple(None if pd.isna(v) else v for v in row)
+                for row in both.itertuples(index=False, name=None)
+            ]
+            for a, b in zip(raw, raw[1:]):
+                if sort_key(a) > sort_key(b):
                     raise AssertionError(
                         f"SORTED assertion failed: {a!r} > {b!r} on {names}"
                     )

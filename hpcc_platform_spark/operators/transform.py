@@ -195,7 +195,14 @@ def iterate_running(
             pairs = [x for pid, v in prefix.items() for x in (F.lit(pid), F.lit(v))]
             pref_col = F.create_map(*pairs)[F.col(PID)]
             if op == "+":
-                merged = local + F.coalesce(pref_col, F.lit(0))
+                # NULL-safe: leading all-NULL rows in a later partition have
+                # local == NULL but must still carry earlier partitions'
+                # prefix; only all-NULL everywhere stays NULL (SQL SUM).
+                merged = F.when(
+                    local.isNull() & pref_col.isNull(), F.lit(None)
+                ).otherwise(
+                    F.coalesce(local, F.lit(0)) + F.coalesce(pref_col, F.lit(0))
+                )
             elif op == "min":
                 merged = F.least(local, F.coalesce(pref_col, local))
             else:

@@ -499,7 +499,7 @@ def _collation_values_sql() -> str:
     "collated_sort_locale",
     oracle=f"""
     SELECT id, name,
-           CAST(row_number() OVER (ORDER BY name COLLATE de, id) AS INT) AS pos
+           CAST(row_number() OVER (ORDER BY name COLLATE de, id) AS BIGINT) AS pos
     FROM (VALUES {_collation_values_sql()}) t(id, name)
     """,
     category="functions",

@@ -19,7 +19,7 @@ from hpcc_platform_spark.queries.registry import query, tables
     oracle="""
     SELECT l_orderkey, l_linenumber, l_shipdate,
            CAST(row_number() OVER (
-             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INT) AS sort_pos
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS sort_pos
     FROM lineitem WHERE l_quantity >= 48
     """,
     category="sort",
@@ -65,7 +65,7 @@ def topn_q(spark, sf_dir):
     "merge_sorted",
     oracle="""
     SELECT s_suppkey, s_acctbal,
-           CAST(row_number() OVER (ORDER BY s_acctbal, s_suppkey) AS INT) AS pos
+           CAST(row_number() OVER (ORDER BY s_acctbal, s_suppkey) AS BIGINT) AS pos
     FROM supplier
     """,
     category="sort",

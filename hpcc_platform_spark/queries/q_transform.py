@@ -47,7 +47,7 @@ def project_transform(spark, sf_dir):
 @query(
     "project_counter",
     oracle="""
-    SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS counter
+    SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS counter
     FROM orders WHERE o_orderstatus = 'F'
     """,
     category="transform",

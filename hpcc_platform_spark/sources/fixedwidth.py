@@ -50,11 +50,13 @@ class FixedLayout:
             if f.ftype == "string":
                 c = F.rtrim(raw)
             elif f.ftype in ("int", "long"):
-                c = F.trim(raw).cast(f.ftype)
+                # try_cast: a blank (NULL-written) field reads back as NULL
+                # instead of an ANSI cast error.
+                c = F.trim(raw).try_cast(f.ftype)
             elif f.ftype == "double":
-                c = F.trim(raw).cast("double")
+                c = F.trim(raw).try_cast("double")
             elif f.ftype == "date":
-                c = F.to_date(F.trim(raw), "yyyyMMdd")
+                c = F.try_to_date(F.trim(raw), "yyyyMMdd")
             else:
                 raise ValueError(f"unknown fixed-width type {f.ftype!r}")
             cols.append(c.alias(f.name))
@@ -64,15 +66,28 @@ class FixedLayout:
         parts = []
         for f in self.fields:
             c = F.col(f.name)
+            blank = F.lit(" " * f.width)
             if f.ftype == "string":
                 s = F.rpad(F.coalesce(c, F.lit("")), f.width, " ")
             elif f.ftype in ("int", "long"):
                 # Zero-padded right-aligned digits (sortable, reversible).
-                s = F.lpad(c.cast("string"), f.width, "0")
+                # Sign goes BEFORE the zero padding so '-42' in width 6 is
+                # '-00042', not the unparseable '00-42'.
+                mag = F.lpad(F.abs(c).cast("string"), f.width - 1, "0")
+                s = F.when(c < 0, F.concat(F.lit("-"), mag)).otherwise(
+                    F.lpad(c.cast("string"), f.width, "0")
+                )
+                s = F.when(c.isNull(), blank).otherwise(s)
             elif f.ftype == "double":
-                s = F.lpad(F.format_number(c, 4), f.width, " ")
+                # %.4f has no thousands grouping, so the value survives a
+                # cast('double') on read (format_number inserts commas).
+                s = F.when(c.isNull(), blank).otherwise(
+                    F.lpad(F.format_string("%.4f", c), f.width, " ")
+                )
             elif f.ftype == "date":
-                s = F.date_format(c, "yyyyMMdd")
+                s = F.when(c.isNull(), blank).otherwise(
+                    F.date_format(c, "yyyyMMdd")
+                )
             else:
                 raise ValueError(f"unknown fixed-width type {f.ftype!r}")
             # Overflow truncates to width — the reference's fixed-layout

@@ -60,3 +60,121 @@ def test_canon_aligns_rows_despite_float_ulp_noise():
     # Same non-float key order on both sides even though raw float sort
     # order would have swapped the rows.
     assert list(ga["k"]) == list(gb["k"]) == ["x", "y"]
+
+
+# --- r3 ADVICE items -------------------------------------------------------
+
+
+def test_fixed_width_negatives_large_doubles_and_nulls(spark, tmp_path):
+    """fixedwidth write must be reversible for negative ints, |x| >= 1000
+    doubles (no thousands-separator commas), and NULL fields (blank field,
+    not a corrupted whole record)."""
+    from hpcc_platform_spark.sources import (
+        FixedLayout,
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    layout = FixedLayout(
+        [
+            ("i", 8, "int"),
+            ("d", 16, "double"),
+            ("s", 6, "string"),
+            ("dt", 8, "date"),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (-42, -1234567.5, "neg", "1994-01-02"),
+            (7, 98765432.25, "big", "1994-01-03"),
+            (None, None, "nul", None),
+            (0, 0.0, "", "1994-01-04"),
+        ],
+        "i int, d double, s string, dt string",
+    ).select("i", "d", "s", F.col("dt").cast("date").alias("dt"))
+    path = str(tmp_path / "fw")
+    write_fixed_width(df, path, layout)
+    out = read_fixed_width(spark, path, layout)
+    got = sorted(
+        ((r.i, r.d, r.s, str(r.dt) if r.dt else None) for r in out.collect()),
+        key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0),
+    )
+    assert got == [
+        (-42, -1234567.5, "neg", "1994-01-02"),
+        (0, 0.0, "", "1994-01-04"),
+        (7, 98765432.25, "big", "1994-01-03"),
+        (None, None, "nul", None),
+    ]
+
+
+def test_numbered_counter_is_64bit(spark):
+    from hpcc_platform_spark.operators import global_row_number
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    out = global_row_number(df, ["k"], name="rn", num_partitions=4)
+    assert dict(out.dtypes)["rn"] == "bigint"
+
+
+def test_numbering_cache_bounded(spark):
+    from hpcc_platform_spark.operators.numbering import (
+        _LIVE_CACHE_LIMIT,
+        _live_caches,
+        release_numbering_caches,
+    )
+    from hpcc_platform_spark.operators import global_row_number
+
+    release_numbering_caches()
+    df = spark.range(100).select(F.col("id").alias("k"))
+    for _ in range(_LIVE_CACHE_LIMIT + 3):
+        global_row_number(df, ["k"], num_partitions=2).count()
+    assert len(_live_caches) <= _LIVE_CACHE_LIMIT
+    release_numbering_caches()
+    assert not _live_caches
+
+
+def test_iterate_running_null_prefix_carries_earlier_partitions(spark):
+    """Rows whose partition-local running sum is NULL (leading all-NULL rows
+    in a later range partition) must still see earlier partitions' prefix."""
+    from hpcc_platform_spark.operators import iterate_running
+
+    rows = [(i, float(i)) for i in range(1, 51)] + [
+        (i, None) for i in range(51, 61)
+    ] + [(i, 1.0) for i in range(61, 71)]
+    df = spark.createDataFrame(rows, "pos int, v double")
+    out = iterate_running(
+        df, order_by=["pos"], running={"rsum": F.sum("v")}
+    )
+    got = {r.pos: r.rsum for r in out.collect()}
+    # After the NULL run, the running sum must still include rows 1..50.
+    assert got[55] == sum(range(1, 51))
+    assert got[61] == sum(range(1, 51)) + 1.0
+    # All-NULL leading rows before any value stay NULL? (none here; check
+    # the first row is its own value)
+    assert got[1] == 1.0
+
+
+def test_iterate_running_all_null_leading_rows_stay_null(spark):
+    from hpcc_platform_spark.operators import iterate_running
+
+    rows = [(1, None), (2, None), (3, 5.0), (4, 2.0)]
+    df = spark.createDataFrame(rows, "pos int, v double")
+    out = iterate_running(df, order_by=["pos"], running={"rsum": F.sum("v")})
+    got = {r.pos: r.rsum for r in out.collect()}
+    assert got[1] is None and got[2] is None
+    assert got[3] == 5.0 and got[4] == 7.0
+
+
+def test_assert_sorted_null_keys_and_column_rejection(spark):
+    from hpcc_platform_spark.operators import assert_sorted
+
+    # NULLS FIRST is valid Spark asc order — must pass, not TypeError.
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",)], "k string"
+    ).coalesce(1)
+    assert assert_sorted(df, "k").count() == 3
+    # NULL after a value violates asc NULLS FIRST within the partition.
+    bad = spark.createDataFrame([("a",), (None,)], "k string").coalesce(1)
+    with pytest.raises(Exception, match="SORTED"):
+        assert_sorted(bad, "k").collect()
+    with pytest.raises(TypeError, match="column NAMES"):
+        assert_sorted(df, F.col("k"))
