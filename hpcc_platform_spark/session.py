@@ -63,20 +63,33 @@ def get_spark(app_name: str = "hpcc_platform_spark", cpus: int | None = None) ->
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one TESTDATA parquet table, normalizing physical quirks.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects; we read nanos as long (legacy flag — runtime-settable)
-    and convert with integer division (``div`` keeps exact µs — a double
-    roundtrip would wobble the low microseconds at 2024-epoch magnitudes).
-    This is record-layout translation in the reference's sense
-    (thorread.hpp:33-64 actual→expected mapping).
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS). Different Spark
+    versions surface that physical encoding differently — 3.x/4.0 with the
+    ``nanosAsLong`` legacy flag reads it as BIGINT nanos; 4.1+ reads it
+    natively as TIMESTAMP_NTZ (truncated to µs) and ignores the flag. We
+    branch on the *observed* read dtype rather than assuming one encoding,
+    and normalize to session-TZ TIMESTAMP either way. This is record-layout
+    translation in the reference's sense (thorread.hpp:33-64
+    actual→expected mapping: adapt to the file's actual layout, never
+    hard-code one physical encoding).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # nanos-as-long: integer division keeps exact µs (a double
+            # roundtrip would wobble the low microseconds at 2024 epochs).
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            # Session TZ is pinned UTC, so this cast is value-preserving
+            # and keeps the column type identical across Spark versions.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

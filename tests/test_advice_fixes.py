@@ -141,9 +141,7 @@ def test_iterate_running_null_prefix_carries_earlier_partitions(spark):
         (i, None) for i in range(51, 61)
     ] + [(i, 1.0) for i in range(61, 71)]
     df = spark.createDataFrame(rows, "pos int, v double")
-    out = iterate_running(
-        df, order_by=["pos"], running={"rsum": F.sum("v")}
-    )
+    out = iterate_running(df, order_by=["pos"], rsum=F.sum("v"))
     got = {r.pos: r.rsum for r in out.collect()}
     # After the NULL run, the running sum must still include rows 1..50.
     assert got[55] == sum(range(1, 51))
@@ -158,7 +156,7 @@ def test_iterate_running_all_null_leading_rows_stay_null(spark):
 
     rows = [(1, None), (2, None), (3, 5.0), (4, 2.0)]
     df = spark.createDataFrame(rows, "pos int, v double")
-    out = iterate_running(df, order_by=["pos"], running={"rsum": F.sum("v")})
+    out = iterate_running(df, order_by=["pos"], rsum=F.sum("v"))
     got = {r.pos: r.rsum for r in out.collect()}
     assert got[1] is None and got[2] is None
     assert got[3] == 5.0 and got[4] == 7.0
