@@ -268,33 +268,93 @@ def simhash16_portable(
     return staged.select(F.col(id_col), fp.cast("int").alias("simhash16"))
 
 
+def _word_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+        ).alias("ws"),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
+    candidate_pairs: DataFrame | None = None,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    all_pairs: bool = False,
 ) -> DataFrame:
     """Near-subset detection: containment C(A,B) = |A∩B| / |A| over word
     sets — catches quotes, boilerplate-wrapped copies, and excerpt
     relationships that symmetric Jaccard under-scores (a 100-word doc fully
     contained in a 10,000-word doc has Jaccard ≈ 0.01 but containment 1.0).
 
-    The all-pairs form here is the verification stage; at scale candidates
-    come from the MinHash/LSH band join first (same contract as
-    ngram_jaccard_pairs)."""
-    sets_df = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
-        ).alias("ws"),
-    )
+    Verification stage over ``candidate_pairs`` (id_a, id_b), same contract
+    as ngram_jaccard_pairs: only candidates pay the exact set-intersection
+    cost. Containment is asymmetric, so each candidate pair is scored in
+    both orientations. When no candidates are given, they default to the
+    MinHash/LSH band join (note: symmetric-Jaccard LSH under-recalls
+    extreme small-in-large containment; use containment_pairs_exact for
+    exhaustive recall). ``all_pairs=True`` is the quadratic escape hatch
+    for small fixtures/tests only — never at scale."""
+    sets_df = _word_sets(df, text_col, id_col)
     a = sets_df.select(F.col(id_col).alias("id_a"), F.col("ws").alias("ws_a"))
     b = sets_df.select(F.col(id_col).alias("id_b"), F.col("ws").alias("ws_b"))
+    if all_pairs:
+        pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    else:
+        if candidate_pairs is None:
+            sigs = minhash_signatures(df, text_col=text_col, id_col=id_col)
+            candidate_pairs = minhash_lsh_candidates(sigs, id_col=id_col)
+        cand = candidate_pairs.select("id_a", "id_b")
+        both = cand.union(
+            cand.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ).dropDuplicates(["id_a", "id_b"])
+        pairs = both.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    pairs = a.join(b, F.col("id_a") != F.col("id_b"))
     return (
         pairs.withColumn(
             "containment", inter / F.size("ws_a").cast("double")
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
+    )
+
+
+def containment_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exhaustive containment without the n² cartesian: inverted-index
+    self-join (the SSJoin/PPJoin family shape). Explode each document's
+    distinct words, equi-join on the word, and count matches per (id_a,
+    id_b) — the count IS |A∩B|, so no array intersection and no candidate
+    recall loss.
+
+    Scale: two key shuffles (on word, then on the pair), never a
+    cartesian/BNLJ. Cost is Σ_w df(w)² — ultra-common tokens are the skew
+    axis; AQE skew-join splits them, and a document-frequency cap (prefix
+    filtering) is the standard next pruning step when a corpus-level stop
+    list is acceptable."""
+    sets_df = _word_sets(df, text_col, id_col).select(
+        F.col(id_col), F.size("ws").alias("n"), F.col("ws")
+    )
+    tok_a = sets_df.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.explode("ws").alias("w"),
+    )
+    tok_b = sets_df.select(F.col(id_col).alias("id_b"), F.explode("ws").alias("w"))
+    return (
+        tok_a.join(tok_b, "w")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "containment", F.col("n_shared").cast("double") / F.col("n_a").cast("double")
         )
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 4).alias("containment"))

@@ -103,12 +103,12 @@ def ordered_registry() -> dict[str, QueryDef]:
     """Registry re-ordered round-robin across SURVEY §2 families.
 
     One query per family per round, so any prefix of length >= #families
-    contains a representative of every family. Within a family: flagships
-    first (headline operators stay in every round's window), then
-    oracle-backed queries the driver has NOT yet verified, then
-    already-verified ones, then rows-only — so the 50-slot driver window
-    verifies new ground each round until all queries are covered.
-    Contents are identical to ``REGISTRY``.
+    contains a representative of every family. Within a family: queries
+    the driver has NOT yet hash-verified sort first (oracle-backed before
+    rows-only, flagships leading each group), then already-verified ones —
+    so the 50-slot driver window is spent on new ground each round and
+    driver coverage is cumulative across rounds instead of resampling the
+    same families. Contents are identical to ``REGISTRY``.
     """
     verified = _driver_verified_names()
     by_family: dict[str, list[QueryDef]] = {}
@@ -120,19 +120,28 @@ def ordered_registry() -> dict[str, QueryDef]:
         front = _WITHIN_FAMILY_PRIORITY.get(f, [])
         by_family[f].sort(
             key=lambda qd: (
-                front.index(qd.name) if qd.name in front else len(front),
-                qd.oracle is None,
                 qd.name in verified,
+                qd.oracle is None,
+                front.index(qd.name) if qd.name in front else len(front),
             )
         )  # stable beyond the keyed prefix
+    # Two-phase interleave: first round-robin across families over their
+    # not-yet-verified queries (so the driver window is all new ground),
+    # then over the already-verified remainder (family-interleaved spot
+    # re-checks). A single-phase round-robin would let families whose
+    # queries are all verified inject re-checks into the window early.
     ordered: dict[str, QueryDef] = {}
-    round_no = 0
-    while len(ordered) < len(REGISTRY):
-        for f in families:
-            if round_no < len(by_family[f]):
-                qd = by_family[f][round_no]
-                ordered[qd.name] = qd
-        round_no += 1
+    for phase_verified in (False, True):
+        pools = [
+            [qd for qd in by_family[f] if (qd.name in verified) == phase_verified]
+            for f in families
+        ]
+        round_no = 0
+        while any(round_no < len(p) for p in pools):
+            for p in pools:
+                if round_no < len(p):
+                    ordered[p[round_no].name] = p[round_no]
+            round_no += 1
     return ordered
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hpcc_platform_spark.functions.phonetic import metaphone_key, soundex_key
 from hpcc_platform_spark.queries.registry import query, tables
 
 
@@ -268,15 +269,77 @@ def base64_functions(spark, sf_dir):
     )
 
 
-@query("phonetic_soundex", oracle=None, category="functions")
+# Classic soundex/metaphone test vectors (Robert/Rupert, Ashcraft H-skip,
+# Tymczak, Pfister, silent-K Knight, WR- Wright, TH- Thompson, ...).
+# Expected keys precomputed once (soundex cross-checked against a textbook
+# American-Soundex implementation incl. the H/W separator rule) and pinned
+# as an inline VALUES oracle — DuckDB has no phonetic functions, so this is
+# how the deterministic keys get a real value-hash check.
+_PHONETIC_NAMES = [
+    (1, "Robert", "R163", "RBRT"),
+    (2, "Rupert", "R163", "RPRT"),
+    (3, "Rubin", "R150", "RBN"),
+    (4, "Ashcraft", "A261", "AKSKRFT"),
+    (5, "Ashcroft", "A261", "AKSKRFT"),
+    (6, "Tymczak", "T522", "TMKSK"),
+    (7, "Pfister", "P236", "PFSTR"),
+    (8, "Honeyman", "H555", "HNMN"),
+    (9, "Washington", "W252", "AKSNGTN"),
+    (10, "Lee", "L000", "L"),
+    (11, "Gutierrez", "G362", "GTRS"),
+    (12, "Jackson", "J250", "JKSN"),
+    (13, "VanDeusen", "V532", "VNDSN"),
+    (14, "Deusen", "D250", "DSN"),
+    (15, "O'Malley", "O540", "OML"),
+    (16, "Smith", "S530", "SM0"),
+    (17, "Smythe", "S530", "SM0"),
+    (18, "Schmidt", "S530", "SKMDT"),
+    (19, "Johnson", "J525", "JHNSN"),
+    (20, "Jonson", "J525", "JNSN"),
+    (21, "Williams", "W452", "ILMS"),
+    (22, "Knight", "K523", "KNHT"),
+    (23, "Night", "N230", "NHT"),
+    (24, "Wright", "W623", "RHT"),
+    (25, "Rite", "R300", "RT"),
+    (26, "Thompson", "T512", "0MPSN"),
+    (27, "Thomson", "T525", "0MSN"),
+    (28, "Catherine", "C365", "K0RN"),
+    (29, "Katherine", "K365", "K0RN"),
+    (30, "Euler", "E460", "ELR"),
+    (31, "Gauss", "G200", "GS"),
+    (32, "Hilbert", "H416", "HLBRT"),
+    (33, "Knuth", "K530", "KN0"),
+    (34, "Lloyd", "L300", "LD"),
+    (35, "Lukasiewicz", "L222", "LKSKS"),
+    (36, "Wachs", "W200", "AKHS"),
+    (37, "Vaux", "V200", "VKS"),
+    (38, "Tsar", "T260", "TSR"),
+    (39, "Czar", "C600", "KSR"),
+    (40, "Phoenix", "P520", "FNKS"),
+]
+
+_PHONETIC_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({i}, '{n.replace(chr(39), chr(39) * 2)}', '{s}', '{m}')"
+    for i, n, s, m in _PHONETIC_NAMES
+) + ") AS t(id, name, sdx, mph)"
+
+
+@query("phonetic_soundex", oracle=_PHONETIC_ORACLE, category="functions")
 def phonetic_soundex(spark, sf_dir):
-    """Phonetic keys (Std.Metaphone / plugins/dmetaphone in the reference):
-    Spark's built-in soundex as the JVM-side baseline (rows-only — DuckDB
-    has no phonetic functions); the metaphone-style variant and its
-    properties are pinned in tests/test_functions.py."""
-    (cust,) = tables(spark, sf_dir, "customer")
-    return cust.where(F.col("c_custkey") <= 300).select(
-        "c_custkey", F.soundex(F.regexp_replace("c_name", "[^A-Za-z]", "")).alias("sdx")
+    """Phonetic keys (Std.Metaphone / plugins/dmetaphone in the reference,
+    plugins/dmetaphone/dmetaphone.cpp): Spark's built-in soundex (JVM,
+    codegen'd) plus the simplified-metaphone variant from
+    functions/phonetic.py, value-checked against precomputed keys for the
+    classic test-vector names via an inline VALUES oracle (the same
+    technique the scheduler query uses for its non-SQL surface)."""
+    df = spark.createDataFrame(
+        [(i, n) for i, n, _, _ in _PHONETIC_NAMES], "id int, name string"
+    )
+    return df.select(
+        "id",
+        "name",
+        soundex_key("name").alias("sdx"),
+        metaphone_key("name").alias("mph"),
     )
 
 

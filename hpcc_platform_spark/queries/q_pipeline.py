@@ -657,12 +657,14 @@ def language_id_ngram_q(spark, sf_dir):
 )
 def containment_pairs_q(spark, sf_dir):
     """Asymmetric containment near-dup (|A∩B|/|A| over word sets): the
-    excerpt/boilerplate detector symmetric Jaccard misses. Bounded slice
-    keeps the oracle's quadratic join honest; the production path feeds
-    LSH candidates into the same verification."""
-    from hpcc_platform_spark.pipeline.dedup import containment_pairs
+    excerpt/boilerplate detector symmetric Jaccard misses. Computed via the
+    inverted-index self-join (containment_pairs_exact) — exhaustive recall
+    with key shuffles only, no cartesian; tests/test_pipeline.py asserts the
+    physical plan has no BNLJ/CartesianProduct node. The oracle's quadratic
+    join is fine at its bounded slice."""
+    from hpcc_platform_spark.pipeline.dedup import containment_pairs_exact
 
     (docs,) = tables(spark, sf_dir, "documents")
-    return containment_pairs(
+    return containment_pairs_exact(
         docs.where(F.col("doc_id") < 80), threshold=0.6
     )

@@ -233,3 +233,55 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert got == again
+
+
+def test_containment_exact_matches_all_pairs(spark):
+    """Inverted-index containment must agree exactly with the quadratic
+    all-pairs form (it is exhaustive, not a candidate approximation)."""
+    from hpcc_platform_spark.pipeline.dedup import (
+        containment_pairs,
+        containment_pairs_exact,
+    )
+
+    excerpt = "the quick brown fox jumps over the lazy dog"
+    full = excerpt + " and runs far away into the deep dark woods every night"
+    rows = [(1, excerpt), (2, full), (3, "unrelated words about spark engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def as_set(out):
+        return {(r.id_a, r.id_b, r.containment) for r in out.collect()}
+
+    exact = as_set(containment_pairs_exact(df, threshold=0.5))
+    quad = as_set(containment_pairs(df, threshold=0.5, all_pairs=True))
+    assert exact == quad
+    # The excerpt (1) is fully contained in the superset doc (2).
+    assert (1, 2, 1.0) in exact
+
+
+def test_containment_verification_scores_both_orientations(spark):
+    from hpcc_platform_spark.pipeline.dedup import containment_pairs
+
+    excerpt = "alpha beta gamma delta"
+    full = excerpt + " epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, excerpt), (2, full)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, candidate_pairs=cand, threshold=0.0).collect()
+    }
+    # Asymmetric: C(excerpt, full) = 1.0; C(full, excerpt) = 4/10.
+    assert got[(1, 2)] == 1.0
+    assert got[(2, 1)] == 0.4
+
+
+def test_containment_registered_query_plan_has_no_cartesian(spark, sf_dir):
+    """The registered containment query must stay a key-shuffle join at any
+    scale: no CartesianProduct / BroadcastNestedLoopJoin in the plan."""
+    from hpcc_platform_spark.queries import REGISTRY
+
+    df = REGISTRY["containment_pairs"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

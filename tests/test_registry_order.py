@@ -15,26 +15,39 @@ def test_ordered_registry_same_contents():
     assert all(ordered[n] is REGISTRY[n] for n in ordered)
 
 
-def test_driver_window_covers_every_family():
-    window = list(entry_mod.queries())[:WINDOW]
-    families_all = {qd.category for qd in REGISTRY.values()}
-    families_in_window = {REGISTRY[n].category for n in window}
-    assert families_in_window == families_all
+def test_driver_window_spent_on_unverified_first():
+    """Cumulative-coverage policy: every query the driver has never
+    hash-verified sorts ahead of every already-verified one, so the 50-slot
+    driver window checks new ground each round."""
+    from hpcc_platform_spark.queries import _driver_verified_names
+
+    verified = _driver_verified_names() & set(REGISTRY)
+    unverified = set(REGISTRY) - verified
+    order = list(entry_mod.queries())
+    if unverified:
+        first_block = set(order[: len(unverified)])
+        assert first_block == unverified
+    if verified and len(unverified) <= WINDOW:
+        # Every never-verified query makes it into the driver window.
+        assert unverified <= set(order[:WINDOW])
 
 
-def test_driver_window_prefers_oracle_backed():
-    window = list(entry_mod.queries())[:WINDOW]
-    rows_only = [n for n in window if REGISTRY[n].oracle is None]
-    # Only families with NO oracle-backed member may appear rows-only in the
-    # window (derived, not hardcoded — any family that *can* go green must).
-    oracleless_families = {
-        f
-        for f in {qd.category for qd in REGISTRY.values()}
-        if all(qd.oracle is None for qd in REGISTRY.values() if qd.category == f)
-    }
-    assert all(REGISTRY[n].category in oracleless_families for n in rows_only), (
-        rows_only
-    )
+def test_oracle_backed_precede_rows_only_within_family_phase():
+    """Within one family and one verification phase, oracle-backed queries
+    sort before rows-only ones (rows-only gets a weaker driver check)."""
+    from hpcc_platform_spark.queries import _driver_verified_names
+
+    verified = _driver_verified_names() & set(REGISTRY)
+    order = list(entry_mod.queries())
+    pos = {n: i for i, n in enumerate(order)}
+    by_group: dict[tuple, list[str]] = {}
+    for n, qd in REGISTRY.items():
+        by_group.setdefault((qd.category, n in verified), []).append(n)
+    for names in by_group.values():
+        oracle_pos = [pos[n] for n in names if REGISTRY[n].oracle is not None]
+        rows_only_pos = [pos[n] for n in names if REGISTRY[n].oracle is None]
+        if oracle_pos and rows_only_pos:
+            assert max(oracle_pos) < min(rows_only_pos)
 
 
 def test_priority_lists_reference_real_entries():
@@ -54,23 +67,29 @@ def test_priority_lists_reference_real_entries():
             )
 
 
-def test_flagships_in_window():
-    window = set(list(entry_mod.queries())[:WINDOW])
-    for flagship in [
-        "minhash_lsh_portable",
-        "simhash_portable",
-        "embedding_near_dup",
-        "ann_bruteforce",
-        "ann_ivf",
-        "join_inner",
-        "global_sort_rank",
-        "terasort_verify",
-        "textsearch_and",
-        "parse_tokenize",
-        "workload_shipping_priority",
-        "graph_pagerank",
-    ]:
-        assert flagship in window, flagship
+def test_flagships_lead_their_family_group():
+    """Flagships no longer pin the driver window (cumulative coverage wins);
+    they still sort first within their family + verification-phase group so
+    the headline operator is re-checked before its siblings when a family's
+    turn comes around again."""
+    from hpcc_platform_spark.queries import (
+        _WITHIN_FAMILY_PRIORITY,
+        _driver_verified_names,
+    )
+
+    verified = _driver_verified_names() & set(REGISTRY)
+    order = list(entry_mod.queries())
+    pos = {n: i for i, n in enumerate(order)}
+    for fam, flagships in _WITHIN_FAMILY_PRIORITY.items():
+        siblings = [
+            n
+            for n, qd in REGISTRY.items()
+            if qd.category == fam and qd.oracle is not None and n not in flagships
+        ]
+        for flagship in flagships:
+            same_phase = [n for n in siblings if (n in verified) == (flagship in verified)]
+            if same_phase:
+                assert pos[flagship] < max(pos[n] for n in same_phase), flagship
 
 
 def test_oracle_sql_matches_queries_keys():
