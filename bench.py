@@ -15,6 +15,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hpcc_platform_spark.operators.numbering import release_numbering_caches  # noqa: E402
 from hpcc_platform_spark.queries import REGISTRY  # noqa: E402
 from hpcc_platform_spark.session import get_spark  # noqa: E402
 
@@ -66,6 +67,9 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
+        # Safe here: the noop saves above fully materialized every consumer
+        # of the numbering caches, so explicit release cannot re-sample.
+        release_numbering_caches()
         spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
 

@@ -36,22 +36,33 @@ from pyspark.sql import functions as F
 PID = "__pid__"
 
 # Persisted range-partitioned frames, oldest first. The consuming action runs
-# after ranged_partitions() returns (lazy plan), so we cannot unpersist
-# eagerly; instead keep a bounded window of live caches and evict the oldest
-# once a newer numbering has certainly consumed its cache. Bounds executor
-# storage in long-running drivers (e.g. the bench loop) to a handful of
-# ranged frames instead of one per invocation for the session's lifetime.
-_LIVE_CACHE_LIMIT = 4
+# after ranged_partitions() returns (lazy plan), so NOTHING may unpersist a
+# tracked frame implicitly: if the consumer hasn't run yet, an unpersist
+# forces it to re-execute the range exchange, and the RangePartitioner's
+# reservoir sample (seeded per job) can pick different split points — the
+# collected offsets would then silently mismatch the recomputed partitioning
+# (wrong/duplicated global row numbers). Callers bound executor storage by
+# calling release_numbering_caches() AFTER their consuming action has
+# materialized (bench does this between queries); past _WARN_THRESHOLD
+# outstanding frames we warn rather than evict.
+_WARN_THRESHOLD = 8
 _live_caches: deque[DataFrame] = deque()
 
 
 def _track_cache(df: DataFrame) -> None:
     _live_caches.append(df)
-    while len(_live_caches) > _LIVE_CACHE_LIMIT:
-        try:
-            _live_caches.popleft().unpersist()
-        except Exception:  # session already stopped — nothing to release
-            pass
+    if len(_live_caches) > _WARN_THRESHOLD:
+        import warnings
+
+        warnings.warn(
+            f"{len(_live_caches)} range-partitioned frames are cached for "
+            "row numbering; call release_numbering_caches() once their "
+            "consuming actions have run (implicit eviction is unsafe: a "
+            "not-yet-consumed frame would re-sample its range exchange and "
+            "corrupt global row numbers)",
+            ResourceWarning,
+            stacklevel=3,
+        )
 
 
 def release_numbering_caches() -> None:

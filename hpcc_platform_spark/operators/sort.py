@@ -86,12 +86,10 @@ def assert_sorted(df: DataFrame, *order_by: str | Column) -> DataFrame:
     Distributed check, zero extra shuffle: a window ordered by the
     EXISTING partition layout isn't expressible, so instead each row is
     compared with its predecessor inside an Arrow batch scan
-    (mapInPandas) — the same pairwise check the reference's terasort
+    (mapInArrow) — the same pairwise check the reference's terasort
     verification uses. Note: validates the per-partition (LOCAL SORTED)
     property; global order additionally needs boundary checks as in
     queries/q_sort.terasort_verify."""
-    import pandas as pd
-
     # String column names only: Column -> name extraction via _jc.toString()
     # is classic-JVM-only (breaks under Spark Connect) and loses NULL
     # ordering info. Keys must name real columns of df.
@@ -108,30 +106,40 @@ def assert_sorted(df: DataFrame, *order_by: str | Column) -> DataFrame:
         raise ValueError(f"assert_sorted: unknown columns {missing}")
     schema = df.schema
 
+    # mapInArrow, not mapInPandas: Arrow keeps NULL (validity mask) and
+    # float NaN (a value) distinct — the pandas conversion collapses both
+    # to NaN, which (a) makes Spark's asc order "NULLS FIRST ... values ...
+    # NaN LAST" unverifiable and (b) corrupts passthrough NaNs to NULL on
+    # the yield. Raw batches also mean true zero-copy passthrough.
     def sort_key(row):
-        # NULLS FIRST (Spark's asc default): None sorts below everything.
-        return tuple((v is not None, v) for v in row)
+        # Per key: (0 NULL | 1 value | 2 NaN, comparable value) — matches
+        # Spark's asc ordering with NULL first and NaN last.
+        return tuple(
+            (0, 0) if v is None
+            else (2, 0) if isinstance(v, float) and v != v
+            else (1, v)
+            for v in row
+        )
 
     def check(batches):
-        prev_tail = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        prev = None  # last key tuple of the previous batch
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            keys = pdf[names]
-            both = keys if prev_tail is None else pd.concat(
-                [prev_tail, keys], ignore_index=True
-            )
-            raw = [
-                tuple(None if pd.isna(v) else v for v in row)
-                for row in both.itertuples(index=False, name=None)
+            cols = [
+                batch.column(batch.schema.get_field_index(n)).to_pylist()
+                for n in names
             ]
-            for a, b in zip(raw, raw[1:]):
-                if sort_key(a) > sort_key(b):
+            keys = [
+                sort_key(tuple(c[i] for c in cols))
+                for i in range(batch.num_rows)
+            ]
+            for a, b in zip([prev] + keys, keys):
+                if a is not None and a > b:
                     raise AssertionError(
                         f"SORTED assertion failed: {a!r} > {b!r} on {names}"
                     )
-            prev_tail = keys.tail(1)
-            yield pdf
+            prev = keys[-1]
+            yield batch
 
-    out = df.mapInPandas(check, schema=schema)
-    return out
+    return df.mapInArrow(check, schema=schema)

@@ -87,6 +87,26 @@ def pipe_through_q(spark, sf_dir):
 
 
 @query(
+    "pipe_through_xml",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    category="control",
+)
+def pipe_through_xml_q(spark, sf_dir):
+    """PIPE with XML framing (the reference's second framing:
+    IXmlToRowTransformer, thorlcr/activities/piperead/thprslave.cpp):
+    rows serialize as <Row><field>v</field>...</Row> through the external
+    process and parse back incrementally; identity command proves the XML
+    ser/de roundtrip including entity escaping."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    return pipe_through(
+        nation.select("n_nationkey", "n_name", "n_regionkey"),
+        ["cat"],
+        "n_nationkey int, n_name string, n_regionkey int",
+        framing="xml",
+    )
+
+
+@query(
     "limit_skip",
     oracle="SELECT n_nationkey, n_name FROM nation",
     category="control",

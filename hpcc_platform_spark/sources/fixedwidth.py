@@ -67,32 +67,61 @@ class FixedLayout:
         for f in self.fields:
             c = F.col(f.name)
             blank = F.lit(" " * f.width)
+            def overflow_error(rendered: F.Column) -> F.Column:
+                return F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"fixed-width overflow: field {f.name!r} "
+                            f"(width {f.width}) cannot hold value "
+                        ),
+                        rendered,
+                    )
+                )
+
             if f.ftype == "string":
-                s = F.rpad(F.coalesce(c, F.lit("")), f.width, " ")
+                # String overflow truncates to width — the reference's
+                # fixed-layout assignment semantics (rtlconst.hpp STRINGn).
+                s = F.substring(F.rpad(F.coalesce(c, F.lit("")), f.width, " "), 1, f.width)
             elif f.ftype in ("int", "long"):
                 # Zero-padded right-aligned digits (sortable, reversible).
                 # Sign goes BEFORE the zero padding so '-42' in width 6 is
-                # '-00042', not the unparseable '00-42'.
-                mag = F.lpad(F.abs(c).cast("string"), f.width - 1, "0")
-                s = F.when(c < 0, F.concat(F.lit("-"), mag)).otherwise(
-                    F.lpad(c.cast("string"), f.width, "0")
+                # '-00042', not the unparseable '00-42'. Magnitude computed
+                # in decimal(20,0): wide enough that abs(INT_MIN/LONG_MIN)
+                # cannot hit ANSI ARITHMETIC_OVERFLOW.
+                digits = F.abs(c.cast("decimal(20,0)")).cast("string")
+                neg = c < 0
+                # A truncated number reads back as a DIFFERENT valid number
+                # (worse than any failure): numeric overflow raises.
+                fits = F.length(digits) <= F.when(neg, F.lit(f.width - 1)).otherwise(
+                    F.lit(f.width)
                 )
-                s = F.when(c.isNull(), blank).otherwise(s)
+                padded = F.when(
+                    neg, F.concat(F.lit("-"), F.lpad(digits, f.width - 1, "0"))
+                ).otherwise(F.lpad(digits, f.width, "0"))
+                s = F.when(c.isNull(), blank).otherwise(
+                    F.when(fits, padded).otherwise(overflow_error(c.cast("string")))
+                )
             elif f.ftype == "double":
                 # %.4f has no thousands grouping, so the value survives a
                 # cast('double') on read (format_number inserts commas).
+                rendered = F.format_string("%.4f", c)
                 s = F.when(c.isNull(), blank).otherwise(
-                    F.lpad(F.format_string("%.4f", c), f.width, " ")
+                    F.when(
+                        F.length(rendered) <= f.width,
+                        F.lpad(rendered, f.width, " "),
+                    ).otherwise(overflow_error(rendered))
                 )
             elif f.ftype == "date":
+                if f.width < 8:
+                    raise ValueError(
+                        f"date field {f.name!r} needs width >= 8 (yyyyMMdd), got {f.width}"
+                    )
                 s = F.when(c.isNull(), blank).otherwise(
-                    F.date_format(c, "yyyyMMdd")
+                    F.rpad(F.date_format(c, "yyyyMMdd"), f.width, " ")
                 )
             else:
                 raise ValueError(f"unknown fixed-width type {f.ftype!r}")
-            # Overflow truncates to width — the reference's fixed-layout
-            # assignment semantics (rtlconst.hpp fixed STRINGn).
-            parts.append(F.substring(s, 1, f.width))
+            parts.append(s)
         return F.concat(*parts)
 
 

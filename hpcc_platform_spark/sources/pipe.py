@@ -25,25 +25,112 @@ from pyspark.sql.types import StructType
 _CHUNK_ROWS = 10_000
 
 
+def _coerce_chunk(chunk: pd.DataFrame, struct: StructType) -> pd.DataFrame:
+    """Post-parse type coercion shared by both framings. Arrow refuses
+    unsafe int/float -> decimal conversion; route declared decimal columns
+    through Python Decimal."""
+    for f in struct.fields:
+        t = f.dataType.typeName()
+        if t == "decimal":
+            chunk[f.name] = chunk[f.name].map(
+                lambda v: None if pd.isna(v) else Decimal(str(v))
+            )
+    return chunk
+
+
+def _xml_rows(pdf: pd.DataFrame, row_tag: str) -> bytes:
+    """Serialize a pandas batch as reference-style XML rows:
+    <Row><field>value</field>...</Row> per record, NULL fields omitted
+    (the reference's OUTPUT(..., XML) convention)."""
+    from xml.sax.saxutils import escape
+
+    parts: list[str] = []
+    cols = list(pdf.columns)
+    for tup in pdf.itertuples(index=False):
+        fields = "".join(
+            f"<{c}>{escape(str(v))}</{c}>"
+            for c, v in zip(cols, tup)
+            if not (v is None or (isinstance(v, float) and pd.isna(v)))
+        )
+        parts.append(f"<{row_tag}>{fields}</{row_tag}>")
+    return ("".join(parts) + "\n").encode()
+
+
+def _parse_xml_stream(
+    stdout, struct: StructType, row_tag: str
+) -> Iterator[pd.DataFrame]:
+    """Incremental XML row parse over the process's stdout: iterparse fires
+    per closed element, so a huge output never materializes; rows batch
+    into _CHUNK_ROWS frames. Missing elements -> NULL."""
+    import itertools
+    import xml.etree.ElementTree as ET
+
+    cols = struct.fieldNames()
+    # iterparse needs one root element; the pipe emits bare rows, so wrap
+    # the byte stream in a synthetic <__ds__> root without buffering it.
+    wrapped = itertools.chain([b"<__ds__>"], iter(lambda: stdout.read(65536), b""), [b"</__ds__>"])
+
+    class _Stream:
+        def __init__(self, it):
+            self._it = it
+
+        def read(self, _n=-1):
+            return next(self._it, b"")
+
+    rows: list[dict] = []
+    root = None
+    for ev, elem in ET.iterparse(_Stream(wrapped), events=("start", "end")):
+        if ev == "start":
+            if root is None:
+                root = elem
+            continue
+        if elem.tag != row_tag:
+            continue
+        rows.append({c: None for c in cols} | {ch.tag: ch.text for ch in elem})
+        # Drop processed rows from the synthetic root so the tree stays O(1).
+        root.clear()
+        if len(rows) >= _CHUNK_ROWS:
+            yield pd.DataFrame(rows, columns=cols)
+            rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
 def pipe_through(
     df: DataFrame,
     command: list[str],
     output_schema: str,
+    framing: str = "csv",
+    row_tag: str = "Row",
 ) -> DataFrame:
-    """PIPE(ds, command): feed each partition's rows as CSV to ``command``'s
-    stdin, parse its stdout as CSV rows of ``output_schema``.
+    """PIPE(ds, command): feed each partition's rows to ``command``'s stdin,
+    parse its stdout as rows of ``output_schema``.
 
-    The subprocess spawns once per partition. Framing is CSV (the
-    reference's default; its XML framing would swap the ser/de here).
-    ``output_schema`` is parsed with Spark's own DDL parser (driver-side),
-    so nested/parameterized types — ``decimal(10,2)``, ``array<int>`` —
-    resolve correctly; the old naive comma split broke on them.
+    The subprocess spawns once per partition. ``framing`` selects the
+    ser/de on BOTH sides of the pipe, matching the reference's CSV and XML
+    helper pair (thorlcr/activities/piperead/thprslave.cpp; eclhelper.hpp
+    ICsvToRowTransformer/IXmlToRowTransformer): ``'csv'`` (default) or
+    ``'xml'`` — one ``<Row>...</Row>`` element per record (``row_tag``
+    configurable), entity-escaped, NULL fields omitted on write and read
+    back as NULL. ``output_schema`` is parsed with Spark's own DDL parser
+    (driver-side), so nested/parameterized types — ``decimal(10,2)``,
+    ``array<int>`` — resolve correctly; the old naive comma split broke on
+    them.
     """
+    if framing not in ("csv", "xml"):
+        raise ValueError(f"pipe_through framing must be 'csv' or 'xml', got {framing!r}")
     struct = StructType.fromDDL(output_schema)
     out_cols = struct.fieldNames()
-    # Arrow refuses unsafe int/float -> decimal conversion; route declared
-    # decimal columns through Python Decimal after CSV parse.
-    decimal_cols = [f.name for f in struct.fields if f.dataType.typeName() == "decimal"]
+    # Numeric columns parsed from XML text need an explicit cast for Arrow.
+    numeric_casts = {
+        f.name: {"integer": "Int32", "long": "Int64", "short": "Int16",
+                 "byte": "Int8", "double": "float64", "float": "float32"}[
+            f.dataType.typeName()
+        ]
+        for f in struct.fields
+        if f.dataType.typeName()
+        in ("integer", "long", "short", "byte", "double", "float")
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proc = subprocess.Popen(
@@ -54,9 +141,12 @@ def pipe_through(
         def feed() -> None:
             try:
                 for pdf in batches:
-                    proc.stdin.write(
-                        pdf.to_csv(index=False, header=False).encode()
-                    )
+                    if framing == "xml":
+                        proc.stdin.write(_xml_rows(pdf, row_tag))
+                    else:
+                        proc.stdin.write(
+                            pdf.to_csv(index=False, header=False).encode()
+                        )
             except BaseException as e:  # surfaced after reader drains
                 feed_error.append(e)
             finally:
@@ -65,15 +155,17 @@ def pipe_through(
         writer = threading.Thread(target=feed, daemon=True)
         writer.start()
         try:
-            reader = pd.read_csv(
-                proc.stdout, header=None, names=out_cols, chunksize=_CHUNK_ROWS
-            )
-            for chunk in reader:
-                for c in decimal_cols:
-                    chunk[c] = chunk[c].map(
-                        lambda v: None if pd.isna(v) else Decimal(str(v))
-                    )
-                yield chunk
+            if framing == "xml":
+                for chunk in _parse_xml_stream(proc.stdout, struct, row_tag):
+                    for c, dt in numeric_casts.items():
+                        chunk[c] = pd.to_numeric(chunk[c]).astype(dt)
+                    yield _coerce_chunk(chunk, struct)
+            else:
+                reader = pd.read_csv(
+                    proc.stdout, header=None, names=out_cols, chunksize=_CHUNK_ROWS
+                )
+                for chunk in reader:
+                    yield _coerce_chunk(chunk, struct)
         except pd.errors.EmptyDataError:
             pass  # empty partition / no output rows
         finally:

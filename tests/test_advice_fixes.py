@@ -115,19 +115,29 @@ def test_numbered_counter_is_64bit(spark):
     assert dict(out.dtypes)["rn"] == "bigint"
 
 
-def test_numbering_cache_bounded(spark):
+def test_numbering_cache_never_evicts_implicitly(spark):
+    """Implicit eviction is unsafe (a not-yet-consumed frame would
+    re-sample its range exchange → wrong global numbers): frames must stay
+    cached until release_numbering_caches(), with a ResourceWarning once
+    the outstanding count grows."""
+    import warnings
+
+    from hpcc_platform_spark.operators import global_row_number
     from hpcc_platform_spark.operators.numbering import (
-        _LIVE_CACHE_LIMIT,
+        _WARN_THRESHOLD,
         _live_caches,
         release_numbering_caches,
     )
-    from hpcc_platform_spark.operators import global_row_number
 
     release_numbering_caches()
     df = spark.range(100).select(F.col("id").alias("k"))
-    for _ in range(_LIVE_CACHE_LIMIT + 3):
-        global_row_number(df, ["k"], num_partitions=2).count()
-    assert len(_live_caches) <= _LIVE_CACHE_LIMIT
+    n = _WARN_THRESHOLD + 2
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for _ in range(n):
+            global_row_number(df, ["k"], num_partitions=2).count()
+    assert len(_live_caches) == n  # nothing evicted behind the consumer
+    assert any(issubclass(w.category, ResourceWarning) for w in caught)
     release_numbering_caches()
     assert not _live_caches
 
@@ -176,3 +186,52 @@ def test_assert_sorted_null_keys_and_column_rejection(spark):
         assert_sorted(bad, "k").collect()
     with pytest.raises(TypeError, match="column NAMES"):
         assert_sorted(df, F.col("k"))
+
+
+def test_assert_sorted_nan_sorts_last_distinct_from_null(spark):
+    """Spark asc float order is NULL... values... NaN; a correctly-sorted
+    frame containing both must pass, and NaN-before-value must fail."""
+    import math
+
+    from hpcc_platform_spark.operators import assert_sorted
+
+    ok = spark.createDataFrame(
+        [(None,), (1.5,), (2.5,), (float("nan"),)], "v double"
+    ).coalesce(1).sortWithinPartitions("v")
+    rows = assert_sorted(ok, "v").collect()
+    assert len(rows) == 4
+    assert math.isnan(rows[-1].v)
+
+    import pandas as pd
+    import pytest
+    bad = spark.createDataFrame(
+        [(float("nan"),), (1.5,)], "v double"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="SORTED assertion failed"):
+        assert_sorted(bad, "v").collect()
+
+
+def test_fixed_width_numeric_overflow_raises_not_corrupts(spark, tmp_path):
+    """A magnitude wider than the field raises at write: a truncated
+    number would read back as a DIFFERENT valid number. LONG_MIN must not
+    trip ANSI abs() overflow either."""
+    from hpcc_platform_spark.sources import (
+        FixedLayout,
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    layout = FixedLayout([("i", 6, "int"), ("d", 10, "double")])
+
+    bad_int = spark.createDataFrame([(-1234567, 1.0)], "i int, d double")
+    with pytest.raises(Exception, match="fixed-width overflow.*'i'"):
+        write_fixed_width(bad_int, str(tmp_path / "a"), layout)
+
+    bad_dbl = spark.createDataFrame([(1, -123456.75)], "i int, d double")
+    with pytest.raises(Exception, match="fixed-width overflow.*'d'"):
+        write_fixed_width(bad_dbl, str(tmp_path / "b"), layout)
+
+    long_layout = FixedLayout([("v", 20, "long")])
+    edge = spark.createDataFrame([(-(2**63),)], "v long")
+    write_fixed_width(edge, str(tmp_path / "c"), long_layout)
+    assert read_fixed_width(spark, str(tmp_path / "c"), long_layout).head().v == -(2**63)

@@ -213,3 +213,31 @@ def test_partition_meta_reports_range_layout(spark):
     spans = sorted((r.min_k, r.max_k) for r in meta if r.n_rows)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
+
+
+def test_pipe_through_xml_roundtrip(spark):
+    """XML framing: identity pipe preserves values incl. XML-special chars
+    (escaped on write, unescaped on parse) and NULLs (omitted elements)."""
+    from hpcc_platform_spark.sources import pipe_through
+
+    rows = [(1, "a<b&c>'d\"", 1.5), (2, None, None), (3, "plain", -2.25)]
+    df = spark.createDataFrame(rows, "id int, s string, v double")
+    out = pipe_through(
+        df, ["cat"], "id int, s string, v double", framing="xml"
+    ).orderBy("id").collect()
+    assert [(r.id, r.s, r.v) for r in out] == rows
+
+
+def test_pipe_through_xml_custom_row_tag_and_schema_mismatch(spark):
+    from hpcc_platform_spark.sources import pipe_through
+
+    df = spark.createDataFrame([(7, "x")], "id int, s string")
+    out = pipe_through(
+        df, ["cat"], "id int, s string", framing="xml", row_tag="Rec"
+    ).collect()
+    assert out[0].id == 7 and out[0].s == "x"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="framing"):
+        pipe_through(df, ["cat"], "id int", framing="tsv")

@@ -105,11 +105,60 @@ def test_multimodal_feature_plumbing(spark):
     assert all(again[r.media_id] == r.feature for r in rows)
 
 
-def test_multimodal_decode_is_gated(spark):
-    from hpcc_platform_spark.pipeline.multimodal import decode_resize, fake_media_table
+def test_multimodal_decode_fake_fallback_plumbing(spark):
+    """Without Pillow the decoder falls back to the clearly-marked
+    deterministic fake — same dataflow, schema, and resize metadata as the
+    real path; require_codec=True must raise instead of faking."""
+    from hpcc_platform_spark.pipeline.multimodal import (
+        _pil,
+        decode_resize,
+        fake_media_table,
+    )
 
-    with pytest.raises(NotImplementedError):
-        decode_resize(fake_media_table(spark, 2), (32, 32))
+    media = fake_media_table(spark, 6)
+    out = decode_resize(media, (16, 16)).collect()
+    assert len(out) == 6
+    images = [r for r in out if r.kind == "image"]
+    assert images
+    for r in images:
+        assert (r.width, r.height) == (16, 16)
+        if _pil() is None:
+            assert r.mime == "image/x-fake" and len(r.content) == 16 * 16
+        else:
+            assert r.mime == "image/png"
+    # Non-image rows pass through untouched.
+    audio = {r.media_id: r for r in media.collect() if r.kind == "audio"}
+    for r in out:
+        if r.kind == "audio":
+            assert bytes(r.content) == bytes(audio[r.media_id].content)
+
+    if _pil() is None:
+        with pytest.raises(Exception, match="Pillow"):
+            decode_resize(media, (16, 16), require_codec=True).collect()
+
+
+def test_multimodal_decode_real_pillow_roundtrip(spark):
+    """Exercises the REAL decoder when Pillow is importable: generate a
+    PNG, resize through decode_resize, and re-decode to verify pixels."""
+    from hpcc_platform_spark.pipeline.multimodal import MEDIA_SCHEMA, _pil, decode_resize
+
+    Image = _pil()
+    if Image is None:
+        pytest.skip("Pillow not installed in this container")
+    import io
+
+    img = Image.new("RGB", (64, 48), (200, 10, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), "image/png", 64, 48, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    row = decode_resize(df, (32, 32), require_codec=True).head()
+    assert (row.width, row.height) == (32, 32) and row.mime == "image/png"
+    out = Image.open(io.BytesIO(bytes(row.content)))
+    assert out.size == (32, 32)
+    assert out.convert("RGB").getpixel((5, 5)) == (200, 10, 10)
 
 
 def test_md5_minhash_mode_matches_semantics(docs_with_dups):

@@ -213,3 +213,38 @@ def test_compressed_write_roundtrip_and_smaller(spark, tmp_path):
 
     assert spark.read.parquet(zst).count() == 50_000
     assert size(zst) < size(raw)
+
+
+def test_keyed_filter_validation(spark, tmp_path):
+    """KEYED/WILD validation against the persisted key layout (reference:
+    hqlcfilter.hpp:64 buildSegments): non-key fields rejected, skipped
+    leading keys need WILD, payload predicates go through payload_filter."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.sources.index import build_index, read_index
+
+    df = spark.createDataFrame(
+        [(i, i % 5, i % 3, f"p{i}") for i in range(100)],
+        "k1 int, k2 int, k3 int, payload string",
+    )
+    path = str(tmp_path / "idx")
+    build_index(df, path, keyed=["k1", "k2", "k3"], n_parts=2)
+
+    # Valid: contiguous keyed prefix.
+    assert read_index(spark, path, (F.col("k1") == 3) & (F.col("k2") == 3)).count() == 1
+
+    # Non-keyed field inside the KEYED filter -> rejected with the layout.
+    with pytest.raises(ValueError, match="non-keyed.*payload"):
+        read_index(spark, path, F.col("payload") == "p1")
+
+    # Skipping k1 while filtering k2 needs WILD(k1).
+    with pytest.raises(ValueError, match="skips leading.*k1"):
+        read_index(spark, path, F.col("k2") == 1)
+    assert read_index(spark, path, F.col("k2") == 1, wild=["k1"]).count() == 20
+
+    # Payload predicates are legal via payload_filter (and still applied).
+    got = read_index(
+        spark, path, F.col("k1") == 7, payload_filter=F.col("payload") == "p7"
+    )
+    assert got.count() == 1

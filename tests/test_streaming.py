@@ -6,14 +6,38 @@ bar)."""
 
 from __future__ import annotations
 
+import datetime
+
+import pytest
 from pyspark.sql import functions as F
 
-from hpcc_platform_spark.session import read_table
 from hpcc_platform_spark.streaming import sessionized_stream, tumbling_counts
 
 
-def test_tumbling_counts_stream_matches_batch(spark, sf_dir, tmp_path):
-    events = read_table(spark, sf_dir, "events")
+@pytest.fixture(scope="module")
+def events(spark):
+    """Inline synthetic events with the testdata events schema (minus the
+    unused props column). Built from in-memory rows ON PURPOSE: the round-4
+    regression (parquet TIMESTAMP(NANOS) surfacing differently on Spark
+    4.1) took out this whole suite through ``read_table`` even though no
+    streaming code changed — the streaming tests must be independent of the
+    testdata's physical encoding. Deterministic: clustered timestamps with
+    gaps (sessions), recurring users, view/click/purchase mix."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(600):
+        ts = base + datetime.timedelta(
+            minutes=(i // 7) * 11 + (i % 7), seconds=(i * 13) % 50
+        )
+        rows.append((i, ts, i % 13, ("view", "click", "purchase")[i % 3],
+                     round((i % 97) * 1.5, 2)))
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_tumbling_counts_stream_matches_batch(events, spark, tmp_path):
     # Stage as parquet (µs timestamps) so the same files drive both paths.
     staged = str(tmp_path / "events_staged")
     events.write.mode("overwrite").parquet(staged)
@@ -45,8 +69,7 @@ def test_tumbling_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     assert s == b and len(b) > 0
 
 
-def test_session_window_batch(spark, sf_dir):
-    events = read_table(spark, sf_dir, "events")
+def test_session_window_batch(events, spark):
     n_in = events.count()
     out = sessionized_stream(events)
     rows = out.collect()
@@ -56,8 +79,7 @@ def test_session_window_batch(spark, sf_dir):
     assert sum(r.n_events for r in rows) == n_in
 
 
-def test_watermark_is_attached_on_streams(spark, sf_dir, tmp_path):
-    events = read_table(spark, sf_dir, "events")
+def test_watermark_is_attached_on_streams(events, spark, tmp_path):
     staged = str(tmp_path / "events_wm")
     events.limit(100).write.mode("overwrite").parquet(staged)
     src = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
@@ -66,12 +88,12 @@ def test_watermark_is_attached_on_streams(spark, sf_dir, tmp_path):
     assert "watermark" in agg._jdf.queryExecution().analyzed().toString().lower()
 
 
-def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+def test_stateful_running_totals_across_batches(events, spark, tmp_path):
     """applyInPandasWithState: state persists across micro-batches — final
     per-key totals equal the batch groupBy, regardless of batch split."""
     from hpcc_platform_spark.streaming.stateful import running_totals_stream
 
-    events = read_table(spark, sf_dir, "events").select("user_id", "value")
+    events = events.select("user_id", "value")
     # Two staged files -> maxFilesPerTrigger=1 forces two micro-batches.
     staged = str(tmp_path / "ev")
     events.repartition(2).write.mode("overwrite").parquet(staged)
@@ -133,10 +155,10 @@ def test_kafka_wrappers_fail_cleanly_without_connector(spark, tmp_path):
         pass
 
 
-def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+def test_stream_dedup_within_watermark(events, spark, tmp_path):
     """Streaming dedup (dropDuplicatesWithinWatermark) — the unbounded
     form of DEDUP, state bounded by the watermark horizon."""
-    events = read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    events = events.select("event_id", "ts", "user_id")
     dup = events.unionAll(events)  # every event twice
     staged = str(tmp_path / "dups")
     dup.write.mode("overwrite").parquet(staged)
@@ -159,12 +181,11 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     assert total == n  # duplicates eliminated
 
 
-def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+def test_stream_stream_interval_join(events, spark, tmp_path):
     """Stream-stream join with watermarks + time-bound condition (Spark
     superset over the reference's Kafka-only surface): purchases joined to
     the same user's views within the preceding hour; stream result equals
     the equivalent batch range join."""
-    events = read_table(spark, sf_dir, "events")
     views = events.where(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
     )
