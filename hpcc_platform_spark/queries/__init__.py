@@ -52,6 +52,7 @@ _FAMILY_PRIORITY = [
     "dedup",
     "analytic",
     "textstats",
+    "cleaning",
     "multimodal",
     "scheduler",
     "aggregate",

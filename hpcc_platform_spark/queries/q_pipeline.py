@@ -668,3 +668,120 @@ def containment_pairs_q(spark, sf_dir):
     return containment_pairs_exact(
         docs.where(F.col("doc_id") < 80), threshold=0.6
     )
+
+
+@query(
+    "boilerplate_removal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents WHERE doc_id < 120
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS segment
+      FROM toks, UNNEST(range(CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)
+      WHERE array_to_string(ws[(i*10+1):(i*10+10)], ' ') <> ''
+    ),
+    freq AS (SELECT segment, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY segment),
+    kept AS (SELECT s.doc_id, s.seg_idx, s.segment
+             FROM segs s JOIN freq f USING(segment) WHERE f.df <= 1),
+    rebuilt AS (
+      SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_idx) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(r.text, '') AS text
+    FROM toks t LEFT JOIN rebuilt r USING(doc_id)
+    """,
+    category="cleaning",
+)
+def boilerplate_removal_q(spark, sf_dir):
+    """C4-style boilerplate removal: segments (10-word windows here — the
+    corpus has no newlines; web text would pass delim='\\n') appearing in
+    more than one document are dropped corpus-wide, and documents are
+    reassembled in order. Shape: groupBy(segment) doc-frequency + verdict
+    join + ordered re-agg — key shuffles only."""
+    from hpcc_platform_spark.pipeline.cleaning import remove_boilerplate_segments
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(
+        docs.where(F.col("doc_id") < 120), max_doc_freq=1, words_per_segment=10
+    )
+
+
+@query(
+    "repetition_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents WHERE doc_id < 150
+    ),
+    base AS (
+      SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS d, ws FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+      FROM base, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    per AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    agg AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM per GROUP BY doc_id)
+    SELECT b.doc_id,
+           ROUND(1.0 - CAST(b.d AS DOUBLE) / b.n, 4) AS dup_word_ratio,
+           COALESCE(ROUND(CAST(a.top AS DOUBLE) / a.tot, 4), 0.0) AS top_bigram_frac
+    FROM base b LEFT JOIN agg a USING(doc_id)
+    """,
+    category="cleaning",
+)
+def repetition_scores_q(spark, sf_dir):
+    """Within-document repetition signals (Gopher/MassiveText quality
+    filters): duplicate-unigram ratio + most-frequent-bigram share. One
+    key shuffle (doc, bigram) with map-side partial aggregation."""
+    from hpcc_platform_spark.pipeline.cleaning import repetition_scores
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return repetition_scores(docs.where(F.col("doc_id") < 150))
+
+
+# Inline fixture: the testdata corpus is synthetic words with no PII, so
+# the redaction query runs on a fixed set of adversarial strings with the
+# expected outputs pinned as a VALUES oracle (same technique as
+# phonetic_soundex / the scheduler).
+_PII_CASES = [
+    (1, "contact me at john.doe@example.com now",
+        "contact me at <EMAIL> now", True),
+    (2, "server at 192.168.1.100 port 8080",
+        "server at <IP> port 8080", True),
+    (3, "call (555) 123-4567 or +1 555-987-6543 today",
+        "call <PHONE> or <PHONE> today", True),
+    (4, "ssn 123-45-6789 leaked with ip 10.0.0.1",
+        "ssn <SSN> leaked with ip <IP>", True),
+    (5, "totally clean text stays intact", "totally clean text stays intact", False),
+    (6, "a.b@c.io mailed 8.8.8.8", "<EMAIL> mailed <IP>", True),
+]
+
+_PII_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"({i}, '{t}', '{r}', {str(f).upper()})" for i, t, r, f in _PII_CASES
+) + ") AS t(id, original, text, pii_found)"
+
+
+@query("pii_redact", oracle=_PII_ORACLE, category="cleaning")
+def pii_redact_q(spark, sf_dir):
+    """PII redaction (email/IPv4/phone/SSN regexp_replace chains, map-only
+    codegen) over pinned adversarial cases; expected redactions inlined as
+    the oracle."""
+    from hpcc_platform_spark.pipeline.cleaning import pii_redact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in _PII_CASES], "id int, text string"
+    )
+    return pii_redact(df).select(
+        "id", F.col("text").alias("redacted"), "pii_found"
+    ).join(
+        spark.createDataFrame(
+            [(i, t) for i, t, _, _ in _PII_CASES], "id int, original string"
+        ),
+        "id",
+    ).select("id", "original", F.col("redacted").alias("text"), "pii_found")

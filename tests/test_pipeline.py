@@ -334,3 +334,52 @@ def test_containment_registered_query_plan_has_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_boilerplate_removal_drops_shared_segments(spark):
+    """Segments shared across docs (the cookie banner) vanish; unique
+    content survives in order; all-boilerplate docs come out empty."""
+    from hpcc_platform_spark.pipeline.cleaning import remove_boilerplate_segments
+
+    banner = "accept all cookies to continue"
+    rows = [
+        (1, f"{banner}\nunique article one\nmore unique text"),
+        (2, f"{banner}\nanother distinct body"),
+        (3, banner),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_segments(df, delim="\n", max_doc_freq=1).collect()
+    }
+    assert out[1] == "unique article one\nmore unique text"
+    assert out[2] == "another distinct body"
+    assert out[3] == ""
+
+
+def test_repetition_scores_flags_looping_text(spark):
+    from hpcc_platform_spark.pipeline.cleaning import repetition_scores
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "each word here is fully different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_scores(df).collect()}
+    # Doc 1: 6 tokens 1 distinct -> dup ratio 5/6; every bigram identical.
+    assert got[1].dup_word_ratio == round(1 - 1 / 6, 4)
+    assert got[1].top_bigram_frac == 1.0
+    assert got[2].dup_word_ratio == 0.0
+    assert got[2].top_bigram_frac == round(1 / 5, 4)
+
+
+def test_pii_redact_patterns(spark):
+    from hpcc_platform_spark.pipeline.cleaning import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co call (555) 123-4567 ip 1.2.3.4 ssn 111-22-3333")],
+        "id int, text string",
+    )
+    row = pii_redact(df).head()
+    assert row.text == "mail <EMAIL> call <PHONE> ip <IP> ssn <SSN>"
+    assert row.pii_found
