@@ -80,25 +80,23 @@ def remove_boilerplate_segments(
         F.col("__seg_docs__") <= max_doc_freq
     )
     joiner = " " if delim is None else delim
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg_idx", "segment"))),
+                lambda s: s["segment"],
+            ),
+            joiner,
+        ).alias("__clean__")
+    )
+    # Left join keeps documents whose every segment was boilerplate (empty
+    # text) so row counts stay stable for downstream audits — one join,
+    # not a union + anti-join pair.
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("seg_idx", "segment"))
-                    ),
-                    lambda s: s["segment"],
-                ),
-                joiner,
-            ).alias(text_col)
-        )
-        # Documents entirely composed of boilerplate still come out (empty
-        # text) so row counts are stable for downstream audits.
-        .unionByName(
-            df.select(F.col(id_col)).exceptAll(
-                kept.select(F.col(id_col)).distinct()
-            ).withColumn(text_col, F.lit(""))
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce(F.col("__clean__"), F.lit("")).alias(text_col)
         )
     )
 

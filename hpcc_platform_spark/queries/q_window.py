@@ -229,3 +229,81 @@ def timeseries_gapfill(spark, sf_dir):
         F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
         F.col("day_value").isNull().alias("filled"),
     )
+
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           ROUND(percent_rank() OVER w, 4) AS pct_rank,
+           ROUND(cume_dist() OVER w, 4) AS cdist
+    FROM orders
+    WHERE o_orderkey <= 30000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    category="window",
+)
+def window_distribution_ranks(spark, sf_dir):
+    """Distribution ranks (superset of the reference's RANKED/DISTRIBUTION
+    pair, :916): ntile deciles, percent_rank, cume_dist per priority
+    class. Partitioned window — parallel across partitions, no global
+    funnel; deterministic tie-break on the key."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.where(F.col("o_orderkey") <= 30000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, epoch_day,
+           CAST(SUM(cnt_one) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS INT) AS n_orders_30d,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS spend_30d
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400 AS BIGINT) AS epoch_day,
+             1 AS cnt_one
+      FROM orders WHERE o_custkey <= 2000
+    )
+    """,
+    category="window",
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE-frame windows (value-based, not row-based — the moving-window
+    form ECL expresses with ITERATE+self-lookup): trailing-30-day order
+    count and spend per customer. rangeBetween needs a single numeric sort
+    key, so the date becomes epoch days; partitioned by customer —
+    scale-parallel."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_custkey") <= 2000).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("epoch_day"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "epoch_day",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("spend_30d"),
+    )
