@@ -6,6 +6,7 @@ thin, Catalyst-friendly wrapper — declarative DataFrame ops wherever the
 semantics allow, ``applyInPandas``/``mapInPandas`` only where they don't.
 """
 
+from hpcc_platform_spark.operators.asof import asof_join
 from hpcc_platform_spark.operators.aggregate import (
     distribution,
     global_agg,
@@ -101,6 +102,7 @@ __all__ = [
     "lookup_join",
     "loop_count",
     "loop_until",
+    "asof_join",
     "merge_sorted",
     "nonempty",
     "partition_meta",

@@ -369,3 +369,34 @@ def salted_join_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 4).alias("qty"),
     )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    category="join",
+)
+def asof_join_events(spark, sf_dir):
+    """As-of (point-in-time) join: each purchase matched to the same
+    user's most recent view at-or-before it. Implemented as tag + union +
+    one partitioned window (operators/asof.py) — ONE key shuffle, no
+    range-join explosion, no BNLJ (plan-asserted in tests). Reference
+    analogue: sorted KEYED JOIN + ATMOST(1) stepping (thorstep.cpp);
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from hpcc_platform_spark.operators.asof import asof_join
+
+    (ev,) = tables(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    return asof_join(
+        purchases, views, on="user_id", left_time="ts", right_time="view_ts"
+    )

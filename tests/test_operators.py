@@ -241,3 +241,61 @@ def test_pipe_through_xml_custom_row_tag_and_schema_mismatch(spark):
 
     with pytest.raises(ValueError, match="framing"):
         pipe_through(df, ["cat"], "id int", framing="tsv")
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    """As-of semantics: backward takes the latest right row at-or-before,
+    forward the earliest at-or-after, tolerance nulls distant matches,
+    unmatched rows keep NULLs; name collisions get suffixed."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 25, 2), ("b", 5, 3), ("c", 7, 4)],
+        "k string, t long, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", 8, 100.0), ("a", 20, 200.0), ("a", 25, 250.0), ("b", 9, 300.0)],
+        "k string, t long, price double",
+    )
+    back = {
+        r.lid: (r.t_right, r.price)
+        for r in asof_join(left, right, "k", "t", "t").collect()
+    }
+    assert back[1] == (8, 100.0)       # latest right at-or-before t=10
+    assert back[2] == (25, 250.0)      # exact-time tie matches
+    assert back[3] == (None, None)     # right only has t=9 > 5
+    assert back[4] == (None, None)     # key never on right
+
+    fwd = {
+        r.lid: (r.t_right, r.price)
+        for r in asof_join(left, right, "k", "t", "t", direction="forward").collect()
+    }
+    assert fwd[1] == (20, 200.0)
+    assert fwd[2] == (25, 250.0)
+    assert fwd[3] == (9, 300.0)
+    assert fwd[4] == (None, None)
+
+    tol = {
+        r.lid: (r.t_right, r.price)
+        for r in asof_join(
+            left, right, "k", "t", "t", tolerance=F.lit(2)
+        ).collect()
+    }
+    assert tol[1] == (8, 100.0)        # gap 2 <= 2 kept
+    assert tol[2] == (25, 250.0)       # gap 0
+    assert tol[3] == (None, None)
+
+
+def test_asof_join_plan_has_no_join_node(spark, sf_dir):
+    """The as-of composition must stay a union + partitioned window: no
+    join operator of any kind (and so no BNLJ range-join explosion)."""
+    from hpcc_platform_spark.queries import REGISTRY
+
+    df = REGISTRY["asof_join_events"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct", "ShuffledHashJoin"):
+        assert node not in plan, node
+    assert "Window" in plan

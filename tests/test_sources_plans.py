@@ -248,3 +248,38 @@ def test_keyed_filter_validation(spark, tmp_path):
         spark, path, F.col("k1") == 7, payload_filter=F.col("payload") == "p7"
     )
     assert got.count() == 1
+
+
+def test_read_table_events_branches_on_observed_ts_dtype(spark, sf_dir, tmp_path):
+    """The round-4 breaker: read_table must adapt to however the engine
+    surfaces the events TIMESTAMP(NANOS) column — BIGINT nanos (legacy
+    flag honored) or TIMESTAMP_NTZ (Spark 4.1 native) — instead of
+    hard-coding one encoding. Both paths must yield identical session-TZ
+    timestamps."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.session import read_table
+
+    # Real testdata path (whatever this Spark version reads it as).
+    real = read_table(spark, sf_dir, "events")
+    assert dict(real.dtypes)["ts"] == "timestamp"
+    r = real.orderBy("event_id").select("event_id", "ts").head()
+
+    # Synthetic nanos-as-long staging of the same rows -> LongType branch.
+    staged_dir = str(tmp_path)
+    nanos = real.select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    nanos.write.mode("overwrite").parquet(os.path.join(staged_dir, "events.parquet"))
+    via_long = read_table(spark, staged_dir, "events")
+    assert dict(via_long.dtypes)["ts"] == "timestamp"
+    r2 = via_long.orderBy("event_id").select("event_id", "ts").head()
+    assert (r.event_id, r.ts) == (r2.event_id, r2.ts)
+    assert isinstance(r.ts, datetime.datetime)
