@@ -104,3 +104,80 @@ def distribution(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def time_rollup_hierarchy(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    levels: Sequence[str] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy (the brief's custom
+    operator; TimescaleDB continuous aggregates / Druid rollup): bucket
+    the finest level from the raw stream ONCE, then derive every coarser
+    level by re-aggregating the finer level's partial aggregates
+    (sum-of-sums, sum-of-counts, min-of-mins...). At 100 TB the raw scan
+    happens exactly once; each further level aggregates the previous
+    level's tiny output, which is the whole point of rollup hierarchies.
+    AVG is derived from (sum, count) at the end — never averaged across
+    levels, which would be wrong.
+
+    ``levels`` must be ordered finest -> coarsest (any granularities
+    ``date_trunc`` accepts). Output: one row per (level, bucket) with
+    n/total/vmin/vmax/avg, unioned across levels.
+    """
+    if not levels:
+        raise ValueError("levels must name at least one granularity")
+    v = F.col(value_col)
+    fine = (
+        df.groupBy(F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("total"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+    )
+    # Single-plan fan-out, NOT a union of per-level branches: a lazy union
+    # would re-run the fine aggregation (and the raw scan under it) once
+    # per level — Spark does not CSE identical subtrees across union
+    # branches. Instead each fine bucket explodes into its (level,
+    # truncated-bucket) labels and ONE re-aggregation produces every
+    # level: raw scanned once, plan-asserted in tests.
+    labeled = fine.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lv).alias("level"),
+                        F.date_trunc(lv, F.col("bucket")).alias("bucket"),
+                    )
+                    for lv in levels
+                ]
+            )
+        ).alias("lb"),
+        "n",
+        "total",
+        "vmin",
+        "vmax",
+    )
+    out = labeled.groupBy(
+        F.col("lb.level").alias("level"), F.col("lb.bucket").alias("bucket")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+    return out.select(
+        "level",
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 4).alias("total"),
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+        # avg from the ROUNDED total: summation order differs between
+        # engines, so full-precision total/n can land on opposite sides of
+        # a round-half boundary; the 4-dp total is the cross-engine value.
+        F.round(F.round("total", 4) / F.col("n"), 4).alias("avg_val"),
+    )

@@ -362,3 +362,45 @@ def salted_agg(spark, sf_dir):
         F.round("qty", 4).alias("qty"),
         F.round("revenue", 4).alias("revenue"),
     )
+
+
+@query(
+    "hypertable_rollup",
+    oracle="""
+    WITH fine AS (
+      SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket,
+             COUNT(*) AS n, SUM(value) AS total,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY 1
+    ),
+    hour AS (
+      SELECT date_trunc('hour', bucket) AS bucket,
+             SUM(n) AS n, SUM(total) AS total, MIN(vmin) AS vmin, MAX(vmax) AS vmax
+      FROM fine GROUP BY 1
+    ),
+    day AS (
+      SELECT date_trunc('day', bucket) AS bucket,
+             SUM(n) AS n, SUM(total) AS total, MIN(vmin) AS vmin, MAX(vmax) AS vmax
+      FROM hour GROUP BY 1
+    )
+    SELECT level, bucket, CAST(n AS BIGINT) AS n, ROUND(total, 4) AS total,
+           ROUND(vmin, 4) AS vmin, ROUND(vmax, 4) AS vmax,
+           ROUND(ROUND(total, 4) / n, 4) AS avg_val
+    FROM (
+      SELECT 'minute' AS level, * FROM fine
+      UNION ALL SELECT 'hour', * FROM hour
+      UNION ALL SELECT 'day', * FROM day
+    )
+    """,
+    category="aggregate",
+)
+def hypertable_rollup_q(spark, sf_dir):
+    """Hypertable rollup (continuous-aggregate hierarchy): minute buckets
+    from the raw events scan once; hour and day levels re-aggregate the
+    finer level's partials (sum-of-sums, min-of-mins) — the raw table is
+    scanned exactly once regardless of how many levels stack. AVG derived
+    from (sum, count) at the end."""
+    from hpcc_platform_spark.operators.aggregate import time_rollup_hierarchy
+
+    (ev,) = tables(spark, sf_dir, "events")
+    return time_rollup_hierarchy(ev, "ts", "value")

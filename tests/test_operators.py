@@ -299,3 +299,25 @@ def test_asof_join_plan_has_no_join_node(spark, sf_dir):
                  "CartesianProduct", "ShuffledHashJoin"):
         assert node not in plan, node
     assert "Window" in plan
+
+
+def test_hypertable_rollup_single_scan_and_consistency(spark, sf_dir):
+    """The rollup hierarchy must scan the raw table exactly once (explode
+    fan-out, not union-of-branches), and coarser levels must re-aggregate
+    finer partials consistently (day totals == sum of its hours)."""
+    from hpcc_platform_spark.queries import REGISTRY
+
+    df = REGISTRY["hypertable_rollup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+    rows = df.collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.level, []).append(r)
+    day_total = sum(r.total for r in by_level["day"])
+    hour_total = sum(r.total for r in by_level["hour"])
+    minute_total = sum(r.total for r in by_level["minute"])
+    assert abs(day_total - hour_total) < 1e-6
+    assert abs(hour_total - minute_total) < 1e-6
+    assert sum(r.n for r in by_level["day"]) == sum(r.n for r in by_level["minute"])
