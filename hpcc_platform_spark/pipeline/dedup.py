@@ -359,3 +359,56 @@ def containment_pairs_exact(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup cluster formation: connected components over candidate
+    pairs, labeling every document with the MIN id of its component as the
+    canonical representative — the final step that turns pairwise
+    LSH/verification output into "keep doc X, drop its cluster".
+
+    Min-label propagation: each round every vertex takes the smallest
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (a hub duplicate
+    chains the rest), so a handful of rounds closes them. Each round is
+    join + groupBy(min): key shuffles only, lineage truncated by an eager
+    localCheckpoint per round (the GRAPH-loop discipline of
+    operators/loop.py). For adversarially long chains at extreme scale,
+    the large-star/small-star variant (log-round) drops in here without
+    changing the contract.
+
+    Output: (id, canonical_id) for every id that appears in any pair —
+    unpaired docs are their own cluster and need no row.
+    """
+    a, b = F.col(id_col_a), F.col(id_col_b)
+    sym = pairs.select(a.alias("src"), b.alias("dst")).unionByName(
+        pairs.select(b.alias("src"), a.alias("dst"))
+    ).distinct()
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    for _ in range(max_iters):
+        msgs = labels.join(sym, labels["id"] == sym["src"]).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(labels, "id")
+            .where(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("canonical_id"))

@@ -785,3 +785,58 @@ def pii_redact_q(spark, sf_dir):
         ),
         "id",
     ).select("id", "original", F.col("redacted").alias("text"), "pii_found")
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS ws
+      FROM documents WHERE doc_id < 60
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.ws, b.ws)) /
+            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id
+    """,
+    category="dedup_pipeline",
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Cluster formation over near-dup pairs (min-label-propagation
+    connected components): every paired doc labeled with its component's
+    min id as canonical — the keep/drop decision step after LSH +
+    verification. Oracle computes the same components via a recursive
+    transitive-closure CTE on the identical candidate set."""
+    from hpcc_platform_spark.pipeline.dedup import dedup_clusters
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sets_df = docs.where(F.col("doc_id") < 60).select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        ).alias("ws"),
+    )
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
+    cand = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where((inter / union) >= 0.2)
+        .select("id_a", "id_b")
+    )
+    return dedup_clusters(cand)

@@ -383,3 +383,18 @@ def test_pii_redact_patterns(spark):
     row = pii_redact(df).head()
     assert row.text == "mail <EMAIL> call <PHONE> ip <IP> ssn <SSN>"
     assert row.pii_found
+
+
+def test_dedup_clusters_transitive_components(spark):
+    """Chained pairs merge into one component (canonical = min id);
+    disjoint pairs stay separate; convergence handles a 4-link chain."""
+    from hpcc_platform_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 2), (2, 9), (9, 7), (20, 30), (40, 41)], "id_a long, id_b long"
+    )
+    got = {r.id: r.canonical_id for r in dedup_clusters(pairs).collect()}
+    assert got[5] == got[2] == got[9] == got[7] == 2   # chain collapses to min
+    assert got[20] == got[30] == 20
+    assert got[40] == got[41] == 40
+    assert len(got) == 8  # every id appearing in a pair, nothing else
