@@ -1,10 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partition sizing, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decode is stubbed behind
-``NotImplementedError`` / a deterministic fake because codec libraries
-(Pillow/torchaudio/av) are not in this container — swap ``_decode_image``
-for a real decoder without touching the dataflow.
+signatures) is real and tested. Decoders, by modality:
+- audio: REAL — stdlib ``wave`` parses WAV containers and PCM
+  (``audio_features``), no external library needed;
+- image: real via Pillow when importable (executor-resolved,
+  ``decode_resize``), else a clearly-marked deterministic fake;
+- video frames: deterministic fake slicer (no codec libs in-container) —
+  swap in PyAV without touching the dataflow.
+Corrupt/undecodable blobs degrade per-row (decoded=false) rather than
+failing the batch — mandatory at 100 TB where some blobs are always bad.
 """
 
 from __future__ import annotations
@@ -208,3 +213,85 @@ def frame_sample(df: DataFrame, every_n: int = 2, max_frames: int = 8) -> DataFr
             )
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synth_wav_table(spark, n: int = 60) -> DataFrame:
+    """Deterministic REAL WAV files (stdlib ``wave``, 16-bit mono PCM at
+    8 kHz): sample j of media i is ((i*31 + j*17) % 2003) - 1001 — a
+    formula a SQL oracle can replay exactly (integer math, exact in
+    doubles). Unlike the opaque fake_media_table bytes, these decode with
+    any WAV reader."""
+    import io
+    import struct
+    import wave
+
+    rows = []
+    for i in range(n):
+        n_samples = 800 + (i % 5) * 160
+        pcm = struct.pack(
+            f"<{n_samples}h",
+            *[((i * 31 + j * 17) % 2003) - 1001 for j in range(n_samples)],
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(pcm)
+        rows.append(
+            (i, "audio", buf.getvalue(), "audio/wav", None, None,
+             n_samples * 1000 // 8000)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, decoded boolean, n_frames int, framerate int, "
+    "duration_ms int, rms double"
+)
+
+
+def audio_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Audio feature extraction with a REAL decoder: stdlib ``wave``
+    parses the container and the PCM samples yield RMS amplitude — no
+    external codec library needed, so unlike image decode this path is
+    never stubbed. Undecodable blobs (not WAV / truncated) degrade to
+    decoded=false with byte-derived placeholders instead of failing the
+    batch — at 100 TB some blobs are always corrupt, and a pipeline that
+    dies on row 3 billion is wrong. Same re-chunked mapInPandas shape as
+    extract_features."""
+    import io
+    import math
+    import struct
+    import wave
+    from collections.abc import Iterator
+
+    def one(media_id, raw):
+        if raw is None:
+            return (media_id, False, 0, 0, 0, 0.0)
+        try:
+            with wave.open(io.BytesIO(bytes(raw)), "rb") as w:
+                nf, rate, width = w.getnframes(), w.getframerate(), w.getsampwidth()
+                ch = w.getnchannels()
+                pcm = w.readframes(nf)
+            if width != 2 or ch != 1:
+                raise ValueError("only 16-bit mono handled here")
+            vals = struct.unpack(f"<{nf}h", pcm)
+            rms = math.sqrt(sum(v * v for v in vals) / nf) if nf else 0.0
+            return (media_id, True, nf, rate, nf * 1000 // rate, round(rms, 4))
+        except Exception:
+            n = len(raw)
+            return (media_id, False, n, 0, 0, float(n % 251))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    [one(r.media_id, r.content)
+                     for r in chunk.itertuples(index=False)],
+                    columns=["media_id", "decoded", "n_frames", "framerate",
+                             "duration_ms", "rms"],
+                )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

@@ -840,3 +840,36 @@ def dedup_clusters_q(spark, sf_dir):
         .select("id_a", "id_b")
     )
     return dedup_clusters(cand)
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 800 + (i % 5) * 160 AS ns FROM range(0, 60) t(i)
+    ),
+    s AS (
+      SELECT media_id, ns,
+             CAST((media_id * 31 + j * 17) % 2003 - 1001 AS DOUBLE) AS v
+      FROM m, UNNEST(range(0, ns)) u(j)
+    )
+    SELECT media_id, TRUE AS decoded, CAST(ns AS INT) AS n_frames,
+           8000 AS framerate, CAST(ns / 8 AS INT) AS duration_ms,
+           ROUND(sqrt(SUM(v * v) / ns), 4) AS rms
+    FROM s GROUP BY media_id, ns
+    """,
+    category="multimodal",
+)
+def multimodal_audio_features_q(spark, sf_dir):
+    """REAL audio decode (stdlib wave — no external codec needed): WAV
+    container parse + PCM RMS over deterministic synthesized audio whose
+    sample formula the oracle replays in SQL. Integer PCM keeps the
+    sum-of-squares exact in doubles, so the RMS hash-matches across
+    engines. The degraded path (corrupt blobs -> decoded=false) is pinned
+    in tests/test_pipeline.py."""
+    from hpcc_platform_spark.pipeline.multimodal import (
+        audio_features,
+        synth_wav_table,
+    )
+
+    return audio_features(synth_wav_table(spark, 60).repartition(8, "media_id"))

@@ -398,3 +398,33 @@ def test_dedup_clusters_transitive_components(spark):
     assert got[20] == got[30] == 20
     assert got[40] == got[41] == 40
     assert len(got) == 8  # every id appearing in a pair, nothing else
+
+
+def test_audio_features_real_wav_decode_and_corrupt_fallback(spark):
+    """stdlib-wave decode is REAL: a generated WAV yields its true frame
+    count/rate/duration and the RMS of its known samples; corrupt bytes
+    degrade to decoded=false without failing the batch."""
+    import math
+
+    from hpcc_platform_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        synth_wav_table,
+    )
+
+    wavs = synth_wav_table(spark, 5)
+    got = {r.media_id: r for r in audio_features(wavs).collect()}
+    assert all(r.decoded for r in got.values())
+    assert got[0].n_frames == 800 and got[0].framerate == 8000
+    assert got[0].duration_ms == 100
+    expected_rms = math.sqrt(
+        sum((((0 * 31 + j * 17) % 2003) - 1001) ** 2 for j in range(800)) / 800
+    )
+    assert got[0].rms == round(expected_rms, 4)
+
+    corrupt = spark.createDataFrame(
+        [(99, "audio", b"not a wav at all", "audio/wav", None, None, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    bad = audio_features(corrupt).head()
+    assert bad.decoded is False and bad.framerate == 0
