@@ -245,3 +245,99 @@ def workload_nation_market_share(spark, sf_dir):
             ).alias("mkt_share")
         )
     )
+
+
+@query(
+    "workload_nation_pair_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    category="workload",
+)
+def workload_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between a nation pair): the
+    two-sided dimension filter — supplier nation and customer nation in
+    either orientation. Plan: nation/supplier/customer broadcast into the
+    fact joins (small dims), ONE shuffle join lineitem->orders, partial
+    agg before the final group. The OR-pair predicate stays on the joined
+    dims, not the fact scan, so each broadcast prunes its side first."""
+    li, su, na, orders, cust = tables(
+        spark, sf_dir, "lineitem", "supplier", "nation", "orders", "customer"
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = su.join(broadcast(sn), su.s_nationkey == sn.s_nk).select(
+        "s_suppkey", "supp_nation"
+    )
+    custn = cust.join(broadcast(cn), cust.c_nationkey == cn.c_nk).select(
+        "c_custkey", "cust_nation"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(custn), orders.o_custkey == custn.c_custkey)
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("volume")
+        )
+    )
+
+
+@query(
+    "workload_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_custkey, ROUND(c.c_acctbal, 4) AS acctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    category="workload",
+)
+def workload_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global promise check): customers above the global
+    positive-balance average with NO orders. Plan: the scalar average is a
+    one-row aggregate CROSS-broadcast into the scan (never a driver
+    collect), then a left-anti join against orders — the exists/not-exists
+    idiom as hash anti-join. Verified gap between every acctbal and the
+    average is >= 0.07 at all SFs, so the float comparison is stable
+    cross-engine."""
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
+    )
