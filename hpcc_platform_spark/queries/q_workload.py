@@ -319,18 +319,21 @@ def workload_nation_pair_volume(spark, sf_dir):
     SELECT c.c_custkey, ROUND(c.c_acctbal, 4) AS acctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
     """,
     category="workload",
 )
 def workload_idle_rich_customers(spark, sf_dir):
     """TPC-H Q22 shape (global promise check): customers above the global
-    positive-balance average with NO orders. Plan: the scalar average is a
-    one-row aggregate CROSS-broadcast into the scan (never a driver
-    collect), then a left-anti join against orders — the exists/not-exists
-    idiom as hash anti-join. Verified gap between every acctbal and the
-    average is >= 0.07 at all SFs, so the float comparison is stable
-    cross-engine."""
+    positive-balance average with no URGENT orders (the priority filter
+    keeps the anti-join selective enough to return rows at every test SF —
+    plain "no orders" is empty in this synthetic data, which would make
+    the oracle check vacuous). Plan: the scalar average is a one-row
+    aggregate CROSS-broadcast into the scan (never a driver collect),
+    then a left-anti join — the NOT EXISTS idiom as hash anti-join.
+    Verified gap between every acctbal and the average is >= 0.07 at all
+    SFs, so the float comparison is stable cross-engine."""
     cust, orders = tables(spark, sf_dir, "customer", "orders")
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("ab")
@@ -338,6 +341,10 @@ def workload_idle_rich_customers(spark, sf_dir):
     return (
         cust.crossJoin(broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("ab"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
         .select("c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
     )
