@@ -261,6 +261,81 @@ def _assign_and_probe(
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
+    # Assign: argmax cosine over centroids, ties → lowest cid (max struct
+    # of (cos, -cid) matches the oracle's ORDER BY cos DESC, cid). Norms
+    # are hoisted to once per row / per centroid; the n×C pair expression
+    # is a single dot product. (_assign is shared with the persisted-index
+    # builder ivf_index_build.)
+    assigned = _assign(df, cents, vec_col, id_col)
+    probe_cids = [
+        int(r["cid"])
+        for r in brute_force_topk(
+            cents, qvec, k=nprobe, vec_col="cvec", id_col="cid"
+        ).collect()
+    ]
+    probed = assigned.where(F.col("cid").isin(probe_cids))
+    return brute_force_topk(probed, qvec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_index_build(
+    df: DataFrame,
+    path: str,
+    centroid_stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index the way the 100 TB path demands: vector →
+    nearest-centroid assignment written `partitionBy(cid)` so every probe
+    is PARTITION PRUNING (the scan never touches unprobed cells), plus the
+    centroid table in an underscore sidecar dir (invisible to the main
+    parquet listing, same convention as the KEYED index metadata).
+
+    Same stride-centroid + tie-break semantics as ivf_topk, so the
+    cross-engine oracle transfers to the probed results unchanged."""
+    from pyspark.sql.functions import broadcast  # noqa: F401 (parity with ivf_topk)
+
+    def _norm(vcol):
+        vd = F.transform(vcol, lambda x: x.cast("double"))
+        return F.sqrt(
+            F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+
+    cents = df.where((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    assigned = _assign(df, cents, vec_col, id_col)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    cents.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    qvec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a built IVF index: rank the stored centroids against the
+    query (C rows — driver-cheap), then scan ONLY the nprobe matching
+    partitions (`cid IN (...)` lands in PartitionFilters — asserted in
+    tests) and exact re-rank inside them."""
+    cents = spark.read.parquet(f"{path}/_centroids")
+    probe_cids = [
+        int(r["cid"])
+        for r in brute_force_topk(cents, qvec, k=nprobe, vec_col="cvec", id_col="cid").collect()
+    ]
+    cells = spark.read.parquet(path).where(F.col("cid").isin(probe_cids))
+    return brute_force_topk(cells, qvec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def _assign(df: DataFrame, cents: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment (argmax cosine, ties → lowest cid) —
+    the shared first half of _assign_and_probe, reused by the persisted
+    index builder."""
     from pyspark.sql.functions import broadcast
 
     def _norm(vcol):
@@ -269,10 +344,6 @@ def _assign_and_probe(
             F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
         )
 
-    # Assign: argmax cosine over centroids, ties → lowest cid (max struct
-    # of (cos, -cid) matches the oracle's ORDER BY cos DESC, cid). Norms
-    # are hoisted to once per row / per centroid; the n×C pair expression
-    # is a single dot product.
     dot = F.aggregate(
         F.zip_with(
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
@@ -282,7 +353,7 @@ def _assign_and_probe(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    assigned = (
+    return (
         df.withColumn("__vnorm__", _norm(F.col(vec_col)))
         .crossJoin(broadcast(cents))
         .withColumn("__ccos__", dot / (F.col("__vnorm__") * F.col("cnorm")))
@@ -290,11 +361,3 @@ def _assign_and_probe(
         .agg(F.max(F.struct(F.col("__ccos__"), (-F.col("cid")).alias("ncid"))).alias("best"))
         .select(F.col(id_col), F.col(vec_col), (-F.col("best.ncid")).alias("cid"))
     )
-    probe_cids = [
-        int(r["cid"])
-        for r in brute_force_topk(
-            cents, qvec, k=nprobe, vec_col="cvec", id_col="cid"
-        ).collect()
-    ]
-    probed = assigned.where(F.col("cid").isin(probe_cids))
-    return brute_force_topk(probed, qvec, k=k, vec_col=vec_col, id_col=id_col)

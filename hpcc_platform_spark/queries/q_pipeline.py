@@ -873,3 +873,36 @@ def multimodal_audio_features_q(spark, sf_dir):
     )
 
     return audio_features(synth_wav_table(spark, 60).repartition(8, "media_id"))
+
+
+# The persisted/partitioned IVF form has the same stride-centroid +
+# tie-break semantics as ann_ivf, so the identical oracle applies.
+from hpcc_platform_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "ann_ivf_partitioned",
+    oracle=_REG["ann_ivf"].oracle,
+    category="similarity",
+)
+def ann_ivf_partitioned_q(spark, sf_dir):
+    """IVF with the index MATERIALIZED the way 100 TB demands: nearest-
+    centroid assignments written partitionBy(cid), centroids in an
+    underscore sidecar — a probe then reads ONLY the nprobe matching
+    partitions (cid IN (...) lands in the scan's PartitionFilters,
+    plan-asserted in tests) before any distance math. Same semantics as
+    ann_ivf, so the same oracle verifies the probed results."""
+    import os
+
+    from hpcc_platform_spark.pipeline.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        "/tmp/hpcc_platform_spark_scratch",
+        f"ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivf_index_build(emb, path, centroid_stride=50)
+    return ivf_index_probe(spark, path, _QVEC, k=10, nprobe=2)

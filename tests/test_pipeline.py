@@ -428,3 +428,30 @@ def test_audio_features_real_wav_decode_and_corrupt_fallback(spark):
     )
     bad = audio_features(corrupt).head()
     assert bad.decoded is False and bad.framerate == 0
+
+
+def test_ivf_partitioned_probe_is_partition_pruned(spark, sf_dir):
+    """The persisted IVF index must turn probes into partition pruning:
+    the probe scan's PartitionFilters carry the cid IN (...) predicate and
+    the scan touches only the probed cells."""
+    import os
+
+    from hpcc_platform_spark.pipeline.similarity import (
+        ivf_index_build,
+        ivf_index_probe,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 1).head().embedding]
+    path = "/tmp/hpcc_platform_spark_scratch/ivf_plan_test"
+    ivf_index_build(emb, path, centroid_stride=50)
+
+    probed = ivf_index_probe(spark, path, qvec, k=10, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
+
+    # Identical results to the in-memory stride-IVF (same semantics).
+    mem = {r.vec_id for r in ivf_topk(emb, qvec, k=10, centroid_stride=50, nprobe=2).collect()}
+    disk = {r.vec_id for r in probed.collect()}
+    assert mem == disk
