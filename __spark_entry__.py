@@ -28,8 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered round-robin across operator families so any verification window
-    over a prefix (the driver checks the first 50) covers every family.
+    Ordered so queries the driver has never hash-verified come first
+    (family-interleaved within each phase): the 50-query verification
+    window checks new ground each round, making driver coverage
+    cumulative across rounds.
     """
     return {name: qd.fn for name, qd in ordered_registry().items()}
 
