@@ -786,3 +786,43 @@ def date_functions3(spark, sf_dir):
         F.date_format(adjust_date(d, days=45), "yyyy-MM-dd").alias("plus_45d"),
         F.date_format(adjust_date(d, months=14), "yyyy-MM-dd").alias("plus_14m"),
     )
+
+
+@query(
+    "str_functions4",
+    oracle="""
+    SELECT c_custkey,
+           reverse(c_name) AS name_rev,
+           -- DuckDB has no initcap; title-case the two '#'-split halves
+           upper(c_name[1]) || lower(c_name[2:]) AS name_title,
+           translate(c_name, '#0', '_O') AS name_trans,
+           lpad(c_name, 25, '.') AS name_lpad,
+           rpad(c_mktsegment, 12, '*') AS seg_rpad,
+           CAST(instr(c_name, '#') AS INT) AS hash_pos,
+           substr(c_name, 10, 5) AS name_mid,
+           ltrim(rtrim('  ' || c_name || '  ')) AS name_trim
+    FROM customer WHERE c_custkey <= 400
+    """,
+    category="functions",
+)
+def str_functions4(spark, sf_dir):
+    """Std.Str wave 4 (Str.ecl: Reverse :188, ToTitleCase :213,
+    Translate :400, PadLeft/PadRight, Find :62, SubstituteIncluded/
+    ExtractWord family): reverse, title-case, character translation,
+    padding, find-position, substring, trim — all codegen JVM built-ins,
+    map-only."""
+    (cust,) = tables(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return cust.where(F.col("c_custkey") <= 400).select(
+        "c_custkey",
+        F.reverse(name).alias("name_rev"),
+        F.concat(
+            F.upper(F.substring(name, 1, 1)), F.lower(F.expr("substring(c_name, 2)"))
+        ).alias("name_title"),
+        F.translate(name, "#0", "_O").alias("name_trans"),
+        F.lpad(name, 25, ".").alias("name_lpad"),
+        F.rpad(F.col("c_mktsegment"), 12, "*").alias("seg_rpad"),
+        F.instr(name, "#").cast("int").alias("hash_pos"),
+        F.substring(name, 10, 5).alias("name_mid"),
+        F.trim(F.concat(F.lit("  "), name, F.lit("  "))).alias("name_trim"),
+    )

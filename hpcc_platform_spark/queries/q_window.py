@@ -307,3 +307,50 @@ def window_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("int").alias("n_orders_30d"),
         F.round(F.sum("o_totalprice").over(w), 4).alias("spend_30d"),
     )
+
+
+@query(
+    "window_hopping",
+    oracle="""
+    WITH e AS (
+      -- floor, not CAST: DuckDB double->BIGINT casts ROUND, which shifts
+      -- events with fractional seconds near a window boundary.
+      SELECT event_type, value,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+      FROM events
+    ),
+    hopped AS (
+      -- 10-min windows sliding every 5 min: each event lands in exactly
+      -- ceil(600/300)=2 windows, whose starts are floor((ep-off)/600)*600+off
+      -- for off in {0, 300} (Spark aligns window starts to slide multiples).
+      SELECT to_timestamp((ep - off) // 600 * 600 + off) AS window_start,
+             event_type, value
+      FROM e, UNNEST([0, 300]) AS t(off)
+      WHERE (ep - off) >= 0
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM hopped GROUP BY window_start, event_type
+    """,
+    category="window",
+)
+def window_hopping(spark, sf_dir):
+    """Hopping (sliding) time windows — 10-minute windows every 5 minutes,
+    so each event aggregates into two overlapping windows (the streaming
+    dashboard shape; tumbling and session windows live in streaming/).
+    Spark's F.window handles the fan-out natively; the oracle replays the
+    window-start arithmetic (starts aligned to slide multiples)."""
+    (ev,) = tables(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )

@@ -348,3 +348,44 @@ def workload_idle_rich_customers(spark, sf_dir):
         )
         .select("c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
     )
+
+
+@query(
+    "workload_product_type_profit",
+    oracle="""
+    SELECT sn.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_type LIKE '%BRASS%'
+    GROUP BY nation, ship_year
+    """,
+    category="workload",
+)
+def workload_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year, minus the
+    partsupp cost leg the synthetic schema lacks): part filtered on a
+    LIKE pattern BEFORE its broadcast into the fact join — the
+    filter-then-broadcast order is the plan property that matters at
+    scale (a 100 TB lineitem joins against only the matching parts)."""
+    li, part, su, na = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    brass = part.where(F.col("p_type").like("%BRASS%")).select("p_partkey")
+    sn = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    supp = su.join(broadcast(sn), su.s_nationkey == sn.s_nk).select(
+        "s_suppkey", "nation"
+    )
+    return (
+        li.join(broadcast(brass), li.l_partkey == brass.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("nation", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("profit")
+        )
+    )
