@@ -360,7 +360,7 @@ def workload_idle_rich_customers(spark, sf_dir):
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-    WHERE p.p_type LIKE '%BRASS%'
+    WHERE p.p_type LIKE '%AND%'  -- STANDARD: ~1/6 of parts
     GROUP BY nation, ship_year
     """,
     category="workload",
@@ -372,7 +372,7 @@ def workload_product_type_profit(spark, sf_dir):
     filter-then-broadcast order is the plan property that matters at
     scale (a 100 TB lineitem joins against only the matching parts)."""
     li, part, su, na = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
-    brass = part.where(F.col("p_type").like("%BRASS%")).select("p_partkey")
+    brass = part.where(F.col("p_type").like("%AND%")).select("p_partkey")
     sn = na.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
     )
