@@ -323,14 +323,20 @@ def window_range_frame(spark, sf_dir):
       -- 10-min windows sliding every 5 min: each event lands in exactly
       -- ceil(600/300)=2 windows, whose starts are floor((ep-off)/600)*600+off
       -- for off in {0, 300} (Spark aligns window starts to slide multiples).
-      SELECT to_timestamp((ep - off) // 600 * 600 + off) AS window_start,
+      -- CAST to naive TIMESTAMP: to_timestamp yields TIMESTAMPTZ, which
+      -- pandas surfaces tz-aware and hash-mismatches Spark's naive value.
+      SELECT CAST(to_timestamp((ep - off) // 600 * 600 + off) AS TIMESTAMP) AS window_start,
              event_type, value
       FROM e, UNNEST([0, 300]) AS t(off)
       WHERE (ep - off) >= 0
     )
     SELECT window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 4) AS total_value
+           -- DECIMAL sum: exact and order-independent, so the rounded
+           -- total can't flip on cross-engine summation order (double
+           -- sums differ in the last ulp; with ~16k groups one lands on
+           -- a round-half boundary).
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
     FROM hopped GROUP BY window_start, event_type
     """,
     category="window",
@@ -348,7 +354,9 @@ def window_hopping(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
