@@ -826,3 +826,38 @@ def str_functions4(spark, sf_dir):
         F.substring(name, 10, 5).alias("name_mid"),
         F.trim(F.concat(F.lit("  "), name, F.lit("  "))).alias("name_trim"),
     )
+
+
+@query(
+    "date_functions4",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(date_diff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_94,
+           CAST(strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y%m%d') AS INT) AS plus3mo,
+           CAST(strftime(CAST(o_orderdate AS DATE) - INTERVAL 1 YEAR, '%Y%m%d') AS INT) AS minus1yr
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    category="functions",
+)
+def date_functions4(spark, sf_dir):
+    """Std.Date wave 4 (Date.ecl: Quarter, DayOfWeek :150, WeekNum,
+    DaysBetween :384, AdjustDate months/years): quarter, day-of-week
+    (DuckDB dow is 0=Sunday, Spark dayofweek is 1=Sunday — oracle adds
+    1), ISO week, day diff vs a fixed epoch, month/year arithmetic in the
+    reference's YYYYMMDD int encoding."""
+    from hpcc_platform_spark.functions import date_to_int
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.quarter(d).cast("int").alias("qtr"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.datediff(d, F.lit("1994-01-01").cast("date")).cast("int").alias("days_since_94"),
+        date_to_int(F.add_months(d, 3)).alias("plus3mo"),
+        date_to_int(F.add_months(d, -12)).alias("minus1yr"),
+    )

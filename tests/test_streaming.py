@@ -218,3 +218,34 @@ def test_stream_stream_interval_join(events, spark, tmp_path):
     finally:
         q.stop()
     assert got == expected and expected > 0
+
+
+def test_hopping_window_stream_matches_batch(events, spark, tmp_path):
+    """Hopping (sliding) windows run identically as a stream: 10-min
+    windows every 5 min, each event in two windows; complete-mode stream
+    output equals the batch aggregation."""
+    staged = str(tmp_path / "events_hop")
+    events.write.mode("overwrite").parquet(staged)
+
+    def hop(df):
+        return (
+            df.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+            .select(F.col("w.start").alias("ws"), "n", "tv")
+        )
+
+    b = {(r.ws, r.n, r.tv) for r in hop(spark.read.parquet(staged)).collect()}
+    src = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    q = (
+        hop(src)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hop_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        s = {(r.ws, r.n, r.tv) for r in spark.sql("SELECT * FROM hop_out").collect()}
+    finally:
+        q.stop()
+    assert s == b and len(b) > 0
