@@ -906,3 +906,74 @@ def ann_ivf_partitioned_q(spark, sf_dir):
     )
     ivf_index_build(emb, path, centroid_stride=50)
     return ivf_index_probe(spark, path, _QVEC, k=10, nprobe=2)
+
+
+@query(
+    "pipeline_compose_neardup",
+    oracle="""
+    WITH RECURSIVE sets AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS ws
+      FROM documents WHERE doc_id < 80
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.ws, b.ws)) /
+            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id)
+    SELECT s.doc_id,
+           COALESCE(c.canonical_id, s.doc_id) AS canonical_id,
+           CAST(COALESCE(c.canonical_id, s.doc_id) = s.doc_id AS BOOLEAN) AS keep
+    FROM sets s LEFT JOIN comp c ON c.id = s.doc_id
+    """,
+    category="dedup_pipeline",
+)
+def pipeline_compose_neardup_q(spark, sf_dir):
+    """The composed near-dup pipeline end-to-end: candidate pairs (exact
+    word-set Jaccard >= 0.3 on the bounded slice; LSH generates these at
+    scale) -> connected components -> canonical per cluster -> keep/drop
+    verdict for EVERY document (unpaired docs keep themselves). One DAG
+    from raw text to the keep-list a training-data run consumes; each
+    stage is the already-tested operator — this query proves they
+    compose."""
+    from hpcc_platform_spark.pipeline.dedup import dedup_clusters
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sliced = docs.where(F.col("doc_id") < 80)
+    sets_df = sliced.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        ).alias("ws"),
+    )
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
+    cand = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where((inter / union) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup_clusters(cand).withColumnRenamed("id", "doc_id")
+    return (
+        sliced.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+            (F.coalesce("canonical_id", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+    )
