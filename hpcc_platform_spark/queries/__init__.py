@@ -114,6 +114,8 @@ def ordered_registry() -> dict[str, QueryDef]:
     verified = _driver_verified_names()
     by_family: dict[str, list[QueryDef]] = {}
     for qd in REGISTRY.values():
+        if not qd.driver_visible:
+            continue  # pytest-only (engine-specific output; portable sibling checked)
         by_family.setdefault(qd.category, []).append(qd)
     known = [f for f in _FAMILY_PRIORITY if f in by_family]
     families = known + sorted(set(by_family) - set(known))

@@ -143,15 +143,17 @@ def word_jaccard_pairs(spark, sf_dir):
     )
 
 
-@query("minhash_lsh", oracle=None, category="dedup_pipeline")
+@query("minhash_lsh", oracle=None, category="dedup_pipeline", driver_visible=False)
 def minhash_lsh_q(spark, sf_dir):
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join).
 
-    No cross-engine oracle (xxhash64 is Spark-specific — the reference's
-    HASH64 is likewise engine-specific); correctness is pinned by
-    tests/test_pipeline.py: injected near-duplicates must surface with
-    jaccard_est ≈ their true overlap, and the estimate must correlate with
-    exact word-set Jaccard."""
+    Pytest-only (driver_visible=False): xxhash64 is Spark-specific — the
+    reference's HASH64 is likewise engine-specific — so the driver could
+    only ever record ``no_oracle`` here. The oracle-checked portable
+    sibling ``minhash_lsh_portable`` covers the operator in the driver
+    window; this variant's correctness is pinned by tests/test_pipeline.py:
+    injected near-duplicates must surface with jaccard_est ≈ their true
+    overlap, and the estimate must correlate with exact word-set Jaccard."""
     from hpcc_platform_spark.pipeline.dedup import (
         minhash_lsh_candidates,
         minhash_signatures,
@@ -166,12 +168,14 @@ def minhash_lsh_q(spark, sf_dir):
     )
 
 
-@query("simhash_docs", oracle=None, category="dedup_pipeline")
+@query("simhash_docs", oracle=None, category="dedup_pipeline", driver_visible=False)
 def simhash_docs(spark, sf_dir):
     """SimHash fingerprints (64-bit, token-hash sign aggregation).
 
-    Rows-only here (engine-specific hash); tests assert identical docs →
-    identical simhash and near-dups → small hamming distance."""
+    Pytest-only (driver_visible=False): engine-specific xxhash64 output —
+    the oracle-checked ``simhash_portable`` covers the operator in the
+    driver window. Tests assert identical docs → identical simhash and
+    near-dups → small hamming distance."""
     from hpcc_platform_spark.pipeline.dedup import simhash64
 
     (docs,) = tables(spark, sf_dir, "documents")

@@ -29,18 +29,34 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     category: str
+    # False → pytest-only: excluded from the driver's queries() contract.
+    # Used for queries whose output is engine-specific by design (e.g.
+    # Spark xxhash64 signatures DuckDB cannot reproduce) and which have an
+    # oracle-checked portable sibling covering the same operator.
+    driver_visible: bool = True
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def query(name: str, oracle: str | None = None, category: str = "misc"):
+def query(
+    name: str,
+    oracle: str | None = None,
+    category: str = "misc",
+    driver_visible: bool = True,
+):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, category=category)
+        REGISTRY[name] = QueryDef(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            category=category,
+            driver_visible=driver_visible,
+        )
         return fn
 
     return deco

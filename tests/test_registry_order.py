@@ -11,8 +11,19 @@ WINDOW = 50
 
 def test_ordered_registry_same_contents():
     ordered = ordered_registry()
-    assert set(ordered) == set(REGISTRY)
+    visible = {n for n, qd in REGISTRY.items() if qd.driver_visible}
+    assert set(ordered) == visible
     assert all(ordered[n] is REGISTRY[n] for n in ordered)
+
+
+def test_driver_invisible_queries_have_checked_siblings():
+    """Every pytest-only query must be engine-specific-by-design AND have an
+    oracle-backed portable sibling registered (the driver checks those)."""
+    hidden = {n for n, qd in REGISTRY.items() if not qd.driver_visible}
+    assert hidden == {"minhash_lsh", "simhash_docs"}
+    for sibling in ("minhash_lsh_portable", "simhash_portable"):
+        assert REGISTRY[sibling].oracle is not None
+        assert REGISTRY[sibling].driver_visible
 
 
 def test_driver_window_spent_on_unverified_first():
@@ -21,8 +32,9 @@ def test_driver_window_spent_on_unverified_first():
     driver window checks new ground each round."""
     from hpcc_platform_spark.queries import _driver_verified_names
 
-    verified = _driver_verified_names() & set(REGISTRY)
-    unverified = set(REGISTRY) - verified
+    visible = {n for n, qd in REGISTRY.items() if qd.driver_visible}
+    verified = _driver_verified_names() & visible
+    unverified = visible - verified
     order = list(entry_mod.queries())
     if unverified:
         first_block = set(order[: len(unverified)])
@@ -42,6 +54,8 @@ def test_oracle_backed_precede_rows_only_within_family_phase():
     pos = {n: i for i, n in enumerate(order)}
     by_group: dict[tuple, list[str]] = {}
     for n, qd in REGISTRY.items():
+        if not qd.driver_visible:
+            continue
         by_group.setdefault((qd.category, n in verified), []).append(n)
     for names in by_group.values():
         oracle_pos = [pos[n] for n in names if REGISTRY[n].oracle is not None]
