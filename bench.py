@@ -53,17 +53,23 @@ def main() -> None:
     REGISTRY["global_agg"].fn(spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         # One untimed warm pass (codegen, broadcast build, shuffle-file
-        # warmup), then three timed executions reporting the min — the
-        # steady-state number a serving cluster sees. A single contended run
-        # on a loaded machine can no longer fake a 2× regression (the r2
-        # BENCH artifact). Cache/broadcast state is cleared between queries
-        # so measurements stay independent.
+        # warmup), then five timed executions reporting min AND median —
+        # the steady-state number a serving cluster sees. A single
+        # contended run on a loaded machine can no longer fake a 2×
+        # regression (the r2 BENCH artifact), and the r5 artifact
+        # (4.5 s reading for a 1.3 s query from in-session state built up
+        # by 16 preceding queries) is countered by forcing a JVM GC +
+        # letting the ContextCleaner drain stale broadcasts BEFORE the
+        # timed runs, so each query starts from comparable heap state.
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        spark._jvm.System.gc()
+        time.sleep(0.3)  # let ContextCleaner drop unreferenced broadcasts
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
@@ -72,6 +78,7 @@ def main() -> None:
         release_numbering_caches()
         spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +88,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
