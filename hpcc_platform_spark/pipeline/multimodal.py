@@ -75,26 +75,29 @@ def decode_resize(
     """Image decode + resize: MEDIA_SCHEMA in, MEDIA_SCHEMA out with
     ``content`` re-encoded (PNG) at ``size`` and width/height updated.
 
-    Real path: Pillow (import-guarded, resolved on the EXECUTOR — each
-    worker decides independently, so a cluster with codec libs runs real
-    decode with no code change). Fallback when Pillow is absent: a
-    clearly-marked deterministic fake (mime ``image/x-fake``) that
-    byte-samples the blob to ``w*h`` bytes — same dataflow, Arrow batch
-    shape, and fan-in/out as the real decoder, so the plumbing stays
-    testable in codec-less containers. ``require_codec=True`` raises
-    instead of faking (production guard). Non-image rows pass through
-    untouched."""
+    Decode ladder, resolved per-row on the EXECUTOR:
+    1. Pillow when importable (any format Pillow reads, fast C resample);
+    2. the dependency-free stdlib PNG codec (``pipeline/png.py`` — full
+       filter reconstruction, nearest-neighbor resample, PNG re-encode) —
+       REAL decode with no external library, mirroring the stdlib-wave
+       audio path;
+    3. a clearly-marked deterministic fake (mime ``image/x-fake``) that
+       byte-samples the blob to ``w*h`` bytes — same dataflow and Arrow
+       batch shape, keeping non-PNG plumbing testable in codec-less
+       containers. ``require_codec=True`` raises instead of faking
+       (production guard; PNG rows still decode for real without Pillow).
+    Non-image rows pass through untouched."""
     w, h = size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Image = _pil()
-        if Image is None and require_codec:
-            raise NotImplementedError(
-                "media decode requires Pillow, which is not installed; "
-                "install it or call with require_codec=False for the "
-                "deterministic fake"
-            )
         import io
+
+        from hpcc_platform_spark.pipeline.png import (
+            png_decode,
+            png_encode,
+            rgb_resize_nearest,
+        )
 
         def one(rec):
             if rec.kind != "image" or rec.content is None:
@@ -105,6 +108,18 @@ def decode_resize(
                 buf = io.BytesIO()
                 img.save(buf, format="PNG")
                 return buf.getvalue(), "image/png", w, h
+            try:  # stdlib PNG path: real decode, no dependency
+                sw, sh, rgb = png_decode(raw)
+                resized = rgb_resize_nearest(sw, sh, rgb, w, h)
+                return png_encode(w, h, bytes(resized)), "image/png", w, h
+            except ValueError:
+                pass
+            if require_codec:
+                raise NotImplementedError(
+                    "media decode requires Pillow for non-PNG formats and "
+                    "Pillow is not installed; install it or call with "
+                    "require_codec=False for the deterministic fake"
+                )
             # Deterministic fake: stride-sample the blob to w*h bytes.
             n = max(len(raw), 1)
             fake = bytes(raw[(i * n) // (w * h)] for i in range(w * h)) if raw else b""
@@ -243,6 +258,89 @@ def synth_wav_table(spark, n: int = 60) -> DataFrame:
              n_samples * 1000 // 8000)
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def synth_png_table(spark, n: int = 60) -> DataFrame:
+    """Deterministic REAL PNG images (stdlib encoder, 8-bit RGB): pixel
+    (x, y) of media i is R=(i*7+x*3+y*5)%256, G=(i*11+x*2+y*7)%256,
+    B=(i*13+x*5+y*2)%256 — integer formulas a SQL oracle can replay
+    exactly. Unlike the opaque fake_media_table bytes, these decode with
+    any PNG reader (Pillow included)."""
+    from hpcc_platform_spark.pipeline.png import png_encode
+
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4
+        rgb = bytearray()
+        for y in range(h):
+            for x in range(w):
+                rgb += bytes(
+                    (
+                        (i * 7 + x * 3 + y * 5) % 256,
+                        (i * 11 + x * 2 + y * 7) % 256,
+                        (i * 13 + x * 5 + y * 2) % 256,
+                    )
+                )
+        rows.append((i, "image", png_encode(w, h, bytes(rgb)), "image/png", w, h, None))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, decoded boolean, width int, height int, "
+    "avg_r double, avg_g double, avg_b double"
+)
+
+
+def image_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Image feature extraction with a REAL decoder: the dependency-free
+    stdlib PNG codec (``pipeline/png.py``) parses the container, undoes
+    scanline filters, and yields per-channel mean intensities — no
+    external codec library needed, so unlike ``decode_resize``'s Pillow
+    fast path this is never stubbed. Undecodable blobs (not PNG /
+    truncated / unsupported shape) degrade to decoded=false with
+    byte-derived placeholders instead of failing the batch. Same
+    re-chunked mapInPandas shape as extract_features/audio_features."""
+    from collections.abc import Iterator
+
+    from hpcc_platform_spark.pipeline.png import png_decode
+
+    def one(media_id, raw):
+        if raw is None:
+            return (media_id, False, 0, 0, 0.0, 0.0, 0.0)
+        try:
+            w, h, rgb = png_decode(bytes(raw))
+            npix = w * h
+            sums = [0, 0, 0]
+            for p in range(0, len(rgb), 3):
+                sums[0] += rgb[p]
+                sums[1] += rgb[p + 1]
+                sums[2] += rgb[p + 2]
+            return (
+                media_id,
+                True,
+                w,
+                h,
+                round(sums[0] / npix, 4),
+                round(sums[1] / npix, 4),
+                round(sums[2] / npix, 4),
+            )
+        except ValueError:
+            n = len(raw)
+            return (media_id, False, n, 0, float(n % 251), 0.0, 0.0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    [one(r.media_id, r.content) for r in chunk.itertuples(index=False)],
+                    columns=[
+                        "media_id", "decoded", "width", "height",
+                        "avg_r", "avg_g", "avg_b",
+                    ],
+                )
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = (

@@ -879,6 +879,45 @@ def multimodal_audio_features_q(spark, sf_dir):
     return audio_features(synth_wav_table(spark, 60).repartition(8, "media_id"))
 
 
+@query(
+    "multimodal_image_features",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 8 + (i % 4) * 4 AS w, 8 + (i % 3) * 4 AS h
+      FROM range(0, 60) t(i)
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             CAST((media_id * 7 + x * 3 + y * 5) % 256 AS DOUBLE) AS r,
+             CAST((media_id * 11 + x * 2 + y * 7) % 256 AS DOUBLE) AS g,
+             CAST((media_id * 13 + x * 5 + y * 2) % 256 AS DOUBLE) AS b
+      FROM m, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y)
+    )
+    SELECT media_id, TRUE AS decoded,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           ROUND(AVG(r), 4) AS avg_r, ROUND(AVG(g), 4) AS avg_g,
+           ROUND(AVG(b), 4) AS avg_b
+    FROM px GROUP BY media_id, w, h
+    """,
+    category="multimodal",
+)
+def multimodal_image_features_q(spark, sf_dir):
+    """REAL image decode with NO external library (stdlib zlib PNG codec —
+    container parse, scanline-filter reconstruction, per-channel means)
+    over deterministic synthesized PNGs whose pixel formula the oracle
+    replays in SQL. Integer pixel sums keep the averages exact in doubles,
+    so the channel means hash-match across engines. The degraded path
+    (corrupt blobs -> decoded=false) and filter types 1-4 are pinned in
+    tests/test_pipeline.py. Mirrors multimodal_audio_features' stdlib-wave
+    approach (reference treats media as opaque blobs + plugin decoders)."""
+    from hpcc_platform_spark.pipeline.multimodal import (
+        image_features,
+        synth_png_table,
+    )
+
+    return image_features(synth_png_table(spark, 60).repartition(8, "media_id"))
+
+
 # The persisted/partitioned IVF form has the same stride-centroid +
 # tie-break semantics as ann_ivf, so the identical oracle applies.
 from hpcc_platform_spark.queries.registry import REGISTRY as _REG  # noqa: E402

@@ -430,6 +430,121 @@ def test_audio_features_real_wav_decode_and_corrupt_fallback(spark):
     assert bad.decoded is False and bad.framerate == 0
 
 
+def test_png_codec_roundtrip_exact():
+    """Pure-Python PNG codec: encode → decode reproduces every pixel."""
+    from hpcc_platform_spark.pipeline.png import png_decode, png_encode
+
+    w, h = 13, 7  # deliberately non-power-of-two
+    rgb = bytes((x * 3 + y * 5 + c * 11) % 256 for y in range(h) for x in range(w) for c in range(3))
+    w2, h2, out = png_decode(png_encode(w, h, rgb))
+    assert (w2, h2) == (w, h)
+    assert bytes(out) == rgb
+
+
+def test_png_decode_handles_all_filter_types():
+    """Scanline filters 1-4 (Sub/Up/Average/Paeth) reconstruct exactly —
+    built by hand-applying each spec filter to known scanlines."""
+    import struct
+    import zlib
+
+    from hpcc_platform_spark.pipeline.png import png_decode
+
+    w, h, ch = 6, 5, 3
+    stride = w * ch
+    rgb = bytes((x * 7 + y * 13 + c * 3) % 256 for y in range(h) for x in range(w) for c in range(ch))
+
+    def filt(ftype, line, prev):
+        out = bytearray()
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((line[i] - pred) & 0xFF)
+        return out
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = bytearray(rgb[y * stride : (y + 1) * stride])
+        raw.append(ftype)
+        raw += filt(ftype, line, prev)
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w2, h2, out = png_decode(png)
+    assert (w2, h2) == (w, h)
+    assert bytes(out) == rgb
+
+
+def test_image_decode_real_without_pillow(spark):
+    """The stdlib PNG path makes decode_resize REAL in this codec-less
+    container: a generated PNG resizes to a valid PNG (mime image/png,
+    decodable, correct nearest-neighbor pixels) with no Pillow."""
+    from hpcc_platform_spark.pipeline.multimodal import decode_resize, synth_png_table
+    from hpcc_platform_spark.pipeline.png import png_decode
+
+    df = synth_png_table(spark, 3)
+    out = {r.media_id: r for r in decode_resize(df, (4, 4)).collect()}
+    for i in range(3):
+        r = out[i]
+        assert r.mime == "image/png" and (r.width, r.height) == (4, 4)
+        w, h, rgb = png_decode(bytes(r.content))
+        assert (w, h) == (4, 4)
+    # Nearest-neighbor spot check: media 0 is 8x8; output pixel (x,y)
+    # samples source pixel (2x, 2y) whose R channel is (2x*3 + 2y*5) % 256.
+    _, _, rgb = png_decode(bytes(out[0].content))
+    for y in range(4):
+        for x in range(4):
+            assert rgb[(y * 4 + x) * 3] == (2 * x * 3 + 2 * y * 5) % 256
+
+
+def test_image_features_real_decode_and_corrupt_fallback(spark):
+    """stdlib PNG decode is REAL: generated PNGs yield their true
+    dimensions and exact channel means; corrupt bytes degrade to
+    decoded=false without failing the batch."""
+    from hpcc_platform_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+        synth_png_table,
+    )
+
+    got = {r.media_id: r for r in image_features(synth_png_table(spark, 5)).collect()}
+    assert all(r.decoded for r in got.values())
+    assert (got[0].width, got[0].height) == (8, 8)
+    expect_r = sum((0 * 7 + x * 3 + y * 5) % 256 for x in range(8) for y in range(8)) / 64
+    assert got[0].avg_r == round(expect_r, 4)
+
+    corrupt = spark.createDataFrame(
+        [(99, "image", b"not a png at all", "image/png", None, None, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    bad = image_features(corrupt).head()
+    assert bad.decoded is False and bad.height == 0
+
+
 def test_ivf_partitioned_probe_is_partition_pruned(spark, sf_dir):
     """The persisted IVF index must turn probes into partition pruning:
     the probe scan's PartitionFilters carry the cid IN (...) predicate and
