@@ -389,3 +389,195 @@ def workload_product_type_profit(spark, sf_dir):
             ).alias("profit")
         )
     )
+
+
+@query(
+    "workload_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eur AS (
+      SELECT ps.l_partkey, ps.supply_cost, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ), best AS (
+      SELECT *, MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM eur
+    )
+    SELECT b.s_acctbal, b.s_name, b.n_name, p.p_partkey, p.p_name,
+           b.supply_cost
+    FROM best b JOIN part p ON p.p_partkey = b.l_partkey
+    WHERE b.supply_cost = b.min_cost AND p.p_type = 'LARGE'
+    ORDER BY b.s_acctbal DESC, b.n_name, b.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    category="workload",
+)
+def workload_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: the correlated min-subquery ("the supplier whose
+    cost equals the minimum for that part, within the region") rewritten
+    the way it should run at scale — NOT a per-part subquery, but one
+    grouped aggregate to per-(part,supplier) cost, a window MIN over the
+    part, and an equality filter. lineitem stands in for partsupp (the
+    synthetic schema has no partsupp); min(l_extendedprice) is the supply
+    cost. Region/nation broadcast into supplier BEFORE the window so the
+    min is taken over the region's suppliers only — the semantics of Q2's
+    correlated inner query. One shuffle for the group-by, one for the
+    window partition; the double MIN/equality is exact (stored values,
+    no arithmetic), so no rounding is needed."""
+    from pyspark.sql import Window
+
+    region, na, supp, part, li = tables(
+        spark, sf_dir, "region", "nation", "supplier", "part", "lineitem"
+    )
+    eur_supp = supp.join(
+        broadcast(
+            na.join(
+                broadcast(region.where(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    eur = ps.join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    best = eur.withColumn(
+        "min_cost", F.min("supply_cost").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("supply_cost") == F.col("min_cost"))
+    wanted = part.where(F.col("p_type") == "LARGE")
+    return (
+        best.join(broadcast(wanted), F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "workload_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    category="workload",
+)
+def workload_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: a revenue view consumed TWICE (once for its max,
+    once to select the winners) — the dataset-CSE case. The view is
+    auto_persist-ed so Spark computes the quarterly aggregate ONCE instead
+    of re-running the lineitem scan per consumer (Catalyst does not CSE
+    across a self-join's branches; SURVEY §4.1). The max side collapses to
+    a one-row broadcast. Revenue is rounded to 4 on both engines before
+    the max/equality so summation order can't flip the comparison."""
+    from hpcc_platform_spark.plans.persist import auto_persist
+
+    li, supp = tables(spark, sf_dir, "lineitem", "supplier")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    revenue = auto_persist(
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "workload_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name IN
+         ('NATION_3', 'NATION_7')
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    category="workload",
+)
+def workload_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: stacked semi- and anti- self-joins on the fact
+    table ("my line was returned, another supplier was on the order, no
+    OTHER supplier's line was returned" — returnflag stands in for the
+    receipt-after-commit lateness the synthetic schema lacks). The two
+    EXISTS become leftsemi/leftanti joins on the SAME shuffle key
+    (l_orderkey), so at scale all three lineitem legs co-partition into
+    one exchange each rather than a correlated per-row probe; supplier
+    and the nation filter broadcast."""
+    li, orders, supp, na = tables(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation"
+    )
+    nat = na.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "leftanti",
+        )
+    )
+    return (
+        waited.join(
+            orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l1.l_orderkey"),
+        )
+        .join(supp, F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .join(broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
