@@ -89,10 +89,77 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "skew_demo": skew_demo(spark),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def skew_demo(spark) -> dict[str, float]:
+    """Prove the salt earns its keep: the same deliberately-skewed join
+    (~30% of fact rows on one hot key) timed unsalted vs salted, with
+    AQE's runtime skew-split and broadcast disabled so the shuffle-join
+    straggler is actually exercised — the static-salting case exists for
+    engines/paths where AQE can't rewrite (reference: SKEW() options,
+    thorlcr/msort/tsortm.cpp). Reported OUTSIDE the headline total so the
+    baseline comparison stays apples-to-apples."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators.skew import salted_join
+    from hpcc_platform_spark.session import read_table
+
+    saved = {
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = read_table(spark, SF_DIR, "lineitem")
+        supp = read_table(spark, SF_DIR, "supplier")
+        # ×10 fact replication approximates the next SF up (6M rows at
+        # sf0.1): the hot key's reducer gets ~1.8M rows unsalted, so the
+        # straggler dominates the stage the way it would at cluster scale.
+        sk = li.withColumn(
+            "__rep__", F.explode(F.sequence(F.lit(1), F.lit(10)))
+        ).select(
+            F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
+            .otherwise(F.col("l_suppkey"))
+            .cast("long")
+            .alias("skew_key"),
+            "l_extendedprice",
+        )
+        sm = supp.select(F.col("s_suppkey").alias("skew_key"), "s_name")
+
+        def agg(joined):
+            return joined.groupBy("s_name").agg(
+                F.sum("l_extendedprice").alias("rev")
+            )
+
+        variants = {
+            "unsalted_sec": lambda: agg(sk.hint("merge").join(sm, "skew_key")),
+            "salted_sec": lambda: agg(
+                salted_join(sk.hint("merge"), sm, ["skew_key"], salt_n=8)
+            ),
+        }
+        out: dict[str, float] = {}
+        for label, build in variants.items():
+            build().write.mode("overwrite").format("noop").save()  # warm
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                build().write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            out[label] = round(min(runs), 3)
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 if __name__ == "__main__":

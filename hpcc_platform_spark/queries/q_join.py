@@ -372,6 +372,51 @@ def salted_join_q(spark, sf_dir):
 
 
 @query(
+    "salted_join_skewed",
+    oracle="""
+    WITH sk AS (
+      SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_suppkey END AS skew_key,
+             l_extendedprice, l_discount
+      FROM lineitem
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(sk.l_extendedprice * (1 - sk.l_discount)), 4) AS revenue
+    FROM sk JOIN supplier s ON s.s_suppkey = sk.skew_key
+    GROUP BY s.s_name
+    """,
+    category="join",
+)
+def salted_join_skewed(spark, sf_dir):
+    """Salted join under DELIBERATE skew: ~30% of the fact rows are
+    remapped to one hot key (supplier 0) — the zipf-hot-key shape the
+    reference's SKEW() options exist for (thorlcr/msort/tsortm.cpp
+    sample-based partitioning). The salt spreads the hot key across
+    salt_n reducers; the oracle replays the remap + plain join, proving
+    the salted plan changes the distribution and nothing else.
+    bench.py's skew_demo section times this salted plan against the
+    unsalted straggler with AQE skew-handling off."""
+    from hpcc_platform_spark.operators.skew import salted_join
+
+    li, supp = tables(spark, sf_dir, "lineitem", "supplier")
+    sk = li.select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .cast("long")
+        .alias("skew_key"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    sm = supp.select(F.col("s_suppkey").alias("skew_key"), "s_name")
+    joined = salted_join(sk, sm, ["skew_key"], salt_n=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
     "asof_join_events",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts, p.value, v.ts AS view_ts

@@ -186,6 +186,49 @@ def test_salted_join_matches_unsalted(spark, sf_dir):
     assert salted_agg == plain_agg
 
 
+def test_salted_join_under_deliberate_skew(spark, sf_dir):
+    """Zipf-hot-key fixture (~30% of rows on one key): the salt must
+    spread the hot key across salt_n reducer groups while leaving the
+    join result identical to the unsalted join, row for row."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sk = li.select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .cast("long")
+        .alias("skew_key"),
+        "l_extendedprice",
+    )
+    hot_share = sk.where(F.col("skew_key") == 0).count() / sk.count()
+    assert hot_share > 0.25  # the fixture really is skewed
+
+    sm = supp.select(F.col("s_suppkey").alias("skew_key"), "s_name")
+    plain = (
+        sk.join(sm, "skew_key")
+        .groupBy("skew_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    salted = (
+        salted_join(sk, sm, ["skew_key"], salt_n=8)
+        .groupBy("skew_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    p = {r.skew_key: (r.n, r.s) for r in plain.collect()}
+    s = {r.skew_key: (r.n, r.s) for r in salted.collect()}
+    assert p == s
+
+    # The hot key's rows actually span multiple salt buckets.
+    sk_salted = sk.withColumn("__salt__", F.floor(F.rand(42) * 8).cast("int"))
+    n_buckets = (
+        sk_salted.where(F.col("skew_key") == 0).select("__salt__").distinct().count()
+    )
+    assert n_buckets == 8
+
+
 def test_assert_sorted_passes_and_fails(spark):
     import pytest
     from pyspark.sql import functions as F
