@@ -220,6 +220,128 @@ def test_stream_stream_interval_join(events, spark, tmp_path):
     assert got == expected and expected > 0
 
 
+def _session_parity_harness(events, spark, tmp_path, build_stream, name):
+    """Shared harness: streaming sessionize emits each session exactly
+    once, ON CLOSE — either proven by an in-stream gap or by the watermark
+    passing end+gap. The emitted sessions must equal batch gap-sessionize
+    for every session the final watermark closes."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    gap_s = 300  # 5-minute gap; fixture sessions are ~7 min apart per user
+    ev = events.select("user_id", "ts", "value")
+    # Sentinel far-future event pushes the watermark past every real
+    # session's end+gap so their timers fire; its own (still-open) session
+    # is excluded from the comparison.
+    sentinel_user = 9999
+    sentinel = spark.createDataFrame(
+        [(sentinel_user, datetime.datetime(2030, 1, 1), 0.0)], ev.schema
+    )
+    staged = str(tmp_path / f"events_sessions_{name}")
+    # Several files + maxFilesPerTrigger=1 → state/timers must survive
+    # multiple micro-batches. Files are staged in CONTIGUOUS TIME RANGES
+    # (ntile over ts) because that's what a watermark-respecting source
+    # delivers: event-time disorder is bounded within a batch, not across
+    # batches — cross-batch disorder beyond the open session is exactly
+    # what the watermark contract excludes. The sentinel is staged LAST so
+    # real data is processed before the watermark jumps.
+    from pyspark.sql import Window as W2
+
+    bucketed = ev.withColumn("__b__", F.ntile(3).over(W2.orderBy("ts")))
+    for b in (1, 2, 3):
+        bucketed.where(F.col("__b__") == b).drop("__b__").coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+    sentinel.coalesce(1).write.mode("append").parquet(staged)
+
+    # Batch oracle: gap-based sessionize (same rule as the operator's fold).
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > gap_s)
+            ).cast("int"),
+        )
+        .withColumn("session_no", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total)
+        for r in batch.collect()
+    }
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        build_stream(src, gap_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(f"sessions_out_{name}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events, r.total)
+            for r in spark.sql(f"SELECT * FROM sessions_out_{name}").collect()
+            if r.user_id != sentinel_user
+        }
+    finally:
+        q.stop()
+    assert got == expected and len(expected) > 0
+
+
+def test_session_close_groupstate_matches_batch_sessionize(events, spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: arbitrary-state streaming
+    sessionize emitting on close, batch parity (runs in any environment)."""
+    from hpcc_platform_spark.streaming.stateful import session_close_stream_gs
+
+    _session_parity_harness(
+        events, spark, tmp_path,
+        lambda src, gap: session_close_stream_gs(src, gap_seconds=gap),
+        "gs",
+    )
+
+
+def test_session_close_transformwithstate_matches_batch_sessionize(
+    events, spark, tmp_path
+):
+    """transformWithStateInPandas (Spark 4 arbitrary state + event-time
+    timers): same semantics, same parity bar. The transformWithState
+    protocol's state server speaks protobuf to the JVM, so this skips
+    where the protobuf package is absent (this sandbox) — the GroupState
+    variant above covers the semantics there."""
+    pytest.importorskip("google.protobuf")
+
+    from hpcc_platform_spark.streaming.stateful import session_close_stream
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _session_parity_harness(
+            events, spark, tmp_path,
+            lambda src, gap: session_close_stream(src, gap_seconds=gap),
+            "tws",
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_hopping_window_stream_matches_batch(events, spark, tmp_path):
     """Hopping (sliding) windows run identically as a stream: 10-min
     windows every 5 min, each event in two windows; complete-mode stream
