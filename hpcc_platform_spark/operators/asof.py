@@ -55,6 +55,18 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in payload_cols
     }
 
+    # NULL never equals NULL (join/ASOF semantics): a NULL-key left row
+    # must not match a NULL-key right row, but the window partitioning
+    # below would group them together. Route NULL-key left rows around
+    # the merge-scan (they come back with NULL payload) and drop NULL-key
+    # right rows entirely.
+    keys_ok = F.lit(True)
+    for k in keys:
+        keys_ok = keys_ok & F.col(k).isNotNull()
+    null_left = left.where(~keys_ok)
+    left = left.where(keys_ok)
+    right = right.where(keys_ok)
+
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(right_time).alias(_T),
@@ -109,7 +121,16 @@ def asof_join(
         rv = F.when(sep <= tolerance, rv)
 
     lv = F.col("__asof_lv__")
-    return matched.select(
+    out = matched.select(
         *[lv[c].alias(c) for c in left.columns],
         *[rv[c].alias(out_names[c]) for c in payload_cols],
+    )
+    return out.unionByName(
+        null_left.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
+                for c in payload_cols
+            ],
+        )
     )

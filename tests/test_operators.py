@@ -331,6 +331,23 @@ def test_asof_join_backward_forward_tolerance(spark):
     assert tol[3] == (None, None)
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """NULL never equals NULL (join/ASOF semantics): NULL-key left rows
+    survive with NULL payload and must NOT match NULL-key right rows."""
+    from hpcc_platform_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, 1), ("a", 10, 2)], "k string, t long, lid int"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 99.0), ("a", 5, 100.0)], "k string, t long, price double"
+    )
+    got = {r.lid: (r.t_right, r.price) for r in asof_join(left, right, "k", "t", "t").collect()}
+    assert got[1] == (None, None)   # NULL key: no match, row retained
+    assert got[2] == (5, 100.0)
+    assert len(got) == 2
+
+
 def test_asof_join_plan_has_no_join_node(spark, sf_dir):
     """The as-of composition must stay a union + partitioned window: no
     join operator of any kind (and so no BNLJ range-join explosion)."""

@@ -219,3 +219,71 @@ def test_enth_and_selectnth_agree_with_model(spark, rows, n):
     got_nth = [r.uid for r in selectnth(df, n, ["k", "uid"]).collect()]
     exp_nth = [order[n - 1]] if n <= len(order) else []
     assert got_nth == exp_nth
+
+
+# As-of join: unique (key, time) pairs on the right so the expected match
+# is well-defined (two right rows at the same instant tie arbitrarily —
+# as in pandas.merge_asof — and are excluded from the generator, not the
+# implementation).
+asof_case_st = st.fixed_dictionaries(
+    {
+        "left": st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)),
+            min_size=1,
+            max_size=20,
+        ),
+        "right": st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)),
+            min_size=0,
+            max_size=20,
+            unique=True,
+        ),
+        "direction": st.sampled_from(["backward", "forward"]),
+        "tol": st.one_of(st.none(), st.integers(0, 10)),
+    }
+)
+
+
+@given(case=asof_case_st)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_model(spark, case):
+    """asof_join vs the brute-force definition: for each left row, the
+    nearest right row at-or-before (backward) / at-or-after (forward) on
+    the same key, within tolerance; NULL when none. Random keys, times,
+    direction, and tolerance."""
+    from hpcc_platform_spark.operators.asof import asof_join
+
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(case["left"])]
+    right_rows = [(100 + i, k, t) for i, (k, t) in enumerate(case["right"])]
+    left = spark.createDataFrame(left_rows, "lid long, k long, lt long")
+    right = (
+        spark.createDataFrame(right_rows, "rid long, k long, rt long")
+        if right_rows
+        else spark.createDataFrame([], "rid long, k long, rt long")
+    )
+    tol = None if case["tol"] is None else F.lit(case["tol"])
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="lt",
+        right_time="rt",
+        direction=case["direction"],
+        tolerance=tol,
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+
+    expect = {}
+    for lid, k, lt in left_rows:
+        cands = []
+        for rid, rk, rt in right_rows:
+            if rk != k:
+                continue
+            if case["direction"] == "backward":
+                if rt <= lt and (case["tol"] is None or lt - rt <= case["tol"]):
+                    cands.append((rt, rid))
+            else:
+                if rt >= lt and (case["tol"] is None or rt - lt <= case["tol"]):
+                    cands.append((-rt, rid))
+        expect[lid] = max(cands)[1] if cands else None
+    assert got == expect
