@@ -128,6 +128,26 @@ def time_rollup_hierarchy(
     """
     if not levels:
         raise ValueError("levels must name at least one granularity")
+    # Validate finest -> coarsest: a coarse-first ordering would silently
+    # label coarse buckets with fine level names and mis-aggregate.
+    _GRANULARITY_RANK = {
+        "microsecond": 0, "millisecond": 1, "second": 2, "minute": 3,
+        "hour": 4, "day": 5, "week": 6, "month": 7, "quarter": 8, "year": 9,
+    }
+    ranks = [_GRANULARITY_RANK.get(lv.lower()) for lv in levels]
+    if None in ranks:
+        bad = levels[ranks.index(None)]
+        raise ValueError(f"unknown granularity {bad!r}")
+    if ranks != sorted(ranks) or len(set(ranks)) != len(ranks):
+        raise ValueError(
+            f"levels must be ordered finest -> coarsest without repeats, got {list(levels)}"
+        )
+    lowered = [lv.lower() for lv in levels]
+    if "week" in lowered and lowered.index("week") < len(lowered) - 1:
+        raise ValueError(
+            "week buckets cannot roll up into coarser levels "
+            "(weeks span month boundaries); put 'week' last or in its own call"
+        )
     v = F.col(value_col)
     fine = (
         df.groupBy(F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"))

@@ -77,6 +77,32 @@ def release_numbering_caches() -> None:
             pass
 
 
+class numbering_scope:
+    """Deterministic storage bound for long-running drivers: run the
+    numbering-consuming ACTION inside the scope; caches created within it
+    are released on exit.
+
+    >>> with numbering_scope():
+    ...     global_row_number(df, ["k"]).write.parquet(path)  # the action
+
+    The action MUST materialize inside the scope — releasing a frame whose
+    consumer hasn't run would re-sample the range exchange (see module
+    docstring). Scopes release only frames tracked after entry, so nesting
+    and surrounding un-scoped callers are unaffected."""
+
+    def __enter__(self):
+        self._before = len(_live_caches)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        while len(_live_caches) > self._before:
+            try:
+                _live_caches.pop().unpersist()
+            except Exception:
+                pass
+        return None
+
+
 def _cols(spec: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in spec]
 

@@ -392,6 +392,7 @@ def dedup_clusters(
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
+    changed = 0
     for _ in range(max_iters):
         msgs = labels.join(sym, labels["id"] == sym["src"]).select(
             F.col("dst").alias("id"), "comp"
@@ -411,4 +412,13 @@ def dedup_clusters(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # Exhausting max_iters mid-propagation would silently return
+        # half-merged components — refuse instead (a chain's diameter
+        # exceeded max_iters; raise it or use a log-round variant).
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); component diameter exceeds "
+            "max_iters — raise it (rounds are cheap: join+groupBy(min))"
+        )
     return labels.select(F.col("id"), F.col("comp").alias("canonical_id"))

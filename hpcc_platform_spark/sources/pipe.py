@@ -27,14 +27,18 @@ _CHUNK_ROWS = 10_000
 
 def _coerce_chunk(chunk: pd.DataFrame, struct: StructType) -> pd.DataFrame:
     """Post-parse type coercion shared by both framings. Arrow refuses
-    unsafe int/float -> decimal conversion; route declared decimal columns
-    through Python Decimal."""
+    unsafe int/float -> decimal conversion (route declared decimals
+    through Python Decimal) and won't parse temporal columns from text."""
     for f in struct.fields:
         t = f.dataType.typeName()
         if t == "decimal":
             chunk[f.name] = chunk[f.name].map(
                 lambda v: None if pd.isna(v) else Decimal(str(v))
             )
+        elif t in ("timestamp", "timestamp_ntz"):
+            chunk[f.name] = pd.to_datetime(chunk[f.name])
+        elif t == "date":
+            chunk[f.name] = pd.to_datetime(chunk[f.name]).dt.date
     return chunk
 
 
@@ -47,10 +51,13 @@ def _xml_rows(pdf: pd.DataFrame, row_tag: str) -> bytes:
     parts: list[str] = []
     cols = list(pdf.columns)
     for tup in pdf.itertuples(index=False):
+        # General NULL test: pd.isna catches None/NaN/NaT/pd.NA (which
+        # would otherwise serialize as literal 'NaT'/'<NA>' text); the
+        # is_scalar guard keeps array/struct values out of pd.isna.
         fields = "".join(
             f"<{c}>{escape(str(v))}</{c}>"
             for c, v in zip(cols, tup)
-            if not (v is None or (isinstance(v, float) and pd.isna(v)))
+            if not (v is None or (pd.api.types.is_scalar(v) and pd.isna(v)))
         )
         parts.append(f"<{row_tag}>{fields}</{row_tag}>")
     return ("".join(parts) + "\n").encode()
@@ -66,6 +73,10 @@ def _parse_xml_stream(
     import xml.etree.ElementTree as ET
 
     cols = struct.fieldNames()
+    # A present-but-empty element is an empty STRING, not NULL (NULL
+    # fields are omitted at write time); ElementTree reports both as
+    # text=None, so restore '' for string-typed fields.
+    str_cols = {f.name for f in struct.fields if f.dataType.typeName() == "string"}
     # iterparse needs one root element; the pipe emits bare rows, so wrap
     # the byte stream in a synthetic <__ds__> root without buffering it.
     wrapped = itertools.chain([b"<__ds__>"], iter(lambda: stdout.read(65536), b""), [b"</__ds__>"])
@@ -86,7 +97,17 @@ def _parse_xml_stream(
             continue
         if elem.tag != row_tag:
             continue
-        rows.append({c: None for c in cols} | {ch.tag: ch.text for ch in elem})
+        rows.append(
+            {c: None for c in cols}
+            | {
+                ch.tag: (
+                    ch.text
+                    if ch.text is not None
+                    else ("" if ch.tag in str_cols else None)
+                )
+                for ch in elem
+            }
+        )
         # Drop processed rows from the synthetic root so the tree stays O(1).
         root.clear()
         if len(rows) >= _CHUNK_ROWS:

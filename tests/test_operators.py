@@ -271,6 +271,28 @@ def test_pipe_through_xml_roundtrip(spark):
     assert [(r.id, r.s, r.v) for r in out] == rows
 
 
+def test_pipe_through_xml_empty_string_and_timestamp_null(spark):
+    """ADVICE r5: a non-NULL empty string must survive the XML round trip
+    (present-but-empty element -> '', not NULL) and a NULL timestamp (NaT
+    in pandas) must be omitted, not serialized as literal 'NaT' text."""
+    import datetime
+
+    from hpcc_platform_spark.sources import pipe_through
+
+    rows = [
+        (1, "", datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        (2, None, None),
+        (3, "x", None),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string, ts timestamp")
+    out = pipe_through(
+        df, ["cat"], "id int, s string, ts timestamp", framing="xml"
+    ).orderBy("id").collect()
+    assert (out[0].s, out[0].ts) == ("", rows[0][2])
+    assert (out[1].s, out[1].ts) == (None, None)
+    assert (out[2].s, out[2].ts) == ("x", None)
+
+
 def test_pipe_through_xml_custom_row_tag_and_schema_mismatch(spark):
     from hpcc_platform_spark.sources import pipe_through
 
@@ -381,3 +403,61 @@ def test_hypertable_rollup_single_scan_and_consistency(spark, sf_dir):
     assert abs(day_total - hour_total) < 1e-6
     assert abs(hour_total - minute_total) < 1e-6
     assert sum(r.n for r in by_level["day"]) == sum(r.n for r in by_level["minute"])
+
+
+def test_rollup_hierarchy_rejects_bad_level_orderings(spark):
+    """Coarse-first, repeated, unknown, and week->month orderings must be
+    rejected up front — a coarse-first ordering would silently mislabel
+    buckets and return wrong finer-level aggregates."""
+    import pytest
+
+    from hpcc_platform_spark.operators.aggregate import time_rollup_hierarchy
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 1.0)], "id int, ts string, v double"
+    ).selectExpr("id", "cast(ts as timestamp) as ts", "v")
+    for bad in (("day", "minute"), ("hour", "hour"), ("nanosec",), ("week", "month")):
+        with pytest.raises(ValueError):
+            time_rollup_hierarchy(df, "ts", "v", levels=bad)
+    # The documented good ordering still works.
+    assert time_rollup_hierarchy(df, "ts", "v", levels=("minute", "hour")).count() == 2
+
+
+def test_dedup_clusters_raises_when_diameter_exceeds_max_iters(spark):
+    """A chain longer than max_iters rounds must raise, not silently
+    return half-merged components."""
+    import pytest
+
+    from hpcc_platform_spark.pipeline.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(chain, max_iters=2)
+    ok = dedup_clusters(chain, max_iters=15)
+    assert {r.canonical_id for r in ok.collect()} == {0}
+
+
+def test_numbering_scope_releases_only_inner_caches(spark):
+    """numbering_scope bounds executor storage deterministically: frames
+    tracked inside the scope are released on exit, outer ones are kept."""
+    from hpcc_platform_spark.operators.numbering import (
+        _live_caches,
+        global_row_number,
+        numbering_scope,
+        release_numbering_caches,
+    )
+
+    release_numbering_caches()
+    df = spark.range(100).selectExpr("id", "id % 7 as k")
+    outer = global_row_number(df, ["k", "id"])
+    outer.count()  # materialize the outer consumer
+    n_outer = len(_live_caches)
+    assert n_outer >= 1
+    with numbering_scope():
+        inner = global_row_number(df, ["id"])
+        assert inner.count() == 100
+        assert len(_live_caches) > n_outer
+    assert len(_live_caches) == n_outer  # inner released, outer kept
+    release_numbering_caches()
