@@ -415,10 +415,105 @@ def dedup_clusters(
     if changed != 0:
         # Exhausting max_iters mid-propagation would silently return
         # half-merged components — refuse instead (a chain's diameter
-        # exceeded max_iters; raise it or use a log-round variant).
+        # exceeded max_iters; raise it or use dedup_clusters_star).
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds "
             f"({changed} labels still changing); component diameter exceeds "
-            "max_iters — raise it (rounds are cheap: join+groupBy(min))"
+            "max_iters — raise it or use dedup_clusters_star (log-round)"
         )
     return labels.select(F.col("id"), F.col("comp").alias("canonical_id"))
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) ROUNDS regardless of component DIAMETER, the
+    drop-in for adversarially long chains where ``dedup_clusters``'
+    diameter-bound label propagation would need too many rounds.
+
+    Large-star: every node connects its strictly-larger neighbors to the
+    minimum of its neighborhood (+ itself). Small-star: every node
+    connects its smaller-or-equal neighbors (and itself) to that minimum.
+    Both are one groupBy(min) + one equi-join per round — key shuffles on
+    the node id, never on the (possibly mega-component) label, so a
+    30%-of-corpus component still spreads across reducers. At the fixed
+    point the edge set IS the star (v -> component min).
+
+    Same contract as ``dedup_clusters``: (id, canonical_id=component min)
+    for every id appearing in any input pair.
+    """
+    a, b = F.col(id_col_a), F.col(id_col_b)
+    nodes = (
+        pairs.select(a.alias("id"))
+        .unionByName(pairs.select(b.alias("id")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .withColumn("m", F.least("mn", F.col("src")))
+            .select("src", "m")
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        return (
+            sym.join(_mins(sym), "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        j = oriented.join(_mins(oriented), "src")
+        return (
+            j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(j.select("src", F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    prev: tuple | None = None
+    converged = False
+    for _ in range(max_iters):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),  # overflow-free
+        ).head()
+        fp = (row["n"], row["h"])
+        if fp == prev:  # fixed point (fingerprint equality; an extra
+            converged = True  # round on a collision would be harmless)
+            break
+        prev = fp
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iters} rounds; "
+            "the alternation is O(log n) — this indicates a bug, not data"
+        )
+    labels = edges.groupBy("src").agg(F.min("dst").alias("canonical_id")).select(
+        F.col("src").alias("id"), "canonical_id"
+    )
+    roots = nodes.join(labels, "id", "left_anti").select(
+        "id", F.col("id").alias("canonical_id")
+    )
+    return labels.unionByName(roots)

@@ -879,6 +879,42 @@ def multimodal_audio_features_q(spark, sf_dir):
     return audio_features(synth_wav_table(spark, 60).repartition(8, "media_id"))
 
 
+# Registered just below with the SAME oracle as dedup_clusters (same
+# candidate pairs, same (id, canonical_id) contract).
+from hpcc_platform_spark.queries.registry import REGISTRY as _REG0  # noqa: E402
+
+
+@query(
+    "dedup_clusters_star",
+    oracle=_REG0["dedup_clusters"].oracle,
+    category="dedup_pipeline",
+)
+def dedup_clusters_star_q(spark, sf_dir):
+    """Log-round connected components (large-star/small-star, Kiveris et
+    al. SoCC'14) over the SAME candidate pairs as dedup_clusters — the
+    adversarial-chain scale path; identical (id, canonical_id) contract,
+    so the identical recursive-CTE oracle verifies it."""
+    from hpcc_platform_spark.pipeline.dedup import dedup_clusters_star
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sets_df = docs.where(F.col("doc_id") < 60).select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        ).alias("ws"),
+    )
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    union = (F.size("ws_a") + F.size("ws_b")).cast("double") - inter
+    cand = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where((inter / union) >= 0.2)
+        .select("id_a", "id_b")
+    )
+    return dedup_clusters_star(cand)
+
+
 @query(
     "multimodal_image_features",
     oracle="""

@@ -287,3 +287,46 @@ def test_asof_join_matches_python_model(spark, case):
                     cands.append((-rt, rid))
         expect[lid] = max(cands)[1] if cands else None
     assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=25
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+def test_dedup_clusters_star_matches_union_find(spark, edges):
+    """Large-star/small-star connected components vs a pure-Python
+    union-find on random graphs (self-loops, parallel edges, chains)."""
+    from hpcc_platform_spark.pipeline.dedup import dedup_clusters_star
+
+    df = (
+        spark.createDataFrame(edges, "id_a long, id_b long")
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    got = {(r.id, r.canonical_id) for r in dedup_clusters_star(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        comp_min.setdefault(find(n), min(
+            m for m in parent if find(m) == find(n)
+        ))
+    expect = {(n, comp_min[find(n)]) for n in parent}
+    assert got == expect
