@@ -581,3 +581,203 @@ def workload_waiting_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "workload_priority_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    category="workload",
+)
+def workload_priority_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS (an order with a late-shipping
+    line — shipdate > orderdate+60d stands in for the missing
+    commit/receipt dates) as a LEFTSEMI join whose condition mixes both
+    sides' columns: Spark shuffles once on the order key and evaluates
+    the residual inequality inside the join, never a per-row subquery."""
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "workload_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    category="workload",
+)
+def workload_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: count-of-counts — LEFT OUTER join with a
+    join-condition filter (so zero-order customers survive with count 0),
+    per-customer count, then the distribution of those counts. Two key
+    shuffles (custkey, then the tiny c_count domain); the second
+    aggregation input is one row per customer, not per order."""
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    o = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "workload_promo_revenue_ratio",
+    oracle="""
+    WITH sums AS (
+      SELECT
+        ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0 END), 4) AS promo_rev,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    )
+    SELECT promo_rev, total_rev,
+           ROUND(100.0 * promo_rev / total_rev, 4) AS promo_pct
+    FROM sums
+    """,
+    category="workload",
+)
+def workload_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-sum ratio in ONE scan — the month of
+    lineitem joins broadcast part, and promo vs total revenue come from
+    the same aggregation (no second scan for the denominator). Sums are
+    rounded to 4 before the division so cross-engine summation order
+    can't flip the ratio's last decimal."""
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    win = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sums = (
+        win.join(broadcast(part.select("p_partkey", "p_type")),
+                 F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 4)
+            .alias("promo_rev"),
+            F.round(F.sum(rev), 4).alias("total_rev"),
+        )
+    )
+    return sums.select(
+        "promo_rev",
+        "total_rev",
+        F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 4).alias("promo_pct"),
+    )
+
+
+@query(
+    "workload_bracket_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 5 AND 15
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    category="workload",
+)
+def workload_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive bracket predicates (OR of per-brand
+    AND-brackets mixing both sides' columns). The join stays an equi-join
+    on partkey with the disjunction as a residual filter; Catalyst pushes
+    the per-side implied filters (brand/size on part, quantity bounds on
+    lineitem) down into the scans."""
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    j = li.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(5, 15)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue")
+    )
+
+
+@query(
+    "workload_heavy_shippers",
+    oracle="""
+    WITH heavy AS (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_partkey, l_suppkey
+      HAVING SUM(l_quantity) > 40
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s.s_suppkey
+    """,
+    category="workload",
+)
+def workload_heavy_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join chain — part filter semi-joins
+    into a grouped lineitem HAVING threshold, whose supplier keys
+    semi-join into supplier. Each stage shrinks before the next join;
+    the part filter broadcasts, the grouped fact aggregates once on
+    (partkey, suppkey)."""
+    li, part, supp, na = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    yr = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        yr.join(broadcast(promo), F.col("p_partkey") == F.col("l_partkey"), "leftsemi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi")
+        .join(broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
