@@ -343,6 +343,140 @@ def image_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def _y4m_parse(raw: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a YUV4MPEG2 (Y4M) stream: returns (width, height, [Y planes]).
+
+    Y4M is the standard UNCOMPRESSED video interchange container (ffmpeg
+    `-f yuv4mpeg`), so this is a REAL video decode with zero dependencies
+    — the video analogue of the stdlib-wave/zlib-PNG paths. Supports
+    C420/C422/C444/Cmono chroma; only luma is returned (features use Y).
+    Raises ValueError on malformed input so callers degrade per-row."""
+    if raw is None:
+        raise ValueError("no content")
+    raw = bytes(raw)
+    nl = raw.find(b"\n")
+    if nl < 0 or not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    w = h = None
+    chroma = "420"
+    for tok in raw[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:].decode("ascii", "replace")
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    if chroma.startswith("420"):
+        uv = (w // 2) * (h // 2)
+    elif chroma.startswith("422"):
+        uv = (w // 2) * h
+    elif chroma.startswith("444"):
+        uv = w * h
+    elif chroma.startswith("mono"):
+        uv = 0
+    else:
+        raise ValueError(f"unsupported chroma {chroma!r}")
+    ysz = w * h
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(raw):
+        fnl = raw.find(b"\n", pos)
+        if fnl < 0 or raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        if pos + ysz + 2 * uv > len(raw):
+            raise ValueError("truncated frame")
+        frames.append(raw[pos : pos + ysz])
+        pos += ysz + 2 * uv
+    return w, h, frames
+
+
+def synth_y4m_table(spark, n: int = 40) -> DataFrame:
+    """Deterministic REAL Y4M videos: frame j's luma pixel (x, y) of media
+    i is (i*7 + j*11 + x*3 + y*5) % 256 — replayable by a SQL oracle.
+    Chroma planes alternate C420/C444 per media so the parser's plane
+    arithmetic is exercised; their content is arbitrary (features use Y
+    only)."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 3) * 4, 8 + (i % 2) * 4
+        n_frames = 2 + (i % 4)
+        chroma = "420" if i % 2 == 0 else "444"
+        uv = (w // 2) * (h // 2) if chroma == "420" else w * h
+        buf = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 C{chroma}\n".encode())
+        for j in range(n_frames):
+            buf += b"FRAME\n"
+            buf += bytes(
+                (i * 7 + j * 11 + x * 3 + y * 5) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            buf += bytes((i + j + p) % 256 for p in range(2 * uv))
+        rows.append(
+            (i, "video", bytes(buf), "video/x-yuv4mpeg", w, h, n_frames * 40)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, decoded boolean, width int, height int, "
+    "avg_y double"
+)
+
+
+def video_frame_features(
+    df: DataFrame, every_n: int = 2, max_frames: int = 8, batch_rows: int = 64
+) -> DataFrame:
+    """Video frame sampling with a REAL decoder: parse the Y4M container,
+    take every ``every_n``-th frame capped at ``max_frames``, and emit per
+    frame the mean luma — the fan-out transform (one media row → k frame
+    rows) of a video pipeline with genuine pixel access, no codec library.
+    Undecodable blobs degrade to one decoded=false row instead of failing
+    the batch. Swap ``_y4m_parse`` for PyAV to read compressed formats —
+    the dataflow, schema, and batch shape do not change."""
+    from collections.abc import Iterator
+
+    def rows_for(media_id, raw):
+        try:
+            w, h, frames = _y4m_parse(raw)
+            npix = w * h
+            out = []
+            taken = 0
+            for j in range(0, len(frames), every_n):
+                if taken >= max_frames:
+                    break
+                y = frames[j]
+                out.append(
+                    (media_id, j, True, w, h, round(sum(y) / npix, 4))
+                )
+                taken += 1
+            return out
+        except ValueError:
+            nb = 0 if raw is None else len(raw)
+            return [(media_id, -1, False, 0, 0, float(nb % 251))]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                recs = [
+                    r
+                    for rec in chunk.itertuples(index=False)
+                    for r in rows_for(rec.media_id, rec.content)
+                ]
+                yield pd.DataFrame(
+                    recs,
+                    columns=[
+                        "media_id", "frame_idx", "decoded", "width", "height",
+                        "avg_y",
+                    ],
+                )
+
+    return df.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = (
     "media_id long, decoded boolean, n_frames int, framerate int, "
     "duration_ms int, rms double"

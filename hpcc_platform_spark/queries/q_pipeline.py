@@ -954,6 +954,51 @@ def multimodal_image_features_q(spark, sf_dir):
     return image_features(synth_png_table(spark, 60).repartition(8, "media_id"))
 
 
+@query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH m AS (
+      SELECT i AS media_id, 8 + (i % 3) * 4 AS w, 8 + (i % 2) * 4 AS h,
+             2 + (i % 4) AS nf
+      FROM range(0, 40) t(i)
+    ),
+    fr AS (  -- every 2nd frame, capped at 4 (matches the query's sampling)
+      SELECT media_id, w, h, CAST(j AS INT) AS frame_idx
+      FROM m, UNNEST(range(0, nf)) u(j)
+      WHERE j % 2 = 0 AND j / 2 < 4
+    ),
+    px AS (
+      SELECT media_id, frame_idx, w, h,
+             CAST((media_id * 7 + frame_idx * 11 + x * 3 + y * 5) % 256 AS DOUBLE) AS yv
+      FROM fr, UNNEST(range(0, w)) ux(x), UNNEST(range(0, h)) uy(y)
+    )
+    SELECT media_id, frame_idx, TRUE AS decoded,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           ROUND(AVG(yv), 4) AS avg_y
+    FROM px GROUP BY media_id, frame_idx, w, h
+    """,
+    category="multimodal",
+)
+def multimodal_video_frames_q(spark, sf_dir):
+    """REAL video decode with NO dependency: Y4M (YUV4MPEG2, ffmpeg's
+    uncompressed interchange container) parsed by hand — header, FRAME
+    markers, C420/C444 plane arithmetic — and every-2nd-frame sampling
+    emits mean luma per frame. The oracle replays the synthetic luma
+    formula in SQL; integer pixel sums keep the averages exact. Completes
+    the zero-dependency decoder trio (wave audio, zlib PNG, Y4M video);
+    the corrupt-blob degraded path is pinned in tests/test_pipeline.py."""
+    from hpcc_platform_spark.pipeline.multimodal import (
+        synth_y4m_table,
+        video_frame_features,
+    )
+
+    return video_frame_features(
+        synth_y4m_table(spark, 40).repartition(8, "media_id"),
+        every_n=2,
+        max_frames=4,
+    )
+
+
 # The persisted/partitioned IVF form has the same stride-centroid +
 # tie-break semantics as ann_ivf, so the identical oracle applies.
 from hpcc_platform_spark.queries.registry import REGISTRY as _REG  # noqa: E402

@@ -545,6 +545,53 @@ def test_image_features_real_decode_and_corrupt_fallback(spark):
     assert bad.decoded is False and bad.height == 0
 
 
+def test_y4m_parse_exact_planes_and_corrupt_fallback(spark):
+    """The Y4M parser must return exact luma planes across C420/C444
+    chroma (plane-skip arithmetic exercised by later frames), and corrupt
+    bytes degrade to a decoded=false row, not a batch failure."""
+    from hpcc_platform_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        _y4m_parse,
+        synth_y4m_table,
+        video_frame_features,
+    )
+
+    # Direct parse: media 0 (C420) and media 1 (C444).
+    rows = {r.media_id: bytes(r.content) for r in synth_y4m_table(spark, 2).collect()}
+    for i in (0, 1):
+        w, h, frames = _y4m_parse(rows[i])
+        assert (w, h) == (8 + (i % 3) * 4, 8 + (i % 2) * 4)
+        assert len(frames) == 2 + (i % 4)
+        for j, y in enumerate(frames):
+            expect = bytes(
+                (i * 7 + j * 11 + x * 3 + y2 * 5) % 256
+                for y2 in range(h)
+                for x in range(w)
+            )
+            assert y == expect, (i, j)
+
+    got = {
+        (r.media_id, r.frame_idx): r
+        for r in video_frame_features(
+            synth_y4m_table(spark, 4), every_n=2, max_frames=4
+        ).collect()
+    }
+    assert all(r.decoded for r in got.values())
+    # media 3 has 5 frames -> sampled 0,2,4
+    assert {j for (m, j) in got if m == 3} == {0, 2, 4}
+    r0 = got[(0, 0)]
+    assert r0.avg_y == round(
+        sum((x * 3 + y * 5) % 256 for x in range(8) for y in range(8)) / 64, 4
+    )
+
+    corrupt = spark.createDataFrame(
+        [(99, "video", b"MPEG4 whatever", "video/mp4", None, None, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    bad = video_frame_features(corrupt).head()
+    assert bad.decoded is False and bad.frame_idx == -1
+
+
 def test_ivf_partitioned_probe_is_partition_pruned(spark, sf_dir):
     """The persisted IVF index must turn probes into partition pruning:
     the probe scan's PartitionFilters carry the cid IN (...) predicate and

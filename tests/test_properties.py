@@ -330,3 +330,23 @@ def test_dedup_clusters_star_matches_union_find(spark, edges):
         ))
     expect = {(n, comp_min[find(n)]) for n in parent}
     assert got == expect
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 10**6),
+)
+@settings(max_examples=25, deadline=None, derandomize=True)
+def test_png_codec_roundtrip_random(w, h, seed):
+    """Pure-Python PNG codec round-trips arbitrary dimensions and pixel
+    data exactly (no Spark involved — pure function property)."""
+    from hpcc_platform_spark.pipeline.png import png_decode, png_encode
+
+    rng_state = seed
+    rgb = bytearray()
+    for _ in range(w * h * 3):
+        rng_state = (rng_state * 1103515245 + 12345) % (2**31)
+        rgb.append(rng_state % 256)
+    w2, h2, out = png_decode(png_encode(w, h, bytes(rgb)))
+    assert (w2, h2) == (w, h) and bytes(out) == bytes(rgb)
