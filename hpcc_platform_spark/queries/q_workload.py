@@ -781,3 +781,208 @@ def workload_heavy_shippers(spark, sf_dir):
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "workload_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.045 AND l_discount <= 0.075
+      AND l_quantity < 24
+    """,
+    category="workload",
+)
+def workload_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: single-scan filtered scalar aggregate — the purest
+    pushdown test. Every predicate (date range, discount band, quantity
+    cap) must reach the parquet scan as PushedFilters; the plan is one
+    WholeStageCodegen span ending in a partial/final agg with no shuffle
+    of data rows (only the 1-row partials). Discount bounds sit at band
+    midpoints (0.045/0.075) so float equality at the boundary can never
+    differ between engines."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.045)
+            & (F.col("l_discount") <= 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "workload_important_parts",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS part_cents
+      FROM lineitem GROUP BY l_partkey
+    ), total AS (SELECT SUM(part_cents) AS total_cents FROM per_part)
+    SELECT p.l_partkey, ROUND(p.part_cents / 100.0, 2) AS part_value
+    FROM per_part p, total t
+    WHERE p.part_cents * 1600 > t.total_cents
+    ORDER BY part_value DESC, p.l_partkey
+    """,
+    category="workload",
+)
+def workload_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-group value vs a HAVING
+    threshold derived from the GLOBAL total — the global-scalar-broadcast
+    pattern. One shuffle builds per-part values; the grand total is a
+    1-row aggregate of that (already tiny) frame cross-joined back as a
+    broadcast, so the threshold never forces a second pass over the fact
+    table. Money is summed as exact integer cents so the share comparison
+    is bit-identical across engines regardless of summation order
+    (reference: global scalar hoisting, hqlttcpp.cpp
+    ExplicitGlobalTransformer). per_part feeds BOTH the total and the
+    filter, so it is auto_persist-ed — one lineitem scan, not two."""
+    from hpcc_platform_spark.plans.persist import auto_persist
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_part = auto_persist(
+        li.groupBy("l_partkey").agg(F.sum(cents).alias("part_cents"))
+    )
+    total = per_part.agg(F.sum("part_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .where(F.col("part_cents") * 1600 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "workload_late_line_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    category="workload",
+)
+def workload_late_line_priority(spark, sf_dir):
+    """TPC-H Q12 shape: conditional two-way counts over a join with a
+    cross-side residual (lateness compares l_shipdate to o_orderdate —
+    this synthetic schema has no commit/receipt dates, so shipped >45
+    days after ordering stands in). l_returnflag plays shipmode's role as
+    the grouping dimension. One equi-join shuffle on orderkey; both
+    counts come from the same aggregation via CASE, never two scans."""
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    win = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            win,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "workload_part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+      CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#23' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1,4,9,14,19,23,36,49)
+      AND l.l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    category="workload",
+)
+def workload_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-count grouped by part attributes with a
+    NOT-IN supplier exclusion. The exclusion list (negative-balance
+    suppliers) is tiny, so NOT IN lowers to a broadcast LEFT ANTI join —
+    never a shuffle; the part attribute filter broadcasts too (lineitem
+    as the partsupp stand-in). COUNT(DISTINCT) expands to a two-phase
+    distinct-then-count so the shuffle carries (brand,type,size,suppkey)
+    pre-deduped partials."""
+    li, part, supp = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    sel_parts = part.where(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(broadcast(bad_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(broadcast(sel_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "workload_small_order_revenue",
+    oracle="""
+    WITH bparts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+    qty AS (
+      SELECT l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM bparts)
+      GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 700.0, 4)
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS small_lines
+    FROM lineitem l JOIN qty q ON q.l_partkey = l.l_partkey
+    WHERE 5 * CAST(l.l_quantity AS BIGINT) * q.cnt < q.sum_qty
+    """,
+    category="workload",
+)
+def workload_small_order_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated per-part scalar (lines below 20%
+    of their part's average quantity). The correlated subquery rewrites
+    to ONE grouped aggregate over the brand-restricted fact joined back
+    to the same restricted fact — the semi-join on the broadcast brand
+    part list shrinks both sides before the self-join, so the only wide
+    shuffle is on l_partkey. The 20%-of-average test is done in exact
+    integer arithmetic (5*qty*cnt < sum) so no float average can flip a
+    boundary row between engines."""
+    li, part = tables(spark, sf_dir, "lineitem", "part")
+    bparts = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li_b = li.join(broadcast(bparts), F.col("p_partkey") == F.col("l_partkey"), "leftsemi")
+    qty = li_b.groupBy(F.col("l_partkey").alias("q_partkey")).agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = li_b.join(qty, F.col("q_partkey") == F.col("l_partkey")).where(
+        5 * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sum_qty")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return small.agg(
+        F.round(F.sum(cents) / 700.0, 4).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("small_lines"),
+    )
