@@ -1101,3 +1101,84 @@ def pipeline_compose_neardup_q(spark, sf_dir):
             (F.coalesce("canonical_id", "doc_id") == F.col("doc_id")).alias("keep"),
         )
     )
+
+
+@query(
+    "bm25_keyword_search",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM base),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(dl) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS term FROM base),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks WHERE term IN ('merge', 'scan', 'hash')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+    SELECT t.doc_id,
+           ROUND(SUM(
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * (1.2 + 1) /
+             (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+           ), 4) AS bm25
+    FROM tf t
+    JOIN dfreq d USING (term)
+    JOIN dl l USING (doc_id), stats s
+    GROUP BY t.doc_id
+    ORDER BY bm25 DESC, t.doc_id
+    LIMIT 15
+    """,
+    category="textstats",
+)
+def bm25_keyword_search_q(spark, sf_dir):
+    """Okapi BM25 top-k keyword search: the scored-retrieval layer over
+    the reference's boolean text-search semantics (thorstep.cpp n-way
+    merge joins retrieve; this ranks). Doc lengths are map-only
+    size(filter(split)); the explode is term-filtered before its shuffle;
+    N/avgdl broadcast back from a 1-row aggregate."""
+    from hpcc_platform_spark.pipeline.ranking import bm25_search
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return bm25_search(docs, ["merge", "scan", "hash"], k=15)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS term FROM base),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf)
+    SELECT t.doc_id, t.term,
+           ROUND(t.tf * (ln((1 + n.n_docs) / (1 + d.df)) + 1), 4) AS tfidf
+    FROM tf t JOIN dfreq d USING (term), n
+    WHERE t.doc_id < 40
+    """,
+    category="textstats",
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Full tf-idf index build (smooth idf, sklearn convention),
+    restricted to a doc_id slice so the oracle frame stays small. The
+    build is two key shuffles (doc_id+term, then term); the df and N
+    sides come back as broadcasts."""
+    from hpcc_platform_spark.pipeline.ranking import tfidf_vectors
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return tfidf_vectors(docs).where(F.col("doc_id") < 40)
