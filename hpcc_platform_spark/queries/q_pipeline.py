@@ -1182,3 +1182,78 @@ def tfidf_top_terms_q(spark, sf_dir):
 
     (docs,) = tables(spark, sf_dir, "documents")
     return tfidf_vectors(docs).where(F.col("doc_id") < 40)
+
+
+@query(
+    "doc_chunking",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    nn AS (SELECT doc_id, ws, len(ws) AS n FROM base WHERE len(ws) > 0),
+    starts AS (
+      SELECT doc_id, ws, n, unnest(generate_series(0, n - 1, 40)) AS start
+      FROM nn
+    )
+    SELECT doc_id,
+           CAST(start / 40 AS BIGINT) AS chunk_index,
+           CAST(len(ws[start + 1 : least(start + 50, n)]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(ws[start + 1 : least(start + 50, n)], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    category="textstats",
+)
+def doc_chunking_q(spark, sf_dir):
+    """Overlapping token-window chunking (50-token windows, stride 40):
+    the training-data packing pass. Map-only — split, sequence() of
+    window starts, explode, slice; zero shuffles."""
+    from hpcc_platform_spark.pipeline.chunking import chunk_documents
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=50, stride=40)
+
+
+@query(
+    "corpus_bigrams",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    nn AS (SELECT doc_id, ws, len(ws) AS n FROM base WHERE len(ws) > 1),
+    grams AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM nn, unnest(generate_series(1, n - 1)) AS t(i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+    category="textstats",
+)
+def corpus_bigrams_q(spark, sf_dir):
+    """Corpus-wide bigram frequency (top 20, count-then-lexical order):
+    adjacent-token pairs via zip_with over two shifted slices of the
+    token array (map-side), then a single key shuffle for the count and
+    TakeOrderedAndProject for the top-k."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    base = docs.select(ws.alias("ws"), F.size(ws).alias("n")).where(F.col("n") > 1)
+    grams = F.zip_with(
+        F.slice(F.col("ws"), 1, F.col("n") - 1),
+        F.slice(F.col("ws"), 2, F.col("n") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        base.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )

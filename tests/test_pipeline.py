@@ -617,3 +617,37 @@ def test_ivf_partitioned_probe_is_partition_pruned(spark, sf_dir):
     mem = {r.vec_id for r in ivf_topk(emb, qvec, k=10, centroid_stride=50, nprobe=2).collect()}
     disk = {r.vec_id for r in probed.collect()}
     assert mem == disk
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Window math: full overlap reconstruction, short tail, empty doc
+    dropped, single-token doc produces one 1-token chunk."""
+    from hpcc_platform_spark.pipeline.chunking import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(95))  # 95 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, ""), (3, "only"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=50, stride=40)
+    rows = {(r.doc_id, r.chunk_index): r for r in out.collect()}
+
+    # doc 1: starts 0, 40, 80 -> sizes 50, 50, 15
+    assert [(k, rows[k].n_chunk_tokens) for k in sorted(rows) if k[0] == 1] == [
+        ((1, 0), 50), ((1, 1), 50), ((1, 2), 15)
+    ]
+    assert rows[(1, 1)].chunk_text.split()[0] == "w40"
+    assert rows[(1, 2)].chunk_text.split() == [f"w{i}" for i in range(80, 95)]
+    # overlap: chunk 0 tail == chunk 1 head for overlap = 10
+    assert rows[(1, 0)].chunk_text.split()[40:] == rows[(1, 1)].chunk_text.split()[:10]
+    # empty doc produces nothing; 1-token doc produces one chunk
+    assert not any(k[0] == 2 for k in rows)
+    assert rows[(3, 0)].n_chunk_tokens == 1 and rows[(3, 0)].chunk_text == "only"
+    assert rows[(4, 0)].chunk_text == "a b"
+
+    # non-overlapping stride: contiguous exact partition
+    out2 = chunk_documents(docs.where(F.col("doc_id") == 1), chunk_size=40, stride=40)
+    toks = []
+    for r in sorted(out2.collect(), key=lambda r: r.chunk_index):
+        toks.extend(r.chunk_text.split())
+    assert toks == [f"w{i}" for i in range(95)]
