@@ -31,9 +31,11 @@ from hpcc_platform_spark.operators.join import (
     all_join,
     join,
     join_atmost,
+    join_atmost_range,
     join_limit,
     keyed_join,
     lookup_join,
+    lookup_join_keep,
     range_join,
     self_join,
     smart_join,
@@ -94,12 +96,14 @@ __all__ = [
     "iterate_running",
     "join",
     "join_atmost",
+    "join_atmost_range",
     "join_limit",
     "keyed_join",
     "limit_fail",
     "limit_skip",
     "local_sort",
     "lookup_join",
+    "lookup_join_keep",
     "loop_count",
     "loop_until",
     "asof_join",

@@ -219,3 +219,86 @@ def smart_join(
     tests/test_sources_plans.py (small RHS → runtime broadcast; large RHS
     → SMJ, same results either way)."""
     return left.join(right, list(on), _HOW.get(how.lower(), how.lower()))
+
+
+def join_atmost_range(
+    left: DataFrame,
+    right: DataFrame,
+    eq_pairs: Sequence[tuple[str, str]],
+    range_cond: Column,
+    atmost: int,
+    left_id: str | Sequence[str],
+    keep_unmatched: bool = True,
+) -> DataFrame:
+    """JOIN(..., ATMOST(eq, range, n)) — ATMOST with an equality prefix
+    plus a bounded range tail (MJFhasrange eclhelper.hpp:2806; range form
+    of ATMOST in the language reference).
+
+    Unlike plain ATMOST (where the abandon-count is a property of the RHS
+    key group alone, see join_atmost), the range tail makes the match
+    count a property of each LHS ROW: the same RHS group can be under the
+    limit for one LHS row and over it for another. Lowering: one
+    equi-join shuffle on the prefix (``eq_pairs`` = (left_col, right_col)
+    pairs; the two sides' column names must be disjoint) with the range
+    predicate as an in-join residual, then a window count partitioned by
+    ``left_id`` (a caller-guaranteed unique LHS key — the reference
+    identifies LHS rows positionally in its stream) and a filter; groups
+    over the limit are abandoned, their LHS rows re-attached unmatched
+    when ``keep_unmatched`` (LEFT OUTER form).
+    """
+    ids = [left_id] if isinstance(left_id, str) else list(left_id)
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint, overlap: {sorted(overlap)}")
+    eq = None
+    for lk, rk in eq_pairs:
+        c = F.col(lk) == F.col(rk)
+        eq = c if eq is None else (eq & c)
+    pairs = left.join(right, eq & range_cond, "inner")
+    w = Window.partitionBy(*[F.col(i) for i in ids])
+    good = (
+        pairs.withColumn("__mc__", F.count(F.lit(1)).over(w))
+        .where(F.col("__mc__") <= atmost)
+        .drop("__mc__")
+    )
+    if not keep_unmatched:
+        return good
+    matched = good.select(*ids).distinct()
+    unmatched = left.join(matched, ids, "left_anti")
+    rtypes = dict(right.dtypes)
+    for c in right.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(rtypes[c]))
+    return good.unionByName(unmatched.select(good.columns))
+
+
+def lookup_join_keep(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    keep: int,
+    order_by: Sequence[str | Column],
+    how: str = "inner",
+    on: str | Sequence[str] | Column | None = None,
+) -> DataFrame:
+    """JOIN(..., LOOKUP, MANY, KEEP(n)) (JFmanylookup eclhelper.hpp:1732
+    + KEEP limit): at most n matches per LHS row.
+
+    The reference keeps the first n rows in RHS hash-table arrival order
+    — an order that is nondeterministic on a distributed ingest, which
+    the language docs acknowledge ("any n"). We make the tie-order a
+    declared contract instead: ``order_by`` ranks each RHS key group and
+    the first n under that order survive. The rank runs BEFORE the
+    broadcast, over the (small) RHS — so the broadcast ships only n rows
+    per key and the probe side is untouched. ``keys`` are RHS columns;
+    ``on`` is the join condition (defaults to ``keys`` when the LHS uses
+    the same names).
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_by]
+    )
+    rhs = (
+        right.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= keep)
+        .drop("__rn__")
+    )
+    return lookup_join(left, rhs, list(keys) if on is None else on, how)

@@ -445,3 +445,80 @@ def asof_join_events(spark, sf_dir):
     return asof_join(
         purchases, views, on="user_id", left_time="ts", right_time="view_ts"
     )
+
+
+@query(
+    "join_atmost_range",
+    oracle="""
+    WITH pairs AS (
+      SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_quantity,
+             COUNT(*) OVER (PARTITION BY o.o_orderkey) AS mc
+      FROM orders o JOIN lineitem l
+        ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    ),
+    good AS (
+      SELECT o_orderkey, o_orderpriority, l_linenumber, l_quantity
+      FROM pairs WHERE mc <= 3
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, g.l_linenumber, g.l_quantity
+    FROM orders o LEFT JOIN good g ON g.o_orderkey = o.o_orderkey
+    """,
+    category="join",
+)
+def join_atmost_range_q(spark, sf_dir):
+    """ATMOST with equality prefix + range tail (MJFhasrange
+    eclhelper.hpp:2806): orders matched to lineitems shipped within 30
+    days, abandoning (→ unmatched) any order with more than 3 such lines.
+    The range predicate rides inside the orderkey equi-join as a
+    residual; the per-LHS-row count is one window over the join output."""
+    from hpcc_platform_spark.operators import join_atmost_range
+
+    orders, li = tables(spark, sf_dir, "orders", "lineitem")
+    out = join_atmost_range(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+        eq_pairs=[("o_orderkey", "l_orderkey")],
+        range_cond=F.col("l_shipdate")
+        < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        atmost=3,
+        left_id="o_orderkey",
+    )
+    return out.select("o_orderkey", "o_orderpriority", "l_linenumber", "l_quantity")
+
+
+@query(
+    "lookup_join_keep",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT c.c_custkey, r.o_orderkey, r.o_orderdate, r.o_totalprice
+    FROM customer c JOIN ranked r ON r.o_custkey = c.c_custkey
+    WHERE r.rn <= 2
+    """,
+    category="join",
+)
+def lookup_join_keep_q(spark, sf_dir):
+    """MANY LOOKUP KEEP(2) with a DECLARED tie-order (JFmanylookup
+    eclhelper.hpp:1732): each customer's first two orders by
+    (orderdate, orderkey). The reference keeps hash-table arrival order
+    ("any n"); we rank the RHS key groups before the broadcast so the
+    kept set is deterministic and the broadcast ships only n rows per
+    key."""
+    from hpcc_platform_spark.operators import lookup_join_keep
+
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    out = lookup_join_keep(
+        cust.select("c_custkey"),
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        keys=["o_custkey"],
+        keep=2,
+        order_by=["o_orderdate", "o_orderkey"],
+        how="inner",
+        on=F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return out.select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")

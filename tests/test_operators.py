@@ -550,3 +550,56 @@ def test_q17_shape_exact_integer_threshold(spark, sf_dir):
     row = df.collect()[0]
     assert row.small_lines > 0
     assert row.avg_yearly > 0
+
+
+def test_join_atmost_range_abandons_per_left_row(spark):
+    """The range tail makes the abandon decision per LHS row: the same
+    RHS key group can be under the limit for one LHS row and over it for
+    another — and abandoned LHS rows come back unmatched (LEFT OUTER)."""
+    from hpcc_platform_spark.operators import join_atmost_range
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 10), (3, "z", 0)],
+        "lid int, lk string, anchor int",
+    )
+    right = spark.createDataFrame(
+        [("k", 99), ("k", 98), ("k", 9), ("k", 8), ("k", 7)],
+        "rk string, rv int",
+    )
+    out = join_atmost_range(
+        left, right,
+        eq_pairs=[("lk", "rk")],
+        range_cond=F.abs(F.col("anchor") - F.col("rv")) <= 3,
+        atmost=2,
+        left_id="lid",
+    )
+    rows = sorted((r.lid, r.rv) for r in out.collect())
+    # lid=1 matches {99,98} (2 <= atmost: kept); lid=2 matches {9,8,7}
+    # (3 > atmost: abandoned -> unmatched); lid=3 matches nothing.
+    assert rows == [(1, 98), (1, 99), (2, None), (3, None)]
+    strict = join_atmost_range(
+        left, right,
+        eq_pairs=[("lk", "rk")],
+        range_cond=F.abs(F.col("anchor") - F.col("rv")) <= 3,
+        atmost=2,
+        left_id="lid",
+        keep_unmatched=False,
+    )
+    assert sorted((r.lid, r.rv) for r in strict.collect()) == [(1, 98), (1, 99)]
+
+
+def test_lookup_join_keep_tie_order_and_broadcast(spark):
+    """KEEP(n) keeps exactly the first n per key under the DECLARED
+    order, and the reduced RHS is broadcast (BroadcastHashJoin plan)."""
+    from hpcc_platform_spark.operators import lookup_join_keep
+
+    left = spark.createDataFrame([("a",), ("b",)], "k string")
+    right = spark.createDataFrame(
+        [("a", 3, "x"), ("a", 1, "y"), ("a", 2, "z"), ("b", 9, "w")],
+        "k string, ord int, payload string",
+    )
+    out = lookup_join_keep(left, right, keys=["k"], keep=2, order_by=["ord"])
+    got = sorted((r.k, r.ord) for r in out.collect())
+    assert got == [("a", 1), ("a", 2), ("b", 9)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
