@@ -350,3 +350,79 @@ def test_png_codec_roundtrip_random(w, h, seed):
         rgb.append(rng_state % 256)
     w2, h2, out = png_decode(png_encode(w, h, bytes(rgb)))
     assert (w2, h2) == (w, h) and bytes(out) == bytes(rgb)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=25),
+        min_size=0,
+        max_size=6,
+    ),
+    chunk=st.integers(1, 7),
+    stride=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_matches_python_model(spark, docs, chunk, stride):
+    from hpcc_platform_spark.pipeline.chunking import chunk_documents
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else None
+    expected = set()
+    for i, toks in enumerate(docs):
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            w = toks[start : start + chunk]
+            expected.add((i, ci, len(w), " ".join(w)))
+    if df is None:
+        assert expected == set()
+        return
+    got = {
+        (r.doc_id, r.chunk_index, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_size=chunk, stride=stride).collect()
+    }
+    assert got == expected
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=0, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=0, max_size=12
+    ),
+    atmost=st.integers(1, 3),
+    tol=st.integers(0, 5),
+)
+@settings(**SETTINGS)
+def test_join_atmost_range_matches_python_model(spark, left, right, atmost, tol):
+    from hpcc_platform_spark.operators import join_atmost_range
+
+    lrows = [(i, k, v) for i, (k, v) in enumerate(left)]
+    if not lrows:
+        return
+    ldf = spark.createDataFrame(lrows, "lid long, lk long, lv long")
+    rdf = (
+        spark.createDataFrame(
+            [(k, v) for k, v in right], "rk long, rv long"
+        )
+        if right
+        else spark.createDataFrame([], "rk long, rv long")
+    )
+    out = join_atmost_range(
+        ldf,
+        rdf,
+        eq_pairs=[("lk", "rk")],
+        range_cond=F.abs(F.col("lv") - F.col("rv")) <= tol,
+        atmost=atmost,
+        left_id="lid",
+    )
+    key = lambda t: (t[0], t[1] is None, t[1] if t[1] is not None else 0)
+    got = sorted(((r.lid, r.rv) for r in out.collect()), key=key)
+
+    expected = []
+    for lid, k, v in lrows:
+        matches = [rv for rk, rv in right if rk == k and abs(v - rv) <= tol]
+        if matches and len(matches) <= atmost:
+            expected.extend((lid, rv) for rv in matches)
+        else:
+            expected.append((lid, None))
+    assert got == sorted(expected, key=key)
