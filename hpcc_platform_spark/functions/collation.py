@@ -73,3 +73,35 @@ def collated_sort(
     (Spark's RangePartitioner compares under the collation), so it scales
     exactly like any other global sort — no sort-key UDF column."""
     return df.orderBy(collated(col, locale, strength), *tiebreak)
+
+
+# --- EBCDIC collation (type_ebcdic rtlconst.hpp:79) -------------------------
+# The reference compares EBCDIC STRINGn fields under EBCDIC code-point
+# order (codec tables in rtl/eclrtl; CCSID 037). We build the sort key by
+# translating each printable-ASCII char to the Unicode codepoint equal to
+# its CP037 byte — UTF-8 and Spark/DuckDB string comparison both preserve
+# codepoint order, so ordinary ORDER BY on the key IS the EBCDIC
+# collation (lowercase < uppercase < digits, space below all of them).
+_ASCII_PRINTABLE = "".join(chr(i) for i in range(0x20, 0x7F))
+_EBCDIC_IMAGE = "".join(
+    chr(c.encode("cp037")[0]) for c in _ASCII_PRINTABLE
+)
+
+
+def ebcdic_sort_key(col: str | Column) -> Column:
+    """EBCDIC (CCSID 037) collation sort key for an ASCII string column.
+    JVM-side translate, no UDF; ORDER BY the result to sort in EBCDIC
+    order exactly as the reference compares EBCDIC records."""
+    return F.translate(
+        F.col(col) if isinstance(col, str) else col,
+        _ASCII_PRINTABLE,
+        _EBCDIC_IMAGE,
+    )
+
+
+def ebcdic_translate_sql(expr: str) -> str:
+    """The equivalent ANSI/DuckDB SQL expression for ebcdic_sort_key —
+    translate() over the same CP037 mapping, for oracle parity."""
+    frm = _ASCII_PRINTABLE.replace("'", "''")
+    to = _EBCDIC_IMAGE.replace("'", "''")
+    return f"translate({expr}, '{frm}', '{to}')"

@@ -861,3 +861,48 @@ def date_functions4(spark, sf_dir):
         date_to_int(F.add_months(d, 3)).alias("plus3mo"),
         date_to_int(F.add_months(d, -12)).alias("minus1yr"),
     )
+
+
+_EBCDIC_FIXTURE = [
+    "apple", "Apple", "APPLE", "zebra9", "Zebra", "9zebra", "  lead",
+    "trail  ", "mixedCASE42", "42mixed", "under_score", "hy-phen",
+    "dot.sep", "a b c", "A B C", "!bang", "~tilde", "{brace}", "[brak]",
+    "quote'q", "plus+9", "ZZ top", "zz TOP", "0", "9", "a", "z", "A", "Z",
+]
+
+
+def _ebcdic_values_sql() -> str:
+    return ", ".join(
+        "({}, '{}')".format(i, s.replace("'", "''"))
+        for i, s in enumerate(_EBCDIC_FIXTURE)
+    )
+
+
+def _ebcdic_oracle() -> str:
+    from hpcc_platform_spark.functions.collation import ebcdic_translate_sql
+
+    return f"""
+    SELECT id, s,
+           CAST(row_number() OVER (
+             ORDER BY {ebcdic_translate_sql('s')}, id) AS BIGINT) AS pos
+    FROM (VALUES {_ebcdic_values_sql()}) t(id, s)
+    """
+
+
+@query("ebcdic_collated_sort", oracle=_ebcdic_oracle(), category="functions")
+def ebcdic_collated_sort(spark, sf_dir):
+    """EBCDIC (CCSID 037) collated sort beyond codec-level ingest: the
+    sort KEY is the CP037 byte image (functions/collation.ebcdic_sort_key,
+    JVM translate — codepoint order == EBCDIC byte order), so lowercase
+    sorts before uppercase before digits, as the reference compares
+    EBCDIC STRING fields (type_ebcdic rtlconst.hpp:79; rtl codec tables).
+    Oracle applies the identical CP037 translate in DuckDB."""
+    from hpcc_platform_spark.functions.collation import ebcdic_sort_key
+    from hpcc_platform_spark.operators.numbering import global_row_number
+
+    df = spark.createDataFrame(
+        list(enumerate(_EBCDIC_FIXTURE)), "id int, s string"
+    )
+    return global_row_number(
+        df, [ebcdic_sort_key("s"), "id"], name="pos", num_partitions=4
+    ).select("id", "s", "pos")

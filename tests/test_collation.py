@@ -54,3 +54,24 @@ def test_collated_group_by_merges_case_variants(spark):
         .collect()
     }
     assert out == {3, 1}
+
+
+def test_ebcdic_sort_key_order_properties(spark):
+    """EBCDIC collation inverts ASCII's case/digit order: space < lower
+    < UPPER < digits (CCSID 037). Pin the canonical inversions."""
+    from hpcc_platform_spark.functions.collation import ebcdic_sort_key
+
+    df = spark.createDataFrame(
+        [("a",), ("B",), ("1",), (" ",), ("z",), ("A",), ("9",)], "s string"
+    )
+    got = [r.s for r in df.orderBy(ebcdic_sort_key("s")).collect()]
+    assert got == [" ", "a", "z", "A", "B", "1", "9"]
+    # round-trip parity with Python's cp037 codec byte order
+    import random
+    rnd = random.Random(7)
+    pool = [chr(i) for i in range(0x20, 0x7F)]
+    words = ["".join(rnd.choice(pool) for _ in range(5)) for _ in range(40)]
+    wdf = spark.createDataFrame([(w,) for w in words], "s string")
+    spark_order = [r.s for r in wdf.orderBy(ebcdic_sort_key("s"), "s").collect()]
+    py_order = sorted(words, key=lambda w: (w.encode("cp037"), w))
+    assert spark_order == py_order
