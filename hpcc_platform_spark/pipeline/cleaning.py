@@ -180,3 +180,38 @@ def pii_redact(
     for _, rx, tok in pats:
         red = F.regexp_replace(red, rx, tok)
     return df.withColumn("pii_found", found).withColumn(text_col, red)
+
+
+# --- URL extraction ---------------------------------------------------------
+# Corpus-prep pass: pull URLs out of document text, normalize to the
+# registrable host, and aggregate per-domain stats (the standard input to
+# domain allow/deny filtering before training). Pattern kept to plain
+# character classes so Java regex (Spark) and RE2-style engines (oracle)
+# agree byte-for-byte.
+_URL_RX = r"https?://[^\s\"'<>)\]]+"
+_HOST_RX = r"https?://([^/\s:?#]+)"
+
+
+def extract_urls(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One row per URL occurrence: (id, url, domain). Map-only —
+    regexp_extract_all + explode, host lowered for normalization."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_URL_RX), 0)
+        ).alias("url"),
+    ).withColumn(
+        "domain", F.lower(F.regexp_extract(F.col("url"), _HOST_RX, 1))
+    )
+
+
+def domain_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-domain corpus stats: occurrences and distinct documents. One
+    key shuffle on the (small) domain key after the map-side explode."""
+    urls = extract_urls(df, text_col, id_col)
+    return urls.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )

@@ -1257,3 +1257,53 @@ def corpus_bigrams_q(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(20)
     )
+
+
+_URL_CASES = [
+    (0, "see https://Example.com/page and http://example.com/other for info"),
+    (1, "dup https://example.com/page https://example.com/page twice"),
+    (2, "ports http://host.io:8080/x?q=1 and bare https://host.io"),
+    (3, "punct (https://en.wiki.org/wiki/A_(b)) tail https://t.co/xYz, done"),
+    (4, "no urls here just words"),
+    (5, "quoted \"https://q.example.net/path\" and <https://angle.example.net/>"),
+    (6, "sub https://a.b.cdn.example.org/asset.js end"),
+]
+
+
+def _url_values_sql() -> str:
+    return ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _URL_CASES
+    )
+
+
+@query(
+    "url_domain_stats",
+    oracle=f"""
+    WITH docs(doc_id, text) AS (VALUES {_url_values_sql()}),
+    urls AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               'https?://[^\\s"''<>)\\]]+')) AS url
+      FROM docs
+    ),
+    hosted AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, 'https?://([^/\\s:?#]+)', 1)) AS domain
+      FROM urls
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hosted GROUP BY domain
+    """,
+    category="cleaning",
+)
+def url_domain_stats_q(spark, sf_dir):
+    """URL extraction + per-domain stats (the allow/deny-list input of
+    corpus prep): regexp_extract_all → explode → host normalize →
+    domain groupBy, all JVM-side, over pinned adversarial cases (ports,
+    trailing punctuation, quoting, case-folding hosts)."""
+    from hpcc_platform_spark.pipeline.cleaning import domain_stats
+
+    docs = spark.createDataFrame(_URL_CASES, "doc_id int, text string")
+    return domain_stats(docs)
