@@ -485,3 +485,42 @@ def fixed_width_roundtrip(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_orderpriority",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
     )
+
+
+@query(
+    "index_scan_aggregate",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+    category="sources",
+)
+def index_scan_aggregate(spark, sf_dir):
+    """Aggregation fused INTO the scan (TAKindexcount :966 /
+    TAKindexaggregate :965, eclhelper.hpp:957-968): COUNT and MIN/MAX
+    answered from parquet row-group footers via V2 aggregate pushdown —
+    the plan's scan output IS the aggregate (plan-asserted in
+    tests/test_sources_plans.py), zero data pages read, exactly jhtree's
+    "the index header already knows this" shortcut."""
+    from hpcc_platform_spark.sources.index import scan_count, scan_min_max
+
+    path = f"{sf_dir}/lineitem.parquet"
+    n = scan_count(spark, path)
+    mm = scan_min_max(spark, path, ["l_orderkey", "l_extendedprice"])
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                mm["l_orderkey"][0],
+                mm["l_orderkey"][1],
+                float(mm["l_extendedprice"][0]),
+                float(mm["l_extendedprice"][1]),
+            )
+        ],
+        "n_rows long, min_orderkey long, max_orderkey long, "
+        "min_price double, max_price double",
+    )

@@ -145,3 +145,54 @@ def read_index(
     if columns:
         df = df.select(*columns)
     return df
+
+
+# --- Fused scan-level aggregation (TAKindexcount :966, TAKindexaggregate
+# :965, TAKindexgroupaggregate :967 — aggregation pushed INTO the index
+# read, eclhelper.hpp:957-968). Spark analogue: parquet aggregate
+# pushdown answers COUNT/MIN/MAX from row-group footers without reading
+# data pages — the same "the index header already knows this" shortcut
+# jhtree takes. Requires the V2 parquet reader and no data filters, so
+# the helpers scope both confs and materialize inside the scope.
+from contextlib import contextmanager
+
+
+@contextmanager
+def _v2_agg_pushdown(spark: SparkSession):
+    saved = {
+        "spark.sql.sources.useV1SourceList": spark.conf.get(
+            "spark.sql.sources.useV1SourceList"
+        ),
+        "spark.sql.parquet.aggregatePushdown": spark.conf.get(
+            "spark.sql.parquet.aggregatePushdown"
+        ),
+    }
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def scan_count(spark: SparkSession, path: str) -> int:
+    """COUNT answered from parquet footers (TAKindexcount :966) — the
+    plan's scan output IS count(*); zero data pages read."""
+    with _v2_agg_pushdown(spark):
+        return spark.read.parquet(path).groupBy().count().collect()[0][0]
+
+
+def scan_min_max(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> dict[str, tuple]:
+    """Per-column (min, max) answered from footers (TAKindexaggregate
+    :965). Returns {col: (min, max)}."""
+    from pyspark.sql import functions as F
+
+    with _v2_agg_pushdown(spark):
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = spark.read.parquet(path).agg(*aggs).collect()[0]
+        return {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}

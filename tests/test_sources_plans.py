@@ -283,3 +283,36 @@ def test_read_table_events_branches_on_observed_ts_dtype(spark, sf_dir, tmp_path
     r2 = via_long.orderBy("event_id").select("event_id", "ts").head()
     assert (r.event_id, r.ts) == (r2.event_id, r2.ts)
     assert isinstance(r.ts, datetime.datetime)
+
+
+def test_scan_aggregate_pushes_into_footers(spark, sf_dir):
+    """COUNT/MIN/MAX must be answered by the scan itself (PushedAggregation
+    in the V2 parquet scan — TAKindexcount/TAKindexaggregate fusion), and
+    agree with the ordinary full-scan aggregation."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.sources.index import (
+        _v2_agg_pushdown,
+        scan_count,
+        scan_min_max,
+    )
+
+    path = f"{sf_dir}/lineitem.parquet"
+    with _v2_agg_pushdown(spark):
+        plan = (
+            spark.read.parquet(path)
+            .groupBy()
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedAggregation: [COUNT(*)]" in plan, plan
+
+    df = spark.read.parquet(path)
+    expect = df.agg(
+        F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_orderkey")
+    ).collect()[0]
+    assert scan_count(spark, path) == expect[0]
+    mm = scan_min_max(spark, path, ["l_orderkey"])
+    assert mm["l_orderkey"] == (expect[1], expect[2])
