@@ -54,6 +54,14 @@ class Grammar:
         self.__dict__.pop("_spec", None)
 
     def rule(self, lhs: str, rhs: Sequence[str], action=None) -> None:
+        if not rhs:
+            # Epsilon productions would need Aycock-Horspool handling in
+            # the worklist parser (a completion at its own origin can
+            # miss waiters added later). Any epsilon rule is expressible
+            # by inlining the empty alternative into its consumers.
+            raise ValueError(
+                f"empty production for {lhs!r}: rewrite without epsilon rules"
+            )
         self.prods.append(_Prod(lhs, tuple(rhs), action))
         self.__dict__.pop("_by_lhs", None)
 
@@ -104,51 +112,65 @@ def _earley(grammar: Grammar, toks: list[tuple[str, str]], start: str):
     """Earley parse; returns the semantic value of one full derivation of
     ``start`` over all tokens, or None. Ambiguity resolved deterministically
     (first-completed derivation wins — the reference's Tomita keeps all;
-    MATCHED best-parse selection picks one, as here)."""
+    MATCHED best-parse selection picks one, as here).
+
+    Worklist formulation: each chart item is processed exactly ONCE per
+    position, and completions find their customers through a wait-index
+    (origin position → awaited nonterminal → items) instead of rescanning
+    the origin chart — the textbook O(n·|items|) Earley, replacing the
+    earlier quadratic fix-point sweep. Correct without epsilon handling
+    because ``rule()`` rejects empty productions: every completion spans
+    ≥1 token, so its origin position's worklist is already drained and
+    its wait-index final."""
     prods_by_lhs = grammar._prod_indices_by_lhs()
+    P = grammar.prods
     n = len(toks)
 
-    # item: (prod_index, dot, origin); value store per completed item
-    P = grammar.prods
-    chart: list[dict[tuple[int, int, int], list]] = [dict() for _ in range(n + 1)]
+    # item: (prod_index, dot, origin)
+    seen: list[dict[tuple[int, int, int], list]] = [dict() for _ in range(n + 1)]
+    work: list[list[tuple[int, int, int]]] = [[] for _ in range(n + 1)]
+    wait: list[dict[str, list]] = [dict() for _ in range(n + 1)]
 
     def add(k, item, vals):
-        if item not in chart[k]:
-            chart[k][item] = vals
+        if item not in seen[k]:
+            seen[k][item] = vals
+            work[k].append(item)
 
-    for i, p in enumerate(P):
-        if p.lhs == start:
-            add(0, (i, 0, 0), [])
+    for i in prods_by_lhs.get(start, []):
+        add(0, (i, 0, 0), [])
 
     for k in range(n + 1):
-        changed = True
-        while changed:
-            changed = False
-            for item, vals in list(chart[k].items()):
-                pi, dot, org = item
-                p = P[pi]
-                if dot < len(p.rhs):
-                    sym = p.rhs[dot]
-                    if sym in prods_by_lhs:  # predict
-                        for j in prods_by_lhs[sym]:
-                            before = len(chart[k])
-                            add(k, (j, 0, k), [])
-                            changed = changed or len(chart[k]) > before
-                    elif k < n and toks[k][0] == sym:  # scan
-                        before = len(chart[k + 1])
-                        add(k + 1, (pi, dot + 1, org), vals + [toks[k][1]])
-                        changed = changed or len(chart[k + 1]) > before
-                else:  # complete
-                    val = p.action(*vals) if p.action else (vals[0] if len(vals) == 1 else vals)
-                    for item2, vals2 in list(chart[org].items()):
-                        pi2, dot2, org2 = item2
-                        p2 = P[pi2]
-                        if dot2 < len(p2.rhs) and p2.rhs[dot2] == p.lhs:
-                            before = len(chart[k])
-                            add(k, (pi2, dot2 + 1, org2), vals2 + [val])
-                            changed = changed or len(chart[k]) > before
+        wl = work[k]
+        sk = seen[k]
+        wk = wait[k]
+        tok = toks[k] if k < n else None
+        idx = 0
+        while idx < len(wl):
+            item = wl[idx]
+            idx += 1
+            pi, dot, org = item
+            p = P[pi]
+            vals = sk[item]
+            if dot < len(p.rhs):
+                sym = p.rhs[dot]
+                if sym in prods_by_lhs:  # predict (+ register as waiter)
+                    wk.setdefault(sym, []).append(item)
+                    for j in prods_by_lhs[sym]:
+                        add(k, (j, 0, k), [])
+                elif tok is not None and tok[0] == sym:  # scan
+                    add(k + 1, (pi, dot + 1, org), vals + [tok[1]])
+            else:  # complete: notify items waiting at org for p.lhs
+                val = (
+                    p.action(*vals)
+                    if p.action
+                    else (vals[0] if len(vals) == 1 else vals)
+                )
+                so = seen[org]
+                for item2 in wait[org].get(p.lhs, ()):
+                    pi2, dot2, org2 = item2
+                    add(k, (pi2, dot2 + 1, org2), so[item2] + [val])
 
-    for item, vals in chart[n].items():
+    for item, vals in seen[n].items():
         pi, dot, org = item
         p = P[pi]
         if p.lhs == start and dot == len(p.rhs) and org == 0:
