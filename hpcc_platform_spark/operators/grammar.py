@@ -121,23 +121,34 @@ def _earley(grammar: Grammar, toks: list[tuple[str, str]], start: str):
     earlier quadratic fix-point sweep. Correct without epsilon handling
     because ``rule()`` rejects empty productions: every completion spans
     ≥1 token, so its origin position's worklist is already drained and
-    its wait-index final."""
+    its wait-index final. Semantic values accumulate as shared cons
+    chains ((parent, value) pairs) so advancing the dot is O(1), not a
+    list copy — materialized into an argument list only at completion."""
     prods_by_lhs = grammar._prod_indices_by_lhs()
     P = grammar.prods
     n = len(toks)
 
-    # item: (prod_index, dot, origin)
-    seen: list[dict[tuple[int, int, int], list]] = [dict() for _ in range(n + 1)]
+    # item: (prod_index, dot, origin); value = cons chain (None terminated)
+    seen: list[dict[tuple[int, int, int], tuple | None]] = [
+        dict() for _ in range(n + 1)
+    ]
     work: list[list[tuple[int, int, int]]] = [[] for _ in range(n + 1)]
     wait: list[dict[str, list]] = [dict() for _ in range(n + 1)]
 
-    def add(k, item, vals):
+    def add(k, item, chain):
         if item not in seen[k]:
-            seen[k][item] = vals
+            seen[k][item] = chain
             work[k].append(item)
 
+    def materialize(chain, length):
+        vals = [None] * length
+        for i in range(length - 1, -1, -1):
+            vals[i] = chain[1]
+            chain = chain[0]
+        return vals
+
     for i in prods_by_lhs.get(start, []):
-        add(0, (i, 0, 0), [])
+        add(0, (i, 0, 0), None)
 
     for k in range(n + 1):
         wl = work[k]
@@ -150,16 +161,16 @@ def _earley(grammar: Grammar, toks: list[tuple[str, str]], start: str):
             idx += 1
             pi, dot, org = item
             p = P[pi]
-            vals = sk[item]
             if dot < len(p.rhs):
                 sym = p.rhs[dot]
                 if sym in prods_by_lhs:  # predict (+ register as waiter)
                     wk.setdefault(sym, []).append(item)
                     for j in prods_by_lhs[sym]:
-                        add(k, (j, 0, k), [])
+                        add(k, (j, 0, k), None)
                 elif tok is not None and tok[0] == sym:  # scan
-                    add(k + 1, (pi, dot + 1, org), vals + [tok[1]])
+                    add(k + 1, (pi, dot + 1, org), (sk[item], tok[1]))
             else:  # complete: notify items waiting at org for p.lhs
+                vals = materialize(sk[item], len(p.rhs))
                 val = (
                     p.action(*vals)
                     if p.action
@@ -168,12 +179,13 @@ def _earley(grammar: Grammar, toks: list[tuple[str, str]], start: str):
                 so = seen[org]
                 for item2 in wait[org].get(p.lhs, ()):
                     pi2, dot2, org2 = item2
-                    add(k, (pi2, dot2 + 1, org2), so[item2] + [val])
+                    add(k, (pi2, dot2 + 1, org2), (so[item2], val))
 
-    for item, vals in seen[n].items():
+    for item, chain in seen[n].items():
         pi, dot, org = item
         p = P[pi]
         if p.lhs == start and dot == len(p.rhs) and org == 0:
+            vals = materialize(chain, len(p.rhs))
             return p.action(*vals) if p.action else (vals[0] if len(vals) == 1 else vals)
     return None
 
