@@ -45,3 +45,41 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int,
+    *,
+    len_col: str = "n_chunk_tokens",
+    order_by: tuple[str, ...] = ("doc_id", "chunk_index"),
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-token-budget bins
+    (the step after chunk_documents when preparing packed training
+    batches). Offset-bucketing policy: conceptually concatenate the
+    chunks in ``order_by`` order and put each chunk in the bin its START
+    offset falls in — bin id = floor((cumsum − len) / budget) over one
+    window scan. Deterministic and SQL-expressible (unlike best-fit bin
+    packing, which is inherently sequential and data-dependent); bins
+    average exactly ``budget`` tokens and deviate by less than one chunk
+    length, so re-chunk anything longer than the budget first.
+
+    With ``partition_col`` the packing is per-partition (e.g. per
+    language or per shard), turning the global window into a keyed one —
+    the 100 TB form; the unpartitioned default is a single-window total
+    order, fine up to ~10^8 chunks and replaceable by two-phase
+    numbering beyond that."""
+    from pyspark.sql import Window
+
+    if partition_col is None:
+        w = Window.orderBy(*order_by)
+    else:
+        w = Window.partitionBy(partition_col).orderBy(*order_by)
+    cum = F.sum(F.col(len_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return chunks.withColumn(
+        "bin_id",
+        F.floor((cum - F.col(len_col)) / F.lit(budget)).cast("long"),
+    )

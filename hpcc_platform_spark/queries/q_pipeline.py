@@ -1307,3 +1307,53 @@ def url_domain_stats_q(spark, sf_dir):
 
     docs = spark.createDataFrame(_URL_CASES, "doc_id int, text string")
     return domain_stats(docs)
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    nn AS (SELECT doc_id, ws, len(ws) AS n FROM base WHERE len(ws) > 0),
+    starts AS (
+      SELECT doc_id, ws, n, unnest(generate_series(0, n - 1, 40)) AS start
+      FROM nn
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(start / 40 AS BIGINT) AS chunk_index,
+             CAST(len(ws[start + 1 : least(start + 50, n)]) AS INT) AS toks
+      FROM starts
+    ),
+    packed AS (
+      SELECT doc_id, chunk_index, toks,
+             CAST(FLOOR((SUM(toks) OVER (ORDER BY doc_id, chunk_index
+                    ROWS UNBOUNDED PRECEDING) - toks) / 200.0) AS BIGINT)
+               AS bin_id
+      FROM chunks
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY bin_id
+    """,
+    category="textstats",
+)
+def sequence_packing_q(spark, sf_dir):
+    """Sequence packing for training batches: chunk (50/40), then
+    offset-bucket chunks into 200-token bins with ONE window cumsum —
+    deterministic, SQL-expressible packing (per-bin chunk/token totals
+    returned). The unpartitioned window is the test form; partition_col
+    gives the keyed 100 TB form."""
+    from hpcc_platform_spark.pipeline.chunking import chunk_documents, pack_sequences
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=50, stride=40)
+    packed = pack_sequences(chunks, budget=200)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+    )

@@ -651,3 +651,29 @@ def test_chunk_documents_windows_and_edges(spark):
     for r in sorted(out2.collect(), key=lambda r: r.chunk_index):
         toks.extend(r.chunk_text.split())
     assert toks == [f"w{i}" for i in range(95)]
+
+
+def test_pack_sequences_bin_invariants(spark):
+    """Offset-bucketing invariants: bin ids contiguous from 0, bins are
+    contiguous runs in pack order, every bin's START offset lies in its
+    budget slot, and per-partition packing restarts per key."""
+    from hpcc_platform_spark.pipeline.chunking import pack_sequences
+
+    rows = [(d, c, ln) for d in range(4) for c, ln in enumerate([30, 70, 50, 90])]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_index long, n_chunk_tokens int")
+    out = pack_sequences(df, budget=100).orderBy("doc_id", "chunk_index").collect()
+    # replay: start offset of each chunk determines its bin
+    cum = 0
+    for r in out:
+        assert r.bin_id == cum // 100
+        cum += r.n_chunk_tokens
+    bins = [r.bin_id for r in out]
+    assert bins[0] == 0 and all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+
+    per = pack_sequences(df, budget=100, partition_col="doc_id")
+    got = {(r.doc_id, r.chunk_index): r.bin_id for r in per.collect()}
+    for d in range(4):
+        cum = 0
+        for c, ln in enumerate([30, 70, 50, 90]):
+            assert got[(d, c)] == cum // 100
+            cum += ln
