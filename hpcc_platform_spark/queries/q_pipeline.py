@@ -1357,3 +1357,37 @@ def sequence_packing_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "hash_split_train_val_test",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('exp1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS bucket
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    category="textstats",
+)
+def hash_split_q(spark, sf_dir):
+    """Deterministic train/val/test split by content hash (md5 bucket of
+    salt||key): same key → same split across runs, engines, and
+    partitionings — the content-addressed generalization of the
+    reference's deterministic ENTH/SAMPLE (eclhelper.hpp:899/:913).
+    Map-only; the oracle recomputes the identical bucket formula."""
+    from hpcc_platform_spark.pipeline.sampling import hash_split
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return hash_split(
+        docs.where(F.col("doc_id") < 100).select("doc_id"),
+        "doc_id",
+        {"train": 80, "val": 10, "test": 10},
+        salt="exp1",
+    ).select("doc_id", "split")

@@ -677,3 +677,37 @@ def test_pack_sequences_bin_invariants(spark):
         for c, ln in enumerate([30, 70, 50, 90]):
             assert got[(d, c)] == cum // 100
             cum += ln
+
+
+def test_hash_sample_and_split_invariants(spark):
+    """Stability: sample membership is per-key (duplicate keys agree),
+    unaffected by repartitioning; splits partition every row; different
+    salts decorrelate; errors on bad percentages."""
+    import pytest
+
+    from hpcc_platform_spark.pipeline.sampling import hash_sample, hash_split
+
+    df = spark.createDataFrame([(i % 50, i) for i in range(200)], "k long, v long")
+    s1 = {r.v for r in hash_sample(df, "k", 30, salt="a").collect()}
+    s2 = {r.v for r in hash_sample(df.repartition(7), "k", 30, salt="a").collect()}
+    assert s1 == s2 and 0 < len(s1) < 200
+    # per-key: each key either fully in or fully out (4 rows per key)
+    assert len(s1) % 4 == 0
+    # monotone: a bigger sample contains the smaller
+    s3 = {r.v for r in hash_sample(df, "k", 60, salt="a").collect()}
+    assert s1 <= s3
+    # different salt gives a different (but same-law) selection
+    s4 = {r.v for r in hash_sample(df, "k", 30, salt="b").collect()}
+    assert s4 != s1
+
+    out = hash_split(df, "k", {"train": 80, "val": 10, "test": 10}).collect()
+    assert all(r.split in ("train", "val", "test") for r in out)
+    bykey = {}
+    for r in out:
+        bykey.setdefault(r.k, set()).add(r.split)
+    assert all(len(v) == 1 for v in bykey.values())
+
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"train": 80, "val": 30})
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 101)
