@@ -426,3 +426,41 @@ def test_join_atmost_range_matches_python_model(spark, left, right, atmost, tol)
         else:
             expected.append((lid, None))
     assert got == sorted(expected, key=key)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    terms=st.sets(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=3),
+)
+@settings(**SETTINGS)
+def test_bm25_matches_python_model(spark, docs, terms):
+    import math
+
+    from hpcc_platform_spark.pipeline.ranking import bm25_search
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_search(df, sorted(terms), k=100).collect()}
+
+    k1, b = 1.2, 0.75
+    n_docs = len(docs)
+    avgdl = sum(len(d) for d in docs) / n_docs
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    expected = {}
+    for i, d in enumerate(docs):
+        score = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+        if score > 0:
+            expected[i] = round(score, 4)
+    assert set(got) == set(expected)
+    for i in expected:
+        assert abs(got[i] - expected[i]) <= 1e-4
