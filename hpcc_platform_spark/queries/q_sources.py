@@ -524,3 +524,36 @@ def index_scan_aggregate(spark, sf_dir):
         "n_rows long, min_orderkey long, max_orderkey long, "
         "min_price double, max_price double",
     )
+
+
+@query(
+    "zorder_clustered_read",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 500 AND 600
+    """,
+    category="sources",
+)
+def zorder_clustered_read(spark, sf_dir):
+    """Z-order (Morton-curve) clustering — the multi-column pruning
+    superset the reference's prefix-only B+tree lacks: lineitem written
+    clustered on (l_orderkey, l_partkey), then filtered on the SECONDARY
+    column; footer min/max stats stay tight on both columns
+    (span-tightening asserted in tests/test_sources_plans.py), so the
+    filter prunes row groups a leading-key sort could not."""
+    from hpcc_platform_spark.sources.zorder import write_zordered
+
+    li = tables(spark, sf_dir, "lineitem")[0].select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = _scratch("zorder_lineitem")
+    write_zordered(li, path, ["l_orderkey", "l_partkey"], n_parts=8)
+    back = spark.read.parquet(path).where(F.col("l_partkey").between(500, 600))
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )

@@ -316,3 +316,50 @@ def test_scan_aggregate_pushes_into_footers(spark, sf_dir):
     assert scan_count(spark, path) == expect[0]
     mm = scan_min_max(spark, path, ["l_orderkey"])
     assert mm["l_orderkey"] == (expect[1], expect[2])
+
+
+def test_zorder_tightens_secondary_column_stats(spark, sf_dir):
+    """Clustering on the Morton curve must tighten per-file min/max spans
+    of the SECONDARY column vs a plain leading-key sort (that's the whole
+    point: footer pruning works for filters on either column), while
+    preserving the exact row multiset."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.sources.zorder import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    base = "/tmp/hpcc_platform_spark_scratch/zorder_test"
+    linear, zpath = f"{base}/linear", f"{base}/zorder"
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(linear)
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_parts=8)
+
+    def partkey_span(path):
+        total = 0.0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "l_partkey":
+                        st = col.statistics
+                        total += st.max - st.min
+        return total
+
+    lin_span, z_span = partkey_span(linear), partkey_span(zpath)
+    assert z_span < lin_span * 0.7, (lin_span, z_span)
+
+    # same rows, exactly
+    a = li.groupBy().agg(
+        F.count(F.lit(1)), F.sum("l_orderkey"), F.sum("l_partkey")
+    ).collect()
+    b = spark.read.parquet(zpath).groupBy().agg(
+        F.count(F.lit(1)), F.sum("l_orderkey"), F.sum("l_partkey")
+    ).collect()
+    assert a == b
