@@ -183,3 +183,52 @@ def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("__n_tri__")
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """N-gram language-model quality scoring: train a corpus bigram MLE
+    (P(w2|w1) = c(w1,w2)/c(w1)) and score each document by the mean log
+    probability of its bigrams — low scores flag atypical/garbled text,
+    the classic cheap LM filter before expensive model-based scoring.
+
+    All-JVM: bigrams from zip_with over shifted slices (map-only), then
+    key shuffles only (bigram counts, unigram counts, count joins back
+    on the gram keys, per-doc mean) — no broadcast hints: the gram
+    tables grow with vocabulary², so AQE decides at runtime (they
+    broadcast at test scale, shuffle at corpus scale).
+    Scoring the training corpus itself means every bigram has count ≥ 1 —
+    no smoothing needed, no -inf. Returns (id, n_bigrams, mean_logp,
+    perplexity), floats rounded to 4."""
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = docs.select(
+        F.col(id_col), ws.alias("ws"), F.size(ws).alias("n")
+    ).where(F.col("n") > 1)
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.col("n") - 1),
+                F.slice(F.col("ws"), 2, F.col("n") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    big_c = grams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    uni_c = grams.groupBy(F.col("w1").alias("u1")).agg(
+        F.count(F.lit(1)).cast("double").alias("c1")
+    )
+    logp = F.log(F.col("c12") / F.col("c1"))
+    return (
+        grams.join(big_c, ["w1", "w2"])
+        .join(uni_c, F.col("u1") == F.col("w1"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("mean_logp"),
+            F.round(F.exp(-F.avg(logp)), 4).alias("perplexity"),
+        )
+    )

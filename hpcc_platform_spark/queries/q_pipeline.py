@@ -1391,3 +1391,104 @@ def hash_split_q(spark, sf_dir):
         {"train": 80, "val": 10, "test": 10},
         salt="exp1",
     ).select("doc_id", "split")
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    cand AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE list_dot_product(a.v,b2.v) /
+            (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b2.v,b2.v)))
+            >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           COALESCE(c.canonical_id, e.vec_id) AS canonical_id,
+           COALESCE(c.canonical_id, e.vec_id) = e.vec_id AS keep
+    FROM e LEFT JOIN comp c ON c.id = e.vec_id
+    """,
+    category="similarity",
+)
+def semantic_dedup_q(spark, sf_dir):
+    """Semantic (embedding-space) dedup, SemDeDup-style: LSH sign-bucket
+    candidate pairs → exact-cosine verification → connected components →
+    keep only each cluster's canonical (min-id) member. Pure composition
+    of the shipped stages (embedding_near_dup_pairs + dedup_clusters) —
+    bucket equi-join, key-shuffle label propagation, one left join to
+    mark survivors; never an n² pair space."""
+    from hpcc_platform_spark.pipeline.dedup import dedup_clusters
+    from hpcc_platform_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, _PLANES, threshold=0.35)
+    comp = dedup_clusters(pairs)  # (id, canonical_id)
+    return (
+        emb.select("vec_id")
+        .join(comp, F.col("id") == F.col("vec_id"), "left_outer")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("canonical_id"), F.col("vec_id")).alias("canonical_id"),
+            (
+                F.coalesce(F.col("canonical_id"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("keep"),
+        )
+    )
+
+
+@query(
+    "bigram_lm_quality",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    nn AS (SELECT doc_id, ws, len(ws) AS n FROM base WHERE len(ws) > 1),
+    grams AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM nn, unnest(generate_series(1, n - 1)) AS t(i)
+    ),
+    big_c AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12
+      FROM grams GROUP BY w1, w2
+    ),
+    uni_c AS (
+      SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM grams GROUP BY w1
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(b.c12 / u.c1)), 4) AS mean_logp,
+           ROUND(exp(-AVG(ln(b.c12 / u.c1))), 4) AS perplexity
+    FROM grams g
+    JOIN big_c b ON b.w1 = g.w1 AND b.w2 = g.w2
+    JOIN uni_c u ON u.w1 = g.w1
+    GROUP BY g.doc_id
+    """,
+    category="textstats",
+)
+def bigram_lm_quality_q(spark, sf_dir):
+    """Corpus bigram-LM quality scoring: per-document mean log P(w2|w1)
+    and perplexity under the corpus's own MLE bigram model — the cheap
+    LM filter that flags garbled text before model-based scoring. Map-only
+    gram extraction; key shuffles only (see pipeline.textstats)."""
+    from hpcc_platform_spark.pipeline.textstats import bigram_lm_scores
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
