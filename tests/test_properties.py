@@ -464,3 +464,37 @@ def test_bm25_matches_python_model(spark, docs, terms):
     assert set(got) == set(expected)
     for i in expected:
         assert abs(got[i] - expected[i]) <= 1e-4
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_value_matches_python_morton(spark, vals):
+    """The JVM shift/or chain must compute the exact Morton interleave of
+    the two rank lanes (bit i of rank j lands at position i*n + j)."""
+    from hpcc_platform_spark.sources.zorder import zorder_value
+
+    def morton(a, b, bits=12):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(vals)], "i long, a long, b long"
+    )
+    out = df.select(
+        "i", zorder_value([F.col("a"), F.col("b")], bits=12).alias("z")
+    )
+    got = {r.i: r.z for r in out.collect()}
+    assert got == {i: morton(a, b) for i, (a, b) in enumerate(vals)}
+    # locality sanity: z-order of (x, 0) is monotone in x
+    xs = sorted({a for a, _ in vals})
+    zs = [morton(x, 0) for x in xs]
+    assert zs == sorted(zs)
