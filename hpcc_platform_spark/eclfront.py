@@ -1,0 +1,498 @@
+"""ECL front door: parse a practical subset of ECL query text and run it
+as DataFrame operations.
+
+The reference's pipeline is ECL text → expression DAG → activities
+(lexer ecl/hql/hqllex.l, grammar ecl/hql/hqlgram.y ~13.5k lines,
+devdoc/CodeGenerator.md:72-90). The capabilities are what this repo
+re-expresses as combinators; this module adds the front of the funnel
+for the everyday query shapes, so reference users can hand over ECL
+text they run today:
+
+    fast := lineitem(l_quantity < 10, l_discount > 0.05);
+    byflag := TABLE(fast,
+        { l_returnflag,
+          total := SUM(GROUP, l_extendedprice),
+          n := COUNT(GROUP) },
+        l_returnflag);
+    OUTPUT(SORT(byflag, -total));
+
+Supported surface (deliberately the high-frequency core, not the whole
+language): definitions (:=), postfix record filters, TABLE grouped
+aggregation (SUM/COUNT/MIN/MAX/AVE over GROUP), JOIN with LEFT./RIGHT.
+equality + residual conditions and LEFT/RIGHT/FULL OUTER / LEFT ONLY /
+LOOKUP / ALL options, SORT (with -field descending), DEDUP [ALL],
+CHOOSEN, TOPN, scalar expressions with arithmetic / comparisons /
+AND-OR-NOT / IN / BETWEEN / string+number literals, ROUND, and
+dataset-level COUNT/SUM. Everything lowers to the same Spark plans the
+combinator API produces — the parser is front-end only; Catalyst still
+owns optimization. ECL is case-insensitive: keywords and identifiers
+are matched case-insensitively (identifiers resolve lowercased).
+
+Unsupported constructs raise EclSyntaxError with the offending token
+position — no silent misparses.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Mapping
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class EclSyntaxError(ValueError):
+    pass
+
+
+_TOKEN_RX = re.compile(
+    r"""
+    (?P<ws>\s+|//[^\n]*)
+  | (?P<num>\d+\.\d+|\d+)
+  | (?P<str>'(?:[^'\\]|\\.)*')
+  | (?P<op>:=|<=|>=|<>|!=|=>|[-+*/%(){},;=<>\[\].])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "table", "join", "sort", "dedup", "choosen", "topn", "output",
+    "group", "sum", "count", "min", "max", "ave", "round", "left",
+    "right", "full", "outer", "only", "inner", "lookup", "all", "and",
+    "or", "not", "in", "between", "true", "false", "distribute",
+}
+
+
+@dataclass
+class _Tok:
+    kind: str  # 'num' | 'str' | 'op' | 'ident' | 'kw'
+    text: str
+    pos: int
+
+
+def _lex(src: str) -> list[_Tok]:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RX.match(src, i)
+        if not m:
+            raise EclSyntaxError(f"cannot lex at position {i}: {src[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup == "ws":
+            continue
+        text = m.group()
+        kind = m.lastgroup
+        if kind == "ident":
+            low = text.lower()
+            if low in _KEYWORDS:
+                kind, text = "kw", low
+            else:
+                text = low
+        out.append(_Tok(kind, text, m.start()))
+    out.append(_Tok("eof", "", len(src)))
+    return out
+
+
+class _Parser:
+    """Recursive descent over the token list; produces DataFrames (dataset
+    expressions) and Columns (value expressions) directly — the AST is
+    implicit in the call tree, like the reference's one-pass attribute
+    binding (hqlgram.y actions build IHqlExpression nodes inline)."""
+
+    def __init__(self, toks: list[_Tok], catalog: Mapping[str, DataFrame]):
+        self.toks = toks
+        self.i = 0
+        self.env: dict[str, DataFrame] = {k.lower(): v for k, v in catalog.items()}
+
+    # --- token helpers ---
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> _Tok:
+        t = self.next()
+        if t.text != text:
+            raise EclSyntaxError(f"expected {text!r} at {t.pos}, got {t.text!r}")
+        return t
+
+    def accept(self, text: str) -> bool:
+        if self.peek().text == text:
+            self.i += 1
+            return True
+        return False
+
+    # --- program ---
+    def program(self) -> DataFrame:
+        result = None
+        while self.peek().kind != "eof":
+            if self.peek().text == "output":
+                self.next()
+                self.expect("(")
+                result = self.dataset()
+                self.expect(")")
+                self.accept(";")
+            else:
+                name = self.next()
+                if name.kind not in ("ident",):
+                    raise EclSyntaxError(
+                        f"expected definition or OUTPUT at {name.pos}, got {name.text!r}"
+                    )
+                self.expect(":=")
+                self.env[name.text] = self.dataset()
+                self.expect(";")
+        if result is None:
+            raise EclSyntaxError("no OUTPUT(...) in query")
+        return result
+
+    # --- dataset expressions ---
+    def dataset(self) -> DataFrame:
+        t = self.peek()
+        if t.text == "table":
+            df = self._table()
+        elif t.text == "join":
+            df = self._join()
+        elif t.text == "sort":
+            df = self._sort()
+        elif t.text == "dedup":
+            df = self._dedup()
+        elif t.text == "choosen":
+            df = self._choosen()
+        elif t.text == "topn":
+            df = self._topn()
+        elif t.text in ("count", "sum"):
+            df = self._scalar_dataset()
+        elif t.text == "(":
+            self.next()
+            df = self.dataset()
+            self.expect(")")
+        elif t.kind == "ident":
+            self.next()
+            if t.text not in self.env:
+                raise EclSyntaxError(f"unknown dataset {t.text!r} at {t.pos}")
+            df = self.env[t.text]
+        else:
+            raise EclSyntaxError(f"expected dataset expression at {t.pos}: {t.text!r}")
+        # postfix record filter(s): ds(cond, cond...) — conditions ANDed
+        while self.peek().text == "(":
+            self.next()
+            cond = self.value(df)
+            while self.accept(","):
+                cond = cond & self.value(df)
+            self.expect(")")
+            df = df.where(cond)
+        return df
+
+    def _table(self) -> DataFrame:
+        self.expect("table")
+        self.expect("(")
+        src = self.dataset()
+        self.expect(",")
+        self.expect("{")
+        bare: list[str] = []
+        aggs: list[Column] = []
+        while True:
+            t = self.next()
+            if t.kind != "ident":
+                raise EclSyntaxError(f"expected field at {t.pos}, got {t.text!r}")
+            if self.accept(":="):
+                aggs.append(self._agg_value(src).alias(t.text))
+            else:
+                bare.append(t.text)
+            if not self.accept(","):
+                break
+        self.expect("}")
+        keys: list[str] = []
+        while self.accept(","):
+            k = self.next()
+            if k.kind != "ident":
+                raise EclSyntaxError(f"expected group key at {k.pos}")
+            keys.append(k.text)
+        self.expect(")")
+        if not keys:
+            # global aggregate (no group keys)
+            if bare:
+                raise EclSyntaxError("bare fields need group keys in TABLE")
+            return src.agg(*aggs)
+        extra = [b for b in bare if b not in keys]
+        if extra:
+            raise EclSyntaxError(
+                f"non-aggregate TABLE fields must be group keys: {extra}"
+            )
+        return src.groupBy(*keys).agg(*aggs)
+
+    def _agg_value(self, src: DataFrame) -> Column:
+        t = self.peek()
+        if t.text in ("sum", "count", "min", "max", "ave"):
+            fn = self.next().text
+            self.expect("(")
+            self.expect("group")
+            if fn == "count":
+                self.expect(")")
+                return F.count(F.lit(1))
+            self.expect(",")
+            e = self.value(src)
+            self.expect(")")
+            return {"sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg}[fn](e)
+        if t.text == "round":
+            self.next()
+            self.expect("(")
+            inner = self._agg_value(src)
+            self.expect(",")
+            nd = self.next()
+            self.expect(")")
+            return F.round(inner, int(nd.text))
+        raise EclSyntaxError(
+            f"expected aggregate (SUM/COUNT/MIN/MAX/AVE over GROUP) at {t.pos}"
+        )
+
+    def _join(self) -> DataFrame:
+        self.expect("join")
+        self.expect("(")
+        left = self.dataset()
+        self.expect(",")
+        right = self.dataset()
+        self.expect(",")
+        cond = self._join_cond(left, right)
+        how = "inner"
+        lookup = False
+        use_all = False
+        while self.accept(","):
+            t = self.next().text
+            if t in ("left", "right", "full"):
+                nxt = self.next().text
+                if nxt == "outer":
+                    how = {"left": "left", "right": "right", "full": "full"}[t]
+                elif nxt == "only":
+                    how = {"left": "left_anti", "right": "right_anti"}[t]
+                else:
+                    raise EclSyntaxError(f"expected OUTER/ONLY after {t.upper()}")
+            elif t == "inner":
+                how = "inner"
+            elif t == "lookup":
+                lookup = True
+            elif t == "all":
+                use_all = True
+            else:
+                raise EclSyntaxError(f"unknown JOIN option {t!r}")
+        self.expect(")")
+        rhs = F.broadcast(right) if (lookup or use_all) else right
+        if how == "right_anti":
+            return right.join(
+                F.broadcast(left) if lookup else left, cond, "left_anti"
+            )
+        return left.join(rhs, cond, how)
+
+    def _join_cond(self, left: DataFrame, right: DataFrame) -> Column:
+        cond = self._join_cmp(left, right)
+        while self.peek().text == "and":
+            self.next()
+            cond = cond & self._join_cmp(left, right)
+        return cond
+
+    def _join_cmp(self, left: DataFrame, right: DataFrame) -> Column:
+        a = self._join_side(left, right)
+        op = self.next().text
+        b = self._join_side(left, right)
+        return _cmp(op, a, b)
+
+    def _join_side(self, left: DataFrame, right: DataFrame) -> Column:
+        t = self.next()
+        if t.text == "left" and self.accept("."):
+            return left[self.next().text]
+        if t.text == "right" and self.accept("."):
+            return right[self.next().text]
+        if t.kind == "num":
+            return F.lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            return F.lit(t.text[1:-1])
+        raise EclSyntaxError(
+            f"JOIN condition expects LEFT.f / RIGHT.f / literal at {t.pos}"
+        )
+
+    def _sort_keys(self, df: DataFrame) -> list[Column]:
+        keys = []
+        while True:
+            if self.accept("-"):
+                keys.append(df[self.next().text].desc())
+            else:
+                keys.append(df[self.next().text].asc())
+            if not self.accept(","):
+                break
+        return keys
+
+    def _sort(self) -> DataFrame:
+        self.expect("sort")
+        self.expect("(")
+        df = self.dataset()
+        self.expect(",")
+        keys = self._sort_keys(df)
+        self.expect(")")
+        return df.orderBy(*keys)
+
+    def _dedup(self) -> DataFrame:
+        self.expect("dedup")
+        self.expect("(")
+        df = self.dataset()
+        fields: list[str] = []
+        while self.accept(","):
+            if self.peek().text == "all":
+                self.next()
+                continue
+            fields.append(self.next().text)
+        self.expect(")")
+        # Front-end DEDUP is the order-independent form (DEDUP...ALL
+        # semantics): the parser does not thread the upstream sort order,
+        # so which duplicate survives is unspecified. For order-aware
+        # keep-first/KEEP(n)/BEST use operators/dedup.py directly.
+        return df.dropDuplicates(fields or None)
+
+    def _choosen(self) -> DataFrame:
+        self.expect("choosen")
+        self.expect("(")
+        df = self.dataset()
+        self.expect(",")
+        n = self.next()
+        self.expect(")")
+        return df.limit(int(n.text))
+
+    def _topn(self) -> DataFrame:
+        self.expect("topn")
+        self.expect("(")
+        df = self.dataset()
+        self.expect(",")
+        n = self.next()
+        self.expect(",")
+        keys = self._sort_keys(df)
+        self.expect(")")
+        return df.orderBy(*keys).limit(int(n.text))
+
+    def _scalar_dataset(self) -> DataFrame:
+        fn = self.next().text  # count | sum
+        self.expect("(")
+        df = self.dataset()
+        if fn == "count":
+            self.expect(")")
+            return df.agg(F.count(F.lit(1)).alias("cnt"))
+        self.expect(",")
+        e = self.value(df)
+        self.expect(")")
+        return df.agg(F.sum(e).alias("total"))
+
+    # --- value expressions (filters, computed fields) ---
+    def value(self, df: DataFrame) -> Column:
+        return self._or(df)
+
+    def _or(self, df) -> Column:
+        c = self._and(df)
+        while self.peek().text == "or":
+            self.next()
+            c = c | self._and(df)
+        return c
+
+    def _and(self, df) -> Column:
+        c = self._not(df)
+        while self.peek().text == "and":
+            self.next()
+            c = c & self._not(df)
+        return c
+
+    def _not(self, df) -> Column:
+        if self.peek().text == "not":
+            self.next()
+            return ~self._not(df)
+        return self._cmp(df)
+
+    def _cmp(self, df) -> Column:
+        a = self._addsub(df)
+        t = self.peek().text
+        if t in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return _cmp(t, a, self._addsub(df))
+        if t == "in":
+            self.next()
+            self.expect("[")
+            items = [self._addsub(df)]
+            while self.accept(","):
+                items.append(self._addsub(df))
+            self.expect("]")
+            return a.isin(*items)
+        if t == "between":
+            self.next()
+            lo = self._addsub(df)
+            self.expect("and")
+            hi = self._addsub(df)
+            return (a >= lo) & (a <= hi)
+        return a
+
+    def _addsub(self, df) -> Column:
+        c = self._muldiv(df)
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            rhs = self._muldiv(df)
+            c = c + rhs if op == "+" else c - rhs
+        return c
+
+    def _muldiv(self, df) -> Column:
+        c = self._unary(df)
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            rhs = self._unary(df)
+            c = c * rhs if op == "*" else (c / rhs if op == "/" else c % rhs)
+        return c
+
+    def _unary(self, df) -> Column:
+        if self.accept("-"):
+            return -self._unary(df)
+        return self._atom(df)
+
+    def _atom(self, df) -> Column:
+        t = self.next()
+        if t.kind == "num":
+            return F.lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "str":
+            return F.lit(t.text[1:-1])
+        if t.text == "true":
+            return F.lit(True)
+        if t.text == "false":
+            return F.lit(False)
+        if t.text == "round":
+            self.expect("(")
+            inner = self.value(df)
+            self.expect(",")
+            nd = self.next()
+            self.expect(")")
+            return F.round(inner, int(nd.text))
+        if t.text == "(":
+            c = self.value(df)
+            self.expect(")")
+            return c
+        if t.kind == "ident":
+            return df[t.text]
+        raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+
+def _cmp(op: str, a: Column, b: Column) -> Column:
+    if op == "=":
+        return a == b
+    if op in ("<>", "!="):
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    if op == ">=":
+        return a >= b
+    raise EclSyntaxError(f"unknown comparison {op!r}")
+
+
+def run_ecl(text: str, catalog: Mapping[str, DataFrame]) -> DataFrame:
+    """Parse and evaluate an ECL query (definitions + one OUTPUT) against
+    ``catalog`` (name → DataFrame). Returns the OUTPUT dataset."""
+    return _Parser(_lex(text), catalog).program()

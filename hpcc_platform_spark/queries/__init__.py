@@ -16,6 +16,7 @@ from hpcc_platform_spark.queries import (  # noqa: E402,F401
     q_analytic,
     q_control,
     q_dedup,
+    q_ecl,
     q_functions,
     q_grouped,
     q_join,

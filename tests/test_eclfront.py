@@ -1,0 +1,122 @@
+"""ECL front door: parse/evaluate tests — value semantics vs direct
+DataFrame builds, case-insensitivity, operator precedence, error paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpcc_platform_spark.eclfront import EclSyntaxError, run_ecl
+
+
+@pytest.fixture(scope="module")
+def cat(spark, sf_dir):
+    return {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for t in ["lineitem", "orders", "customer"]
+    }
+
+
+def test_filter_table_sort_matches_dataframe(spark, cat):
+    ecl = """
+    fast := lineitem(l_quantity < 10, l_discount > 0.05);
+    byflag := TABLE(fast,
+        { l_returnflag,
+          total := ROUND(SUM(GROUP, l_extendedprice), 4),
+          n := COUNT(GROUP) },
+        l_returnflag);
+    OUTPUT(SORT(byflag, -total));
+    """
+    got = [(r.l_returnflag, r.total, r.n) for r in run_ecl(ecl, cat).collect()]
+    li = cat["lineitem"]
+    expect = [
+        (r.l_returnflag, r.total, r.n)
+        for r in li.where((F.col("l_quantity") < 10) & (F.col("l_discount") > 0.05))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.desc("total"))
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_case_insensitive_and_precedence(spark, cat):
+    # keywords/identifiers any case; * binds tighter than +; comparisons
+    # evaluate over arithmetic
+    ecl = "OUTPUT(Count(LINEITEM(L_QUANTITY * 2 + 1 > 50 AND l_discount <= 0.02)));"
+    got = run_ecl(ecl, cat).head().cnt
+    li = cat["lineitem"]
+    expect = li.where(
+        ((F.col("l_quantity") * 2 + 1) > 50) & (F.col("l_discount") <= 0.02)
+    ).count()
+    assert got == expect
+
+
+def test_in_between_not(spark, cat):
+    ecl = """
+    OUTPUT(COUNT(orders(
+        o_orderpriority IN ['1-URGENT', '2-HIGH']
+        AND o_totalprice BETWEEN 50000 AND 150000
+        AND NOT (o_orderstatus = 'F'))));
+    """
+    got = run_ecl(ecl, cat).head().cnt
+    o = cat["orders"]
+    expect = o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 150000)
+        & ~(F.col("o_orderstatus") == "F")
+    ).count()
+    assert got == expect
+
+
+def test_join_forms(spark, cat):
+    base = """
+    j := JOIN(orders, customer, LEFT.o_custkey = RIGHT.c_custkey{opts});
+    OUTPUT(COUNT(j));
+    """
+    inner = run_ecl(base.format(opts=""), cat).head().cnt
+    lookup = run_ecl(base.format(opts=", LOOKUP"), cat).head().cnt
+    assert inner == lookup == cat["orders"].count()  # every order has a customer
+    left_only = run_ecl(
+        "j := JOIN(customer, orders, LEFT.c_custkey = RIGHT.o_custkey, LEFT ONLY);"
+        "OUTPUT(COUNT(j));",
+        cat,
+    ).head().cnt
+    anti = (
+        cat["customer"]
+        .join(cat["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .count()
+    )
+    assert left_only == anti
+
+
+def test_definitions_compose_and_choosen(spark, cat):
+    ecl = """
+    a := orders(o_totalprice > 100000);
+    b := SORT(a, -o_totalprice, o_orderkey);
+    OUTPUT(CHOOSEN(b, 3));
+    """
+    rows = run_ecl(ecl, cat).collect()
+    assert len(rows) == 3
+    assert rows[0].o_totalprice >= rows[1].o_totalprice >= rows[2].o_totalprice
+
+
+def test_error_paths(spark, cat):
+    with pytest.raises(EclSyntaxError, match="unknown dataset"):
+        run_ecl("OUTPUT(nope);", cat)
+    with pytest.raises(EclSyntaxError, match="no OUTPUT"):
+        run_ecl("a := orders;", cat)
+    with pytest.raises(EclSyntaxError, match="group keys"):
+        run_ecl(
+            "OUTPUT(TABLE(orders, { o_orderstatus, n := COUNT(GROUP) }));", cat
+        )
+    with pytest.raises(EclSyntaxError, match="unknown JOIN option"):
+        run_ecl(
+            "OUTPUT(JOIN(orders, customer, LEFT.o_custkey = RIGHT.c_custkey, SMASH));",
+            cat,
+        )
+    with pytest.raises(EclSyntaxError):
+        run_ecl("OUTPUT(orders(;", cat)
