@@ -195,12 +195,14 @@ class _Parser:
         self.expect("{")
         bare: list[str] = []
         aggs: list[Column] = []
+        saved_flag = getattr(self, "_table_has_group_agg", False)
+        self._table_has_group_agg = False
         while True:
             t = self.next()
             if t.kind != "ident":
                 raise EclSyntaxError(f"expected field at {t.pos}, got {t.text!r}")
             if self.accept(":="):
-                aggs.append(self._agg_value(src).alias(t.text))
+                aggs.append(self._field_value(src).alias(t.text))
             else:
                 bare.append(t.text)
             if not self.accept(","):
@@ -213,17 +215,36 @@ class _Parser:
                 raise EclSyntaxError(f"expected group key at {k.pos}")
             keys.append(k.text)
         self.expect(")")
+        grouped = self._table_has_group_agg
+        self._table_has_group_agg = saved_flag
         if not keys:
-            # global aggregate (no group keys)
-            if bare:
-                raise EclSyntaxError("bare fields need group keys in TABLE")
-            return src.agg(*aggs)
+            if grouped:
+                # global aggregate (no group keys)
+                if bare:
+                    raise EclSyntaxError("bare fields need group keys in TABLE")
+                return src.agg(*aggs)
+            # vertical-slice / project form: TABLE(ds, {a, b2 := expr})
+            return src.select(*[src[b] for b in bare], *aggs)
         extra = [b for b in bare if b not in keys]
         if extra:
             raise EclSyntaxError(
                 f"non-aggregate TABLE fields must be group keys: {extra}"
             )
         return src.groupBy(*keys).agg(*aggs)
+
+    def _field_value(self, src: DataFrame) -> Column:
+        """A TABLE record field: either a GROUP aggregate (sets the
+        grouped-table flag) or a plain computed expression (project
+        form). Backtracks on the aggregate parse — ROUND() can wrap
+        either form."""
+        mark = self.i
+        try:
+            col = self._agg_value(src)
+            self._table_has_group_agg = True
+            return col
+        except EclSyntaxError:
+            self.i = mark
+            return self.value(src)
 
     def _agg_value(self, src: DataFrame) -> Column:
         t = self.peek()
@@ -467,6 +488,25 @@ class _Parser:
             nd = self.next()
             self.expect(")")
             return F.round(inner, int(nd.text))
+        if t.text == "if":
+            self.expect("(")
+            cond = self.value(df)
+            self.expect(",")
+            then = self.value(df)
+            self.expect(",")
+            els = self.value(df)
+            self.expect(")")
+            return F.when(cond, then).otherwise(els)
+        if t.text == "abs":
+            self.expect("(")
+            inner = self.value(df)
+            self.expect(")")
+            return F.abs(inner)
+        if t.text == "trim":
+            self.expect("(")
+            inner = self.value(df)
+            self.expect(")")
+            return F.rtrim(inner)  # ECL TRIM strips trailing blanks by default
         if t.text == "(":
             c = self.value(df)
             self.expect(")")

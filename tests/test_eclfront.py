@@ -120,3 +120,54 @@ def test_error_paths(spark, cat):
         )
     with pytest.raises(EclSyntaxError):
         run_ecl("OUTPUT(orders(;", cat)
+
+
+def test_project_form_table_and_if(spark, cat):
+    """TABLE without group keys or GROUP aggregates is the vertical-slice
+    / project form; IF(c,a,b) lowers to when/otherwise."""
+    ecl = """
+    slim := TABLE(lineitem,
+        { l_orderkey,
+          revenue := ROUND(l_extendedprice * (1 - l_discount), 4),
+          bucket := IF(l_quantity < 25, 'small', 'large') });
+    OUTPUT(CHOOSEN(SORT(slim, l_orderkey, -revenue), 50));
+    """
+    rows = run_ecl(ecl, cat).collect()
+    assert len(rows) == 50
+    assert set(rows[0].asDict()) == {"l_orderkey", "revenue", "bucket"}
+    assert all(r.bucket in ("small", "large") for r in rows)
+
+    li = cat["lineitem"]
+    expect = (
+        li.select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.when(F.col("l_quantity") < 25, "small").otherwise("large").alias(
+                "bucket"
+            ),
+        )
+        .orderBy("l_orderkey", F.desc("revenue"))
+        .limit(50)
+        .collect()
+    )
+    assert rows == expect
+
+
+def test_grouped_table_still_groups_after_project_form(spark, cat):
+    # regression: the grouped/project mode flag must not leak between
+    # TABLE calls
+    ecl = """
+    slim := TABLE(lineitem, { l_returnflag, q := l_quantity });
+    OUTPUT(TABLE(slim, { l_returnflag, total := SUM(GROUP, q) }, l_returnflag));
+    """
+    got = {r.l_returnflag: r.total for r in run_ecl(ecl, cat).collect()}
+    li = cat["lineitem"]
+    expect = {
+        r.l_returnflag: r.total
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("total"))
+        .collect()
+    }
+    assert got == expect
