@@ -171,3 +171,27 @@ def test_grouped_table_still_groups_after_project_form(spark, cat):
         .collect()
     }
     assert got == expect
+
+
+def test_parser_never_crashes_on_garbage(spark, cat):
+    """Any input either parses or raises EclSyntaxError — no other
+    exception types, no hangs (parser totality)."""
+    import random
+
+    from hpcc_platform_spark.eclfront import _lex
+
+    rnd = random.Random(42)
+    frags = [
+        "OUTPUT", "TABLE", "JOIN", "SORT", "(", ")", "{", "}", ",", ";",
+        ":=", "orders", "lineitem", "l_quantity", "<", "=", "-", "123",
+        "'x'", "GROUP", "SUM", "COUNT", "LEFT", ".", "[", "]", "AND",
+    ]
+    for _ in range(300):
+        txt = " ".join(rnd.choice(frags) for _ in range(rnd.randint(1, 25)))
+        try:
+            run_ecl(txt, cat)
+        except EclSyntaxError:
+            pass
+    # the lexer itself rejects unknown bytes with a position
+    with pytest.raises(EclSyntaxError, match="cannot lex"):
+        _lex("OUTPUT(@!#)")
