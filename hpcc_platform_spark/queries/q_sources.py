@@ -557,3 +557,25 @@ def zorder_clustered_read(spark, sf_dir):
         F.sum("l_orderkey").alias("sum_orderkey"),
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
     )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey < 3000
+    """,
+    category="sources",
+)
+def orc_roundtrip(spark, sf_dir):
+    """ORC write+read: a second columnar-with-statistics format beside
+    parquet (the reference's format dispatch is pluggable,
+    common/thorhelper/thorread.cpp:368-494; Spark ships ORC natively).
+    Predicate/column pushdown applies the same as parquet — indexes and
+    z-order writes work over ORC unchanged."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    path = _scratch("orders_orc")
+    orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).where(F.col("o_orderkey") < 3000)
