@@ -86,3 +86,47 @@ def ecl_front_scalar_count(spark, sf_dir):
         AND NOT (o_orderstatus = 'F'))));
     """
     return run_ecl(ecl, _catalog(spark, sf_dir, "orders"))
+
+
+@query(
+    "ecl_front_q3_shape",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    category="workload",
+)
+def ecl_front_q3_shape(spark, sf_dir):
+    """TPC-H Q3 written as plain ECL text and executed through the front
+    door: two LOOKUP joins, a grouped TABLE with a computed revenue
+    aggregate, TOPN with tiebreak — same plan family as the DataFrame
+    version (workload_shipping_priority), proving a real multi-join
+    reference query runs verbatim."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    ecl = """
+    bld := customer(c_mktsegment = 'BUILDING');
+    ords := orders(o_orderdate < '1995-03-15');
+    late := lineitem(l_shipdate > '1995-03-15');
+    co := JOIN(ords, bld, LEFT.o_custkey = RIGHT.c_custkey, LOOKUP);
+    col := JOIN(late, co, LEFT.l_orderkey = RIGHT.o_orderkey);
+    rev := TABLE(col,
+        { l_orderkey, o_orderdate,
+          revenue := ROUND(SUM(GROUP, l_extendedprice * (1 - l_discount)), 4) },
+        l_orderkey, o_orderdate);
+    OUTPUT(TOPN(rev, 10, -revenue, l_orderkey));
+    """
+    out = run_ecl(
+        ecl, _catalog(spark, sf_dir, "customer", "orders", "lineitem")
+    )
+    return out.select("l_orderkey", "revenue", "o_orderdate")
