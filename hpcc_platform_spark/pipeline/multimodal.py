@@ -527,3 +527,101 @@ def audio_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                 )
 
     return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# --- JPEG header metadata (real marker walk, no dependency) -----------------
+
+def parse_jpeg_header(raw: bytes) -> dict | None:
+    """Walk JFIF markers to the SOF segment and return real metadata —
+    width, height, component count (1=gray, 3=YCbCr), progressive flag,
+    bit precision — without decoding entropy data (full baseline/
+    progressive pixel decode genuinely needs a DCT codec; metadata does
+    not, and corpus pipelines filter on dimensions long before decode).
+    Returns None for anything that isn't a well-formed JPEG prefix."""
+    if len(raw) < 4 or raw[0:2] != b"\xff\xd8":  # SOI
+        return None
+    i = 2
+    sof_baseline = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    while i + 4 <= len(raw):
+        if raw[i] != 0xFF:
+            return None
+        marker = raw[i + 1]
+        if marker == 0xD9:  # EOI before SOF
+            return None
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST/TEM: no length
+            i += 2
+            continue
+        seglen = int.from_bytes(raw[i + 2 : i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > len(raw):
+            return None
+        if marker in sof_baseline:
+            seg = raw[i + 4 : i + 2 + seglen]
+            if len(seg) < 6:
+                return None
+            return {
+                "precision": seg[0],
+                "height": int.from_bytes(seg[1:3], "big"),
+                "width": int.from_bytes(seg[3:5], "big"),
+                "components": seg[5],
+                "progressive": marker == 0xC2,
+            }
+        i += 2 + seglen
+    return None
+
+
+def synth_jpeg_header(width: int, height: int, components: int = 3,
+                      progressive: bool = False) -> bytes:
+    """A structurally valid JPEG prefix (SOI + APP0/JFIF + SOF) for
+    metadata-path tests — not a decodable image (no entropy data)."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof_kind = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comp = b"".join(
+        bytes([cid + 1, 0x11, 0x00]) for cid in range(components)
+    )
+    sof_payload = (
+        b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([components])
+        + comp
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+        + sof_kind + (len(sof_payload) + 2).to_bytes(2, "big") + sof_payload
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_metadata(df: DataFrame, blob_col: str = "data",
+                  id_col: str = "media_id", batch_rows: int = 64) -> DataFrame:
+    """Per-blob JPEG metadata extraction over mapInPandas (Arrow batches,
+    re-chunked so MB blobs can't balloon a batch); malformed blobs
+    degrade per-row (parsed=false), never fail the task."""
+    schema = (
+        f"{id_col} long, parsed boolean, width int, height int, "
+        "components int, progressive boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for s in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[s : s + batch_rows]
+                rows = []
+                for rec in chunk.itertuples(index=False):
+                    meta = parse_jpeg_header(bytes(getattr(rec, blob_col)))
+                    if meta is None:
+                        rows.append((getattr(rec, id_col), False, None, None,
+                                     None, None))
+                    else:
+                        rows.append((getattr(rec, id_col), True, meta["width"],
+                                     meta["height"], meta["components"],
+                                     meta["progressive"]))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[id_col, "parsed", "width", "height",
+                             "components", "progressive"],
+                )
+
+    return df.mapInPandas(run, schema=schema)

@@ -1492,3 +1492,40 @@ def bigram_lm_quality_q(spark, sf_dir):
 
     (docs,) = tables(spark, sf_dir, "documents")
     return bigram_lm_scores(docs)
+
+
+@query(
+    "multimodal_jpeg_metadata",
+    oracle="""
+    WITH meta(media_id, w, h, comp, prog) AS (VALUES
+      (0, 64, 48, 3, false), (1, 128, 96, 3, true), (2, 16, 16, 1, false),
+      (3, 320, 200, 3, false), (4, 8, 1024, 1, true)
+    )
+    SELECT media_id,
+           CASE WHEN media_id = 5 THEN false ELSE true END AS parsed,
+           CASE WHEN media_id = 5 THEN NULL ELSE w END AS width,
+           CASE WHEN media_id = 5 THEN NULL ELSE h END AS height,
+           CASE WHEN media_id = 5 THEN NULL ELSE comp END AS components,
+           CASE WHEN media_id = 5 THEN NULL ELSE prog END AS progressive
+    FROM meta
+    UNION ALL
+    SELECT 5, false, NULL, NULL, NULL, NULL
+    """,
+    category="multimodal",
+)
+def multimodal_jpeg_metadata_q(spark, sf_dir):
+    """JPEG metadata extraction — REAL marker walk to SOF (width/height/
+    components/progressive) with per-row corrupt-blob degradation; the
+    fixture blobs are structurally valid JPEG prefixes built in-test and
+    the oracle pins the expected metadata values."""
+    from hpcc_platform_spark.pipeline.multimodal import (
+        jpeg_metadata,
+        synth_jpeg_header,
+    )
+
+    specs = [(0, 64, 48, 3, False), (1, 128, 96, 3, True), (2, 16, 16, 1, False),
+             (3, 320, 200, 3, False), (4, 8, 1024, 1, True)]
+    rows = [(i, bytearray(synth_jpeg_header(w, h, c, p))) for i, w, h, c, p in specs]
+    rows.append((5, bytearray(b"corrupt not a jpeg")))
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    return jpeg_metadata(df)
