@@ -51,7 +51,7 @@ _TOKEN_RX = re.compile(
     (?P<ws>\s+|//[^\n]*)
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*')
-  | (?P<op>:=|<=|>=|<>|!=|=>|[-+*/%(){},;=<>\[\].])
+  | (?P<op>:=|<=|>=|<>|!=|=>|[-+*/%(){},;=<>\[\].:])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -100,10 +100,16 @@ class _Parser:
     implicit in the call tree, like the reference's one-pass attribute
     binding (hqlgram.y actions build IHqlExpression nodes inline)."""
 
-    def __init__(self, toks: list[_Tok], catalog: Mapping[str, DataFrame]):
+    def __init__(
+        self,
+        toks: list[_Tok],
+        catalog: Mapping[str, DataFrame],
+        persist_cache=None,
+    ):
         self.toks = toks
         self.i = 0
         self.env: dict[str, DataFrame] = {k.lower(): v for k, v in catalog.items()}
+        self.persist_cache = persist_cache
 
     # --- token helpers ---
     def peek(self) -> _Tok:
@@ -143,7 +149,25 @@ class _Parser:
                         f"expected definition or OUTPUT at {name.pos}, got {name.text!r}"
                     )
                 self.expect(":=")
-                self.env[name.text] = self.dataset()
+                df = self.dataset()
+                # workflow-service annotation: expr : PERSIST('name')
+                # (common/workunit/workflow.cpp; content-hash semantics in
+                # plans/persist.PersistCache). Parsed always; applied when
+                # a cache was provided, a no-op otherwise.
+                if self.accept(":"):
+                    kw = self.next()
+                    if kw.text != "persist":
+                        raise EclSyntaxError(
+                            f"unsupported workflow service {kw.text!r} at {kw.pos}"
+                        )
+                    self.expect("(")
+                    pname = self.next()
+                    if pname.kind != "str":
+                        raise EclSyntaxError("PERSIST needs a quoted name")
+                    self.expect(")")
+                    if self.persist_cache is not None:
+                        df = self.persist_cache.persist(df, pname.text[1:-1])
+                self.env[name.text] = df
                 self.expect(";")
         if result is None:
             raise EclSyntaxError("no OUTPUT(...) in query")
@@ -532,7 +556,13 @@ def _cmp(op: str, a: Column, b: Column) -> Column:
     raise EclSyntaxError(f"unknown comparison {op!r}")
 
 
-def run_ecl(text: str, catalog: Mapping[str, DataFrame]) -> DataFrame:
+def run_ecl(
+    text: str,
+    catalog: Mapping[str, DataFrame],
+    persist_cache=None,
+) -> DataFrame:
     """Parse and evaluate an ECL query (definitions + one OUTPUT) against
-    ``catalog`` (name → DataFrame). Returns the OUTPUT dataset."""
-    return _Parser(_lex(text), catalog).program()
+    ``catalog`` (name → DataFrame). Returns the OUTPUT dataset.
+    ``persist_cache`` (a plans.PersistCache) activates the
+    ``: PERSIST('name')`` workflow annotation on definitions."""
+    return _Parser(_lex(text), catalog, persist_cache).program()

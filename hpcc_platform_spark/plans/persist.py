@@ -21,8 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _plan_fingerprint(df: DataFrame) -> str:
     """Stable content key for a DataFrame: optimized logical plan text +
-    input file listing (paths, sizes, mtimes)."""
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    input file listing (paths, sizes, mtimes). Expression ids (#123) are
+    normalized out: they are allocation order, not semantics, and differ
+    every time the same query text is re-built (e.g. two run_ecl calls) —
+    without this, re-parsed identical plans never hit the cache."""
+    import re as _re
+
+    plan = _re.sub(
+        r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+    )
     files = sorted(df.inputFiles())
     meta_parts = [plan]
     for f in files:

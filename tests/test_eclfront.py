@@ -195,3 +195,31 @@ def test_parser_never_crashes_on_garbage(spark, cat):
     # the lexer itself rejects unknown bytes with a position
     with pytest.raises(EclSyntaxError, match="cannot lex"):
         _lex("OUTPUT(@!#)")
+
+
+def test_persist_annotation(spark, cat, tmp_path):
+    """': PERSIST(name)' materializes the definition through PersistCache
+    (content-hash reuse across runs); without a cache it parses as a
+    no-op; unknown services raise."""
+    from hpcc_platform_spark.plans import PersistCache
+
+    ecl = """
+    seg := TABLE(orders(o_totalprice > 150000),
+        { o_orderpriority, n := COUNT(GROUP) }, o_orderpriority)
+        : PERSIST('seg_counts');
+    OUTPUT(SORT(seg, o_orderpriority));
+    """
+    import os
+    cache = PersistCache(spark, str(tmp_path / "eclpersist"))
+    first = run_ecl(ecl, cat, persist_cache=cache).collect()
+    n_dirs = len(os.listdir(tmp_path / "eclpersist"))
+    again = run_ecl(ecl, cat, persist_cache=cache).collect()
+    assert first == again and n_dirs == len(os.listdir(tmp_path / "eclpersist"))
+    assert n_dirs == 1
+
+    # no cache provided: annotation is parsed but inert
+    bare = run_ecl(ecl, cat).collect()
+    assert sorted(map(tuple, bare)) == sorted(map(tuple, first))
+
+    with pytest.raises(EclSyntaxError, match="unsupported workflow service"):
+        run_ecl("a := orders : STORED('x'); OUTPUT(a);", cat)
