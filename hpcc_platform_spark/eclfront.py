@@ -178,6 +178,8 @@ class _Parser:
         t = self.peek()
         if t.text == "table":
             df = self._table()
+        elif t.text == "project":
+            df = self._project()
         elif t.text == "join":
             df = self._join()
         elif t.text == "sort":
@@ -294,6 +296,82 @@ class _Parser:
         raise EclSyntaxError(
             f"expected aggregate (SUM/COUNT/MIN/MAX/AVE over GROUP) at {t.pos}"
         )
+
+    def _project(self) -> DataFrame:
+        """PROJECT(ds, TRANSFORM({...} | RECORDOF(ds), SELF.f := expr,
+        ..., [SELF := LEFT])) (TAKproject eclhelper.hpp:893). SELF.f
+        assignments become aliased select expressions (LEFT.x and bare x
+        both read the input); ``SELF := LEFT`` copies every input field
+        not explicitly assigned, in input order — the everyday
+        copy-then-override transform."""
+        self.expect("project")
+        self.expect("(")
+        src = self.dataset()
+        self.expect(",")
+        t = self.next()
+        if t.text != "transform":
+            raise EclSyntaxError(f"expected TRANSFORM at {t.pos}")
+        self.expect("(")
+        declared: list[str] | None = None
+        if self.accept("{"):
+            declared = []
+            while True:
+                f = self.next()
+                if f.kind != "ident":
+                    raise EclSyntaxError(f"expected field at {f.pos}")
+                declared.append(f.text)
+                if not self.accept(","):
+                    break
+            self.expect("}")
+        elif self.peek().text == "recordof":
+            self.next()
+            self.expect("(")
+            self.dataset()  # shape comes from the input; parse and discard
+            self.expect(")")
+        else:
+            raise EclSyntaxError(
+                f"expected {{...}} or RECORDOF(ds) at {self.peek().pos}"
+            )
+        assigned: dict[str, Column] = {}
+        copy_rest = False
+        while self.accept(",") or self.accept(";"):
+            if self.peek().text == ")":
+                break  # trailing separator
+            s = self.next()
+            if s.text != "self":
+                raise EclSyntaxError(f"expected SELF at {s.pos}")
+            if self.accept("."):
+                field = self.next().text
+                self.expect(":=")
+                assigned[field] = self.value(src)
+            else:
+                self.expect(":=")
+                lk = self.next()
+                if lk.text != "left":
+                    raise EclSyntaxError("only SELF := LEFT is supported")
+                copy_rest = True
+        self.expect(")")
+        self.expect(")")
+        order = declared if declared is not None else list(src.columns)
+        cols: list[Column] = []
+        for f in order:
+            if f in assigned:
+                cols.append(assigned[f].alias(f))
+            elif copy_rest:
+                if f not in src.columns:
+                    raise EclSyntaxError(
+                        f"SELF := LEFT cannot supply unknown field {f!r}"
+                    )
+                cols.append(src[f])
+            else:
+                raise EclSyntaxError(
+                    f"field {f!r} not assigned and no SELF := LEFT"
+                )
+        # fields assigned but not in the declared record are an error
+        extra = [f for f in assigned if f not in order]
+        if extra:
+            raise EclSyntaxError(f"assigned fields not in record: {extra}")
+        return src.select(*cols)
 
     def _join(self) -> DataFrame:
         self.expect("join")
@@ -535,6 +613,10 @@ class _Parser:
             c = self.value(df)
             self.expect(")")
             return c
+        if t.text == "left" and self.peek().text == ".":
+            # TRANSFORM-context LEFT.x — reads the input row's field
+            self.next()
+            return df[self.next().text]
         if t.kind == "ident":
             return df[t.text]
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")

@@ -223,3 +223,38 @@ def test_persist_annotation(spark, cat, tmp_path):
 
     with pytest.raises(EclSyntaxError, match="unsupported workflow service"):
         run_ecl("a := orders : STORED('x'); OUTPUT(a);", cat)
+
+
+def test_project_transform(spark, cat):
+    """PROJECT(ds, TRANSFORM(...)): SELF.f assignments with LEFT.x and
+    bare-field reads, SELF := LEFT copy-through, RECORDOF input shape,
+    strictness when fields are left unassigned."""
+    ecl = """
+    OUTPUT(CHOOSEN(SORT(PROJECT(orders, TRANSFORM(
+        { o_orderkey, revenue_bucket, o_totalprice },
+        SELF.revenue_bucket := IF(LEFT.o_totalprice > 200000, 'big', 'small'),
+        SELF := LEFT)), o_orderkey), 20));
+    """
+    rows = run_ecl(ecl, cat).collect()
+    assert [r.o_orderkey for r in rows] == sorted(r.o_orderkey for r in rows)
+    assert set(rows[0].asDict()) == {"o_orderkey", "revenue_bucket", "o_totalprice"}
+    for r in rows:
+        assert r.revenue_bucket == ("big" if r.o_totalprice > 200000 else "small")
+
+    # RECORDOF form: override one field, copy the rest
+    ecl2 = """
+    OUTPUT(CHOOSEN(SORT(PROJECT(orders, TRANSFORM(RECORDOF(orders),
+        SELF.o_totalprice := LEFT.o_totalprice * 2;
+        SELF := LEFT)), o_orderkey), 5));
+    """
+    doubled = run_ecl(ecl2, cat).collect()
+    base = cat["orders"].orderBy("o_orderkey").limit(5).collect()
+    assert [r.o_totalprice for r in doubled] == [r.o_totalprice * 2 for r in base]
+    assert [r.o_custkey for r in doubled] == [r.o_custkey for r in base]
+
+    with pytest.raises(EclSyntaxError, match="no SELF := LEFT"):
+        run_ecl(
+            "OUTPUT(PROJECT(orders, TRANSFORM({ o_orderkey, o_custkey },"
+            " SELF.o_orderkey := LEFT.o_orderkey)));",
+            cat,
+        )
