@@ -258,3 +258,47 @@ def test_project_transform(spark, cat):
             " SELF.o_orderkey := LEFT.o_orderkey)));",
             cat,
         )
+
+
+def test_random_filter_queries_match_model(spark, cat):
+    """Systematic parser check: generated condition trees rendered as ECL
+    text must produce the same row count as the directly-built DataFrame
+    filter — pins precedence, literals, IN/NOT across 40 random shapes."""
+    import random
+
+    rnd = random.Random(20260814)
+    leaves = [
+        ("o_totalprice > {}", lambda v: F.col("o_totalprice") > v,
+         lambda: rnd.randint(1000, 300000)),
+        ("o_totalprice <= {}", lambda v: F.col("o_totalprice") <= v,
+         lambda: rnd.randint(1000, 300000)),
+        ("o_orderstatus = '{}'", lambda v: F.col("o_orderstatus") == v,
+         lambda: rnd.choice(["F", "O", "P"])),
+        ("o_orderpriority IN ['{}', '{}']",
+         lambda v: F.col("o_orderpriority").isin(*v),
+         lambda: (rnd.choice(["1-URGENT", "2-HIGH"]),
+                  rnd.choice(["3-MEDIUM", "5-LOW"]))),
+        ("o_custkey % {} = 0", lambda v: F.col("o_custkey") % v == 0,
+         lambda: rnd.randint(2, 9)),
+    ]
+
+    def gen(depth):
+        if depth == 0 or rnd.random() < 0.4:
+            tmpl, build, mk = rnd.choice(leaves)
+            v = mk()
+            txt = tmpl.format(*v) if isinstance(v, tuple) else tmpl.format(v)
+            return txt, build(v)
+        lt, lc = gen(depth - 1)
+        rt, rc = gen(depth - 1)
+        if rnd.random() < 0.5:
+            return f"({lt}) AND ({rt})", lc & rc
+        if rnd.random() < 0.3:
+            return f"NOT (({lt}) OR ({rt}))", ~(lc | rc)
+        return f"({lt}) OR ({rt})", lc | rc
+
+    orders = cat["orders"]
+    for _ in range(40):
+        txt, col = gen(2)
+        got = run_ecl(f"OUTPUT(COUNT(orders({txt})));", cat).head().cnt
+        expect = orders.where(col).count()
+        assert got == expect, txt
