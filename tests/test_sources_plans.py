@@ -363,3 +363,35 @@ def test_zorder_tightens_secondary_column_stats(spark, sf_dir):
         F.count(F.lit(1)), F.sum("l_orderkey"), F.sum("l_partkey")
     ).collect()
     assert a == b
+
+
+def test_plan_audit_reports_known_shapes(spark, sf_dir):
+    """plan_report/assert_plan extract the contracts the plan tests grep
+    for — exercised against queries whose shapes are already pinned."""
+    from hpcc_platform_spark.plans.audit import assert_plan, plan_report
+    from hpcc_platform_spark.queries.registry import REGISTRY
+
+    r = assert_plan(
+        REGISTRY["workload_forecast_revenue"].fn(spark, sf_dir),
+        require_pushdown=True,
+    )
+    assert r.n_scans == 1 and not r.joins
+
+    r = assert_plan(
+        REGISTRY["lookup_join"].fn(spark, sf_dir),
+        require_broadcast=True,
+        forbid_join_types=("SortMergeJoin",),
+    )
+    assert "BroadcastHashJoin" in r.joins
+
+    q5 = plan_report(REGISTRY["workload_local_supplier_volume"].fn(spark, sf_dir))
+    assert not q5.has_cartesian and q5.aqe
+    assert q5.n_scans == 6 and q5.scans_with_pushdown == 6
+
+    # a deliberately bad plan trips the assertion
+    import pytest
+
+    li = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    bad = li.crossJoin(spark.read.parquet(f"{sf_dir}/region.parquet").hint("shuffle_replicate_nl"))
+    with pytest.raises(AssertionError, match="CartesianProduct"):
+        assert_plan(bad)
