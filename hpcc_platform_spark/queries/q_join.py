@@ -89,16 +89,25 @@ def join_full_outer(spark, sf_dir):
     "join_left_only",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT'
+                      AND o_totalprice > 150000)
     """,
     category="join",
 )
 def join_left_only(spark, sf_dir):
-    """LEFT ONLY (JFleftouter|JFexclude, eclhelper.hpp:1717) ≡ anti-join."""
+    """LEFT ONLY (JFleftouter|JFexclude, eclhelper.hpp:1717) ≡ anti-join.
+    The RHS is restricted (urgent big-ticket orders) so the result is
+    non-vacuous at every SF — every customer has SOME order in this
+    synthetic data, and an anti-join that returns 0 rows verifies
+    nothing."""
     orders, cust = tables(spark, sf_dir, "orders", "customer")
-    return join(cust, orders, cust.c_custkey == orders.o_custkey, "left only").select(
-        "c_custkey", "c_name"
+    big_urgent = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
     )
+    return join(
+        cust, big_urgent, cust.c_custkey == big_urgent.o_custkey, "left only"
+    ).select("c_custkey", "c_name")
 
 
 @query(
