@@ -180,6 +180,8 @@ class _Parser:
             df = self._table()
         elif t.text == "project":
             df = self._project()
+        elif t.text == "normalize":
+            df = self._normalize()
         elif t.text == "join":
             df = self._join()
         elif t.text == "sort":
@@ -372,6 +374,60 @@ class _Parser:
         if extra:
             raise EclSyntaxError(f"assigned fields not in record: {extra}")
         return src.select(*cols)
+
+    def _normalize(self) -> DataFrame:
+        """NORMALIZE(ds, LEFT.child, TRANSFORM({...}, SELF.f := ...))
+        (TAKnormalizechild eclhelper.hpp:910): one output row per element
+        of the child DATASET field. Lowered to explode; in the TRANSFORM,
+        LEFT.x reads the parent row and RIGHT.y the child element."""
+        self.expect("normalize")
+        self.expect("(")
+        src = self.dataset()
+        self.expect(",")
+        lk = self.next()
+        if lk.text != "left" or not self.accept("."):
+            raise EclSyntaxError(f"expected LEFT.<child field> at {lk.pos}")
+        child = self.next().text
+        if child not in src.columns:
+            raise EclSyntaxError(f"unknown child dataset field {child!r}")
+        self.expect(",")
+        t = self.next()
+        if t.text != "transform":
+            raise EclSyntaxError(f"expected TRANSFORM at {t.pos}")
+        self.expect("(")
+        self.expect("{")
+        declared: list[str] = []
+        while True:
+            f = self.next()
+            if f.kind != "ident":
+                raise EclSyntaxError(f"expected field at {f.pos}")
+            declared.append(f.text)
+            if not self.accept(","):
+                break
+        self.expect("}")
+        exploded = src.withColumn("__child__", F.explode(F.col(child)))
+        saved_right = getattr(self, "_right_struct", None)
+        self._right_struct = F.col("__child__")
+        try:
+            assigned: dict[str, Column] = {}
+            while self.accept(",") or self.accept(";"):
+                if self.peek().text == ")":
+                    break
+                s = self.next()
+                if s.text != "self":
+                    raise EclSyntaxError(f"expected SELF at {s.pos}")
+                self.expect(".")
+                field = self.next().text
+                self.expect(":=")
+                assigned[field] = self.value(exploded)
+        finally:
+            self._right_struct = saved_right
+        self.expect(")")
+        self.expect(")")
+        missing = [f for f in declared if f not in assigned]
+        if missing:
+            raise EclSyntaxError(f"NORMALIZE TRANSFORM must assign: {missing}")
+        return exploded.select(*[assigned[f].alias(f) for f in declared])
 
     def _join(self) -> DataFrame:
         self.expect("join")
@@ -617,6 +673,13 @@ class _Parser:
             # TRANSFORM-context LEFT.x — reads the input row's field
             self.next()
             return df[self.next().text]
+        if t.text == "right" and self.peek().text == ".":
+            # NORMALIZE-context RIGHT.y — reads the exploded child element
+            right = getattr(self, "_right_struct", None)
+            if right is None:
+                raise EclSyntaxError(f"RIGHT.<field> outside NORMALIZE at {t.pos}")
+            self.next()
+            return right.getField(self.next().text)
         if t.kind == "ident":
             return df[t.text]
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")

@@ -302,3 +302,35 @@ def test_random_filter_queries_match_model(spark, cat):
         got = run_ecl(f"OUTPUT(COUNT(orders({txt})));", cat).head().cnt
         expect = orders.where(col).count()
         assert got == expect, txt
+
+
+def test_normalize_child_dataset(spark, cat):
+    """NORMALIZE over a child DATASET field: one row per element, LEFT
+    reading the parent and RIGHT the child element."""
+    nested = spark.createDataFrame(
+        [
+            (1, "h1", [("alice", 30), ("bob", 12)]),
+            (2, "h2", [("carol", 44)]),
+            (3, "h3", []),
+        ],
+        "hid long, name string, "
+        "people array<struct<pname string, age int>>",
+    )
+    ecl = """
+    flat := NORMALIZE(houses, LEFT.people, TRANSFORM(
+        { hid, house, pname, age2 },
+        SELF.hid := LEFT.hid;
+        SELF.house := LEFT.name;
+        SELF.pname := RIGHT.pname;
+        SELF.age2 := RIGHT.age * 2));
+    OUTPUT(SORT(flat, hid, pname));
+    """
+    rows = [tuple(r) for r in run_ecl(ecl, {"houses": nested}).collect()]
+    assert rows == [
+        (1, "h1", "alice", 60),
+        (1, "h1", "bob", 24),
+        (2, "h2", "carol", 88),
+    ]
+    # RIGHT outside NORMALIZE is an error
+    with pytest.raises(EclSyntaxError, match="outside NORMALIZE"):
+        run_ecl("OUTPUT(orders(RIGHT.x = 1));", cat)
