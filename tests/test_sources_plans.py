@@ -371,6 +371,10 @@ def test_plan_audit_reports_known_shapes(spark, sf_dir):
     from hpcc_platform_spark.plans.audit import assert_plan, plan_report
     from hpcc_platform_spark.queries.registry import REGISTRY
 
+    # plan shapes depend on session state other tests legitimately mutate
+    # (auto_persist caches turn scans into InMemoryTableScans) — reset
+    spark.catalog.clearCache()
+
     r = assert_plan(
         REGISTRY["workload_forecast_revenue"].fn(spark, sf_dir),
         require_pushdown=True,
