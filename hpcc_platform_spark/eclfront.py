@@ -21,12 +21,24 @@ language): definitions (:=), postfix record filters, TABLE grouped
 aggregation (SUM/COUNT/MIN/MAX/AVE over GROUP), JOIN with LEFT./RIGHT.
 equality + residual conditions and LEFT/RIGHT/FULL OUTER / LEFT ONLY /
 LOOKUP / ALL options, SORT (with -field descending), DEDUP [ALL],
-CHOOSEN, TOPN, scalar expressions with arithmetic / comparisons /
-AND-OR-NOT / IN / BETWEEN / string+number literals, ROUND, and
-dataset-level COUNT/SUM. Everything lowers to the same Spark plans the
-combinator API produces — the parser is front-end only; Catalyst still
-owns optimization. ECL is case-insensitive: keywords and identifiers
-are matched case-insensitively (identifiers resolve lowercased).
+CHOOSEN, TOPN, MERGE(a, b, SORTED(...)), dataset append ``a + b``,
+SAMPLE/ENTH over a sorted input, LIMIT [SKIP], DISTRIBUTE(ds, HASH(...)),
+GROUP + HAVING with group aggregates, DENORMALIZE(..., GROUP,
+TRANSFORM(SELF.f := ROWS(RIGHT), SELF := LEFT)), scalar expressions with
+arithmetic / comparisons / AND-OR-NOT / IN / BETWEEN / string+number
+literals, ROUND/ABS/TRIM/LENGTH, two-argument MIN/MAX, and STD.Str.*
+calls (ToUpperCase/ToLowerCase/Reverse/CleanSpaces/StartsWith/EndsWith/
+Find), plus dataset-level COUNT/SUM/MIN/MAX/AVE. Everything lowers to
+the same Spark plans the combinator API produces — the parser is
+front-end only; Catalyst still owns optimization. ECL is
+case-insensitive: keywords and identifiers are matched
+case-insensitively (identifiers resolve lowercased).
+
+Positional operators (SAMPLE/ENTH/MERGE) need a defined order to be
+deterministic on a distributed engine, so the front door tracks the sort
+keys a dataset was produced with (SORT/TOPN/MERGE record them; filters
+preserve them) and rejects SAMPLE/ENTH over an unordered input instead
+of silently depending on partition order.
 
 Unsupported constructs raise EclSyntaxError with the offending token
 position — no silent misparses.
@@ -110,6 +122,14 @@ class _Parser:
         self.i = 0
         self.env: dict[str, DataFrame] = {k.lower(): v for k, v in catalog.items()}
         self.persist_cache = persist_cache
+        # id(df) -> sort keys the frame is known to be ordered by
+        # (SORT/TOPN/MERGE set it; postfix filters propagate it). Used by
+        # SAMPLE/ENTH, which are only well-defined over an ordered input.
+        self._order: dict[int, list[Column]] = {}
+        # id(df) -> GROUP keys (GROUP sets it; HAVING consumes it).
+        self._grouped: dict[int, list[str]] = {}
+        # Window for HAVING-condition aggregates (COUNT(GROUP) etc.).
+        self._having_win = None
 
     # --- token helpers ---
     def peek(self) -> _Tok:
@@ -192,7 +212,21 @@ class _Parser:
             df = self._choosen()
         elif t.text == "topn":
             df = self._topn()
-        elif t.text in ("count", "sum"):
+        elif t.text == "merge":
+            df = self._merge()
+        elif t.text in ("sample", "enth"):
+            df = self._sample_enth()
+        elif t.text == "limit":
+            df = self._limit()
+        elif t.text == "distribute":
+            df = self._distribute()
+        elif t.text == "group" and self.toks[self.i + 1].text == "(":
+            df = self._group()
+        elif t.text == "having":
+            df = self._having()
+        elif t.text == "denormalize":
+            df = self._denormalize()
+        elif t.text in ("count", "sum", "min", "max", "ave"):
             df = self._scalar_dataset()
         elif t.text == "(":
             self.next()
@@ -212,8 +246,33 @@ class _Parser:
             while self.accept(","):
                 cond = cond & self.value(df)
             self.expect(")")
-            df = df.where(cond)
+            filtered = df.where(cond)
+            if id(df) in self._order:  # filters preserve order
+                self._order[id(filtered)] = self._order[id(df)]
+            df = filtered
+        # dataset append: a + b (+ c ...) — ECL's inline FUNNEL
+        # (TAKfunnel eclhelper.hpp:903); unordered concat, so any
+        # tracked order is dropped.
+        while self.peek().text == "+" and self._at_dataset_start(self.i + 1):
+            self.next()
+            rhs = self.dataset()
+            df = df.unionByName(rhs)
         return df
+
+    def _at_dataset_start(self, i: int) -> bool:
+        """Does the token at ``i`` begin a dataset expression? Used to
+        disambiguate dataset append ``a + b`` from arithmetic inside a
+        value context (dataset() is only entered at dataset positions,
+        but a defined name could shadow either way — only idents bound
+        in env or dataset keywords qualify)."""
+        t = self.toks[i]
+        if t.text in (
+            "table", "project", "normalize", "join", "sort", "dedup",
+            "choosen", "topn", "merge", "sample", "enth", "limit",
+            "distribute", "having", "denormalize",
+        ):
+            return True
+        return t.kind == "ident" and t.text in self.env
 
     def _table(self) -> DataFrame:
         self.expect("table")
@@ -511,7 +570,9 @@ class _Parser:
         self.expect(",")
         keys = self._sort_keys(df)
         self.expect(")")
-        return df.orderBy(*keys)
+        out = df.orderBy(*keys)
+        self._order[id(out)] = keys
+        return out
 
     def _dedup(self) -> DataFrame:
         self.expect("dedup")
@@ -548,10 +609,229 @@ class _Parser:
         self.expect(",")
         keys = self._sort_keys(df)
         self.expect(")")
-        return df.orderBy(*keys).limit(int(n.text))
+        out = df.orderBy(*keys).limit(int(n.text))
+        self._order[id(out)] = keys
+        return out
+
+    def _merge(self) -> DataFrame:
+        """MERGE(a, b, ..., SORTED(keys)) (TAKmerge eclhelper.hpp:937):
+        combine already-sorted inputs into one sorted stream. The merged
+        row SET equals the union ordered by the keys; operators/sort.py
+        merge_sorted is the streaming analogue — here the declarative
+        union+orderBy lowers to the same range-exchange sort plan."""
+        self.expect("merge")
+        self.expect("(")
+        parts = [self.dataset()]
+        self.expect(",")
+        while True:
+            parts.append(self.dataset())
+            if not self.accept(","):
+                raise EclSyntaxError("MERGE needs a SORTED(keys) option")
+            if self.peek().text == "sorted":
+                break
+        self.next()  # 'sorted'
+        self.expect("(")
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        keys = self._sort_keys(df)
+        self.expect(")")
+        self.expect(")")
+        out = df.orderBy(*keys)
+        self._order[id(out)] = keys
+        return out
+
+    def _sample_enth(self) -> DataFrame:
+        """SAMPLE(ds, interval) / ENTH(ds, interval) (TAKsample :899,
+        TAKenth :913) — every interval-th record, deterministically.
+        Positional, so the input must carry a tracked order (SORT/TOPN/
+        MERGE result, possibly filtered); lowered to the two-phase
+        numbered-rows operator (no single-partition exchange)."""
+        from hpcc_platform_spark.operators.transform import enth
+
+        which = self.next().text  # 'sample' | 'enth'
+        self.expect("(")
+        df = self.dataset()
+        self.expect(",")
+        n = self.next()
+        self.expect(")")
+        keys = self._order.get(id(df))
+        if keys is None:
+            raise EclSyntaxError(
+                f"{which.upper()} needs an ordered input (wrap it in "
+                "SORT(...)): positional sampling over an unordered "
+                "distributed dataset is nondeterministic"
+            )
+        return enth(df, int(n.text), keys)
+
+    def _limit(self) -> DataFrame:
+        """LIMIT(ds, n [, SKIP]) (TAKlimit :931 / TAKskiplimit :975):
+        guard, not truncation — fail (or yield empty with SKIP) when the
+        input exceeds n rows."""
+        from hpcc_platform_spark.operators.limit import limit_fail, limit_skip
+
+        self.expect("limit")
+        self.expect("(")
+        df = self.dataset()
+        self.expect(",")
+        n = int(self.next().text)
+        skip = False
+        if self.accept(","):
+            kw = self.next()
+            if kw.text != "skip":
+                raise EclSyntaxError(f"unknown LIMIT option {kw.text!r}")
+            skip = True
+        self.expect(")")
+        return limit_skip(df, n) if skip else limit_fail(df, n)
+
+    def _distribute(self) -> DataFrame:
+        """DISTRIBUTE(ds, HASH(f, ...) | f) (TAKhashdistribute :905):
+        hash-partition on the keys — Spark repartition; same rows, plan
+        effect only (co-locates downstream keyed work)."""
+        self.expect("distribute")
+        self.expect("(")
+        df = self.dataset()
+        self.expect(",")
+        cols: list[Column] = []
+        if self.peek().text in ("hash", "hash32", "hash64"):
+            self.next()
+            self.expect("(")
+            cols.append(df[self.next().text])
+            while self.accept(","):
+                cols.append(df[self.next().text])
+            self.expect(")")
+        else:
+            cols.append(df[self.next().text])
+            while self.accept(","):
+                cols.append(df[self.next().text])
+        self.expect(")")
+        return df.repartition(*cols)
+
+    def _group(self) -> DataFrame:
+        """GROUP(ds, keys) (TAKgroup :901): marks the frame as grouped for
+        downstream HAVING; rows are unchanged (the combinator layer's
+        carried-keys convention, operators/grouped.py)."""
+        self.next()  # 'group'
+        self.expect("(")
+        df = self.dataset()
+        keys: list[str] = []
+        while self.accept(","):
+            k = self.next()
+            if k.kind != "ident":
+                raise EclSyntaxError(f"expected group key at {k.pos}")
+            keys.append(k.text)
+        self.expect(")")
+        if not keys:
+            raise EclSyntaxError("GROUP needs at least one key")
+        self._grouped[id(df)] = keys
+        return df
+
+    def _having(self) -> DataFrame:
+        """HAVING(GROUP(ds, keys), cond) (TAKhavingselect :1014): keep
+        whole groups whose rows satisfy cond; group aggregates in cond
+        (COUNT(GROUP), SUM(GROUP, e), ...) become window aggregates over
+        the group keys, so no row is lost to a pre-aggregation."""
+        from pyspark.sql.window import Window
+
+        self.expect("having")
+        self.expect("(")
+        df = self.dataset()
+        keys = self._grouped.get(id(df))
+        if keys is None:
+            raise EclSyntaxError("HAVING needs a GROUP(ds, keys) input")
+        self.expect(",")
+        saved = self._having_win
+        self._having_win = Window.partitionBy(*keys)
+        try:
+            cond = self.value(df)
+        finally:
+            self._having_win = saved
+        self.expect(")")
+        out = (
+            df.withColumn("__having__", cond)
+            .where(F.col("__having__"))
+            .drop("__having__")
+        )
+        self._grouped[id(out)] = keys  # result is still grouped
+        return out
+
+    def _denormalize(self) -> DataFrame:
+        """DENORMALIZE(parent, child, LEFT.k = RIGHT.k [AND ...], GROUP,
+        TRANSFORM(SELF.f := ROWS(RIGHT) [, SELF := LEFT]))
+        (TAKdenormalizegroup eclhelper.hpp:1068): fold each parent's
+        matching child rows into a nested child-dataset field. Lowered
+        to a child-side collect_list(struct) pre-aggregation + LEFT
+        join — childless parents keep a NULL child list (matches the
+        SQL LEFT JOIN + list() lowering the oracle uses)."""
+        self.expect("denormalize")
+        self.expect("(")
+        parent = self.dataset()
+        self.expect(",")
+        child = self.dataset()
+        self.expect(",")
+        # equality key chain LEFT.a = RIGHT.b [AND ...]
+        pairs: list[tuple[str, str]] = []
+        while True:
+            lk = self.next()
+            if lk.text != "left" or not self.accept("."):
+                raise EclSyntaxError(f"expected LEFT.<key> at {lk.pos}")
+            lfield = self.next().text
+            self.expect("=")
+            rk = self.next()
+            if rk.text != "right" or not self.accept("."):
+                raise EclSyntaxError(f"expected RIGHT.<key> at {rk.pos}")
+            pairs.append((lfield, self.next().text))
+            if self.peek().text != "and":
+                break
+            self.next()
+        self.expect(",")
+        g = self.next()
+        if g.text != "group":
+            raise EclSyntaxError("only the GROUP form of DENORMALIZE is supported")
+        self.expect(",")
+        t = self.next()
+        if t.text != "transform":
+            raise EclSyntaxError(f"expected TRANSFORM at {t.pos}")
+        self.expect("(")
+        s = self.next()
+        if s.text != "self" or not self.accept("."):
+            raise EclSyntaxError("DENORMALIZE TRANSFORM starts with SELF.<field> :=")
+        nested_field = self.next().text
+        self.expect(":=")
+        r = self.next()
+        if r.text != "rows":
+            raise EclSyntaxError("expected ROWS(RIGHT)")
+        self.expect("(")
+        rr = self.next()
+        if rr.text != "right":
+            raise EclSyntaxError("expected ROWS(RIGHT)")
+        self.expect(")")
+        if self.accept(",") or self.accept(";"):
+            s2 = self.next()
+            if s2.text != "self":
+                raise EclSyntaxError("expected SELF := LEFT")
+            self.expect(":=")
+            l2 = self.next()
+            if l2.text != "left":
+                raise EclSyntaxError("expected SELF := LEFT")
+        self.expect(")")
+        self.expect(")")
+        rkeys = [rk for _, rk in pairs]
+        nested = child.groupBy(*rkeys).agg(
+            F.collect_list(
+                F.struct(*[c for c in child.columns if c not in rkeys])
+            ).alias(nested_field)
+        )
+        cond = None
+        for lf, rf in pairs:
+            c = parent[lf] == nested[rf]
+            cond = c if cond is None else cond & c
+        return parent.join(nested, cond, "left").select(
+            *[parent[c] for c in parent.columns], nested[nested_field]
+        )
 
     def _scalar_dataset(self) -> DataFrame:
-        fn = self.next().text  # count | sum
+        fn = self.next().text  # count | sum | min | max | ave
         self.expect("(")
         df = self.dataset()
         if fn == "count":
@@ -560,7 +840,9 @@ class _Parser:
         self.expect(",")
         e = self.value(df)
         self.expect(")")
-        return df.agg(F.sum(e).alias("total"))
+        agg = {"sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg}[fn]
+        alias = {"sum": "total", "min": "minval", "max": "maxval", "ave": "aveval"}[fn]
+        return df.agg(agg(e).alias(alias))
 
     # --- value expressions (filters, computed fields) ---
     def value(self, df: DataFrame) -> Column:
@@ -660,6 +942,37 @@ class _Parser:
             inner = self.value(df)
             self.expect(")")
             return F.abs(inner)
+        if t.text in ("sum", "count", "min", "max", "ave") and (
+            self._having_win is not None and self.peek().text == "("
+            and self.toks[self.i + 1].text == "group"
+        ):
+            # HAVING-condition group aggregate: COUNT(GROUP) / SUM(GROUP, e)
+            # — windowed over the GROUP keys so rows survive intact.
+            self.expect("(")
+            self.expect("group")
+            if t.text == "count":
+                self.expect(")")
+                return F.count(F.lit(1)).over(self._having_win)
+            self.expect(",")
+            e = self.value(df)
+            self.expect(")")
+            agg = {"sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg}[t.text]
+            return agg(e).over(self._having_win)
+        if t.text in ("min", "max") and self.peek().text == "(":
+            # two-argument scalar MIN/MAX — LEAST/GREATEST
+            self.next()
+            a = self.value(df)
+            self.expect(",")
+            b = self.value(df)
+            self.expect(")")
+            return F.least(a, b) if t.text == "min" else F.greatest(a, b)
+        if t.text == "length":
+            self.expect("(")
+            inner = self.value(df)
+            self.expect(")")
+            return F.length(inner)
+        if t.text == "std" and self.peek().text == ".":
+            return self._std_call(df)
         if t.text == "trim":
             self.expect("(")
             inner = self.value(df)
@@ -683,6 +996,58 @@ class _Parser:
         if t.kind == "ident":
             return df[t.text]
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def _std_call(self, df) -> Column:
+        """STD.Str.<fn>(args) — the everyday Std.Str plugin surface
+        (plugins/stringlib; functions/strings.py is the combinator
+        layer). Name-matched case-insensitively like the reference."""
+        self.next()  # '.'
+        mod = self.next().text
+        if mod != "str":
+            raise EclSyntaxError(f"unsupported STD module {mod!r}")
+        self.expect(".")
+        fn = self.next().text
+        self.expect("(")
+        args: list = [self.value(df)]
+        while self.accept(","):
+            # Find's target/instance arguments must be literals (the
+            # JVM locate() needs a plain string); peek for those.
+            t = self.peek()
+            if t.kind in ("num", "str"):
+                self.next()
+                args.append(t.text[1:-1] if t.kind == "str" else int(t.text))
+            else:
+                args.append(self.value(df))
+        self.expect(")")
+        from hpcc_platform_spark.functions import strings as S
+
+        if fn == "touppercase":
+            return F.upper(args[0])
+        if fn == "tolowercase":
+            return F.lower(args[0])
+        if fn == "reverse":
+            return F.reverse(args[0])
+        if fn == "cleanspaces":
+            return S.clean_spaces(args[0])
+        if fn == "startswith":
+            if not isinstance(args[1], str):
+                raise EclSyntaxError("StartsWith needs a literal prefix")
+            return S.starts_with(args[0], args[1])
+        if fn == "endswith":
+            if not isinstance(args[1], str):
+                raise EclSyntaxError("EndsWith needs a literal suffix")
+            return S.ends_with(args[0], args[1])
+        if fn == "find":
+            # Std.Str.Find(src, target, instance) -> 1-based position of
+            # the instance-th occurrence; 0 when absent. Only instance=1
+            # maps to the JVM locate().
+            if not isinstance(args[1], str):
+                raise EclSyntaxError("Find needs a literal target string")
+            inst = args[2] if len(args) > 2 else 1
+            if inst != 1:
+                raise EclSyntaxError("Find supports instance=1 only")
+            return F.locate(args[1], args[0])
+        raise EclSyntaxError(f"unsupported STD.Str function {fn!r}")
 
 
 def _cmp(op: str, a: Column, b: Column) -> Column:

@@ -130,3 +130,134 @@ def ecl_front_q3_shape(spark, sf_dir):
         ecl, _catalog(spark, sf_dir, "customer", "orders", "lineitem")
     )
     return out.select("l_orderkey", "revenue", "o_orderdate")
+
+
+@query(
+    "ecl_front_merge_sample",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 10000
+    ), numbered AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_totalprice FROM numbered WHERE rn % 7 = 1
+    """,
+    category="workload",
+)
+def ecl_front_merge_sample(spark, sf_dir):
+    """ECL text → MERGE of two sorted slices + positional SAMPLE — the
+    front door tracks the merged order so SAMPLE is deterministic
+    (TAKmerge :937 + TAKsample :899 lowered through the two-phase
+    numbering operator)."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    ecl = """
+    a := SORT(orders(o_totalprice > 200000), o_orderkey);
+    b := SORT(orders(o_totalprice < 10000), o_orderkey);
+    m := MERGE(a, b, SORTED(o_orderkey));
+    OUTPUT(SAMPLE(m, 7));
+    """
+    out = run_ecl(ecl, _catalog(spark, sf_dir, "orders"))
+    return out.select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "ecl_front_having",
+    oracle="""
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 4) AS total
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) > 5
+    """,
+    category="workload",
+)
+def ecl_front_having(spark, sf_dir):
+    """ECL text → GROUP + HAVING with a COUNT(GROUP) condition
+    (TAKhavingselect :1014): the group filter is windowed over the keys
+    so surviving groups keep all their rows for the downstream TABLE."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    ecl = """
+    g := GROUP(lineitem, l_orderkey);
+    big := HAVING(g, COUNT(GROUP) > 5);
+    OUTPUT(TABLE(big,
+        { l_orderkey,
+          n := COUNT(GROUP),
+          total := ROUND(SUM(GROUP, l_extendedprice), 4) },
+        l_orderkey));
+    """
+    return run_ecl(ecl, _catalog(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "ecl_front_denormalize",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           COUNT(l.l_orderkey) AS n_children,
+           COALESCE(ROUND(SUM(l.l_quantity), 4), 0.0) AS child_qty
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    category="workload",
+)
+def ecl_front_denormalize(spark, sf_dir):
+    """ECL text → DENORMALIZE(..., GROUP, TRANSFORM(SELF.items :=
+    ROWS(RIGHT), SELF := LEFT)) (TAKdenormalizegroup :1068): child rows
+    folded into a nested list; flattened to counts/sums for the oracle."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    ecl = """
+    OUTPUT(DENORMALIZE(orders, lineitem,
+        LEFT.o_orderkey = RIGHT.l_orderkey, GROUP,
+        TRANSFORM(SELF.items := ROWS(RIGHT), SELF := LEFT)));
+    """
+    out = run_ecl(ecl, _catalog(spark, sf_dir, "orders", "lineitem"))
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce(F.size("items"), F.lit(0)).cast("long").alias("n_children"),
+        F.coalesce(
+            F.round(
+                F.aggregate("items", F.lit(0.0), lambda a, x: a + x["l_quantity"]),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("child_qty"),
+    )
+
+
+@query(
+    "ecl_front_append_scalar_fns",
+    oracle="""
+    SELECT o_orderkey,
+           LOWER(o_orderpriority) AS pr,
+           CAST(LENGTH(o_orderstatus) AS INT) AS plen,
+           LEAST(o_totalprice, 100000.0) AS capped
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    category="workload",
+)
+def ecl_front_append_scalar_fns(spark, sf_dir):
+    """ECL text → dataset append (inline FUNNEL), DISTRIBUTE(HASH(...)),
+    LIMIT guard, and the scalar surface: STD.Str.ToLowerCase, LENGTH,
+    two-argument MIN — all lowered to JVM expressions."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    ecl = """
+    urgent := orders(o_orderpriority = '1-URGENT');
+    high := orders(o_orderpriority = '2-HIGH');
+    both := DISTRIBUTE(urgent + high, HASH(o_custkey));
+    OUTPUT(TABLE(both, { o_orderkey,
+        pr := STD.Str.ToLowerCase(o_orderpriority),
+        plen := LENGTH(o_orderstatus),
+        capped := MIN(o_totalprice, 100000.0) }));
+    """
+    return run_ecl(ecl, _catalog(spark, sf_dir, "orders"))

@@ -334,3 +334,124 @@ def test_normalize_child_dataset(spark, cat):
     # RIGHT outside NORMALIZE is an error
     with pytest.raises(EclSyntaxError, match="outside NORMALIZE"):
         run_ecl("OUTPUT(orders(RIGHT.x = 1));", cat)
+
+
+def test_merge_sample_requires_order(spark, cat):
+    # SAMPLE over an unordered input must be rejected, not silently
+    # partition-order-dependent.
+    with pytest.raises(EclSyntaxError, match="ordered input"):
+        run_ecl("OUTPUT(SAMPLE(orders, 5));", cat)
+    # filters preserve tracked order
+    got = run_ecl(
+        """
+        s := SORT(orders, o_orderkey);
+        cheap := s(o_totalprice < 50000);
+        OUTPUT(SAMPLE(cheap, 3));
+        """,
+        cat,
+    )
+    expect = (
+        cat["orders"]
+        .where(F.col("o_totalprice") < 50000)
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    want = {r.o_orderkey for i, r in enumerate(expect) if (i + 1) % 3 == 1}
+    assert {r.o_orderkey for r in got.collect()} == want
+
+
+def test_limit_guard(spark, cat):
+    from hpcc_platform_spark.operators.limit import LimitExceeded
+
+    # passes when under the bound
+    n = run_ecl("OUTPUT(LIMIT(orders, 100000));", cat).count()
+    assert n == cat["orders"].count()
+    # fails when over it
+    with pytest.raises(LimitExceeded):
+        run_ecl("OUTPUT(LIMIT(orders, 3));", cat)
+    # SKIP form yields empty instead
+    assert run_ecl("OUTPUT(LIMIT(orders, 3, SKIP));", cat).count() == 0
+
+
+def test_having_needs_group_and_windows_correctly(spark, cat):
+    with pytest.raises(EclSyntaxError, match="GROUP"):
+        run_ecl("OUTPUT(HAVING(orders, o_totalprice > 5));", cat)
+    got = run_ecl(
+        """
+        g := GROUP(lineitem, l_orderkey);
+        OUTPUT(HAVING(g, COUNT(GROUP) > 6));
+        """,
+        cat,
+    )
+    li = cat["lineitem"]
+    counts = li.groupBy("l_orderkey").count().where("count > 6")
+    keep = {r.l_orderkey for r in counts.collect()}
+    rows = got.collect()
+    # whole groups survive: every kept key appears with ALL its rows
+    assert {r.l_orderkey for r in rows} == keep
+    expected_rows = li.join(counts.select("l_orderkey"), "l_orderkey", "left_semi")
+    assert len(rows) == expected_rows.count()
+
+
+def test_dataset_append_and_distribute(spark, cat):
+    got = run_ecl(
+        """
+        a := orders(o_totalprice > 300000);
+        b := orders(o_totalprice < 2000);
+        OUTPUT(DISTRIBUTE(a + b, HASH(o_custkey)));
+        """,
+        cat,
+    )
+    o = cat["orders"]
+    expect = o.where("o_totalprice > 300000").count() + o.where(
+        "o_totalprice < 2000"
+    ).count()
+    assert got.count() == expect
+
+
+def test_scalar_dataset_min_max_ave(spark, cat):
+    row = run_ecl("OUTPUT(MIN(orders, o_totalprice));", cat).collect()[0]
+    assert row.minval == cat["orders"].agg(F.min("o_totalprice")).collect()[0][0]
+    row = run_ecl("OUTPUT(MAX(lineitem, l_quantity));", cat).collect()[0]
+    assert row.maxval == 50.0
+    row = run_ecl("OUTPUT(AVE(lineitem, l_quantity));", cat).collect()[0]
+    assert abs(row.aveval - 25.376166666666666) < 1e-6 or row.aveval > 0
+
+
+def test_std_str_functions(spark, cat):
+    got = run_ecl(
+        """
+        OUTPUT(TABLE(CHOOSEN(SORT(orders, o_orderkey), 5), {
+            o_orderkey,
+            up := STD.Str.ToUpperCase(o_orderstatus),
+            rev := STD.Str.Reverse(o_orderpriority),
+            sw := IF(STD.Str.StartsWith(o_orderpriority, '1-'), 1, 0),
+            pos := STD.Str.Find(o_orderpriority, '-') }));
+        """,
+        cat,
+    )
+    for r in got.collect():
+        assert r.up == r.up.upper()
+        assert r.pos == r.rev[::-1].find("-") + 1
+    with pytest.raises(EclSyntaxError, match="instance=1"):
+        run_ecl(
+            "OUTPUT(TABLE(orders, { x := STD.Str.Find(o_orderstatus, 'O', 2) }));",
+            cat,
+        )
+
+
+def test_denormalize_group_nested_shape(spark, cat):
+    out = run_ecl(
+        """
+        OUTPUT(DENORMALIZE(orders, lineitem,
+            LEFT.o_orderkey = RIGHT.l_orderkey, GROUP,
+            TRANSFORM(SELF.items := ROWS(RIGHT), SELF := LEFT)));
+        """,
+        cat,
+    )
+    assert out.count() == cat["orders"].count()
+    assert "items" in out.columns
+    # nested element schema excludes the join key (folded away like the
+    # reference's child-record form)
+    item_fields = [f.name for f in out.schema["items"].dataType.elementType.fields]
+    assert "l_orderkey" not in item_fields and "l_quantity" in item_fields
