@@ -98,7 +98,7 @@ def main() -> None:
 
 def skew_demo(spark) -> dict[str, float]:
     """Prove the salt earns its keep: the same deliberately-skewed join
-    (~80% of fact rows on one hot key) timed unsalted vs salted, with
+    (~95% of fact rows on one hot key) timed unsalted vs salted, with
     AQE's runtime skew-split and broadcast disabled so the shuffle-join
     straggler is actually exercised — the static-salting case exists for
     engines/paths where AQE can't rewrite (reference: SKEW() options,
@@ -122,18 +122,21 @@ def skew_demo(spark) -> dict[str, float]:
     try:
         li = read_table(spark, SF_DIR, "lineitem")
         supp = read_table(spark, SF_DIR, "supplier")
-        # ×10 fact replication approximates the next SF up (6M rows at
-        # sf0.1): the hot key's reducer gets ~4.8M rows unsalted, so the
-        # straggler dominates the stage the way it would at cluster scale.
+        # ×20 fact replication approximates the next SF up (12M rows at
+        # sf0.1): the hot key's reducer gets ~11.4M rows unsalted, so the
+        # single-task sort straggler dominates the stage the way it would
+        # at cluster scale — and dwarfs the salted variant's fixed
+        # overhead (small-side ×salt_n explode), keeping the comparison
+        # stable run-to-run.
         # Materialize the skewed fact ONCE (parquet scratch) so the timed
         # section isolates the join stage — otherwise the ×10 explode
         # generation (paid identically by both variants) swamps the
         # reducer-stage difference the demo exists to show.
         scratch = "/tmp/hpcc_platform_spark_scratch/skew_demo_fact"
         li.withColumn(
-            "__rep__", F.explode(F.sequence(F.lit(1), F.lit(10)))
+            "__rep__", F.explode(F.sequence(F.lit(1), F.lit(20)))
         ).select(
-            F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+            F.when(F.col("l_orderkey") % 20 < 19, F.lit(0))
             .otherwise(F.col("l_suppkey"))
             .cast("long")
             .alias("skew_key"),
@@ -150,7 +153,7 @@ def skew_demo(spark) -> dict[str, float]:
         variants = {
             "unsalted_sec": lambda: agg(sk.hint("merge").join(sm, "skew_key")),
             "salted_sec": lambda: agg(
-                salted_join(sk.hint("merge"), sm, ["skew_key"], salt_n=16)
+                salted_join(sk.hint("merge"), sm, ["skew_key"], salt_n=32)
             ),
         }
         out: dict[str, float] = {}
