@@ -7,6 +7,14 @@ semantics allow, ``applyInPandas``/``mapInPandas`` only where they don't.
 """
 
 from hpcc_platform_spark.operators.asof import asof_join
+from hpcc_platform_spark.operators.blas import (
+    dasum,
+    daxpy,
+    dgemm,
+    dscal,
+    dsyrk,
+    extract_tri,
+)
 from hpcc_platform_spark.operators.aggregate import (
     distribution,
     global_agg,
@@ -107,6 +115,12 @@ __all__ = [
     "loop_count",
     "loop_until",
     "asof_join",
+    "dasum",
+    "daxpy",
+    "dgemm",
+    "dscal",
+    "dsyrk",
+    "extract_tri",
     "merge_sorted",
     "nonempty",
     "partition_meta",

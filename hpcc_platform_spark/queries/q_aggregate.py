@@ -404,3 +404,36 @@ def hypertable_rollup_q(spark, sf_dir):
 
     (ev,) = tables(spark, sf_dir, "events")
     return time_rollup_hierarchy(ev, "ts", "value")
+
+
+@query(
+    "blas_gram_matrix",
+    oracle="""
+    WITH a AS (
+      SELECT l_suppkey % 25 AS i, l_partkey % 20 AS j,
+             SUM(l_quantity) AS v
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT x.i AS i, y.i AS j, ROUND(SUM(x.v * y.v), 4) AS v
+    FROM a x JOIN a y ON x.j = y.j
+    WHERE x.i <= y.i
+    GROUP BY x.i, y.i
+    """,
+    category="aggregate",
+)
+def blas_gram_matrix(spark, sf_dir):
+    """Std.BLAS dsyrk (plugins/eclblas/dsyrk.cpp): Gram matrix G = A @ A'
+    (upper triangle) of a coordinate-form matrix derived from lineitem —
+    the covariance-kernel shape. One join shuffle on the contracted
+    dimension + one (i, j) aggregation; entries stay integral so the
+    comparison is exact."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators.blas import dsyrk
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    a = li.groupBy(
+        (F.col("l_suppkey") % 25).alias("i"),
+        (F.col("l_partkey") % 20).alias("j"),
+    ).agg(F.sum("l_quantity").alias("v"))
+    return dsyrk(a, upper=True).withColumn("v", F.round("v", 4))

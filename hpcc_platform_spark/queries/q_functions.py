@@ -906,3 +906,28 @@ def ebcdic_collated_sort(spark, sf_dir):
     return global_row_number(
         df, [ebcdic_sort_key("s"), "id"], name="pos", num_partitions=4
     ).select("id", "s", "pos")
+
+
+@query(
+    "crypto_hashes",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha256_hex,
+           md5(text) AS md5_hex
+    FROM documents
+    """,
+    category="functions",
+)
+def crypto_hashes(spark, sf_dir):
+    """Std.Crypto hashing (plugins/cryptolib/cryptolib.cpp:304 clHash):
+    SHA-256 and MD5 digests of every document, JVM-side (sha2/md5
+    codegen expressions — no Python in the loop). SHA-1/224/384/512 are
+    covered by NIST-vector tests (DuckDB lacks those functions)."""
+    from hpcc_platform_spark.functions.crypto import cl_hash
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        cl_hash("text", "SHA256").alias("sha256_hex"),
+        cl_hash("text", "MD5").alias("md5_hex"),
+    )
