@@ -28,7 +28,9 @@ TRANSFORM(SELF.f := ROWS(RIGHT), SELF := LEFT)), scalar expressions with
 arithmetic / comparisons / AND-OR-NOT / IN / BETWEEN / string+number
 literals, ROUND/ABS/TRIM/LENGTH, two-argument MIN/MAX, and STD.Str.*
 calls (ToUpperCase/ToLowerCase/Reverse/CleanSpaces/StartsWith/EndsWith/
-Find), plus dataset-level COUNT/SUM/MIN/MAX/AVE. Everything lowers to
+Find), dataset-level COUNT/SUM/MIN/MAX/AVE, scalar dataset aggregates
+inside value expressions (ds(x > AVE(ds2, y)) — evaluated once, inlined
+as a broadcast literal) and EXISTS(ds). Everything lowers to
 the same Spark plans the combinator API produces — the parser is
 front-end only; Catalyst still owns optimization. ECL is
 case-insensitive: keywords and identifiers are matched
@@ -958,6 +960,36 @@ class _Parser:
             self.expect(")")
             agg = {"sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg}[t.text]
             return agg(e).over(self._having_win)
+        if t.text in ("sum", "count", "min", "max", "ave") and (
+            self.peek().text == "(" and self._at_dataset_start(self.i + 1)
+        ):
+            # scalar dataset aggregate inside a value expression:
+            # ds(x > AVE(ds2, y)) — ECL evaluates the global aggregate
+            # once and compares rows against it. Evaluated eagerly
+            # (one action) and inlined as a literal, the same
+            # broadcast-scalar plan the combinator layer uses
+            # (workload_idle_rich_customers Q22 shape).
+            self.next()
+            inner = self.dataset()
+            if t.text == "count":
+                self.expect(")")
+                val = inner.count()
+            else:
+                self.expect(",")
+                e = self.value(inner)
+                self.expect(")")
+                agg = {
+                    "sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg
+                }[t.text]
+                val = inner.agg(agg(e)).collect()[0][0]
+            return F.lit(val)
+        if t.text == "exists" and self.peek().text == "(":
+            # EXISTS(ds) — true when the dataset is non-empty; probes at
+            # most one row (limit(1)), not a full count.
+            self.next()
+            inner = self.dataset()
+            self.expect(")")
+            return F.lit(len(inner.limit(1).take(1)) > 0)
         if t.text in ("min", "max") and self.peek().text == "(":
             # two-argument scalar MIN/MAX — LEAST/GREATEST
             self.next()

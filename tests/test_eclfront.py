@@ -455,3 +455,25 @@ def test_denormalize_group_nested_shape(spark, cat):
     # reference's child-record form)
     item_fields = [f.name for f in out.schema["items"].dataType.elementType.fields]
     assert "l_orderkey" not in item_fields and "l_quantity" in item_fields
+
+
+def test_scalar_aggregate_in_filter_and_exists(spark, cat):
+    # Q22 shape: rows above the global average — aggregate evaluated once
+    got = run_ecl(
+        "OUTPUT(COUNT(orders(o_totalprice > AVE(orders, o_totalprice))));",
+        cat,
+    ).collect()[0].cnt
+    o = cat["orders"]
+    avg = o.agg(F.avg("o_totalprice")).collect()[0][0]
+    assert got == o.where(F.col("o_totalprice") > avg).count()
+    # EXISTS probes emptiness
+    got = run_ecl(
+        """
+        r := orders(o_totalprice > 99999999);
+        OUTPUT(TABLE(CHOOSEN(orders, 1), {
+            has_big := IF(EXISTS(r), 1, 0),
+            has_any := IF(EXISTS(orders), 1, 0) }));
+        """,
+        cat,
+    ).collect()[0]
+    assert got.has_big == 0 and got.has_any == 1
