@@ -228,6 +228,8 @@ class _Parser:
             df = self._having()
         elif t.text == "denormalize":
             df = self._denormalize()
+        elif t.text == "if":
+            df = self._if_dataset()
         elif t.text in ("count", "sum", "min", "max", "ave"):
             df = self._scalar_dataset()
         elif t.text == "(":
@@ -831,6 +833,31 @@ class _Parser:
         return parent.join(nested, cond, "left").select(
             *[parent[c] for c in parent.columns], nested[nested_field]
         )
+
+    def _if_dataset(self) -> DataFrame:
+        """IF(cond, ds1 [, ds2]) at dataset position (TAKif
+        eclhelper.hpp:914): pick a dataset on a row-independent scalar
+        condition. The condition may use literals, EXISTS(ds) and scalar
+        dataset aggregates (no bare columns — there is no row to read
+        them from); it is evaluated once, driver-side, exactly as the
+        reference's conditional activity resolves before the chosen
+        branch runs. The else branch defaults to the then-branch's
+        empty frame."""
+        self.expect("if")
+        self.expect("(")
+        spark = next(iter(self.env.values())).sparkSession
+        dummy = spark.range(1)
+        cond = self.value(dummy)
+        self.expect(",")
+        then_df = self.dataset()
+        else_df = None
+        if self.accept(","):
+            else_df = self.dataset()
+        self.expect(")")
+        truth = bool(dummy.select(cond.alias("c")).collect()[0].c)
+        if truth:
+            return then_df
+        return else_df if else_df is not None else then_df.limit(0)
 
     def _scalar_dataset(self) -> DataFrame:
         fn = self.next().text  # count | sum | min | max | ave

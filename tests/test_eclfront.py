@@ -180,17 +180,28 @@ def test_parser_never_crashes_on_garbage(spark, cat):
 
     from hpcc_platform_spark.eclfront import _lex
 
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from hpcc_platform_spark.operators.limit import LimitExceeded
+
     rnd = random.Random(42)
     frags = [
         "OUTPUT", "TABLE", "JOIN", "SORT", "(", ")", "{", "}", ",", ";",
         ":=", "orders", "lineitem", "l_quantity", "<", "=", "-", "123",
         "'x'", "GROUP", "SUM", "COUNT", "LEFT", ".", "[", "]", "AND",
+        "MERGE", "SORTED", "SAMPLE", "ENTH", "LIMIT", "SKIP", "HAVING",
+        "DISTRIBUTE", "HASH", "DENORMALIZE", "ROWS", "STD", "Str",
+        "EXISTS", "IF", "LENGTH", "+",
     ]
     for _ in range(300):
         txt = " ".join(rnd.choice(frags) for _ in range(rnd.randint(1, 25)))
         try:
             run_ecl(txt, cat)
-        except EclSyntaxError:
+        except (EclSyntaxError, LimitExceeded, AnalysisException):
+            # parse-time errors must be EclSyntaxError; a randomly VALID
+            # program may still hit a declared runtime guard (LIMIT) or
+            # Catalyst resolution error (column from the wrong table) -
+            # both are clean rejections, not parser escapes
             pass
     # the lexer itself rejects unknown bytes with a position
     with pytest.raises(EclSyntaxError, match="cannot lex"):
@@ -477,3 +488,29 @@ def test_scalar_aggregate_in_filter_and_exists(spark, cat):
         cat,
     ).collect()[0]
     assert got.has_big == 0 and got.has_any == 1
+
+
+def test_dataset_if_branches(spark, cat):
+    # condition true -> then branch; false without else -> empty
+    got = run_ecl(
+        """
+        big := orders(o_totalprice > 300000);
+        small := orders(o_totalprice < 1000);
+        OUTPUT(IF(EXISTS(big), big, small));
+        """,
+        cat,
+    )
+    assert got.count() == cat["orders"].where("o_totalprice > 300000").count()
+    got = run_ecl(
+        """
+        none := orders(o_totalprice > 99999999);
+        OUTPUT(IF(EXISTS(none), orders));
+        """,
+        cat,
+    )
+    assert got.count() == 0
+    # scalar-aggregate condition
+    got = run_ecl(
+        "OUTPUT(IF(COUNT(orders) > 10, CHOOSEN(orders, 5), orders));", cat
+    )
+    assert got.count() == 5
