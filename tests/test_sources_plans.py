@@ -399,3 +399,23 @@ def test_plan_audit_reports_known_shapes(spark, sf_dir):
     bad = li.crossJoin(spark.read.parquet(f"{sf_dir}/region.parquet").hint("shuffle_replicate_nl"))
     with pytest.raises(AssertionError, match="CartesianProduct"):
         assert_plan(bad)
+
+
+def test_plan_shapes_blas_and_ecl_having(spark, sf_dir):
+    """Round-6 additions keep the scale contracts: the BLAS Gram matrix
+    is join+agg (never cartesian), and the front door's GROUP+HAVING
+    window shares its shuffle with the downstream TABLE aggregation
+    (one exchange on the group key, not two)."""
+    from hpcc_platform_spark.plans.audit import assert_plan
+    from hpcc_platform_spark.queries.registry import REGISTRY
+
+    spark.catalog.clearCache()
+
+    r = assert_plan(REGISTRY["blas_gram_matrix"].fn(spark, sf_dir))
+    assert r.joins, "gram matrix must be a join, not nested loops"
+    assert not r.has_cartesian
+
+    r = assert_plan(REGISTRY["ecl_front_having"].fn(spark, sf_dir))
+    # window partitionBy(l_orderkey) + groupBy(l_orderkey): Catalyst
+    # reuses the hash partitioning — exactly one shuffle exchange
+    assert r.n_exchanges == 1, r.text
