@@ -23,10 +23,17 @@ class WorkunitResults:
         self._slots: dict[str, Any] = {}
 
     def write(self, name: str, value: DataFrame | Any) -> None:
-        """OUTPUT(..., NAMED(name)) — store a DataFrame or scalar result."""
+        """OUTPUT(..., NAMED(name)) — store a DataFrame or scalar result.
+
+        Slot names are free-form (the reference's default is 'Result 1',
+        space included); the SQL-visible view name sanitizes to
+        identifier characters."""
         self._slots[name] = value
         if isinstance(value, DataFrame):
-            value.createOrReplaceTempView(f"{self._prefix}_{name}")
+            import re
+
+            safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+            value.createOrReplaceTempView(f"{self._prefix}_{safe}")
 
     def read(self, name: str) -> Any:
         """DATASET(WORKUNIT(name)) / result fetch."""

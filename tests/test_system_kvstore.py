@@ -90,3 +90,48 @@ def test_kvstore_drives_incremental_pipeline(spark, sf_dir, tmp_path):
     hwm2 = int(kv.get_value("cursors", "orders_hwm"))
     assert hwm2 == top
     assert orders.where(F.col("o_orderkey") > hwm2).count() == 0
+
+
+def test_workunit_lifecycle_daily_job(spark, sf_dir, tmp_path):
+    """The reference user's daily loop, end to end: submit ECL, PERSIST a
+    segment, check the workunit's results and messages, advance a cursor
+    for the next run."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.plans import KVStore, Workunit
+
+    kv = KVStore(str(tmp_path / "stores"))
+    cat = {
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    }
+
+    wu = Workunit(spark, persist_dir=str(tmp_path / "persist"), name="daily")
+    assert wu.wuid.startswith("W2") and "-" in wu.wuid
+    hwm = kv.get_value("cursors", "daily_hwm", "0")
+    ecl = f"""
+    seg := TABLE(orders(o_totalprice > 150000, o_orderkey > {hwm}),
+        {{ o_orderpriority, n := COUNT(GROUP) }}, o_orderpriority)
+        : PERSIST('daily_seg');
+    OUTPUT(SORT(seg, o_orderpriority));
+    """
+    out = wu.run_ecl(ecl, cat)
+    assert wu.state == "completed"
+    assert wu.result().collect() == out.collect()
+    assert ("information", 0, "Result 1 written") in wu.messages()
+    import os
+
+    assert len(os.listdir(tmp_path / "persist")) == 1  # PERSIST hit disk
+    top = cat["orders"].agg(F.max("o_orderkey")).collect()[0][0]
+    kv.set_value("cursors", "daily_hwm", str(top))
+
+    # failed submission is recorded, then raises
+    wu2 = Workunit(spark)
+    assert wu2.wuid != wu.wuid  # distinct sequence
+    import pytest
+
+    from hpcc_platform_spark.eclfront import EclSyntaxError
+
+    with pytest.raises(EclSyntaxError):
+        wu2.run_ecl("OUTPUT(nonsense);", cat)
+    assert wu2.state == "failed"
+    assert wu2.messages() and wu2.messages()[0][0] == "error"
