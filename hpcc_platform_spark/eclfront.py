@@ -344,6 +344,14 @@ class _Parser:
             self.expect("(")
             self.expect("group")
             if fn == "count":
+                if self.accept(","):
+                    # COUNT(GROUP, cond) — conditional count (the Q12
+                    # pivot-count shape); lowered to SUM(IF(cond,1,0))
+                    cond = self.value(src)
+                    self.expect(")")
+                    return F.sum(
+                        F.when(cond, F.lit(1)).otherwise(F.lit(0))
+                    ).cast("long")
                 self.expect(")")
                 return F.count(F.lit(1))
             self.expect(",")

@@ -514,3 +514,41 @@ def test_dataset_if_branches(spark, cat):
         "OUTPUT(IF(COUNT(orders) > 10, CHOOSEN(orders, 5), orders));", cat
     )
     assert got.count() == 5
+
+
+def test_random_grouped_tables_match_model(spark, cat):
+    """Generated grouped TABLE programs (random key, random aggregate
+    set, optional conditional COUNT) must match the directly-built
+    groupBy — pins the aggregate surface across 20 random shapes."""
+    import random
+
+    rnd = random.Random(20260815)
+    keys = ["o_orderstatus", "o_orderpriority"]
+    aggs = [
+        ("t{} := ROUND(SUM(GROUP, o_totalprice), 4)",
+         lambda: F.round(F.sum("o_totalprice"), 4)),
+        ("t{} := COUNT(GROUP)", lambda: F.count(F.lit(1))),
+        ("t{} := ROUND(AVE(GROUP, o_totalprice), 4)",
+         lambda: F.round(F.avg("o_totalprice"), 4)),
+        ("t{} := MAX(GROUP, o_custkey)", lambda: F.max("o_custkey")),
+        ("t{} := COUNT(GROUP, o_totalprice > 100000)",
+         lambda: F.sum(
+             F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
+         ).cast("long")),
+    ]
+    orders = cat["orders"]
+    for _ in range(20):
+        key = rnd.choice(keys)
+        chosen = rnd.sample(aggs, rnd.randint(1, 3))
+        fields = ", ".join(t.format(i) for i, (t, _) in enumerate(chosen))
+        ecl = f"OUTPUT(TABLE(orders, {{ {key}, {fields} }}, {key}));"
+        got = {
+            tuple(r): None for r in run_ecl(ecl, cat).collect()
+        }
+        expect = {
+            tuple(r): None
+            for r in orders.groupBy(key)
+            .agg(*[b().alias(f"t{i}") for i, (_, b) in enumerate(chosen)])
+            .collect()
+        }
+        assert got == expect, ecl
