@@ -30,7 +30,17 @@ literals, ROUND/ABS/TRIM/LENGTH, two-argument MIN/MAX, and STD.Str.*
 calls (ToUpperCase/ToLowerCase/Reverse/CleanSpaces/StartsWith/EndsWith/
 Find), dataset-level COUNT/SUM/MIN/MAX/AVE, scalar dataset aggregates
 inside value expressions (ds(x > AVE(ds2, y)) — evaluated once, inlined
-as a broadcast literal) and EXISTS(ds). Everything lowers to
+as a broadcast literal) and EXISTS(ds). Programs are statement
+sequences: typed scalar definitions (string s1 := 'one'), dataset and
+DICTIONARY definitions, OUTPUTs, and bare expression actions (each
+action is a numbered result, the reference's workunit shape). Inline
+DATASET literals carry a hidden ordinal so positional ops (adjacent
+DEDUP [LEFT|RIGHT], SAMPLE) see the literal order; DICTIONARY literals
+serve IN / NOT IN membership; workflow annotations PERSIST (wired),
+STORED/GLOBAL/INDEPENDENT/ONCE (placement no-ops) parse on any
+definition; CATCH(expr, fallback) probes and falls back. This subset is
+verified VERBATIM against reference regression files and their key
+files (tests/test_reference_regress.py). Everything lowers to
 the same Spark plans the combinator API produces — the parser is
 front-end only; Catalyst still owns optimization. ECL is
 case-insensitive: keywords and identifiers are matched
@@ -119,11 +129,20 @@ class _Parser:
         toks: list[_Tok],
         catalog: Mapping[str, DataFrame],
         persist_cache=None,
+        spark=None,
     ):
         self.toks = toks
         self.i = 0
         self.env: dict[str, DataFrame] = {k.lower(): v for k, v in catalog.items()}
         self.persist_cache = persist_cache
+        self._spark = spark
+        # scalar definitions (string s1 := 'one';) — row-independent Columns
+        self.scalars: dict[str, Column] = {}
+        # DICTIONARY definitions — {keys: set[tuple], mapped: bool}
+        self.dicts: dict[str, dict] = {}
+        # every action (OUTPUT or bare expression statement), in order —
+        # the reference emits one result per action
+        self.actions: list[DataFrame] = []
         # id(df) -> sort keys the frame is known to be ordered by
         # (SORT/TOPN/MERGE set it; postfix filters propagate it). Used by
         # SAMPLE/ENTH, which are only well-defined over an ordered input.
@@ -155,45 +174,138 @@ class _Parser:
         return False
 
     # --- program ---
+    # ECL scalar type names (optionally digit-suffixed: string20,
+    # unsigned8) allowed as definition prefixes; the engine works in
+    # Spark types, so the prefix is validated-and-dropped.
+    _TYPE_RX = re.compile(
+        r"^(string|varstring|qstring|utf8|unicode|integer|unsigned|real|"
+        r"boolean|decimal|udecimal)\d*(_\d+)?$"
+    )
+
+    def spark(self):
+        if self._spark is not None:
+            return self._spark
+        if self.env:
+            return next(iter(self.env.values())).sparkSession
+        raise EclSyntaxError(
+            "this program needs a SparkSession: pass spark= to run_ecl "
+            "(no catalog datasets to borrow one from)"
+        )
+
+    def _dummy(self) -> DataFrame:
+        return self.spark().range(1)
+
     def program(self) -> DataFrame:
-        result = None
         while self.peek().kind != "eof":
             if self.peek().text == "output":
                 self.next()
                 self.expect("(")
-                result = self.dataset()
+                df = self.dataset()
                 self.expect(")")
                 self.accept(";")
+                self.actions.append(self._clean(df))
+            elif self._is_definition():
+                self._definition()
             else:
-                name = self.next()
-                if name.kind not in ("ident",):
-                    raise EclSyntaxError(
-                        f"expected definition or OUTPUT at {name.pos}, got {name.text!r}"
-                    )
-                self.expect(":=")
+                self._bare_action()
+        if not self.actions:
+            raise EclSyntaxError("no OUTPUT(...) or action statement in query")
+        return self.actions[-1]
+
+    def _is_definition(self) -> bool:
+        t = self.toks[self.i]
+        if t.kind != "ident" and t.kind != "kw":
+            return False
+        nxt = self.toks[self.i + 1]
+        if nxt.text == ":=":
+            return True
+        # typed form: string s1 := ...
+        return (
+            self._TYPE_RX.match(t.text) is not None
+            and nxt.kind == "ident"
+            and self.toks[self.i + 2].text == ":="
+        )
+
+    def _definition(self) -> None:
+        first = self.next()
+        if self.toks[self.i].text == ":=":
+            name = first
+        else:
+            name = self.next()  # first was a type prefix
+        if name.kind != "ident":
+            raise EclSyntaxError(f"expected definition name at {name.pos}")
+        self.expect(":=")
+        kind = "dataset"
+        df = None
+        if self.peek().text == "dictionary":
+            self.dicts[name.text] = self._dictionary()
+            kind = "dict"
+        else:
+            # type-driven dataset-vs-scalar dispatch (hqlgram binds by
+            # expression type): try the dataset grammar, fall back to a
+            # scalar value on a clean parse failure
+            mark = self.i
+            try:
                 df = self.dataset()
-                # workflow-service annotation: expr : PERSIST('name')
-                # (common/workunit/workflow.cpp; content-hash semantics in
-                # plans/persist.PersistCache). Parsed always; applied when
-                # a cache was provided, a no-op otherwise.
-                if self.accept(":"):
-                    kw = self.next()
-                    if kw.text != "persist":
-                        raise EclSyntaxError(
-                            f"unsupported workflow service {kw.text!r} at {kw.pos}"
-                        )
+            except EclSyntaxError:
+                self.i = mark
+                self.scalars[name.text] = self.value(self._dummy())
+                kind = "scalar"
+        # workflow-service annotation(s): expr : PERSIST('name') |
+        # STORED('x') | GLOBAL | INDEPENDENT[(few|many)] | ONCE
+        # (common/workunit/workflow.cpp). PERSIST is wired to the cache;
+        # the rest affect evaluation placement in the reference and are
+        # correct no-ops on an engine that evaluates definitions lazily
+        # exactly once per plan.
+        if self.accept(":"):
+            while True:
+                kw = self.next()
+                if kw.text == "persist":
                     self.expect("(")
                     pname = self.next()
                     if pname.kind != "str":
                         raise EclSyntaxError("PERSIST needs a quoted name")
                     self.expect(")")
+                    if kind != "dataset":
+                        raise EclSyntaxError("PERSIST applies to datasets")
                     if self.persist_cache is not None:
                         df = self.persist_cache.persist(df, pname.text[1:-1])
-                self.env[name.text] = df
-                self.expect(";")
-        if result is None:
-            raise EclSyntaxError("no OUTPUT(...) in query")
-        return result
+                elif kw.text in ("stored", "global", "independent", "once"):
+                    if self.accept("("):  # optional args: stored name, few/many
+                        depth = 1
+                        while depth:
+                            t = self.next()
+                            if t.kind == "eof":
+                                raise EclSyntaxError("unclosed annotation args")
+                            depth += t.text == "(";  depth -= t.text == ")"
+                else:
+                    raise EclSyntaxError(
+                        f"unsupported workflow service {kw.text!r} at {kw.pos}"
+                    )
+                if not self.accept(","):
+                    break
+        if kind == "dataset":
+            self.env[name.text] = df
+        self.expect(";")
+
+    def _bare_action(self) -> None:
+        """A bare expression statement — the reference emits it as the
+        next numbered result (``Result N``)."""
+        if self._at_dataset_start(self.i):
+            df = self.dataset()
+        else:
+            col = self.value(self._dummy())
+            df = self._dummy().select(
+                col.alias(f"result_{len(self.actions) + 1}")
+            )
+        self.expect(";")
+        self.actions.append(self._clean(df))
+
+    @staticmethod
+    def _clean(df: DataFrame) -> DataFrame:
+        """Drop internal bookkeeping columns (inline-dataset ordinals)
+        from user-visible results."""
+        return df.drop("__ord__") if "__ord__" in df.columns else df
 
     # --- dataset expressions ---
     def dataset(self) -> DataFrame:
@@ -230,6 +342,8 @@ class _Parser:
             df = self._denormalize()
         elif t.text == "if":
             df = self._if_dataset()
+        elif t.text == "dataset":
+            df = self._inline_dataset()
         elif t.text in ("count", "sum", "min", "max", "ave"):
             df = self._scalar_dataset()
         elif t.text == "(":
@@ -273,7 +387,7 @@ class _Parser:
         if t.text in (
             "table", "project", "normalize", "join", "sort", "dedup",
             "choosen", "topn", "merge", "sample", "enth", "limit",
-            "distribute", "having", "denormalize",
+            "distribute", "having", "denormalize", "dataset",
         ):
             return True
         return t.kind == "ident" and t.text in self.env
@@ -591,16 +705,50 @@ class _Parser:
         self.expect("(")
         df = self.dataset()
         fields: list[str] = []
+        keep_right = False
         while self.accept(","):
-            if self.peek().text == "all":
+            t = self.peek().text
+            if t == "all":
                 self.next()
+                continue
+            if t in ("left", "right") and self.toks[self.i + 1].text in (",", ")"):
+                keep_right = self.next().text == "right"
                 continue
             fields.append(self.next().text)
         self.expect(")")
-        # Front-end DEDUP is the order-independent form (DEDUP...ALL
-        # semantics): the parser does not thread the upstream sort order,
-        # so which duplicate survives is unspecified. For order-aware
-        # keep-first/KEEP(n)/BEST use operators/dedup.py directly.
+        order = self._order.get(id(df))
+        if order is not None and fields:
+            # Faithful adjacent semantics over a tracked order
+            # (throllupslave.cpp keepLeft/keepRight): runs of equal keys
+            # in stream order collapse to their first (LEFT, default) or
+            # last (RIGHT) row — gaps-and-islands run ids, then one row
+            # per (key, run).
+            from pyspark.sql.window import Window
+
+            key = F.struct(*[F.col(f) for f in fields])
+            w_all = Window.orderBy(*order)
+            w_key = Window.partitionBy(key).orderBy(*order)
+            run = (
+                F.row_number().over(w_all) - F.row_number().over(w_key)
+            ).alias("__run__")
+            within = Window.partitionBy(key, F.col("__run__")).orderBy(
+                *[k.desc() for k in order] if keep_right else order
+            )
+            out = (
+                df.withColumn("__run__", run)
+                .withColumn("__pick__", F.row_number().over(within))
+                .where(F.col("__pick__") == 1)
+                .drop("__run__", "__pick__")
+            )
+            self._order[id(out)] = order
+            return out
+        if keep_right:
+            raise EclSyntaxError(
+                "DEDUP ... RIGHT needs an ordered input (SORT or an "
+                "inline dataset): adjacency is undefined otherwise"
+            )
+        # Order-independent form (DEDUP...ALL semantics): which duplicate
+        # survives is unspecified without a tracked order.
         return df.dropDuplicates(fields or None)
 
     def _choosen(self) -> DataFrame:
@@ -842,6 +990,127 @@ class _Parser:
             *[parent[c] for c in parent.columns], nested[nested_field]
         )
 
+    def _literal(self):
+        """One literal token (string/number/bool) as a Python value."""
+        t = self.next()
+        if t.kind == "str":
+            return t.text[1:-1]
+        if t.kind == "num":
+            return float(t.text) if "." in t.text else int(t.text)
+        if t.text == "true":
+            return True
+        if t.text == "false":
+            return False
+        if t.text == "-" and self.peek().kind == "num":
+            n = self.next()
+            return -(float(n.text) if "." in n.text else int(n.text))
+        raise EclSyntaxError(f"expected literal at {t.pos}, got {t.text!r}")
+
+    _SPARK_TYPE = {
+        "string": "string", "varstring": "string", "qstring": "string",
+        "utf8": "string", "unicode": "string", "integer": "long",
+        "unsigned": "long", "real": "double", "decimal": "double",
+        "udecimal": "double", "boolean": "boolean",
+    }
+
+    def _record_fields(self) -> list[tuple[str, str]]:
+        """{ type name, type name, ... } → [(name, spark_type)]."""
+        self.expect("{")
+        fields: list[tuple[str, str]] = []
+        while True:
+            ty = self.next()
+            m = self._TYPE_RX.match(ty.text)
+            if not m:
+                raise EclSyntaxError(f"expected field type at {ty.pos}, got {ty.text!r}")
+            nm = self.next()
+            if nm.kind != "ident":
+                raise EclSyntaxError(f"expected field name at {nm.pos}")
+            fields.append((nm.text, self._SPARK_TYPE[m.group(1)]))
+            if not self.accept(","):
+                break
+        self.expect("}")
+        return fields
+
+    def _inline_dataset(self) -> DataFrame:
+        """DATASET([{v, v}, ...], { type name, ... }) — inline table
+        (TAKinlinetable eclhelper.hpp:1034). Rows carry a hidden ordinal
+        so positional semantics downstream (adjacent DEDUP, SAMPLE) see
+        the literal order; user-visible results drop it."""
+        self.expect("dataset")
+        self.expect("(")
+        self.expect("[")
+        rows: list[tuple] = []
+        if not self.accept("]"):
+            while True:
+                self.expect("{")
+                vals = [self._literal()]
+                while self.accept(","):
+                    vals.append(self._literal())
+                self.expect("}")
+                rows.append(tuple(vals))
+                if not self.accept(","):
+                    break
+            self.expect("]")
+        self.expect(",")
+        fields = self._record_fields()
+        self.expect(")")
+        schema = ", ".join(f"{n} {t}" for n, t in fields) + ", __ord__ long"
+        for r in rows:
+            if len(r) != len(fields):
+                raise EclSyntaxError(
+                    f"inline row has {len(r)} values for {len(fields)} fields"
+                )
+        data = [
+            tuple(
+                float(v) if ty == "double" and isinstance(v, int) else v
+                for v, (_, ty) in zip(r, fields)
+            )
+            + (i,)
+            for i, r in enumerate(rows)
+        ]
+        df = self.spark().createDataFrame(data, schema)
+        self._order[id(df)] = [F.col("__ord__")]
+        return df
+
+    def _dictionary(self) -> dict:
+        """DICTIONARY([{k [=> v]}, ...], { record }) (type_dictionary
+        hqlexpr.hpp:73): parsed to a driver-side key set (single-field
+        keys) — the broadcast-map lookup shape the combinator layer uses
+        (queries/q_nested.py dictionary_lookup). First entry wins on
+        duplicate keys, matching the reference's load order."""
+        self.expect("dictionary")
+        self.expect("(")
+        self.expect("[")
+        keys: list = []
+        values: dict = {}
+        if not self.accept("]"):
+            while True:
+                self.expect("{")
+                k = self._literal()
+                mapped = None
+                if self.accept("=>"):
+                    mapped = self._literal()
+                self.expect("}")
+                if k not in values:
+                    keys.append(k)
+                    values[k] = mapped
+                if not self.accept(","):
+                    break
+            self.expect("]")
+        self.expect(",")
+        # record shape: consume to the matching close brace (key/value
+        # names are irrelevant to membership semantics)
+        self.expect("{")
+        depth = 1
+        while depth:
+            t = self.next()
+            if t.kind == "eof":
+                raise EclSyntaxError("unclosed DICTIONARY record")
+            depth += t.text == "{"
+            depth -= t.text == "}"
+        self.expect(")")
+        return {"keys": keys, "values": values}
+
     def _if_dataset(self) -> DataFrame:
         """IF(cond, ds1 [, ds2]) at dataset position (TAKif
         eclhelper.hpp:914): pick a dataset on a row-independent scalar
@@ -853,8 +1122,7 @@ class _Parser:
         empty frame."""
         self.expect("if")
         self.expect("(")
-        spark = next(iter(self.env.values())).sparkSession
-        dummy = spark.range(1)
+        dummy = self._dummy()
         cond = self.value(dummy)
         self.expect(",")
         then_df = self.dataset()
@@ -911,14 +1179,27 @@ class _Parser:
         if t in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
             return _cmp(t, a, self._addsub(df))
+        negate = False
+        if t == "not" and self.toks[self.i + 1].text == "in":
+            # postfix NOT IN (x NOT IN set/dictionary)
+            self.next()
+            t = "in"
+            negate = True
         if t == "in":
             self.next()
+            if self.peek().kind == "ident" and self.peek().text in self.dicts:
+                d = self.dicts[self.next().text]
+                # empty dictionary: isin() with no args is invalid — and
+                # nothing is a member of the empty set
+                m = a.isin(*d["keys"]) if d["keys"] else F.lit(False)
+                return ~m if negate else m
             self.expect("[")
             items = [self._addsub(df)]
             while self.accept(","):
                 items.append(self._addsub(df))
             self.expect("]")
-            return a.isin(*items)
+            m = a.isin(*items)
+            return ~m if negate else m
         if t == "between":
             self.next()
             lo = self._addsub(df)
@@ -1040,6 +1321,20 @@ class _Parser:
             return F.length(inner)
         if t.text == "std" and self.peek().text == ".":
             return self._std_call(df)
+        if t.text == "catch" and self.peek().text == "(":
+            # CATCH(expr, fallback) scalar form (no_catchds analogue for
+            # values; testing/regress/ecl/catchexpr.ecl): evaluate the
+            # first expression; a runtime failure yields the fallback.
+            self.next()
+            a = self.value(df)
+            self.expect(",")
+            b = self.value(df)
+            self.expect(")")
+            try:
+                df.select(a.alias("probe")).limit(1).collect()
+                return a
+            except Exception:
+                return b
         if t.text == "trim":
             self.expect("(")
             inner = self.value(df)
@@ -1061,6 +1356,8 @@ class _Parser:
             self.next()
             return right.getField(self.next().text)
         if t.kind == "ident":
+            if t.text in self.scalars and t.text not in df.columns:
+                return self.scalars[t.text]
             return df[t.text]
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
@@ -1137,9 +1434,26 @@ def run_ecl(
     text: str,
     catalog: Mapping[str, DataFrame],
     persist_cache=None,
+    spark=None,
 ) -> DataFrame:
-    """Parse and evaluate an ECL query (definitions + one OUTPUT) against
-    ``catalog`` (name → DataFrame). Returns the OUTPUT dataset.
+    """Parse and evaluate an ECL query (definitions + OUTPUTs / bare
+    actions) against ``catalog`` (name → DataFrame). Returns the LAST
+    action's dataset (use run_ecl_actions for all of them).
     ``persist_cache`` (a plans.PersistCache) activates the
-    ``: PERSIST('name')`` workflow annotation on definitions."""
-    return _Parser(_lex(text), catalog, persist_cache).program()
+    ``: PERSIST('name')`` workflow annotation on definitions; ``spark``
+    is only needed when the catalog is empty (inline-dataset programs)."""
+    return _Parser(_lex(text), catalog, persist_cache, spark).program()
+
+
+def run_ecl_actions(
+    text: str,
+    catalog: Mapping[str, DataFrame],
+    persist_cache=None,
+    spark=None,
+) -> list[DataFrame]:
+    """Like run_ecl, but returns every action's result in program order —
+    the reference's one-result-per-action workunit shape (regress key
+    files list them as Result 1..N)."""
+    p = _Parser(_lex(text), catalog, persist_cache, spark)
+    p.program()
+    return p.actions

@@ -232,8 +232,11 @@ def test_persist_annotation(spark, cat, tmp_path):
     bare = run_ecl(ecl, cat).collect()
     assert sorted(map(tuple, bare)) == sorted(map(tuple, first))
 
+    # STORED/GLOBAL/INDEPENDENT/ONCE parse as placement no-ops now
+    stored = run_ecl("a := orders : STORED('x'); OUTPUT(a);", cat)
+    assert stored.count() == cat["orders"].count()
     with pytest.raises(EclSyntaxError, match="unsupported workflow service"):
-        run_ecl("a := orders : STORED('x'); OUTPUT(a);", cat)
+        run_ecl("a := orders : FAILURE('x'); OUTPUT(a);", cat)
 
 
 def test_project_transform(spark, cat):

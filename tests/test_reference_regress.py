@@ -1,0 +1,64 @@
+"""Reference regression files run VERBATIM through the ECL front door and
+compared against the reference's own expected-output key files
+(testing/regress/ecl/*.ecl vs testing/regress/ecl/key/*.xml) — the
+literal "switch engines, keep your queries and your expected answers"
+check. Files are read from the reference tree at test time; nothing is
+copied into this repo."""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from hpcc_platform_spark.eclfront import run_ecl_actions
+
+_ECL_DIR = "/root/reference/testing/regress/ecl"
+
+# Files whose entire feature set the front door covers. Growing this list
+# is the coverage metric; each addition is a whole reference test passing
+# unchanged.
+VERBATIM = ["catchexpr", "dedupright", "dict5", "dict5a", "dict5b", "dict5c"]
+
+
+def _expected(name: str) -> list[list[list[str]]]:
+    """Parse a key file: [dataset][row][column] as strings.
+
+    Key files are sequences of <Dataset> elements (not one root); wrap
+    for parsing."""
+    with open(os.path.join(_ECL_DIR, "key", f"{name}.xml")) as f:
+        root = ET.fromstring(f"<keys>{f.read()}</keys>")
+    out = []
+    for ds in root.findall("Dataset"):
+        rows = []
+        for row in ds.findall("Row"):
+            rows.append([(c.text or "") for c in row])
+        out.append(rows)
+    return out
+
+
+def _render(v) -> str:
+    """Spark value → the reference's key-file text form."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
+
+
+@pytest.mark.skipif(not os.path.isdir(_ECL_DIR), reason="reference tree absent")
+@pytest.mark.parametrize("name", VERBATIM)
+def test_reference_regress_file_verbatim(name, spark):
+    with open(os.path.join(_ECL_DIR, f"{name}.ecl")) as f:
+        text = f.read()
+    actions = run_ecl_actions(text, {}, spark=spark)
+    expected = _expected(name)
+    assert len(actions) == len(expected), (
+        f"{name}: {len(actions)} actions vs {len(expected)} expected datasets"
+    )
+    for i, (df, exp_rows) in enumerate(zip(actions, expected)):
+        got = [[_render(v) for v in row] for row in df.collect()]
+        assert got == exp_rows, f"{name} Result {i + 1}: {got} != {exp_rows}"
