@@ -1072,44 +1072,109 @@ class _Parser:
         self._order[id(df)] = [F.col("__ord__")]
         return df
 
+    def _dict_record(self):
+        """DICTIONARY record: { [type] key [, ...] => [type] value
+        { DEFAULT('x') } [, ...] } — returns (key_fields, value_fields,
+        defaults) where fields are (name, spark_type|None)."""
+        self.expect("{")
+        key_fields: list[tuple[str, str | None]] = []
+        value_fields: list[tuple[str, str | None]] = []
+        defaults: dict[str, object] = {}
+        side = key_fields
+        while True:
+            t = self.next()
+            ty = None
+            if (
+                self._TYPE_RX.match(t.text)
+                and self.peek().kind == "ident"
+            ):
+                ty = self._SPARK_TYPE[self._TYPE_RX.match(t.text).group(1)]
+                t = self.next()
+            if t.kind != "ident":
+                raise EclSyntaxError(f"expected field name at {t.pos}")
+            name = t.text
+            side.append((name, ty))
+            # field attribute block: { DEFAULT('x') } — the miss value
+            if self.accept("{"):
+                while not self.accept("}"):
+                    a = self.next()
+                    if a.text == "default":
+                        self.expect("(")
+                        defaults[name] = self._literal()
+                        self.expect(")")
+                    elif a.kind == "eof":
+                        raise EclSyntaxError("unclosed field attributes")
+            if self.accept("=>"):
+                side = value_fields
+                continue
+            if not self.accept(","):
+                break
+        self.expect("}")
+        return key_fields, value_fields, defaults
+
+    @staticmethod
+    def _type_zero(ty: str | None):
+        """The reference's empty value for a missed lookup without an
+        explicit DEFAULT (rtlField defaults): '' / 0 / false."""
+        return {"long": 0, "double": 0.0, "boolean": False}.get(ty or "string", "")
+
     def _dictionary(self) -> dict:
-        """DICTIONARY([{k [=> v]}, ...], { record }) (type_dictionary
-        hqlexpr.hpp:73): parsed to a driver-side key set (single-field
-        keys) — the broadcast-map lookup shape the combinator layer uses
-        (queries/q_nested.py dictionary_lookup). First entry wins on
-        duplicate keys, matching the reference's load order."""
+        """DICTIONARY([{k [=> v]}, ...] | ds, { record }) (type_dictionary
+        hqlexpr.hpp:73): parsed to a driver-side key set + value map
+        (single-field keys) — the broadcast-map lookup shape the
+        combinator layer uses (queries/q_nested.py dictionary_lookup).
+        First entry wins on duplicate keys, matching the reference's
+        load order. Supports DEFAULT('x') miss values and building from
+        a (small) dataset expression."""
         self.expect("dictionary")
         self.expect("(")
-        self.expect("[")
+        entries: list[tuple] = []  # (key, [value literals...])
+        src_df = None
+        if self.accept("["):
+            if not self.accept("]"):
+                while True:
+                    self.expect("{")
+                    k = self._literal()
+                    vals = []
+                    if self.accept("=>"):
+                        vals.append(self._literal())
+                        while self.accept(","):
+                            vals.append(self._literal())
+                    self.expect("}")
+                    entries.append((k, vals))
+                    if not self.accept(","):
+                        break
+                self.expect("]")
+        else:
+            src_df = self.dataset()
+        self.expect(",")
+        key_fields, value_fields, defaults = self._dict_record()
+        self.expect(")")
+        if len(key_fields) != 1:
+            raise EclSyntaxError("only single-field dictionary keys are supported")
+        if src_df is not None:
+            kcol = key_fields[0][0]
+            vcols = [n for n, _ in value_fields]
+            entries = [
+                (row[kcol], [row[c] for c in vcols])
+                for row in src_df.select(kcol, *vcols).collect()
+            ]
         keys: list = []
         values: dict = {}
-        if not self.accept("]"):
-            while True:
-                self.expect("{")
-                k = self._literal()
-                mapped = None
-                if self.accept("=>"):
-                    mapped = self._literal()
-                self.expect("}")
-                if k not in values:
-                    keys.append(k)
-                    values[k] = mapped
-                if not self.accept(","):
-                    break
-            self.expect("]")
-        self.expect(",")
-        # record shape: consume to the matching close brace (key/value
-        # names are irrelevant to membership semantics)
-        self.expect("{")
-        depth = 1
-        while depth:
-            t = self.next()
-            if t.kind == "eof":
-                raise EclSyntaxError("unclosed DICTIONARY record")
-            depth += t.text == "{"
-            depth -= t.text == "}"
-        self.expect(")")
-        return {"keys": keys, "values": values}
+        for k, vals in entries:
+            if k in values:
+                continue  # first entry wins
+            keys.append(k)
+            values[k] = {
+                name: (vals[j] if j < len(vals) else None)
+                for j, (name, _) in enumerate(value_fields)
+            }
+        return {
+            "keys": keys,
+            "values": values,
+            "value_fields": value_fields,
+            "defaults": defaults,
+        }
 
     def _if_dataset(self) -> DataFrame:
         """IF(cond, ds1 [, ds2]) at dataset position (TAKif
@@ -1299,6 +1364,19 @@ class _Parser:
                 }[t.text]
                 val = inner.agg(agg(e)).collect()[0][0]
             return F.lit(val)
+        if (
+            t.text in ("exists", "count")
+            and self.peek().text == "("
+            and self.toks[self.i + 1].kind == "ident"
+            and self.toks[self.i + 1].text in self.dicts
+            and self.toks[self.i + 2].text == ")"
+        ):
+            # EXISTS(dict) / COUNT(dict) — driver-side dictionary
+            self.next()
+            d = self.dicts[self.next().text]
+            self.expect(")")
+            n = len(d["keys"])
+            return F.lit(n > 0) if t.text == "exists" else F.lit(n)
         if t.text == "exists" and self.peek().text == "(":
             # EXISTS(ds) — true when the dataset is non-empty; probes at
             # most one row (limit(1)), not a full count.
@@ -1355,6 +1433,25 @@ class _Parser:
                 raise EclSyntaxError(f"RIGHT.<field> outside NORMALIZE at {t.pos}")
             self.next()
             return right.getField(self.next().text)
+        if t.kind == "ident" and t.text in self.dicts and self.peek().text == "[":
+            # dict[key].field — miss yields the field's DEFAULT, else the
+            # type's empty value (''/0/false), as the reference renders it
+            d = self.dicts[t.text]
+            self.next()
+            k = self._literal()
+            self.expect("]")
+            self.expect(".")
+            fld = self.next().text
+            names = [n for n, _ in d["value_fields"]]
+            if fld not in names:
+                raise EclSyntaxError(f"unknown dictionary value field {fld!r}")
+            entry = d["values"].get(k)
+            if entry is not None and entry.get(fld) is not None:
+                return F.lit(entry[fld])
+            if fld in d["defaults"]:
+                return F.lit(d["defaults"][fld])
+            ty = dict(d["value_fields"])[fld]
+            return F.lit(self._type_zero(ty))
         if t.kind == "ident":
             if t.text in self.scalars and t.text not in df.columns:
                 return self.scalars[t.text]
