@@ -72,7 +72,7 @@ class EclSyntaxError(ValueError):
 
 _TOKEN_RX = re.compile(
     r"""
-    (?P<ws>\s+|//[^\n]*)
+    (?P<ws>\s+|//[^\n]*|/\*(?s:.*?)\*/)
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*')
   | (?P<op>:=|<=|>=|<>|!=|=>|[-+*/%(){},;=<>\[\].:])
@@ -140,6 +140,8 @@ class _Parser:
         self.scalars: dict[str, Column] = {}
         # DICTIONARY definitions — {keys: set[tuple], mapped: bool}
         self.dicts: dict[str, dict] = {}
+        # named RECORD..END definitions — name -> [(field, type, width)]
+        self.records: dict[str, list] = {}
         # every action (OUTPUT or bare expression statement), in order —
         # the reference emits one result per action
         self.actions: list[DataFrame] = []
@@ -197,10 +199,33 @@ class _Parser:
 
     def program(self) -> DataFrame:
         while self.peek().kind != "eof":
+            if self.accept(";"):  # stray empty statement
+                continue
             if self.peek().text == "output":
                 self.next()
                 self.expect("(")
-                df = self.dataset()
+                df = self._output_arg()
+                while self.accept(","):
+                    if self.peek().text == "{":
+                        # OUTPUT(ds, {fields}) — vertical-slice projection
+                        self.next()
+                        names = [self.next().text]
+                        while self.accept(","):
+                            names.append(self.next().text)
+                        self.expect("}")
+                        keep = [c for c in df.columns if c == "__ord__"]
+                        df = df.select(*names, *keep)
+                    elif self.peek().text == "named":
+                        # OUTPUT(..., NAMED('x')) — result naming; the
+                        # compare is positional, parse and drop
+                        self.next()
+                        self.expect("(")
+                        self.next()
+                        self.expect(")")
+                    else:
+                        raise EclSyntaxError(
+                            f"unsupported OUTPUT option at {self.peek().pos}"
+                        )
                 self.expect(")")
                 self.accept(";")
                 self.actions.append(self._clean(df))
@@ -211,6 +236,51 @@ class _Parser:
         if not self.actions:
             raise EclSyntaxError("no OUTPUT(...) or action statement in query")
         return self.actions[-1]
+
+    def _output_arg(self) -> DataFrame:
+        """The first OUTPUT argument: a dataset, a dictionary row lookup
+        (OUTPUT(dict[key]) — key + value fields as one row), or a scalar
+        value (one-row result)."""
+        t = self.peek()
+        if (
+            t.kind == "ident"
+            and t.text in self.dicts
+            and self.toks[self.i + 1].text == "["
+        ):
+            mark = self.i
+            d = self.dicts[self.next().text]
+            self.next()
+            k = self._literal()
+            self.expect("]")
+            if self.peek().text == ".":  # field form — scalar path below
+                self.i = mark  # rewind: let value() handle dict[k].field
+            else:
+                entry = d["values"].get(k, {})
+                row = {d["key_field"]: k}
+                for name, ty in d["value_fields"]:
+                    v = entry.get(name)
+                    if v is None:
+                        v = d["defaults"].get(name, self._type_zero(ty))
+                    row[name] = v
+                cols = [d["key_field"]] + [n for n, _ in d["value_fields"]]
+                return self.spark().createDataFrame([tuple(row[c] for c in cols)], cols)
+        # dataset grammar first (covers IF/COUNT/... dataset forms);
+        # clean parse failure falls back to a scalar one-row result. If
+        # the scalar read fails too, the DATASET error was the real one —
+        # re-raise it so 'unknown dataset x' isn't masked by a dummy-frame
+        # resolution error.
+        mark = self.i
+        try:
+            return self.dataset()
+        except EclSyntaxError as dataset_err:
+            self.i = mark
+            try:
+                col = self.value(self._dummy())
+                return self._dummy().select(
+                    col.alias(f"result_{len(self.actions) + 1}")
+                )
+            except Exception:
+                raise dataset_err from None
 
     def _is_definition(self) -> bool:
         t = self.toks[self.i]
@@ -240,6 +310,9 @@ class _Parser:
         if self.peek().text == "dictionary":
             self.dicts[name.text] = self._dictionary()
             kind = "dict"
+        elif self.peek().text == "record":
+            self.records[name.text] = self._record_end()
+            kind = "record"
         else:
             # type-driven dataset-vs-scalar dispatch (hqlgram binds by
             # expression type): try the dataset grammar, fall back to a
@@ -247,9 +320,12 @@ class _Parser:
             mark = self.i
             try:
                 df = self.dataset()
-            except EclSyntaxError:
+            except EclSyntaxError as dataset_err:
                 self.i = mark
-                self.scalars[name.text] = self.value(self._dummy())
+                try:
+                    self.scalars[name.text] = self.value(self._dummy())
+                except Exception:
+                    raise dataset_err from None
                 kind = "scalar"
         # workflow-service annotation(s): expr : PERSIST('name') |
         # STORED('x') | GLOBAL | INDEPENDENT[(few|many)] | ONCE
@@ -291,10 +367,15 @@ class _Parser:
     def _bare_action(self) -> None:
         """A bare expression statement — the reference emits it as the
         next numbered result (``Result N``)."""
-        if self._at_dataset_start(self.i):
+        mark = self.i
+        try:
             df = self.dataset()
-        else:
-            col = self.value(self._dummy())
+        except EclSyntaxError as dataset_err:
+            self.i = mark
+            try:
+                col = self.value(self._dummy())
+            except Exception:
+                raise dataset_err from None
             df = self._dummy().select(
                 col.alias(f"result_{len(self.actions) + 1}")
             )
@@ -706,6 +787,7 @@ class _Parser:
         df = self.dataset()
         fields: list[str] = []
         keep_right = False
+        keep_n = 1
         while self.accept(","):
             t = self.peek().text
             if t == "all":
@@ -713,6 +795,15 @@ class _Parser:
                 continue
             if t in ("left", "right") and self.toks[self.i + 1].text in (",", ")"):
                 keep_right = self.next().text == "right"
+                continue
+            if t == "keep" and self.toks[self.i + 1].text == "(":
+                # KEEP(n): first n of each adjacent run; n may be a
+                # stored scalar — resolved once, driver-side
+                self.next()
+                self.expect("(")
+                nv = self.value(self._dummy())
+                self.expect(")")
+                keep_n = int(self._dummy().select(nv.alias("n")).collect()[0].n)
                 continue
             fields.append(self.next().text)
         self.expect(")")
@@ -737,12 +828,12 @@ class _Parser:
             out = (
                 df.withColumn("__run__", run)
                 .withColumn("__pick__", F.row_number().over(within))
-                .where(F.col("__pick__") == 1)
+                .where(F.col("__pick__") <= keep_n)
                 .drop("__run__", "__pick__")
             )
             self._order[id(out)] = order
             return out
-        if keep_right:
+        if keep_right or keep_n != 1:
             raise EclSyntaxError(
                 "DEDUP ... RIGHT needs an ordered input (SORT or an "
                 "inline dataset): adjacency is undefined otherwise"
@@ -1013,22 +1104,49 @@ class _Parser:
         "udecimal": "double", "boolean": "boolean",
     }
 
-    def _record_fields(self) -> list[tuple[str, str]]:
-        """{ type name, type name, ... } → [(name, spark_type)]."""
+    def _one_field(self) -> tuple[str, str, int | None]:
+        """``type name`` → (name, spark_type, fixed_width|None). A digit
+        suffix on a string type (string20) is its FIXED width — values
+        pad with trailing spaces, exactly as the reference stores and
+        prints them (rtlField string semantics)."""
+        ty = self.next()
+        m = self._TYPE_RX.match(ty.text)
+        if not m:
+            raise EclSyntaxError(f"expected field type at {ty.pos}, got {ty.text!r}")
+        nm = self.next()
+        if nm.kind != "ident":
+            raise EclSyntaxError(f"expected field name at {nm.pos}")
+        width = None
+        base = m.group(1)
+        digits = ty.text[len(base):]
+        if base in ("string", "qstring", "varstring") and digits.isdigit():
+            width = int(digits)
+        return nm.text, self._SPARK_TYPE[base], width
+
+    def _record_fields(self) -> list[tuple[str, str, int | None]]:
+        """{ type name, type name, ... } or a named RECORD reference →
+        [(name, spark_type, width)]."""
+        if self.peek().kind == "ident" and self.peek().text in self.records:
+            return self.records[self.next().text]
         self.expect("{")
-        fields: list[tuple[str, str]] = []
+        fields: list[tuple[str, str, int | None]] = []
         while True:
-            ty = self.next()
-            m = self._TYPE_RX.match(ty.text)
-            if not m:
-                raise EclSyntaxError(f"expected field type at {ty.pos}, got {ty.text!r}")
-            nm = self.next()
-            if nm.kind != "ident":
-                raise EclSyntaxError(f"expected field name at {nm.pos}")
-            fields.append((nm.text, self._SPARK_TYPE[m.group(1)]))
+            fields.append(self._one_field())
             if not self.accept(","):
                 break
         self.expect("}")
+        return fields
+
+    def _record_end(self) -> list[tuple[str, str, int | None]]:
+        """RECORD type name; ... END — the named-record definition form
+        (hqlgram.y record productions)."""
+        self.expect("record")
+        fields: list[tuple[str, str, int | None]] = []
+        while self.peek().text != "end":
+            fields.append(self._one_field())
+            if not (self.accept(";") or self.accept(",")):
+                break
+        self.expect("end")
         return fields
 
     def _inline_dataset(self) -> DataFrame:
@@ -1054,18 +1172,22 @@ class _Parser:
         self.expect(",")
         fields = self._record_fields()
         self.expect(")")
-        schema = ", ".join(f"{n} {t}" for n, t in fields) + ", __ord__ long"
+        schema = ", ".join(f"{n} {t}" for n, t, _ in fields) + ", __ord__ long"
         for r in rows:
             if len(r) != len(fields):
                 raise EclSyntaxError(
                     f"inline row has {len(r)} values for {len(fields)} fields"
                 )
+
+        def coerce(v, ty, width):
+            if ty == "double" and isinstance(v, int):
+                return float(v)
+            if width is not None and isinstance(v, str):
+                return v.ljust(width)  # fixed-width string: pad, as stored
+            return v
+
         data = [
-            tuple(
-                float(v) if ty == "double" and isinstance(v, int) else v
-                for v, (_, ty) in zip(r, fields)
-            )
-            + (i,)
+            tuple(coerce(v, ty, w) for v, (_, ty, w) in zip(r, fields)) + (i,)
             for i, r in enumerate(rows)
         ]
         df = self.spark().createDataFrame(data, schema)
@@ -1172,6 +1294,7 @@ class _Parser:
         return {
             "keys": keys,
             "values": values,
+            "key_field": key_fields[0][0],
             "value_fields": value_fields,
             "defaults": defaults,
         }

@@ -19,7 +19,11 @@ _ECL_DIR = "/root/reference/testing/regress/ecl"
 # Files whose entire feature set the front door covers. Growing this list
 # is the coverage metric; each addition is a whole reference test passing
 # unchanged.
-VERBATIM = ["catchexpr", "dedupright", "dict5", "dict5a", "dict5b", "dict5c", "dict_null"]
+VERBATIM = [
+    "catchexpr", "dedup2", "dedupright", "dict5", "dict5a", "dict5b",
+    "dict5c", "dict_dups", "dict_int", "dict_null", "empty",
+    "formatstored", "globals",
+]
 
 
 def _expected(name: str) -> list[list[list[str]]]:
