@@ -385,8 +385,11 @@ class _Parser:
     @staticmethod
     def _clean(df: DataFrame) -> DataFrame:
         """Drop internal bookkeeping columns (inline-dataset ordinals)
-        from user-visible results."""
-        return df.drop("__ord__") if "__ord__" in df.columns else df
+        from user-visible results — after using them to restore the
+        positional row order the reference's key files expect."""
+        if "__ord__" in df.columns:
+            return df.orderBy("__ord__").drop("__ord__")
+        return df
 
     # --- dataset expressions ---
     def dataset(self) -> DataFrame:
@@ -425,6 +428,14 @@ class _Parser:
             df = self._if_dataset()
         elif t.text == "dataset":
             df = self._inline_dataset()
+        elif t.text == "nofold":
+            # NOFOLD(x) — constant-folding barrier in the reference
+            # (hqlfold.cpp); Catalyst owns folding here, so it is the
+            # identity
+            self.next()
+            self.expect("(")
+            df = self.dataset()
+            self.expect(")")
         elif t.text in ("count", "sum", "min", "max", "ave"):
             df = self._scalar_dataset()
         elif t.text == "(":
@@ -468,7 +479,7 @@ class _Parser:
         if t.text in (
             "table", "project", "normalize", "join", "sort", "dedup",
             "choosen", "topn", "merge", "sample", "enth", "limit",
-            "distribute", "having", "denormalize", "dataset",
+            "distribute", "having", "denormalize", "dataset", "nofold",
         ):
             return True
         return t.kind == "ident" and t.text in self.env
@@ -893,27 +904,60 @@ class _Parser:
         return out
 
     def _sample_enth(self) -> DataFrame:
-        """SAMPLE(ds, interval) / ENTH(ds, interval) (TAKsample :899,
-        TAKenth :913) — every interval-th record, deterministically.
-        Positional, so the input must carry a tracked order (SORT/TOPN/
-        MERGE result, possibly filtered); lowered to the two-phase
-        numbered-rows operator (no single-partition exchange)."""
-        from hpcc_platform_spark.operators.transform import enth
+        """SAMPLE(ds, interval [, which]) / ENTH(ds, numerator
+        [, denominator [, which]]) (TAKsample :899, TAKenth :913) —
+        deterministic positional selection. ENTH follows the reference's
+        accumulator algorithm exactly (thorlcr/activities/enth/
+        thenthslave.cpp:29-58): counter starts at ((which-1) *
+        gcd(num, den)) mod den, adds num per row, emits on wrap — in
+        closed form row i (1-based) is emitted iff
+        (init + i*num) mod den < num. Omitted denominator means the
+        dataset count; denominator 0 means 1 (all rows); numerator 0
+        yields nothing. Needs a tracked order (SORT result or inline
+        dataset)."""
+        import math
 
-        which = self.next().text  # 'sample' | 'enth'
+        op = self.next().text  # 'sample' | 'enth'
         self.expect("(")
         df = self.dataset()
-        self.expect(",")
-        n = self.next()
+        args: list[int] = []
+        while self.accept(","):
+            v = self.value(self._dummy())
+            args.append(int(self._dummy().select(v.alias("a")).collect()[0].a))
         self.expect(")")
+        if not args:
+            raise EclSyntaxError(f"{op.upper()} needs at least one argument")
         keys = self._order.get(id(df))
         if keys is None:
             raise EclSyntaxError(
-                f"{which.upper()} needs an ordered input (wrap it in "
+                f"{op.upper()} needs an ordered input (wrap it in "
                 "SORT(...)): positional sampling over an unordered "
                 "distributed dataset is nondeterministic"
             )
-        return enth(df, int(n.text), keys)
+        from pyspark.sql.window import Window
+
+        rn = F.row_number().over(Window.orderBy(*keys))
+        if op == "sample":
+            interval = args[0]
+            which = args[1] if len(args) > 1 else 1
+            keep = rn % interval == which % interval
+        else:
+            num = args[0]
+            if num == 0:
+                return df.limit(0)
+            den = args[1] if len(args) > 1 else df.count()
+            which = args[2] if len(args) > 2 else 1
+            if den == 0:
+                den = 1
+            init = ((which - 1) * math.gcd(num, den)) % den
+            keep = (F.lit(init) + rn * num) % den < num
+        out = (
+            df.withColumn("__keep__", keep)
+            .where(F.col("__keep__"))
+            .drop("__keep__")
+        )
+        self._order[id(out)] = keys
+        return out
 
     def _limit(self) -> DataFrame:
         """LIMIT(ds, n [, SKIP]) (TAKlimit :931 / TAKskiplimit :975):
@@ -1522,6 +1566,28 @@ class _Parser:
             return F.length(inner)
         if t.text == "std" and self.peek().text == ".":
             return self._std_call(df)
+        if t.text == "nofold" and self.peek().text == "(":
+            self.next()
+            inner = self.value(df)
+            self.expect(")")
+            return inner
+        if t.text == "getenv" and self.peek().text == "(":
+            # GETENV(name [, default]) (Thorlib.ecl:80) — resolved at
+            # plan time on the driver, like the reference's codegen
+            import os as _os
+
+            self.next()
+            nm = self.next()
+            if nm.kind != "str":
+                raise EclSyntaxError("GETENV needs a literal name")
+            dflt = ""
+            if self.accept(","):
+                dv = self.next()
+                if dv.kind != "str":
+                    raise EclSyntaxError("GETENV default must be a literal")
+                dflt = dv.text[1:-1]
+            self.expect(")")
+            return F.lit(_os.environ.get(nm.text[1:-1], dflt))
         if t.text == "catch" and self.peek().text == "(":
             # CATCH(expr, fallback) scalar form (no_catchds analogue for
             # values; testing/regress/ecl/catchexpr.ecl): evaluate the
