@@ -313,6 +313,10 @@ class _Parser:
         elif self.peek().text == "record":
             self.records[name.text] = self._record_end()
             kind = "record"
+        elif self.peek().text == "{":
+            # brace-form record definition: r := { string text; };
+            self.records[name.text] = self._record_fields()
+            kind = "record"
         else:
             # type-driven dataset-vs-scalar dispatch (hqlgram binds by
             # expression type): try the dataset grammar, fall back to a
@@ -1165,7 +1169,10 @@ class _Parser:
         digits = ty.text[len(base):]
         if base in ("string", "qstring", "varstring") and digits.isdigit():
             width = int(digits)
-        return nm.text, self._SPARK_TYPE[base], width
+        default = None
+        if self.accept(":="):  # field default: integer2 age := 25
+            default = self._literal()
+        return nm.text, self._SPARK_TYPE[base], width, default
 
     def _record_fields(self) -> list[tuple[str, str, int | None]]:
         """{ type name, type name, ... } or a named RECORD reference →
@@ -1173,10 +1180,21 @@ class _Parser:
         if self.peek().kind == "ident" and self.peek().text in self.records:
             return self.records[self.next().text]
         self.expect("{")
-        fields: list[tuple[str, str, int | None]] = []
+        # {recname} — braces around a named record reference
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.records
+            and self.toks[self.i + 1].text == "}"
+        ):
+            fields = self.records[self.next().text]
+            self.expect("}")
+            return fields
+        fields: list[tuple] = []
         while True:
             fields.append(self._one_field())
-            if not self.accept(","):
+            if not (self.accept(",") or self.accept(";")):
+                break
+            if self.peek().text == "}":  # trailing separator
                 break
         self.expect("}")
         return fields
@@ -1216,11 +1234,17 @@ class _Parser:
         self.expect(",")
         fields = self._record_fields()
         self.expect(")")
-        schema = ", ".join(f"{n} {t}" for n, t, _ in fields) + ", __ord__ long"
+        schema = ", ".join(f"{n} {t}" for n, t, _, _ in fields) + ", __ord__ long"
         for r in rows:
-            if len(r) != len(fields):
+            if len(r) > len(fields):
                 raise EclSyntaxError(
                     f"inline row has {len(r)} values for {len(fields)} fields"
+                )
+            missing = fields[len(r):]
+            if any(d is None for _, _, _, d in missing):
+                raise EclSyntaxError(
+                    f"inline row has {len(r)} values for {len(fields)} fields "
+                    "(omitted fields need declared defaults)"
                 )
 
         def coerce(v, ty, width):
@@ -1231,7 +1255,14 @@ class _Parser:
             return v
 
         data = [
-            tuple(coerce(v, ty, w) for v, (_, ty, w) in zip(r, fields)) + (i,)
+            tuple(
+                coerce(v, ty, w)
+                for v, (_, ty, w, _) in zip(
+                    tuple(r) + tuple(d for _, _, _, d in fields[len(r):]),
+                    fields,
+                )
+            )
+            + (i,)
             for i, r in enumerate(rows)
         ]
         df = self.spark().createDataFrame(data, schema)

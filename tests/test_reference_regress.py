@@ -66,3 +66,42 @@ def test_reference_regress_file_verbatim(name, spark):
     for i, (df, exp_rows) in enumerate(zip(actions, expected)):
         got = [[_render(v) for v in row] for row in df.collect()]
         assert got == exp_rows, f"{name} Result {i + 1}: {got} != {exp_rows}"
+
+
+def test_enth_matches_reference_accumulator_model(spark):
+    """Property check: the closed-form ENTH filter equals a direct
+    Python transliteration of the reference's accumulator loop
+    (thenthslave.cpp:29-58) across random (num, den, which)."""
+    import math
+    import random
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    rnd = random.Random(20260816)
+    n_rows = 23
+    rows = ", ".join("{%d}" % i for i in range(1, n_rows + 1))
+    for _ in range(25):
+        num = rnd.randint(0, 6)
+        den = rnd.randint(0, 12)
+        which = rnd.randint(1, 6)
+        ecl = f"""
+        d := DATASET([{rows}], {{ unsigned v }});
+        OUTPUT(ENTH(d, {num}, {den}, {which}));
+        """
+        got = [r.v for r in run_ecl_actions(ecl, {}, spark=spark)[-1].collect()]
+        # reference model
+        if num == 0:
+            expect = []
+        else:
+            d = den if den != 0 else 1
+            counter = ((which - 1) * math.gcd(num, d)) % d
+            expect = []
+            for i in range(1, n_rows + 1):
+                counter += num
+                emitted = False
+                while counter >= d:
+                    counter -= d
+                    emitted = True
+                if emitted:
+                    expect.append(i)
+        assert got == expect, (num, den, which, got, expect)
