@@ -464,6 +464,23 @@ class _Parser:
             if id(df) in self._order:  # filters preserve order
                 self._order[id(filtered)] = self._order[id(df)]
             df = filtered
+        # positional slice: ds[a..b] / ds[a..] / ds[n] — needs an order
+        while self.peek().text == "[" and self._order.get(id(df)) is not None:
+            self.next()
+            a = int(self.next().text)
+            b = a
+            if self.accept("."):
+                self.expect(".")
+                b = None
+                if self.peek().kind == "num":
+                    b = int(self.next().text)
+            self.expect("]")
+            order = self._order[id(df)]
+            sliced = self._rn_filter(
+                df, order, None, a, None if b is None else b - a + 1
+            )
+            self._order[id(sliced)] = order
+            df = sliced
         # dataset append: a + b (+ c ...) — ECL's inline FUNNEL
         # (TAKfunnel eclhelper.hpp:903); unordered concat, so any
         # tracked order is dropped.
@@ -499,13 +516,27 @@ class _Parser:
         saved_flag = getattr(self, "_table_has_group_agg", False)
         self._table_has_group_agg = False
         while True:
-            t = self.next()
-            if t.kind != "ident":
-                raise EclSyntaxError(f"expected field at {t.pos}, got {t.text!r}")
-            if self.accept(":="):
-                aggs.append(self._field_value(src).alias(t.text))
+            t = self.peek()
+            if (
+                t.text in ("sum", "count", "min", "max", "ave", "round")
+                and self.toks[self.i + 1].text == "("
+            ):
+                # unnamed aggregate field: { COUNT(GROUP) } — the
+                # reference generates _unnamed_... names; ours follow
+                # suit (the value compare is name-independent)
+                aggs.append(
+                    self._field_value(src).alias(f"_unnamed_{len(aggs) + 1}")
+                )
             else:
-                bare.append(t.text)
+                t = self.next()
+                if t.kind != "ident":
+                    raise EclSyntaxError(
+                        f"expected field at {t.pos}, got {t.text!r}"
+                    )
+                if self.accept(":="):
+                    aggs.append(self._field_value(src).alias(t.text))
+                else:
+                    bare.append(t.text)
             if not self.accept(","):
                 break
         self.expect("}")
@@ -520,9 +551,21 @@ class _Parser:
         self._table_has_group_agg = saved_flag
         if not keys:
             if grouped:
-                # global aggregate (no group keys)
                 if bare:
                     raise EclSyntaxError("bare fields need group keys in TABLE")
+                gkeys = self._grouped.get(id(src))
+                if gkeys is not None:
+                    # TABLE over a GROUPed input with no explicit keys:
+                    # one output row PER GROUP, only the declared fields
+                    # — group appearance order kept via the hidden
+                    # ordinal when the input is positional
+                    extra = (
+                        [F.min("__ord__").alias("__ord__")]
+                        if "__ord__" in src.columns
+                        else []
+                    )
+                    return src.groupBy(*gkeys).agg(*aggs, *extra).drop(*gkeys)
+                # global aggregate (no group keys)
                 return src.agg(*aggs)
             # vertical-slice / project form: TABLE(ds, {a, b2 := expr})
             return src.select(*[src[b] for b in bare], *aggs)
@@ -858,13 +901,72 @@ class _Parser:
         return df.dropDuplicates(fields or None)
 
     def _choosen(self) -> DataFrame:
+        """CHOOSEN(ds, n|ALL [, start] [, GROUPED]) (TAKfirstn :898):
+        n records beginning at ``start`` (1-based). Plain CHOOSEN over a
+        grouped input takes the first n of the whole stream and DROPS
+        the grouping; the GROUPED option applies the window per group
+        and keeps it (eclhelper.hpp choosen semantics; pinned by
+        testing/regress/ecl/choosen.ecl). Positional forms need a
+        tracked order; the bare CHOOSEN(ds, n) stays a plain limit for
+        catalog datasets."""
         self.expect("choosen")
         self.expect("(")
         df = self.dataset()
         self.expect(",")
-        n = self.next()
+        if self.accept("all"):
+            n = None
+        else:
+            n = int(self.next().text)
+        start = 1
+        grouped = False
+        while self.accept(","):
+            t = self.next()
+            if t.text == "grouped":
+                grouped = True
+            elif t.kind == "num":
+                start = int(t.text)
+            else:
+                raise EclSyntaxError(f"unknown CHOOSEN option {t.text!r}")
         self.expect(")")
-        return df.limit(int(n.text))
+        order = self._order.get(id(df))
+        gkeys = self._grouped.get(id(df))
+        if n is not None and start == 1 and not grouped:
+            if order is None:
+                return df.limit(n)
+            out = self._rn_filter(df, order, None, 1, n)
+            self._order[id(out)] = order
+            return out  # grouping deliberately dropped
+        if order is None:
+            raise EclSyntaxError(
+                "positional CHOOSEN (start/ALL/GROUPED) needs an ordered input"
+            )
+        if grouped:
+            if gkeys is None:
+                raise EclSyntaxError("CHOOSEN ... GROUPED needs a GROUP(ds, keys) input")
+            out = self._rn_filter(df, order, gkeys, start, n)
+            self._order[id(out)] = order
+            self._grouped[id(out)] = gkeys
+            return out
+        out = self._rn_filter(df, order, None, start, n)
+        self._order[id(out)] = order
+        return out
+
+    @staticmethod
+    def _rn_filter(df, order, part_keys, start, n):
+        """Keep rows whose (optionally per-group) 1-based position in
+        ``order`` lies in [start, start+n-1] (n None = unbounded)."""
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy(*part_keys).orderBy(*order)
+            if part_keys
+            else Window.orderBy(*order)
+        )
+        out = df.withColumn("__rn__", F.row_number().over(w))
+        cond = F.col("__rn__") >= start
+        if n is not None:
+            cond = cond & (F.col("__rn__") < start + n)
+        return out.where(cond).drop("__rn__")
 
     def _topn(self) -> DataFrame:
         self.expect("topn")
@@ -1222,12 +1324,15 @@ class _Parser:
         rows: list[tuple] = []
         if not self.accept("]"):
             while True:
-                self.expect("{")
-                vals = [self._literal()]
-                while self.accept(","):
-                    vals.append(self._literal())
-                self.expect("}")
-                rows.append(tuple(vals))
+                if self.accept("{"):
+                    vals = [self._literal()]
+                    while self.accept(","):
+                        vals.append(self._literal())
+                    self.expect("}")
+                    rows.append(tuple(vals))
+                else:
+                    # scalar-row form: DATASET([1,2,3], {integer x})
+                    rows.append((self._literal(),))
                 if not self.accept(","):
                     break
             self.expect("]")
