@@ -229,6 +229,26 @@ class _Parser:
                 self.expect(")")
                 self.accept(";")
                 self.actions.append(self._clean(df))
+            elif (
+                self.peek().text in ("sequential", "ordered", "parallel")
+                and self.toks[self.i + 1].text == "("
+            ):
+                # action-list statement: SEQUENTIAL(o1, o2, ...) — each
+                # inner OUTPUT emits its result in listed order (the
+                # declarative engine evaluates lazily, so the three
+                # orderings coincide)
+                self.next()
+                self.expect("(")
+                while True:
+                    self.expect("output")
+                    self.expect("(")
+                    df = self._output_arg()
+                    self.expect(")")
+                    self.actions.append(self._clean(df))
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+                self.accept(";")
             elif self._is_definition():
                 self._definition()
             else:
@@ -317,6 +337,16 @@ class _Parser:
             # brace-form record definition: r := { string text; };
             self.records[name.text] = self._record_fields()
             kind = "record"
+        elif (
+            self.peek().text in ("count", "sum", "min", "max", "ave", "exists")
+            and self.toks[self.i + 1].text == "("
+            and self._at_dataset_start(self.i + 2)
+        ):
+            # aggregate-of-dataset definition is a SCALAR in ECL
+            # (b := COUNT(d);) — the value grammar's eager branch
+            # evaluates it once and inlines a literal
+            self.scalars[name.text] = self.value(self._dummy())
+            kind = "scalar"
         else:
             # type-driven dataset-vs-scalar dispatch (hqlgram binds by
             # expression type): try the dataset grammar, fall back to a
@@ -822,6 +852,10 @@ class _Parser:
         while True:
             if self.accept("-"):
                 keys.append(df[self.next().text].desc())
+            elif self.peek().text == "record":
+                # SORT(ds, RECORD) — order by every field in record order
+                self.next()
+                keys.extend(df[c].asc() for c in df.columns if c != "__ord__")
             else:
                 keys.append(df[self.next().text].asc())
             if not self.accept(","):
@@ -846,9 +880,16 @@ class _Parser:
         fields: list[str] = []
         keep_right = False
         keep_n = 1
+        all_flag = False
         while self.accept(","):
             t = self.peek().text
             if t == "all":
+                self.next()
+                all_flag = True
+                continue
+            if t in ("hash", "local"):
+                # HASH = strategy hint (TAKhashdedup :906), LOCAL = node
+                # scope; same result set — no-ops here
                 self.next()
                 continue
             if t in ("left", "right") and self.toks[self.i + 1].text in (",", ")"):
@@ -866,6 +907,21 @@ class _Parser:
             fields.append(self.next().text)
         self.expect(")")
         order = self._order.get(id(df))
+        if order is not None and fields and all_flag:
+            # DEDUP ... ALL over an ordered input: order-independent
+            # match (whole dataset), first occurrence in stream order
+            # survives (thhashdedup keep-first contract)
+            from pyspark.sql.window import Window
+
+            key = F.struct(*[F.col(f) for f in fields])
+            w = Window.partitionBy(key).orderBy(*order)
+            out = (
+                df.withColumn("__pick__", F.row_number().over(w))
+                .where(F.col("__pick__") == 1)
+                .drop("__pick__")
+            )
+            self._order[id(out)] = order
+            return out
         if order is not None and fields:
             # Faithful adjacent semantics over a tracked order
             # (throllupslave.cpp keepLeft/keepRight): runs of equal keys
@@ -1493,10 +1549,21 @@ class _Parser:
         dummy = self._dummy()
         cond = self.value(dummy)
         self.expect(",")
-        then_df = self.dataset()
+
+        def branch():
+            # a branch may be a dataset OR an OUTPUT action (the chosen
+            # branch's output becomes this statement's result)
+            if self.accept("output"):
+                self.expect("(")
+                b = self._output_arg()
+                self.expect(")")
+                return b
+            return self.dataset()
+
+        then_df = branch()
         else_df = None
         if self.accept(","):
-            else_df = self.dataset()
+            else_df = branch()
         self.expect(")")
         truth = bool(dummy.select(cond.alias("c")).collect()[0].c)
         if truth:

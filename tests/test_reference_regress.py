@@ -20,10 +20,10 @@ _ECL_DIR = "/root/reference/testing/regress/ecl"
 # is the coverage metric; each addition is a whole reference test passing
 # unchanged.
 VERBATIM = [
-    "catchexpr", "choosen", "dedup2", "dedupright", "dict3", "dict5",
-    "dict5a", "dict5b", "dict5c", "dict_dups", "dict_int", "dict_null",
-    "empty", "enth", "formatstored", "globalfile", "globals", "sample",
-    "throughspill",
+    "catchexpr", "choosen", "dedup2", "dedup_hash", "dedupright",
+    "dict3", "dict5", "dict5a", "dict5b", "dict5c", "dict_dups",
+    "dict_int", "dict_null", "empty", "enth", "formatstored", "global",
+    "globalfile", "globals", "sample", "spill", "throughspill",
 ]
 
 
