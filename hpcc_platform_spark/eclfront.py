@@ -17,12 +17,20 @@ text they run today:
     OUTPUT(SORT(byflag, -total));
 
 Supported surface (deliberately the high-frequency core, not the whole
-language): definitions (:=), postfix record filters, TABLE grouped
-aggregation (SUM/COUNT/MIN/MAX/AVE over GROUP), JOIN with LEFT./RIGHT.
-equality + residual conditions and LEFT/RIGHT/FULL OUTER / LEFT ONLY /
-LOOKUP / ALL options, SORT (with -field descending), DEDUP [ALL],
-CHOOSEN, TOPN, MERGE(a, b, SORTED(...)), dataset append ``a + b``,
-SAMPLE/ENTH over a sorted input, LIMIT [SKIP], DISTRIBUTE(ds, HASH(...)),
+language): definitions (:=) — dataset, scalar (typed prefixes), RECORD
+(END or brace form, field defaults, fixed-width strings), DICTIONARY,
+and aggregate-of-dataset scalars; postfix record filters and positional
+slices ds[n] / ds[a..b]; TABLE grouped aggregation (SUM/COUNT/MIN/MAX/
+AVE over GROUP, conditional COUNT(GROUP, cond), unnamed aggregate
+fields, grouped-input per-group form), JOIN with LEFT./RIGHT. equality
++ residual conditions and LEFT/RIGHT/FULL OUTER / LEFT ONLY / LOOKUP /
+ALL options, SORT (with -field descending and RECORD whole-row keys),
+DEDUP (adjacent LEFT/RIGHT/KEEP(n) over tracked order; ALL/HASH
+keep-first), CHOOSEN (n|ALL, start, GROUPED), TOPN,
+MERGE(a, b, SORTED(...)), dataset append ``a + b``, SAMPLE/ENTH (the
+reference's exact accumulator selection) over a sorted input,
+LIMIT [SKIP], DISTRIBUTE(ds, HASH(...)),
+SEQUENTIAL/ORDERED/PARALLEL action lists,
 GROUP + HAVING with group aggregates, DENORMALIZE(..., GROUP,
 TRANSFORM(SELF.f := ROWS(RIGHT), SELF := LEFT)), scalar expressions with
 arithmetic / comparisons / AND-OR-NOT / IN / BETWEEN / string+number
