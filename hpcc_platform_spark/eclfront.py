@@ -150,6 +150,8 @@ class _Parser:
         self.dicts: dict[str, dict] = {}
         # named RECORD..END definitions — name -> [(field, type, width)]
         self.records: dict[str, list] = {}
+        # SET definitions (a := [2,3,5];) — driver-side Python lists
+        self.sets: dict[str, list] = {}
         # every action (OUTPUT or bare expression statement), in order —
         # the reference emits one result per action
         self.actions: list[DataFrame] = []
@@ -345,6 +347,19 @@ class _Parser:
             # brace-form record definition: r := { string text; };
             self.records[name.text] = self._record_fields()
             kind = "record"
+        elif self.peek().text == "[":
+            # SET definition: a := [2,3,5,7]; — a driver-side list
+            # (no_createset hqlexpr.hpp:562)
+            self.next()
+            vals: list = []
+            if not self.accept("]"):
+                while True:
+                    vals.append(self._literal())
+                    if not self.accept(","):
+                        break
+                self.expect("]")
+            self.sets[name.text] = vals
+            kind = "set"
         elif (
             self.peek().text in ("count", "sum", "min", "max", "ave", "exists")
             and self.toks[self.i + 1].text == "("
@@ -1630,6 +1645,10 @@ class _Parser:
             negate = True
         if t == "in":
             self.next()
+            if self.peek().kind == "ident" and self.peek().text in self.sets:
+                vals = self.sets[self.next().text]
+                m = a.isin(*vals) if vals else F.lit(False)
+                return ~m if negate else m
             if self.peek().kind == "ident" and self.peek().text in self.dicts:
                 d = self.dicts[self.next().text]
                 # empty dictionary: isin() with no args is invalid — and
@@ -1833,6 +1852,31 @@ class _Parser:
                 raise EclSyntaxError(f"RIGHT.<field> outside NORMALIZE at {t.pos}")
             self.next()
             return right.getField(self.next().text)
+        if t.kind == "ident" and t.text in self.sets:
+            v = self.sets[t.text]
+            if self.peek().text == "[":
+                # set slicing, 1-based inclusive: s[a..b] / s[..b] /
+                # s[a..] / s[a..*] / s[n]
+                self.next()
+                a = None
+                if self.peek().kind == "num":
+                    a = int(self.next().text)
+                if self.accept("."):
+                    self.expect(".")
+                    b = None
+                    if self.peek().kind == "num":
+                        b = int(self.next().text)
+                    elif self.accept("*"):
+                        b = None
+                    self.expect("]")
+                    lo = (a or 1) - 1
+                    v = v[lo:] if b is None else v[lo:b]
+                else:
+                    self.expect("]")
+                    if a is None:
+                        raise EclSyntaxError(f"set index needed at {t.pos}")
+                    return F.lit(v[a - 1])
+            return F.lit(v)
         if t.kind == "ident" and t.text in self.dicts and self.peek().text == "[":
             # dict[key].field — miss yields the field's DEFAULT, else the
             # type's empty value (''/0/false), as the reference renders it

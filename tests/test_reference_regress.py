@@ -23,7 +23,8 @@ VERBATIM = [
     "catchexpr", "choosen", "dedup2", "dedup_hash", "dedupright",
     "dict3", "dict5", "dict5a", "dict5b", "dict5c", "dict_dups",
     "dict_int", "dict_null", "empty", "enth", "formatstored", "global",
-    "globalfile", "globals", "sample", "spill", "throughspill",
+    "globalfile", "globals", "sample", "setrange", "spill",
+    "throughspill",
 ]
 
 
@@ -34,19 +35,28 @@ def _expected(name: str) -> list[list[list[str]]]:
     for parsing."""
     with open(os.path.join(_ECL_DIR, "key", f"{name}.xml")) as f:
         root = ET.fromstring(f"<keys>{f.read()}</keys>")
+    def cell(c):
+        items = c.findall("Item")
+        if items:  # SET-valued cell renders as nested <Item> elements
+            return [i.text or "" for i in items]
+        return c.text or ""
+
     out = []
     for ds in root.findall("Dataset"):
         rows = []
         for row in ds.findall("Row"):
-            rows.append([(c.text or "") for c in row])
+            rows.append([cell(c) for c in row])
         out.append(rows)
     return out
 
 
-def _render(v) -> str:
-    """Spark value → the reference's key-file text form."""
+def _render(v):
+    """Spark value → the reference's key-file text form (lists render as
+    the key files' nested-Item lists)."""
     if v is None:
         return ""
+    if isinstance(v, (list, tuple)):
+        return [_render(x) for x in v]
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float) and v == int(v):
