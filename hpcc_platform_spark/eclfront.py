@@ -78,6 +78,25 @@ class EclSyntaxError(ValueError):
     pass
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}
+
+
+def _unquote(tok_text: str) -> str:
+    """Strip quotes and interpret ECL string escapes (\n \t \r \\ \')."""
+    raw = tok_text[1:-1]
+    out, i = [], 0
+    while i < len(raw):
+        ch = raw[i]
+        if ch == "\\" and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 _TOKEN_RX = re.compile(
     r"""
     (?P<ws>\s+|//[^\n]*|/\*(?s:.*?)\*/)
@@ -865,7 +884,7 @@ class _Parser:
         if t.kind == "num":
             return F.lit(float(t.text) if "." in t.text else int(t.text))
         if t.kind == "str":
-            return F.lit(t.text[1:-1])
+            return F.lit(_unquote(t.text))
         raise EclSyntaxError(
             f"JOIN condition expects LEFT.f / RIGHT.f / literal at {t.pos}"
         )
@@ -1314,7 +1333,7 @@ class _Parser:
         """One literal token (string/number/bool) as a Python value."""
         t = self.next()
         if t.kind == "str":
-            return t.text[1:-1]
+            return _unquote(t.text)
         if t.kind == "num":
             return float(t.text) if "." in t.text else int(t.text)
         if t.text == "true":
@@ -1696,7 +1715,7 @@ class _Parser:
         if t.kind == "num":
             return F.lit(float(t.text) if "." in t.text else int(t.text))
         if t.kind == "str":
-            return F.lit(t.text[1:-1])
+            return F.lit(_unquote(t.text))
         if t.text == "true":
             return F.lit(True)
         if t.text == "false":
@@ -1837,6 +1856,16 @@ class _Parser:
             inner = self.value(df)
             self.expect(")")
             return F.rtrim(inner)  # ECL TRIM strips trailing blanks by default
+        if t.text == "[":
+            # set literal as a value: [1,2,3] — an array constant
+            vals = []
+            if self.peek().text != "]":
+                while True:
+                    vals.append(self._literal())
+                    if not self.accept(","):
+                        break
+            self.expect("]")
+            return F.lit(vals)
         if t.text == "(":
             c = self.value(df)
             self.expect(")")

@@ -23,7 +23,7 @@ VERBATIM = [
     "catchexpr", "choosen", "dedup2", "dedup_hash", "dedupright",
     "dict3", "dict5", "dict5a", "dict5b", "dict5c", "dict_dups",
     "dict_int", "dict_null", "empty", "enth", "formatstored", "global",
-    "globalfile", "globals", "sample", "setrange", "spill",
+    "globalfile", "globals", "sample", "scalar", "setrange", "spill",
     "throughspill",
 ]
 
