@@ -100,9 +100,17 @@ def _unquote(tok_text: str) -> str:
 _TOKEN_RX = re.compile(
     r"""
     (?P<ws>\s+|//[^\n]*|/\*(?s:.*?)\*/)
-  | (?P<num>\d+\.\d+|\d+)
-  | (?P<str>'(?:[^'\\]|\\.)*')
-  | (?P<op>:=|<=|>=|<>|!=|=>|[-+*/%(){},;=<>\[\].:])
+  | (?P<num>0[xX][0-9A-Fa-f]+            # hex
+            |0[bB][01]+                   # binary
+            |[0-9A-Fa-f]+[xX](?![0-9A-Za-z_])   # hex, x-suffix form (41x)
+            |[01]+[bB](?![0-9A-Za-z_])    # binary, b-suffix form
+            |\d+\.\d+[eE][-+]?\d+         # scientific
+            |\d+[eE][-+]?\d+
+            |\d+\.\d+[dD]?                # real / decimal (D suffix)
+            |\d+[dD]?(?![0-9A-Za-z_])     # integer / decimal
+            |\d+)
+  | (?P<str>(?:[uU]8?|[vV]|[qQ])?'(?:[^'\\]|\\.)*')
+  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -180,6 +188,12 @@ class _Parser:
         self._order: dict[int, list[Column]] = {}
         # id(df) -> GROUP keys (GROUP sets it; HAVING consumes it).
         self._grouped: dict[int, list[str]] = {}
+        # Every frame registered in _order/_grouped is pinned here so its
+        # id() stays unique for the parser's lifetime — otherwise an
+        # intermediate frame could be garbage-collected mid-parse and a
+        # later allocation could reuse its id, spuriously inheriting a
+        # stale order or group registration.
+        self._pins: list[DataFrame] = []
         # Window for HAVING-condition aggregates (COUNT(GROUP) etc.).
         self._having_win = None
 
@@ -203,6 +217,15 @@ class _Parser:
             self.i += 1
             return True
         return False
+
+    # --- order / group side tables ---
+    def _set_order(self, df: DataFrame, keys: list[Column]) -> None:
+        self._pins.append(df)
+        self._order[id(df)] = keys
+
+    def _set_grouped(self, df: DataFrame, keys: list[str]) -> None:
+        self._pins.append(df)
+        self._grouped[id(df)] = keys
 
     # --- program ---
     # ECL scalar type names (optionally digit-suffixed: string20,
@@ -534,7 +557,7 @@ class _Parser:
             self.expect(")")
             filtered = df.where(cond)
             if id(df) in self._order:  # filters preserve order
-                self._order[id(filtered)] = self._order[id(df)]
+                self._set_order(filtered, self._order[id(df)])
             df = filtered
         # positional slice: ds[a..b] / ds[a..] / ds[n] — needs an order
         while self.peek().text == "[" and self._order.get(id(df)) is not None:
@@ -551,7 +574,7 @@ class _Parser:
             sliced = self._rn_filter(
                 df, order, None, a, None if b is None else b - a + 1
             )
-            self._order[id(sliced)] = order
+            self._set_order(sliced, order)
             df = sliced
         # dataset append: a + b (+ c ...) — ECL's inline FUNNEL
         # (TAKfunnel eclhelper.hpp:903); unordered concat, so any
@@ -912,7 +935,7 @@ class _Parser:
         keys = self._sort_keys(df)
         self.expect(")")
         out = df.orderBy(*keys)
-        self._order[id(out)] = keys
+        self._set_order(out, keys)
         return out
 
     def _dedup(self) -> DataFrame:
@@ -962,7 +985,7 @@ class _Parser:
                 .where(F.col("__pick__") == 1)
                 .drop("__pick__")
             )
-            self._order[id(out)] = order
+            self._set_order(out, order)
             return out
         if order is not None and fields:
             # Faithful adjacent semantics over a tracked order
@@ -987,7 +1010,7 @@ class _Parser:
                 .where(F.col("__pick__") <= keep_n)
                 .drop("__run__", "__pick__")
             )
-            self._order[id(out)] = order
+            self._set_order(out, order)
             return out
         if keep_right or keep_n != 1:
             raise EclSyntaxError(
@@ -1032,7 +1055,7 @@ class _Parser:
             if order is None:
                 return df.limit(n)
             out = self._rn_filter(df, order, None, 1, n)
-            self._order[id(out)] = order
+            self._set_order(out, order)
             return out  # grouping deliberately dropped
         if order is None:
             raise EclSyntaxError(
@@ -1042,11 +1065,11 @@ class _Parser:
             if gkeys is None:
                 raise EclSyntaxError("CHOOSEN ... GROUPED needs a GROUP(ds, keys) input")
             out = self._rn_filter(df, order, gkeys, start, n)
-            self._order[id(out)] = order
-            self._grouped[id(out)] = gkeys
+            self._set_order(out, order)
+            self._set_grouped(out, gkeys)
             return out
         out = self._rn_filter(df, order, None, start, n)
-        self._order[id(out)] = order
+        self._set_order(out, order)
         return out
 
     @staticmethod
@@ -1076,7 +1099,7 @@ class _Parser:
         keys = self._sort_keys(df)
         self.expect(")")
         out = df.orderBy(*keys).limit(int(n.text))
-        self._order[id(out)] = keys
+        self._set_order(out, keys)
         return out
 
     def _merge(self) -> DataFrame:
@@ -1104,7 +1127,7 @@ class _Parser:
         self.expect(")")
         self.expect(")")
         out = df.orderBy(*keys)
-        self._order[id(out)] = keys
+        self._set_order(out, keys)
         return out
 
     def _sample_enth(self) -> DataFrame:
@@ -1160,7 +1183,7 @@ class _Parser:
             .where(F.col("__keep__"))
             .drop("__keep__")
         )
-        self._order[id(out)] = keys
+        self._set_order(out, keys)
         return out
 
     def _limit(self) -> DataFrame:
@@ -1222,8 +1245,16 @@ class _Parser:
         self.expect(")")
         if not keys:
             raise EclSyntaxError("GROUP needs at least one key")
-        self._grouped[id(df)] = keys
-        return df
+        # Return a DISTINCT frame: registering the grouped state on the
+        # input object would alias it onto every other use of that name
+        # (e.g. a later TABLE over the ungrouped definition would silently
+        # aggregate per group). select('*') is a zero-cost projection that
+        # gives the registration its own identity.
+        out = df.select("*")
+        if id(df) in self._order:
+            self._set_order(out, self._order[id(df)])
+        self._set_grouped(out, keys)
+        return out
 
     def _having(self) -> DataFrame:
         """HAVING(GROUP(ds, keys), cond) (TAKhavingselect :1014): keep
@@ -1251,7 +1282,7 @@ class _Parser:
             .where(F.col("__having__"))
             .drop("__having__")
         )
-        self._grouped[id(out)] = keys  # result is still grouped
+        self._set_grouped(out, keys)  # result is still grouped
         return out
 
     def _denormalize(self) -> DataFrame:
@@ -1469,7 +1500,7 @@ class _Parser:
             for i, r in enumerate(rows)
         ]
         df = self.spark().createDataFrame(data, schema)
-        self._order[id(df)] = [F.col("__ord__")]
+        self._set_order(df, [F.col("__ord__")])
         return df
 
     def _dict_record(self):
@@ -1834,13 +1865,19 @@ class _Parser:
                 dv = self.next()
                 if dv.kind != "str":
                     raise EclSyntaxError("GETENV default must be a literal")
-                dflt = dv.text[1:-1]
+                dflt = _unquote(dv.text)
             self.expect(")")
-            return F.lit(_os.environ.get(nm.text[1:-1], dflt))
+            return F.lit(_os.environ.get(_unquote(nm.text), dflt))
         if t.text == "catch" and self.peek().text == "(":
             # CATCH(expr, fallback) scalar form (no_catchds analogue for
             # values; testing/regress/ecl/catchexpr.ecl): evaluate the
             # first expression; a runtime failure yields the fallback.
+            # LIMITATION (documented): the decision is made once at parse
+            # time by probing a limit(1) evaluation — an expression that
+            # only fails on rows beyond the first keeps the failing
+            # branch, unlike the reference's per-evaluation CATCH. The
+            # regress corpus exercises whole-expression failures (divide
+            # by zero, FAIL()), which the probe classifies correctly.
             self.next()
             a = self.value(df)
             self.expect(",")
@@ -1949,7 +1986,7 @@ class _Parser:
             t = self.peek()
             if t.kind in ("num", "str"):
                 self.next()
-                args.append(t.text[1:-1] if t.kind == "str" else int(t.text))
+                args.append(_unquote(t.text) if t.kind == "str" else int(t.text))
             else:
                 args.append(self.value(df))
         self.expect(")")

@@ -119,18 +119,29 @@ def dasum(x: DataFrame) -> DataFrame:
 
 
 def extract_tri(
-    x: DataFrame, upper: bool = True, unit_diagonal: bool = False
+    x: DataFrame, upper: bool = True, unit_diagonal: bool = False, n: int | None = None
 ) -> DataFrame:
     """Extract the upper/lower triangle (extract_tri.cpp); with
     ``unit_diagonal`` the diagonal is replaced by ones (the dtrsm 'dU'
-    convention). Pure filter — no shuffle."""
+    convention) — INCLUDING diagonal cells that are implicit zeros
+    (absent from the COO input), which must materialize as 1.0. Pass
+    ``n`` (the matrix dimension) to avoid the one-row bounds aggregate
+    that otherwise derives it. Plain extraction is a pure filter — no
+    shuffle; the unit-diagonal form adds a generated n-row diagonal."""
     m = _check(x, "X")
     keep = F.col("i") <= F.col("j") if upper else F.col("i") >= F.col("j")
     if not unit_diagonal:
         return m.where(keep)
     off = m.where(keep & (F.col("i") != F.col("j")))
+    if n is None:
+        mx = m.agg(F.max(F.greatest(F.col("i"), F.col("j"))).alias("mx")).collect()[0].mx
+        n = 0 if mx is None else int(mx) + 1
     diag = (
-        m.where(F.col("i") == F.col("j"))
-        .withColumn("v", F.lit(1.0))
+        m.sparkSession.range(n)
+        .select(
+            F.col("id").alias("i"),
+            F.col("id").alias("j"),
+            F.lit(1.0).alias("v"),
+        )
     )
     return off.unionByName(diag)

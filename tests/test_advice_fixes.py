@@ -235,3 +235,51 @@ def test_fixed_width_numeric_overflow_raises_not_corrupts(spark, tmp_path):
     edge = spark.createDataFrame([(-(2**63),)], "v long")
     write_fixed_width(edge, str(tmp_path / "c"), long_layout)
     assert read_fixed_width(spark, str(tmp_path / "c"), long_layout).head().v == -(2**63)
+
+
+def test_group_does_not_alias_onto_ungrouped_name(spark):
+    """r6 ADVICE (high): GROUP(d, k) must not register grouped state on
+    the input object — TABLE over the ungrouped name stays a single
+    global aggregate even after the name was GROUPed elsewhere."""
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    d := DATASET([{1}, {1}, {2}], { integer v });
+    g := GROUP(SORT(d, v), v);
+    OUTPUT(TABLE(d, { c := COUNT(GROUP) }));
+    """
+    out = run_ecl_actions(ecl, {}, spark=spark)[-1].collect()
+    assert len(out) == 1 and out[0].c == 3
+
+
+def test_group_result_still_grouped_for_having(spark):
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    d := DATASET([{1}, {1}, {2}], { integer v });
+    OUTPUT(SORT(HAVING(GROUP(d, v), COUNT(GROUP) > 1), v));
+    """
+    out = run_ecl_actions(ecl, {}, spark=spark)[-1].collect()
+    assert [r.v for r in out] == [1, 1]
+
+
+def test_extract_tri_unit_diagonal_materializes_implicit_zeros(spark):
+    """r6 ADVICE (low): a diagonal cell absent from the COO input is an
+    implicit zero and must still become 1.0 under unit_diagonal."""
+    from hpcc_platform_spark.operators.blas import extract_tri
+
+    # 3x3 with NO (1,1) entry; (2,2) present with value 7
+    m = spark.createDataFrame(
+        [(0, 0, 5.0), (0, 2, 3.0), (2, 2, 7.0), (2, 0, 4.0)],
+        "i long, j long, v double",
+    )
+    got = sorted(
+        (r.i, r.j, r.v) for r in extract_tri(m, upper=True, unit_diagonal=True).collect()
+    )
+    assert got == [(0, 0, 1.0), (0, 2, 3.0), (1, 1, 1.0), (2, 2, 1.0)]
+    # explicit n extends past observed indices
+    got_n = sorted(
+        (r.i, r.j, r.v)
+        for r in extract_tri(m, upper=True, unit_diagonal=True, n=4).collect()
+    )
+    assert (3, 3, 1.0) in got_n
