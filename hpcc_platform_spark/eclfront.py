@@ -66,9 +66,11 @@ position — no silent misparses.
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Mapping
 from dataclasses import dataclass
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -82,8 +84,9 @@ _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}
 
 
 def _unquote(tok_text: str) -> str:
-    """Strip quotes and interpret ECL string escapes (\n \t \r \\ \')."""
-    raw = tok_text[1:-1]
+    """Strip quotes (and any u/u8/v/q type prefix) and interpret ECL
+    string escapes (\n \t \r \\ \')."""
+    raw = tok_text[tok_text.index("'") + 1:-1]
     out, i = [], 0
     while i < len(raw):
         ch = raw[i]
@@ -97,9 +100,55 @@ def _unquote(tok_text: str) -> str:
     return "".join(out)
 
 
+def _parse_num(text: str):
+    """Numeric token → (python value, ecl type tag). Type tags are the
+    base type name with an optional byte-width suffix ('integer8',
+    'unsigned1', 'real', 'decimal'); hex/binary forms are integers
+    (hqllex.l numeric productions)."""
+    def _wrap64(n: int) -> int:
+        # hex/binary literals are INTEGER8 (signed) in ECL: a full-width
+        # bit pattern wraps negative (hqllex.l integer constants)
+        n &= (1 << 64) - 1
+        return n - (1 << 64) if n >= 1 << 63 else n
+
+    low = text.lower()
+    if low.startswith("0x"):
+        return _wrap64(int(low[2:], 16)), "integer"
+    if low.startswith("0b") and all(c in "01" for c in low[2:]):
+        return _wrap64(int(low[2:], 2)), "integer"
+    if low.endswith("x"):
+        return _wrap64(int(low[:-1], 16)), "integer"
+    if low.endswith("b") and all(c in "01" for c in low[:-1]):
+        return _wrap64(int(low[:-1], 2)), "integer"
+    if low.endswith("d"):
+        return Decimal(low[:-1]), "decimal"
+    if "e" in low or "." in low:
+        return float(low), "real"
+    return int(low), "integer"
+
+
+def _ty_base(ty: str) -> str:
+    m = re.match(r"^([a-z]+?)(\d+)?(?:_\d+)?$", ty)
+    return m.group(1) if m else ty
+
+
+def _ty_width(ty: str) -> int | None:
+    m = re.match(r"^[a-z]+?(\d+)(?:_\d+)?$", ty)
+    return int(m.group(1)) if m else None
+
+
+_STR_BASES = {"string", "varstring", "qstring", "utf8", "unicode"}
+_INT_BASES = {"integer", "unsigned"}
+
+
+def _is_numeric_ty(ty: str) -> bool:
+    return _ty_base(ty) in ("integer", "unsigned", "real", "decimal")
+
+
 _TOKEN_RX = re.compile(
     r"""
-    (?P<ws>\s+|//[^\n]*|/\*(?s:.*?)\*/)
+    (?P<ws>\s+|//[^\n]*|/\*(?s:.*?)\*/
+        |\#(?i:option|onwarning|workunit|stored|constant|debug)\b[^;\n]*;?)
   | (?P<num>0[xX][0-9A-Fa-f]+            # hex
             |0[bB][01]+                   # binary
             |[0-9A-Fa-f]+[xX](?![0-9A-Za-z_])   # hex, x-suffix form (41x)
@@ -177,8 +226,27 @@ class _Parser:
         self.dicts: dict[str, dict] = {}
         # named RECORD..END definitions — name -> [(field, type, width)]
         self.records: dict[str, list] = {}
+        # TABLE-format records (computed/aggregate members) — name ->
+        # raw token slice, spliced at the TABLE call site
+        self.records_raw: dict[str, list] = {}
         # SET definitions (a := [2,3,5];) — driver-side Python lists
         self.sets: dict[str, list] = {}
+        # parameterized definitions (f(integer x) := x*2; / := FUNCTION)
+        # — name -> {params, body (token slice), compound}
+        self.functions: dict[str, dict] = {}
+        # id(Column) -> (python value, ecl type tag) for columns known to
+        # be row-independent constants: the scalar layer computes these
+        # driver-side with faithful ECL type semantics (integer widths,
+        # unsigned, decimal, fixed-width strings) that Spark's lit()
+        # types cannot carry. Columns are pinned like the order tables.
+        self._const: dict[int, tuple] = {}
+        self._cpins: list[Column] = []
+        # id(df) -> inline-dataset field meta [(name, spark_ty, width,
+        # default)] for positional row-field access defaults
+        self._ds_fields: dict[int, list] = {}
+        # id(df) -> key-field count for dictionary-shaped records
+        # ({k => v}), consumed by DICTIONARY(ds) without a record arg
+        self._ds_kv: dict[int, int] = {}
         # every action (OUTPUT or bare expression statement), in order —
         # the reference emits one result per action
         self.actions: list[DataFrame] = []
@@ -227,6 +295,342 @@ class _Parser:
         self._pins.append(df)
         self._grouped[id(df)] = keys
 
+    # --- constant scalar layer ---
+    # ECL's scalar types are richer than Spark literals (unsigned 64-bit,
+    # BCD decimal, fixed-width strings, width-wrapped integers); constant
+    # expressions therefore fold driver-side, exactly as the reference's
+    # hqlfold.cpp folds them at generate time, and the folded value keeps
+    # its ECL type tag for faithful rendering and casts.
+    def _cset(self, col: Column, v, ty: str) -> Column:
+        self._cpins.append(col)
+        self._const[id(col)] = (v, ty)
+        return col
+
+    def _cget(self, col):
+        return self._const.get(id(col))
+
+    def _mkconst(self, v, ty: str) -> Column:
+        """Constant → Column (for row-dependent contexts like filters);
+        the registered (value, type) is authoritative for rendering."""
+        if isinstance(v, Decimal):
+            col = F.lit(float(v))
+        elif isinstance(v, int) and not isinstance(v, bool) and abs(v) >= 2**63:
+            col = F.lit(float(v))
+        else:
+            col = F.lit(v)
+        return self._cset(col, v, ty)
+
+    @staticmethod
+    def _coerce_const(v, ty: str):
+        """Cast a python value to an ECL type tag — the (TYPE)expr cast
+        and typed-definition semantics (rtlField casts)."""
+        base, width = _ty_base(ty), _ty_width(ty)
+        if base in _STR_BASES:
+            if isinstance(v, bool):
+                s = "true" if v else "false"
+            elif isinstance(v, Decimal):
+                s = format(v.normalize(), "f")
+            elif isinstance(v, float):
+                s = repr(v)
+            else:
+                s = str(v)
+            if width is not None and base in ("string", "qstring"):
+                s = s[:width].ljust(width)  # fixed width: truncate/pad
+            elif width is not None:
+                s = s[:width]
+            return s
+        if base == "boolean":
+            if isinstance(v, str):
+                return v.strip() != ""
+            return bool(v)
+        if base == "real":
+            if isinstance(v, str):
+                try:
+                    return float(v.strip() or 0)
+                except ValueError:
+                    return 0.0
+            return float(v)
+        if base == "decimal" or base == "udecimal":
+            try:
+                return Decimal(str(v).strip() or 0)
+            except Exception:
+                return Decimal(0)
+        if base in _INT_BASES:
+            if isinstance(v, str):
+                m = re.match(r"\s*-?\d+", v)
+                n = int(m.group()) if m else 0
+            elif isinstance(v, (float, Decimal)):
+                n = int(v)  # toward zero
+            else:
+                n = int(v)
+            bits = 8 * (width or 8)
+            n &= (1 << bits) - 1
+            if base == "integer" and n >= 1 << (bits - 1):
+                n -= 1 << bits
+            return n
+        raise EclSyntaxError(f"unsupported cast target {ty!r}")
+
+    @staticmethod
+    def _arith_ty(ta: str, tb: str, division: bool = False) -> str:
+        """Result type of a binary arithmetic op (hqlgram type promotion:
+        real > decimal > integer; '/' is always real/decimal division)."""
+        a, b = _ty_base(ta), _ty_base(tb)
+        if "real" in (a, b):
+            return "real"
+        if "decimal" in (a, b) or a == "udecimal" or b == "udecimal":
+            return "decimal"
+        if division:
+            return "real"
+        return "unsigned" if a == b == "unsigned" else "integer"
+
+    @staticmethod
+    def _as_num(v, ty: str):
+        if _ty_base(ty) == "decimal":
+            return v if isinstance(v, Decimal) else Decimal(str(v))
+        return v
+
+    def _fold2(self, op: str, a: Column, b: Column) -> Column:
+        """Binary op with constant folding; non-constant operands take
+        the Column path (Catalyst folds those where it can)."""
+        ca, cb = self._cget(a), self._cget(b)
+        if ca is not None and cb is not None:
+            (va, ta), (vb, tb) = ca, cb
+            str_a, str_b = _ty_base(ta) in _STR_BASES, _ty_base(tb) in _STR_BASES
+            if op == "+" and (str_a or str_b):
+                # ECL '+' on strings is concatenation; mixed operands
+                # coerce to string first (hqlgram concat productions)
+                sa = va if str_a else self._coerce_const(va, "string")
+                sb = vb if str_b else self._coerce_const(vb, "string")
+                return self._mkconst(sa + sb, "string")
+            if op in ("+", "-", "*", "/", "%", "<<", ">>") and not (str_a or str_b):
+                ty = self._arith_ty(ta, tb, division=(op == "/"))
+                x, y = va, vb
+                if _ty_base(ty) == "real":
+                    x, y = float(x), float(y)
+                elif _ty_base(ty) == "decimal":
+                    x, y = self._as_num(x, "decimal"), self._as_num(y, "decimal")
+                if op == "+":
+                    r = x + y
+                elif op == "-":
+                    r = x - y
+                elif op == "*":
+                    r = x * y
+                elif op == "/":
+                    # ECL default division-by-zero yields 0 (dbz tests)
+                    r = (x / y) if y != 0 else self._as_num(0, ty)
+                elif op == "%":
+                    if y == 0:
+                        r = 0
+                    else:  # C-style truncated remainder (sign of dividend)
+                        r = int(math.fmod(int(x), int(y)))
+                elif op == "<<":
+                    r = self._coerce_const(int(x) << int(y), ta)
+                    ty = ta
+                else:  # >>
+                    r = int(x) >> int(y)
+                    ty = ta
+                if _ty_base(ty) in _INT_BASES and not isinstance(r, int):
+                    r = int(r)
+                return self._mkconst(r, ty)
+            if op in ("=", "<>", "!=", "<", "<=", ">", ">="):
+                x, y = va, vb
+                if str_a and str_b:
+                    # fixed-width compare ignores trailing blanks
+                    x, y = x.rstrip(), y.rstrip()
+                elif isinstance(x, Decimal) or isinstance(y, Decimal):
+                    x, y = Decimal(str(x)), Decimal(str(y))
+                r = {
+                    "=": x == y, "<>": x != y, "!=": x != y,
+                    "<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y,
+                }[op]
+                return self._mkconst(r, "boolean")
+        # Column path
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "%":
+            return a % b
+        if op == "<<":
+            return F.shiftleft(a, b)
+        if op == ">>":
+            return F.shiftright(a, b)
+        return _cmp(op, a, b)
+
+    def _scalar_result_df(self, col: Column, alias: str) -> DataFrame:
+        """A one-row result frame for a scalar action. Constants build
+        the frame directly from the python value so types Spark literals
+        can't hold (unsigned 64-bit, decimals) survive to the output."""
+        c = self._cget(col)
+        if c is None:
+            return self._dummy().select(col.alias(alias))
+        v, ty = c
+        base = _ty_base(ty)
+        spark = self.spark()
+        if base in _STR_BASES:
+            return spark.createDataFrame([(str(v),)], f"{alias} string")
+        if base == "boolean":
+            return spark.createDataFrame([(bool(v),)], f"{alias} boolean")
+        if base == "real":
+            return spark.createDataFrame([(float(v),)], f"{alias} double")
+        if base in ("decimal", "udecimal"):
+            d = v if isinstance(v, Decimal) else Decimal(str(v))
+            return spark.createDataFrame([(d,)], f"{alias} decimal(38,18)")
+        if base in _INT_BASES:
+            n = int(v)
+            if 0 <= n < 2**63 or (base == "integer" and -(2**63) <= n < 2**63):
+                return spark.createDataFrame([(n,)], f"{alias} long")
+            return spark.createDataFrame(
+                [(Decimal(n),)], f"{alias} decimal(20,0)"
+            )
+        if base == "set":
+            return self._dummy().select(col.alias(alias))
+        return self._dummy().select(col.alias(alias))
+
+    # unary math functions: ECL name -> (python fn, Spark fn)
+    # (plugins in the reference route these to libm; eclrtl rtlSin etc.)
+    _MATH1 = {
+        "sqrt": (math.sqrt, F.sqrt),
+        "exp": (math.exp, F.exp),
+        "ln": (math.log, F.log),
+        "log": (math.log10, F.log10),
+        "sin": (math.sin, F.sin),
+        "cos": (math.cos, F.cos),
+        "tan": (math.tan, F.tan),
+        "asin": (math.asin, F.asin),
+        "acos": (math.acos, F.acos),
+        "atan": (math.atan, F.atan),
+        "sinh": (math.sinh, F.sinh),
+        "cosh": (math.cosh, F.cosh),
+        "tanh": (math.tanh, F.tanh),
+    }
+
+    def _set_values(self, df) -> list:
+        """A set argument: [literals...] or a named SET definition —
+        driver-side python list."""
+        if self.peek().kind == "ident" and self.peek().text in self.sets:
+            return self.sets[self.next().text]
+        self.expect("[")
+        vals = []
+        if self.peek().text != "]":
+            while True:
+                vals.append(self._literal())
+                if not self.accept(","):
+                    break
+        self.expect("]")
+        return vals
+
+    def _case_value(self, df) -> Column:
+        """CASE(expr, k1 => v1, ..., default) scalar form (no_case):
+        constant-folds when every piece is constant, else a Catalyst
+        when-chain."""
+        self.next()  # '('
+        subject = self.value(df)
+        arms: list[tuple[Column, Column]] = []
+        default = None
+        while self.accept(","):
+            k = self.value(df)
+            if self.accept("=>"):
+                arms.append((k, self.value(df)))
+            else:
+                default = k
+                break
+        self.expect(")")
+        cs = self._cget(subject)
+        carms = [(self._cget(k), self._cget(v)) for k, v in arms]
+        cd = self._cget(default) if default is not None else None
+        if (
+            cs is not None
+            and all(k is not None and v is not None for k, v in carms)
+            and (default is None or cd is not None)
+        ):
+            sv = cs[0]
+            if isinstance(sv, str):
+                sv = sv.rstrip()
+            for (k, v) in carms:
+                kv = k[0].rstrip() if isinstance(k[0], str) else k[0]
+                if sv == kv:
+                    return self._mkconst(*v)
+            if cd is not None:
+                return self._mkconst(*cd)
+            return self._mkconst(0, "integer")
+        expr = None
+        for k, v in arms:
+            expr = (
+                F.when(subject == k, v)
+                if expr is None
+                else expr.when(subject == k, v)
+            )
+        if default is not None:
+            expr = expr.otherwise(default) if expr is not None else default
+        return expr
+
+    def _ds_row_field(self, src: DataFrame, n: int, fld: str) -> Column:
+        """Positional scalar read ds[n].field over an ordered (inline)
+        dataset — evaluated driver-side (the regress idiom uses tiny
+        inline tables; an unordered or catalog-scale input is rejected
+        rather than silently collected)."""
+        if fld not in src.columns:
+            raise EclSyntaxError(f"unknown field {fld!r} in row access")
+        order = self._order.get(id(src))
+        if order is None:
+            raise EclSyntaxError(
+                "ds[n].field needs an ordered input (inline dataset or SORT)"
+            )
+        fields = self._ds_fields.get(id(src)) or []
+        meta = {name: (ty, w) for name, ty, w, _d in fields}
+        cap = min(max(n, 1), 1_000_000)  # spark limit is int32; huge n is
+        rows = src.orderBy(*order).limit(cap).collect() if n >= 1 else []
+        # out-of-range whenever fewer than n rows came back (n > cap can
+        # only be out-of-range too at regress scale)
+        if 1 <= n <= len(rows):
+            v = rows[n - 1][fld]
+            ty, w = meta.get(fld, (None, None))
+            if isinstance(v, bool):
+                return self._mkconst(v, "boolean")
+            if isinstance(v, int):
+                return self._mkconst(v, "integer")
+            if isinstance(v, float):
+                return self._mkconst(v, "real")
+            return self._mkconst(v, f"string{w}" if w else "string")
+        # out of range: the field type's default value
+        ty, w = meta.get(fld, ("string", None))
+        if ty == "long":
+            return self._mkconst(0, "integer")
+        if ty == "double":
+            return self._mkconst(0.0, "real")
+        if ty == "boolean":
+            return self._mkconst(False, "boolean")
+        return self._mkconst(" " * (w or 0), f"string{w}" if w else "string")
+
+    def _ecl_round(self, inner: Column, nd: int | None) -> Column:
+        """ROUND semantics (rtlRound* in rtl/eclrtl): half away from
+        zero. One-argument ROUND returns INTEGER; with digits it keeps
+        the decimal family or promotes integer/real to REAL."""
+        ci = self._cget(inner)
+        if ci is not None and _is_numeric_ty(ci[1]):
+            v, ty = ci
+            if nd is None:
+                if isinstance(v, Decimal):
+                    r = int(v.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+                else:
+                    r = int(math.floor(abs(float(v)) + 0.5)) * (1 if v >= 0 else -1)
+                return self._mkconst(r, "integer")
+            if isinstance(v, Decimal):
+                q = Decimal(1).scaleb(-nd)
+                return self._mkconst(v.quantize(q, rounding=ROUND_HALF_UP), "decimal")
+            scale = 10.0 ** nd
+            x = float(v) * scale
+            r = math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1) / scale
+            return self._mkconst(r, "real")
+        if nd is None:
+            return F.round(inner, 0).cast("long")
+        return F.round(inner, nd)
+
     # --- program ---
     # ECL scalar type names (optionally digit-suffixed: string20,
     # unsigned8) allowed as definition prefixes; the engine works in
@@ -258,15 +662,43 @@ class _Parser:
                 self.expect("(")
                 df = self._output_arg()
                 while self.accept(","):
+                    if self.peek().text == ",":
+                        continue  # empty positional slot: OUTPUT(ds,,NAMED(...))
                     if self.peek().text == "{":
-                        # OUTPUT(ds, {fields}) — vertical-slice projection
+                        # OUTPUT(ds, {fields}) — vertical-slice projection;
+                        # fields may be bare columns, name := expr, or
+                        # bare expressions (auto-named like the reference)
                         self.next()
-                        names = [self.next().text]
-                        while self.accept(","):
-                            names.append(self.next().text)
+                        cols: list[Column] = []
+                        while True:
+                            t2 = self.peek()
+                            if (
+                                t2.kind == "ident"
+                                and t2.text in df.columns
+                                and self.toks[self.i + 1].text in (",", ";", "}")
+                            ):
+                                self.next()
+                                cols.append(df[t2.text])
+                            elif (
+                                t2.kind == "ident"
+                                and self.toks[self.i + 1].text == ":="
+                            ):
+                                self.next()
+                                self.next()
+                                cols.append(self.value(df).alias(t2.text))
+                            else:
+                                cols.append(
+                                    self.value(df).alias(
+                                        f"_unnamed_{len(cols) + 1}"
+                                    )
+                                )
+                            if not (self.accept(",") or self.accept(";")):
+                                break
+                            if self.peek().text == "}":
+                                break
                         self.expect("}")
                         keep = [c for c in df.columns if c == "__ord__"]
-                        df = df.select(*names, *keep)
+                        df = df.select(*cols, *keep)
                     elif self.peek().text == "named":
                         # OUTPUT(..., NAMED('x')) — result naming; the
                         # compare is positional, parse and drop
@@ -274,6 +706,11 @@ class _Parser:
                         self.expect("(")
                         self.next()
                         self.expect(")")
+                    elif self.peek().text in ("thor", "all", "extend", "overwrite"):
+                        # storage-placement / append options — evaluation
+                        # placement hints in the reference, no-ops on a
+                        # lazily planned engine
+                        self.next()
                     else:
                         raise EclSyntaxError(
                             f"unsupported OUTPUT option at {self.peek().pos}"
@@ -343,13 +780,20 @@ class _Parser:
         # resolution error.
         mark = self.i
         try:
-            return self.dataset()
+            out = self.dataset()
+            if self.peek().text not in (")", ","):
+                # the dataset grammar stopped mid-expression (e.g.
+                # ds[n].field) — treat as a scalar expression instead
+                raise EclSyntaxError(
+                    f"trailing tokens after dataset at {self.peek().pos}"
+                )
+            return out
         except EclSyntaxError as dataset_err:
             self.i = mark
             try:
                 col = self.value(self._dummy())
-                return self._dummy().select(
-                    col.alias(f"result_{len(self.actions) + 1}")
+                return self._scalar_result_df(
+                    col, f"result_{len(self.actions) + 1}"
                 )
             except Exception:
                 raise dataset_err from None
@@ -362,17 +806,253 @@ class _Parser:
         if nxt.text == ":=":
             return True
         # typed form: string s1 := ...
-        return (
+        if (
             self._TYPE_RX.match(t.text) is not None
             and nxt.kind == "ident"
             and self.toks[self.i + 2].text == ":="
-        )
+        ):
+            return True
+        # parameterized forms: name(params) := ... and
+        # rettype name(params) := ...
+        j = self.i
+        if self._TYPE_RX.match(t.text) is not None and nxt.kind == "ident":
+            j += 1  # skip the return-type prefix
+        if self.toks[j].kind != "ident" or self.toks[j + 1].text != "(":
+            return False
+        k = self._match_paren(j + 1)
+        return k is not None and self.toks[k + 1].text == ":="
+
+    def _match_paren(self, i: int) -> int | None:
+        """Index of the ')' matching the '(' at ``i`` (None if unclosed)."""
+        depth = 0
+        while i < len(self.toks):
+            tx = self.toks[i].text
+            if tx == "(":
+                depth += 1
+            elif tx == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        return None
+
+    def _match_bracket(self, i: int) -> int | None:
+        """Index of the ']' matching the '[' at ``i`` (None if unclosed)."""
+        depth = 0
+        while i < len(self.toks):
+            tx = self.toks[i].text
+            if tx == "[":
+                depth += 1
+            elif tx == "]":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        return None
+
+    def _parse_params(self) -> list[tuple]:
+        """Parameter list of a parameterized definition:
+        (type name [= default], ...) → [(name, ty|None, default|None)];
+        defaults are (value, ecl type) pairs. Modifiers the engine
+        doesn't need (CONST, LINKCOUNTED, EMBEDDED) parse and drop."""
+        self.expect("(")
+        params: list[tuple] = []
+        if self.accept(")"):
+            return params
+        while True:
+            while self.peek().text in ("const", "linkcounted", "embedded"):
+                self.next()
+            ty = None
+            t = self.next()
+            if t.kind != "ident" and t.kind != "kw":
+                raise EclSyntaxError(f"expected parameter at {t.pos}")
+            if self._TYPE_RX.match(t.text) and self.peek().kind == "ident":
+                ty = t.text
+                t = self.next()
+            elif t.text == "dataset" and self.peek().text == "(":
+                # dataset(rec) typed parameter — the record shape comes
+                # from the argument itself; parse and drop the name
+                self.next()  # '('
+                self.next()  # record name
+                self.expect(")")
+                ty = "dataset"
+                t = self.next()
+            name = t.text
+            default = None
+            if self.accept("="):
+                v = self._literal()
+                if ty is not None and ty != "dataset":
+                    default = (self._coerce_const(v, ty), ty)
+                else:
+                    dty = (
+                        "string" if isinstance(v, str)
+                        else "boolean" if isinstance(v, bool)
+                        else "real" if isinstance(v, float)
+                        else "integer"
+                    )
+                    default = (v, dty)
+            params.append((name, ty, default))
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return params
+
+    def _capture_function_body(self, name: str, params: list) -> None:
+        """Capture the token span of a parameterized definition's body
+        (either ``:= expr`` up to the statement ';' or ``:= FUNCTION ...
+        END``) for re-parse at each call site — the reference binds
+        parameters the same lazy way (hqlgram.y parameterized
+        definitions create no_funcdef nodes expanded on use)."""
+        if self.peek().text == "function":
+            j = self.i
+            depth = 0
+            while j < len(self.toks):
+                tx = self.toks[j].text
+                if tx in ("function", "record", "module", "ifblock") or (
+                    tx == "transform" and self.toks[j + 1].text != "("
+                ):
+                    depth += 1
+                elif tx == "end":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= len(self.toks):
+                raise EclSyntaxError(f"{name}: unterminated FUNCTION body")
+            body = self.toks[self.i + 1 : j]
+            self.i = j + 1  # past END
+            compound = True
+        else:
+            j = self.i
+            depth = 0
+            while j < len(self.toks):
+                tx = self.toks[j].text
+                if tx in ("(", "[", "{"):
+                    depth += 1
+                elif tx in (")", "]", "}"):
+                    depth -= 1
+                elif tx == ";" and depth == 0:
+                    break
+                elif self.toks[j].kind == "eof":
+                    break
+                j += 1
+            body = self.toks[self.i : j]
+            self.i = j  # at ';'
+            compound = False
+        if not body:
+            raise EclSyntaxError(f"{name}: empty function body")
+        self.functions[name] = {
+            "params": params,
+            "body": list(body),
+            "compound": compound,
+        }
+        self.expect(";")
+
+    def _call_function(self, name: str, df: DataFrame):
+        """Invoke a parameterized definition: bind arguments (scalars or
+        datasets) over a scoped copy of the environment and re-parse the
+        stored body. Returns a Column or a DataFrame, whichever the body
+        produces."""
+        fn = self.functions[name]
+        self.expect("(")
+        args: list[tuple] = []
+        if self.peek().text != ")":
+            while True:
+                if self._at_dataset_start(self.i):
+                    args.append(("ds", self.dataset()))
+                else:
+                    args.append(("val", self.value(df)))
+                if not self.accept(","):
+                    break
+        self.expect(")")
+        params = fn["params"]
+        if len(args) > len(params):
+            raise EclSyntaxError(
+                f"{name} takes {len(params)} argument(s), got {len(args)}"
+            )
+        saved_scopes = (self.env, self.scalars, self.sets, self.dicts, self.records)
+        self.env = dict(self.env)
+        self.scalars = dict(self.scalars)
+        self.sets = dict(self.sets)
+        self.dicts = dict(self.dicts)
+        self.records = dict(self.records)
+        try:
+            for idx, (pname, pty, pdefault) in enumerate(params):
+                if idx < len(args):
+                    kind, aval = args[idx]
+                elif pdefault is not None:
+                    kind, aval = "val", self._mkconst(pdefault[0], pdefault[1])
+                else:
+                    raise EclSyntaxError(
+                        f"missing argument {pname!r} in call to {name}"
+                    )
+                if kind == "ds":
+                    self.env[pname] = aval
+                else:
+                    col = aval
+                    if pty is not None and pty != "dataset":
+                        c = self._cget(col)
+                        if c is not None:
+                            col = self._mkconst(
+                                self._coerce_const(c[0], pty), pty
+                            )
+                    self.scalars[pname] = col
+            saved_toks, saved_i = self.toks, self.i
+            self.toks = fn["body"] + [_Tok("eof", "", self.toks[-1].pos)]
+            self.i = 0
+            try:
+                if fn["compound"]:
+                    while self.peek().text != "return":
+                        if self.peek().kind == "eof":
+                            raise EclSyntaxError(
+                                f"{name}: FUNCTION body missing RETURN"
+                            )
+                        if self.accept(";"):
+                            continue
+                        if self._is_definition():
+                            self._definition()
+                        else:
+                            raise EclSyntaxError(
+                                f"{name}: unsupported statement in FUNCTION body"
+                            )
+                    self.expect("return")
+                mark = self.i
+                try:
+                    return self.dataset()
+                except EclSyntaxError as dataset_err:
+                    self.i = mark
+                    try:
+                        return self.value(df)
+                    except Exception:
+                        raise dataset_err from None
+            finally:
+                self.toks, self.i = saved_toks, saved_i
+        finally:
+            (self.env, self.scalars, self.sets, self.dicts,
+             self.records) = saved_scopes
 
     def _definition(self) -> None:
         first = self.next()
+        decl_ty: str | None = None
         if self.toks[self.i].text == ":=":
             name = first
+        elif self.toks[self.i].text == "(" or (
+            self._TYPE_RX.match(first.text)
+            and self.toks[self.i].kind == "ident"
+            and self.toks[self.i + 1].text == "("
+        ):
+            # parameterized definition: [rettype] name(params) := body
+            if self.toks[self.i].text == "(":
+                name = first
+            else:
+                decl_ty = first.text
+                name = self.next()
+            params = self._parse_params()
+            self.expect(":=")
+            self._capture_function_body(name.text, params)
+            return
         else:
+            decl_ty = first.text
             name = self.next()  # first was a type prefix
         if name.kind != "ident":
             raise EclSyntaxError(f"expected definition name at {name.pos}")
@@ -383,7 +1063,15 @@ class _Parser:
             self.dicts[name.text] = self._dictionary()
             kind = "dict"
         elif self.peek().text == "record":
-            self.records[name.text] = self._record_end()
+            start = self.i
+            try:
+                self.records[name.text] = self._record_end()
+            except EclSyntaxError:
+                # TABLE-format record (qualified/computed/aggregate
+                # members, e.g. crosstab's COUNT(GROUP) fields): keep the
+                # raw tokens for splicing where the record is used
+                self.i = start
+                self.records_raw[name.text] = self._capture_record_raw()
             kind = "record"
         elif self.peek().text == "{":
             # brace-form record definition: r := { string text; };
@@ -419,6 +1107,10 @@ class _Parser:
             mark = self.i
             try:
                 df = self.dataset()
+                if self.peek().text not in (";", ":"):
+                    raise EclSyntaxError(
+                        f"trailing tokens after dataset at {self.peek().pos}"
+                    )
             except EclSyntaxError as dataset_err:
                 self.i = mark
                 try:
@@ -459,6 +1151,15 @@ class _Parser:
                     )
                 if not self.accept(","):
                     break
+        if kind == "scalar" and decl_ty is not None:
+            # typed definition: the declared ECL type coerces the value
+            # (string20 pads to width, unsigned1 wraps, real widens)
+            col = self.scalars[name.text]
+            c = self._cget(col)
+            if c is not None:
+                self.scalars[name.text] = self._mkconst(
+                    self._coerce_const(c[0], decl_ty), decl_ty
+                )
         if kind == "dataset":
             self.env[name.text] = df
         self.expect(";")
@@ -469,14 +1170,18 @@ class _Parser:
         mark = self.i
         try:
             df = self.dataset()
+            if self.peek().text != ";":
+                raise EclSyntaxError(
+                    f"trailing tokens after dataset at {self.peek().pos}"
+                )
         except EclSyntaxError as dataset_err:
             self.i = mark
             try:
                 col = self.value(self._dummy())
             except Exception:
                 raise dataset_err from None
-            df = self._dummy().select(
-                col.alias(f"result_{len(self.actions) + 1}")
+            df = self._scalar_result_df(
+                col, f"result_{len(self.actions) + 1}"
             )
         self.expect(";")
         self.actions.append(self._clean(df))
@@ -543,9 +1248,17 @@ class _Parser:
             self.expect(")")
         elif t.kind == "ident":
             self.next()
-            if t.text not in self.env:
+            if t.text in self.functions and self.peek().text == "(":
+                r = self._call_function(t.text, self._dummy())
+                if not isinstance(r, DataFrame):
+                    raise EclSyntaxError(
+                        f"{t.text} returns a scalar; a dataset was expected at {t.pos}"
+                    )
+                df = r
+            elif t.text not in self.env:
                 raise EclSyntaxError(f"unknown dataset {t.text!r} at {t.pos}")
-            df = self.env[t.text]
+            else:
+                df = self.env[t.text]
         else:
             raise EclSyntaxError(f"expected dataset expression at {t.pos}: {t.text!r}")
         # postfix record filter(s): ds(cond, cond...) — conditions ANDed
@@ -558,9 +1271,16 @@ class _Parser:
             filtered = df.where(cond)
             if id(df) in self._order:  # filters preserve order
                 self._set_order(filtered, self._order[id(df)])
+            if id(df) in self._grouped:  # ...and grouping (whole groups
+                # can vanish, but the grouped convention survives a
+                # record filter — thgroupslave passthrough)
+                self._set_grouped(filtered, self._grouped[id(df)])
             df = filtered
         # positional slice: ds[a..b] / ds[a..] / ds[n] — needs an order
         while self.peek().text == "[" and self._order.get(id(df)) is not None:
+            close = self._match_bracket(self.i)
+            if close is not None and self.toks[close + 1].text == ".":
+                break  # ds[n].field — the value grammar owns that form
             self.next()
             a = int(self.next().text)
             b = a
@@ -605,6 +1325,27 @@ class _Parser:
         self.expect("(")
         src = self.dataset()
         self.expect(",")
+        if self.peek().kind == "ident" and self.peek().text in self.records_raw:
+            # named TABLE-format record: splice its captured members in
+            # as the brace form (hqlgram treats both identically)
+            raw = self.records_raw[self.next().text]
+            pos = self.peek().pos
+            self.toks = (
+                self.toks[: self.i]
+                + [_Tok("op", "{", pos), *raw, _Tok("op", "}", pos)]
+                + self.toks[self.i :]
+            )
+        elif self.peek().kind == "ident" and self.peek().text in self.records:
+            # plain named record as format: a vertical slice of its fields
+            fields = self.records[self.next().text]
+            pos = self.peek().pos
+            spliced: list[_Tok] = [_Tok("op", "{", pos)]
+            for k, f in enumerate(fields):
+                if k:
+                    spliced.append(_Tok("op", ",", pos))
+                spliced.append(_Tok("ident", f[0], pos))
+            spliced.append(_Tok("op", "}", pos))
+            self.toks = self.toks[: self.i] + spliced + self.toks[self.i :]
         self.expect("{")
         bare: list[str] = []
         aggs: list[Column] = []
@@ -628,11 +1369,21 @@ class _Parser:
                     raise EclSyntaxError(
                         f"expected field at {t.pos}, got {t.text!r}"
                     )
-                if self.accept(":="):
+                if (
+                    t.text in self.env
+                    and self.peek().text == "."
+                    and self.toks[self.i + 1].kind == "ident"
+                ):
+                    # qualified member: SomeFile.Value1 — the bare field
+                    self.next()
+                    bare.append(self.next().text)
+                elif self.accept(":="):
                     aggs.append(self._field_value(src).alias(t.text))
                 else:
                     bare.append(t.text)
-            if not self.accept(","):
+            if not (self.accept(",") or self.accept(";")):
+                break
+            if self.peek().text == "}":
                 break
         self.expect("}")
         keys: list[str] = []
@@ -1037,17 +1788,21 @@ class _Parser:
         if self.accept("all"):
             n = None
         else:
-            n = int(self.next().text)
+            nc = self._cget(self.value(self._dummy()))
+            if nc is None:
+                raise EclSyntaxError("CHOOSEN count must be a constant")
+            n = int(nc[0])
         start = 1
         grouped = False
         while self.accept(","):
-            t = self.next()
-            if t.text == "grouped":
+            if self.peek().text == "grouped":
+                self.next()
                 grouped = True
-            elif t.kind == "num":
-                start = int(t.text)
             else:
-                raise EclSyntaxError(f"unknown CHOOSEN option {t.text!r}")
+                sc = self._cget(self.value(self._dummy()))
+                if sc is None:
+                    raise EclSyntaxError("CHOOSEN start must be a constant")
+                start = int(sc[0])
         self.expect(")")
         order = self._order.get(id(df))
         gkeys = self._grouped.get(id(df))
@@ -1366,14 +2121,15 @@ class _Parser:
         if t.kind == "str":
             return _unquote(t.text)
         if t.kind == "num":
-            return float(t.text) if "." in t.text else int(t.text)
+            v, _ty = _parse_num(t.text)
+            return float(v) if isinstance(v, Decimal) else v
         if t.text == "true":
             return True
         if t.text == "false":
             return False
         if t.text == "-" and self.peek().kind == "num":
-            n = self.next()
-            return -(float(n.text) if "." in n.text else int(n.text))
+            v, _ty = _parse_num(self.next().text)
+            return -(float(v) if isinstance(v, Decimal) else v)
         raise EclSyntaxError(f"expected literal at {t.pos}, got {t.text!r}")
 
     _SPARK_TYPE = {
@@ -1421,14 +2177,44 @@ class _Parser:
             self.expect("}")
             return fields
         fields: list[tuple] = []
+        split = None
         while True:
             fields.append(self._one_field())
+            if self.accept("=>"):
+                # dictionary-shaped record ({key => value}): remember the
+                # key/value split for DICTIONARY(ds) inference
+                split = len(fields)
+                continue
             if not (self.accept(",") or self.accept(";")):
                 break
             if self.peek().text == "}":  # trailing separator
                 break
         self.expect("}")
+        self._last_record_split = split
         return fields
+
+    def _capture_record_raw(self) -> list[_Tok]:
+        """RECORD ... END captured verbatim (member grammar handled at
+        the use site)."""
+        self.expect("record")
+        j = self.i
+        depth = 1
+        while j < len(self.toks):
+            tx = self.toks[j].text
+            if tx in ("record", "function", "module", "ifblock") or (
+                tx == "transform" and self.toks[j + 1].text != "("
+            ):
+                depth += 1
+            elif tx == "end":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= len(self.toks):
+            raise EclSyntaxError("unterminated RECORD")
+        raw = list(self.toks[self.i : j])
+        self.i = j + 1
+        return raw
 
     def _record_end(self) -> list[tuple[str, str, int | None]]:
         """RECORD type name; ... END — the named-record definition form
@@ -1455,7 +2241,7 @@ class _Parser:
             while True:
                 if self.accept("{"):
                     vals = [self._literal()]
-                    while self.accept(","):
+                    while self.accept(",") or self.accept("=>"):
                         vals.append(self._literal())
                     self.expect("}")
                     rows.append(tuple(vals))
@@ -1467,6 +2253,7 @@ class _Parser:
             self.expect("]")
         self.expect(",")
         fields = self._record_fields()
+        kv_split = getattr(self, "_last_record_split", None)
         self.expect(")")
         schema = ", ".join(f"{n} {t}" for n, t, _, _ in fields) + ", __ord__ long"
         for r in rows:
@@ -1501,6 +2288,9 @@ class _Parser:
         ]
         df = self.spark().createDataFrame(data, schema)
         self._set_order(df, [F.col("__ord__")])
+        self._ds_fields[id(df)] = fields
+        if kv_split is not None:
+            self._ds_kv[id(df)] = kv_split
         return df
 
     def _dict_record(self):
@@ -1578,9 +2368,24 @@ class _Parser:
                 self.expect("]")
         else:
             src_df = self.dataset()
-        self.expect(",")
-        key_fields, value_fields, defaults = self._dict_record()
-        self.expect(")")
+        if src_df is not None and self.peek().text == ")":
+            # DICTIONARY(ds) — record inferred from a dictionary-shaped
+            # inline record ({k => v})
+            split = self._ds_kv.get(id(src_df))
+            fields = self._ds_fields.get(id(src_df))
+            if split is None or fields is None:
+                raise EclSyntaxError(
+                    "DICTIONARY(ds) needs a {key => value} record on ds "
+                    "(or pass the record explicitly)"
+                )
+            key_fields = [(nm, ty) for nm, ty, _w, _d in fields[:split]]
+            value_fields = [(nm, ty) for nm, ty, _w, _d in fields[split:]]
+            defaults: dict = {}
+            self.next()  # ')'
+        else:
+            self.expect(",")
+            key_fields, value_fields, defaults = self._dict_record()
+            self.expect(")")
         if len(key_fields) != 1:
             raise EclSyntaxError("only single-field dictionary keys are supported")
         if src_df is not None:
@@ -1665,28 +2470,42 @@ class _Parser:
         c = self._and(df)
         while self.peek().text == "or":
             self.next()
-            c = c | self._and(df)
+            rhs = self._and(df)
+            ca, cb = self._cget(c), self._cget(rhs)
+            if ca is not None and cb is not None:
+                c = self._mkconst(bool(ca[0]) or bool(cb[0]), "boolean")
+            else:
+                c = c | rhs
         return c
 
     def _and(self, df) -> Column:
         c = self._not(df)
         while self.peek().text == "and":
             self.next()
-            c = c & self._not(df)
+            rhs = self._not(df)
+            ca, cb = self._cget(c), self._cget(rhs)
+            if ca is not None and cb is not None:
+                c = self._mkconst(bool(ca[0]) and bool(cb[0]), "boolean")
+            else:
+                c = c & rhs
         return c
 
     def _not(self, df) -> Column:
         if self.peek().text == "not":
             self.next()
-            return ~self._not(df)
+            inner = self._not(df)
+            ci = self._cget(inner)
+            if ci is not None:
+                return self._mkconst(not bool(ci[0]), "boolean")
+            return ~inner
         return self._cmp(df)
 
     def _cmp(self, df) -> Column:
-        a = self._addsub(df)
+        a = self._shift(df)
         t = self.peek().text
         if t in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
-            return _cmp(t, a, self._addsub(df))
+            return self._fold2(t, a, self._shift(df))
         negate = False
         if t == "not" and self.toks[self.i + 1].text == "in":
             # postfix NOT IN (x NOT IN set/dictionary)
@@ -1720,12 +2539,19 @@ class _Parser:
             return (a >= lo) & (a <= hi)
         return a
 
+    def _shift(self, df) -> Column:
+        c = self._addsub(df)
+        while self.peek().text in ("<<", ">>"):
+            op = self.next().text
+            c = self._fold2(op, c, self._addsub(df))
+        return c
+
     def _addsub(self, df) -> Column:
         c = self._muldiv(df)
         while self.peek().text in ("+", "-"):
             op = self.next().text
             rhs = self._muldiv(df)
-            c = c + rhs if op == "+" else c - rhs
+            c = self._fold2(op, c, rhs)
         return c
 
     def _muldiv(self, df) -> Column:
@@ -1733,31 +2559,40 @@ class _Parser:
         while self.peek().text in ("*", "/", "%"):
             op = self.next().text
             rhs = self._unary(df)
-            c = c * rhs if op == "*" else (c / rhs if op == "/" else c % rhs)
+            c = self._fold2(op, c, rhs)
         return c
 
     def _unary(self, df) -> Column:
         if self.accept("-"):
-            return -self._unary(df)
+            inner = self._unary(df)
+            ci = self._cget(inner)
+            if ci is not None and _is_numeric_ty(ci[1]):
+                return self._mkconst(-ci[0], ci[1])
+            return -inner
         return self._atom(df)
 
     def _atom(self, df) -> Column:
         t = self.next()
         if t.kind == "num":
-            return F.lit(float(t.text) if "." in t.text else int(t.text))
+            v, ty = _parse_num(t.text)
+            return self._mkconst(v, ty)
         if t.kind == "str":
-            return F.lit(_unquote(t.text))
+            return self._mkconst(_unquote(t.text), "string")
         if t.text == "true":
-            return F.lit(True)
+            return self._mkconst(True, "boolean")
         if t.text == "false":
-            return F.lit(False)
+            return self._mkconst(False, "boolean")
         if t.text == "round":
             self.expect("(")
             inner = self.value(df)
-            self.expect(",")
-            nd = self.next()
+            nd = None
+            if self.accept(","):
+                ndc = self._cget(self.value(df))
+                if ndc is None:
+                    raise EclSyntaxError("ROUND digits must be constant")
+                nd = int(ndc[0])
             self.expect(")")
-            return F.round(inner, int(nd.text))
+            return self._ecl_round(inner, nd)
         if t.text == "if":
             self.expect("(")
             cond = self.value(df)
@@ -1771,7 +2606,208 @@ class _Parser:
             self.expect("(")
             inner = self.value(df)
             self.expect(")")
+            ci = self._cget(inner)
+            if ci is not None and _is_numeric_ty(ci[1]):
+                return self._mkconst(abs(ci[0]), ci[1])
             return F.abs(inner)
+        if t.text in self._MATH1 and self.peek().text == "(":
+            self.next()
+            inner = self.value(df)
+            self.expect(")")
+            pyfn, sparkfn = self._MATH1[t.text]
+            ci = self._cget(inner)
+            if ci is not None and _is_numeric_ty(ci[1]):
+                try:
+                    r = pyfn(float(ci[0]))
+                    if math.isinf(r) or math.isnan(r):
+                        r = 0.0  # ECL math failure default (rtlFakeException path)
+                except (ValueError, OverflowError, ZeroDivisionError):
+                    r = 0.0
+                return self._mkconst(r, "real")
+            return sparkfn(inner)
+        if t.text in ("roundup", "truncate") and self.peek().text == "(":
+            self.next()
+            inner = self.value(df)
+            self.expect(")")
+            ci = self._cget(inner)
+            if ci is not None and _is_numeric_ty(ci[1]):
+                x = float(ci[0])
+                if t.text == "truncate":
+                    r = int(x)  # toward zero
+                else:  # ROUNDUP: away from zero
+                    r = int(math.ceil(abs(x))) * (1 if x >= 0 else -1)
+                return self._mkconst(r, "integer")
+            if t.text == "truncate":
+                return inner.cast("long")
+            return F.when(inner >= 0, F.ceil(inner)).otherwise(
+                -F.ceil(-inner)
+            ).cast("long")
+        if t.text == "power" and self.peek().text == "(":
+            self.next()
+            a = self.value(df)
+            self.expect(",")
+            b = self.value(df)
+            self.expect(")")
+            ca, cb = self._cget(a), self._cget(b)
+            if ca is not None and cb is not None:
+                try:
+                    r = math.pow(float(ca[0]), float(cb[0]))
+                    if math.isinf(r) or math.isnan(r):
+                        r = 0.0  # ECL overflow/div-by-zero default
+                except (ValueError, OverflowError, ZeroDivisionError):
+                    r = 0.0
+                return self._mkconst(r, "real")
+            return F.pow(a, b)
+        if t.text == "realformat" and self.peek().text == "(":
+            # REALFORMAT(x, width, decimals) (eclrtl rtlRealFormat):
+            # right-justified fixed-point rendering
+            self.next()
+            x = self.value(df)
+            self.expect(",")
+            w = int(self._cget(self.value(df))[0])
+            self.expect(",")
+            d = int(self._cget(self.value(df))[0])
+            self.expect(")")
+            cx = self._cget(x)
+            if cx is not None:
+                return self._mkconst("%*.*f" % (w, d, float(cx[0])), "string")
+            return F.lpad(F.format_number(x.cast("double"), d), w, " ")
+        if t.text == "intformat" and self.peek().text == "(":
+            # INTFORMAT(x, width, mode) — mode 1 zero-pads
+            self.next()
+            x = self.value(df)
+            self.expect(",")
+            w = int(self._cget(self.value(df))[0])
+            self.expect(",")
+            mode = int(self._cget(self.value(df))[0])
+            self.expect(")")
+            cx = self._cget(x)
+            if cx is not None:
+                n = int(cx[0])
+                if len(str(n)) > w:
+                    return self._mkconst("*" * w, "string")  # field overflow
+                s = str(n).rjust(w, "0" if mode == 1 else " ")
+                return self._mkconst(s, "string")
+            return F.lpad(x.cast("string"), w, "0" if mode == 1 else " ")
+        if t.text == "transfer" and self.peek().text == "(":
+            # TRANSFER(v, STRING1) — bit-pattern reinterpret (no_transfer
+            # hqlexpr.hpp): only the byte→char form the regress corpus
+            # uses is supported
+            self.next()
+            v = self.value(df)
+            self.expect(",")
+            target = self.next().text
+            self.expect(")")
+            cv = self._cget(v)
+            if _ty_base(target) not in _STR_BASES or cv is None:
+                raise EclSyntaxError(
+                    "TRANSFER supports constant integer → STRINGn only"
+                )
+            n = int(cv[0])
+            width = _ty_width(target) or 1
+            raw = n.to_bytes(8, "little")[:width].decode("latin-1")
+            return self._mkconst(raw, f"string{width}")
+        if t.text == "rank" or t.text == "ranked":
+            if self.peek().text == "(":
+                self.next()
+                idx = int(self._cget(self.value(df))[0])
+                self.expect(",")
+                vals = self._set_values(df)
+                desc = False
+                if self.accept(","):
+                    if self.next().text != "descend":
+                        raise EclSyntaxError("expected DESCEND")
+                    desc = True
+                self.expect(")")
+                order = sorted(
+                    range(len(vals)), key=lambda k: vals[k], reverse=desc
+                )
+                if t.text == "rank":
+                    # position the idx-th element lands at when sorted
+                    r = order.index(idx - 1) + 1
+                else:
+                    # which original element sits at sorted position idx
+                    r = order[idx - 1] + 1
+                return self._mkconst(r, "integer")
+        if t.text == "case" and self.peek().text == "(":
+            return self._case_value(df)
+        if t.text == "map" and self.peek().text == "(":
+            # MAP(cond => value, ..., default) — first true condition wins
+            self.next()
+            arms: list[tuple[Column, Column]] = []
+            default = None
+            while True:
+                c = self.value(df)
+                if self.accept("=>"):
+                    arms.append((c, self.value(df)))
+                else:
+                    default = c
+                    break
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            consts = [
+                (self._cget(c), self._cget(v)) for c, v in arms
+            ]
+            cd = self._cget(default) if default is not None else None
+            if all(cc is not None and vv is not None for cc, vv in consts) and (
+                default is None or cd is not None
+            ):
+                for (cc, vv) in consts:
+                    if bool(cc[0]):
+                        return self._mkconst(*vv)
+                if cd is not None:
+                    return self._mkconst(*cd)
+                return self._mkconst(0, "integer")
+            expr = None
+            for c, v in arms:
+                expr = F.when(c, v) if expr is None else expr.when(c, v)
+            return expr.otherwise(default) if default is not None else expr
+        if t.text == "choose" and self.peek().text == "(":
+            # CHOOSE(n, v1, ..., vk) — 1-based pick; out-of-range yields
+            # the LAST value (the reference's default-is-last contract)
+            self.next()
+            n = self.value(df)
+            vals = []
+            while self.accept(","):
+                vals.append(self.value(df))
+            self.expect(")")
+            cn = self._cget(n)
+            cvals = [self._cget(v) for v in vals]
+            if cn is not None and all(c is not None for c in cvals):
+                k = int(cn[0])
+                pick = cvals[k - 1] if 1 <= k <= len(cvals) else cvals[-1]
+                return self._mkconst(*pick)
+            expr = None
+            for i, v in enumerate(vals[:-1]):
+                expr = (
+                    F.when(n == i + 1, v)
+                    if expr is None
+                    else expr.when(n == i + 1, v)
+                )
+            return expr.otherwise(vals[-1]) if expr is not None else vals[-1]
+        if t.text in ("which", "rejected") and self.peek().text == "(":
+            # WHICH: 1-based index of first TRUE (0 if none);
+            # REJECTED: first FALSE (0 if none)
+            self.next()
+            conds = [self.value(df)]
+            while self.accept(","):
+                conds.append(self.value(df))
+            self.expect(")")
+            cc = [self._cget(c) for c in conds]
+            want = t.text == "which"
+            if all(c is not None for c in cc):
+                r = 0
+                for i, c in enumerate(cc):
+                    if bool(c[0]) == want:
+                        r = i + 1
+                        break
+                return self._mkconst(r, "integer")
+            expr = None
+            for i, c in enumerate(conds):
+                cond = c if want else ~c
+                expr = F.when(cond, i + 1) if expr is None else expr.when(cond, i + 1)
+            return expr.otherwise(0)
         if t.text in ("sum", "count", "min", "max", "ave") and (
             self._having_win is not None and self.peek().text == "("
             and self.toks[self.i + 1].text == "group"
@@ -1810,6 +2846,16 @@ class _Parser:
                     "sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg
                 }[t.text]
                 val = inner.agg(agg(e)).collect()[0][0]
+            if isinstance(val, bool):
+                return self._mkconst(val, "boolean")
+            if isinstance(val, int):
+                return self._mkconst(val, "integer")
+            if isinstance(val, float):
+                return self._mkconst(val, "real")
+            if isinstance(val, Decimal):
+                return self._mkconst(val, "decimal")
+            if isinstance(val, str):
+                return self._mkconst(val, "string")
             return F.lit(val)
         if (
             t.text in ("exists", "count")
@@ -1823,14 +2869,16 @@ class _Parser:
             d = self.dicts[self.next().text]
             self.expect(")")
             n = len(d["keys"])
-            return F.lit(n > 0) if t.text == "exists" else F.lit(n)
+            if t.text == "exists":
+                return self._mkconst(n > 0, "boolean")
+            return self._mkconst(n, "integer")
         if t.text == "exists" and self.peek().text == "(":
             # EXISTS(ds) — true when the dataset is non-empty; probes at
             # most one row (limit(1)), not a full count.
             self.next()
             inner = self.dataset()
             self.expect(")")
-            return F.lit(len(inner.limit(1).take(1)) > 0)
+            return self._mkconst(len(inner.limit(1).take(1)) > 0, "boolean")
         if t.text in ("min", "max") and self.peek().text == "(":
             # two-argument scalar MIN/MAX — LEAST/GREATEST
             self.next()
@@ -1838,11 +2886,20 @@ class _Parser:
             self.expect(",")
             b = self.value(df)
             self.expect(")")
+            ca, cb = self._cget(a), self._cget(b)
+            if ca is not None and cb is not None:
+                pick = min(ca, cb, key=lambda c: c[0]) if t.text == "min" else max(
+                    ca, cb, key=lambda c: c[0]
+                )
+                return self._mkconst(*pick)
             return F.least(a, b) if t.text == "min" else F.greatest(a, b)
         if t.text == "length":
             self.expect("(")
             inner = self.value(df)
             self.expect(")")
+            ci = self._cget(inner)
+            if ci is not None and isinstance(ci[0], str):
+                return self._mkconst(len(ci[0]), "integer")
             return F.length(inner)
         if t.text == "std" and self.peek().text == ".":
             return self._std_call(df)
@@ -1889,9 +2946,31 @@ class _Parser:
             except Exception:
                 return b
         if t.text == "trim":
+            # TRIM(s [, LEFT|RIGHT|ALL]) — default strips trailing
+            # blanks; LEFT leading; ALL every space (eclrtl rtlTrim*)
             self.expect("(")
             inner = self.value(df)
+            opts = set()
+            while self.accept(","):
+                o = self.next().text
+                if o not in ("left", "right", "all"):
+                    raise EclSyntaxError(f"unknown TRIM option {o!r}")
+                opts.add(o)
             self.expect(")")
+            ci = self._cget(inner)
+            if ci is not None and isinstance(ci[0], str):
+                s = ci[0]
+                if "all" in opts:
+                    s = s.replace(" ", "")
+                else:
+                    s = s.rstrip(" ")
+                    if "left" in opts:
+                        s = s.lstrip(" ")
+                return self._mkconst(s, "string")
+            if "all" in opts:
+                return F.regexp_replace(inner, " ", "")
+            if "left" in opts:
+                return F.trim(inner)
             return F.rtrim(inner)  # ECL TRIM strips trailing blanks by default
         if t.text == "[":
             # set literal as a value: [1,2,3] — an array constant
@@ -1904,6 +2983,31 @@ class _Parser:
             self.expect("]")
             return F.lit(vals)
         if t.text == "(":
+            # (TYPE)expr cast — a type name alone inside the parens
+            nxt = self.peek()
+            if (
+                nxt.kind == "ident"
+                and self._TYPE_RX.match(nxt.text)
+                and self.toks[self.i + 1].text == ")"
+            ):
+                target = self.next().text
+                self.expect(")")
+                operand = self._unary(df)
+                co = self._cget(operand)
+                if co is not None:
+                    return self._mkconst(
+                        self._coerce_const(co[0], target), target
+                    )
+                base = _ty_base(target)
+                if base in _STR_BASES:
+                    return operand.cast("string")
+                if base in _INT_BASES:
+                    return operand.cast("long")
+                if base == "real":
+                    return operand.cast("double")
+                if base == "boolean":
+                    return operand.cast("boolean")
+                return operand.cast("double")
             c = self.value(df)
             self.expect(")")
             return c
@@ -1943,6 +3047,25 @@ class _Parser:
                         raise EclSyntaxError(f"set index needed at {t.pos}")
                     return F.lit(v[a - 1])
             return F.lit(v)
+        if (
+            t.kind == "ident"
+            and t.text in self.env
+            and self.peek().text == "["
+            and t.text not in df.columns
+        ):
+            # ds[n].field — positional row-field access (no_selectnth +
+            # no_select): needs a tracked order; out-of-range yields the
+            # field's default value, cheaply (the reference's contract).
+            src = self.env[t.text]
+            self.next()  # '['
+            idxc = self._cget(self.value(self._dummy()))
+            if idxc is None:
+                raise EclSyntaxError("dataset row index must be constant")
+            n = int(idxc[0])
+            self.expect("]")
+            self.expect(".")
+            fld = self.next().text
+            return self._ds_row_field(src, n, fld)
         if t.kind == "ident" and t.text in self.dicts and self.peek().text == "[":
             # dict[key].field — miss yields the field's DEFAULT, else the
             # type's empty value (''/0/false), as the reference renders it
@@ -1963,6 +3086,23 @@ class _Parser:
             ty = dict(d["value_fields"])[fld]
             return F.lit(self._type_zero(ty))
         if t.kind == "ident":
+            if t.text in self.functions and self.peek().text == "(":
+                r = self._call_function(t.text, df)
+                if isinstance(r, DataFrame):
+                    raise EclSyntaxError(
+                        f"{t.text} returns a dataset; a scalar was expected at {t.pos}"
+                    )
+                return r
+            if (
+                t.text in self.env
+                and self.peek().text == "."
+                and self.toks[self.i + 1].kind == "ident"
+                and self.toks[self.i + 1].text in df.columns
+            ):
+                # dataset-qualified field (SomeFile.Value3) inside a
+                # TABLE/filter over that dataset — reads the row field
+                self.next()
+                return df[self.next().text]
             if t.text in self.scalars and t.text not in df.columns:
                 return self.scalars[t.text]
             return df[t.text]

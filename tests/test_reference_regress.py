@@ -20,11 +20,13 @@ _ECL_DIR = "/root/reference/testing/regress/ecl"
 # is the coverage metric; each addition is a whole reference test passing
 # unchanged.
 VERBATIM = [
-    "catchexpr", "choosen", "dedup2", "dedup_hash", "dedupright",
-    "dict3", "dict5", "dict5a", "dict5b", "dict5c", "dict_dups",
-    "dict_int", "dict_null", "empty", "enth", "formatstored", "global",
-    "globalfile", "globals", "sample", "scalar", "setrange", "spill",
-    "throughspill",
+    "builtin", "catchexpr", "choosen", "choosen7", "constants",
+    "crosstab", "dedup2", "dedup_hash", "dedupright", "dict3", "dict3a",
+    "dict5", "dict5a", "dict5b", "dict5c", "dict_dups", "dict_int",
+    "dict_null", "empty", "enth", "formatstored", "global",
+    "globalfile", "globals", "outputresultfile", "round3", "sample",
+    "scalar", "setrange", "setresult", "shift", "spill", "throughspill",
+    "throughspill2",
 ]
 
 
@@ -51,16 +53,21 @@ def _expected(name: str) -> list[list[list[str]]]:
 
 
 def _render(v):
-    """Spark value → the reference's key-file text form (lists render as
-    the key files' nested-Item lists)."""
+    """Spark value → the reference's key-file text form: REAL renders
+    shortest-roundtrip (8.0 stays '8.0'), DECIMAL strips insignificant
+    zeros ('10', '1.1'), lists render as nested-Item lists."""
+    import decimal
+
     if v is None:
         return ""
     if isinstance(v, (list, tuple)):
         return [_render(x) for x in v]
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float) and v == int(v):
-        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return format(v.normalize(), "f")
+    if isinstance(v, float):
+        return repr(v)
     return str(v)
 
 
