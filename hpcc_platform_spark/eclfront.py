@@ -128,13 +128,26 @@ def _parse_num(text: str):
 
 
 def _ty_base(ty: str) -> str:
+    if ty == "utf8":  # the 8 is part of the name, not a width
+        return "utf8"
     m = re.match(r"^([a-z]+?)(\d+)?(?:_\d+)?$", ty)
     return m.group(1) if m else ty
 
 
 def _ty_width(ty: str) -> int | None:
+    if ty == "utf8":
+        return None
     m = re.match(r"^[a-z]+?(\d+)(?:_\d+)?$", ty)
     return int(m.group(1)) if m else None
+
+
+def _fmt_real(v: float) -> str:
+    """ECL's REAL rendering: up to 16 significant digits (%.16g), with
+    an explicit .0 on integral values (eclrtl rtlRealToStr)."""
+    s = "%.16g" % v
+    if "." not in s and "e" not in s and "n" not in s:  # nan/inf guard
+        s += ".0"
+    return s
 
 
 _STR_BASES = {"string", "varstring", "qstring", "utf8", "unicode"}
@@ -331,7 +344,7 @@ class _Parser:
             elif isinstance(v, Decimal):
                 s = format(v.normalize(), "f")
             elif isinstance(v, float):
-                s = repr(v)
+                s = _fmt_real(v)
             else:
                 s = str(v)
             if width is not None and base in ("string", "qstring"):
@@ -402,7 +415,9 @@ class _Parser:
                 sa = va if str_a else self._coerce_const(va, "string")
                 sb = vb if str_b else self._coerce_const(vb, "string")
                 return self._mkconst(sa + sb, "string")
-            if op in ("+", "-", "*", "/", "%", "<<", ">>") and not (str_a or str_b):
+            if op in ("+", "-", "*", "/", "%", "<<", ">>", "div") and not (
+                str_a or str_b
+            ):
                 ty = self._arith_ty(ta, tb, division=(op == "/"))
                 x, y = va, vb
                 if _ty_base(ty) == "real":
@@ -418,6 +433,14 @@ class _Parser:
                 elif op == "/":
                     # ECL default division-by-zero yields 0 (dbz tests)
                     r = (x / y) if y != 0 else self._as_num(0, ty)
+                elif op == "div":
+                    # integer division, truncated toward zero; divide by
+                    # zero yields 0 like '/'
+                    xi, yi = int(x), int(y)
+                    r = 0 if yi == 0 else abs(xi) // abs(yi) * (
+                        1 if (xi >= 0) == (yi >= 0) else -1
+                    )
+                    ty = self._arith_ty(ta, tb)
                 elif op == "%":
                     if y == 0:
                         r = 0
@@ -455,6 +478,8 @@ class _Parser:
             return a / b
         if op == "%":
             return a % b
+        if op == "div":
+            return (a / b).cast("long")
         if op == "<<":
             return F.shiftleft(a, b)
         if op == ">>":
@@ -2156,10 +2181,13 @@ class _Parser:
         digits = ty.text[len(base):]
         if base in ("string", "qstring", "varstring") and digits.isdigit():
             width = int(digits)
+        spark_ty = self._SPARK_TYPE[base]
+        if base == "real" and digits == "4":
+            spark_ty = "float"  # REAL4 is float32; values round on store
         default = None
         if self.accept(":="):  # field default: integer2 age := 25
             default = self._literal()
-        return nm.text, self._SPARK_TYPE[base], width, default
+        return nm.text, spark_ty, width, default
 
     def _record_fields(self) -> list[tuple[str, str, int | None]]:
         """{ type name, type name, ... } or a named RECORD reference →
@@ -2556,7 +2584,7 @@ class _Parser:
 
     def _muldiv(self, df) -> Column:
         c = self._unary(df)
-        while self.peek().text in ("*", "/", "%"):
+        while self.peek().text in ("*", "/", "%", "div"):
             op = self.next().text
             rhs = self._unary(df)
             c = self._fold2(op, c, rhs)

@@ -21,12 +21,12 @@ _ECL_DIR = "/root/reference/testing/regress/ecl"
 # unchanged.
 VERBATIM = [
     "builtin", "catchexpr", "choosen", "choosen7", "constants",
-    "crosstab", "dedup2", "dedup_hash", "dedupright", "dict3", "dict3a",
-    "dict5", "dict5a", "dict5b", "dict5c", "dict_dups", "dict_int",
-    "dict_null", "empty", "enth", "formatstored", "global",
+    "crosstab", "dbz1", "dedup2", "dedup_hash", "dedupright", "dict3",
+    "dict3a", "dict5", "dict5a", "dict5b", "dict5c", "dict_dups",
+    "dict_int", "dict_null", "empty", "enth", "formatstored", "global",
     "globalfile", "globals", "outputresultfile", "round3", "sample",
     "scalar", "setrange", "setresult", "shift", "spill", "throughspill",
-    "throughspill2",
+    "throughspill2", "unicodeconcat",
 ]
 
 
@@ -67,7 +67,9 @@ def _render(v):
     if isinstance(v, decimal.Decimal):
         return format(v.normalize(), "f")
     if isinstance(v, float):
-        return repr(v)
+        from hpcc_platform_spark.eclfront import _fmt_real
+
+        return _fmt_real(v)
     return str(v)
 
 
