@@ -32,8 +32,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (family-interleaved within each phase): the 50-query verification
     window checks new ground each round, making driver coverage
     cumulative across rounds.
+
+    Each callable first releases the numbering caches the PREVIOUS query
+    persisted (two-phase row numbering pins frames for plan reuse;
+    operators/numbering.py) so a long driver run over many queries holds
+    at most one query's caches at a time.
     """
-    return {name: qd.fn for name, qd in ordered_registry().items()}
+
+    def _released(fn: Callable) -> Callable:
+        def run(spark: SparkSession, sf_dir: str, _fn: Callable = fn) -> DataFrame:
+            from hpcc_platform_spark.operators.numbering import (
+                release_numbering_caches,
+            )
+
+            release_numbering_caches()
+            return _fn(spark, sf_dir)
+
+        return run
+
+    return {name: _released(qd.fn) for name, qd in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -80,6 +80,26 @@ class EclSyntaxError(ValueError):
     pass
 
 
+# Largest dataset a DICTIONARY may be built from: dictionaries are
+# driver-side broadcast maps, so an unbounded collect would OOM the
+# driver at scale (r6 VERDICT should-fix #1).
+DICT_COLLECT_CAP = 1_000_000
+
+# returned by _if_dataset when the chosen branch was an ACTION that has
+# already run (its results are appended) rather than a dataset value
+_ACTION_DONE = object()
+
+
+class _WuRef:
+    """Lazy binding to a named workunit result: DATASET(WORKUNIT('x'),
+    rec) resolves to the result's CURRENT state each time the definition
+    is referenced (the reference's IWorkUnit::getResult contract)."""
+
+    def __init__(self, name: str, fields: list):
+        self.name = name
+        self.fields = fields
+
+
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}
 
 
@@ -247,6 +267,17 @@ class _Parser:
         # parameterized definitions (f(integer x) := x*2; / := FUNCTION)
         # — name -> {params, body (token slice), compound}
         self.functions: dict[str, dict] = {}
+        # action definitions (o1 := OUTPUT(...);) — name -> token span,
+        # run when referenced in an executed action list
+        self.action_defs: dict[str, list] = {}
+        # named (EXTEND) results: name -> accumulated frame + append seq
+        self.named_results: dict[str, DataFrame] = {}
+        self._named_seq: dict[str, int] = {}
+        # active common-subexpression memo for [..]/ORDERED/PARALLEL
+        # action lists: identical aggregate expressions evaluate ONCE
+        # across the list (the reference CSEs the expression graph;
+        # SEQUENTIAL deliberately re-evaluates — action1/action2 keys)
+        self._action_cse: dict[tuple, tuple] | None = None
         # id(Column) -> (python value, ecl type tag) for columns known to
         # be row-independent constants: the scalar layer computes these
         # driver-side with faithful ECL type semantics (integer widths,
@@ -682,94 +713,195 @@ class _Parser:
         while self.peek().kind != "eof":
             if self.accept(";"):  # stray empty statement
                 continue
-            if self.peek().text == "output":
-                self.next()
-                self.expect("(")
-                df = self._output_arg()
-                while self.accept(","):
-                    if self.peek().text == ",":
-                        continue  # empty positional slot: OUTPUT(ds,,NAMED(...))
-                    if self.peek().text == "{":
-                        # OUTPUT(ds, {fields}) — vertical-slice projection;
-                        # fields may be bare columns, name := expr, or
-                        # bare expressions (auto-named like the reference)
-                        self.next()
-                        cols: list[Column] = []
-                        while True:
-                            t2 = self.peek()
-                            if (
-                                t2.kind == "ident"
-                                and t2.text in df.columns
-                                and self.toks[self.i + 1].text in (",", ";", "}")
-                            ):
-                                self.next()
-                                cols.append(df[t2.text])
-                            elif (
-                                t2.kind == "ident"
-                                and self.toks[self.i + 1].text == ":="
-                            ):
-                                self.next()
-                                self.next()
-                                cols.append(self.value(df).alias(t2.text))
-                            else:
-                                cols.append(
-                                    self.value(df).alias(
-                                        f"_unnamed_{len(cols) + 1}"
-                                    )
-                                )
-                            if not (self.accept(",") or self.accept(";")):
-                                break
-                            if self.peek().text == "}":
-                                break
-                        self.expect("}")
-                        keep = [c for c in df.columns if c == "__ord__"]
-                        df = df.select(*cols, *keep)
-                    elif self.peek().text == "named":
-                        # OUTPUT(..., NAMED('x')) — result naming; the
-                        # compare is positional, parse and drop
-                        self.next()
-                        self.expect("(")
-                        self.next()
-                        self.expect(")")
-                    elif self.peek().text in ("thor", "all", "extend", "overwrite"):
-                        # storage-placement / append options — evaluation
-                        # placement hints in the reference, no-ops on a
-                        # lazily planned engine
-                        self.next()
-                    else:
-                        raise EclSyntaxError(
-                            f"unsupported OUTPUT option at {self.peek().pos}"
-                        )
-                self.expect(")")
+            t = self.peek()
+            if t.text == "output":
+                self._run_output_stmt()
                 self.accept(";")
-                self.actions.append(self._clean(df))
             elif (
-                self.peek().text in ("sequential", "ordered", "parallel")
+                t.text in ("sequential", "ordered", "parallel")
                 and self.toks[self.i + 1].text == "("
             ):
-                # action-list statement: SEQUENTIAL(o1, o2, ...) — each
-                # inner OUTPUT emits its result in listed order (the
-                # declarative engine evaluates lazily, so the three
-                # orderings coincide)
+                # action-list statement: SEQUENTIAL(o1, o2, ...) —
+                # evaluation is lazy, so the three orderings coincide;
+                # members run in listed order
+                self._exec_actions_here()
+                self.accept(";")
+            elif (
+                t.kind == "ident"
+                and t.text in self.action_defs
+                and self.toks[self.i + 1].text == ";"
+            ):
+                # a bare action-definition name runs it
                 self.next()
-                self.expect("(")
-                while True:
-                    self.expect("output")
-                    self.expect("(")
-                    df = self._output_arg()
-                    self.expect(")")
-                    self.actions.append(self._clean(df))
-                    if not self.accept(","):
-                        break
-                self.expect(")")
+                self._exec_action_span(self.action_defs[t.text])
                 self.accept(";")
             elif self._is_definition():
                 self._definition()
             else:
                 self._bare_action()
+        # resolve named-result placeholders to their final accumulated
+        # state (EXTEND appends finish before anything renders)
+        self.actions = [
+            self._resolve_named(a[1]) if isinstance(a, tuple) else a
+            for a in self.actions
+        ]
         if not self.actions:
             raise EclSyntaxError("no OUTPUT(...) or action statement in query")
         return self.actions[-1]
+
+    # --- actions (OUTPUT / SEQUENTIAL / named+EXTEND results) ---
+    # The reference's workunit model: actions RUN (in workflow order) and
+    # write results; OUTPUT ... NAMED('x'),EXTEND appends to one named
+    # result, and DATASET(WORKUNIT('x'), rec) reads its CURRENT state.
+    # Actions are captured as token spans and re-parsed when they run, so
+    # reads interleave with appends exactly as the engine executes them
+    # (common/workunit workflow machinery; testing/regress/ecl/action1).
+    def _run_output_stmt(self) -> None:
+        """Parse and RUN one OUTPUT(...) statement."""
+        self.expect("output")
+        self.expect("(")
+        df = self._output_arg()
+        named = None
+        extend = False
+        while self.accept(","):
+            if self.peek().text == ",":
+                continue  # empty positional slot: OUTPUT(ds,,NAMED(...))
+            if self.peek().text == "{":
+                df = self._output_projection(df)
+            elif self.peek().text == "named":
+                self.next()
+                self.expect("(")
+                nm = self.next()
+                if nm.kind != "str":
+                    raise EclSyntaxError("NAMED needs a quoted name")
+                named = _unquote(nm.text).lower()
+                self.expect(")")
+            elif self.peek().text == "extend":
+                self.next()
+                extend = True
+            elif self.peek().text in ("thor", "all", "overwrite"):
+                # storage-placement options — no-ops on a lazily planned
+                # engine
+                self.next()
+            else:
+                raise EclSyntaxError(
+                    f"unsupported OUTPUT option at {self.peek().pos}"
+                )
+        self.expect(")")
+        if named is not None and extend:
+            seq = self._named_seq.get(named, 0)
+            tagged = self._clean(df).withColumn("__wuord__", F.lit(seq))
+            if named in self.named_results:
+                self.named_results[named] = self.named_results[
+                    named
+                ].unionByName(tagged)
+            else:
+                self.named_results[named] = tagged
+                self.actions.append(("named", named))
+            self._named_seq[named] = seq + 1
+            return
+        self.actions.append(self._clean(df))
+
+    def _output_projection(self, df: DataFrame) -> DataFrame:
+        """OUTPUT(ds, {fields}) — vertical-slice projection; fields may
+        be bare columns, name := expr, or bare expressions."""
+        self.expect("{")
+        cols: list[Column] = []
+        while True:
+            t2 = self.peek()
+            if (
+                t2.kind == "ident"
+                and t2.text in df.columns
+                and self.toks[self.i + 1].text in (",", ";", "}")
+            ):
+                self.next()
+                cols.append(df[t2.text])
+            elif (
+                t2.kind == "ident"
+                and self.toks[self.i + 1].text == ":="
+            ):
+                self.next()
+                self.next()
+                cols.append(self.value(df).alias(t2.text))
+            else:
+                cols.append(
+                    self.value(df).alias(f"_unnamed_{len(cols) + 1}")
+                )
+            if not (self.accept(",") or self.accept(";")):
+                break
+            if self.peek().text == "}":
+                break
+        self.expect("}")
+        keep = [c for c in df.columns if c == "__ord__"]
+        return df.select(*cols, *keep)
+
+    def _resolve_named(self, name: str) -> DataFrame:
+        """Final state of a named (EXTEND) result, rows in append order."""
+        df = self.named_results[name]
+        order = ["__wuord__"] + (["__ord__"] if "__ord__" in df.columns else [])
+        return df.orderBy(*order).drop("__wuord__", "__ord__")
+
+    def _exec_action_span(self, toks: list[_Tok]) -> None:
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = toks + [_Tok("eof", "", toks[-1].pos if toks else 0)]
+        self.i = 0
+        try:
+            self._exec_actions_here()
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+
+    def _exec_actions_here(self) -> None:
+        """Run one action term at the current position: OUTPUT(...),
+        SEQUENTIAL/ORDERED/PARALLEL(list), [a, b, ...] action list, a
+        defined action's name, or IF(cond, actions, actions)."""
+        t = self.peek()
+        if t.text == "output":
+            self._run_output_stmt()
+            return
+        if (
+            t.text in ("sequential", "ordered", "parallel")
+            and self.toks[self.i + 1].text == "("
+        ):
+            kw = self.next().text
+            self.expect("(")
+            fresh = kw != "sequential" and self._action_cse is None
+            if fresh:
+                self._action_cse = {}
+            try:
+                while True:
+                    self._exec_actions_here()
+                    if not self.accept(","):
+                        break
+            finally:
+                if fresh:
+                    self._action_cse = None
+            self.expect(")")
+            return
+        if t.text == "[":
+            self.next()
+            fresh = self._action_cse is None
+            if fresh:
+                self._action_cse = {}
+            try:
+                while True:
+                    self._exec_actions_here()
+                    if not self.accept(","):
+                        break
+            finally:
+                if fresh:
+                    self._action_cse = None
+            self.expect("]")
+            return
+        if t.kind == "ident" and t.text in self.action_defs:
+            self.next()
+            self._exec_action_span(self.action_defs[t.text])
+            return
+        if t.text == "if" and self.toks[self.i + 1].text == "(":
+            out = self._if_dataset()
+            if out is not _ACTION_DONE:
+                self.actions.append(self._clean(out))
+            return
+        raise EclSyntaxError(f"expected an action at {t.pos}: {t.text!r}")
 
     def _output_arg(self) -> DataFrame:
         """The first OUTPUT argument: a dataset, a dictionary row lookup
@@ -1082,6 +1214,44 @@ class _Parser:
         if name.kind != "ident":
             raise EclSyntaxError(f"expected definition name at {name.pos}")
         self.expect(":=")
+        if (
+            self.peek().text == "output"
+            or (
+                self.peek().text in ("sequential", "ordered", "parallel")
+                and self.toks[self.i + 1].text == "("
+            )
+            or (
+                self.peek().text == "["
+                and self.toks[self.i + 1].kind == "ident"
+                and self.toks[self.i + 1].text in self.action_defs
+            )
+        ):
+            # ACTION-valued definition (o1 := OUTPUT(...);): captured,
+            # runs each time an executed action list references it
+            self.action_defs[name.text] = self._capture_stmt_span()
+            self.expect(";")
+            return
+        if (
+            self.peek().text == "dataset"
+            and self.toks[self.i + 1].text == "("
+            and self.toks[self.i + 2].text == "workunit"
+        ):
+            # named-result read: binds LAZILY so reads see appends that
+            # ran before each reference (action1/extend regress shape)
+            self.next()
+            self.expect("(")
+            self.next()  # 'workunit'
+            self.expect("(")
+            nm = self.next()
+            if nm.kind != "str":
+                raise EclSyntaxError("WORKUNIT needs a quoted result name")
+            self.expect(")")
+            self.expect(",")
+            fields = self._record_fields()
+            self.expect(")")
+            self.env[name.text] = _WuRef(_unquote(nm.text).lower(), fields)
+            self.expect(";")
+            return
         kind = "dataset"
         df = None
         if self.peek().text == "dictionary":
@@ -1195,6 +1365,9 @@ class _Parser:
         mark = self.i
         try:
             df = self.dataset()
+            if df is _ACTION_DONE:
+                self.expect(";")
+                return
             if self.peek().text != ";":
                 raise EclSyntaxError(
                     f"trailing tokens after dataset at {self.peek().pos}"
@@ -1284,6 +1457,8 @@ class _Parser:
                 raise EclSyntaxError(f"unknown dataset {t.text!r} at {t.pos}")
             else:
                 df = self.env[t.text]
+                if isinstance(df, _WuRef):
+                    df = self._resolve_wu(df)
         else:
             raise EclSyntaxError(f"expected dataset expression at {t.pos}: {t.text!r}")
         # postfix record filter(s): ds(cond, cond...) — conditions ANDed
@@ -2148,6 +2323,13 @@ class _Parser:
         if t.kind == "num":
             v, _ty = _parse_num(t.text)
             return float(v) if isinstance(v, Decimal) else v
+        if t.kind == "ident" and t.text in self.scalars:
+            # a constant scalar definition (or bound parameter) used as
+            # a literal — inline datasets built inside FUNCTION bodies
+            c = self._cget(self.scalars[t.text])
+            if c is not None:
+                v = c[0]
+                return float(v) if isinstance(v, Decimal) else v
         if t.text == "true":
             return True
         if t.text == "false":
@@ -2244,6 +2426,27 @@ class _Parser:
         self.i = j + 1
         return raw
 
+    def _capture_stmt_span(self) -> list[_Tok]:
+        """Tokens up to the ';' that ends the current statement."""
+        j = self.i
+        depth = 0
+        while j < len(self.toks):
+            tx = self.toks[j].text
+            if tx in ("(", "[", "{"):
+                depth += 1
+            elif tx in (")", "]", "}"):
+                depth -= 1
+            elif tx == ";" and depth == 0:
+                break
+            elif self.toks[j].kind == "eof":
+                break
+            j += 1
+        span = list(self.toks[self.i : j])
+        if not span:
+            raise EclSyntaxError("empty action definition")
+        self.i = j
+        return span
+
     def _record_end(self) -> list[tuple[str, str, int | None]]:
         """RECORD type name; ... END — the named-record definition form
         (hqlgram.y record productions)."""
@@ -2263,6 +2466,17 @@ class _Parser:
         the literal order; user-visible results drop it."""
         self.expect("dataset")
         self.expect("(")
+        if self.peek().text == "workunit":
+            self.next()
+            self.expect("(")
+            nm = self.next()
+            if nm.kind != "str":
+                raise EclSyntaxError("WORKUNIT needs a quoted result name")
+            self.expect(")")
+            self.expect(",")
+            fields = self._record_fields()
+            self.expect(")")
+            return self._resolve_wu(_WuRef(_unquote(nm.text).lower(), fields))
         self.expect("[")
         rows: list[tuple] = []
         if not self.accept("]"):
@@ -2320,6 +2534,14 @@ class _Parser:
         if kv_split is not None:
             self._ds_kv[id(df)] = kv_split
         return df
+
+    def _resolve_wu(self, ref: _WuRef) -> DataFrame:
+        """Current state of a named workunit result (empty frame with
+        the declared record before the first append)."""
+        if ref.name in self.named_results:
+            return self._resolve_named(ref.name)
+        schema = ", ".join(f"{n} {ty}" for n, ty, _w, _d in ref.fields)
+        return self.spark().createDataFrame([], schema)
 
     def _dict_record(self):
         """DICTIONARY record: { [type] key [, ...] => [type] value
@@ -2419,10 +2641,21 @@ class _Parser:
         if src_df is not None:
             kcol = key_fields[0][0]
             vcols = [n for n, _ in value_fields]
-            entries = [
-                (row[kcol], [row[c] for c in vcols])
-                for row in src_df.select(kcol, *vcols).collect()
-            ]
+            # Guard: dictionaries materialize on the driver (broadcast-map
+            # idiom). A dictionary built over a large dataset would OOM
+            # the driver, so cap the collect and fail with guidance
+            # instead — the combinator layer's broadcast-map join
+            # (queries/q_nested.py dictionary_lookup) is the scale path.
+            cap = DICT_COLLECT_CAP
+            rows = src_df.select(kcol, *vcols).limit(cap + 1).collect()
+            if len(rows) > cap:
+                raise EclSyntaxError(
+                    f"DICTIONARY source exceeds {cap:,} rows; a dictionary "
+                    "is a driver-side broadcast map — use a JOIN (or the "
+                    "dictionary_lookup broadcast-map combinator) for "
+                    "large-table lookups"
+                )
+            entries = [(row[kcol], [row[c] for c in vcols]) for row in rows]
         keys: list = []
         values: dict = {}
         for k, vals in entries:
@@ -2455,33 +2688,90 @@ class _Parser:
         dummy = self._dummy()
         cond = self.value(dummy)
         self.expect(",")
-
-        def branch():
-            # a branch may be a dataset OR an OUTPUT action (the chosen
-            # branch's output becomes this statement's result)
-            if self.accept("output"):
-                self.expect("(")
-                b = self._output_arg()
-                self.expect(")")
-                return b
-            return self.dataset()
-
-        then_df = branch()
-        else_df = None
+        # branches are captured as spans and ONLY the chosen one is
+        # evaluated — the unused branch never runs, matching the
+        # reference's conditional activity (and allowing action branches)
+        then_span = self._capture_arg_span()
+        else_span = None
         if self.accept(","):
-            else_df = branch()
+            else_span = self._capture_arg_span()
         self.expect(")")
-        truth = bool(dummy.select(cond.alias("c")).collect()[0].c)
-        if truth:
-            return then_df
-        return else_df if else_df is not None else then_df.limit(0)
+        cc = self._cget(cond)
+        if cc is not None:
+            truth = bool(cc[0])
+        else:
+            truth = bool(dummy.select(cond.alias("c")).collect()[0].c)
+        chosen = then_span if truth else else_span
+        if chosen is None:
+            return self._parse_span_dataset(then_span).limit(0)
+        if self._span_is_action(chosen):
+            self._exec_action_span(chosen)
+            return _ACTION_DONE
+        return self._parse_span_dataset(chosen)
+
+    def _capture_arg_span(self) -> list[_Tok]:
+        """Tokens up to (not including) the ',' or ')' that closes the
+        current argument."""
+        j = self.i
+        depth = 0
+        while j < len(self.toks):
+            tx = self.toks[j].text
+            if tx in ("(", "[", "{"):
+                depth += 1
+            elif tx in (")", "]", "}"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif tx == "," and depth == 0:
+                break
+            elif self.toks[j].kind == "eof":
+                break
+            j += 1
+        span = list(self.toks[self.i : j])
+        if not span:
+            raise EclSyntaxError(f"empty branch at {self.peek().pos}")
+        self.i = j
+        return span
+
+    def _span_is_action(self, span: list[_Tok]) -> bool:
+        t = span[0]
+        if t.text == "output":
+            return True
+        if (
+            t.text in ("sequential", "ordered", "parallel")
+            and len(span) > 1
+            and span[1].text == "("
+        ):
+            return True
+        if t.text == "[" and len(span) > 1 and span[1].text in self.action_defs:
+            return True
+        return t.kind == "ident" and t.text in self.action_defs
+
+    def _parse_span_dataset(self, span: list[_Tok]) -> DataFrame:
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = span + [_Tok("eof", "", span[-1].pos)]
+        self.i = 0
+        try:
+            return self.dataset()
+        finally:
+            self.toks, self.i = saved_toks, saved_i
 
     def _scalar_dataset(self) -> DataFrame:
+        kstart = self.i
         fn = self.next().text  # count | sum | min | max | ave
         self.expect("(")
         df = self.dataset()
         if fn == "count":
             self.expect(")")
+            if self._action_cse is not None:
+                # action-list CSE: identical aggregate text evaluates
+                # once across the list (see _action_cse)
+                key = tuple(tok.text for tok in self.toks[kstart : self.i])
+                if key not in self._action_cse:
+                    self._action_cse[key] = df.count()
+                return self.spark().createDataFrame(
+                    [(self._action_cse[key],)], "cnt long"
+                )
             return df.agg(F.count(F.lit(1)).alias("cnt"))
         self.expect(",")
         e = self.value(df)
@@ -2861,19 +3151,36 @@ class _Parser:
             # (one action) and inlined as a literal, the same
             # broadcast-scalar plan the combinator layer uses
             # (workload_idle_rich_customers Q22 shape).
+            kstart = self.i  # span start ('(' of the aggregate call)
             self.next()
             inner = self.dataset()
             if t.text == "count":
                 self.expect(")")
-                val = inner.count()
+                cse_key = (t.text,) + tuple(
+                    tok.text for tok in self.toks[kstart : self.i]
+                )
+                if self._action_cse is not None and cse_key in self._action_cse:
+                    val = self._action_cse[cse_key]
+                else:
+                    val = inner.count()
+                    if self._action_cse is not None:
+                        self._action_cse[cse_key] = val
             else:
                 self.expect(",")
                 e = self.value(inner)
                 self.expect(")")
-                agg = {
-                    "sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg
-                }[t.text]
-                val = inner.agg(agg(e)).collect()[0][0]
+                cse_key = (t.text,) + tuple(
+                    tok.text for tok in self.toks[kstart : self.i]
+                )
+                if self._action_cse is not None and cse_key in self._action_cse:
+                    val = self._action_cse[cse_key]
+                else:
+                    agg = {
+                        "sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg
+                    }[t.text]
+                    val = inner.agg(agg(e)).collect()[0][0]
+                    if self._action_cse is not None:
+                        self._action_cse[cse_key] = val
             if isinstance(val, bool):
                 return self._mkconst(val, "boolean")
             if isinstance(val, int):

@@ -118,3 +118,20 @@ def test_headline_bench_queries_scale_clean(spark, sf_dir):
         plan = _plan(REGISTRY[name].fn(spark, sf_dir))
         assert "SinglePartition" not in plan, name
         assert "Cartesian" not in plan, name
+
+
+def test_entry_queries_release_prior_numbering_caches(spark, monkeypatch):
+    """r6 VERDICT ask #4: the driver-contract queries() callables release
+    the numbering caches of the previous query before running, so a long
+    driver window never accumulates persisted frames across queries."""
+    import __spark_entry__ as entrymod
+    from hpcc_platform_spark.operators import numbering
+
+    calls = []
+    monkeypatch.setattr(
+        numbering, "release_numbering_caches", lambda: calls.append(1)
+    )
+    qs = entrymod.queries()
+    name = next(iter(qs))
+    qs[name](spark, "/root/testdata/sf0.001")
+    assert calls, "queries() callable did not release numbering caches"

@@ -27,6 +27,9 @@ VERBATIM = [
     "globalfile", "globals", "outputresultfile", "round3", "sample",
     "scalar", "setrange", "setresult", "shift", "spill", "throughspill",
     "throughspill2", "unicodeconcat",
+    # action-model files: OUTPUT-as-value, SEQUENTIAL/ORDERED defs,
+    # NAMED+EXTEND results, WORKUNIT readback, action-list CSE
+    "action1", "action1a", "action2", "action4", "action5", "extend",
 ]
 
 
