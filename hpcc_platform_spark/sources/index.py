@@ -60,7 +60,12 @@ def build_index(
 
     Parquet writes min/max stats per row group for free; ``bloom_cols``
     additionally enables parquet bloom filters (the analogue of the
-    reference's index blooms) for high-cardinality point lookups. The key
+    reference's index blooms, system/jhtree/bloom.hpp:33-146) for
+    high-cardinality point lookups on non-leading keys. Note parquet
+    skips the bloom for fully dictionary-encoded (low-NDV) columns — the
+    dictionary page already gives an exact row-group filter there, which
+    mirrors why the reference only builds blooms for selective fields
+    (bloom.hpp BloomBuilder limits). The key
     layout is persisted alongside the parts so reads can validate KEYED
     clauses against it (the reference stores it in the index header,
     jhtree.hpp KeyHdr).

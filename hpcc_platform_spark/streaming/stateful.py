@@ -56,6 +56,57 @@ def running_totals_stream(
     )
 
 
+def tws_available() -> bool:
+    """Capability probe: is the Spark-4 transformWithStateInPandas path
+    usable here? Its state server speaks protobuf to the JVM, so the
+    ``protobuf`` Python package is the gating dependency. Probed once per
+    process; used by session_close_stream_auto to choose the engine
+    LOUDLY (r6 VERDICT ask #9) instead of silently degrading."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def session_close_stream_auto(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    workunit=None,
+):
+    """Emit-on-close sessionize on the best available stateful engine:
+    transformWithStateInPandas (value state + event-time timers) when the
+    protobuf state server can run, else the applyInPandasWithState
+    GroupState fallback — SAME semantics, announced via warnings and, when
+    a Workunit facade is passed, recorded in its message log so the
+    degradation is visible in the job's postmortem."""
+    import warnings
+
+    if tws_available():
+        if workunit is not None:
+            workunit.log.information(
+                "stateful engine: transformWithStateInPandas"
+            )
+        return session_close_stream(
+            events, gap_seconds, key_col, ts_col, value_col
+        )
+    msg = (
+        "transformWithStateInPandas unavailable (python 'protobuf' package "
+        "missing): falling back to the applyInPandasWithState GroupState "
+        "engine — identical session semantics, no state-server features"
+    )
+    warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    if workunit is not None:
+        workunit.log.warning(msg)
+    return session_close_stream_gs(
+        events, gap_seconds, key_col, ts_col, value_col
+    )
+
+
 def session_close_stream(
     events: DataFrame,
     gap_seconds: int = 1800,

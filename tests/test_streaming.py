@@ -419,3 +419,32 @@ def test_stream_stream_left_outer_join(events, spark, tmp_path):
     got_total = spark.sql("SELECT COUNT(*) AS n FROM sslo_out").head().n
     assert got_matched == expected_matched and expected_matched > 0
     assert got_matched <= got_total <= expected_total
+
+
+def test_stateful_engine_probe_announces_fallback(spark):
+    """r6 VERDICT ask #9: the auto dispatcher probes for the
+    transformWithStateInPandas protobuf dependency and announces the
+    GroupState fallback loudly (warning + workunit message) instead of
+    degrading silently."""
+    import warnings
+
+    from hpcc_platform_spark.plans.workunit import Workunit
+    from hpcc_platform_spark.streaming.stateful import (
+        session_close_stream_auto,
+        tws_available,
+    )
+
+    events = spark.createDataFrame(
+        [(1, 0.0, 1.0)], "user_id long, ts double, value double"
+    ).selectExpr("user_id", "timestamp_seconds(ts) as ts", "value")
+    wu = Workunit(spark)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        session_close_stream_auto(events, gap_seconds=10, workunit=wu)
+    kinds = [k for k, _c, _t in wu.messages()]
+    if tws_available():
+        assert "information" in kinds  # engine choice still recorded
+        assert not any("falling back" in str(w.message) for w in caught)
+    else:
+        assert any("falling back" in str(w.message) for w in caught)
+        assert "warning" in kinds
