@@ -586,3 +586,108 @@ def test_dictionary_build_small_source_ok(spark):
     )
     out = eclfront.run_ecl_actions(ecl, {"src": lineitem}, spark=spark)[-1]
     assert out.collect()[0][0] in (True, False)
+
+
+def test_random_pipelines_match_dataframe_model(spark, cat):
+    """r6 VERDICT ask #7: 220 generated JOIN/TABLE/DEDUP pipelines
+    rendered as ECL text must match the directly-built DataFrame plan —
+    the front door is a hand parser, so the combinator layer is its
+    executable spec. Covers filter trees composed with the four JOIN
+    forms, grouped TABLE aggregation, DEDUP ALL, and SORT+CHOOSEN."""
+    import random
+
+    rnd = random.Random(20260814)
+    orders, customer = cat["orders"], cat["customer"]
+
+    def gen_filter():
+        kind = rnd.randrange(4)
+        if kind == 0:
+            v = rnd.randint(1000, 300000)
+            return f"o_totalprice > {v}", F.col("o_totalprice") > v
+        if kind == 1:
+            v = rnd.choice(["F", "O", "P"])
+            return f"o_orderstatus = '{v}'", F.col("o_orderstatus") == v
+        if kind == 2:
+            v = rnd.randint(2, 9)
+            return f"o_custkey % {v} = 0", F.col("o_custkey") % v == 0
+        a, ca = gen_filter()
+        b, cb = gen_filter()
+        op = rnd.choice(["AND", "OR"])
+        return (
+            f"({a}) {op} ({b})",
+            (ca & cb) if op == "AND" else (ca | cb),
+        )
+
+    JOINS = [
+        ("", "inner"),
+        (", LEFT OUTER", "left"),
+        (", LEFT ONLY", "left_anti"),
+        (", LOOKUP", "inner"),
+    ]
+    n_cases = 0
+    for _ in range(220):
+        ftxt, fcol = gen_filter()
+        base_txt = f"orders({ftxt})"
+        base_df = orders.where(fcol)
+        use_join = rnd.random() < 0.5
+        if use_join:
+            jtxt, how = rnd.choice(JOINS)
+            base_txt = (
+                f"JOIN({base_txt}, customer, "
+                f"LEFT.o_custkey = RIGHT.c_custkey{jtxt})"
+            )
+            rhs = (
+                F.broadcast(customer) if jtxt == ", LOOKUP" else customer
+            )
+            if how == "left_anti":
+                base_df = base_df.join(
+                    customer,
+                    base_df["o_custkey"] == customer["c_custkey"],
+                    "left_anti",
+                )
+            else:
+                base_df = base_df.join(
+                    rhs, base_df["o_custkey"] == rhs["c_custkey"], how
+                )
+        terminal = rnd.randrange(4)
+        if terminal == 0:  # scalar COUNT
+            got = run_ecl(f"OUTPUT(COUNT({base_txt}));", cat).head()[0]
+            assert got == base_df.count(), base_txt
+        elif terminal == 1:  # grouped TABLE aggregate
+            ecl = (
+                f"OUTPUT(TABLE({base_txt}, {{ o_orderstatus, "
+                f"total := SUM(GROUP, o_totalprice), n := COUNT(GROUP) }}, "
+                "o_orderstatus));"
+            )
+            got = sorted(
+                (r.o_orderstatus, round(r.total, 2), r.n)
+                for r in run_ecl(ecl, cat).collect()
+            )
+            expect = sorted(
+                (r.o_orderstatus, round(r.total, 2), r.n)
+                for r in base_df.groupBy("o_orderstatus")
+                .agg(
+                    F.sum("o_totalprice").alias("total"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            assert got == expect, ecl
+        elif terminal == 2:  # DEDUP ALL on a key
+            ecl = f"OUTPUT(COUNT(DEDUP({base_txt}, o_orderstatus, ALL)));"
+            got = run_ecl(ecl, cat).head()[0]
+            assert got == base_df.dropDuplicates(["o_orderstatus"]).count(), ecl
+        else:  # SORT + CHOOSEN head slice
+            n = rnd.randint(1, 20)
+            ecl = (
+                f"OUTPUT(TABLE(CHOOSEN(SORT({base_txt}, o_orderkey), {n}), "
+                "{ o_orderkey }));"
+            )
+            got = sorted(r.o_orderkey for r in run_ecl(ecl, cat).collect())
+            expect = [
+                r.o_orderkey
+                for r in base_df.orderBy("o_orderkey").limit(n).collect()
+            ]
+            assert got == sorted(expect) and len(got) == len(expect), ecl
+        n_cases += 1
+    assert n_cases == 220
