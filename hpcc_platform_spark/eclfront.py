@@ -192,7 +192,8 @@ _TOKEN_RX = re.compile(
             |\d+[dD]?(?![0-9A-Za-z_])     # integer / decimal
             |\d+)
   | (?P<str>(?:[uU]8?|[vV]|[qQ])?'(?:[^'\\]|\\.)*')
-  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:])
+  | (?P<directive>\#[A-Za-z]+)
+  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:^])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -224,6 +225,8 @@ def _lex(src: str) -> list[_Tok]:
             continue
         text = m.group()
         kind = m.lastgroup
+        if kind == "directive":
+            text = text.lower()
         if kind == "ident":
             low = text.lower()
             if low in _KEYWORDS:
@@ -270,6 +273,8 @@ class _Parser:
         # action definitions (o1 := OUTPUT(...);) — name -> token span,
         # run when referenced in an executed action list
         self.action_defs: dict[str, list] = {}
+        # MODULE definitions — name -> {member: span | nested dict}
+        self.modules: dict[str, dict] = {}
         # named (EXTEND) results: name -> accumulated frame + append seq
         self.named_results: dict[str, DataFrame] = {}
         self._named_seq: dict[str, int] = {}
@@ -714,7 +719,17 @@ class _Parser:
             if self.accept(";"):  # stray empty statement
                 continue
             t = self.peek()
-            if t.text == "output":
+            if t.text == "import":
+                # IMPORT resolves module scopes in the reference's
+                # multi-file layout; this single-file front door binds
+                # STD.* directly and has no external scopes — skip
+                while self.peek().text != ";" and self.peek().kind != "eof":
+                    self.next()
+                self.accept(";")
+            elif t.text == "evaluate" and self.toks[self.i + 1].text == "(":
+                self._evaluate_stmt()
+                self.accept(";")
+            elif t.text == "output":
                 self._run_output_stmt()
                 self.accept(";")
             elif (
@@ -834,6 +849,64 @@ class _Parser:
         self.expect("}")
         keep = [c for c in df.columns if c == "__ord__"]
         return df.select(*cols, *keep)
+
+    def _parse_module(self) -> dict:
+        """MODULE ... END with EXPORT members: each member's body is a
+        captured span (or a nested module dict) run on EVALUATE."""
+        self.expect("module")
+        members: dict = {}
+        while self.peek().text != "end":
+            if self.peek().kind == "eof":
+                raise EclSyntaxError("unterminated MODULE")
+            if self.accept(";"):
+                continue
+            kw = self.next()
+            if kw.text not in ("export", "shared"):
+                raise EclSyntaxError(
+                    f"expected EXPORT/SHARED member at {kw.pos}, got {kw.text!r}"
+                )
+            nm = self.next()
+            self.expect(":=")
+            if self.peek().text == "module":
+                members[nm.text] = self._parse_module()
+            else:
+                members[nm.text] = self._capture_stmt_span()
+            self.accept(";")
+        self.next()  # END
+        return members
+
+    def _evaluate_stmt(self) -> None:
+        """EVALUATE(module [, member]) — run the module's exported
+        actions. Members run in NAME order (the reference binds module
+        members as a sorted symbol table — pinned by the evaluateModule
+        key), nested modules recurse after scalar members; a member name
+        selects that member at every module level."""
+        self.next()  # 'evaluate'
+        self.expect("(")
+        nm = self.next()
+        mod = self.modules.get(nm.text)
+        if mod is None:
+            raise EclSyntaxError(f"unknown module {nm.text!r} at {nm.pos}")
+        member = None
+        if self.accept(","):
+            member = self.next().text
+        self.expect(")")
+        self._evaluate_module(mod, member)
+
+    def _evaluate_module(self, mod: dict, member: str | None) -> None:
+        if member is None:
+            for k in sorted(mod):
+                v = mod[k]
+                if isinstance(v, dict):
+                    self._evaluate_module(v, None)
+                else:
+                    self._exec_action_span(v)
+            return
+        if member in mod and not isinstance(mod[member], dict):
+            self._exec_action_span(mod[member])
+        for k in sorted(mod):
+            if isinstance(mod[k], dict):
+                self._evaluate_module(mod[k], member)
 
     def _resolve_named(self, name: str) -> DataFrame:
         """Final state of a named (EXTEND) result, rows in append order."""
@@ -1268,6 +1341,9 @@ class _Parser:
                 self.i = start
                 self.records_raw[name.text] = self._capture_record_raw()
             kind = "record"
+        elif self.peek().text == "module":
+            self.modules[name.text] = self._parse_module()
+            kind = "module"
         elif self.peek().text == "{":
             # brace-form record definition: r := { string text; };
             self.records[name.text] = self._record_fields()
@@ -1406,6 +1482,8 @@ class _Parser:
             df = self._join()
         elif t.text == "sort":
             df = self._sort()
+        elif t.text == "sorted" and self.toks[self.i + 1].text == "(":
+            df = self._sorted_assert()
         elif t.text == "dedup":
             df = self._dedup()
         elif t.text == "choosen":
@@ -1587,8 +1665,16 @@ class _Parser:
                 break
         self.expect("}")
         keys: list[str] = []
+        table_local = False
         while self.accept(","):
             k = self.next()
+            if k.text == "local":
+                # LOCAL = per-node aggregation; one local[...] JVM is one
+                # node, so LOCAL coincides with global here (CLUSTERSIZE=1)
+                table_local = True
+                continue
+            if k.text in ("merge", "few", "many"):
+                continue  # strategy hints
             if k.kind != "ident":
                 raise EclSyntaxError(f"expected group key at {k.pos}")
             keys.append(k.text)
@@ -1864,18 +1950,32 @@ class _Parser:
         )
 
     def _sort_keys(self, df: DataFrame) -> list[Column]:
+        """Sort key list: fields, -field (descending), RECORD (whole
+        row), or computed expressions (HASH32(id % 256)); the placement
+        options LOCAL / STABLE(alg) / UNSTABLE / ASSERT parse and drop
+        (Spark's range-partitioned sort is the one physical strategy;
+        its sort is stable for equal keys within a partition)."""
         keys = []
         while True:
-            if self.accept("-"):
-                keys.append(df[self.next().text].desc())
-            elif self.peek().text == "record":
+            t = self.peek()
+            if t.text in ("local", "unstable", "assert", "parallel"):
+                self.next()
+            elif t.text == "stable" and self.toks[self.i + 1].text == "(":
+                self.next()
+                close = self._match_paren(self.i)
+                self.i = close + 1
+            elif self.accept("-"):
+                keys.append(self.value(df).desc())
+            elif t.text == "record":
                 # SORT(ds, RECORD) — order by every field in record order
                 self.next()
                 keys.extend(df[c].asc() for c in df.columns if c != "__ord__")
             else:
-                keys.append(df[self.next().text].asc())
+                keys.append(self.value(df).asc())
             if not self.accept(","):
                 break
+        if not keys:
+            raise EclSyntaxError("SORT needs at least one key")
         return keys
 
     def _sort(self) -> DataFrame:
@@ -1886,6 +1986,24 @@ class _Parser:
         keys = self._sort_keys(df)
         self.expect(")")
         out = df.orderBy(*keys)
+        self._set_order(out, keys)
+        return out
+
+    def _sorted_assert(self) -> DataFrame:
+        """SORTED(ds, keys..., [LOCAL], [ASSERT]) (TAKsorted
+        eclhelper.hpp:1000): asserts the input is already ordered by the
+        keys and passes rows through. The combinator layer's
+        assert_sorted does the zero-shuffle pairwise check; here inputs
+        are plans this same engine produced sorted, so the front door
+        registers the order and passes through (a re-check would add a
+        full scan per reference)."""
+        self.expect("sorted")
+        self.expect("(")
+        df = self.dataset()
+        self.expect(",")
+        keys = self._sort_keys(df)
+        self.expect(")")
+        out = df.select("*")
         self._set_order(out, keys)
         return out
 
@@ -2466,6 +2584,54 @@ class _Parser:
         the literal order; user-visible results drop it."""
         self.expect("dataset")
         self.expect("(")
+        if self.peek().text != "[" and self.peek().text != "workunit":
+            # generated form: DATASET(n, TRANSFORM({rec}, SELF.f :=
+            # f(COUNTER)) [, LOCAL|DISTRIBUTED]) (no_dataset_from_transform
+            # hqlexpr.hpp) — n rows built from the 1-based COUNTER.
+            # Lowered to spark.range (distributed generation, no driver
+            # materialization — the 100 TB-safe path).
+            nc = self._cget(self.value(self._dummy()))
+            if nc is None:
+                raise EclSyntaxError("DATASET(count, TRANSFORM) needs a constant count")
+            n = int(nc[0])
+            self.expect(",")
+            tk = self.next()
+            if tk.text != "transform":
+                raise EclSyntaxError(f"expected TRANSFORM at {tk.pos}")
+            self.expect("(")
+            fields = self._record_fields()
+            base = self.spark().range(1, n + 1)  # col 'id' = COUNTER
+            saved_counter = getattr(self, "_counter_col", None)
+            self._counter_col = F.col("id")
+            try:
+                assigned: dict[str, Column] = {}
+                while self.accept(",") or self.accept(";"):
+                    if self.peek().text == ")":
+                        break
+                    st = self.next()
+                    if st.text != "self" or not self.accept("."):
+                        raise EclSyntaxError(f"expected SELF.<field> at {st.pos}")
+                    fname = self.next().text
+                    self.expect(":=")
+                    assigned[fname] = self.value(base)
+            finally:
+                self._counter_col = saved_counter
+            self.expect(")")
+            while self.accept(","):
+                opt = self.next()
+                if opt.text not in ("local", "distributed"):
+                    raise EclSyntaxError(f"unknown DATASET option {opt.text!r}")
+            self.expect(")")
+            missing = [f[0] for f in fields if f[0] not in assigned]
+            if missing:
+                raise EclSyntaxError(f"TRANSFORM must assign: {missing}")
+            df = base.select(
+                *[assigned[f[0]].alias(f[0]) for f in fields],
+                F.col("id").alias("__ord__"),
+            )
+            self._set_order(df, [F.col("__ord__")])
+            self._ds_fields[id(df)] = fields
+            return df
         if self.peek().text == "workunit":
             self.next()
             self.expect("(")
@@ -2891,9 +3057,52 @@ class _Parser:
 
     def _atom(self, df) -> Column:
         t = self.next()
+        if t.kind == "directive":
+            if t.text == "#ifdefined":
+                # #IFDEFINED(symbol, default): this single-file front
+                # door defines no external symbols — always the default
+                self.expect("(")
+                depth = 0
+                while not (depth == 0 and self.peek().text == ","):
+                    tok = self.next()
+                    if tok.kind == "eof":
+                        raise EclSyntaxError("unterminated #IFDEFINED")
+                    depth += tok.text == "("
+                    depth -= tok.text == ")"
+                self.next()  # ','
+                dflt = self.value(df)
+                self.expect(")")
+                return dflt
+            raise EclSyntaxError(f"unsupported directive {t.text!r} at {t.pos}")
         if t.kind == "num":
             v, ty = _parse_num(t.text)
             return self._mkconst(v, ty)
+        if t.text == "__platform__":
+            # the engine identifies as a thor-class batch platform
+            # (ecl/hql consts __PLATFORM__)
+            return self._mkconst("thor", "string")
+        if t.text == "clustersize":
+            # one Spark application = one logical cluster; executors are
+            # the intra-node parallelism (Thorlib.ecl nodes() analogue)
+            return self._mkconst(1, "integer")
+        if t.text == "counter" and getattr(self, "_counter_col", None) is not None:
+            return self._counter_col
+        if (
+            t.text in ("hash", "hash32", "hash64", "hashcrc")
+            and self.peek().text == "("
+        ):
+            from hpcc_platform_spark.functions import hashing as H
+
+            self.next()
+            inner = self.value(df)
+            while self.accept(","):
+                inner = F.concat_ws("|", inner, self.value(df))
+            self.expect(")")
+            fn = {
+                "hash": H.ecl_hash32, "hash32": H.ecl_hash32,
+                "hash64": H.ecl_hash64, "hashcrc": H.ecl_hashcrc,
+            }[t.text]
+            return fn(inner)
         if t.kind == "str":
             return self._mkconst(_unquote(t.text), "string")
         if t.text == "true":
@@ -3443,12 +3652,53 @@ class _Parser:
             return df[t.text]
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
+    def _std_uni_call(self, df) -> Column:
+        """STD.Uni.* constant subset: CompareAtStrength (Uni.ecl:193,
+        strength 1 ignores case+accents, 2 ignores case, >=3 identical).
+        Column-side unicode work lives in functions/unicode.py and
+        functions/collation.py; the front door folds the constant calls
+        the regress corpus makes."""
+        import unicodedata
+
+        self.expect(".")
+        fn = self.next().text
+        self.expect("(")
+        args = [self.value(df)]
+        while self.accept(","):
+            args.append(self.value(df))
+        self.expect(")")
+        if fn == "compareatstrength":
+            consts = [self._cget(a) for a in args]
+            if any(c is None for c in consts):
+                raise EclSyntaxError(
+                    "CompareAtStrength supports constant arguments here"
+                )
+            a, b = str(consts[0][0]).rstrip(), str(consts[1][0]).rstrip()
+            strength = int(consts[2][0])
+
+            def fold(x: str) -> str:
+                if strength <= 2:
+                    x = x.lower()
+                if strength <= 1:
+                    x = "".join(
+                        c
+                        for c in unicodedata.normalize("NFD", x)
+                        if not unicodedata.combining(c)
+                    )
+                return x
+
+            fa, fb = fold(a), fold(b)
+            return self._mkconst((fa > fb) - (fa < fb), "integer")
+        raise EclSyntaxError(f"unsupported STD.Uni function {fn!r}")
+
     def _std_call(self, df) -> Column:
         """STD.Str.<fn>(args) — the everyday Std.Str plugin surface
         (plugins/stringlib; functions/strings.py is the combinator
         layer). Name-matched case-insensitively like the reference."""
         self.next()  # '.'
         mod = self.next().text
+        if mod == "uni":
+            return self._std_uni_call(df)
         if mod != "str":
             raise EclSyntaxError(f"unsupported STD module {mod!r}")
         self.expect(".")

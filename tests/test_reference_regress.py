@@ -30,6 +30,10 @@ VERBATIM = [
     # action-model files: OUTPUT-as-value, SEQUENTIAL/ORDERED defs,
     # NAMED+EXTEND results, WORKUNIT readback, action-list CSE
     "action1", "action1a", "action2", "action4", "action5", "extend",
+    # MODULE/EXPORT + EVALUATE, IMPORT, DATASET(n, TRANSFORM) with
+    # COUNTER, SORT placement options, SORTED assertion, #IFDEFINED
+    "evaluateModule", "issue9906", "utf8map",
+    "sortfwd", "sortrev", "sortstable", "sortnorm",
 ]
 
 
