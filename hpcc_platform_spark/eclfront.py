@@ -80,6 +80,10 @@ class EclSyntaxError(ValueError):
     pass
 
 
+# SET marker for 'ALL' (every possible value): x IN ALL is always true
+# (hqlgram set productions)
+_ALL_SET = object()
+
 # Largest dataset a DICTIONARY may be built from: dictionaries are
 # driver-side broadcast maps, so an unbounded collect would OOM the
 # driver at scale (r6 VERDICT should-fix #1).
@@ -805,7 +809,7 @@ class _Parser:
         self.expect(")")
         if named is not None and extend:
             seq = self._named_seq.get(named, 0)
-            tagged = self._clean(df).withColumn("__wuord__", F.lit(seq))
+            tagged = self._finalize(df).withColumn("__wuord__", F.lit(seq))
             if named in self.named_results:
                 self.named_results[named] = self.named_results[
                     named
@@ -815,7 +819,7 @@ class _Parser:
                 self.actions.append(("named", named))
             self._named_seq[named] = seq + 1
             return
-        self.actions.append(self._clean(df))
+        self.actions.append(self._finalize(df))
 
     def _output_projection(self, df: DataFrame) -> DataFrame:
         """OUTPUT(ds, {fields}) — vertical-slice projection; fields may
@@ -943,7 +947,9 @@ class _Parser:
             try:
                 while True:
                     self._exec_actions_here()
-                    if not self.accept(","):
+                    if not (self.accept(",") or self.accept(";")):
+                        break
+                    if self.peek().text == ")":
                         break
             finally:
                 if fresh:
@@ -972,9 +978,26 @@ class _Parser:
         if t.text == "if" and self.toks[self.i + 1].text == "(":
             out = self._if_dataset()
             if out is not _ACTION_DONE:
-                self.actions.append(self._clean(out))
+                self.actions.append(self._finalize(out))
             return
-        raise EclSyntaxError(f"expected an action at {t.pos}: {t.text!r}")
+        # bare expression member: emits the next numbered result (same
+        # contract as a bare statement)
+        mark = self.i
+        try:
+            df = self.dataset()
+            if df is _ACTION_DONE:
+                return
+            self.actions.append(self._finalize(df))
+            return
+        except EclSyntaxError as dataset_err:
+            self.i = mark
+            try:
+                col = self.value(self._dummy())
+            except Exception:
+                raise dataset_err from None
+            self.actions.append(
+                self._scalar_result_df(col, f"result_{len(self.actions) + 1}")
+            )
 
     def _output_arg(self) -> DataFrame:
         """The first OUTPUT argument: a dataset, a dictionary row lookup
@@ -1040,6 +1063,15 @@ class _Parser:
             self._TYPE_RX.match(t.text) is not None
             and nxt.kind == "ident"
             and self.toks[self.i + 2].text == ":="
+        ):
+            return True
+        # set form: set of <type> name := ...
+        if (
+            t.text == "set"
+            and nxt.text == "of"
+            and self.toks[self.i + 2].kind == "ident"
+            and self.toks[self.i + 3].kind == "ident"
+            and self.toks[self.i + 4].text == ":="
         ):
             return True
         # parameterized forms: name(params) := ... and
@@ -1264,6 +1296,30 @@ class _Parser:
     def _definition(self) -> None:
         first = self.next()
         decl_ty: str | None = None
+        if first.text == "set" and self.peek().text == "of":
+            # SET OF <type> name := [..] | ALL
+            self.next()
+            self.next()  # element type (values carry their own types)
+            name = self.next()
+            self.expect(":=")
+            if self.peek().text == "all":
+                self.next()
+                self.sets[name.text] = _ALL_SET
+            else:
+                self.expect("[")
+                vals: list = []
+                if not self.accept("]"):
+                    while True:
+                        vals.append(self._literal())
+                        if not self.accept(","):
+                            break
+                    self.expect("]")
+                self.sets[name.text] = vals
+            if self.accept(":"):  # workflow annotation (stored(...) etc.)
+                while self.peek().text != ";" and self.peek().kind != "eof":
+                    self.next()
+            self.expect(";")
+            return
         if self.toks[self.i].text == ":=":
             name = first
         elif self.toks[self.i].text == "(" or (
@@ -1458,7 +1514,19 @@ class _Parser:
                 col, f"result_{len(self.actions) + 1}"
             )
         self.expect(";")
-        self.actions.append(self._clean(df))
+        self.actions.append(self._finalize(df))
+
+    def _finalize(self, df: DataFrame) -> DataFrame:
+        """Emit-time canonicalization: a frame with a TRACKED order
+        renders in that order — the tracked order wins over the inline
+        ordinal (a SORT redefines row order; the ordinal only breaks
+        ties for stability) — then internal columns drop."""
+        order = self._order.get(id(df))
+        if order is not None:
+            tie = [F.col("__ord__")] if "__ord__" in df.columns else []
+            out = df.orderBy(*order, *tie)
+            return out.drop("__ord__") if tie else out
+        return self._clean(df)
 
     @staticmethod
     def _clean(df: DataFrame) -> DataFrame:
@@ -1506,6 +1574,8 @@ class _Parser:
             df = self._denormalize()
         elif t.text == "if":
             df = self._if_dataset()
+        elif t.text == "case" and self.toks[self.i + 1].text == "(":
+            df = self._case_dataset()
         elif t.text == "dataset":
             df = self._inline_dataset()
         elif t.text == "nofold":
@@ -1683,9 +1753,25 @@ class _Parser:
         self._table_has_group_agg = saved_flag
         if not keys:
             if grouped:
+                gkeys = self._grouped.get(id(src))
+                if bare and gkeys is not None and set(bare) <= set(gkeys):
+                    # bare fields over a GROUPed input must be group keys;
+                    # they pass through per group in record order
+                    extra = (
+                        [F.min("__ord__").alias("__ord__")]
+                        if "__ord__" in src.columns
+                        else []
+                    )
+                    out = src.groupBy(*gkeys).agg(*aggs, *extra)
+                    rest = [
+                        c
+                        for c in out.columns
+                        if c not in gkeys and c != "__ord__"
+                    ]
+                    keep = ["__ord__"] if "__ord__" in out.columns else []
+                    return out.select(*bare, *rest, *keep)
                 if bare:
                     raise EclSyntaxError("bare fields need group keys in TABLE")
-                gkeys = self._grouped.get(id(src))
                 if gkeys is not None:
                     # TABLE over a GROUPed input with no explicit keys:
                     # one output row PER GROUP, only the declared fields
@@ -1786,9 +1872,11 @@ class _Parser:
             self.expect("(")
             self.dataset()  # shape comes from the input; parse and discard
             self.expect(")")
+        elif self.peek().kind == "ident" and self.peek().text in self.records:
+            declared = [f[0] for f in self.records[self.next().text]]
         else:
             raise EclSyntaxError(
-                f"expected {{...}} or RECORDOF(ds) at {self.peek().pos}"
+                f"expected {{...}}, named record or RECORDOF(ds) at {self.peek().pos}"
             )
         assigned: dict[str, Column] = {}
         copy_rest = False
@@ -1851,16 +1939,19 @@ class _Parser:
         if t.text != "transform":
             raise EclSyntaxError(f"expected TRANSFORM at {t.pos}")
         self.expect("(")
-        self.expect("{")
-        declared: list[str] = []
-        while True:
-            f = self.next()
-            if f.kind != "ident":
-                raise EclSyntaxError(f"expected field at {f.pos}")
-            declared.append(f.text)
-            if not self.accept(","):
-                break
-        self.expect("}")
+        if self.peek().kind == "ident" and self.peek().text in self.records:
+            declared = [f[0] for f in self.records[self.next().text]]
+        else:
+            self.expect("{")
+            declared = []
+            while True:
+                f = self.next()
+                if f.kind != "ident":
+                    raise EclSyntaxError(f"expected field at {f.pos}")
+                declared.append(f.text)
+                if not self.accept(","):
+                    break
+            self.expect("}")
         exploded = src.withColumn("__child__", F.explode(F.col(child)))
         saved_right = getattr(self, "_right_struct", None)
         self._right_struct = F.col("__child__")
@@ -1892,35 +1983,112 @@ class _Parser:
         self.expect(",")
         right = self.dataset()
         self.expect(",")
+        self._join_eq_pairs = []  # LEFT.a = RIGHT.b pairs, for LOOKUP dedup
         cond = self._join_cond(left, right)
+        eq_pairs = self._join_eq_pairs
         how = "inner"
         lookup = False
+        many = False
         use_all = False
+        transform_spec = None
         while self.accept(","):
             t = self.next().text
-            if t in ("left", "right", "full"):
+            if t in ("left", "right", "full") and self.peek().text in (
+                "outer", "only"
+            ):
                 nxt = self.next().text
                 if nxt == "outer":
                     how = {"left": "left", "right": "right", "full": "full"}[t]
-                elif nxt == "only":
-                    how = {"left": "left_anti", "right": "right_anti"}[t]
                 else:
-                    raise EclSyntaxError(f"expected OUTER/ONLY after {t.upper()}")
+                    how = {"left": "left_anti", "right": "right_anti"}[t]
             elif t == "inner":
                 how = "inner"
+            elif t == "many" and self.peek().text == "lookup":
+                self.next()
+                lookup = True
+                many = True
             elif t == "lookup":
                 lookup = True
             elif t == "all":
                 use_all = True
+            elif t == "transform":
+                transform_spec = self._join_transform(left, right)
+            elif t == "hint" and self.peek().text == "(":
+                close = self._match_paren(self.i)
+                self.i = close + 1  # physical hints — Catalyst plans here
             else:
                 raise EclSyntaxError(f"unknown JOIN option {t!r}")
         self.expect(")")
+        if lookup and not many and eq_pairs:
+            # LOOKUP (without MANY) keeps ONE right match per left row
+            # (hthor/thor lookup-join contract; MANY LOOKUP keeps all) —
+            # dedup the broadcast side on the equality keys
+            right = right.dropDuplicates([rf for _lf, rf in eq_pairs])
+            cond = None
+            for lf, rf in eq_pairs:
+                c = left[lf] == right[rf]
+                cond = c if cond is None else cond & c
         rhs = F.broadcast(right) if (lookup or use_all) else right
         if how == "right_anti":
-            return right.join(
+            out = right.join(
                 F.broadcast(left) if lookup else left, cond, "left_anti"
             )
-        return left.join(rhs, cond, how)
+        else:
+            out = left.join(rhs, cond, how)
+        if transform_spec is not None:
+            declared, assigned, copy_side = transform_spec
+            cols = []
+            for f in declared:
+                if f in assigned:
+                    cols.append(assigned[f].alias(f))
+                elif copy_side == "left":
+                    cols.append(left[f])
+                elif copy_side == "right":
+                    cols.append(right[f])
+                else:
+                    raise EclSyntaxError(
+                        f"JOIN TRANSFORM field {f!r} not assigned"
+                    )
+            out = out.select(*cols)
+        return out
+
+    def _join_transform(self, left: DataFrame, right: DataFrame):
+        """TRANSFORM(rec | {fields}, SELF.f := expr, ..., SELF := LEFT|
+        RIGHT) inside JOIN — LEFT./RIGHT. read the respective sides."""
+        self.expect("(")
+        if self.peek().kind == "ident" and self.peek().text in self.records:
+            declared = [f[0] for f in self.records[self.next().text]]
+        elif self.peek().text == "{":
+            declared = [f[0] for f in self._record_fields()]
+        else:
+            raise EclSyntaxError(
+                f"expected record in JOIN TRANSFORM at {self.peek().pos}"
+            )
+        assigned: dict[str, Column] = {}
+        copy_side = None
+        saved = getattr(self, "_join_frames", None)
+        self._join_frames = (left, right)
+        try:
+            while self.accept(",") or self.accept(";"):
+                if self.peek().text == ")":
+                    break
+                st = self.next()
+                if st.text != "self":
+                    raise EclSyntaxError(f"expected SELF at {st.pos}")
+                if self.accept("."):
+                    fname = self.next().text
+                    self.expect(":=")
+                    assigned[fname] = self.value(self._dummy())
+                else:
+                    self.expect(":=")
+                    side = self.next().text
+                    if side not in ("left", "right"):
+                        raise EclSyntaxError("SELF := LEFT|RIGHT expected")
+                    copy_side = side
+        finally:
+            self._join_frames = saved
+        self.expect(")")
+        return declared, assigned, copy_side
 
     def _join_cond(self, left: DataFrame, right: DataFrame) -> Column:
         cond = self._join_cmp(left, right)
@@ -1930,9 +2098,23 @@ class _Parser:
         return cond
 
     def _join_cmp(self, left: DataFrame, right: DataFrame) -> Column:
+        amark = self.i
         a = self._join_side(left, right)
         op = self.next().text
+        bmark = self.i
         b = self._join_side(left, right)
+        if op == "=" and hasattr(self, "_join_eq_pairs"):
+            # remember LEFT.a = RIGHT.b key pairs (LOOKUP dedup needs them)
+            ta, tb = self.toks[amark], self.toks[bmark]
+            if (
+                ta.text == "left"
+                and tb.text == "right"
+                and self.toks[amark + 1].text == "."
+                and self.toks[bmark + 1].text == "."
+            ):
+                self._join_eq_pairs.append(
+                    (self.toks[amark + 2].text, self.toks[bmark + 2].text)
+                )
         return _cmp(op, a, b)
 
     def _join_side(self, left: DataFrame, right: DataFrame) -> Column:
@@ -2040,6 +2222,12 @@ class _Parser:
                 continue
             fields.append(self.next().text)
         self.expect(")")
+        gkeys = self._grouped.get(id(df))
+        if gkeys is not None and fields:
+            # DEDUP over a GROUPed input dedups WITHIN each group
+            # (thhashdedupslave grouped contract): the group keys join
+            # the dedup key, and the result stays grouped
+            fields = list(dict.fromkeys(list(gkeys) + fields))
         order = self._order.get(id(df))
         if order is not None and fields and all_flag:
             # DEDUP ... ALL over an ordered input: order-independent
@@ -2055,6 +2243,8 @@ class _Parser:
                 .drop("__pick__")
             )
             self._set_order(out, order)
+            if gkeys is not None:
+                self._set_grouped(out, gkeys)
             return out
         if order is not None and fields:
             # Faithful adjacent semantics over a tracked order
@@ -2317,7 +2507,12 @@ class _Parser:
             keys.append(k.text)
         self.expect(")")
         if not keys:
-            raise EclSyntaxError("GROUP needs at least one key")
+            # GROUP(ds) with no keys REMOVES grouping (degroup,
+            # TAKdegroup eclhelper.hpp:900)
+            out = df.select("*")
+            if id(df) in self._order:
+                self._set_order(out, self._order[id(df)])
+            return out
         # Return a DISTINCT frame: registering the grouped state on the
         # input object would alias it onto every other use of that name
         # (e.g. a later TABLE over the ungrouped definition would silently
@@ -2355,6 +2550,8 @@ class _Parser:
             .where(F.col("__having__"))
             .drop("__having__")
         )
+        if id(df) in self._order:
+            self._set_order(out, self._order[id(df)])
         self._set_grouped(out, keys)  # result is still grouped
         return out
 
@@ -2484,6 +2681,14 @@ class _Parser:
         spark_ty = self._SPARK_TYPE[base]
         if base == "real" and digits == "4":
             spark_ty = "float"  # REAL4 is float32; values round on store
+        if base in ("decimal", "udecimal"):
+            m2 = re.match(r"^(?:u?decimal)(\d+)(?:_(\d+))?$", ty.text)
+            if m2:
+                prec = int(m2.group(1))
+                scale = int(m2.group(2) or 0)
+                spark_ty = f"decimal({prec},{scale})"
+            else:
+                spark_ty = "decimal(32,8)"
         default = None
         if self.accept(":="):  # field default: integer2 age := 25
             default = self._literal()
@@ -2677,8 +2882,14 @@ class _Parser:
                 )
 
         def coerce(v, ty, width):
-            if ty == "double" and isinstance(v, int):
+            if ty.startswith("decimal("):
+                return Decimal(str(v))
+            if ty in ("double", "float") and isinstance(v, (int, str)):
                 return float(v)
+            if ty == "long" and isinstance(v, str):
+                return int(v.strip() or 0)  # ECL coerces '1' -> 1
+            if ty == "string" and isinstance(v, (int, float)):
+                v = str(v)
             if width is not None and isinstance(v, str):
                 return v.ljust(width)  # fixed-width string: pad, as stored
             return v
@@ -2875,6 +3086,49 @@ class _Parser:
             return _ACTION_DONE
         return self._parse_span_dataset(chosen)
 
+    def _case_dataset(self):
+        """CASE(expr, k => dataset|action, ..., default) at dataset or
+        statement position — the dataset/action analogue of the scalar
+        CASE (casestmt regress). Arms are captured spans; only the
+        matching arm evaluates (or runs, for actions)."""
+        self.expect("case")
+        self.expect("(")
+        dummy = self._dummy()
+        subject = self.value(dummy)
+        arms = []
+        default_span = None
+        while self.accept(","):
+            mark = self.i
+            key = None
+            try:
+                key = self.value(dummy)
+            except Exception:  # unknown names raise AnalysisException
+                self.i = mark
+            if key is not None and self.accept("=>"):
+                arms.append((key, self._capture_arg_span()))
+                continue
+            self.i = mark
+            default_span = self._capture_arg_span()
+            break
+        self.expect(")")
+        cs = self._cget(subject)
+        keys = [self._cget(k) for k, _ in arms]
+        if cs is None or any(k is None for k in keys):
+            raise EclSyntaxError("dataset CASE needs constant subject and keys")
+        sv = cs[0].rstrip() if isinstance(cs[0], str) else cs[0]
+        chosen = default_span
+        for (k, span) in zip(keys, [sp for _, sp in arms]):
+            kv = k[0].rstrip() if isinstance(k[0], str) else k[0]
+            if sv == kv:
+                chosen = span
+                break
+        if chosen is None:
+            raise EclSyntaxError("CASE with no matching arm and no default")
+        if self._span_is_action(chosen):
+            self._exec_action_span(chosen)
+            return _ACTION_DONE
+        return self._parse_span_dataset(chosen)
+
     def _capture_arg_span(self) -> list[_Tok]:
         """Tokens up to (not including) the ',' or ')' that closes the
         current argument."""
@@ -3000,7 +3254,18 @@ class _Parser:
             self.next()
             if self.peek().kind == "ident" and self.peek().text in self.sets:
                 vals = self.sets[self.next().text]
+                if vals is _ALL_SET:
+                    m = self._mkconst(True, "boolean")
+                    return self._mkconst(False, "boolean") if negate else m
                 m = a.isin(*vals) if vals else F.lit(False)
+                ca = self._cget(a)
+                if ca is not None:
+                    hit = any(
+                        (ca[0].rstrip() if isinstance(ca[0], str) else ca[0])
+                        == (v.rstrip() if isinstance(v, str) else v)
+                        for v in vals
+                    )
+                    return self._mkconst(hit != negate, "boolean")
                 return ~m if negate else m
             if self.peek().kind == "ident" and self.peek().text in self.dicts:
                 d = self.dicts[self.next().text]
@@ -3337,11 +3602,22 @@ class _Parser:
             return expr.otherwise(0)
         if t.text in ("sum", "count", "min", "max", "ave") and (
             self._having_win is not None and self.peek().text == "("
-            and self.toks[self.i + 1].text == "group"
+            and (
+                self.toks[self.i + 1].text == "group"
+                or self.toks[self.i + 1].text == "rows"
+            )
         ):
             # HAVING-condition group aggregate: COUNT(GROUP) / SUM(GROUP, e)
-            # — windowed over the GROUP keys so rows survive intact.
+            # / COUNT(ROWS(LEFT)) — windowed over the GROUP keys so rows
+            # survive intact.
             self.expect("(")
+            if self.peek().text == "rows":
+                # ROWS(LEFT) inside HAVING is the current group
+                self.next()
+                self.expect("(")
+                self.expect("left")
+                self.expect(")")
+                self.toks.insert(self.i, _Tok("ident", "group", self.peek().pos))
             self.expect("group")
             if t.text == "count":
                 self.expect(")")
@@ -3556,11 +3832,19 @@ class _Parser:
             self.expect(")")
             return c
         if t.text == "left" and self.peek().text == ".":
-            # TRANSFORM-context LEFT.x — reads the input row's field
+            # TRANSFORM-context LEFT.x — the join left side, else the
+            # input row's field
             self.next()
+            jf = getattr(self, "_join_frames", None)
+            if jf is not None:
+                return jf[0][self.next().text]
             return df[self.next().text]
         if t.text == "right" and self.peek().text == ".":
-            # NORMALIZE-context RIGHT.y — reads the exploded child element
+            # join right side / NORMALIZE exploded child element
+            jf = getattr(self, "_join_frames", None)
+            if jf is not None:
+                self.next()
+                return jf[1][self.next().text]
             right = getattr(self, "_right_struct", None)
             if right is None:
                 raise EclSyntaxError(f"RIGHT.<field> outside NORMALIZE at {t.pos}")
@@ -3575,6 +3859,12 @@ class _Parser:
                 a = None
                 if self.peek().kind == "num":
                     a = int(self.next().text)
+                elif (
+                    self.peek().kind == "ident"
+                    and self.peek().text in self.scalars
+                    and self._cget(self.scalars[self.peek().text]) is not None
+                ):
+                    a = int(self._cget(self.scalars[self.next().text])[0])
                 if self.accept("."):
                     self.expect(".")
                     b = None

@@ -34,6 +34,10 @@ VERBATIM = [
     # COUNTER, SORT placement options, SORTED assertion, #IFDEFINED
     "evaluateModule", "issue9906", "utf8map",
     "sortfwd", "sortrev", "sortstable", "sortnorm",
+    # JOIN TRANSFORM/MANY LOOKUP, dataset CASE, decimal fields, SET OF
+    # definitions, grouped DEDUP/TABLE, HAVING over ROWS(LEFT)
+    "manylookup", "joinemptylhs", "casestmt", "decimalfilter",
+    "storeset1", "grouphashdedup", "filtergroup",
 ]
 
 
