@@ -80,6 +80,71 @@ class EclSyntaxError(ValueError):
     pass
 
 
+
+def _coerce_scalar(v, ty: str):
+    """Cast a python value to an ECL type tag — the (TYPE)expr cast and
+    typed-definition semantics (rtlField casts). Module-level so compiled
+    transform closures can capture it without pickling the parser."""
+    base, width = _ty_base(ty), _ty_width(ty)
+    if base in _STR_BASES:
+        if isinstance(v, bool):
+            s = "true" if v else "false"
+        elif isinstance(v, Decimal):
+            s = format(v.normalize(), "f")
+        elif isinstance(v, float):
+            s = _fmt_real(v)
+        else:
+            s = str(v)
+        if width is not None and base in ("string", "qstring"):
+            s = s[:width].ljust(width)  # fixed width: truncate/pad
+        elif width is not None:
+            s = s[:width]
+        return s
+    if base == "boolean":
+        if isinstance(v, str):
+            return v.strip() != ""
+        return bool(v)
+    if base == "real":
+        if isinstance(v, str):
+            try:
+                return float(v.strip() or 0)
+            except ValueError:
+                return 0.0
+        return float(v)
+    if base == "decimal" or base == "udecimal":
+        try:
+            return Decimal(str(v).strip() or 0)
+        except Exception:
+            return Decimal(0)
+    if base in _INT_BASES:
+        if isinstance(v, str):
+            m = re.match(r"\s*-?\d+", v)
+            n = int(m.group()) if m else 0
+        elif isinstance(v, (float, Decimal)):
+            n = int(v)  # toward zero
+        else:
+            n = int(v)
+        bits = 8 * (width or 8)
+        n &= (1 << bits) - 1
+        if base == "integer" and n >= 1 << (bits - 1):
+            n -= 1 << bits
+        return n
+    raise EclSyntaxError(f"unsupported cast target {ty!r}")
+
+
+def _py_cmp_vals(op, x, y):
+    if isinstance(x, str) and isinstance(y, str):
+        x, y = x.rstrip(), y.rstrip()  # fixed-width blanks ignored
+    return {
+        "=": x == y, "<>": x != y, "!=": x != y,
+        "<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y,
+    }[op]
+
+
+class _SkipRow(Exception):
+    """Raised by a compiled TRANSFORM when SKIP fires."""
+
+
 # SET marker for 'ALL' (every possible value): x IN ALL is always true
 # (hqlgram set productions)
 _ALL_SET = object()
@@ -375,53 +440,7 @@ class _Parser:
 
     @staticmethod
     def _coerce_const(v, ty: str):
-        """Cast a python value to an ECL type tag — the (TYPE)expr cast
-        and typed-definition semantics (rtlField casts)."""
-        base, width = _ty_base(ty), _ty_width(ty)
-        if base in _STR_BASES:
-            if isinstance(v, bool):
-                s = "true" if v else "false"
-            elif isinstance(v, Decimal):
-                s = format(v.normalize(), "f")
-            elif isinstance(v, float):
-                s = _fmt_real(v)
-            else:
-                s = str(v)
-            if width is not None and base in ("string", "qstring"):
-                s = s[:width].ljust(width)  # fixed width: truncate/pad
-            elif width is not None:
-                s = s[:width]
-            return s
-        if base == "boolean":
-            if isinstance(v, str):
-                return v.strip() != ""
-            return bool(v)
-        if base == "real":
-            if isinstance(v, str):
-                try:
-                    return float(v.strip() or 0)
-                except ValueError:
-                    return 0.0
-            return float(v)
-        if base == "decimal" or base == "udecimal":
-            try:
-                return Decimal(str(v).strip() or 0)
-            except Exception:
-                return Decimal(0)
-        if base in _INT_BASES:
-            if isinstance(v, str):
-                m = re.match(r"\s*-?\d+", v)
-                n = int(m.group()) if m else 0
-            elif isinstance(v, (float, Decimal)):
-                n = int(v)  # toward zero
-            else:
-                n = int(v)
-            bits = 8 * (width or 8)
-            n &= (1 << bits) - 1
-            if base == "integer" and n >= 1 << (bits - 1):
-                n -= 1 << bits
-            return n
-        raise EclSyntaxError(f"unsupported cast target {ty!r}")
+        return _coerce_scalar(v, ty)
 
     @staticmethod
     def _arith_ty(ta: str, tb: str, division: bool = False) -> str:
@@ -1075,9 +1094,10 @@ class _Parser:
         ):
             return True
         # parameterized forms: name(params) := ... and
-        # rettype name(params) := ...
+        # rettype name(params) := ... (rettype may be a scalar type OR a
+        # record/dataset name for TRANSFORM definitions)
         j = self.i
-        if self._TYPE_RX.match(t.text) is not None and nxt.kind == "ident":
+        if t.kind == "ident" and nxt.kind == "ident":
             j += 1  # skip the return-type prefix
         if self.toks[j].kind != "ident" or self.toks[j + 1].text != "(":
             return False
@@ -1128,7 +1148,12 @@ class _Parser:
             t = self.next()
             if t.kind != "ident" and t.kind != "kw":
                 raise EclSyntaxError(f"expected parameter at {t.pos}")
-            if self._TYPE_RX.match(t.text) and self.peek().kind == "ident":
+            if self.peek().kind == "ident" and (
+                self._TYPE_RX.match(t.text)
+                or t.text in self.records
+                or t.text in self.records_raw
+                or t.text in self.env
+            ):
                 ty = t.text
                 t = self.next()
             elif t.text == "dataset" and self.peek().text == "(":
@@ -1165,7 +1190,11 @@ class _Parser:
         END``) for re-parse at each call site — the reference binds
         parameters the same lazy way (hqlgram.y parameterized
         definitions create no_funcdef nodes expanded on use)."""
-        if self.peek().text == "function":
+        if self.peek().text == "function" or (
+            self.peek().text == "transform"
+            and self.toks[self.i + 1].text != "("
+        ):
+            is_transform = self.peek().text == "transform"
             j = self.i
             depth = 0
             while j < len(self.toks):
@@ -1183,6 +1212,19 @@ class _Parser:
                 raise EclSyntaxError(f"{name}: unterminated FUNCTION body")
             body = self.toks[self.i + 1 : j]
             self.i = j + 1  # past END
+            if is_transform:
+                # named TRANSFORM definition (rec t(rec L, rec R) :=
+                # TRANSFORM ... END) — compiled to a per-row python fold
+                # at ROLLUP/ITERATE/PROJECT call sites
+                self.functions[name] = {
+                    "params": params,
+                    "body": list(body),
+                    "compound": False,
+                    "transform": True,
+                    "rettype": getattr(self, "_last_rettype", None),
+                }
+                self.expect(";")
+                return
             compound = True
         else:
             j = self.i
@@ -1252,7 +1294,7 @@ class _Parser:
                     self.env[pname] = aval
                 else:
                     col = aval
-                    if pty is not None and pty != "dataset":
+                    if pty is not None and pty != "dataset" and self._TYPE_RX.match(pty):
                         c = self._cget(col)
                         if c is not None:
                             col = self._mkconst(
@@ -1323,11 +1365,12 @@ class _Parser:
         if self.toks[self.i].text == ":=":
             name = first
         elif self.toks[self.i].text == "(" or (
-            self._TYPE_RX.match(first.text)
+            first.kind == "ident"
             and self.toks[self.i].kind == "ident"
             and self.toks[self.i + 1].text == "("
         ):
             # parameterized definition: [rettype] name(params) := body
+            # (rettype may be a record/dataset name — TRANSFORM defs)
             if self.toks[self.i].text == "(":
                 name = first
             else:
@@ -1335,6 +1378,7 @@ class _Parser:
                 name = self.next()
             params = self._parse_params()
             self.expect(":=")
+            self._last_rettype = decl_ty
             self._capture_function_body(name.text, params)
             return
         else:
@@ -1552,6 +1596,12 @@ class _Parser:
             df = self._sort()
         elif t.text == "sorted" and self.toks[self.i + 1].text == "(":
             df = self._sorted_assert()
+        elif t.text == "rollup":
+            df = self._rollup()
+        elif t.text == "trace" and self.toks[self.i + 1].text == "(":
+            df = self._trace()
+        elif t.text == "iterate":
+            df = self._iterate()
         elif t.text == "dedup":
             df = self._dedup()
         elif t.text == "choosen":
@@ -1697,6 +1747,7 @@ class _Parser:
         self.expect("{")
         bare: list[str] = []
         aggs: list[Column] = []
+        ordered_members: list[Column] = []  # declared order, project form
         saved_flag = getattr(self, "_table_has_group_agg", False)
         self._table_has_group_agg = False
         while True:
@@ -1708,9 +1759,11 @@ class _Parser:
                 # unnamed aggregate field: { COUNT(GROUP) } — the
                 # reference generates _unnamed_... names; ours follow
                 # suit (the value compare is name-independent)
-                aggs.append(
-                    self._field_value(src).alias(f"_unnamed_{len(aggs) + 1}")
+                col_m = self._field_value(src).alias(
+                    f"_unnamed_{len(aggs) + 1}"
                 )
+                aggs.append(col_m)
+                ordered_members.append(col_m)
             else:
                 t = self.next()
                 if t.kind != "ident":
@@ -1718,17 +1771,28 @@ class _Parser:
                         f"expected field at {t.pos}, got {t.text!r}"
                     )
                 if (
+                    self._TYPE_RX.match(t.text)
+                    and self.peek().kind == "ident"
+                    and self.toks[self.i + 1].text == ":="
+                ):
+                    t = self.next()  # typed computed field: unsigned x := 0
+                if (
                     t.text in self.env
                     and self.peek().text == "."
                     and self.toks[self.i + 1].kind == "ident"
                 ):
                     # qualified member: SomeFile.Value1 — the bare field
                     self.next()
-                    bare.append(self.next().text)
+                    nm_q = self.next().text
+                    bare.append(nm_q)
+                    ordered_members.append(src[nm_q])
                 elif self.accept(":="):
-                    aggs.append(self._field_value(src).alias(t.text))
+                    col_m = self._field_value(src).alias(t.text)
+                    aggs.append(col_m)
+                    ordered_members.append(col_m)
                 else:
                     bare.append(t.text)
+                    ordered_members.append(src[t.text])
             if not (self.accept(",") or self.accept(";")):
                 break
             if self.peek().text == "}":
@@ -1786,7 +1850,12 @@ class _Parser:
                 # global aggregate (no group keys)
                 return src.agg(*aggs)
             # vertical-slice / project form: TABLE(ds, {a, b2 := expr})
-            return src.select(*[src[b] for b in bare], *aggs)
+            # — members keep their DECLARED order
+            keep = ["__ord__"] if "__ord__" in src.columns else []
+            out = src.select(*ordered_members, *keep)
+            if id(src) in self._order:
+                self._set_order(out, self._order[id(src)])
+            return out
         extra = [b for b in bare if b not in keys]
         if extra:
             raise EclSyntaxError(
@@ -1857,16 +1926,27 @@ class _Parser:
             raise EclSyntaxError(f"expected TRANSFORM at {t.pos}")
         self.expect("(")
         declared: list[str] | None = None
-        if self.accept("{"):
-            declared = []
-            while True:
-                f = self.next()
-                if f.kind != "ident":
-                    raise EclSyntaxError(f"expected field at {f.pos}")
-                declared.append(f.text)
-                if not self.accept(","):
-                    break
-            self.expect("}")
+        declared_meta: dict | None = None
+        if self.peek().text == "{":
+            # try the full typed-record grammar first (inheritance,
+            # defaults); fall back to the bare-name list
+            mark = self.i
+            try:
+                fields = self._record_fields()
+                declared = [f[0] for f in fields]
+                declared_meta = {f[0]: f for f in fields}
+            except EclSyntaxError:
+                self.i = mark
+                self.next()  # '{'
+                declared = []
+                while True:
+                    f = self.next()
+                    if f.kind != "ident":
+                        raise EclSyntaxError(f"expected field at {f.pos}")
+                    declared.append(f.text)
+                    if not self.accept(","):
+                        break
+                self.expect("}")
         elif self.peek().text == "recordof":
             self.next()
             self.expect("(")
@@ -1905,11 +1985,19 @@ class _Parser:
                 cols.append(assigned[f].alias(f))
             elif copy_rest:
                 if f not in src.columns:
+                    meta = (declared_meta or {}).get(f)
+                    if meta is not None and meta[3] is not None:
+                        cols.append(F.lit(meta[3]).alias(f))  # field default
+                        continue
                     raise EclSyntaxError(
                         f"SELF := LEFT cannot supply unknown field {f!r}"
                     )
                 cols.append(src[f])
             else:
+                meta = (declared_meta or {}).get(f)
+                if meta is not None and meta[3] is not None:
+                    cols.append(F.lit(meta[3]).alias(f))
+                    continue
                 raise EclSyntaxError(
                     f"field {f!r} not assigned and no SELF := LEFT"
                 )
@@ -1917,7 +2005,11 @@ class _Parser:
         extra = [f for f in assigned if f not in order]
         if extra:
             raise EclSyntaxError(f"assigned fields not in record: {extra}")
-        return src.select(*cols)
+        keep = ["__ord__"] if "__ord__" in src.columns else []
+        out = src.select(*cols, *keep)
+        if id(src) in self._order:  # projection preserves row order
+            self._set_order(out, self._order[id(src)])
+        return out
 
     def _normalize(self) -> DataFrame:
         """NORMALIZE(ds, LEFT.child, TRANSFORM({...}, SELF.f := ...))
@@ -1983,9 +2075,45 @@ class _Parser:
         self.expect(",")
         right = self.dataset()
         self.expect(",")
-        self._join_eq_pairs = []  # LEFT.a = RIGHT.b pairs, for LOOKUP dedup
-        cond = self._join_cond(left, right)
-        eq_pairs = self._join_eq_pairs
+        # capture the condition span: scan for LEFT.a = RIGHT.b equality
+        # pairs (LOOKUP dedup needs them), then evaluate the full
+        # condition with the general value grammar (arbitrary expressions
+        # — arithmetic, functions — resolve against the two sides)
+        cond_span = self._capture_arg_span()
+        eq_pairs = []
+        for k in range(len(cond_span) - 6):
+            w = cond_span[k : k + 7]
+            if (
+                w[0].text == "left" and w[1].text == "." and w[3].text == "="
+                and w[4].text == "right" and w[5].text == "."
+            ):
+                eq_pairs.append((w[2].text, w[6].text))
+        # pure equality-chain conditions build string-aware equality
+        # (ECL ignores trailing blanks; a plain 'string' vs a padded
+        # 'string5' key must still match — joinpresorted)
+        pure_eq = len(cond_span) == 7 * len(eq_pairs) + max(
+            0, len(eq_pairs) - 1
+        )
+        if pure_eq and eq_pairs:
+            ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+            cond = None
+            for lf, rf in eq_pairs:
+                if ldt.get(lf) == "string" and rdt.get(rf) == "string":
+                    c = F.rtrim(left[lf]) == F.rtrim(right[rf])
+                else:
+                    c = left[lf] == right[rf]
+                cond = c if cond is None else cond & c
+        else:
+            saved_jf = getattr(self, "_join_frames", None)
+            self._join_frames = (left, right)
+            saved_toks, saved_i = self.toks, self.i
+            self.toks = cond_span + [_Tok("eof", "", cond_span[-1].pos)]
+            self.i = 0
+            try:
+                cond = self.value(self._dummy())
+            finally:
+                self.toks, self.i = saved_toks, saved_i
+                self._join_frames = saved_jf
         how = "inner"
         lookup = False
         many = False
@@ -2016,6 +2144,8 @@ class _Parser:
             elif t == "hint" and self.peek().text == "(":
                 close = self._match_paren(self.i)
                 self.i = close + 1  # physical hints — Catalyst plans here
+            elif t in ("local", "nosort", "few", "many", "parallel", "grouped"):
+                pass  # placement/strategy hints — Catalyst plans here
             else:
                 raise EclSyntaxError(f"unknown JOIN option {t!r}")
         self.expect(")")
@@ -2049,8 +2179,20 @@ class _Parser:
                     raise EclSyntaxError(
                         f"JOIN TRANSFORM field {f!r} not assigned"
                     )
-            out = out.select(*cols)
-        return out
+            return out.select(*cols)
+        if how in ("left_anti", "right_anti"):
+            return out.drop("__ord__")
+        # Default (no TRANSFORM) join record: LEFT's fields, then RIGHT
+        # fields whose names LEFT doesn't have (hqlgram default join
+        # transform) — same-named fields take the LEFT side's value.
+        # Bookkeeping ordinals drop (join order is undefined).
+        lcols = [left[c] for c in left.columns if c != "__ord__"]
+        rcols = [
+            right[c]
+            for c in right.columns
+            if c not in left.columns and c != "__ord__"
+        ]
+        return out.select(*lcols, *rcols)
 
     def _join_transform(self, left: DataFrame, right: DataFrame):
         """TRANSFORM(rec | {fields}, SELF.f := expr, ..., SELF := LEFT|
@@ -2502,6 +2644,8 @@ class _Parser:
         keys: list[str] = []
         while self.accept(","):
             k = self.next()
+            if k.text in ("local", "all"):
+                continue  # placement / whole-dataset hints
             if k.kind != "ident":
                 raise EclSyntaxError(f"expected group key at {k.pos}")
             keys.append(k.text)
@@ -2712,6 +2856,26 @@ class _Parser:
         fields: list[tuple] = []
         split = None
         while True:
+            nx = self.peek()
+            if nx.kind == "ident" and (
+                nx.text in self.records
+                or (
+                    nx.text in self.env
+                    and self._ds_fields.get(id(self.env[nx.text])) is not None
+                )
+            ) and self.toks[self.i + 1].text in (",", ";", "}"):
+                # record inheritance: { d, string res := '' } pulls in
+                # all of d's fields (record/dataset name as a member)
+                self.next()
+                if nx.text in self.records:
+                    fields.extend(self.records[nx.text])
+                else:
+                    fields.extend(self._ds_fields[id(self.env[nx.text])])
+                if not (self.accept(",") or self.accept(";")):
+                    break
+                if self.peek().text == "}":
+                    break
+                continue
             fields.append(self._one_field())
             if self.accept("=>"):
                 # dictionary-shaped record ({key => value}): remember the
@@ -2827,13 +2991,26 @@ class _Parser:
                 if opt.text not in ("local", "distributed"):
                     raise EclSyntaxError(f"unknown DATASET option {opt.text!r}")
             self.expect(")")
-            missing = [f[0] for f in fields if f[0] not in assigned]
+            missing = [
+                f[0] for f in fields if f[0] not in assigned and f[3] is None
+            ]
             if missing:
                 raise EclSyntaxError(f"TRANSFORM must assign: {missing}")
-            df = base.select(
-                *[assigned[f[0]].alias(f[0]) for f in fields],
-                F.col("id").alias("__ord__"),
-            )
+            out_cols = []
+            for nm2, ty2, w2, d2 in fields:
+                if nm2 in assigned:
+                    col2 = assigned[nm2]
+                else:
+                    d2v = d2.ljust(w2) if w2 and isinstance(d2, str) else d2
+                    col2 = F.lit(d2v)
+                if w2 and ty2 == "string":
+                    col2 = F.rpad(col2.cast("string"), w2, " ")
+                elif ty2 in ("long", "double", "float", "boolean", "string"):
+                    # declared field type coerces the assigned value
+                    # (unsigned x := real-expr truncates, rtlField casts)
+                    col2 = col2.cast(ty2)
+                out_cols.append(col2.alias(nm2))
+            df = base.select(*out_cols, F.col("id").alias("__ord__"))
             self._set_order(df, [F.col("__ord__")])
             self._ds_fields[id(df)] = fields
             return df
@@ -3941,6 +4118,600 @@ class _Parser:
                 return self.scalars[t.text]
             return df[t.text]
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    # --- compiled transforms (ROLLUP / ITERATE / PROJECT folds) ---
+    # A user TRANSFORM is a per-row function; ROLLUP/ITERATE apply it as
+    # a sequential fold over adjacent rows — inherently ordered work the
+    # reference runs as one stream per node (throllupslave.cpp). The
+    # front door compiles the transform body to python closures and runs
+    # the fold EXECUTOR-side inside applyInPandas (single ordered stream,
+    # like the reference's global form; the keyed/parallel scale path is
+    # operators/transform.rollup_adjacent).
+    def _compile_pyexpr(self, params: list[str]):
+        """Compile one value expression (at the current token position)
+        to a closure ``fn(ctx) -> value`` where ctx maps param names to
+        row dicts (plus '__rows__' for group forms). Mirrors the Column
+        value grammar for the subset transforms use."""
+        return self._pyx_or(params)
+
+    def _pyx_or(self, params):
+        f = self._pyx_and(params)
+        while self.peek().text == "or":
+            self.next()
+            g = self._pyx_and(params)
+            f = (lambda a, b: lambda ctx: bool(a(ctx)) or bool(b(ctx)))(f, g)
+        return f
+
+    def _pyx_and(self, params):
+        f = self._pyx_not(params)
+        while self.peek().text == "and":
+            self.next()
+            g = self._pyx_not(params)
+            f = (lambda a, b: lambda ctx: bool(a(ctx)) and bool(b(ctx)))(f, g)
+        return f
+
+    def _pyx_not(self, params):
+        if self.peek().text == "not":
+            self.next()
+            f = self._pyx_not(params)
+            return lambda ctx: not bool(f(ctx))
+        return self._pyx_cmp(params)
+
+    def _pyx_cmp(self, params):
+        f = self._pyx_addsub(params)
+        t = self.peek().text
+        if t in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            self.next()
+            g = self._pyx_addsub(params)
+            return (
+                lambda a, b, op: lambda ctx: _py_cmp_vals(op, a(ctx), b(ctx))
+            )(f, g, t)
+        return f
+
+    def _pyx_addsub(self, params):
+        f = self._pyx_muldiv(params)
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            g = self._pyx_muldiv(params)
+
+            def mk(a, b, op):
+                def run(ctx):
+                    x, y = a(ctx), b(ctx)
+                    if op == "+" and (isinstance(x, str) or isinstance(y, str)):
+                        xs = x if isinstance(x, str) else _coerce_scalar(x, "string")
+                        ys = y if isinstance(y, str) else _coerce_scalar(y, "string")
+                        return xs + ys
+                    return x + y if op == "+" else x - y
+
+                return run
+
+            f = mk(f, g, op)
+        return f
+
+    def _pyx_muldiv(self, params):
+        f = self._pyx_unary(params)
+        while self.peek().text in ("*", "/", "%", "div"):
+            op = self.next().text
+            g = self._pyx_unary(params)
+
+            def mk(a, b, op):
+                def run(ctx):
+                    x, y = a(ctx), b(ctx)
+                    if op == "*":
+                        return x * y
+                    if y == 0:
+                        return 0  # ECL divide-by-zero default
+                    if op == "/":
+                        return x / y
+                    if op == "div":
+                        return abs(int(x)) // abs(int(y)) * (
+                            1 if (x >= 0) == (y >= 0) else -1
+                        )
+                    return int(math.fmod(int(x), int(y)))
+
+                return run
+
+            f = mk(f, g, op)
+        return f
+
+    def _pyx_unary(self, params):
+        if self.accept("-"):
+            f = self._pyx_unary(params)
+            return lambda ctx: -f(ctx)
+        return self._pyx_atom(params)
+
+    def _pyx_atom(self, params):
+        t = self.next()
+        if t.kind == "num":
+            v, _ty = _parse_num(t.text)
+            v = float(v) if isinstance(v, Decimal) else v
+            return lambda ctx: v
+        if t.kind == "str":
+            v = _unquote(t.text)
+            return lambda ctx: v
+        if t.text == "true":
+            return lambda ctx: True
+        if t.text == "false":
+            return lambda ctx: False
+        if t.text == "skip":
+
+            def do_skip(ctx):
+                raise _SkipRow()
+
+            return do_skip
+        if t.text == "if":
+            self.expect("(")
+            c = self._compile_pyexpr(params)
+            self.expect(",")
+            a = self._compile_pyexpr(params)
+            self.expect(",")
+            b = self._compile_pyexpr(params)
+            self.expect(")")
+            # lazy branches: SKIP inside the untaken branch never fires
+            return lambda ctx: a(ctx) if bool(c(ctx)) else b(ctx)
+        if (
+            t.text == "count"
+            and self.peek().text == "("
+            and self.toks[self.i + 1].text == "rows"
+        ):
+            self.next()
+            self.next()
+            self.expect("(")
+            self.next()  # the param name (LEFT)
+            self.expect(")")
+            self.expect(")")
+            return lambda ctx: len(ctx["__rows__"])
+        if t.text == "abs":
+            self.expect("(")
+            f = self._compile_pyexpr(params)
+            self.expect(")")
+            return lambda ctx: abs(f(ctx))
+        if t.text == "trim":
+            self.expect("(")
+            f = self._compile_pyexpr(params)
+            self.expect(")")
+            return lambda ctx: str(f(ctx)).rstrip()
+        if t.text == "length":
+            self.expect("(")
+            f = self._compile_pyexpr(params)
+            self.expect(")")
+            return lambda ctx: len(str(f(ctx)))
+        if t.text == "(":
+            nxt = self.peek()
+            if (
+                nxt.kind == "ident"
+                and self._TYPE_RX.match(nxt.text)
+                and self.toks[self.i + 1].text == ")"
+            ):
+                target = self.next().text
+                self.expect(")")
+                f = self._pyx_unary(params)
+                return (
+                    lambda g, ty: lambda ctx: _coerce_scalar(g(ctx), ty)
+                )(f, target)
+            f = self._compile_pyexpr(params)
+            self.expect(")")
+            return f
+        if t.text in params and self.peek().text == ".":
+            self.next()
+            field = self.next().text
+            pname = t.text
+            return lambda ctx: ctx[pname].get(field)
+        if t.kind == "ident" and t.text in self.scalars:
+            c = self._cget(self.scalars[t.text])
+            if c is not None:
+                v = c[0]
+                v = float(v) if isinstance(v, Decimal) else v
+                return lambda ctx: v
+        raise EclSyntaxError(
+            f"unsupported token {t.text!r} in compiled TRANSFORM at {t.pos}"
+        )
+
+    def _resolve_record_fields(self, rettype: str | None) -> list:
+        """Field meta [(name, spark_ty, width, default)] for a transform
+        output record named by a record def or a dataset."""
+        if rettype is None:
+            raise EclSyntaxError("TRANSFORM needs a declared output record")
+        if rettype in self.records:
+            return self.records[rettype]
+        if rettype in self.env:
+            df = self.env[rettype]
+            meta = self._ds_fields.get(id(df))
+            if meta is not None:
+                return meta
+            # derive from the frame's schema (derived datasets)
+            ty_map = {
+                "bigint": "long", "int": "long", "smallint": "long",
+                "tinyint": "long", "double": "double", "float": "float",
+                "string": "string", "boolean": "boolean",
+            }
+            out = []
+            for name, dtype in df.dtypes:
+                if name == "__ord__":
+                    continue
+                out.append((name, ty_map.get(dtype, dtype), None, None))
+            return out
+        raise EclSyntaxError(f"unknown TRANSFORM output record {rettype!r}")
+
+    def _compile_transform_tokens(
+        self, body: list[_Tok], params: list[str], out_fields: list
+    ):
+        """Compile a TRANSFORM body (assignment list) to fn(ctx)->dict.
+        SELF.f := expr assignments evaluate in order (a SKIP in any of
+        them skips the row); SELF := <param> fills unassigned fields;
+        remaining fields take their declared default or type zero."""
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = body + [_Tok("eof", "", body[-1].pos if body else 0)]
+        self.i = 0
+        assigns: list[tuple[str, object]] = []
+        copy_param: str | None = None
+        try:
+            while self.peek().kind != "eof":
+                if self.accept(";") or self.accept(","):
+                    continue
+                st = self.next()
+                if st.text != "self":
+                    raise EclSyntaxError(
+                        f"expected SELF in TRANSFORM at {st.pos}"
+                    )
+                if self.accept("."):
+                    fname = self.next().text
+                    self.expect(":=")
+                    assigns.append((fname, self._compile_pyexpr(params)))
+                else:
+                    self.expect(":=")
+                    cp = self.next()
+                    if cp.text not in params:
+                        raise EclSyntaxError(
+                            f"SELF := {cp.text} is not a TRANSFORM parameter"
+                        )
+                    copy_param = cp.text
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+
+        meta = {f[0]: f for f in out_fields}
+
+        def coerce_field(f, v):
+            _nm, ty, width, _d = meta[f]
+            if v is None:
+                return None
+            if ty == "long":
+                return int(v)
+            if ty in ("double", "float"):
+                return float(v)
+            if ty == "boolean":
+                return bool(v)
+            if ty == "string" or ty.startswith("decimal"):
+                if ty == "string":
+                    s = v if isinstance(v, str) else _coerce_scalar(v, "string")
+                    return s.ljust(width) if width else s
+                return Decimal(str(v))
+            return v
+
+        field_order = [f[0] for f in out_fields]
+
+        def apply(ctx: dict) -> dict:
+            out = {}
+            for fname, fn in assigns:
+                out[fname] = fn(ctx)  # may raise _SkipRow
+            for f in field_order:
+                if f in out:
+                    out[f] = coerce_field(f, out[f])
+                elif copy_param is not None and f in ctx[copy_param]:
+                    out[f] = ctx[copy_param][f]
+                else:
+                    _nm, ty, width, dflt = meta[f]
+                    if dflt is not None:
+                        out[f] = coerce_field(f, dflt)
+                    elif ty == "long":
+                        out[f] = 0
+                    elif ty in ("double", "float"):
+                        out[f] = 0.0
+                    elif ty == "boolean":
+                        out[f] = False
+                    else:
+                        out[f] = " " * width if width else ""
+            return {f: out[f] for f in field_order}
+
+        return apply
+
+    def _fold_schema(self, out_fields: list) -> str:
+        return (
+            ", ".join(f"{n} {ty}" for n, ty, _w, _d in out_fields)
+            + ", __ord__ long"
+        )
+
+    def _run_fold(
+        self,
+        src: DataFrame,
+        out_fields: list,
+        fold_pdf,
+    ) -> DataFrame:
+        """Run a sequential fold over the ordered input, executor-side:
+        one applyInPandas group carries the whole stream (the reference's
+        global ROLLUP/ITERATE is the same single sequential stream per
+        node — throllupslave/thiterateslave)."""
+        import pandas as pd  # noqa: F401
+
+        order = self._order.get(id(src))
+        if order is None:
+            raise EclSyntaxError(
+                "ROLLUP/ITERATE need an ordered input (SORT or inline "
+                "dataset): adjacency is undefined otherwise"
+            )
+        if "__ord__" not in src.columns:
+            from pyspark.sql.window import Window
+
+            src = src.withColumn(
+                "__ord__", F.row_number().over(Window.orderBy(*order))
+            )
+        schema = self._fold_schema(out_fields)
+        out = src.groupBy(F.lit(1).alias("__g__")).applyInPandas(
+            lambda _k, pdf: fold_pdf(pdf), schema=schema
+        )
+        self._set_order(out, [F.col("__ord__")])
+        self._ds_fields[id(out)] = out_fields
+        return out
+
+    def _parse_transform_ref(self, n_params: int):
+        """At a ROLLUP/ITERATE/PROJECT argument position: either a named
+        transform reference t(LEFT[, RIGHT]) or an inline TRANSFORM({rec}
+        | rec, assignments). Returns (body_tokens, param_names,
+        out_fields)."""
+        t = self.peek()
+        if (
+            t.kind == "ident"
+            and t.text in self.functions
+            and self.functions[t.text].get("transform")
+        ):
+            fn = self.functions[self.next().text]
+            self.expect("(")
+            roles = [self.next().text]  # LEFT
+            while self.accept(","):
+                nxt = self.next()
+                if nxt.text == "rows":  # ROWS(LEFT) group form
+                    self.expect("(")
+                    self.next()
+                    self.expect(")")
+                    roles.append("__rows__")
+                else:
+                    roles.append(nxt.text)
+            self.expect(")")
+            params = [p[0] for p in fn["params"]]
+            out_fields = self._resolve_record_fields(fn.get("rettype"))
+            return fn["body"], params, out_fields, roles
+        if t.text == "transform":
+            self.next()
+            self.expect("(")
+            if self.peek().text == "{":
+                out_fields = self._record_fields()
+            elif self.peek().kind == "ident":
+                out_fields = self._resolve_record_fields(self.next().text)
+            else:
+                raise EclSyntaxError(
+                    f"expected record in TRANSFORM at {self.peek().pos}"
+                )
+            # body = tokens from here to the transform's closing paren;
+            # the closing paren itself is consumed
+            depth = 0
+            j = self.i
+            while j < len(self.toks):
+                tx = self.toks[j].text
+                if tx == "(":
+                    depth += 1
+                elif tx == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                j += 1
+            body = list(self.toks[self.i : j])
+            self.i = j + 1
+            roles = ["left", "right"][:n_params]
+            return body, roles, out_fields, roles
+        raise EclSyntaxError(
+            f"expected TRANSFORM or named transform at {t.pos}"
+        )
+
+    def _rollup(self) -> DataFrame:
+        """ROLLUP forms (TAKrollup :894 / TAKrollupgroup :983):
+        ROLLUP(ds, cond, t(LEFT,RIGHT)), ROLLUP(ds, t(LEFT,RIGHT),
+        key... [, LOCAL]) and ROLLUP(grouped, GROUP, t(...)). Adjacent
+        matching rows fold through the transform; a SKIP raised inside
+        the transform discards the RIGHT row and keeps the accumulator
+        (pinned by the rollup1 key)."""
+        import pandas as pd
+
+        self.expect("rollup")
+        self.expect("(")
+        src = self.dataset()
+        self.expect(",")
+        group_form = False
+        cond_fn = None
+        key_fields: list[str] = []
+        if self.peek().text == "group":
+            self.next()
+            group_form = True
+            self.expect(",")
+            body, params, out_fields, roles = self._parse_transform_ref(1)
+        elif (
+            self.peek().kind == "ident"
+            and self.peek().text in self.functions
+            and self.functions[self.peek().text].get("transform")
+        ) or self.peek().text == "transform":
+            body, params, out_fields, roles = self._parse_transform_ref(2)
+            # remaining args: key fields / cond expr / LOCAL
+            while self.accept(","):
+                if self.peek().text == "local":
+                    self.next()
+                elif (
+                    self.peek().kind == "ident"
+                    and self.peek().text in src.columns
+                    and self.toks[self.i + 1].text in (",", ")")
+                ):
+                    key_fields.append(self.next().text)
+                else:
+                    cond_fn = self._compile_pyexpr(["left", "right"])
+        else:
+            cond_fn = self._compile_pyexpr(["left", "right"])
+            self.expect(",")
+            body, params, out_fields, roles = self._parse_transform_ref(2)
+            while self.accept(","):
+                if self.peek().text == "local":
+                    self.next()
+                else:
+                    key_fields.append(self.next().text)
+        self.expect(")")
+        tf = self._compile_transform_tokens(body, params, out_fields)
+
+        if group_form:
+            gkeys = self._grouped.get(id(src))
+            if gkeys is None:
+                raise EclSyntaxError("ROLLUP(ds, GROUP, ...) needs a GROUPed input")
+            p0 = params[0] if params else "left"
+
+            def fold_group(pdf):
+                pdf = pdf.sort_values("__ord__")
+                rows = pdf.to_dict("records")
+                if not rows:
+                    return pd.DataFrame()
+                ctx = {p0: rows[0], "__rows__": rows}
+                try:
+                    out = tf(ctx)
+                except _SkipRow:
+                    return pd.DataFrame()
+                out["__ord__"] = rows[0]["__ord__"]
+                return pd.DataFrame([out])
+
+            order = self._order.get(id(src))
+            if order is None:
+                raise EclSyntaxError("ROLLUP GROUP needs an ordered input")
+            schema = self._fold_schema(out_fields)
+            out = src.groupBy(*gkeys).applyInPandas(
+                lambda _k, pdf: fold_group(pdf), schema=schema
+            )
+            self._set_order(out, [F.col("__ord__")])
+            self._ds_fields[id(out)] = out_fields
+            return out
+
+        if cond_fn is None and key_fields:
+            kf = list(key_fields)
+
+            def cond_fn(ctx, _kf=kf):
+                return all(
+                    _py_cmp_vals("=", ctx["left"][k], ctx["right"][k])
+                    for k in _kf
+                )
+
+        if cond_fn is None:
+            raise EclSyntaxError("ROLLUP needs a condition or key fields")
+        p_map = params  # positional: params[0] <- acc, params[1] <- next
+
+        def fold(pdf):
+            pdf = pdf.sort_values("__ord__")
+            rows = pdf.to_dict("records")
+            if not rows:
+                return pd.DataFrame()
+            out_rows = []
+            acc = dict(rows[0])
+            for r in rows[1:]:
+                if cond_fn({"left": acc, "right": r}):
+                    ctx = {"left": acc, "right": r}
+                    if len(p_map) >= 2:
+                        ctx[p_map[0]] = acc
+                        ctx[p_map[1]] = r
+                    try:
+                        new = tf(ctx)
+                        new["__ord__"] = acc.get("__ord__", 0)
+                        acc = new
+                    except _SkipRow:
+                        pass  # RIGHT discarded, accumulator unchanged
+                else:
+                    out_rows.append(acc)
+                    acc = dict(r)
+            out_rows.append(acc)
+            return pd.DataFrame(out_rows)
+
+        return self._run_fold(src, out_fields, lambda pdf: fold(pdf))
+
+    def _trace(self) -> DataFrame:
+        """TRACE(ds [, filter] [, KEEP(n)|SKIP(n)|SAMPLE(n)|NAMED(..)])
+        (TAKtrace; thorlcr trace activity): writes sampled rows to the
+        component LOG and passes the dataset through UNCHANGED — the
+        options shape the tracing, never the data."""
+        self.expect("trace")
+        self.expect("(")
+        df = self.dataset()
+        while self.accept(","):
+            t = self.peek()
+            if t.text in ("keep", "skip", "sample", "named") and (
+                self.toks[self.i + 1].text == "("
+            ):
+                self.next()
+                close = self._match_paren(self.i)
+                self.i = close + 1
+            else:
+                self.value(df)  # trace filter — parsed, tracing-only
+        self.expect(")")
+        out = df.select("*")
+        if id(df) in self._order:
+            self._set_order(out, self._order[id(df)])
+        if id(df) in self._grouped:
+            self._set_grouped(out, self._grouped[id(df)])
+        return out
+
+    def _iterate(self) -> DataFrame:
+        """ITERATE(ds, t(LEFT, RIGHT)) (TAKiterate :895): running
+        transform — row i emits t(previous OUTPUT row, row i); the first
+        LEFT is an all-defaults blank row."""
+        import pandas as pd
+
+        self.expect("iterate")
+        self.expect("(")
+        src = self.dataset()
+        self.expect(",")
+        body, params, out_fields, _roles = self._parse_transform_ref(2)
+        while self.accept(","):
+            if self.next().text != "local":
+                raise EclSyntaxError("unknown ITERATE option")
+        self.expect(")")
+        tf = self._compile_transform_tokens(body, params, out_fields)
+        meta = list(out_fields)
+
+        def blank_row():
+            row = {}
+            for nm, ty, width, dflt in meta:
+                if dflt is not None:
+                    row[nm] = dflt
+                elif ty == "long":
+                    row[nm] = 0
+                elif ty in ("double", "float"):
+                    row[nm] = 0.0
+                elif ty == "boolean":
+                    row[nm] = False
+                else:
+                    row[nm] = " " * width if width else ""
+            return row
+
+        def fold(pdf):
+            pdf = pdf.sort_values("__ord__")
+            rows = pdf.to_dict("records")
+            out_rows = []
+            acc = blank_row()
+            for r in rows:
+                ctx = {"left": acc, "right": r}
+                if len(params) >= 2:
+                    ctx[params[0]] = acc
+                    ctx[params[1]] = r
+                try:
+                    new = tf(ctx)
+                    new["__ord__"] = r["__ord__"]
+                    out_rows.append(new)
+                    acc = new
+                except _SkipRow:
+                    continue
+            return pd.DataFrame(out_rows) if out_rows else pd.DataFrame()
+
+        return self._run_fold(src, out_fields, fold)
 
     def _std_uni_call(self, df) -> Column:
         """STD.Uni.* constant subset: CompareAtStrength (Uni.ecl:193,

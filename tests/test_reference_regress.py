@@ -38,6 +38,10 @@ VERBATIM = [
     # definitions, grouped DEDUP/TABLE, HAVING over ROWS(LEFT)
     "manylookup", "joinemptylhs", "casestmt", "decimalfilter",
     "storeset1", "grouphashdedup", "filtergroup",
+    # compiled-TRANSFORM folds (ROLLUP/ITERATE/PROJECT with user
+    # transforms, SKIP semantics), TRACE, default join records
+    "rollup1", "issue2978", "countgrouprollup", "trace",
+    "joinpresorted", "lookupjoinall", "lightweightjoin",
 ]
 
 
