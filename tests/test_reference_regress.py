@@ -42,6 +42,9 @@ VERBATIM = [
     # transforms, SKIP semantics), TRACE, default join records
     "rollup1", "issue2978", "countgrouprollup", "trace",
     "joinpresorted", "lookupjoinall", "lightweightjoin",
+    # sweep finds: BCD decimals, MAP, IF-dependency chains, %.16g reals
+    "bcd4", "grouphashdedup2", "ifdepend1", "ifdepend2", "map", "power",
+    "resetsplitter", "workflow_12",
 ]
 
 
