@@ -93,6 +93,12 @@ def _coerce_scalar(v, ty: str):
             s = format(v.normalize(), "f")
         elif isinstance(v, float):
             s = _fmt_real(v)
+            if width is not None:
+                # (stringN)real: integer digits that cannot fit fill
+                # with '*'; otherwise the rendering truncates to the
+                # width (issue10882 key)
+                if len(s.split(".")[0]) > width:
+                    return "*" * width
         else:
             s = str(v)
         if width is not None and base in ("string", "qstring"):
@@ -250,7 +256,7 @@ def _is_numeric_ty(ty: str) -> bool:
 _TOKEN_RX = re.compile(
     r"""
     (?P<ws>\s+|//[^\n]*|/\*(?s:.*?)\*/
-        |\#(?i:option|onwarning|workunit|stored|constant|debug)\b[^;\n]*;?)
+        |\#(?i:option|onwarning|workunit|debug)\b[^;\n]*;?)
   | (?P<num>0[xX][0-9A-Fa-f]+            # hex
             |0[bB][01]+                   # binary
             |[0-9A-Fa-f]+[xX](?![0-9A-Za-z_])   # hex, x-suffix form (41x)
@@ -344,6 +350,15 @@ class _Parser:
         self.action_defs: dict[str, list] = {}
         # MODULE definitions — name -> {member: span | nested dict}
         self.modules: dict[str, dict] = {}
+        # #STORED('name', v) directive values, picked up by ': stored'
+        self._stored_overrides: dict[str, object] = {}
+        # ECL decimals carry up to 32 digits (DECIMAL48_32 in regress);
+        # widen python's Decimal context so folding never rounds below
+        # the reference's precision
+        import decimal as _dec
+
+        if _dec.getcontext().prec < 64:
+            _dec.getcontext().prec = 64
         # named (EXTEND) results: name -> accumulated frame + append seq
         self.named_results: dict[str, DataFrame] = {}
         self._named_seq: dict[str, int] = {}
@@ -563,7 +578,16 @@ class _Parser:
             return spark.createDataFrame([(float(v),)], f"{alias} double")
         if base in ("decimal", "udecimal"):
             d = v if isinstance(v, Decimal) else Decimal(str(v))
-            return spark.createDataFrame([(d,)], f"{alias} decimal(38,18)")
+            digits = len(d.as_tuple().digits)
+            if digits <= 38 and -d.as_tuple().exponent <= 18:
+                return spark.createDataFrame(
+                    [(d,)], f"{alias} decimal(38,18)"
+                )
+            # beyond Spark's decimal(38) capacity: the rendered text IS
+            # the value (the compare is textual)
+            return spark.createDataFrame(
+                [(format(d.normalize(), "f"),)], f"{alias} string"
+            )
         if base in _INT_BASES:
             n = int(v)
             if 0 <= n < 2**63 or (base == "integer" and -(2**63) <= n < 2**63):
@@ -742,6 +766,19 @@ class _Parser:
             if self.accept(";"):  # stray empty statement
                 continue
             t = self.peek()
+            if t.kind == "directive" and t.text in ("#stored", "#constant"):
+                # #STORED('name', value): the externally supplied value a
+                # ': stored(name)' definition picks up (wutools stored
+                # overrides)
+                self.next()
+                self.expect("(")
+                nm = self.next()
+                self.expect(",")
+                v = self._literal()
+                self.expect(")")
+                self.accept(";")
+                self._stored_overrides[_unquote(nm.text).lower()] = v
+                continue
             if t.text == "import":
                 # IMPORT resolves module scopes in the reference's
                 # multi-file layout; this single-file front door binds
@@ -1508,8 +1545,42 @@ class _Parser:
                         raise EclSyntaxError("PERSIST applies to datasets")
                     if self.persist_cache is not None:
                         df = self.persist_cache.persist(df, pname.text[1:-1])
-                elif kw.text in ("stored", "global", "independent", "once"):
-                    if self.accept("("):  # optional args: stored name, few/many
+                elif kw.text == "stored" and self.peek().text == "(":
+                    # : STORED('name') — an externally supplied value
+                    # (#STORED directive) overrides the default
+                    self.next()
+                    snm = self.next()
+                    sname = (
+                        _unquote(snm.text).lower()
+                        if snm.kind == "str"
+                        else snm.text
+                    )
+                    depth = 0
+                    while not (depth == 0 and self.peek().text == ")"):
+                        tk = self.next()  # FORMAT/fieldwidth etc. args
+                        if tk.kind == "eof":
+                            raise EclSyntaxError("unclosed STORED annotation")
+                        depth += tk.text == "("
+                        depth -= tk.text == ")"
+                    self.expect(")")
+                    if sname in self._stored_overrides and kind == "scalar":
+                        ov = self._stored_overrides[sname]
+                        ty_guess = (
+                            decl_ty
+                            if decl_ty is not None
+                            else "string"
+                            if isinstance(ov, str)
+                            else "boolean"
+                            if isinstance(ov, bool)
+                            else "real"
+                            if isinstance(ov, float)
+                            else "integer"
+                        )
+                        self.scalars[name.text] = self._mkconst(
+                            self._coerce_const(ov, ty_guess), ty_guess
+                        )
+                elif kw.text in ("global", "independent", "once"):
+                    if self.accept("("):  # optional args: few/many
                         depth = 1
                         while depth:
                             t = self.next()
@@ -2309,6 +2380,36 @@ class _Parser:
         self.expect(",")
         keys = self._sort_keys(df)
         self.expect(")")
+        gkeys = self._grouped.get(id(df))
+        if gkeys is not None:
+            # SORT over a GROUPed input sorts WITHIN each group; groups
+            # keep their stream position (tsortslave grouped contract —
+            # pinned by testing/regress/ecl/group.ecl)
+            from pyspark.sql.window import Window
+
+            order = self._order.get(id(df))
+            if order is None:
+                raise EclSyntaxError(
+                    "grouped SORT needs a tracked input order (SORT or "
+                    "inline dataset upstream)"
+                )
+            gkey = F.struct(*[F.col(k) for k in gkeys])
+            w_all = Window.orderBy(*order)
+            w_key = Window.partitionBy(gkey).orderBy(*order)
+            tmp = df.withColumn("__rn__", F.row_number().over(w_all))
+            tmp = tmp.withColumn(
+                "__run__", F.col("__rn__") - F.row_number().over(w_key)
+            )
+            w_run = Window.partitionBy(gkey, "__run__")
+            tmp = tmp.withColumn("__gpos__", F.min("__rn__").over(w_run))
+            rn2 = F.row_number().over(Window.orderBy(F.col("__gpos__"), *keys))
+            keep = [c for c in df.columns if c != "__ord__"]
+            out = tmp.withColumn("__neword__", rn2).select(
+                *keep, F.col("__neword__").alias("__ord__")
+            )
+            self._set_order(out, [F.col("__ord__")])
+            self._set_grouped(out, gkeys)
+            return out
         out = df.orderBy(*keys)
         self._set_order(out, keys)
         return out
@@ -3629,17 +3730,35 @@ class _Parser:
             return F.pow(a, b)
         if t.text == "realformat" and self.peek().text == "(":
             # REALFORMAT(x, width, decimals) (eclrtl rtlRealFormat):
-            # right-justified fixed-point rendering
+            # right-justified fixed-point; a value that cannot fit fills
+            # with '*'. The 2-argument width-only form truncates the
+            # natural rendering to the width, right-padded
+            # (issue10882 key).
             self.next()
             x = self.value(df)
             self.expect(",")
             w = int(self._cget(self.value(df))[0])
-            self.expect(",")
-            d = int(self._cget(self.value(df))[0])
+            d = None
+            if self.accept(","):
+                d = int(self._cget(self.value(df))[0])
             self.expect(")")
             cx = self._cget(x)
             if cx is not None:
-                return self._mkconst("%*.*f" % (w, d, float(cx[0])), "string")
+                v = float(cx[0])
+                if d is None:
+                    s2 = _fmt_real(v)
+                    if s2.endswith(".0"):
+                        s2 = s2[:-2] + "."
+                    intpart = s2.split(".")[0]
+                    if len(intpart) > w:
+                        return self._mkconst("*" * w, "string")
+                    return self._mkconst(s2[:w].ljust(w), "string")
+                s2 = "%*.*f" % (w, d, v)
+                if len(s2) > w:
+                    return self._mkconst("*" * w, "string")
+                return self._mkconst(s2, "string")
+            if d is None:
+                raise EclSyntaxError("REALFORMAT width-only needs a constant")
             return F.lpad(F.format_number(x.cast("double"), d), w, " ")
         if t.text == "intformat" and self.peek().text == "(":
             # INTFORMAT(x, width, mode) — mode 1 zero-pads

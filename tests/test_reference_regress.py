@@ -45,6 +45,9 @@ VERBATIM = [
     # sweep finds: BCD decimals, MAP, IF-dependency chains, %.16g reals
     "bcd4", "grouphashdedup2", "ifdepend1", "ifdepend2", "map", "power",
     "resetsplitter", "workflow_12",
+    # grouped SORT within runs, (stringN)real casts, #STORED overrides,
+    # beyond-38-digit decimals
+    "group", "issue10882", "constant2", "decimalOutput",
 ]
 
 
