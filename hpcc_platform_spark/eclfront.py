@@ -352,6 +352,8 @@ class _Parser:
         self.modules: dict[str, dict] = {}
         # #STORED('name', v) directive values, picked up by ': stored'
         self._stored_overrides: dict[str, object] = {}
+        # named logical files written by OUTPUT(ds,,'name')
+        self.files: dict[str, DataFrame] = {}
         # ECL decimals carry up to 32 digits (DECIMAL48_32 in regress);
         # widen python's Decimal context so folding never rounds below
         # the reference's precision
@@ -838,6 +840,7 @@ class _Parser:
         df = self._output_arg()
         named = None
         extend = False
+        file_write = False
         while self.accept(","):
             if self.peek().text == ",":
                 continue  # empty positional slot: OUTPUT(ds,,NAMED(...))
@@ -854,7 +857,14 @@ class _Parser:
             elif self.peek().text == "extend":
                 self.next()
                 extend = True
-            elif self.peek().text in ("thor", "all", "overwrite"):
+            elif self.peek().kind == "str":
+                # OUTPUT(ds,,'name') — write to a named logical file;
+                # the numbered result is empty (the rows went to the
+                # file), and later DATASET('name', rec, THOR) reads it
+                fname = _unquote(self.next().text).lower()
+                self.files[fname] = df
+                file_write = True
+            elif self.peek().text in ("thor", "all", "overwrite", "compressed"):
                 # storage-placement options — no-ops on a lazily planned
                 # engine
                 self.next()
@@ -874,6 +884,10 @@ class _Parser:
                 self.named_results[named] = tagged
                 self.actions.append(("named", named))
             self._named_seq[named] = seq + 1
+            return
+        if file_write:
+            # the write consumes the rows; the numbered result is empty
+            self.actions.append(self._clean(df).limit(0))
             return
         self.actions.append(self._finalize(df))
 
@@ -1713,6 +1727,50 @@ class _Parser:
             self.next()
             df = self.dataset()
             self.expect(")")
+        elif (
+            t.kind == "ident"
+            and t.text in self.env
+            and self.toks[self.i + 1].text == "."
+            and self.toks[self.i + 2].kind == "ident"
+        ):
+            # parent.childfield — flatten the nested child dataset into
+            # one stream (all children across parents, in parent order):
+            # posexplode keeps the reference's file order
+            self.next()
+            parent = self.env[t.text]
+            if isinstance(parent, _WuRef):
+                parent = self._resolve_wu(parent)
+            self.next()  # '.'
+            fld = self.next().text
+            meta = self._ds_fields.get(id(parent)) or []
+            child_meta = None
+            for nm2, ty2, _w2, d2 in meta:
+                if nm2 == fld and isinstance(d2, tuple) and d2[0] == "__child__":
+                    child_meta = d2[1]
+            if fld not in parent.columns or not str(
+                dict(parent.dtypes).get(fld, "")
+            ).startswith("array"):
+                raise EclSyntaxError(
+                    f"{t.text}.{fld} is not a child dataset field at {t.pos}"
+                )
+            base_ord = (
+                F.col("__ord__")
+                if "__ord__" in parent.columns
+                else F.monotonically_increasing_id()
+            )
+            ex = parent.select(
+                base_ord.alias("__pord__"),
+                F.posexplode(F.col(fld)).alias("__pos__", "__child__"),
+            )
+            df = ex.select(
+                F.col("__child__.*"),
+                (F.col("__pord__") * F.lit(1_000_000) + F.col("__pos__")).alias(
+                    "__ord__"
+                ),
+            )
+            self._set_order(df, [F.col("__ord__")])
+            if child_meta is not None:
+                self._ds_fields[id(df)] = child_meta
         elif t.kind == "ident":
             self.next()
             if t.text in self.functions and self.peek().text == "(":
@@ -2910,8 +2968,30 @@ class _Parser:
         """``type name`` → (name, spark_type, fixed_width|None). A digit
         suffix on a string type (string20) is its FIXED width — values
         pad with trailing spaces, exactly as the reference stores and
-        prints them (rtlField string semantics)."""
+        prints them (rtlField string semantics). DATASET(rec) members
+        declare nested child datasets (array<struct> columns)."""
         ty = self.next()
+        if ty.text == "dataset" and self.peek().text == "(":
+            # child dataset member: DATASET(recname) fieldname
+            self.next()
+            rec = self.next()
+            child_fields = (
+                self.records[rec.text]
+                if rec.text in self.records
+                else None
+            )
+            if child_fields is None:
+                raise EclSyntaxError(
+                    f"unknown child record {rec.text!r} at {rec.pos}"
+                )
+            self.expect(")")
+            nm = self.next()
+            if nm.kind != "ident":
+                raise EclSyntaxError(f"expected field name at {nm.pos}")
+            inner = ", ".join(
+                f"{n}: {t}" for n, t, _w, _d in child_fields
+            )
+            return nm.text, f"array<struct<{inner}>>", None, ("__child__", child_fields)
         m = self._TYPE_RX.match(ty.text)
         if not m:
             raise EclSyntaxError(f"expected field type at {ty.pos}, got {ty.text!r}")
@@ -3054,6 +3134,22 @@ class _Parser:
         the literal order; user-visible results drop it."""
         self.expect("dataset")
         self.expect("(")
+        if self.peek().kind == "str":
+            # DATASET('logicalname', rec, THOR) — read a named file
+            fname = _unquote(self.next().text).lower()
+            self.expect(",")
+            fields = self._record_fields()
+            while self.accept(","):
+                self.next()  # THOR/FLAT/CSV format token
+            self.expect(")")
+            if fname not in self.files:
+                raise EclSyntaxError(f"unknown logical file {fname!r}")
+            df = self.files[fname]
+            out = df.select("*")
+            if id(df) in self._order:
+                self._set_order(out, self._order[id(df)])
+            self._ds_fields[id(out)] = fields
+            return out
         if self.peek().text != "[" and self.peek().text != "workunit":
             # generated form: DATASET(n, TRANSFORM({rec}, SELF.f :=
             # f(COUNTER)) [, LOCAL|DISTRIBUTED]) (no_dataset_from_transform
@@ -3131,9 +3227,9 @@ class _Parser:
         if not self.accept("]"):
             while True:
                 if self.accept("{"):
-                    vals = [self._literal()]
+                    vals = [self._row_value()]
                     while self.accept(",") or self.accept("=>"):
-                        vals.append(self._literal())
+                        vals.append(self._row_value())
                     self.expect("}")
                     rows.append(tuple(vals))
                 else:
@@ -3159,7 +3255,28 @@ class _Parser:
                     "(omitted fields need declared defaults)"
                 )
 
-        def coerce(v, ty, width):
+        def coerce(v, ty, width, dflt=None):
+            if (
+                isinstance(dflt, tuple)
+                and len(dflt) == 2
+                and dflt[0] == "__child__"
+            ):
+                # nested child rows: coerce each against the child record
+                child_fields = dflt[1]
+                if isinstance(v, tuple) and v and v[0] == "__child__":
+                    v = []  # omitted child field: empty list
+                out_rows = []
+                for cr in v or []:
+                    cr = tuple(cr) + tuple(
+                        cd for _n, _t, _w, cd in child_fields[len(cr):]
+                    )
+                    out_rows.append(
+                        tuple(
+                            coerce(cv, cty, cw)
+                            for cv, (_n, cty, cw, _d) in zip(cr, child_fields)
+                        )
+                    )
+                return out_rows
             if ty.startswith("decimal("):
                 return Decimal(str(v))
             if ty in ("double", "float") and isinstance(v, (int, str)):
@@ -3174,8 +3291,8 @@ class _Parser:
 
         data = [
             tuple(
-                coerce(v, ty, w)
-                for v, (_, ty, w, _) in zip(
+                coerce(v, ty, w, d)
+                for v, (_, ty, w, d) in zip(
                     tuple(r) + tuple(d for _, _, _, d in fields[len(r):]),
                     fields,
                 )
@@ -3197,6 +3314,26 @@ class _Parser:
             return self._resolve_named(ref.name)
         schema = ", ".join(f"{n} {ty}" for n, ty, _w, _d in ref.fields)
         return self.spark().createDataFrame([], schema)
+
+    def _row_value(self):
+        """One value inside an inline-dataset row: a literal or a
+        nested child-dataset list [{...}, ...]."""
+        if self.peek().text == "[":
+            self.next()
+            items = []
+            if not self.accept("]"):
+                while True:
+                    self.expect("{")
+                    sub = [self._row_value()]
+                    while self.accept(",") or self.accept("=>"):
+                        sub.append(self._row_value())
+                    self.expect("}")
+                    items.append(tuple(sub))
+                    if not self.accept(","):
+                        break
+                self.expect("]")
+            return items
+        return self._literal()
 
     def _dict_record(self):
         """DICTIONARY record: { [type] key [, ...] => [type] value
@@ -3923,6 +4060,17 @@ class _Parser:
             self.expect(")")
             agg = {"sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg}[t.text]
             return agg(e).over(self._having_win)
+        if t.text in ("sum", "count", "min", "max", "ave", "exists") and (
+            self.peek().text == "("
+        ):
+            # per-row CHILD-dataset aggregate first (correlated form —
+            # array higher-order functions); falls back to the global
+            # dataset-aggregate path below
+            mark = self.i
+            try:
+                return self._child_agg(t.text, df)
+            except EclSyntaxError:
+                self.i = mark
         if t.text in ("sum", "count", "min", "max", "ave") and (
             self.peek().text == "(" and self._at_dataset_start(self.i + 1)
         ):
@@ -4425,6 +4573,128 @@ class _Parser:
         raise EclSyntaxError(
             f"unsupported token {t.text!r} in compiled TRANSFORM at {t.pos}"
         )
+
+    # --- per-row child-dataset expressions (correlated aggregates) ---
+    # COUNT(DEDUP(occupants, surname, ALL)) inside a TABLE over the
+    # parent lowers to JVM array higher-order functions (size /
+    # array_distinct / filter / transform / aggregate) — per-row child
+    # work stays inside whole-stage codegen, never a correlated join
+    # (the reference compiles these as child queries, hqlsource child
+    # dataset activities).
+    def _child_field_names(self, df) -> dict:
+        meta = self._ds_fields.get(id(df)) or []
+        return {
+            nm: d[1]
+            for nm, _ty, _w, d in meta
+            if isinstance(d, tuple) and len(d) == 2 and d[0] == "__child__"
+        }
+
+    def _child_agg(self, fn: str, df) -> Column:
+        """fn is count/sum/min/max/ave/exists; at '(' of the call."""
+        self.expect("(")
+        arr, fields = self._child_expr(df)
+        if fn == "count":
+            self.expect(")")
+            return F.size(arr).cast("long")
+        if fn == "exists":
+            self.expect(")")
+            return F.size(arr) > 0
+        self.expect(",")
+        fld = self.next().text
+        self.expect(")")
+        vals = F.transform(arr, lambda x: x[fld])
+        if fn == "sum":
+            return F.aggregate(
+                vals, F.lit(0).cast("double"), lambda a, b: a + b
+            )
+        if fn == "ave":
+            return F.aggregate(
+                vals, F.lit(0).cast("double"), lambda a, b: a + b
+            ) / F.size(arr)
+        if fn == "min":
+            return F.array_min(vals)
+        return F.array_max(vals)
+
+    def _child_expr(self, df):
+        """A child-dataset expression: child field, postfix filter,
+        DEDUP(child, keys, ALL). Returns (array Column, child fields)."""
+        t = self.next()
+        if t.text == "dedup" and self.peek().text == "(":
+            self.next()
+            arr, fields = self._child_expr(df)
+            keys: list[str] = []
+            while self.accept(","):
+                k = self.next()
+                if k.text in ("all", "local", "hash"):
+                    continue
+                keys.append(k.text)
+            self.expect(")")
+            tymap = {nm: ty for nm, ty, _w, _d in fields}
+            if keys:
+                def key_struct(x):
+                    cols = []
+                    for k in keys:
+                        c = x[k]
+                        if tymap.get(k) == "string":
+                            c = F.rtrim(c)  # blank-insensitive key
+                        cols.append(c.alias(k))
+                    return F.struct(*cols)
+
+                arr = F.array_distinct(F.transform(arr, key_struct))
+                fields = [f for f in fields if f[0] in keys]
+            else:
+                arr = F.array_distinct(arr)
+            return arr, fields
+        kids = self._child_field_names(df) if df is not None else {}
+        if t.kind == "ident" and t.text in kids:
+            arr = df[t.text]
+            fields = kids[t.text]
+            while self.peek().text == "(":
+                # postfix element filter: occupants(age != 0)
+                self.next()
+                span: list[_Tok] = []
+                depth = 0
+                while not (depth == 0 and self.peek().text == ")"):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated child filter")
+                    depth += tk.text == "("
+                    depth -= tk.text == ")"
+                    span.append(tk)
+                self.next()  # ')'
+                fieldnames = [f[0] for f in fields]
+
+                def _mk_filter(span_l, fnames):
+                    # single-arg closure: pyspark dispatches on arity
+                    def one(x):
+                        return self._eval_elem_cond(span_l, x, fnames)
+
+                    return one
+
+                arr = F.filter(arr, _mk_filter(list(span), fieldnames))
+            return arr, fields
+        raise EclSyntaxError(
+            f"not a child-dataset expression at {t.pos}: {t.text!r}"
+        )
+
+    def _eval_elem_cond(self, span: list[_Tok], elem, fieldnames: list) -> Column:
+        """Evaluate a filter condition over one array element (the x of
+        F.filter's lambda) by re-parsing the span with element-resolved
+        field references."""
+
+        class _ElemCtx:
+            columns = fieldnames
+
+            def __getitem__(self, name):
+                return elem[name]
+
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = span + [_Tok("eof", "", span[-1].pos if span else 0)]
+        self.i = 0
+        try:
+            return self.value(_ElemCtx())
+        finally:
+            self.toks, self.i = saved_toks, saved_i
 
     def _resolve_record_fields(self, rettype: str | None) -> list:
         """Field meta [(name, spark_ty, width, default)] for a transform

@@ -48,6 +48,10 @@ VERBATIM = [
     # grouped SORT within runs, (stringN)real casts, #STORED overrides,
     # beyond-38-digit decimals
     "group", "issue10882", "constant2", "decimalOutput",
+    # nested child-dataset records: inline nested rows, named logical
+    # files, parent.child flattening, per-row child aggregates via
+    # array higher-order functions
+    "aggsq2", "aggsq2seq",
 ]
 
 
