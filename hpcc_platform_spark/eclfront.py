@@ -3161,6 +3161,14 @@ class _Parser:
                 raise EclSyntaxError("DATASET(count, TRANSFORM) needs a constant count")
             n = int(nc[0])
             self.expect(",")
+            if (
+                self.peek().kind == "ident"
+                and self.peek().text in self.functions
+                and self.functions[self.peek().text].get("transform")
+            ):
+                # DATASET(n, t(COUNTER)) — named transform generates the
+                # rows; arguments evaluate per generated ordinal
+                return self._generated_named_transform(n)
             tk = self.next()
             if tk.text != "transform":
                 raise EclSyntaxError(f"expected TRANSFORM at {tk.pos}")
@@ -4695,6 +4703,116 @@ class _Parser:
             return self.value(_ElemCtx())
         finally:
             self.toks, self.i = saved_toks, saved_i
+
+    def _generated_named_transform(self, n: int) -> DataFrame:
+        """DATASET(n, t(COUNTER) [, DISTRIBUTED|LOCAL]) with a NAMED
+        transform: the body re-parses in Column mode with the parameters
+        bound to the argument expressions (COUNTER = the range ordinal),
+        and a SKIP(cond) transform attribute becomes a filter — fully
+        distributed generation, no per-row python."""
+        fname = self.next().text
+        fn = self.functions[fname]
+        base = self.spark().range(1, n + 1)
+        saved_counter = getattr(self, "_counter_col", None)
+        self._counter_col = F.col("id")
+        try:
+            self.expect("(")
+            args: list[Column] = []
+            if not self.accept(")"):
+                while True:
+                    args.append(self.value(base))
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+        finally:
+            self._counter_col = saved_counter
+        while self.accept(","):
+            opt = self.next()
+            if opt.text not in ("local", "distributed"):
+                raise EclSyntaxError(f"unknown DATASET option {opt.text!r}")
+        self.expect(")")
+        out_fields = self._resolve_record_fields(fn.get("rettype"))
+        params = fn["params"]
+        saved_scalars = self.scalars
+        self.scalars = dict(self.scalars)
+        try:
+            for idx, (pname, _pty, pdefault) in enumerate(params):
+                if idx < len(args):
+                    self.scalars[pname] = args[idx]
+                elif pdefault is not None:
+                    self.scalars[pname] = self._mkconst(*pdefault)
+                else:
+                    raise EclSyntaxError(f"missing argument {pname!r}")
+            assigned, skip_cond = self._parse_transform_body_columns(
+                fn["body"], base
+            )
+        finally:
+            self.scalars = saved_scalars
+        out_cols = []
+        for nm2, ty2, w2, d2 in out_fields:
+            if nm2 in assigned:
+                col2 = assigned[nm2]
+            elif d2 is not None and not isinstance(d2, tuple):
+                col2 = F.lit(d2)
+            else:
+                raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
+            if w2 and ty2 == "string":
+                col2 = F.rpad(col2.cast("string"), w2, " ")
+            elif ty2 in ("long", "double", "float", "boolean", "string"):
+                col2 = col2.cast(ty2)
+            out_cols.append(col2.alias(nm2))
+        df = base
+        if skip_cond is not None:
+            df = df.where(~skip_cond)
+        df = df.select(*out_cols, F.col("id").alias("__ord__"))
+        self._set_order(df, [F.col("__ord__")])
+        self._ds_fields[id(df)] = out_fields
+        return df
+
+    def _parse_transform_body_columns(self, body: list[_Tok], df):
+        """Column-mode parse of a stored TRANSFORM body: optional
+        leading attribute list (SKIP(cond)), then SELF.f := expr
+        assignments. Returns (assigned dict, skip condition|None)."""
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = body + [_Tok("eof", "", body[-1].pos if body else 0)]
+        self.i = 0
+        assigned: dict[str, Column] = {}
+        skip_cond = None
+        try:
+            # leading attributes: TRANSFORM, SKIP(cond) ...
+            while self.peek().text == ",":
+                self.next()
+                kw = self.next()
+                if kw.text == "skip" and self.peek().text == "(":
+                    self.next()
+                    skip_cond = self.value(df)
+                    self.expect(")")
+                else:
+                    raise EclSyntaxError(
+                        f"unsupported TRANSFORM attribute {kw.text!r}"
+                    )
+            while self.peek().kind != "eof":
+                if self.accept(";") or self.accept(","):
+                    continue
+                st = self.next()
+                if st.text != "self":
+                    raise EclSyntaxError(f"expected SELF at {st.pos}")
+                if self.accept("."):
+                    fname = self.next().text
+                    self.expect(":=")
+                    assigned[fname] = self.value(df)
+                else:
+                    self.expect(":=")
+                    src_p = self.next().text
+                    rp = getattr(self, "_row_params", None) or {}
+                    if src_p not in rp:
+                        raise EclSyntaxError(
+                            f"SELF := {src_p}: not a row parameter"
+                        )
+                    assigned["__copy_from__"] = src_p
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+        return assigned, skip_cond
 
     def _resolve_record_fields(self, rettype: str | None) -> list:
         """Field meta [(name, spark_ty, width, default)] for a transform

@@ -52,6 +52,9 @@ VERBATIM = [
     # files, parent.child flattening, per-row child aggregates via
     # array higher-order functions
     "aggsq2", "aggsq2seq",
+    # named transforms generating datasets (DATASET(n, t(COUNTER)) with
+    # SKIP attributes) in pure Column mode
+    "dataset_transform",
 ]
 
 
