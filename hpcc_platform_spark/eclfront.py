@@ -16,39 +16,58 @@ text they run today:
         l_returnflag);
     OUTPUT(SORT(byflag, -total));
 
-Supported surface (deliberately the high-frequency core, not the whole
-language): definitions (:=) — dataset, scalar (typed prefixes), RECORD
-(END or brace form, field defaults, fixed-width strings), DICTIONARY,
-and aggregate-of-dataset scalars; postfix record filters and positional
-slices ds[n] / ds[a..b]; TABLE grouped aggregation (SUM/COUNT/MIN/MAX/
-AVE over GROUP, conditional COUNT(GROUP, cond), unnamed aggregate
-fields, grouped-input per-group form), JOIN with LEFT./RIGHT. equality
-+ residual conditions and LEFT/RIGHT/FULL OUTER / LEFT ONLY / LOOKUP /
-ALL options, SORT (with -field descending and RECORD whole-row keys),
-DEDUP (adjacent LEFT/RIGHT/KEEP(n) over tracked order; ALL/HASH
-keep-first), CHOOSEN (n|ALL, start, GROUPED), TOPN,
-MERGE(a, b, SORTED(...)), dataset append ``a + b``, SAMPLE/ENTH (the
-reference's exact accumulator selection) over a sorted input,
-LIMIT [SKIP], DISTRIBUTE(ds, HASH(...)),
-SEQUENTIAL/ORDERED/PARALLEL action lists,
-GROUP + HAVING with group aggregates, DENORMALIZE(..., GROUP,
-TRANSFORM(SELF.f := ROWS(RIGHT), SELF := LEFT)), scalar expressions with
-arithmetic / comparisons / AND-OR-NOT / IN / BETWEEN / string+number
-literals, ROUND/ABS/TRIM/LENGTH, two-argument MIN/MAX, and STD.Str.*
-calls (ToUpperCase/ToLowerCase/Reverse/CleanSpaces/StartsWith/EndsWith/
-Find), dataset-level COUNT/SUM/MIN/MAX/AVE, scalar dataset aggregates
-inside value expressions (ds(x > AVE(ds2, y)) — evaluated once, inlined
-as a broadcast literal) and EXISTS(ds). Programs are statement
-sequences: typed scalar definitions (string s1 := 'one'), dataset and
-DICTIONARY definitions, OUTPUTs, and bare expression actions (each
-action is a numbered result, the reference's workunit shape). Inline
-DATASET literals carry a hidden ordinal so positional ops (adjacent
-DEDUP [LEFT|RIGHT], SAMPLE) see the literal order; DICTIONARY literals
-serve IN / NOT IN membership; workflow annotations PERSIST (wired),
-STORED/GLOBAL/INDEPENDENT/ONCE (placement no-ops) parse on any
-definition; CATCH(expr, fallback) probes and falls back. This subset is
-verified VERBATIM against reference regression files and their key
-files (tests/test_reference_regress.py). Everything lowers to
+Supported surface (the high-frequency core plus the tiers the verbatim
+regression corpus exercises):
+
+- Definitions: dataset / typed scalar (with width coercion: string20
+  pads, unsigned1 wraps) / RECORD (END or brace form, defaults,
+  fixed-width strings, DECIMAL precision, REAL4, inheritance
+  ``{ d, string res := '' }``, DATASET(rec) child members) / DICTIONARY
+  (literal or dataset-built, guarded by DICT_COLLECT_CAP) / SET OF
+  (incl. ALL) / MODULE..END with EXPORT members + EVALUATE /
+  parameterized definitions ``f(type x = dflt) := expr`` and
+  ``:= FUNCTION .. RETURN .. END`` (re-parsed per call) / named
+  TRANSFORM definitions (compiled, see below) / ACTION values
+  (o1 := OUTPUT(...)) captured and run when referenced.
+- Constant scalar layer: expressions over constants fold driver-side
+  with faithful ECL types (signed/unsigned widths with wrap, BCD
+  decimals via python Decimal at prec 64, %.16g real rendering, hex/
+  binary/scientific/D-suffix literals, string escapes and u''/u8''
+  prefixes, shifts, DIV, divide-by-zero-yields-0) — the hqlfold.cpp
+  analogue. Scalar builtins: trig/log/EXP/POWER (overflow→0), ROUND
+  (half-away, int/real/decimal result typing), ROUNDUP, TRUNCATE,
+  REALFORMAT/INTFORMAT ('*' overflow fill), TRIM options, RANK/RANKED,
+  TRANSFER, CASE/MAP/CHOOSE/WHICH/REJECTED, (TYPE)expr casts incl. the
+  (stringN)real '*' contract, GETENV, HASH/HASH32/HASH64/HASHCRC,
+  STD.Str.* and constant STD.Uni.CompareAtStrength.
+- Datasets: inline literals (hidden ordinal preserves literal order;
+  nested child rows; dictionary-shaped {k => v} records), generated
+  DATASET(n, TRANSFORM | t(COUNTER)) via spark.range, named logical
+  files (OUTPUT(ds,,'name') / DATASET('name', rec, THOR)), WORKUNIT
+  result readback, parent.child flattening, postfix filters and slices,
+  dataset append ``a + b``.
+- Operators: TABLE (grouped/project/format-record forms, per-row child
+  aggregates via array higher-order functions), JOIN (OUTER/ONLY/
+  LOOKUP vs MANY LOOKUP/ALL/LOCAL/HINT, TRANSFORM output records,
+  arbitrary conditions through the value grammar, blank-insensitive
+  string keys, ECL default join record), SORT (grouped inputs sort
+  within runs; LOCAL/STABLE options; expression keys), SORTED, DEDUP
+  (adjacent/ALL/KEEP(n), group-scoped), CHOOSEN/TOPN/MERGE/SAMPLE/ENTH
+  (exact accumulator)/LIMIT [SKIP]/DISTRIBUTE/GROUP/HAVING (incl.
+  COUNT(ROWS(LEFT)))/DENORMALIZE GROUP/NORMALIZE/PROJECT/TRACE/
+  IF & CASE over datasets and actions (captured spans, only the chosen
+  branch evaluates)/ROLLUP & ITERATE with compiled user transforms
+  (python-closure folds, executor-side, SKIP discards the right row;
+  FOLD_ROWS_CAP guards the single-stream form).
+- Workflow: SEQUENTIAL/ORDERED/PARALLEL action lists (unordered lists
+  CSE identical aggregate expressions; SEQUENTIAL re-evaluates),
+  NAMED('x'),EXTEND appends, ': PERSIST' (wired), ': STORED' (picks up
+  #STORED overrides), GLOBAL/INDEPENDENT/ONCE placement no-ops,
+  IMPORT no-ops, #OPTION/#ONWARNING skipped, #IFDEFINED defaults,
+  __PLATFORM__/CLUSTERSIZE constants, CATCH(expr, fallback).
+
+This subset is verified VERBATIM against reference regression files and
+their key files (tests/test_reference_regress.py). Everything lowers to
 the same Spark plans the combinator API produces — the parser is
 front-end only; Catalyst still owns optimization. ECL is
 case-insensitive: keywords and identifiers are matched
@@ -154,6 +173,12 @@ class _SkipRow(Exception):
 # SET marker for 'ALL' (every possible value): x IN ALL is always true
 # (hqlgram set productions)
 _ALL_SET = object()
+
+# Largest single-stream a front-door ROLLUP/ITERATE user-transform fold
+# will process in one pandas group: the fold is inherently sequential
+# (matching the reference's one-stream activity); beyond this the keyed
+# form or the combinator layer is the scale path.
+FOLD_ROWS_CAP = 5_000_000
 
 # Largest dataset a DICTIONARY may be built from: dictionaries are
 # driver-side broadcast maps, so an unbounded collect would OOM the
@@ -4953,8 +4978,22 @@ class _Parser:
                 "__ord__", F.row_number().over(Window.orderBy(*order))
             )
         schema = self._fold_schema(out_fields)
+        cap = FOLD_ROWS_CAP
+
+        def guarded(_k, pdf):
+            if len(pdf) > cap:
+                raise ValueError(
+                    f"front-door ROLLUP/ITERATE fold over {len(pdf):,} rows "
+                    f"exceeds the {cap:,}-row single-stream cap; a global "
+                    "user-transform fold is inherently sequential — use the "
+                    "keyed form (parallel across key runs) or the "
+                    "combinator layer (operators/transform.rollup_adjacent "
+                    "/ iterate_running) for large inputs"
+                )
+            return fold_pdf(pdf)
+
         out = src.groupBy(F.lit(1).alias("__g__")).applyInPandas(
-            lambda _k, pdf: fold_pdf(pdf), schema=schema
+            guarded, schema=schema
         )
         self._set_order(out, [F.col("__ord__")])
         self._ds_fields[id(out)] = out_fields

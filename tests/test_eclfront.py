@@ -691,3 +691,79 @@ def test_random_pipelines_match_dataframe_model(spark, cat):
             assert got == sorted(expect) and len(got) == len(expect), ecl
         n_cases += 1
     assert n_cases == 220
+
+
+def test_rollup_fold_matches_python_model(spark):
+    """Property check: the compiled ROLLUP fold (cond form, with SKIP)
+    equals a direct Python transliteration of the reference's
+    accumulate/emit loop across random inputs."""
+    import random
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    rnd = random.Random(20260817)
+    for _ in range(10):
+        vals = [rnd.randint(1, 5) for _ in range(rnd.randint(1, 12))]
+        skip_at = rnd.randint(1, 5)
+        rows = ", ".join("{%d}" % v for v in vals)
+        ecl = f"""
+        d := DATASET([{rows}], {{ unsigned r }});
+        d t(d L, d R) := TRANSFORM
+          SELF.r := IF(L.r = {skip_at}, SKIP, L.r + R.r);
+        END;
+        OUTPUT(ROLLUP(d, LEFT.r = RIGHT.r, t(LEFT, RIGHT)));
+        """
+        got = [r.r for r in run_ecl_actions(ecl, {}, spark=spark)[-1].collect()]
+        # reference model: cond on accumulator; SKIP discards RIGHT
+        out, acc = [], vals[0]
+        for v in vals[1:]:
+            if acc == v:
+                if acc == skip_at:
+                    continue  # SKIP: discard right, keep accumulator
+                acc = acc + v
+            else:
+                out.append(acc)
+                acc = v
+        out.append(acc)
+        assert got == out, (vals, skip_at, got, out)
+
+
+def test_iterate_fold_matches_python_model(spark):
+    import random
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    rnd = random.Random(20260818)
+    vals = [rnd.randint(0, 9) for _ in range(15)]
+    rows = ", ".join("{%d}" % v for v in vals)
+    ecl = f"""
+    d := DATASET([{rows}], {{ unsigned v }});
+    d t(d L, d R) := TRANSFORM
+      SELF.v := L.v + R.v;
+    END;
+    OUTPUT(ITERATE(d, t(LEFT, RIGHT)));
+    """
+    got = [r.v for r in run_ecl_actions(ecl, {}, spark=spark)[-1].collect()]
+    run, out = 0, []
+    for v in vals:
+        run += v
+        out.append(run)
+    assert got == out
+
+
+def test_fold_rows_cap_guards_single_stream(spark, monkeypatch):
+    """The single-stream ROLLUP fold refuses inputs past FOLD_ROWS_CAP
+    with guidance toward the keyed/combinator scale path."""
+    import pytest
+
+    from hpcc_platform_spark import eclfront
+
+    monkeypatch.setattr(eclfront, "FOLD_ROWS_CAP", 3)
+    ecl = """
+    d := DATASET([{1},{1},{2},{2},{3}], { unsigned r });
+    d t(d L, d R) := TRANSFORM SELF.r := L.r + R.r; END;
+    OUTPUT(ROLLUP(d, LEFT.r = RIGHT.r, t(LEFT, RIGHT)));
+    """
+    out = eclfront.run_ecl_actions(ecl, {}, spark=spark)[-1]
+    with pytest.raises(Exception, match="single-stream cap"):
+        out.collect()
