@@ -2075,6 +2075,12 @@ class _Parser:
         self.expect("(")
         src = self.dataset()
         self.expect(",")
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.functions
+            and self.functions[self.peek().text].get("transform")
+        ):
+            return self._project_named_transform(src)
         t = self.next()
         if t.text != "transform":
             raise EclSyntaxError(f"expected TRANSFORM at {t.pos}")
@@ -2165,6 +2171,83 @@ class _Parser:
             self._set_order(out, self._order[id(src)])
         return out
 
+    def _project_named_transform(self, src: DataFrame) -> DataFrame:
+        """PROJECT(ds, t(LEFT [, COUNTER])): the named transform body
+        re-parses in Column mode — LEFT's fields read the input row,
+        COUNTER is the 1-based ordinal, SKIP(cond) filters."""
+        fname = self.next().text
+        fn = self.functions[fname]
+        self.expect("(")
+        roles = [self.next().text]
+        while self.accept(","):
+            roles.append(self.next().text)
+        self.expect(")")
+        while self.accept(","):
+            opt = self.next()
+            if opt.text not in ("local", "parallel"):
+                raise EclSyntaxError(f"unknown PROJECT option {opt.text!r}")
+        self.expect(")")
+        params = fn["params"]
+        out_fields = self._resolve_record_fields(fn.get("rettype"))
+        base = src
+        counter_col = None
+        if any(r == "counter" for r in roles):
+            order = self._order.get(id(src))
+            if order is not None:
+                from pyspark.sql.window import Window
+
+                counter_col = F.row_number().over(Window.orderBy(*order))
+            else:
+                counter_col = F.monotonically_increasing_id() + 1
+        saved_rp = getattr(self, "_row_params", None)
+        saved_counter = getattr(self, "_counter_col", None)
+        rp = dict(saved_rp or {})
+        saved_scalars = self.scalars
+        self.scalars = dict(self.scalars)
+        try:
+            for idx, role in enumerate(roles):
+                if idx >= len(params):
+                    break
+                pname = params[idx][0]
+                if role == "counter":
+                    self.scalars[pname] = counter_col
+                else:
+                    rp[pname] = base
+            self._row_params = rp
+            self._counter_col = counter_col
+            assigned, skip_cond = self._parse_transform_body_columns(
+                fn["body"], base
+            )
+        finally:
+            self._row_params = saved_rp
+            self._counter_col = saved_counter
+            self.scalars = saved_scalars
+        copy_from = assigned.pop("__copy_from__", None)
+        out_cols = []
+        for nm2, ty2, w2, d2 in out_fields:
+            if nm2 in assigned:
+                col2 = assigned[nm2]
+            elif copy_from is not None and nm2 in base.columns:
+                col2 = base[nm2]
+            elif d2 is not None and not isinstance(d2, tuple):
+                col2 = F.lit(d2)
+            else:
+                raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
+            if w2 and ty2 == "string":
+                col2 = F.rpad(col2.cast("string"), w2, " ")
+            elif ty2 in ("long", "double", "float", "boolean", "string"):
+                col2 = col2.cast(ty2)
+            out_cols.append(col2.alias(nm2))
+        out = base
+        if skip_cond is not None:
+            out = out.where(~skip_cond)
+        keep = ["__ord__"] if "__ord__" in base.columns else []
+        out = out.select(*out_cols, *keep)
+        if id(src) in self._order:
+            self._set_order(out, self._order[id(src)])
+        self._ds_fields[id(out)] = out_fields
+        return out
+
     def _normalize(self) -> DataFrame:
         """NORMALIZE(ds, LEFT.child, TRANSFORM({...}, SELF.f := ...))
         (TAKnormalizechild eclhelper.hpp:910): one output row per element
@@ -2174,6 +2257,29 @@ class _Parser:
         self.expect("(")
         src = self.dataset()
         self.expect(",")
+        if self.peek().kind == "num" or (
+            self.peek().kind == "ident"
+            and self.peek().text in self.scalars
+        ):
+            # counter form: NORMALIZE(ds, n, t(LEFT, COUNTER)) — n output
+            # rows per input row (TAKnormalize :907), the transform
+            # re-parsed in Column mode with COUNTER = 1..n
+            nc = self._cget(self.value(self._dummy()))
+            if nc is None:
+                raise EclSyntaxError("NORMALIZE count must be constant")
+            n = int(nc[0])
+            self.expect(",")
+            exploded = src.withColumn(
+                "__ctr__",
+                F.explode(F.sequence(F.lit(1), F.lit(n))),
+            )
+            saved_counter = getattr(self, "_counter_col", None)
+            self._counter_col = F.col("__ctr__")
+            try:
+                out = self._project_named_transform(exploded)
+            finally:
+                self._counter_col = saved_counter
+            return out
         lk = self.next()
         if lk.text != "left" or not self.accept("."):
             raise EclSyntaxError(f"expected LEFT.<child field> at {lk.pos}")
@@ -2701,20 +2807,35 @@ class _Parser:
         self.expect("(")
         parts = [self.dataset()]
         self.expect(",")
+        keys = None
         while True:
-            parts.append(self.dataset())
+            t = self.peek()
+            if t.text == "sorted":
+                self.next()
+                self.expect("(")
+                dfu = parts[0]
+                for p in parts[1:]:
+                    dfu = dfu.unionByName(p)
+                keys = self._sort_keys(dfu)
+                self.expect(")")
+            elif t.text in ("local", "dedup", "parallel"):
+                self.next()
+            else:
+                parts.append(self.dataset())
             if not self.accept(","):
-                raise EclSyntaxError("MERGE needs a SORTED(keys) option")
-            if self.peek().text == "sorted":
                 break
-        self.next()  # 'sorted'
-        self.expect("(")
+        self.expect(")")
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        keys = self._sort_keys(df)
-        self.expect(")")
-        self.expect(")")
+        if keys is None:
+            # no SORTED(...) option: inherit the first input's sort keys
+            # (MERGE requires pre-sorted inputs; thmergeslave)
+            keys = self._order.get(id(parts[0]))
+            if keys is None:
+                raise EclSyntaxError(
+                    "MERGE needs SORTED(keys) or pre-sorted inputs"
+                )
         out = df.orderBy(*keys)
         self._set_order(out, keys)
         return out
@@ -3013,6 +3134,16 @@ class _Parser:
             nm = self.next()
             if nm.kind != "ident":
                 raise EclSyntaxError(f"expected field name at {nm.pos}")
+            if self.peek().text == "{":
+                depth = 0
+                while True:
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unclosed field attribute block")
+                    depth += tk.text == "{"
+                    depth -= tk.text == "}"
+                    if depth == 0:
+                        break
             inner = ", ".join(
                 f"{n}: {t}" for n, t, _w, _d in child_fields
             )
@@ -3028,6 +3159,24 @@ class _Parser:
         digits = ty.text[len(base):]
         if base in ("string", "qstring", "varstring") and digits.isdigit():
             width = int(digits)
+        if self.peek().text == "{":
+            # field attribute block {XPATH('x')}/{MAXLENGTH(n)} — storage
+            # metadata, parsed and dropped
+            close = None
+            depth = 0
+            j = self.i
+            while j < len(self.toks):
+                if self.toks[j].text == "{":
+                    depth += 1
+                elif self.toks[j].text == "}":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+                j += 1
+            if close is None:
+                raise EclSyntaxError("unclosed field attribute block")
+            self.i = close + 1
         spark_ty = self._SPARK_TYPE[base]
         if base == "real" and digits == "4":
             spark_ty = "float"  # REAL4 is float32; values round on store
@@ -3146,7 +3295,28 @@ class _Parser:
         self.expect("record")
         fields: list[tuple[str, str, int | None]] = []
         while self.peek().text != "end":
-            fields.append(self._one_field())
+            nx = self.peek()
+            if (
+                nx.kind == "ident"
+                and (
+                    nx.text in self.records
+                    or (
+                        nx.text in self.env
+                        and self._ds_fields.get(id(self.env[nx.text]))
+                        is not None
+                    )
+                )
+                and self.toks[self.i + 1].text in (";", ",", "end")
+            ):
+                # record inheritance: a record/dataset name pulls in all
+                # of its fields
+                self.next()
+                if nx.text in self.records:
+                    fields.extend(self.records[nx.text])
+                else:
+                    fields.extend(self._ds_fields[id(self.env[nx.text])])
+            else:
+                fields.append(self._one_field())
             if not (self.accept(";") or self.accept(",")):
                 break
         self.expect("end")
@@ -4404,6 +4574,11 @@ class _Parser:
                         f"{t.text} returns a dataset; a scalar was expected at {t.pos}"
                     )
                 return r
+            rp = getattr(self, "_row_params", None) or {}
+            if t.text in rp and self.peek().text == ".":
+                # row-parameter field (named-transform Column mode)
+                self.next()
+                return rp[t.text][self.next().text]
             if (
                 t.text in self.env
                 and self.peek().text == "."
