@@ -568,7 +568,15 @@ class _Parser:
                     "<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y,
                 }[op]
                 return self._mkconst(r, "boolean")
-        # Column path
+        # Column path; ECL string equality ignores trailing blanks, so a
+        # string-const comparison rtrims both sides (fixed-width fields)
+        if op in ("=", "<>", "!=") and (
+            (ca is not None and isinstance(ca[0], str))
+            or (cb is not None and isinstance(cb[0], str))
+        ):
+            aa = F.lit(ca[0].rstrip()) if ca is not None else F.rtrim(a)
+            bb = F.lit(cb[0].rstrip()) if cb is not None else F.rtrim(b)
+            return _cmp(op, aa, bb)
         if op == "+":
             return a + b
         if op == "-":
@@ -1148,6 +1156,18 @@ class _Parser:
 
     def _is_definition(self) -> bool:
         t = self.toks[self.i]
+        if t.text == "{":
+            # inline {brace record} rettype: { ... } name(params) :=
+            close = self._match_brace(self.i)
+            if close is None:
+                return False
+            return (
+                self.toks[close + 1].kind == "ident"
+                and self.toks[close + 2].text == "("
+                and (lambda k: k is not None and self.toks[k + 1].text == ":=")(
+                    self._match_paren(close + 2)
+                )
+            )
         if t.kind != "ident" and t.kind != "kw":
             return False
         nxt = self.toks[self.i + 1]
@@ -1170,10 +1190,15 @@ class _Parser:
         ):
             return True
         # parameterized forms: name(params) := ... and
-        # rettype name(params) := ... (rettype may be a scalar type OR a
-        # record/dataset name for TRANSFORM definitions)
+        # rettype name(params) := ... (rettype may be a scalar type, a
+        # record/dataset name, or an inline {brace record})
         j = self.i
-        if t.kind == "ident" and nxt.kind == "ident":
+        if t.text == "{":
+            close = self._match_brace(self.i)
+            if close is None:
+                return False
+            j = close + 1
+        elif t.kind == "ident" and nxt.kind == "ident":
             j += 1  # skip the return-type prefix
         if self.toks[j].kind != "ident" or self.toks[j + 1].text != "(":
             return False
@@ -1188,6 +1213,20 @@ class _Parser:
             if tx == "(":
                 depth += 1
             elif tx == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        return None
+
+    def _match_brace(self, i: int) -> int | None:
+        """Index of the '}' matching the '{' at ``i`` (None if unclosed)."""
+        depth = 0
+        while i < len(self.toks):
+            tx = self.toks[i].text
+            if tx == "{":
+                depth += 1
+            elif tx == "}":
                 depth -= 1
                 if depth == 0:
                     return i
@@ -1412,6 +1451,20 @@ class _Parser:
              self.records) = saved_scopes
 
     def _definition(self) -> None:
+        if self.peek().text == "{":
+            # inline {brace record} return type on a parameterized
+            # definition: register it as a synthetic named record
+            fields = self._record_fields()
+            syn = f"__rec_{len(self.records)}__"
+            self.records[syn] = fields
+            name = self.next()
+            if name.kind != "ident":
+                raise EclSyntaxError(f"expected definition name at {name.pos}")
+            params = self._parse_params()
+            self.expect(":=")
+            self._last_rettype = syn
+            self._capture_function_body(name.text, params)
+            return
         first = self.next()
         decl_ty: str | None = None
         if first.text == "set" and self.peek().text == "of":
@@ -1738,6 +1791,17 @@ class _Parser:
             df = self._case_dataset()
         elif t.text == "dataset":
             df = self._inline_dataset()
+        elif t.text == "subsort":
+            df = self._subsort()
+        elif t.text == "choosesets":
+            df = self._choosesets()
+        elif t.text == "nocombine" and self.toks[self.i + 1].text == "(":
+            # NOCOMBINE(x) — activity-combining barrier in the reference;
+            # Catalyst owns operator fusion here, so it is the identity
+            self.next()
+            self.expect("(")
+            df = self.dataset()
+            self.expect(")")
         elif t.text == "nofold":
             # NOFOLD(x) — constant-folding barrier in the reference
             # (hqlfold.cpp); Catalyst owns folding here, so it is the
@@ -2601,6 +2665,129 @@ class _Parser:
             return out
         out = df.orderBy(*keys)
         self._set_order(out, keys)
+        return out
+
+    def _subsort(self) -> DataFrame:
+        """SUBSORT(ds, {runkeys}, {sortkeys}) (TAKsubsort :1029): sort
+        by sortkeys WITHIN each adjacent run of equal runkeys, runs keep
+        their stream position — the front-door form of the combinator
+        subsort (operators/sort.py)."""
+        from pyspark.sql.window import Window
+
+        self.expect("subsort")
+        self.expect("(")
+        df = self.dataset()
+        self.expect(",")
+        self.expect("{")
+        run_keys = [self.next().text]
+        while self.accept(","):
+            run_keys.append(self.next().text)
+        self.expect("}")
+        self.expect(",")
+        self.expect("{")
+        sort_keys = [self.value(df).asc()]
+        while self.accept(","):
+            sort_keys.append(self.value(df).asc())
+        self.expect("}")
+        self.expect(")")
+        order = self._order.get(id(df))
+        if order is None:
+            raise EclSyntaxError("SUBSORT needs a tracked input order")
+        gkey = F.struct(*[F.col(k) for k in run_keys])
+        w_all = Window.orderBy(*order)
+        w_key = Window.partitionBy(gkey).orderBy(*order)
+        tmp = df.withColumn("__rn__", F.row_number().over(w_all))
+        tmp = tmp.withColumn(
+            "__run__", F.col("__rn__") - F.row_number().over(w_key)
+        )
+        tmp = tmp.withColumn(
+            "__gpos__",
+            F.min("__rn__").over(Window.partitionBy(gkey, "__run__")),
+        )
+        rn2 = F.row_number().over(
+            Window.orderBy(F.col("__gpos__"), *sort_keys)
+        )
+        keep = [c for c in df.columns if c != "__ord__"]
+        out = tmp.withColumn("__neword__", rn2).select(
+            *keep, F.col("__neword__").alias("__ord__")
+        )
+        self._set_order(out, [F.col("__ord__")])
+        return out
+
+    def _choosesets(self) -> DataFrame:
+        """CHOOSESETS(ds, cond => n, ..., [default_n] [, EXCLUSIVE |
+        ENTH | LAST]) (TAKchoosesets :918 / :935 / :936): up to n rows
+        per condition in stream order; a row joins its FIRST matching
+        set. ENTH spreads the selection with the ENTH accumulator over
+        the set's total; LAST keeps each set's trailing rows. Windowed —
+        one partition per set, no driver work."""
+        from pyspark.sql.window import Window
+
+        self.expect("choosesets")
+        self.expect("(")
+        df = self.dataset()
+        conds: list[tuple[Column, int]] = []
+        default_n = None
+        mode = None
+        while self.accept(","):
+            if self.peek().text in ("exclusive", "enth", "last") and (
+                self.toks[self.i + 1].text in (",", ")")
+            ):
+                mode = self.next().text
+                continue
+            c = self.value(df)
+            if self.accept("=>"):
+                nc = self._cget(self.value(self._dummy()))
+                conds.append((c, int(nc[0])))
+            else:
+                cc = self._cget(c)
+                if cc is None:
+                    raise EclSyntaxError("CHOOSESETS default must be constant")
+                default_n = int(cc[0])
+        self.expect(")")
+        order = self._order.get(id(df))
+        if order is None:
+            raise EclSyntaxError("CHOOSESETS needs a sorted input")
+        cat = None
+        for i, (c, _n) in enumerate(conds):
+            cat = F.when(c, i) if cat is None else cat.when(c, i)
+        cat = cat.otherwise(
+            len(conds) if default_n is not None else F.lit(None)
+        )
+        caps = [n for _c, n in conds] + (
+            [default_n] if default_n is not None else []
+        )
+        cap_col = None
+        for i, n in enumerate(caps):
+            cap_col = (
+                F.when(F.col("__cat__") == i, n)
+                if cap_col is None
+                else cap_col.when(F.col("__cat__") == i, n)
+            )
+        w = Window.partitionBy("__cat__").orderBy(*order)
+        tmp = (
+            df.withColumn("__cat__", cat)
+            .withColumn("__cap__", cap_col)
+            .withColumn("__rn__", F.row_number().over(w))
+            .withColumn(
+                "__tot__", F.count(F.lit(1)).over(Window.partitionBy("__cat__"))
+            )
+        )
+        if mode == "last":
+            keep_cond = F.col("__rn__") > F.col("__tot__") - F.col("__cap__")
+        elif mode == "enth":
+            # the ENTH accumulator in closed form: row i of the set is
+            # emitted iff (i*cap) mod total < cap (thenthslave.cpp)
+            keep_cond = (F.col("__rn__") * F.col("__cap__")) % F.col(
+                "__tot__"
+            ) < F.col("__cap__")
+        else:
+            keep_cond = F.col("__rn__") <= F.col("__cap__")
+        out = (
+            tmp.where(F.col("__cat__").isNotNull() & keep_cond)
+            .drop("__cat__", "__cap__", "__rn__", "__tot__")
+        )
+        self._set_order(out, order)
         return out
 
     def _sorted_assert(self) -> DataFrame:

@@ -54,7 +54,7 @@ VERBATIM = [
     "aggsq2", "aggsq2seq",
     # named transforms generating datasets (DATASET(n, t(COUNTER)) with
     # SKIP attributes) in pure Column mode
-    "dataset_transform", "stablesort", "merge",
+    "dataset_transform", "stablesort", "merge", "choosesets",
 ]
 
 
