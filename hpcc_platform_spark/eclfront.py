@@ -3483,6 +3483,22 @@ class _Parser:
         fields: list[tuple[str, str, int | None]] = []
         while self.peek().text != "end":
             nx = self.peek()
+            if nx.text == "ifblock" and self.toks[self.i + 1].text == "(":
+                # IFBLOCK(cond) fields END — fields exist only on rows
+                # where cond holds (type_ifblock): parsed as OPTIONAL
+                # members (absent -> NULL, rendered as an omitted cell)
+                self.next()
+                close = self._match_paren(self.i)
+                self.i = close + 1  # the condition is data-driven; the
+                # row literals carry the presence information
+                while self.peek().text != "end":
+                    nm2, ty2, w2, _d2 = self._one_field()
+                    fields.append((nm2, ty2, w2, ("__optional__",)))
+                    if not (self.accept(";") or self.accept(",")):
+                        break
+                self.expect("end")
+                self.accept(";")
+                continue
             if (
                 nx.kind == "ident"
                 and (
@@ -3639,13 +3655,18 @@ class _Parser:
                     f"inline row has {len(r)} values for {len(fields)} fields"
                 )
             missing = fields[len(r):]
-            if any(d is None for _, _, _, d in missing):
+            if any(
+                d is None
+                for _, _, _, d in missing
+            ):
                 raise EclSyntaxError(
                     f"inline row has {len(r)} values for {len(fields)} fields "
                     "(omitted fields need declared defaults)"
                 )
 
         def coerce(v, ty, width, dflt=None):
+            if isinstance(v, tuple) and v == ("__optional__",):
+                return None  # IFBLOCK field absent on this row
             if (
                 isinstance(dflt, tuple)
                 and len(dflt) == 2
