@@ -1577,6 +1577,21 @@ class _Parser:
             # brace-form record definition: r := { string text; };
             self.records[name.text] = self._record_fields()
             kind = "record"
+        elif (
+            self.peek().text == "["
+            and self.toks[self.i + 1].kind == "ident"
+            and self.toks[self.i + 1].text in self.env
+        ):
+            # SET OF DATASET: s := [ds1, ds2, ...]; — an ordered list of
+            # datasets (RANGE / NWAY inputs, no_datasetlist)
+            self.next()
+            dss = [self.dataset()]
+            while self.accept(","):
+                dss.append(self.dataset())
+            self.expect("]")
+            self.env[name.text] = dss
+            self.expect(";")
+            return
         elif self.peek().text == "[":
             # SET definition: a := [2,3,5,7]; — a driver-side list
             # (no_createset hqlexpr.hpp:562)
@@ -1791,6 +1806,26 @@ class _Parser:
             df = self._case_dataset()
         elif t.text == "dataset":
             df = self._inline_dataset()
+        elif t.text == "range" and self.toks[self.i + 1].text == "(":
+            # RANGE(setofds, [i, ...]) (TAKnwayinput): select members of
+            # a dataset set, 1-based
+            self.next()
+            self.expect("(")
+            nm = self.next()
+            ds_list = self.env.get(nm.text)
+            if not isinstance(ds_list, list):
+                raise EclSyntaxError(f"RANGE needs a SET OF DATASET at {nm.pos}")
+            self.expect(",")
+            self.expect("[")
+            idxs = [int(self._literal())]
+            while self.accept(","):
+                idxs.append(int(self._literal()))
+            self.expect("]")
+            self.expect(")")
+            picked = [ds_list[i - 1] for i in idxs]
+            syn = f"__dsset_{len(self.env)}__"
+            self.env[syn] = picked
+            df = picked  # a dataset set; only [n] indexing consumes it
         elif t.text == "subsort":
             df = self._subsort()
         elif t.text == "choosesets":
@@ -1875,8 +1910,24 @@ class _Parser:
                 df = self.env[t.text]
                 if isinstance(df, _WuRef):
                     df = self._resolve_wu(df)
+                if isinstance(df, list):
+                    # dataset set: s[n] picks the n-th member (1-based)
+                    self.expect("[")
+                    k = int(self._literal())
+                    self.expect("]")
+                    df = df[k - 1]
         else:
             raise EclSyntaxError(f"expected dataset expression at {t.pos}: {t.text!r}")
+        if isinstance(df, list):
+            # a dataset set reaches here only from RANGE; the consumer
+            # indexes it
+            if self.peek().text == "[":
+                self.next()
+                k = int(self._literal())
+                self.expect("]")
+                df = df[k - 1]
+            else:
+                return df
         # postfix record filter(s): ds(cond, cond...) — conditions ANDed
         while self.peek().text == "(":
             self.next()

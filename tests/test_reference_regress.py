@@ -55,7 +55,7 @@ VERBATIM = [
     # named transforms generating datasets (DATASET(n, t(COUNTER)) with
     # SKIP attributes) in pure Column mode
     "dataset_transform", "stablesort", "merge", "choosesets",
-    "variablerecords",
+    "variablerecords", "range",
 ]
 
 
