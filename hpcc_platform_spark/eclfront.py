@@ -2348,8 +2348,12 @@ class _Parser:
                 col2 = F.lit(d2)
             else:
                 raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
-            if w2 and ty2 == "string":
+            if w2 and w2 > 0 and ty2 == "string":
                 col2 = F.rpad(col2.cast("string"), w2, " ")
+            elif ty2 == "long" and w2 is not None and w2 < 0:
+                col2 = col2.cast("long").bitwiseAND(
+                    F.lit((1 << (8 * -w2)) - 1)
+                )
             elif ty2 in ("long", "double", "float", "boolean", "string"):
                 col2 = col2.cast(ty2)
             out_cols.append(col2.alias(nm2))
@@ -3397,6 +3401,8 @@ class _Parser:
         digits = ty.text[len(base):]
         if base in ("string", "qstring", "varstring") and digits.isdigit():
             width = int(digits)
+        elif base in ("integer", "unsigned") and digits.isdigit():
+            width = -int(digits)  # negative marks an INT byte width
         if self.peek().text == "{":
             # field attribute block {XPATH('x')}/{MAXLENGTH(n)} — storage
             # metadata, parsed and dropped
@@ -3657,8 +3663,13 @@ class _Parser:
                 else:
                     d2v = d2.ljust(w2) if w2 and isinstance(d2, str) else d2
                     col2 = F.lit(d2v)
-                if w2 and ty2 == "string":
+                if w2 and w2 > 0 and ty2 == "string":
                     col2 = F.rpad(col2.cast("string"), w2, " ")
+                elif ty2 == "long" and w2 is not None and w2 < 0:
+                    # unsignedN/integerN: wrap to the declared byte width
+                    col2 = col2.cast("long").bitwiseAND(
+                        F.lit((1 << (8 * -w2)) - 1)
+                    )
                 elif ty2 in ("long", "double", "float", "boolean", "string"):
                     # declared field type coerces the assigned value
                     # (unsigned x := real-expr truncates, rtlField casts)
@@ -3744,7 +3755,11 @@ class _Parser:
             if ty in ("double", "float") and isinstance(v, (int, str)):
                 return float(v)
             if ty == "long" and isinstance(v, str):
-                return int(v.strip() or 0)  # ECL coerces '1' -> 1
+                v = int(v.strip() or 0)  # ECL coerces '1' -> 1
+            if ty == "long" and width is not None and width < 0:
+                bits = 8 * -width
+                v = int(v) & ((1 << bits) - 1)
+                return v
             if ty == "string" and isinstance(v, (int, float)):
                 v = str(v)
             if width is not None and isinstance(v, str):
@@ -4233,18 +4248,41 @@ class _Parser:
             t.text in ("hash", "hash32", "hash64", "hashcrc")
             and self.peek().text == "("
         ):
-            from hpcc_platform_spark.functions import hashing as H
+            # reference-EXACT hash family (functions/eclhash.py:
+            # Jenkins lookup2 / FNV-1 32 / FNV-1 64 / table CRC —
+            # rtl/eclrtl/eclrtl.cpp:3820-4060, value-pinned by the
+            # hash.ecl key file)
+            from hpcc_platform_spark.functions import eclhash as EH
 
             self.next()
-            inner = self.value(df)
+            args = [self.value(df)]
             while self.accept(","):
-                inner = F.concat_ws("|", inner, self.value(df))
+                args.append(self.value(df))
             self.expect(")")
-            fn = {
+            consts = [self._cget(a) for a in args]
+            if all(c is not None for c in consts):
+                pyfn = {
+                    "hash": EH.jenkins_hash, "hash32": EH.fnv1_32,
+                    "hash64": EH.fnv1_64, "hashcrc": EH.ecl_crc,
+                }[t.text]
+                if len(consts) == 1:
+                    return self._mkconst(pyfn(consts[0][0]), "unsigned")
+            if len(args) == 1:
+                return {
+                    "hash32": EH.fnv1_32_col,
+                    "hash64": EH.fnv1_64_col,
+                    "hash": EH.jenkins_col,
+                    "hashcrc": EH.ecl_crc_col,
+                }[t.text](args[0])
+            from hpcc_platform_spark.functions import hashing as H
+
+            inner = args[0]
+            for a in args[1:]:
+                inner = F.concat_ws("|", inner, a)
+            return {
                 "hash": H.ecl_hash32, "hash32": H.ecl_hash32,
                 "hash64": H.ecl_hash64, "hashcrc": H.ecl_hashcrc,
-            }[t.text]
-            return fn(inner)
+            }[t.text](inner)
         if t.kind == "str":
             return self._mkconst(_unquote(t.text), "string")
         if t.text == "true":
@@ -4311,6 +4349,18 @@ class _Parser:
             return F.when(inner >= 0, F.ceil(inner)).otherwise(
                 -F.ceil(-inner)
             ).cast("long")
+        if t.text == "atan2" and self.peek().text == "(":
+            self.next()
+            y = self.value(df)
+            self.expect(",")
+            x = self.value(df)
+            self.expect(")")
+            cy, cx = self._cget(y), self._cget(x)
+            if cy is not None and cx is not None:
+                return self._mkconst(
+                    math.atan2(float(cy[0]), float(cx[0])), "real"
+                )
+            return F.atan2(y, x)
         if t.text == "power" and self.peek().text == "(":
             self.next()
             a = self.value(df)
@@ -5215,8 +5265,12 @@ class _Parser:
                 col2 = F.lit(d2)
             else:
                 raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
-            if w2 and ty2 == "string":
+            if w2 and w2 > 0 and ty2 == "string":
                 col2 = F.rpad(col2.cast("string"), w2, " ")
+            elif ty2 == "long" and w2 is not None and w2 < 0:
+                col2 = col2.cast("long").bitwiseAND(
+                    F.lit((1 << (8 * -w2)) - 1)
+                )
             elif ty2 in ("long", "double", "float", "boolean", "string"):
                 col2 = col2.cast(ty2)
             out_cols.append(col2.alias(nm2))

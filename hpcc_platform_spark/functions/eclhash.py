@@ -1,0 +1,167 @@
+"""Reference-exact ECL hash functions.
+
+The reference's HASH family (rtl/eclrtl/eclrtl.cpp):
+
+- ``HASH``   — Bob Jenkins' lookup2 (rtlHashData :4017, mix macro :3990),
+  initval 0, little-endian words, length folded into c;
+- ``HASH32`` — FNV-1 32-bit (rtlHash32Data :3909, init HASH32_INIT
+  0x811C9DC5, prime 0x1000193; multiply THEN xor — FNV-1, not 1a);
+- ``HASH64`` — FNV-1 64-bit (rtlHash64Data :3820, init
+  0xcbf29ce484222325, prime 0x100000001b3);
+- ``HASHCRC`` — CRC-32 with the reflected polynomial 0xEDB88320, zero
+  initial value and NO final xor (system/jlib/jcrc.cpp table CRC).
+
+Integers hash their 8 little-endian bytes; strings hash their bytes with
+trailing spaces trimmed (rtlTrimStrLen). The python forms serve constant
+folding and tests; ``fnv1_32_col``/``fnv1_64_col`` are pure-Column
+(unrolled byte loop, JVM arithmetic — Java long multiplication wraps
+mod 2^64, which IS the FNV-64 modulus) for distributed inputs.
+
+These are the PARITY functions: they reproduce the reference's values
+bit-for-bit (pinned by testing/regress/ecl/hash.ecl keys). The
+throughput-oriented hashing in functions/hashing.py (xxhash64-based)
+remains the default for partitioning/dedup where only distribution
+quality matters.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_M32 = 0xFFFFFFFF
+_M64 = 0xFFFFFFFFFFFFFFFF
+FNV32_INIT, FNV32_PRIME = 0x811C9DC5, 0x1000193
+FNV64_INIT, FNV64_PRIME = 0xCBF29CE484222325, 0x100000001B3
+
+
+def _int_bytes(v: int) -> bytes:
+    return struct.pack("<q", ((v + 2**63) % 2**64) - 2**63)
+
+
+def _data(v) -> bytes:
+    if isinstance(v, bool):
+        return b"\x01" if v else b"\x00"
+    if isinstance(v, int):
+        return _int_bytes(v)
+    if isinstance(v, str):
+        return v.rstrip(" ").encode("utf-8", "replace")
+    raise TypeError(f"unhashable ECL value {type(v).__name__}")
+
+
+def fnv1_32(v) -> int:
+    h = FNV32_INIT
+    for b in _data(v):
+        h = ((h * FNV32_PRIME) & _M32) ^ b
+    return h
+
+
+def fnv1_64(v) -> int:
+    h = FNV64_INIT
+    for b in _data(v):
+        h = ((h * FNV64_PRIME) & _M64) ^ b
+    return h
+
+
+def _mix(a: int, b: int, c: int):
+    a = (a - b - c) & _M32; a ^= c >> 13  # noqa: E702
+    b = (b - c - a) & _M32; b ^= (a << 8) & _M32  # noqa: E702
+    c = (c - a - b) & _M32; c ^= b >> 13  # noqa: E702
+    a = (a - b - c) & _M32; a ^= c >> 12  # noqa: E702
+    b = (b - c - a) & _M32; b ^= (a << 16) & _M32  # noqa: E702
+    c = (c - a - b) & _M32; c ^= b >> 5  # noqa: E702
+    a = (a - b - c) & _M32; a ^= c >> 3  # noqa: E702
+    b = (b - c - a) & _M32; b ^= (a << 10) & _M32  # noqa: E702
+    c = (c - a - b) & _M32; c ^= b >> 15  # noqa: E702
+    return a, b, c
+
+
+def jenkins_hash(v, init: int = 0) -> int:
+    """rtlHashData — Jenkins lookup2 over the value's bytes."""
+    k = _data(v)
+    a = b = 0x9E3779B9
+    c = init
+    i, length = 0, len(k)
+    ln = length
+    while ln >= 12:
+        a = (a + int.from_bytes(k[i : i + 4], "little")) & _M32
+        b = (b + int.from_bytes(k[i + 4 : i + 8], "little")) & _M32
+        c = (c + int.from_bytes(k[i + 8 : i + 12], "little")) & _M32
+        a, b, c = _mix(a, b, c)
+        i += 12
+        ln -= 12
+    c = (c + length) & _M32
+    t = k[i:]
+    if ln >= 9:
+        c = (c + sum(t[8 + j] << (8 * (j + 1)) for j in range(ln - 8))) & _M32
+    if ln >= 5:
+        b = (b + sum(t[4 + j] << (8 * j) for j in range(min(ln, 8) - 4))) & _M32
+    if ln >= 1:
+        a = (a + sum(t[j] << (8 * j) for j in range(min(ln, 4)))) & _M32
+    a, b, c = _mix(a, b, c)
+    return c
+
+
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ (0xEDB88320 if _c & 1 else 0)
+    _CRC_TABLE.append(_c)
+
+
+def ecl_crc(v) -> int:
+    """HASHCRC — table CRC-32, zero init, no final xor."""
+    c = 0
+    for b in _data(v):
+        c = _CRC_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c
+
+
+def fnv1_32_col(col: Column) -> Column:
+    """Column FNV-1 32 over an integer's 8 LE bytes — unrolled JVM
+    arithmetic, no UDF (h*prime stays under 2^56, no overflow)."""
+    v = col.cast("long")
+    h = F.lit(FNV32_INIT).cast("long")
+    for i in range(8):
+        byte = F.shiftrightunsigned(v, 8 * i).bitwiseAND(F.lit(0xFF))
+        h = (h * F.lit(FNV32_PRIME)).bitwiseAND(F.lit(_M32)).bitwiseXOR(byte)
+    return h
+
+
+def fnv1_64_col(col: Column) -> Column:
+    """Column FNV-1 64 over an integer's 8 LE bytes — Arrow-batched
+    (ANSI mode rejects the wrap-multiply a pure-Column form needs).
+    Values above 2^63 come back wrapped into the signed long range;
+    callers masking to a field width (unsignedN) are unaffected."""
+    def _fnv64(vs):
+        def one(v):
+            if v is None:
+                return None
+            h = fnv1_64(int(v))
+            return h - (1 << 64) if h >= 1 << 63 else h
+
+        return vs.apply(one)
+
+    # explicit returnType form: postponed annotations (PEP 563) confuse
+    # the decorator's type-hint inspection
+    return F.pandas_udf(_fnv64, "long")(col.cast("long"))
+
+
+def jenkins_col(col: Column) -> Column:
+    """Column Jenkins lookup2 over an integer's 8 LE bytes —
+    Arrow-batched parity path."""
+    def _jh(vs):
+        return vs.apply(lambda v: None if v is None else jenkins_hash(int(v)))
+
+    return F.pandas_udf(_jh, "long")(col.cast("long"))
+
+
+def ecl_crc_col(col: Column) -> Column:
+    """Column table-CRC over an integer's 8 LE bytes — Arrow-batched."""
+    def _crc(vs):
+        return vs.apply(lambda v: None if v is None else ecl_crc(int(v)))
+
+    return F.pandas_udf(_crc, "long")(col.cast("long"))

@@ -101,3 +101,45 @@ def test_months_between_ecl_whole_months(spark):
     ).collect()
     for r in rows:
         assert r.m == r.expect, (r.m, r.expect)
+
+
+def test_eclhash_reference_exact_values():
+    """The parity hash family reproduces the reference's values
+    bit-for-bit (pinned by testing/regress/ecl/key/hash.xml)."""
+    from hpcc_platform_spark.functions.eclhash import (
+        ecl_crc,
+        fnv1_32,
+        fnv1_64,
+        jenkins_hash,
+    )
+
+    assert jenkins_hash(0) == 1447026491
+    assert jenkins_hash(1234567890) == 39649401
+    assert jenkins_hash("abcdefghijklmnopqrstuvwxyz") == 3308244712
+    assert fnv1_64(0) == 12161962213042174405
+    assert fnv1_64("abcdefghijklmnopqrstuvwxyz") == 6009962005348432088
+    assert ecl_crc(0) == 0
+    assert ecl_crc(1234567890) == 1299951406
+    assert ecl_crc("abcdefghijklmnopqrstuvwxyz") == 3821792911
+    assert fnv1_32("") == 0x811C9DC5  # init value on empty input
+
+
+def test_eclhash_column_forms_match_python(spark):
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.functions import eclhash as EH
+
+    df = spark.range(1, 50).select(F.col("id").alias("v"))
+    rows = df.select(
+        "v",
+        EH.fnv1_32_col(F.col("v")).alias("h32"),
+        EH.fnv1_64_col(F.col("v")).alias("h64"),
+        EH.jenkins_col(F.col("v")).alias("hj"),
+        EH.ecl_crc_col(F.col("v")).alias("hc"),
+    ).collect()
+    for r in rows:
+        assert r.h32 == EH.fnv1_32(r.v)
+        h64 = EH.fnv1_64(r.v)
+        assert r.h64 == (h64 - (1 << 64) if h64 >= 1 << 63 else h64)
+        assert r.hj == EH.jenkins_hash(r.v)
+        assert r.hc == EH.ecl_crc(r.v)

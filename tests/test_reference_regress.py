@@ -56,6 +56,9 @@ VERBATIM = [
     # SKIP attributes) in pure Column mode
     "dataset_transform", "stablesort", "merge", "choosesets",
     "variablerecords", "range",
+    # reference-exact hash family (Jenkins lookup2, FNV-1 32/64, table
+    # CRC) pinned against hash.ecl's key values; subsort
+    "hash", "subsort", "bigrecs",
 ]
 
 
