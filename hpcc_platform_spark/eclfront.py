@@ -906,16 +906,19 @@ class _Parser:
                     f"unsupported OUTPUT option at {self.peek().pos}"
                 )
         self.expect(")")
-        if named is not None and extend:
+        if named is not None:
             seq = self._named_seq.get(named, 0)
             tagged = self._finalize(df).withColumn("__wuord__", F.lit(seq))
-            if named in self.named_results:
+            if extend and named in self.named_results:
                 self.named_results[named] = self.named_results[
                     named
                 ].unionByName(tagged)
             else:
+                # plain NAMED: the result slot holds this dataset (and a
+                # later DATASET(WORKUNIT('name')) reads it back)
+                if named not in self.named_results:
+                    self.actions.append(("named", named))
                 self.named_results[named] = tagged
-                self.actions.append(("named", named))
             self._named_seq[named] = seq + 1
             return
         if file_write:

@@ -58,7 +58,7 @@ VERBATIM = [
     "variablerecords", "range",
     # reference-exact hash family (Jenkins lookup2, FNV-1 32/64, table
     # CRC) pinned against hash.ecl's key values; subsort
-    "hash", "subsort", "bigrecs",
+    "hash", "subsort", "bigrecs", "wuread3",
 ]
 
 
