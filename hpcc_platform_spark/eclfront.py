@@ -994,6 +994,46 @@ class _Parser:
         self.next()  # 'evaluate'
         self.expect("(")
         nm = self.next()
+        if (
+            nm.kind == "ident"
+            and nm.text in self.env
+            and self.peek().text == "["
+        ):
+            # EVALUATE(ds[n], expr): evaluate the expression in the
+            # context of row n (no_evaluate) — a numbered scalar result
+            src = self.env[nm.text]
+            self.next()
+            n = int(self._literal())
+            self.expect("]")
+            self.expect(",")
+            order = self._order.get(id(src))
+            if order is None:
+                raise EclSyntaxError("EVALUATE(ds[n], ...) needs an ordered input")
+            rows = src.orderBy(*order).limit(n).collect()
+            saved = self.scalars
+            self.scalars = dict(self.scalars)
+            try:
+                if n <= len(rows):
+                    row = rows[n - 1]
+                    for fname in src.columns:
+                        if fname == "__ord__":
+                            continue
+                        v = row[fname]
+                        ty = (
+                            "boolean" if isinstance(v, bool)
+                            else "integer" if isinstance(v, int)
+                            else "real" if isinstance(v, float)
+                            else "string"
+                        )
+                        self.scalars[fname] = self._mkconst(v, ty)
+                col = self.value(self._dummy())
+            finally:
+                self.scalars = saved
+            self.expect(")")
+            self.actions.append(
+                self._scalar_result_df(col, f"result_{len(self.actions) + 1}")
+            )
+            return
         mod = self.modules.get(nm.text)
         if mod is None:
             raise EclSyntaxError(f"unknown module {nm.text!r} at {nm.pos}")
@@ -1738,6 +1778,11 @@ class _Parser:
             df = self._scalar_result_df(
                 col, f"result_{len(self.actions) + 1}"
             )
+        if self.accept(":"):
+            # workflow annotation on a bare action (': independent' etc.)
+            # — placement no-ops on a lazily planned engine
+            while self.peek().text != ";" and self.peek().kind != "eof":
+                self.next()
         self.expect(";")
         self.actions.append(self._finalize(df))
 
@@ -4864,7 +4909,7 @@ class _Parser:
             # type's empty value (''/0/false), as the reference renders it
             d = self.dicts[t.text]
             self.next()
-            k = self._literal()
+            k = self._literal()  # literals and constant scalars both
             self.expect("]")
             self.expect(".")
             fld = self.next().text

@@ -59,6 +59,9 @@ VERBATIM = [
     # reference-exact hash family (Jenkins lookup2, FNV-1 32/64, table
     # CRC) pinned against hash.ecl's key values; subsort
     "hash", "subsort", "bigrecs", "wuread3",
+    # EVALUATE(ds[n], expr) row evaluation; workflow annotations on
+    # bare actions; scalar dictionary keys
+    "evaluate", "once2",
 ]
 
 
