@@ -1216,9 +1216,10 @@ class _Parser:
         nxt = self.toks[self.i + 1]
         if nxt.text == ":=":
             return True
-        # typed form: string s1 := ...
+        # typed form: string s1 := ... (the prefix may also be a record
+        # name: ijrec createError := TRANSFORM ...)
         if (
-            self._TYPE_RX.match(t.text) is not None
+            t.kind == "ident"
             and nxt.kind == "ident"
             and self.toks[self.i + 2].text == ":="
         ):
@@ -1559,6 +1560,14 @@ class _Parser:
         if name.kind != "ident":
             raise EclSyntaxError(f"expected definition name at {name.pos}")
         self.expect(":=")
+        if (
+            self.peek().text == "transform"
+            and self.toks[self.i + 1].text != "("
+        ):
+            # zero-parameter named TRANSFORM (rec t := TRANSFORM ... END)
+            self._last_rettype = decl_ty
+            self._capture_function_body(name.text, [])
+            return
         if (
             self.peek().text == "output"
             or (
@@ -2502,6 +2511,28 @@ class _Parser:
         self.expect(",")
         right = self.dataset()
         self.expect(",")
+        # SELF-join: both sides are the same frame — qualify each side
+        # with an alias so references resolve unambiguously
+        if left is right:
+            lw, rw = left.alias("__jl__"), right.alias("__jr__")
+
+            class _Side:
+                def __init__(side, tag, cols):
+                    side._tag = tag
+                    side.columns = cols
+
+                def __getitem__(side, name):
+                    return F.col(f"{side._tag}.{name}")
+
+                @property
+                def dtypes(side):
+                    return left.dtypes
+
+            lref = _Side("__jl__", left.columns)
+            rref = _Side("__jr__", right.columns)
+        else:
+            lw, rw = left, right
+            lref, rref = left, right
         # capture the condition span: scan for LEFT.a = RIGHT.b equality
         # pairs (LOOKUP dedup needs them), then evaluate the full
         # condition with the general value grammar (arbitrary expressions
@@ -2522,17 +2553,17 @@ class _Parser:
             0, len(eq_pairs) - 1
         )
         if pure_eq and eq_pairs:
-            ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+            ldt, rdt = dict(lref.dtypes), dict(rref.dtypes)
             cond = None
             for lf, rf in eq_pairs:
                 if ldt.get(lf) == "string" and rdt.get(rf) == "string":
-                    c = F.rtrim(left[lf]) == F.rtrim(right[rf])
+                    c = F.rtrim(lref[lf]) == F.rtrim(rref[rf])
                 else:
-                    c = left[lf] == right[rf]
+                    c = lref[lf] == rref[rf]
                 cond = c if cond is None else cond & c
         else:
             saved_jf = getattr(self, "_join_frames", None)
-            self._join_frames = (left, right)
+            self._join_frames = (lref, rref)
             saved_toks, saved_i = self.toks, self.i
             self.toks = cond_span + [_Tok("eof", "", cond_span[-1].pos)]
             self.i = 0
@@ -2567,7 +2598,13 @@ class _Parser:
             elif t == "all":
                 use_all = True
             elif t == "transform":
-                transform_spec = self._join_transform(left, right)
+                transform_spec = self._join_transform(lref, rref)
+            elif (
+                t in self.functions
+                and self.functions[t].get("transform")
+                and self.peek().text == "("
+            ):
+                transform_spec = self._join_named_transform(t, lref, rref)
             elif t == "hint" and self.peek().text == "(":
                 close = self._match_paren(self.i)
                 self.i = close + 1  # physical hints — Catalyst plans here
@@ -2580,32 +2617,47 @@ class _Parser:
             # LOOKUP (without MANY) keeps ONE right match per left row
             # (hthor/thor lookup-join contract; MANY LOOKUP keeps all) —
             # dedup the broadcast side on the equality keys
-            right = right.dropDuplicates([rf for _lf, rf in eq_pairs])
+            rw = rw.dropDuplicates([rf for _lf, rf in eq_pairs])
+            rref = rw
             cond = None
             for lf, rf in eq_pairs:
-                c = left[lf] == right[rf]
+                c = lref[lf] == rref[rf]
                 cond = c if cond is None else cond & c
-        rhs = F.broadcast(right) if (lookup or use_all) else right
+        rhs = F.broadcast(rw) if (lookup or use_all) else rw
         if how == "right_anti":
-            out = right.join(
-                F.broadcast(left) if lookup else left, cond, "left_anti"
+            out = rw.join(
+                F.broadcast(lw) if lookup else lw, cond, "left_anti"
             )
         else:
-            out = left.join(rhs, cond, how)
+            out = lw.join(rhs, cond, how)
         if transform_spec is not None:
-            declared, assigned, copy_side = transform_spec
+            declared, assigned, copy_side, meta, skip_cond = transform_spec
+            if skip_cond is not None:
+                out = out.where(~skip_cond)
             cols = []
             for f in declared:
                 if f in assigned:
-                    cols.append(assigned[f].alias(f))
+                    col2 = assigned[f]
                 elif copy_side == "left":
-                    cols.append(left[f])
+                    col2 = lref[f]
                 elif copy_side == "right":
-                    cols.append(right[f])
+                    col2 = rref[f]
                 else:
                     raise EclSyntaxError(
                         f"JOIN TRANSFORM field {f!r} not assigned"
                     )
+                fm = (meta or {}).get(f)
+                if fm is not None:
+                    _nm, ty2, w2, _d2 = fm
+                    if w2 and w2 > 0 and ty2 == "string":
+                        col2 = F.rpad(col2.cast("string"), w2, " ")
+                    elif ty2 == "long" and w2 is not None and w2 < 0:
+                        col2 = col2.cast("long").bitwiseAND(
+                            F.lit((1 << (8 * -w2)) - 1)
+                        )
+                    elif ty2 in ("long", "double", "float", "boolean", "string"):
+                        col2 = col2.cast(ty2)
+                cols.append(col2.alias(f))
             return out.select(*cols)
         if how in ("left_anti", "right_anti"):
             return out.drop("__ord__")
@@ -2613,13 +2665,60 @@ class _Parser:
         # fields whose names LEFT doesn't have (hqlgram default join
         # transform) — same-named fields take the LEFT side's value.
         # Bookkeeping ordinals drop (join order is undefined).
-        lcols = [left[c] for c in left.columns if c != "__ord__"]
+        lcols = [lref[c] for c in left.columns if c != "__ord__"]
         rcols = [
-            right[c]
+            rref[c]
             for c in right.columns
             if c not in left.columns and c != "__ord__"
         ]
         return out.select(*lcols, *rcols)
+
+    def _join_named_transform(self, fname: str, left, right):
+        """A NAMED transform as a JOIN option: xfm(LEFT, RIGHT
+        [, scalar args]) — body re-parsed in Column mode with the row
+        parameters bound to the join sides."""
+        fn = self.functions[fname]  # the name token was the option token
+        self.expect("(")
+        args = []
+        while True:
+            if self.peek().text in ("left", "right") and self.toks[
+                self.i + 1
+            ].text in (",", ")"):
+                args.append(("side", self.next().text))
+            else:
+                args.append(("val", self.value(self._dummy())))
+            if not self.accept(","):
+                break
+        self.expect(")")
+        params = fn["params"]
+        out_fields = self._resolve_record_fields(fn.get("rettype"))
+        rp = {}
+        copy_map = {}
+        saved_scalars = self.scalars
+        self.scalars = dict(self.scalars)
+        saved_rp = getattr(self, "_row_params", None)
+        try:
+            for idx, (kind, val) in enumerate(args):
+                if idx >= len(params):
+                    break
+                pname = params[idx][0]
+                if kind == "side":
+                    rp[pname] = left if val == "left" else right
+                    copy_map[pname] = val
+                else:
+                    self.scalars[pname] = val
+            self._row_params = rp
+            assigned, skip_cond = self._parse_transform_body_columns(
+                fn["body"], self._dummy()
+            )
+        finally:
+            self._row_params = saved_rp
+            self.scalars = saved_scalars
+        copy_from = assigned.pop("__copy_from__", None)
+        copy_side = copy_map.get(copy_from)
+        declared = [f[0] for f in out_fields]
+        meta = {f[0]: f for f in out_fields}
+        return declared, assigned, copy_side, meta, skip_cond
 
     def _join_transform(self, left: DataFrame, right: DataFrame):
         """TRANSFORM(rec | {fields}, SELF.f := expr, ..., SELF := LEFT|
@@ -2657,7 +2756,7 @@ class _Parser:
         finally:
             self._join_frames = saved
         self.expect(")")
-        return declared, assigned, copy_side
+        return declared, assigned, copy_side, None, None
 
     def _join_cond(self, left: DataFrame, right: DataFrame) -> Column:
         cond = self._join_cmp(left, right)
@@ -3198,13 +3297,85 @@ class _Parser:
         self.expect(",")
         n = int(self.next().text)
         skip = False
+        onfail = None
         if self.accept(","):
             kw = self.next()
-            if kw.text != "skip":
+            if kw.text == "skip":
+                skip = True
+            elif kw.text == "onfail" and self.peek().text == "(":
+                self.next()
+                onfail = self.next().text
+                self.expect(")")
+            else:
                 raise EclSyntaxError(f"unknown LIMIT option {kw.text!r}")
-            skip = True
         self.expect(")")
-        return limit_skip(df, n) if skip else limit_fail(df, n)
+        if onfail is not None:
+            # LIMIT(ds, n, ONFAIL(t)): past the limit the dataset is
+            # REPLACED by the transform's single row (or nothing when
+            # the transform SKIPs) — in-plan, like limit_skip
+            from pyspark.sql.window import Window
+
+            fn = self.functions.get(onfail)
+            if fn is None or not fn.get("transform"):
+                raise EclSyntaxError(f"ONFAIL needs a transform: {onfail!r}")
+            out_fields = self._resolve_record_fields(fn.get("rettype"))
+            assigned, skip_cond = self._parse_transform_body_columns(
+                fn["body"], self._dummy()
+            )
+            order = self._order.get(id(df))
+            keep_cols = [c for c in df.columns if c != "__ord__"]
+            base = df
+            if order is not None:
+                base = df.withColumn(
+                    "__neword__", F.row_number().over(Window.orderBy(*order))
+                )
+            kept = (
+                base.withColumn(
+                    "__tot__", F.count(F.lit(1)).over(Window.partitionBy())
+                )
+                .where(F.col("__tot__") <= n)
+                .drop("__tot__")
+            )
+            sel = list(keep_cols) + (
+                [F.col("__neword__").alias("__ord__")] if order is not None else []
+            )
+            kept = kept.select(*sel)
+            skip_true = False
+            if skip_cond is not None:
+                sc = self._cget(skip_cond)
+                skip_true = sc is not None and bool(sc[0])
+            fail_row = (
+                df.agg(F.count(F.lit(1)).alias("__c__"))
+                .where(F.col("__c__") > n)
+                .select(
+                    *[
+                        assigned[f[0]].cast(
+                            f[1]
+                            if f[1] in ("long", "double", "string", "boolean")
+                            else "string"
+                        ).alias(f[0])
+                        for f in out_fields
+                    ],
+                    *(
+                        [F.lit(1).cast("long").alias("__ord__")]
+                        if order is not None
+                        else []
+                    ),
+                )
+            )
+            out = kept if skip_true else kept.unionByName(fail_row)
+            if order is not None:
+                self._set_order(out, [F.col("__ord__")])
+            if id(df) in self._grouped:
+                self._set_grouped(out, self._grouped[id(df)])
+            return out
+        out = limit_skip(df, n) if skip else limit_fail(df, n)
+        # LIMIT is a guard, not a reorder: grouping and order pass through
+        if id(df) in self._order:
+            self._set_order(out, self._order[id(df)])
+        if id(df) in self._grouped:
+            self._set_grouped(out, self._grouped[id(df)])
+        return out
 
     def _distribute(self) -> DataFrame:
         """DISTRIBUTE(ds, HASH(f, ...) | f) (TAKhashdistribute :905):

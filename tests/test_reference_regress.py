@@ -62,6 +62,9 @@ VERBATIM = [
     # EVALUATE(ds[n], expr) row evaluation; workflow annotations on
     # bare actions; scalar dictionary keys
     "evaluate", "once2",
+    # named transforms as JOIN options, self-join aliasing, grouped
+    # LIMIT with ONFAIL replacement rows
+    "limitskip",
 ]
 
 
