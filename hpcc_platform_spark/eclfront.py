@@ -379,6 +379,8 @@ class _Parser:
         self._stored_overrides: dict[str, object] = {}
         # named logical files written by OUTPUT(ds,,'name')
         self.files: dict[str, DataFrame] = {}
+        # id(df) -> WHEN action span, fired when the frame's result runs
+        self._when_actions: dict[int, list] = {}
         # ECL decimals carry up to 32 digits (DECIMAL48_32 in regress);
         # widen python's Decimal context so folding never rounds below
         # the reference's precision
@@ -871,6 +873,9 @@ class _Parser:
         self.expect("output")
         self.expect("(")
         df = self._output_arg()
+        pending = self._when_actions.pop(id(df), None)
+        if pending is not None:
+            self._exec_action_span(pending)
         named = None
         extend = False
         file_write = False
@@ -1863,6 +1868,33 @@ class _Parser:
             df = self._case_dataset()
         elif t.text == "dataset":
             df = self._inline_dataset()
+        elif t.text == "when" and self.toks[self.i + 1].text == "(":
+            # WHEN(ds, action [, SUCCESS|FAILURE|BEFORE]) (TAKwhen
+            # :1022): the dataset passes through; the action runs when
+            # the dataset's result actually executes — captured lazily,
+            # so a WHEN inside an untaken IF branch never fires
+            # (testing/regress/ecl/ifwhen.ecl)
+            self.next()
+            self.expect("(")
+            inner = self.dataset()
+            self.expect(",")
+            act = self.next()
+            if act.text in self.action_defs:
+                span = self.action_defs[act.text]
+            else:
+                raise EclSyntaxError(
+                    f"WHEN needs a defined action at {act.pos}"
+                )
+            while self.accept(","):
+                self.next()  # SUCCESS / FAILURE / BEFORE event class
+            self.expect(")")
+            df = inner.select("*")
+            if id(inner) in self._order:
+                self._set_order(df, self._order[id(inner)])
+            if id(inner) in self._grouped:
+                self._set_grouped(df, self._grouped[id(inner)])
+            self._pins.append(df)
+            self._when_actions[id(df)] = span
         elif t.text == "range" and self.toks[self.i + 1].text == "(":
             # RANGE(setofds, [i, ...]) (TAKnwayinput): select members of
             # a dataset set, 1-based
