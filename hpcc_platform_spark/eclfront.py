@@ -2158,12 +2158,18 @@ class _Parser:
         self.expect("}")
         keys: list[str] = []
         table_local = False
+        table_grouped = False
         while self.accept(","):
             k = self.next()
             if k.text == "local":
                 # LOCAL = per-node aggregation; one local[...] JVM is one
                 # node, so LOCAL coincides with global here (CLUSTERSIZE=1)
                 table_local = True
+                continue
+            if k.text == "grouped":
+                # GROUPED: the input's GROUP keys COMPOSE with the TABLE
+                # keys instead of being replaced (grouphashagg key)
+                table_grouped = True
                 continue
             if k.text in ("merge", "few", "many"):
                 continue  # strategy hints
@@ -2214,12 +2220,49 @@ class _Parser:
             if id(src) in self._order:
                 self._set_order(out, self._order[id(src)])
             return out
-        extra = [b for b in bare if b not in keys]
+        gkeys_in = self._grouped.get(id(src))
+        all_keys = (
+            list(dict.fromkeys(list(gkeys_in) + keys))
+            if (table_grouped and gkeys_in)
+            else keys
+        )
+        extra = [b for b in bare if b not in all_keys]
         if extra:
-            raise EclSyntaxError(
-                f"non-aggregate TABLE fields must be group keys: {extra}"
+            # non-key bare fields take the group's FIRST value in stream
+            # order (thhashaggregate keeps the first row's fields)
+            order = self._order.get(id(src))
+            if order is None:
+                raise EclSyntaxError(
+                    f"non-key TABLE fields need an ordered input: {extra}"
+                )
+            from pyspark.sql.window import Window
+
+            src = src.withColumn(
+                "__rn__", F.row_number().over(Window.orderBy(*order))
             )
-        return src.groupBy(*keys).agg(*aggs)
+            firsts = {
+                b: F.min_by(F.col(b), F.col("__rn__")).alias(b)
+                for b in extra
+            }
+        else:
+            firsts = {}
+        ordagg = (
+            [F.min("__ord__").alias("__ord__")]
+            if "__ord__" in src.columns
+            else []
+        )
+        out = src.groupBy(*all_keys).agg(
+            *firsts.values(), *aggs, *ordagg
+        )
+        agg_names = [
+            c for c in out.columns if c not in all_keys
+            and c not in extra and c != "__ord__"
+        ]
+        keep = ["__ord__"] if ordagg else []
+        out = out.select(*bare, *agg_names, *keep)
+        if ordagg:
+            self._set_order(out, [F.col("__ord__")])
+        return out
 
     def _field_value(self, src: DataFrame) -> Column:
         """A TABLE record field: either a GROUP aggregate (sets the
