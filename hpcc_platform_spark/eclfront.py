@@ -2652,6 +2652,8 @@ class _Parser:
         many = False
         use_all = False
         transform_spec = None
+        join_limit_n = None
+        join_onfail = None
         while self.accept(","):
             t = self.next().text
             if t in ("left", "right", "full") and self.peek().text in (
@@ -2673,13 +2675,35 @@ class _Parser:
             elif t == "all":
                 use_all = True
             elif t == "transform":
-                transform_spec = self._join_transform(lref, rref)
+                transform_spec = self._join_transform(
+                    self._defaulting_side(lref), self._defaulting_side(rref)
+                )
             elif (
                 t in self.functions
                 and self.functions[t].get("transform")
                 and self.peek().text == "("
             ):
-                transform_spec = self._join_named_transform(t, lref, rref)
+                transform_spec = self._join_named_transform(
+                    t, self._defaulting_side(lref), self._defaulting_side(rref)
+                )
+            elif t == "limit" and self.peek().text == "(":
+                self.next()
+                nc = self._cget(self.value(self._dummy()))
+                join_limit_n = int(nc[0])
+                if self.accept(","):
+                    kw2 = self.next()
+                    if kw2.text != "skip":
+                        raise EclSyntaxError("JOIN LIMIT supports SKIP")
+                self.expect(")")
+            elif t == "onfail" and self.peek().text == "(":
+                self.next()
+                fname2 = self.next().text
+                join_onfail = self._join_named_transform(
+                    fname2,
+                    self._defaulting_side(lref),
+                    self._all_default_side(rref),
+                )
+                self.expect(")")
             elif t == "hint" and self.peek().text == "(":
                 close = self._match_paren(self.i)
                 self.i = close + 1  # physical hints — Catalyst plans here
@@ -2698,6 +2722,10 @@ class _Parser:
             for lf, rf in eq_pairs:
                 c = lref[lf] == rref[rf]
                 cond = c if cond is None else cond & c
+        if join_limit_n is not None:
+            # per-left-row match cap (LIMIT(n[,SKIP]) / ONFAIL): tag each
+            # left row so match groups can be counted post-join
+            lw = lw.withColumn("__lid__", F.monotonically_increasing_id())
         rhs = F.broadcast(rw) if (lookup or use_all) else rw
         if how == "right_anti":
             out = rw.join(
@@ -2705,10 +2733,22 @@ class _Parser:
             )
         else:
             out = lw.join(rhs, cond, how)
-        if transform_spec is not None:
-            declared, assigned, copy_side, meta, skip_cond = transform_spec
+        failing = None
+        if join_limit_n is not None and "__lid__" in out.columns:
+            from pyspark.sql.window import Window
+
+            wlid = Window.partitionBy("__lid__")
+            out = out.withColumn("__mc__", F.count(F.lit(1)).over(wlid))
+            over = F.col("__lid__").isNotNull() & (
+                F.col("__mc__") > join_limit_n
+            )
+            if join_onfail is not None:
+                failing = out.where(over).dropDuplicates(["__lid__"])
+            out = out.where(~over)
+        def apply_spec(frame, spec, extra=()):
+            declared, assigned, copy_side, meta, skip_cond = spec
             if skip_cond is not None:
-                out = out.where(~skip_cond)
+                frame = frame.where(~skip_cond)
             cols = []
             for f in declared:
                 if f in assigned:
@@ -2733,7 +2773,34 @@ class _Parser:
                     elif ty2 in ("long", "double", "float", "boolean", "string"):
                         col2 = col2.cast(ty2)
                 cols.append(col2.alias(f))
-            return out.select(*cols)
+            return frame.select(*cols, *extra)
+
+        # reference join output order when both sides carry ordinals:
+        # left-major, right order within a match group, unmatched-side
+        # rows last
+        has_ords = "__ord__" in left.columns and "__ord__" in right.columns
+
+        def join_ord():
+            return (
+                F.coalesce(lref["__ord__"], F.lit(1 << 40)) * F.lit(1_000_000)
+                + F.coalesce(rref["__ord__"], F.lit(0))
+            ).alias("__ord__")
+
+        if transform_spec is not None:
+            if has_ords:
+                main = apply_spec(out, transform_spec, extra=[join_ord()])
+            else:
+                main = apply_spec(out, transform_spec)
+            if failing is not None and join_onfail is not None:
+                fo = apply_spec(
+                    failing,
+                    join_onfail,
+                    extra=[join_ord()] if has_ords else [],
+                )
+                main = main.unionByName(fo)
+            if has_ords:
+                self._set_order(main, [F.col("__ord__")])
+            return main
         if how in ("left_anti", "right_anti"):
             return out.drop("__ord__")
         # Default (no TRANSFORM) join record: LEFT's fields, then RIGHT
@@ -2747,6 +2814,51 @@ class _Parser:
             if c not in left.columns and c != "__ord__"
         ]
         return out.select(*lcols, *rcols)
+
+    @staticmethod
+    def _defaulting_side(frame):
+        """Wrap a join side so field reads COALESCE to the field type's
+        default — ECL has no NULLs: an outer-join miss reads as 0/''/
+        false in the transform (rtlField defaults)."""
+        dt = dict(frame.dtypes) if hasattr(frame, "dtypes") else {}
+
+        class _Dflt:
+            columns = getattr(frame, "columns", [])
+
+            def __getitem__(self, name):
+                ty = dt.get(name, "")
+                if ty in ("bigint", "int", "smallint", "tinyint"):
+                    d = F.lit(0)
+                elif ty in ("double", "float"):
+                    d = F.lit(0.0)
+                elif ty == "boolean":
+                    d = F.lit(False)
+                else:
+                    d = F.lit("")
+                return F.coalesce(frame[name], d)
+
+        return _Dflt()
+
+    @staticmethod
+    def _all_default_side(frame):
+        """A side that reads as an all-defaults BLANK row (the
+        unmatched side in an ONFAIL transform)."""
+        dt = dict(frame.dtypes) if hasattr(frame, "dtypes") else {}
+
+        class _Blank:
+            columns = getattr(frame, "columns", [])
+
+            def __getitem__(self, name):
+                ty = dt.get(name, "")
+                if ty in ("bigint", "int", "smallint", "tinyint"):
+                    return F.lit(0)
+                if ty in ("double", "float"):
+                    return F.lit(0.0)
+                if ty == "boolean":
+                    return F.lit(False)
+                return F.lit("")
+
+        return _Blank()
 
     def _join_named_transform(self, fname: str, left, right):
         """A NAMED transform as a JOIN option: xfm(LEFT, RIGHT

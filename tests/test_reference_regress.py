@@ -64,7 +64,7 @@ VERBATIM = [
     "evaluate", "once2",
     # named transforms as JOIN options, self-join aliasing, grouped
     # LIMIT with ONFAIL replacement rows
-    "limitskip", "ifwhen", "grouphashagg",
+    "limitskip", "ifwhen", "grouphashagg", "joinrightouter",
 ]
 
 
