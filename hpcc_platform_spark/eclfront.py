@@ -293,7 +293,7 @@ _TOKEN_RX = re.compile(
             |\d+)
   | (?P<str>(?:[uU]8?|[vV]|[qQ])?'(?:[^'\\]|\\.)*')
   | (?P<directive>\#[A-Za-z]+)
-  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:^])
+  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:^$@])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -426,6 +426,18 @@ class _Parser:
         self._pins: list[DataFrame] = []
         # Window for HAVING-condition aggregates (COUNT(GROUP) etc.).
         self._having_win = None
+        # regress-fixture shim modules (Files := setup.Files(...)):
+        # name -> member dict; members are ALSO injected unqualified
+        # into scalars/sets/records/env, so `Files.X` parses by
+        # skipping the qualifier (regress_fixtures module)
+        self.shims: dict[str, dict] = {}
+        # dataset-definition token spans (name -> toks of the RHS).
+        # Referenced inside a row context over the defining parent, the
+        # span re-parses as a correlated child expression — the
+        # reference's implicit-relationship normalization re-binds
+        # hoisted child queries per parent row (ecl/hqlcpp/hqlttcpp.cpp
+        # normalizeHqlTree; regress aggsq1 'p' re-bound under TABLE)
+        self.ds_spans: dict[str, list] = {}
 
     # --- token helpers ---
     def peek(self) -> _Tok:
@@ -435,6 +447,16 @@ class _Parser:
         t = self.toks[self.i]
         self.i += 1
         return t
+
+    def _skip_shim_qual(self) -> None:
+        """Skip a fixture-module qualifier (sq.BookIdRec -> BookIdRec);
+        members are injected unqualified at shim-bind time."""
+        while (
+            self.peek().text in self.shims
+            and self.toks[self.i + 1].text == "."
+        ):
+            self.next()
+            self.next()
 
     def expect(self, text: str) -> _Tok:
         t = self.next()
@@ -907,9 +929,15 @@ class _Parser:
                 # engine
                 self.next()
             else:
-                raise EclSyntaxError(
-                    f"unsupported OUTPUT option at {self.peek().pos}"
-                )
+                # OUTPUT(ds,,Files.QueryFilePrefix+'name') — a constant
+                # string expression names the logical file
+                fname2 = self._try_const_str()
+                if fname2 is None:
+                    raise EclSyntaxError(
+                        f"unsupported OUTPUT option at {self.peek().pos}"
+                    )
+                self.files[fname2.lower()] = df
+                file_write = True
         self.expect(")")
         if named is not None:
             seq = self._named_seq.get(named, 0)
@@ -964,6 +992,63 @@ class _Parser:
         self.expect("}")
         keep = [c for c in df.columns if c == "__ord__"]
         return df.select(*cols, *keep)
+
+    def _bind_shim(self, defname: str) -> None:
+        """Bind a regress-fixture module (setup/files.ecl, setup/sq.ecl
+        shims from regress_fixtures). Members are injected UNQUALIFIED
+        into the parser namespaces; `Files.Member` then parses by
+        skipping the qualifier (ECL module scoping flattens here —
+        member names are unique within the regress corpus)."""
+        from hpcc_platform_spark import regress_fixtures as RF
+
+        self.next()  # setup | $
+        self.next()  # .
+        which = self.next().text  # files | sq
+        self.expect("(")
+        args: list = []
+        while self.peek().text != ")":
+            if self.accept(","):
+                continue
+            c = self._cget(self.value(self._dummy()))
+            args.append(c[0] if c is not None else False)
+        self.next()  # ')'
+        args = [bool(a) for a in args]
+        if which == "files":
+            members = RF.files_members(*args[:2])
+        else:
+            members = RF.sq_members(*args[:1])
+        self.shims[defname] = members
+        for mn, spec in members.items():
+            if spec[0] == "const":
+                self.scalars[mn] = self._mkconst(
+                    self._coerce_const(spec[1], spec[2]), spec[2]
+                )
+            elif spec[0] == "set":
+                self.sets[mn] = list(spec[1])
+            elif spec[0] == "record":
+                self.records[mn] = list(spec[1])
+            elif spec[0] == "dataset":
+                d = RF.build_df(self.spark(), spec[1])
+                self.env[mn] = d
+                self._ds_fields[id(d)] = list(spec[2])
+                self._pins.append(d)
+
+    def _try_const_str(self) -> str | None:
+        """Parse a constant string-valued expression at the cursor
+        (file-name positions: Files.QueryFilePrefix + 'houses1') and
+        return its folded value, or None (cursor restored) if the
+        tokens aren't a constant string."""
+        mark = self.i
+        try:
+            col = self.value(self._dummy())
+        except Exception:
+            self.i = mark
+            return None
+        c = self._cget(col)
+        if c is None or not isinstance(c[0], str):
+            self.i = mark
+            return None
+        return c[0]
 
     def _parse_module(self) -> dict:
         """MODULE ... END with EXPORT members: each member's body is a
@@ -1613,6 +1698,17 @@ class _Parser:
             return
         kind = "dataset"
         df = None
+        if (
+            self.peek().text in ("setup", "$")
+            and self.toks[self.i + 1].text == "."
+            and self.toks[self.i + 2].text in ("files", "sq")
+            and self.toks[self.i + 3].text == "("
+        ):
+            # regress-fixture module bind: Files := setup.Files(a, b);
+            # sq := setup.sq(multiPart); (testing/regress/ecl/setup)
+            self._bind_shim(name.text)
+            self.expect(";")
+            return
         if self.peek().text == "dictionary":
             self.dicts[name.text] = self._dictionary()
             kind = "dict"
@@ -1683,6 +1779,7 @@ class _Parser:
                     raise EclSyntaxError(
                         f"trailing tokens after dataset at {self.peek().pos}"
                     )
+                self.ds_spans[name.text] = self.toks[mark : self.i]
             except EclSyntaxError as dataset_err:
                 self.i = mark
                 try:
@@ -1823,6 +1920,9 @@ class _Parser:
 
     # --- dataset expressions ---
     def dataset(self) -> DataFrame:
+        # fixture-module qualifier (Files.DG_FlatFile): members are
+        # injected unqualified — skip the qualifier
+        self._skip_shim_qual()
         t = self.peek()
         if t.text == "table":
             df = self._table()
@@ -1984,6 +2084,29 @@ class _Parser:
             self._set_order(df, [F.col("__ord__")])
             if child_meta is not None:
                 self._ds_fields[id(df)] = child_meta
+            # chained flattening: parent.child.subchild — each extra
+            # level explodes again (aggsq3/aggsq4 occupants.extra)
+            while (
+                self.peek().text == "."
+                and self.toks[self.i + 1].kind == "ident"
+                and self.toks[self.i + 1].text in self._child_field_names(df)
+            ):
+                self.next()
+                sub = self.next().text
+                sub_meta = self._child_field_names(df)[sub]
+                self._pins.append(df)
+                ex = df.select(
+                    F.col("__ord__").alias("__pord__"),
+                    F.posexplode(F.col(sub)).alias("__pos__", "__child__"),
+                )
+                df = ex.select(
+                    F.col("__child__.*"),
+                    (
+                        F.col("__pord__") * F.lit(1_000_000) + F.col("__pos__")
+                    ).alias("__ord__"),
+                )
+                self._set_order(df, [F.col("__ord__")])
+                self._ds_fields[id(df)] = sub_meta
         elif t.kind == "ident":
             self.next()
             if t.text in self.functions and self.peek().text == "(":
@@ -3764,10 +3887,12 @@ class _Parser:
         pad with trailing spaces, exactly as the reference stores and
         prints them (rtlField string semantics). DATASET(rec) members
         declare nested child datasets (array<struct> columns)."""
+        self._skip_shim_qual()
         ty = self.next()
         if ty.text == "dataset" and self.peek().text == "(":
             # child dataset member: DATASET(recname) fieldname
             self.next()
+            self._skip_shim_qual()
             rec = self.next()
             child_fields = (
                 self.records[rec.text]
@@ -3846,6 +3971,7 @@ class _Parser:
     def _record_fields(self) -> list[tuple[str, str, int | None]]:
         """{ type name, type name, ... } or a named RECORD reference →
         [(name, spark_type, width)]."""
+        self._skip_shim_qual()
         if self.peek().kind == "ident" and self.peek().text in self.records:
             return self.records[self.next().text]
         self.expect("{")
@@ -3861,6 +3987,7 @@ class _Parser:
         fields: list[tuple] = []
         split = None
         while True:
+            self._skip_shim_qual()
             nx = self.peek()
             if nx.kind == "ident" and (
                 nx.text in self.records
@@ -3945,6 +4072,7 @@ class _Parser:
         self.expect("record")
         fields: list[tuple[str, str, int | None]] = []
         while self.peek().text != "end":
+            self._skip_shim_qual()
             nx = self.peek()
             if nx.text == "ifblock" and self.toks[self.i + 1].text == "(":
                 # IFBLOCK(cond) fields END — fields exist only on rows
@@ -3995,9 +4123,20 @@ class _Parser:
         the literal order; user-visible results drop it."""
         self.expect("dataset")
         self.expect("(")
+        fname = None
         if self.peek().kind == "str":
-            # DATASET('logicalname', rec, THOR) — read a named file
             fname = _unquote(self.next().text).lower()
+        elif self.peek().text not in ("[", "workunit"):
+            # DATASET(Files.QueryFilePrefix+'name', rec, THOR) — a
+            # constant string expression names the logical file
+            mark0 = self.i
+            s0 = self._try_const_str()
+            if s0 is not None and self.peek().text == ",":
+                fname = s0.lower()
+            elif s0 is not None:
+                self.i = mark0  # constant, but not a name position
+        if fname is not None:
+            # DATASET('logicalname', rec, THOR) — read a named file
             self.expect(",")
             fields = self._record_fields()
             while self.accept(","):
@@ -4619,6 +4758,7 @@ class _Parser:
         return self._atom(df)
 
     def _atom(self, df) -> Column:
+        self._skip_shim_qual()  # Files.DG_Fnames[2] -> DG_Fnames[2]
         t = self.next()
         if t.kind == "directive":
             if t.text == "#ifdefined":
@@ -4695,6 +4835,12 @@ class _Parser:
             return self._mkconst(True, "boolean")
         if t.text == "false":
             return self._mkconst(False, "boolean")
+        if t.text == "random" and self.peek().text == "(":
+            # RANDOM() — unsigned4 PRNG (eclrtl rtlRandom); per-row
+            # non-deterministic, so no constant fold
+            self.next()
+            self.expect(")")
+            return (F.rand() * F.lit(float(2**32))).cast("long")
         if t.text == "round":
             self.expect("(")
             inner = self.value(df)
@@ -5569,55 +5715,304 @@ class _Parser:
                 arr = F.array_distinct(arr)
             return arr, fields
         kids = self._child_field_names(df) if df is not None else {}
+        arr = fields = None
+        arr_name = t.text  # field/definition name the array came from
         if t.kind == "ident" and t.text in kids:
             arr = df[t.text]
             fields = kids[t.text]
-            while self.peek().text == "(":
-                # postfix element filter: occupants(age != 0)
-                self.next()
-                span: list[_Tok] = []
-                depth = 0
-                while not (depth == 0 and self.peek().text == ")"):
-                    tk = self.next()
-                    if tk.kind == "eof":
-                        raise EclSyntaxError("unterminated child filter")
-                    depth += tk.text == "("
-                    depth -= tk.text == ")"
-                    span.append(tk)
-                self.next()  # ')'
-                fieldnames = [f[0] for f in fields]
+        elif t.kind == "ident" and t.text in self.ds_spans:
+            rb = self._rebind_child(t.text, df)
+            if rb is not None:
+                arr, fields = rb
+        if arr is not None:
+            while True:
+                if self.peek().text == "(":
+                    # postfix element filter: occupants(age != 0)
+                    self.next()
+                    span: list[_Tok] = []
+                    depth = 0
+                    while not (depth == 0 and self.peek().text == ")"):
+                        tk = self.next()
+                        if tk.kind == "eof":
+                            raise EclSyntaxError("unterminated child filter")
+                        depth += tk.text == "("
+                        depth -= tk.text == ")"
+                        span.append(tk)
+                    self.next()  # ')'
+                    fieldnames = [f[0] for f in fields]
 
-                def _mk_filter(span_l, fnames):
-                    # single-arg closure: pyspark dispatches on arity
-                    def one(x):
-                        return self._eval_elem_cond(span_l, x, fnames)
+                    def _mk_filter(span_l, fnames):
+                        # single-arg closure: pyspark dispatches on arity
+                        def one(x):
+                            return self._eval_elem_cond(span_l, x, fnames)
 
-                    return one
+                        return one
 
-                arr = F.filter(arr, _mk_filter(list(span), fieldnames))
+                    arr = F.filter(arr, _mk_filter(list(span), fieldnames))
+                    continue
+                if (
+                    self.peek().text == "."
+                    and self.toks[self.i + 1].kind == "ident"
+                ):
+                    # sub-child flatten: occupants.extra concatenates
+                    # each element's nested child list (aggsq3/aggsq4)
+                    sub = self.toks[self.i + 1].text
+                    subfields = None
+                    for nm2, _ty2, _w2, d2 in fields:
+                        if (
+                            nm2 == sub
+                            and isinstance(d2, tuple)
+                            and len(d2) == 2
+                            and d2[0] == "__child__"
+                        ):
+                            subfields = d2[1]
+                    if subfields is None:
+                        break
+                    self.next()
+                    self.next()
+                    if self.peek().text == "(":
+                        # filter at multiple levels: the condition may
+                        # reference the intermediate element (aggsq3's
+                        # occupants.extra(houseTable.occupants.id != 2,
+                        # age != 0)) — apply the filter INSIDE the
+                        # per-parent transform so the parent element o
+                        # is in scope, then flatten
+                        self.next()
+                        span2: list[_Tok] = []
+                        depth = 0
+                        while not (depth == 0 and self.peek().text == ")"):
+                            tk = self.next()
+                            if tk.kind == "eof":
+                                raise EclSyntaxError(
+                                    "unterminated child filter"
+                                )
+                            depth += tk.text == "("
+                            depth -= tk.text == ")"
+                            span2.append(tk)
+                        self.next()  # ')'
+                        pnames = [f[0] for f in fields]
+                        new_span: list[_Tok] = []
+                        outer_cs: list[str] = []
+                        j = 0
+                        while j < len(span2):
+                            if (
+                                j + 4 < len(span2)
+                                and span2[j].kind == "ident"
+                                and span2[j + 1].text == "."
+                                and span2[j + 2].text == arr_name
+                                and span2[j + 3].text == "."
+                                and span2[j + 4].kind == "ident"
+                                and span2[j + 4].text in pnames
+                            ):
+                                c = span2[j + 4].text
+                                new_span.append(
+                                    _Tok("ident", f"__outer_{c}", span2[j].pos)
+                                )
+                                outer_cs.append(c)
+                                j += 5
+                                continue
+                            new_span.append(span2[j])
+                            j += 1
+                        subnames = [f[0] for f in subfields]
+
+                        def _mk_sub_f(s, span_l, snames, ocs):
+                            def one(o):
+                                def inner(e):
+                                    outer = {
+                                        f"__outer_{c}": o[c] for c in ocs
+                                    }
+                                    return self._eval_elem_cond(
+                                        span_l, e, snames, outer
+                                    )
+
+                                return F.filter(o[s], inner)
+
+                            return one
+
+                        arr = F.flatten(
+                            F.transform(
+                                arr,
+                                _mk_sub_f(
+                                    sub, list(new_span), subnames,
+                                    list(outer_cs),
+                                ),
+                            )
+                        )
+                    else:
+
+                        def _mk_sub(s):
+                            def one(x):
+                                return x[s]
+
+                            return one
+
+                        arr = F.flatten(F.transform(arr, _mk_sub(sub)))
+                    fields = subfields
+                    arr_name = sub
+                    continue
+                break
             return arr, fields
         raise EclSyntaxError(
             f"not a child-dataset expression at {t.pos}: {t.text!r}"
         )
 
-    def _eval_elem_cond(self, span: list[_Tok], elem, fieldnames: list) -> Column:
-        """Evaluate a filter condition over one array element (the x of
-        F.filter's lambda) by re-parsing the span with element-resolved
-        field references."""
-
-        class _ElemCtx:
-            columns = fieldnames
-
-            def __getitem__(self, name):
-                return elem[name]
-
+    def _rebind_child(self, name: str, df):
+        """Correlated re-binding: a top-level dataset definition whose
+        RHS derives from <parent>.<childfield> (optionally filtered /
+        TABLE-projected) re-evaluates per parent row when referenced
+        inside a row context over that same parent. Returns
+        (array Column, fields) or None if the span isn't child-shaped
+        relative to df (the caller then falls back to the global
+        binding). Mirrors the reference's implicit-relationship
+        normalization (hqlttcpp.cpp) that turns hoisted definitions
+        back into child queries (regress aggsq1/aggsq1seq Result 4)."""
+        span = self.ds_spans.get(name)
+        if span is None or df is None:
+            return None
         saved_toks, saved_i = self.toks, self.i
-        self.toks = span + [_Tok("eof", "", span[-1].pos if span else 0)]
+        self.toks = list(span) + [_Tok("eof", "", span[-1].pos if span else 0)]
         self.i = 0
         try:
-            return self.value(_ElemCtx())
+            out = self._rebind_parse(df)
+            if out is not None and self.peek().kind != "eof":
+                out = None
+            return out
+        except EclSyntaxError:
+            return None
         finally:
             self.toks, self.i = saved_toks, saved_i
+
+    def _rebind_parse(self, df):
+        t = self.peek()
+        if t.text == "table" and self.toks[self.i + 1].text == "(":
+            # table(<child expr>, {f1, f2, ...}) — project each element
+            self.next()
+            self.next()
+            inner = self._rebind_parse(df)
+            if inner is None:
+                return None
+            arr, fields = inner
+            if self.accept(","):
+                self.expect("{")
+                body: list[_Tok] = []
+                depth = 0
+                while not (depth == 0 and self.peek().text == "}"):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated record")
+                    depth += tk.text in ("(", "[", "{")
+                    depth -= tk.text in (")", "]")
+                    body.append(tk)
+                self.next()  # '}'
+                fieldmap = {f[0]: f for f in fields}
+                fnames = [f[0] for f in fields]
+                # members: bare field | [type] name := expr (computed,
+                # evaluated per element — aggsq3's p2 seq/random field)
+                members: list[tuple] = []  # (name, expr_span | None)
+                for mspan in self._split_top_commas(body):
+                    if not mspan:
+                        continue
+                    asg = next(
+                        (k for k, tk in enumerate(mspan) if tk.text == ":="),
+                        None,
+                    )
+                    if asg is None:
+                        nm = mspan[-1].text
+                        if nm not in fieldmap:
+                            return None
+                        members.append((nm, None))
+                    else:
+                        members.append((mspan[asg - 1].text, mspan[asg + 1 :]))
+
+                def _mk_proj(mems):
+                    def one(x):
+                        cols = []
+                        for nm, span in mems:
+                            if span is None:
+                                cols.append(x[nm].alias(nm))
+                            else:
+                                cols.append(
+                                    self._eval_elem_cond(
+                                        span, x, fnames
+                                    ).alias(nm)
+                                )
+                        return F.struct(*cols)
+
+                    return one
+
+                arr = F.transform(arr, _mk_proj(list(members)))
+                fields = [
+                    fieldmap.get(nm, (nm, "integer", None, None))
+                    for nm, _sp in members
+                ]
+            self.expect(")")
+            return arr, fields
+        if (
+            t.kind == "ident"
+            and self.toks[self.i + 1].text == "."
+            and self.env.get(t.text) is df
+        ):
+            # parent.childfield — the parent IS the row context; strip
+            # the qualifier and read the child field of the current row
+            self.next()
+            self.next()
+            return self._child_expr(df)
+        if t.kind == "ident" and t.text in self._child_field_names(df):
+            return self._child_expr(df)
+        if t.text == "dedup":
+            return self._child_expr(df)
+        return None
+
+    def _eval_elem_cond(
+        self, span: list[_Tok], elem, fieldnames: list, outer: dict | None = None
+    ) -> Column:
+        """Evaluate a filter condition over one array element (the x of
+        F.filter's lambda) by re-parsing the span with element-resolved
+        field references. ``outer`` maps synthetic identifier names to
+        pre-resolved Columns (parent-level fields in multi-level child
+        filters — aggsq3's occupants.extra(houseTable.occupants.id != 2)).
+        Top-level commas AND together (postfix-filter convention)."""
+        out_map = outer or {}
+
+        class _ElemCtx:
+            columns = list(fieldnames) + list(out_map)
+
+            def __getitem__(self, name):
+                if name in out_map:
+                    return out_map[name]
+                return elem[name]
+
+        conds = self._split_top_commas(span)
+        saved_toks, saved_i = self.toks, self.i
+        try:
+            acc = None
+            for cspan in conds:
+                self.toks = cspan + [
+                    _Tok("eof", "", cspan[-1].pos if cspan else 0)
+                ]
+                self.i = 0
+                c = self.value(_ElemCtx())
+                acc = c if acc is None else (acc & c)
+            return acc
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+
+    @staticmethod
+    def _split_top_commas(span: list[_Tok]) -> list[list[_Tok]]:
+        out: list[list[_Tok]] = []
+        cur: list[_Tok] = []
+        depth = 0
+        for tk in span:
+            if depth == 0 and tk.text == ",":
+                out.append(cur)
+                cur = []
+                continue
+            depth += tk.text in ("(", "[", "{")
+            depth -= tk.text in (")", "]", "}")
+            cur.append(tk)
+        if cur:
+            out.append(cur)
+        return out
 
     def _generated_named_transform(self, n: int) -> DataFrame:
         """DATASET(n, t(COUNTER) [, DISTRIBUTED|LOCAL]) with a NAMED

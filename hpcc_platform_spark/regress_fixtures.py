@@ -1,0 +1,656 @@
+"""Reference-regress fixture shims: the setup/* data-generation modules
+re-expressed Spark-side.
+
+The reference's regression suite generates its input data once
+(testing/regress/ecl/setup/setup.ecl, setupsq.ecl) and each test then
+reads it through module members of testing/regress/ecl/setup/files.ecl
+(``setup.Files(...)``: DG_FlatFile, DG_Fnames, QueryFilePrefix, ...) and
+setup/sq.ecl (``setup.sq(...)``: HousePersonBookDs, SimplePersonBookDs,
+...). This module rebuilds those datasets as DataFrames so the regress
+files run verbatim: the generation RULES are re-implemented in Spark
+idiom (cited per function), while the fixture LITERALS (the name lists,
+the house/person/book rows) are parsed OUT of the reference tree at
+runtime — nothing is vendored, the same way the regress harness reads
+key/*.xml at test time.
+
+Member kinds a shim exposes (consumed by eclfront's shim binder):
+  ("const", value, ecl_type) — scalar constants (file-name prefixes...)
+  ("set", [values])          — SET OF constants (DG_Fnames...)
+  ("record", fields)         — record definitions, eclfront field tuples
+  ("dataset", build, fields) — build(spark) -> DataFrame, lazy + cached
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+_ECL_SETUP = "/root/reference/testing/regress/ecl/setup"
+
+# fixture DataFrames are tiny (5-576 rows) but shared across every
+# parser instance in a session — build each once per SparkSession
+_DF_CACHE: dict = {}
+
+
+def build_df(spark, fn):
+    key = (id(spark), fn.__name__)
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = fn(spark)
+    return _DF_CACHE[key]
+
+
+def _read(name: str) -> str:
+    with open(f"{_ECL_SETUP}/{name}") as f:
+        return f.read()
+
+
+# --------------------------------------------------------------------------
+# DG fixture (setup/setup.ecl + setup/files.ecl)
+# --------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _dg_sets() -> dict[str, list]:
+    """The EXPORT SET OF ... atoms from setup/files.ecl, parsed at
+    runtime (files.ecl:188-206). Each set has 16 elements."""
+    text = _read("files.ecl")
+    out: dict[str, list] = {}
+    for m in re.finditer(
+        r"EXPORT\s+SET\s+OF\s+(\w+)\s+(\w+)\s*:=\s*\[([^;]*)\];",
+        text,
+        re.S,
+    ):
+        ty, name, body = m.group(1).lower(), m.group(2).lower(), m.group(3)
+        vals: list = []
+        for item in body.split(","):
+            item = item.strip()
+            if item.startswith("'"):
+                vals.append(item[1:-1])
+            else:
+                vals.append(int(item))
+        if ty.startswith("string"):
+            w = int(ty[6:]) if len(ty) > 6 else None
+            if w:
+                vals = [v.ljust(w) for v in vals]
+        out[name] = vals
+    return out
+
+
+# eclfront field tuples: (name, spark_type, width, default)
+DG_OUTREC = [
+    ("dg_parentid", "long", None, None),
+    ("dg_firstname", "string", 10, None),
+    ("dg_lastname", "string", 10, None),
+    ("dg_prange", "long", None, None),
+]
+DG_OUTRECCHILD = [
+    ("dg_parentid", "long", None, None),
+    ("dg_childid", "long", None, None),
+    ("dg_firstname", "string", 10, None),
+    ("dg_lastname", "string", 10, None),
+    ("dg_prange", "long", None, None),
+]
+_FILEPOS = ("filepos", "long", None, None)
+# DG_OutRec is 4+10+10+1 bytes in the reference's flat layout — the
+# virtual(fileposition) column is the byte offset of each record
+_DG_RECSIZE = 25
+_DG_CHILD_RECSIZE = 29
+
+
+def _dg_parent_rows() -> list[tuple]:
+    """DG_ParentRecs (setup.ecl:24-52): one blank row normalized 4× per
+    field — firstname outermost, then lastname, then prange — with
+    DG_ParentID := COUNTER-1 in that generation order."""
+    s = _dg_sets()
+    fn, ln, pr = s["dg_fnames"], s["dg_lnames"], s["dg_pranges"]
+    rows = []
+    pid = 0
+    for i in range(4):
+        for j in range(4):
+            for k in range(4):
+                rows.append((pid, fn[i], ln[j], pr[k]))
+                pid += 1
+    return rows
+
+
+def _dg_parents(spark):
+    rows = [r + (i * _DG_RECSIZE,) for i, r in enumerate(_dg_parent_rows())]
+    return spark.createDataFrame(
+        rows,
+        "dg_parentid long, dg_firstname string, dg_lastname string, "
+        "dg_prange long, filepos long",
+    ).coalesce(1)
+
+
+def _dg_children(spark):
+    """DG_ChildRecs (setup.ecl:55-66): DG_MaxChildren(=3) per parent,
+    DG_ChildID := global COUNTER-1 over the generated stream."""
+    rows = []
+    cid = 0
+    out = []
+    for r in _dg_parent_rows():
+        for _ in range(3):
+            out.append((r[0], cid, r[1], r[2], r[3], cid * _DG_CHILD_RECSIZE))
+            cid += 1
+    return spark.createDataFrame(
+        out,
+        "dg_parentid long, dg_childid long, dg_firstname string, "
+        "dg_lastname string, dg_prange long, filepos long",
+    ).coalesce(1)
+
+
+def _dg_grandchildren(spark):
+    """DG_GrandChildRecs (setup.ecl:70-73): DG_MaxGrandChildren(=3) per
+    child, child fields copied through (ChildID stays the child's)."""
+    rows = []
+    cid = 0
+    n = 0
+    out = []
+    for r in _dg_parent_rows():
+        for _ in range(3):
+            for _ in range(3):
+                out.append(
+                    (r[0], cid, r[1], r[2], r[3], n * _DG_CHILD_RECSIZE)
+                )
+                n += 1
+            cid += 1
+    return spark.createDataFrame(
+        out,
+        "dg_parentid long, dg_childid long, dg_firstname string, "
+        "dg_lastname string, dg_prange long, filepos long",
+    ).coalesce(1)
+
+
+def _dg_evens(spark):
+    """DG_FlatFileEvens (setup.ecl:84-92): parents whose firstname is an
+    even-indexed DG_Fnames element."""
+    s = _dg_sets()
+    evens = {s["dg_fnames"][i] for i in range(1, 16, 2)}
+    rows = [
+        r + (i * _DG_RECSIZE,)
+        for i, r in enumerate(_dg_parent_rows())
+        if r[1] in evens
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dg_parentid long, dg_firstname string, dg_lastname string, "
+        "dg_prange long, filepos long",
+    ).coalesce(1)
+
+
+DG_OUTREC_FP = DG_OUTREC + [_FILEPOS]
+DG_OUTRECCHILD_FP = DG_OUTRECCHILD + [_FILEPOS]
+
+
+def files_members(multi_part: bool = False, use_local: bool = False) -> dict:
+    """The setup.Files(...) module surface (setup/files.ecl). File-name
+    prefixes are deterministic constants (they only key the front door's
+    logical-file store); DG_* datasets are the generated fixture."""
+    prefix = "~regress::" + ("multi" if multi_part else "single") + "::"
+    iprefix = "~regress::" + (
+        "local" if (multi_part and use_local) else
+        "multi" if multi_part else "single"
+    ) + "::"
+    qprefix = prefix + "spark::workunit::"
+    s = _dg_sets()
+    m: dict[str, tuple] = {
+        "fileprefix": ("const", prefix, "string"),
+        "indexprefix": ("const", iprefix, "string"),
+        "queryfileprefixid": ("const", "spark::workunit::", "string"),
+        "queryfileprefix": ("const", qprefix, "string"),
+        "dg_fileout": ("const", prefix + "dg_", "string"),
+        "dg_indexout": ("const", iprefix + "dg_", "string"),
+        "dg_parentfileout": ("const", prefix + "dg_parent.d00", "string"),
+        "dg_childfileout": ("const", prefix + "dg_child.d00", "string"),
+        "dg_grandchildfileout": (
+            "const", prefix + "dg_grandchild.d00", "string",
+        ),
+        "dg_maxfield": ("const", 3, "integer"),
+        "dg_maxchildren": ("const", 3, "integer"),
+        "dg_maxgrandchildren": ("const", 3, "integer"),
+        "dg_outrec": ("record", DG_OUTREC),
+        "dg_outrecchild": ("record", DG_OUTRECCHILD),
+        "dg_flatfile": ("dataset", _dg_parents, DG_OUTREC_FP),
+        "dg_flatfileevens": ("dataset", _dg_evens, DG_OUTREC_FP),
+        "dg_parentfile": ("dataset", _dg_parents, DG_OUTREC_FP),
+        "dg_childfile": ("dataset", _dg_children, DG_OUTRECCHILD_FP),
+        "dg_grandchildfile": (
+            "dataset", _dg_grandchildren, DG_OUTRECCHILD_FP,
+        ),
+        # index reads are filtered scans of the base file on this engine
+        # (sources/index.py design); same rows, key order
+        "dg_indexfile": ("dataset", _dg_index, DG_OUTREC_FP),
+        "dg_indexfileevens": ("dataset", _dg_index_evens, DG_OUTREC_FP),
+    }
+    for name, vals in s.items():
+        m[name] = ("set", vals)
+    return m
+
+
+def _dg_index(spark):
+    """DG_NormalIndexFile: the flat file ordered by its index key
+    (DG_firstname, DG_lastname) — an index read returns key order."""
+    df = _dg_parents(spark)
+    return df.orderBy("dg_firstname", "dg_lastname", "filepos").coalesce(1)
+
+
+def _dg_index_evens(spark):
+    df = _dg_evens(spark)
+    return df.orderBy("dg_firstname", "dg_lastname", "filepos").coalesce(1)
+
+
+# --------------------------------------------------------------------------
+# sq fixture (setup/setupsq.ecl + setup/sq.ecl)
+# --------------------------------------------------------------------------
+
+BOOK_ID_REC = [
+    ("id", "long", None, None),
+    ("name", "string", None, None),
+    ("author", "string", None, None),
+    ("rating100", "long", None, None),
+    ("price", "decimal(8,2)", None, None),
+]
+PERSON_BOOK_ID_REC = [
+    ("id", "long", None, None),
+    ("forename", "string", None, None),
+    ("surname", "string", None, None),
+    ("dob", "decimal(8,0)", None, None),
+    ("booklimit", "decimal(8,0)", None, None),
+    ("aage", "long", None, None),
+    ("books", "array<struct<id: long, name: string, author: string, "
+     "rating100: long, price: decimal(8,2)>>", None,
+     ("__child__", BOOK_ID_REC)),
+]
+HOUSE_PERSON_BOOK_ID_REC = [
+    ("id", "long", None, None),
+    ("addr", "string", None, None),
+    ("postcode", "string", 10, None),
+    ("yearbuilt", "long", None, None),
+    ("persons", "array<struct<id: long, forename: string, surname: string, "
+     "dob: decimal(8,0), booklimit: decimal(8,0), aage: long, "
+     "books: array<struct<id: long, name: string, author: string, "
+     "rating100: long, price: decimal(8,2)>>>>", None,
+     ("__child__", PERSON_BOOK_ID_REC)),
+]
+HOUSE_ID_REC = [
+    ("id", "long", None, None),
+    ("addr", "string", None, None),
+    ("postcode", "string", 10, None),
+    ("yearbuilt", "long", None, None),
+]
+PERSON_RELATED_ID_REC = [
+    ("id", "long", None, None),
+    ("forename", "string", None, None),
+    ("surname", "string", None, None),
+    ("dob", "decimal(8,0)", None, None),
+    ("booklimit", "decimal(8,0)", None, None),
+    ("aage", "long", None, None),
+    ("houseid", "long", None, None),
+]
+PERSON_BOOK_RELATED_ID_REC = PERSON_BOOK_ID_REC + [
+    ("houseid", "long", None, None)
+]
+BOOK_RELATED_ID_REC = BOOK_ID_REC + [("personid", "long", None, None)]
+SIMPLE_PERSON_BOOK_REC = [
+    ("surname", "string", 20, None),
+    ("forename", "string", 10, None),
+    ("dob", "decimal(8,0)", None, None),
+    ("limit", "struct<booklimit: decimal(8,0)>", None, None),
+    ("aage", "long", None, None),
+    ("books", "array<struct<id: long, name: string, author: string, "
+     "rating100: long, price: decimal(8,2)>>", None,
+     ("__child__", BOOK_ID_REC)),
+    _FILEPOS,
+]
+
+
+@lru_cache(maxsize=None)
+def _sq_raw() -> list[dict]:
+    """Parse the rawHouse inline-dataset literal out of
+    setup/setupsq.ecl (the suite's fixture rows, read at runtime) into
+    [{addr, postcode, yearBuilt, persons: [{forename, surname, dob,
+    booklimit, books: [{name, author, rating100, price}]}]}]."""
+    text = _read("setupsq.ecl")
+    m = re.search(r"rawHouse\s*:=\s*dataset\(\s*\[", text)
+    start = text.index("[", m.end() - 1)
+    depth = 0
+    i = start
+    while True:
+        c = text[i]
+        if c == "'":  # skip string literal (may hold brackets/commas)
+            i += 1
+            while text[i] != "'":
+                i += 2 if text[i] == "\\" else 1
+        elif c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    body = text[start : i + 1]
+
+    pos = 0
+
+    def skip_ws():
+        nonlocal pos
+        while pos < len(body) and body[pos] in " \t\r\n,":
+            pos += 1
+
+    def parse_value():
+        nonlocal pos
+        skip_ws()
+        c = body[pos]
+        if c == "{":
+            pos += 1
+            items = []
+            while True:
+                skip_ws()
+                if body[pos] == "}":
+                    pos += 1
+                    return items
+                items.append(parse_value())
+        if c == "[":
+            pos += 1
+            items = []
+            while True:
+                skip_ws()
+                if body[pos] == "]":
+                    pos += 1
+                    return items
+                items.append(parse_value())
+        if c == "'":
+            pos += 1
+            out = []
+            while body[pos] != "'":
+                if body[pos] == "\\":
+                    pos += 1
+                out.append(body[pos])
+                pos += 1
+            pos += 1
+            return "".join(out)
+        m2 = re.match(r"-?\d+\.\d+|-?\d+", body[pos:])
+        pos += m2.end()
+        t = m2.group()
+        return float(t) if "." in t else int(t)
+
+    houses = parse_value()  # the outer [...] list
+    out = []
+    for h in houses:
+        addr, postcode, year, persons = h
+        ps = []
+        for p in persons:
+            fore, sur, dob, limit, _age, books = p
+            bs = []
+            for b in books:
+                name, author, rating = b[0], b[1], b[2]
+                price = b[3] if len(b) > 3 else 0
+                bs.append(
+                    {"name": name, "author": author, "rating100": rating,
+                     "price": price}
+                )
+            ps.append(
+                {"forename": fore, "surname": sur, "dob": dob,
+                 "booklimit": limit, "books": bs}
+            )
+        out.append(
+            {"addr": addr, "postcode": postcode, "yearbuilt": year,
+             "persons": ps}
+        )
+    return out
+
+
+_BASE_DATE = 20050101  # setupsq.ecl:26
+
+
+def _sq_ids() -> list[dict]:
+    """Assign house/person/book ids the way setupsq's normalize +
+    DoAssignSeq pipeline does (setupsq.ecl:196-215): each level is
+    flattened in parent order and numbered 1..N globally; aage :=
+    (baseDate - dob)/10000 for dob < baseDate, >200 -> 99
+    (setupsq.ecl:117-123)."""
+    houses = [dict(h) for h in _sq_raw()]
+    pid = 0
+    bid = 0
+    for hid, h in enumerate(houses, start=1):
+        h["id"] = hid
+        persons = []
+        for p in h["persons"]:
+            p = dict(p)
+            pid += 1
+            p["id"] = pid
+            aage = (
+                (_BASE_DATE - p["dob"]) // 10000
+                if p["dob"] < _BASE_DATE
+                else 0
+            )
+            p["aage"] = 99 if aage > 200 else aage
+            persons.append(p)
+        h["persons"] = persons
+    for h in houses:
+        for p in h["persons"]:
+            books = []
+            for b in p["books"]:
+                b = dict(b)
+                bid += 1
+                b["id"] = bid
+                books.append(b)
+            p["books"] = books
+    return houses
+
+
+from decimal import Decimal as _D
+
+
+def _dec(v, scale: int) -> _D:
+    return _D(str(v)).quantize(_D(1).scaleb(-scale))
+
+
+def _sq_house_person_book(spark):
+    """HousePersonBookDs: the nested file as written (setupsq.ecl:259)."""
+    rows = []
+    n = 0
+    for h in _sq_ids():
+        persons = []
+        for p in h["persons"]:
+            books = [
+                (b["id"], b["name"], b["author"], b["rating100"],
+                 _dec(b["price"], 2))
+                for b in p["books"]
+            ]
+            persons.append(
+                (p["id"], p["forename"], p["surname"], _dec(p["dob"], 0),
+                 _dec(p["booklimit"], 0), p["aage"], books)
+            )
+        rows.append(
+            (h["id"], h["addr"], h["postcode"].ljust(10), h["yearbuilt"],
+             persons, n)
+        )
+        n += 1
+    return spark.createDataFrame(
+        rows,
+        "id long, addr string, postcode string, yearbuilt long, "
+        "persons array<struct<id: long, forename: string, surname: string,"
+        " dob: decimal(8,0), booklimit: decimal(8,0), aage: long, "
+        "books: array<struct<id: long, name: string, author: string, "
+        "rating100: long, price: decimal(8,2)>>>>, filepos long",
+    ).coalesce(1)
+
+
+def _sq_person_book(spark):
+    """PersonBookDs: one row per person, books nested, houseid link
+    (setupsq.ecl:251-252,260)."""
+    rows = []
+    for h in _sq_ids():
+        for p in h["persons"]:
+            books = [
+                (b["id"], b["name"], b["author"], b["rating100"],
+                 _dec(b["price"], 2))
+                for b in p["books"]
+            ]
+            rows.append(
+                (p["id"], p["forename"], p["surname"], _dec(p["dob"], 0),
+                 _dec(p["booklimit"], 0), p["aage"], books, h["id"])
+            )
+    return spark.createDataFrame(
+        rows,
+        "id long, forename string, surname string, dob decimal(8,0), "
+        "booklimit decimal(8,0), aage long, "
+        "books array<struct<id: long, name: string, author: string, "
+        "rating100: long, price: decimal(8,2)>>, houseid long",
+    ).coalesce(1)
+
+
+def _sq_house(spark):
+    rows = [
+        (h["id"], h["addr"], h["postcode"].ljust(10), h["yearbuilt"], n)
+        for n, h in enumerate(_sq_ids())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, addr string, postcode string, yearbuilt long, "
+        "filepos long",
+    ).coalesce(1)
+
+
+def _sq_person(spark):
+    rows = []
+    for h in _sq_ids():
+        for p in h["persons"]:
+            rows.append(
+                (p["id"], p["forename"], p["surname"], _dec(p["dob"], 0),
+                 _dec(p["booklimit"], 0), p["aage"], h["id"])
+            )
+    return spark.createDataFrame(
+        rows,
+        "id long, forename string, surname string, dob decimal(8,0), "
+        "booklimit decimal(8,0), aage long, houseid long",
+    ).coalesce(1)
+
+
+def _sq_book(spark):
+    rows = []
+    for h in _sq_ids():
+        for p in h["persons"]:
+            for b in p["books"]:
+                rows.append(
+                    (b["id"], b["name"], b["author"], b["rating100"],
+                     _dec(b["price"], 2), p["id"])
+                )
+    return spark.createDataFrame(
+        rows,
+        "id long, name string, author string, rating100 long, "
+        "price decimal(8,2), personid long",
+    ).coalesce(1)
+
+
+def _sq_simple_person_book(spark):
+    """SimplePersonBookDs (setupsq.ecl:256-266): person rows with
+    fixed-width names, the booklimit nested as limit.booklimit."""
+    rows = []
+    n = 0
+    for h in _sq_ids():
+        for p in h["persons"]:
+            books = [
+                (b["id"], b["name"], b["author"], b["rating100"],
+                 _dec(b["price"], 2))
+                for b in p["books"]
+            ]
+            rows.append(
+                (p["surname"].ljust(20), p["forename"].ljust(10),
+                 _dec(p["dob"], 0), (_dec(p["booklimit"], 0),), p["aage"],
+                 books, n)
+            )
+            n += 1
+    return spark.createDataFrame(
+        rows,
+        "surname string, forename string, dob decimal(8,0), "
+        "limit struct<booklimit: decimal(8,0)>, aage long, "
+        "books array<struct<id: long, name: string, author: string, "
+        "rating100: long, price: decimal(8,2)>>, filepos long",
+    ).coalesce(1)
+
+
+def _sq_book_author_grouped(spark):
+    from pyspark.sql import functions as F
+
+    return _sq_book(spark).orderBy("author", "id").coalesce(1)
+
+
+def sq_members(multi_part: bool = False) -> dict:
+    """The setup.sq(...) module surface (setup/sq.ecl:122-216)."""
+    prefix = "~regress::" + ("multi" if multi_part else "single") + "::"
+    m: dict[str, tuple] = {
+        "housepersonbookname": ("const", prefix + "housepersonbook", "string"),
+        "personbookname": ("const", prefix + "personbook", "string"),
+        "housename": ("const", prefix + "house", "string"),
+        "personname": ("const", prefix + "person", "string"),
+        "bookname": ("const", prefix + "book", "string"),
+        "simplepersonbookname": (
+            "const", prefix + "simplepersonbook", "string",
+        ),
+        "houserec": ("record", HOUSE_ID_REC[1:]),
+        "personrec": ("record", PERSON_RELATED_ID_REC[1:-1]),
+        "bookrec": ("record", BOOK_ID_REC[1:]),
+        "houseidrec": ("record", HOUSE_ID_REC),
+        "personidrec": (
+            "record", PERSON_RELATED_ID_REC[:-1],
+        ),
+        "bookidrec": ("record", BOOK_ID_REC),
+        "personrelatedidrec": ("record", PERSON_RELATED_ID_REC),
+        "bookrelatedidrec": ("record", BOOK_RELATED_ID_REC),
+        "personbookidrec": ("record", PERSON_BOOK_ID_REC),
+        "housepersonbookidrec": ("record", HOUSE_PERSON_BOOK_ID_REC),
+        "personbookrelatedidrec": ("record", PERSON_BOOK_RELATED_ID_REC),
+        "simplepersonbookrec": ("record", SIMPLE_PERSON_BOOK_REC),
+        "housepersonbookds": (
+            "dataset", _sq_house_person_book,
+            HOUSE_PERSON_BOOK_ID_REC + [_FILEPOS],
+        ),
+        "housepersonbookexds": (
+            "dataset", _sq_house_person_book,
+            HOUSE_PERSON_BOOK_ID_REC + [_FILEPOS],
+        ),
+        "personbookds": (
+            "dataset", _sq_person_book, PERSON_BOOK_RELATED_ID_REC,
+        ),
+        "personbookexds": (
+            "dataset", _sq_person_book,
+            PERSON_BOOK_RELATED_ID_REC + [_FILEPOS],
+        ),
+        "houseds": ("dataset", _sq_house, HOUSE_ID_REC + [_FILEPOS]),
+        "houseexds": ("dataset", _sq_house, HOUSE_ID_REC + [_FILEPOS]),
+        "personds": ("dataset", _sq_person, PERSON_RELATED_ID_REC),
+        "personexds": (
+            "dataset", _sq_person, PERSON_RELATED_ID_REC + [_FILEPOS],
+        ),
+        "bookds": ("dataset", _sq_book, BOOK_RELATED_ID_REC),
+        "bookexds": (
+            "dataset", _sq_book, BOOK_RELATED_ID_REC + [_FILEPOS],
+        ),
+        "bookauthorgroupedds": (
+            "dataset", _sq_book_author_grouped, BOOK_RELATED_ID_REC,
+        ),
+        "simplepersonbookds": (
+            "dataset", _sq_simple_person_book, SIMPLE_PERSON_BOOK_REC,
+        ),
+        "namestable1": (
+            "dataset", _sq_simple_person_book, SIMPLE_PERSON_BOOK_REC,
+        ),
+        "simplepersonbookindex": (
+            "dataset", _sq_simple_index, SIMPLE_PERSON_BOOK_REC,
+        ),
+        "namesindex1": (
+            "dataset", _sq_simple_index, SIMPLE_PERSON_BOOK_REC,
+        ),
+    }
+    return m
+
+
+def _sq_simple_index(spark):
+    """SimplePersonBookIndex: surname/forename/aage key order
+    (sq.ecl:205) — an index read returns key order."""
+    return (
+        _sq_simple_person_book(spark)
+        .orderBy("surname", "forename", "aage")
+        .coalesce(1)
+    )

@@ -65,6 +65,11 @@ VERBATIM = [
     # named transforms as JOIN options, self-join aliasing, grouped
     # LIMIT with ONFAIL replacement rows
     "limitskip", "ifwhen", "grouphashagg", "joinrightouter",
+    # correlated definition re-binding (a hoisted TABLE over
+    # parent.child re-binds per parent row), multi-level child
+    # flattening occupants.extra with filters at both levels, the
+    # $.setup Files fixture shim
+    "aggsq1", "aggsq1seq", "aggsq3", "aggsq3seq", "aggsq4", "aggsq4seq",
 ]
 
 
