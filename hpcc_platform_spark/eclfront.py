@@ -403,6 +403,11 @@ class _Parser:
         # types cannot carry. Columns are pinned like the order tables.
         self._const: dict[int, tuple] = {}
         self._cpins: list[Column] = []
+        # id(Column) -> 'string' for columns KNOWN to be string-typed
+        # (field reads, (string) casts, TRIM results): ECL '+' on
+        # strings is concatenation, and Spark's numeric + would fail —
+        # the tag routes _fold2 to F.concat (sqagg/aggds2 shapes)
+        self._coltype: dict[int, str] = {}
         # id(df) -> inline-dataset field meta [(name, spark_ty, width,
         # default)] for positional row-field access defaults
         self._ds_fields: dict[int, list] = {}
@@ -431,6 +436,11 @@ class _Parser:
         # into scalars/sets/records/env, so `Files.X` parses by
         # skipping the qualifier (regress_fixtures module)
         self.shims: dict[str, dict] = {}
+        # definitions whose inputs weren't available at parse time (a
+        # logical file a later action writes): name -> RHS token span,
+        # re-parsed at first use — ECL definitions bind lazily
+        # (diskgroupagg: ds := DATASET(f) before OUTPUT(...,f) runs)
+        self.deferred: dict[str, list] = {}
         # dataset-definition token spans (name -> toks of the RHS).
         # Referenced inside a row context over the defining parent, the
         # span re-parses as a correlated child expression — the
@@ -492,6 +502,26 @@ class _Parser:
 
     def _cget(self, col):
         return self._const.get(id(col))
+
+    def _tag_str(self, col: Column) -> Column:
+        self._cpins.append(col)
+        self._coltype[id(col)] = "string"
+        return col
+
+    def _is_strcol(self, col) -> bool:
+        c = self._cget(col)
+        if c is not None:
+            return _ty_base(c[1]) in _STR_BASES
+        return self._coltype.get(id(col)) == "string"
+
+    def _field_col(self, df, name: str) -> Column:
+        col = df[name]
+        try:
+            if dict(df.dtypes).get(name) == "string":
+                self._tag_str(col)
+        except Exception:
+            pass
+        return col
 
     def _mkconst(self, v, ty: str) -> Column:
         """Constant → Column (for row-dependent contexts like filters);
@@ -602,6 +632,20 @@ class _Parser:
             bb = F.lit(cb[0].rstrip()) if cb is not None else F.rtrim(b)
             return _cmp(op, aa, bb)
         if op == "+":
+            if self._is_strcol(a) or self._is_strcol(b):
+                # ECL string '+' is concatenation; a non-string const
+                # side coerces to its string rendering first
+                aa = (
+                    F.lit(self._coerce_const(ca[0], "string"))
+                    if ca is not None
+                    else a
+                )
+                bb = (
+                    F.lit(self._coerce_const(cb[0], "string"))
+                    if cb is not None
+                    else b
+                )
+                return self._tag_str(F.concat(aa, bb))
             return a + b
         if op == "-":
             return a - b
@@ -837,6 +881,8 @@ class _Parser:
                 self.expect(")")
                 self.accept(";")
                 self._stored_overrides[_unquote(nm.text).lower()] = v
+                continue
+            if self._process_cond_directives():
                 continue
             if t.text == "import":
                 # IMPORT resolves module scopes in the reference's
@@ -1163,10 +1209,71 @@ class _Parser:
         finally:
             self.toks, self.i = saved_toks, saved_i
 
+    def _process_cond_directives(self) -> bool:
+        """#EXPAND(const-string) splices tokens at the cursor; #IF
+        (const-cond) ... [#ELSE ...] #END keeps one branch (parse-time
+        conditional compilation, hqlgram macro layer). Conditions fold
+        against already-bound definitions. Returns True if a directive
+        was processed (caller re-reads the cursor)."""
+        t = self.peek()
+        if t.kind != "directive" or t.text not in ("#expand", "#if"):
+            return False
+        if t.text == "#expand":
+            self.next()
+            self.expect("(")
+            c = self._cget(self.value(self._dummy()))
+            if c is None:
+                raise EclSyntaxError("#EXPAND needs a constant")
+            self.expect(")")
+            self.toks[self.i : self.i] = _lex(str(c[0]))[:-1]
+            return True
+        self.next()
+        self.expect("(")
+        c = self._cget(self.value(self._dummy()))
+        if c is None:
+            raise EclSyntaxError("#IF needs a constant condition")
+        self.expect(")")
+        j = self.i
+        depth = 0
+        else_at = end_at = None
+        while j < len(self.toks):
+            tk = self.toks[j]
+            if tk.kind == "directive" and tk.text == "#if":
+                depth += 1
+            elif (
+                tk.kind == "directive"
+                and tk.text == "#else"
+                and depth == 0
+            ):
+                else_at = j
+            elif tk.kind == "directive" and tk.text == "#end":
+                if depth == 0:
+                    end_at = j
+                    break
+                depth -= 1
+            j += 1
+        if end_at is None:
+            raise EclSyntaxError("#IF without matching #END")
+        truth = c[0].strip() != "" if isinstance(c[0], str) else bool(c[0])
+        if truth:
+            keep = self.toks[
+                self.i : else_at if else_at is not None else end_at
+            ]
+        else:
+            keep = (
+                self.toks[else_at + 1 : end_at]
+                if else_at is not None
+                else []
+            )
+        self.toks = self.toks[: self.i] + keep + self.toks[end_at + 1 :]
+        return True
+
     def _exec_actions_here(self) -> None:
         """Run one action term at the current position: OUTPUT(...),
         SEQUENTIAL/ORDERED/PARALLEL(list), [a, b, ...] action list, a
         defined action's name, or IF(cond, actions, actions)."""
+        while self._process_cond_directives():
+            pass
         t = self.peek()
         if t.text == "output":
             self._run_output_stmt()
@@ -1498,8 +1605,28 @@ class _Parser:
             "params": params,
             "body": list(body),
             "compound": compound,
+            "rettype": getattr(self, "_last_rettype", None),
         }
         self.expect(";")
+
+    def _ret_coerce(self, col: Column, fn: dict) -> Column:
+        """Coerce a function's scalar result to its DECLARED return type
+        (unsigned4 f(...) := decimal-expr truncates — rtlField casts;
+        sqcond's age())."""
+        rt = fn.get("rettype")
+        if rt is None or not self._TYPE_RX.match(rt):
+            return col
+        c = self._cget(col)
+        if c is not None:
+            return self._mkconst(self._coerce_const(c[0], rt), rt)
+        base = _ty_base(rt)
+        if base in _INT_BASES:
+            return col.cast("long")
+        if base in _STR_BASES:
+            return self._tag_str(col.cast("string"))
+        if base == "real":
+            return col.cast("double")
+        return col
 
     def _call_function(self, name: str, df: DataFrame):
         """Invoke a parameterized definition: bind arguments (scalars or
@@ -1575,7 +1702,7 @@ class _Parser:
                 except EclSyntaxError as dataset_err:
                     self.i = mark
                     try:
-                        return self.value(df)
+                        return self._ret_coerce(self.value(df), fn)
                     except Exception:
                         raise dataset_err from None
             finally:
@@ -1707,10 +1834,58 @@ class _Parser:
             # regress-fixture module bind: Files := setup.Files(a, b);
             # sq := setup.sq(multiPart); (testing/regress/ecl/setup)
             self._bind_shim(name.text)
+            if self.peek().text == ".":
+                # prefix := setup.Files(...).QueryFilePrefix; — the
+                # definition is one member, not the module
+                self.next()
+                mem = self.next().text
+                members = self.shims.pop(name.text)
+                spec = members.get(mem)
+                if spec is None:
+                    raise EclSyntaxError(
+                        f"unknown fixture member {mem!r}"
+                    )
+                if spec[0] == "const":
+                    self.scalars[name.text] = self._mkconst(
+                        self._coerce_const(spec[1], spec[2]), spec[2]
+                    )
+                elif spec[0] == "set":
+                    self.sets[name.text] = list(spec[1])
+                elif spec[0] == "record":
+                    self.records[name.text] = list(spec[1])
+                elif spec[0] == "dataset":
+                    from hpcc_platform_spark import regress_fixtures as RF
+
+                    d = RF.build_df(self.spark(), spec[1])
+                    self.env[name.text] = d
+                    self._ds_fields[id(d)] = list(spec[2])
+                    self._pins.append(d)
             self.expect(";")
             return
         if self.peek().text == "dictionary":
             self.dicts[name.text] = self._dictionary()
+            kind = "dict"
+        elif (
+            self.peek().text == "nofold"
+            and self.toks[self.i + 1].text == "("
+            and self.toks[self.i + 2].text in self.dicts
+            and self.toks[self.i + 3].text == ")"
+        ):
+            # NOFOLD(dict) — an optimizer barrier in the reference; the
+            # dictionary value is unchanged (dict2 d1n..d5n)
+            self.next()
+            self.next()
+            self.dicts[name.text] = self.dicts[self.next().text]
+            self.next()
+            kind = "dict"
+        elif (
+            self.peek().text == "if"
+            and self.toks[self.i + 1].text == "("
+            and (_dif := self._try_dict_if()) is not None
+        ):
+            # IF(const-cond, dict [, dict]) — missing ELSE is the empty
+            # dictionary of the same shape (dict2 d7/d7n)
+            self.dicts[name.text] = _dif
             kind = "dict"
         elif self.peek().text == "record":
             start = self.i
@@ -1784,9 +1959,31 @@ class _Parser:
                 self.i = mark
                 try:
                     self.scalars[name.text] = self.value(self._dummy())
+                    kind = "scalar"
                 except Exception:
-                    raise dataset_err from None
-                kind = "scalar"
+                    msg = str(dataset_err)
+                    if (
+                        "unknown logical file" in msg
+                        or "unknown dataset" in msg
+                    ):
+                        # input not available yet (forward file ref) —
+                        # bind lazily, re-parse at first use
+                        self.i = mark
+                        span = self._capture_stmt_span()
+                        cut = next(
+                            (
+                                j
+                                for j, tk in enumerate(span)
+                                if tk.text == ":"
+                            ),
+                            None,
+                        )
+                        self.deferred[name.text] = (
+                            span[:cut] if cut is not None else span
+                        )
+                        kind = "deferred"
+                    else:
+                        raise dataset_err from None
         # workflow-service annotation(s): expr : PERSIST('name') |
         # STORED('x') | GLOBAL | INDEPENDENT[(few|many)] | ONCE
         # (common/workunit/workflow.cpp). PERSIST is wired to the cache;
@@ -1936,6 +2133,29 @@ class _Parser:
             df = self._sort()
         elif t.text == "sorted" and self.toks[self.i + 1].text == "(":
             df = self._sorted_assert()
+        elif t.text == "index" and self.toks[self.i + 1].text == "(":
+            df = self._index_def()
+        elif (
+            t.text in ("build", "buildindex")
+            and self.toks[self.i + 1].text == "("
+        ):
+            # BUILD(i [, OVERWRITE]) — resolving the index expression
+            # registers its logical name; the build itself is a no-op on
+            # a lazily planned engine (the index IS a key-ordered view)
+            self.next()
+            self.expect("(")
+            bdf = self.dataset()
+            depth = 0
+            while not (depth == 0 and self.peek().text == ")"):
+                tk = self.next()
+                if tk.kind == "eof":
+                    raise EclSyntaxError("unterminated BUILD")
+                depth += tk.text == "("
+                depth -= tk.text == ")"
+            self.next()  # ')'
+            # the build consumes the rows; its numbered result is empty
+            self.actions.append(self._clean(bdf).limit(0))
+            return _ACTION_DONE
         elif t.text == "rollup":
             df = self._rollup()
         elif t.text == "trace" and self.toks[self.i + 1].text == "(":
@@ -2116,6 +2336,8 @@ class _Parser:
                         f"{t.text} returns a scalar; a dataset was expected at {t.pos}"
                     )
                 df = r
+            elif t.text in self.deferred:
+                df = self._resolve_deferred(t.text)
             elif t.text not in self.env:
                 raise EclSyntaxError(f"unknown dataset {t.text!r} at {t.pos}")
             else:
@@ -2197,7 +2419,9 @@ class _Parser:
             "distribute", "having", "denormalize", "dataset", "nofold",
         ):
             return True
-        return t.kind == "ident" and t.text in self.env
+        return t.kind == "ident" and (
+            t.text in self.env or t.text in self.deferred
+        )
 
     def _table(self) -> DataFrame:
         self.expect("table")
@@ -4413,20 +4637,25 @@ class _Parser:
         a (small) dataset expression."""
         self.expect("dictionary")
         self.expect("(")
-        entries: list[tuple] = []  # (key, [value literals...])
+        raw_entries: list[tuple] = []  # (pre-'=>' literals, post literals)
         src_df = None
         if self.accept("["):
             if not self.accept("]"):
                 while True:
                     self.expect("{")
-                    k = self._literal()
-                    vals = []
-                    if self.accept("=>"):
-                        vals.append(self._literal())
-                        while self.accept(","):
-                            vals.append(self._literal())
+                    pre = [self._literal()]
+                    post: list = []
+                    side = pre
+                    while True:
+                        if self.accept(","):
+                            side.append(self._literal())
+                        elif self.accept("=>"):
+                            side = post
+                            side.append(self._literal())
+                        else:
+                            break
                     self.expect("}")
-                    entries.append((k, vals))
+                    raw_entries.append((pre, post))
                     if not self.accept(","):
                         break
                 self.expect("]")
@@ -4450,10 +4679,16 @@ class _Parser:
             self.expect(",")
             key_fields, value_fields, defaults = self._dict_record()
             self.expect(")")
-        if len(key_fields) != 1:
-            raise EclSyntaxError("only single-field dictionary keys are supported")
+        nkeys = len(key_fields)
+        entries: list[tuple] = []  # (key scalar|tuple, [value literals])
+        for pre, post in raw_entries:
+            flat = pre + post
+            kvals, vvals = flat[:nkeys], flat[nkeys:]
+            entries.append(
+                (kvals[0] if nkeys == 1 else tuple(kvals), vvals)
+            )
         if src_df is not None:
-            kcol = key_fields[0][0]
+            kcols = [n for n, _ in key_fields]
             vcols = [n for n, _ in value_fields]
             # Guard: dictionaries materialize on the driver (broadcast-map
             # idiom). A dictionary built over a large dataset would OOM
@@ -4461,7 +4696,7 @@ class _Parser:
             # instead — the combinator layer's broadcast-map join
             # (queries/q_nested.py dictionary_lookup) is the scale path.
             cap = DICT_COLLECT_CAP
-            rows = src_df.select(kcol, *vcols).limit(cap + 1).collect()
+            rows = src_df.select(*kcols, *vcols).limit(cap + 1).collect()
             if len(rows) > cap:
                 raise EclSyntaxError(
                     f"DICTIONARY source exceeds {cap:,} rows; a dictionary "
@@ -4469,7 +4704,15 @@ class _Parser:
                     "dictionary_lookup broadcast-map combinator) for "
                     "large-table lookups"
                 )
-            entries = [(row[kcol], [row[c] for c in vcols]) for row in rows]
+            entries = [
+                (
+                    row[kcols[0]]
+                    if nkeys == 1
+                    else tuple(row[c] for c in kcols),
+                    [row[c] for c in vcols],
+                )
+                for row in rows
+            ]
         keys: list = []
         values: dict = {}
         for k, vals in entries:
@@ -4484,9 +4727,178 @@ class _Parser:
             "keys": keys,
             "values": values,
             "key_field": key_fields[0][0],
+            "key_fields": [n for n, _ in key_fields],
             "value_fields": value_fields,
             "defaults": defaults,
         }
+
+    def _index_def(self) -> DataFrame:
+        """INDEX(base, {keys} [, {payload}] [, nameexpr] [, opts]) /
+        INDEX(otherindex, nameexpr) — an index is a key-ordered view of
+        its base file (jhtree keyed order; sources/index.py is the
+        combinator analogue). Reading it returns key order; the logical
+        name registers so DATASET(name)/INDEX(i, name) reads resolve."""
+        self.expect("index")
+        self.expect("(")
+        base = self.dataset()
+        keys: list[str] = []
+        fname = None
+        while self.accept(","):
+            if self.peek().text == "{":
+                members = self._capture_brace_members()
+                if not keys:
+                    for mem in members:
+                        asg = next(
+                            (
+                                j
+                                for j, tk in enumerate(mem)
+                                if tk.text == ":="
+                            ),
+                            None,
+                        )
+                        nm = (
+                            mem[asg - 1].text
+                            if asg is not None
+                            else next(
+                                (
+                                    tk.text
+                                    for tk in reversed(mem)
+                                    if tk.kind == "ident"
+                                ),
+                                None,
+                            )
+                        )
+                        if nm is not None and nm in base.columns:
+                            keys.append(nm)
+                # payload braces: the read returns full rows — ignored
+            elif self.peek().text == ")":
+                break
+            else:
+                s = self._try_const_str()
+                if s is not None:
+                    fname = s.lower()
+                else:
+                    # option token(s): OPT / SORTED / fileposition(...)
+                    depth = 0
+                    while not (
+                        depth == 0 and self.peek().text in (",", ")")
+                    ):
+                        tk = self.next()
+                        if tk.kind == "eof":
+                            raise EclSyntaxError("unterminated INDEX")
+                        depth += tk.text == "("
+                        depth -= tk.text == ")"
+        self.expect(")")
+        meta = self._ds_fields.get(id(base))
+        if keys:
+            df = base.orderBy(*[F.col(k) for k in keys]).coalesce(1)
+            self._set_order(df, [F.col(k) for k in keys])
+        else:
+            df = base
+        if meta is not None:
+            self._ds_fields[id(df)] = meta
+        self._pins.append(df)
+        if fname is not None:
+            self.files[fname] = df
+        return df
+
+    def _capture_brace_members(self) -> list[list[_Tok]]:
+        """{ member, member; ... } -> top-level member token spans."""
+        self.expect("{")
+        body: list[_Tok] = []
+        depth = 0
+        while not (depth == 0 and self.peek().text == "}"):
+            tk = self.next()
+            if tk.kind == "eof":
+                raise EclSyntaxError("unterminated brace list")
+            depth += tk.text in ("(", "[", "{")
+            depth -= tk.text in (")", "]")
+            body.append(tk)
+        self.next()  # '}'
+        members: list[list[_Tok]] = []
+        cur: list[_Tok] = []
+        d2 = 0
+        for tk in body:
+            if d2 == 0 and tk.text in (",", ";"):
+                if cur:
+                    members.append(cur)
+                cur = []
+                continue
+            d2 += tk.text in ("(", "[", "{")
+            d2 -= tk.text in (")", "]", "}")
+            cur.append(tk)
+        if cur:
+            members.append(cur)
+        return members
+
+    def _resolve_deferred(self, name: str) -> DataFrame:
+        """Re-parse a lazily bound definition at first use (the input a
+        later action writes is available by now). The resolved frame is
+        cached in env; the span moves to ds_spans like any dataset
+        definition."""
+        span = self.deferred.pop(name)
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = list(span) + [_Tok("eof", "", span[-1].pos)]
+        self.i = 0
+        try:
+            df = self.dataset()
+        except EclSyntaxError:
+            self.deferred[name] = span  # still unresolved — keep lazy
+            raise
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+        self.env[name] = df
+        self.ds_spans[name] = list(span)
+        return df
+
+    def _try_dict_if(self):
+        """IF(const-cond, dict [, dict]) — returns the chosen dictionary,
+        or None (cursor restored) when the branches aren't dictionaries
+        or the condition isn't a foldable constant."""
+        mark = self.i
+
+        def _branch():
+            if self.peek().text in self.dicts:
+                return self.dicts[self.next().text]
+            if (
+                self.peek().text == "nofold"
+                and self.toks[self.i + 1].text == "("
+                and self.toks[self.i + 2].text in self.dicts
+                and self.toks[self.i + 3].text == ")"
+            ):
+                self.next()
+                self.next()
+                d = self.dicts[self.next().text]
+                self.next()
+                return d
+            return None
+
+        try:
+            self.next()  # if
+            self.expect("(")
+            cond = self._cget(self.value(self._dummy()))
+            self.expect(",")
+            dthen = _branch()
+            if cond is None or dthen is None:
+                raise EclSyntaxError("not a dictionary IF")
+            delse = None
+            if self.accept(","):
+                delse = _branch()
+                if delse is None:
+                    raise EclSyntaxError("not a dictionary IF")
+            self.expect(")")
+        except EclSyntaxError:
+            self.i = mark
+            return None
+        if delse is None:
+            delse = {
+                "keys": [], "values": {},
+                "key_field": dthen["key_field"],
+                "key_fields": dthen.get("key_fields"),
+                "value_fields": dthen["value_fields"],
+                "defaults": dthen["defaults"],
+            }
+        return dthen if cond[0] else delse
 
     def _if_dataset(self) -> DataFrame:
         """IF(cond, ds1 [, ds2]) at dataset position (TAKif
@@ -4592,7 +5004,7 @@ class _Parser:
 
     def _span_is_action(self, span: list[_Tok]) -> bool:
         t = span[0]
-        if t.text == "output":
+        if t.text in ("output", "build", "buildindex"):
             return True
         if (
             t.text in ("sequential", "ordered", "parallel")
@@ -4706,6 +5118,18 @@ class _Parser:
                 return ~m if negate else m
             if self.peek().kind == "ident" and self.peek().text in self.dicts:
                 d = self.dicts[self.next().text]
+                ca = self._cget(a)
+                if ca is not None:
+                    # constant probe (scalars and ROW literals — the
+                    # composite-key form): fold membership driver-side,
+                    # blank-insensitive on string components
+                    def _norm(v):
+                        if isinstance(v, tuple):
+                            return tuple(_norm(x) for x in v)
+                        return v.rstrip() if isinstance(v, str) else v
+
+                    hit = _norm(ca[0]) in {_norm(k) for k in d["keys"]}
+                    return self._mkconst(hit != negate, "boolean")
                 # empty dictionary: isin() with no args is invalid — and
                 # nothing is a member of the empty set
                 m = a.isin(*d["keys"]) if d["keys"] else F.lit(False)
@@ -4755,7 +5179,53 @@ class _Parser:
             if ci is not None and _is_numeric_ty(ci[1]):
                 return self._mkconst(-ci[0], ci[1])
             return -inner
-        return self._atom(df)
+        c = self._atom(df)
+        while self.peek().text == "[":
+            # string indexing, 1-based inclusive: s[n] char, s[a..b] /
+            # s[..b] / s[a..] substring (eclrtl rtlSubstr). Atoms with
+            # their own '[' forms (sets, dicts, ds[n]) consumed theirs
+            # inside _atom, so a '[' here is a string subscript.
+            self.next()
+            lo = None
+            if self.peek().text != ".":
+                lo = self.value(df)
+            if self.accept("."):
+                self.expect(".")
+                hi = None
+                if self.peek().text == "*":
+                    self.next()
+                elif self.peek().text != "]":
+                    hi = self.value(df)
+                self.expect("]")
+                c = self._str_slice(c, lo, hi)
+            else:
+                self.expect("]")
+                c = self._str_slice(c, lo, lo)
+        return c
+
+    def _str_slice(self, c: Column, lo, hi) -> Column:
+        """1-based inclusive substring; missing lo = 1, missing hi =
+        end-of-string. Constant operands fold driver-side."""
+        cc = self._cget(c)
+        cl = self._cget(lo) if lo is not None else (1, "integer")
+        ch = self._cget(hi) if hi is not None else None
+        if cc is not None and isinstance(cc[0], str) and cl is not None and (
+            hi is None or ch is not None
+        ):
+            s = cc[0]
+            a = int(cl[0])
+            b = len(s) if hi is None else int(ch[0])
+            out = s[a - 1 : b]
+            if b > len(s):  # fixed-width semantics: pad to the range
+                out = out.ljust(b - a + 1)
+            return self._mkconst(out, "string")
+        lo_c = F.lit(int(cl[0])) if cl is not None else lo.cast("int")
+        if hi is None:
+            ln = F.length(c) - (lo_c - F.lit(1))
+        else:
+            hi_c = F.lit(int(ch[0])) if ch is not None else hi.cast("int")
+            ln = hi_c - lo_c + F.lit(1)
+        return self._tag_str(F.substring(c, lo_c, ln))
 
     def _atom(self, df) -> Column:
         self._skip_shim_qual()  # Files.DG_Fnames[2] -> DG_Fnames[2]
@@ -4835,6 +5305,25 @@ class _Parser:
             return self._mkconst(True, "boolean")
         if t.text == "false":
             return self._mkconst(False, "boolean")
+        if (
+            t.text == "row"
+            and self.peek().text == "("
+            and self.toks[self.i + 1].text == "{"
+        ):
+            # ROW({v1, v2}, { record }) — a constant row literal (used
+            # for composite-key dictionary membership, dict2.ecl)
+            self.next()
+            self.expect("{")
+            vals = [self._literal()]
+            while self.accept(","):
+                vals.append(self._literal())
+            self.expect("}")
+            self.expect(",")
+            self._record_fields()  # shape only; values carry their types
+            self.expect(")")
+            return self._cset(
+                F.lit(0), tuple(vals) if len(vals) > 1 else vals[0], "row"
+            )
         if t.text == "random" and self.peek().text == "(":
             # RANDOM() — unsigned4 PRNG (eclrtl rtlRandom); per-row
             # non-deterministic, so no constant fold
@@ -4860,6 +5349,16 @@ class _Parser:
             self.expect(",")
             els = self.value(df)
             self.expect(")")
+            cc = self._cget(cond)
+            if cc is not None:
+                # constant condition folds to the chosen branch (keeps
+                # its const tag — #EXPAND(IF(...)) depends on this)
+                truth = (
+                    cc[0].strip() != ""
+                    if isinstance(cc[0], str)
+                    else bool(cc[0])
+                )
+                return then if truth else els
             return F.when(cond, then).otherwise(els)
         if t.text == "abs":
             self.expect("(")
@@ -5296,10 +5795,11 @@ class _Parser:
                         s = s.lstrip(" ")
                 return self._mkconst(s, "string")
             if "all" in opts:
-                return F.regexp_replace(inner, " ", "")
+                return self._tag_str(F.regexp_replace(inner, " ", ""))
             if "left" in opts:
-                return F.trim(inner)
-            return F.rtrim(inner)  # ECL TRIM strips trailing blanks by default
+                return self._tag_str(F.trim(inner))
+            # ECL TRIM strips trailing blanks by default
+            return self._tag_str(F.rtrim(inner))
         if t.text == "[":
             # set literal as a value: [1,2,3] — an array constant
             vals = []
@@ -5328,7 +5828,12 @@ class _Parser:
                     )
                 base = _ty_base(target)
                 if base in _STR_BASES:
-                    return operand.cast("string")
+                    w = _ty_width(target)
+                    c2 = operand.cast("string")
+                    if w is not None:
+                        # (stringN)x: truncate/pad to the fixed width
+                        c2 = F.rpad(F.substring(c2, 1, w), w, " ")
+                    return self._tag_str(c2)
                 if base in _INT_BASES:
                     return operand.cast("long")
                 if base == "real":
@@ -5391,6 +5896,29 @@ class _Parser:
             return F.lit(v)
         if (
             t.kind == "ident"
+            and t.text in self.ds_spans
+            and self.peek().text == "["
+            and isinstance(df, DataFrame)
+            and t.text not in df.columns
+        ):
+            # correlated element access inside a row context:
+            # personByAgeDesc[1].forename — re-bind the child view and
+            # index the array (out-of-range -> the field's empty value)
+            rb = self._rebind_child(t.text, df)
+            if rb is not None:
+                return self._child_elem_field(rb[0], rb[1])
+        if (
+            t.kind == "ident"
+            and isinstance(df, DataFrame)
+            and t.text in self._child_field_names(df)
+            and self.peek().text == "["
+        ):
+            # child-column element access: persons[1].forename (sqagg)
+            return self._child_elem_field(
+                df[t.text], self._child_field_names(df)[t.text]
+            )
+        if (
+            t.kind == "ident"
             and t.text in self.env
             and self.peek().text == "["
             and t.text not in df.columns
@@ -5413,7 +5941,10 @@ class _Parser:
             # type's empty value (''/0/false), as the reference renders it
             d = self.dicts[t.text]
             self.next()
-            k = self._literal()  # literals and constant scalars both
+            ks = [self._literal()]  # literals and constant scalars both
+            while self.accept(","):  # composite key: d[5,2].name
+                ks.append(self._literal())
+            k = ks[0] if len(ks) == 1 else tuple(ks)
             self.expect("]")
             self.expect(".")
             fld = self.next().text
@@ -5449,10 +5980,10 @@ class _Parser:
                 # dataset-qualified field (SomeFile.Value3) inside a
                 # TABLE/filter over that dataset — reads the row field
                 self.next()
-                return df[self.next().text]
+                return self._field_col(df, self.next().text)
             if t.text in self.scalars and t.text not in df.columns:
                 return self.scalars[t.text]
-            return df[t.text]
+            return self._field_col(df, t.text)
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
     # --- compiled transforms (ROLLUP / ITERATE / PROJECT folds) ---
@@ -5669,20 +6200,52 @@ class _Parser:
             self.expect(")")
             return F.size(arr) > 0
         self.expect(",")
-        fld = self.next().text
-        self.expect(")")
-        vals = F.transform(arr, lambda x: x[fld])
+        # the aggregate argument is an expression over one element
+        # (plain field, or e.g. a user function of fields — sqcond's
+        # AVE(whichPersons, age(dob)))
+        span: list[_Tok] = []
+        depth = 0
+        while not (depth == 0 and self.peek().text == ")"):
+            tk = self.next()
+            if tk.kind == "eof":
+                raise EclSyntaxError("unterminated child aggregate")
+            depth += tk.text == "("
+            depth -= tk.text == ")"
+            span.append(tk)
+        self.next()  # ')'
+        fieldnames = [f[0] for f in fields]
+
+        def _mk_val(span_l, fnames):
+            def one(x):
+                return self._eval_elem_cond(span_l, x, fnames)
+
+            return one
+
+        vals = F.transform(arr, _mk_val(list(span), fieldnames))
         if fn == "sum":
             return F.aggregate(
                 vals, F.lit(0).cast("double"), lambda a, b: a + b
             )
         if fn == "ave":
-            return F.aggregate(
-                vals, F.lit(0).cast("double"), lambda a, b: a + b
-            ) / F.size(arr)
+            # empty child -> 0 (ECL division by zero yields 0)
+            return F.when(
+                F.size(arr) > 0,
+                F.aggregate(
+                    vals, F.lit(0).cast("double"), lambda a, b: a + b
+                )
+                / F.size(arr),
+            ).otherwise(F.lit(0.0))
+        tymap = {f[0]: f[1] for f in fields}
+        span_ty = (
+            tymap.get(span[0].text)
+            if len(span) == 1 and span[0].kind == "ident"
+            else None
+        )
+        zero = F.lit("") if span_ty == "string" else F.lit(0)
         if fn == "min":
-            return F.array_min(vals)
-        return F.array_max(vals)
+            return F.coalesce(F.array_min(vals), zero)
+        # empty child -> the type's zero (rtlField default), not NULL
+        return F.coalesce(F.array_max(vals), zero)
 
     def _child_expr(self, df):
         """A child-dataset expression: child field, postfix filter,
@@ -5856,6 +6419,40 @@ class _Parser:
             f"not a child-dataset expression at {t.pos}: {t.text!r}"
         )
 
+    def _child_elem_field(self, arr: Column, rfields: list) -> Column:
+        """Parse ``[n].field`` after a child array and return the
+        element's field; out-of-range yields the field type's empty
+        value (''/0), the reference's SELECTNth contract."""
+        while True:
+            self.expect("[")
+            idxc = self._cget(self.value(self._dummy()))
+            if idxc is None:
+                raise EclSyntaxError("child row index must be constant")
+            n = int(idxc[0])
+            self.expect("]")
+            self.expect(".")
+            fld = self.next().text
+            spec = next((f for f in rfields if f[0] == fld), None)
+            el = F.try_element_at(arr, F.lit(n))
+            col = el[fld]
+            d = spec[3] if spec is not None else None
+            if (
+                isinstance(d, tuple)
+                and len(d) == 2
+                and d[0] == "__child__"
+                and self.peek().text == "["
+            ):
+                # chained element access: persons[1].books[1].name
+                arr = col
+                rfields = d[1]
+                continue
+            ty = spec[1] if spec is not None else "string"
+            if ty == "string":
+                return self._tag_str(F.coalesce(col, F.lit("")))
+            if ty in ("long", "int", "double"):
+                col = F.coalesce(col, F.lit(0).cast(ty))
+            return col
+
     def _rebind_child(self, name: str, df):
         """Correlated re-binding: a top-level dataset definition whose
         RHS derives from <parent>.<childfield> (optionally filtered /
@@ -5883,7 +6480,66 @@ class _Parser:
             self.toks, self.i = saved_toks, saved_i
 
     def _rebind_parse(self, df):
+        self._skip_shim_qual()
         t = self.peek()
+        if t.text == "if" and self.toks[self.i + 1].text == "(":
+            # IF(row-cond, childA, childB) — the condition reads the
+            # PARENT row; per-row array pick (sqcond whichPersons)
+            self.next()
+            self.next()
+            cond = self.value(df)
+            self.expect(",")
+            a = self._rebind_parse(df)
+            if a is None or not self.accept(","):
+                return None
+            b = self._rebind_parse(df)
+            if b is None:
+                return None
+            self.expect(")")
+            return F.when(cond, a[0]).otherwise(b[0]), a[1]
+        if t.text == "nofold" and self.toks[self.i + 1].text == "(":
+            # optimizer barrier — semantics unchanged
+            self.next()
+            self.next()
+            r = self._rebind_parse(df)
+            if r is None:
+                return None
+            self.expect(")")
+            return r
+        if t.text == "sort" and self.toks[self.i + 1].text == "(":
+            # SORT(child, [-]key, ...) — per-row array sort via an
+            # array_sort comparator (children are bounded; the global
+            # form is operators/sort.py)
+            self.next()
+            self.next()
+            inner = self._rebind_parse(df)
+            if inner is None:
+                return None
+            arr, fields = inner
+            keys: list[tuple[str, bool]] = []
+            while self.accept(","):
+                asc = True
+                if self.accept("-"):
+                    asc = False
+                keys.append((self.next().text, asc))
+            self.expect(")")
+
+            def _mk_cmp(keys_l):
+                def cmp2(l, r):
+                    expr = F.lit(0)
+                    for name, asc in reversed(keys_l):
+                        lt = F.lit(-1 if asc else 1)
+                        gt = F.lit(1 if asc else -1)
+                        expr = (
+                            F.when(l[name] < r[name], lt)
+                            .when(l[name] > r[name], gt)
+                            .otherwise(expr)
+                        )
+                    return expr
+
+                return cmp2
+
+            return F.array_sort(arr, _mk_cmp(list(keys))), fields
         if t.text == "table" and self.toks[self.i + 1].text == "(":
             # table(<child expr>, {f1, f2, ...}) — project each element
             self.next()
@@ -5957,11 +6613,12 @@ class _Parser:
             self.next()
             self.next()
             return self._child_expr(df)
-        if t.kind == "ident" and t.text in self._child_field_names(df):
+        # everything else — row child fields, other correlated
+        # definitions, DEDUP — is the child-expression grammar
+        try:
             return self._child_expr(df)
-        if t.text == "dedup":
-            return self._child_expr(df)
-        return None
+        except EclSyntaxError:
+            return None
 
     def _eval_elem_cond(
         self, span: list[_Tok], elem, fieldnames: list, outer: dict | None = None

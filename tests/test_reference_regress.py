@@ -70,6 +70,13 @@ VERBATIM = [
     # flattening occupants.extra with filters at both levels, the
     # $.setup Files fixture shim
     "aggsq1", "aggsq1seq", "aggsq3", "aggsq3seq", "aggsq4", "aggsq4seq",
+    # multi-key dictionaries (composite keys, ROW literals, dict IF /
+    # NOFOLD), per-row child-query operators over the sq fixture
+    # (correlated IF/SORT over child arrays, element access, child
+    # aggregates of expressions), lazy file binding + INDEX/BUILD,
+    # #IF/#EXPAND conditional compilation
+    "dict2", "sqcond", "sqfilt2", "canmatch", "choose_nfl",
+    "diskgroupagg",
 ]
 
 
