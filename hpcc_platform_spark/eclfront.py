@@ -100,6 +100,24 @@ class EclSyntaxError(ValueError):
 
 
 
+def _zero_value(ty: str, width, dflt):
+    """The empty value a padded serialized row carries (rtlField
+    defaults): blank fixed-width strings, numeric zeros, empty lists."""
+    if isinstance(dflt, tuple) and dflt and dflt[0] == "__child__":
+        return []
+    if ty == "string":
+        return "".ljust(width) if width else ""
+    if ty in ("long", "int"):
+        return 0
+    if ty in ("double", "float"):
+        return 0.0
+    if ty.startswith("decimal"):
+        return Decimal(0)
+    if ty == "boolean":
+        return False
+    return None
+
+
 def _coerce_scalar(v, ty: str):
     """Cast a python value to an ECL type tag — the (TYPE)expr cast and
     typed-definition semantics (rtlField casts). Module-level so compiled
@@ -3001,6 +3019,8 @@ class _Parser:
         transform_spec = None
         join_limit_n = None
         join_onfail = None
+        atmost_n = None
+        keep_n = None
         while self.accept(","):
             t = self.next().text
             if t in ("left", "right", "full") and self.peek().text in (
@@ -3045,11 +3065,34 @@ class _Parser:
             elif t == "onfail" and self.peek().text == "(":
                 self.next()
                 fname2 = self.next().text
-                join_onfail = self._join_named_transform(
-                    fname2,
-                    self._defaulting_side(lref),
-                    self._all_default_side(rref),
-                )
+                if fname2 == "skip":
+                    # ONFAIL(SKIP): failing groups just drop — the
+                    # LIMIT path already filters them; no replacement
+                    join_onfail = None
+                else:
+                    join_onfail = self._join_named_transform(
+                        fname2,
+                        self._defaulting_side(lref),
+                        self._all_default_side(rref),
+                    )
+                self.expect(")")
+            elif t == "atmost" and self.peek().text == "(":
+                # ATMOST(n) (JFlimitedprefixjoin eclhelper.hpp:1726): a
+                # left row matching MORE than n right rows counts as
+                # UNMATCHED (outer rows keep blanks; inner rows drop)
+                self.next()
+                nc = self._cget(self.value(self._dummy()))
+                if nc is None:
+                    raise EclSyntaxError("ATMOST needs a constant count")
+                atmost_n = int(nc[0])
+                self.expect(")")
+            elif t == "keep" and self.peek().text == "(":
+                # KEEP(n): keep only the first n matches per left row
+                self.next()
+                nc = self._cget(self.value(self._dummy()))
+                if nc is None:
+                    raise EclSyntaxError("KEEP needs a constant count")
+                keep_n = int(nc[0])
                 self.expect(")")
             elif t == "hint" and self.peek().text == "(":
                 close = self._match_paren(self.i)
@@ -3069,6 +3112,35 @@ class _Parser:
             for lf, rf in eq_pairs:
                 c = lref[lf] == rref[rf]
                 cond = c if cond is None else cond & c
+        if atmost_n is not None or keep_n is not None:
+            if not (pure_eq and eq_pairs):
+                raise EclSyntaxError(
+                    "ATMOST/KEEP need an equality join condition (the "
+                    "range form is operators/join.py atmost_range)"
+                )
+            from pyspark.sql.window import Window
+
+            rkeys = [rf for _lf, rf in eq_pairs]
+            if atmost_n is not None:
+                # keys with too many right rows can never match — drop
+                # them on the RIGHT side before the join (one partial
+                # agg, no post-join window; the 100 TB-friendly shape)
+                wk = Window.partitionBy(*rkeys)
+                rw = (
+                    rw.withColumn("__kc__", F.count(F.lit(1)).over(wk))
+                    .where(F.col("__kc__") <= atmost_n)
+                    .drop("__kc__")
+                )
+            if keep_n is not None:
+                okeys = (
+                    [F.col("__ord__")] if "__ord__" in rw.columns else rkeys
+                )
+                wk2 = Window.partitionBy(*rkeys).orderBy(*okeys)
+                rw = (
+                    rw.withColumn("__kn__", F.row_number().over(wk2))
+                    .where(F.col("__kn__") <= keep_n)
+                    .drop("__kn__")
+                )
         if join_limit_n is not None:
             # per-left-row match cap (LIMIT(n[,SKIP]) / ONFAIL): tag each
             # left row so match groups can be counted post-join
@@ -3155,11 +3227,23 @@ class _Parser:
         # transform) — same-named fields take the LEFT side's value.
         # Bookkeeping ordinals drop (join order is undefined).
         lcols = [lref[c] for c in left.columns if c != "__ord__"]
-        rcols = [
-            rref[c]
-            for c in right.columns
-            if c not in left.columns and c != "__ord__"
-        ]
+        rmeta = {
+            f[0]: f for f in (self._ds_fields.get(id(right)) or [])
+        }
+        rcols = []
+        for c in right.columns:
+            if c in left.columns or c == "__ord__":
+                continue
+            col2 = rref[c]
+            if how in ("left", "full", "right"):
+                # outer-miss fields read as the type's default (ECL has
+                # no NULLs): blank-padded strings / zeros (rtlField)
+                fm = rmeta.get(c)
+                if fm is not None and fm[1] == "string":
+                    col2 = F.coalesce(col2, F.lit("".ljust(fm[2] or 0)))
+                elif fm is not None and fm[1] in ("long", "double"):
+                    col2 = F.coalesce(col2, F.lit(0).cast(fm[1]))
+            rcols.append(col2.alias(c))
         return out.select(*lcols, *rcols)
 
     @staticmethod
@@ -3258,6 +3342,16 @@ class _Parser:
         """TRANSFORM(rec | {fields}, SELF.f := expr, ..., SELF := LEFT|
         RIGHT) inside JOIN — LEFT./RIGHT. read the respective sides."""
         self.expect("(")
+        if (
+            self.peek().text in ("left", "right")
+            and self.toks[self.i + 1].text == ")"
+        ):
+            # TRANSFORM(LEFT) shorthand: the output IS that side's row
+            side0 = self.next().text
+            self.expect(")")
+            frame0 = left if side0 == "left" else right
+            declared = [c for c in frame0.columns if c != "__ord__"]
+            return (declared, {}, side0, None, None)
         if self.peek().kind == "ident" and self.peek().text in self.records:
             declared = [f[0] for f in self.records[self.next().text]]
         elif self.peek().text == "{":
@@ -4105,6 +4199,24 @@ class _Parser:
         "udecimal": "double", "boolean": "boolean",
     }
 
+    def _record_member(self) -> tuple:
+        """One record member: a plain typed field, or a RECORD-typed
+        member (phoneRecord homePhone;) — a nested struct field, not a
+        child dataset (nestrecs; type_row rtlconst)."""
+        self._skip_shim_qual()
+        nx = self.peek()
+        if (
+            nx.kind == "ident"
+            and nx.text in self.records
+            and self.toks[self.i + 1].kind == "ident"
+        ):
+            self.next()
+            sub = self.records[nx.text]
+            fname = self.next().text
+            inner = ", ".join(f"{n}: {t}" for n, t, _w, _d in sub)
+            return (fname, f"struct<{inner}>", None, ("__struct__", sub))
+        return self._one_field()
+
     def _one_field(self) -> tuple[str, str, int | None]:
         """``type name`` → (name, spark_type, fixed_width|None). A digit
         suffix on a string type (string20) is its FIXED width — values
@@ -4127,6 +4239,35 @@ class _Parser:
                 raise EclSyntaxError(
                     f"unknown child record {rec.text!r} at {rec.pos}"
                 )
+            count_fn = None
+            if self.accept(","):
+                # DATASET(rec, COUNT(SELF.n)) — the serialized child
+                # list holds exactly SELF.n elements: literals pad with
+                # zero rows / truncate to that count (nesting.ecl)
+                if (
+                    self.peek().text == "count"
+                    and self.toks[self.i + 1].text == "("
+                ):
+                    self.next()
+                    close = self._match_paren(self.i)
+                    span = self.toks[self.i + 1 : close]
+                    saved_toks, saved_i = self.toks, self.i
+                    try:
+                        self.toks = span + [_Tok("eof", "", span[-1].pos)]
+                        self.i = 0
+                        count_fn = self._compile_pyexpr(["self"])
+                    except Exception:
+                        count_fn = None
+                    finally:
+                        self.toks, self.i = saved_toks, saved_i
+                    self.i = close + 1
+                depth = 0
+                while not (depth == 0 and self.peek().text == ")"):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated DATASET member")
+                    depth += tk.text == "("
+                    depth -= tk.text == ")"
             self.expect(")")
             nm = self.next()
             if nm.kind != "ident":
@@ -4144,7 +4285,10 @@ class _Parser:
             inner = ", ".join(
                 f"{n}: {t}" for n, t, _w, _d in child_fields
             )
-            return nm.text, f"array<struct<{inner}>>", None, ("__child__", child_fields)
+            mark = ("__child__", child_fields)
+            if count_fn is not None:
+                mark = ("__child__", child_fields, count_fn)
+            return nm.text, f"array<struct<{inner}>>", None, mark
         m = self._TYPE_RX.match(ty.text)
         if not m:
             raise EclSyntaxError(f"expected field type at {ty.pos}, got {ty.text!r}")
@@ -4301,14 +4445,33 @@ class _Parser:
             if nx.text == "ifblock" and self.toks[self.i + 1].text == "(":
                 # IFBLOCK(cond) fields END — fields exist only on rows
                 # where cond holds (type_ifblock): parsed as OPTIONAL
-                # members (absent -> NULL, rendered as an omitted cell)
+                # members (absent -> NULL, rendered as an omitted cell).
+                # The condition compiles to a closure over SELF's
+                # already-bound fields so inline row literals know
+                # whether each block's values are present (nestrecs)
                 self.next()
                 close = self._match_paren(self.i)
-                self.i = close + 1  # the condition is data-driven; the
-                # row literals carry the presence information
+                cond_span = self.toks[self.i + 1 : close]
+                cond_fn = None
+                saved_toks, saved_i = self.toks, self.i
+                try:
+                    self.toks = cond_span + [
+                        _Tok("eof", "", cond_span[-1].pos if cond_span else 0)
+                    ]
+                    self.i = 0
+                    cond_fn = self._compile_pyexpr(["self"])
+                    if self.peek().kind != "eof":
+                        cond_fn = None
+                except Exception:
+                    cond_fn = None
+                finally:
+                    self.toks, self.i = saved_toks, saved_i
+                self.i = close + 1
                 while self.peek().text != "end":
-                    nm2, ty2, w2, _d2 = self._one_field()
-                    fields.append((nm2, ty2, w2, ("__optional__",)))
+                    nm2, ty2, w2, d2 = self._record_member()
+                    fields.append(
+                        (nm2, ty2, w2, ("__optional__", cond_fn, d2))
+                    )
                     if not (self.accept(";") or self.accept(",")):
                         break
                 self.expect("end")
@@ -4334,7 +4497,7 @@ class _Parser:
                 else:
                     fields.extend(self._ds_fields[id(self.env[nx.text])])
             else:
-                fields.append(self._one_field())
+                fields.append(self._record_member())
             if not (self.accept(";") or self.accept(",")):
                 break
         self.expect("end")
@@ -4480,45 +4643,8 @@ class _Parser:
         kv_split = getattr(self, "_last_record_split", None)
         self.expect(")")
         schema = ", ".join(f"{n} {t}" for n, t, _, _ in fields) + ", __ord__ long"
-        for r in rows:
-            if len(r) > len(fields):
-                raise EclSyntaxError(
-                    f"inline row has {len(r)} values for {len(fields)} fields"
-                )
-            missing = fields[len(r):]
-            if any(
-                d is None
-                for _, _, _, d in missing
-            ):
-                raise EclSyntaxError(
-                    f"inline row has {len(r)} values for {len(fields)} fields "
-                    "(omitted fields need declared defaults)"
-                )
 
-        def coerce(v, ty, width, dflt=None):
-            if isinstance(v, tuple) and v == ("__optional__",):
-                return None  # IFBLOCK field absent on this row
-            if (
-                isinstance(dflt, tuple)
-                and len(dflt) == 2
-                and dflt[0] == "__child__"
-            ):
-                # nested child rows: coerce each against the child record
-                child_fields = dflt[1]
-                if isinstance(v, tuple) and v and v[0] == "__child__":
-                    v = []  # omitted child field: empty list
-                out_rows = []
-                for cr in v or []:
-                    cr = tuple(cr) + tuple(
-                        cd for _n, _t, _w, cd in child_fields[len(cr):]
-                    )
-                    out_rows.append(
-                        tuple(
-                            coerce(cv, cty, cw)
-                            for cv, (_n, cty, cw, _d) in zip(cr, child_fields)
-                        )
-                    )
-                return out_rows
+        def coerce(v, ty, width):
             if ty.startswith("decimal("):
                 return Decimal(str(v))
             if ty in ("double", "float") and isinstance(v, (int, str)):
@@ -4535,17 +4661,79 @@ class _Parser:
                 return v.ljust(width)  # fixed-width string: pad, as stored
             return v
 
-        data = [
-            tuple(
-                coerce(v, ty, w, d)
-                for v, (_, ty, w, d) in zip(
-                    tuple(r) + tuple(d for _, _, _, d in fields[len(r):]),
-                    fields,
+        def coerce_child(v, child_fields):
+            if isinstance(v, tuple) and v and v[0] == "__child__":
+                v = []  # omitted child field: empty list
+            out_rows = []
+            for cr in v or []:
+                built, _ = consume(child_fields, list(cr), 0)
+                out_rows.append(tuple(built))
+            return out_rows
+
+        def consume(flds, vals, pos):
+            """Walk the record as a CONSUMER of the flat literal value
+            list: struct members consume their subfields recursively,
+            IFBLOCK members consume only when their compiled condition
+            holds over the already-bound prefix (the reference's
+            serialized-row semantics, nestrecs/variablerecords)."""
+            out = []
+            bound: dict = {}
+            for nm2, ty2, w2, d2 in flds:
+                dd = d2
+                if isinstance(dd, tuple) and dd and dd[0] == "__optional__":
+                    cond_fn = dd[1] if len(dd) > 1 else None
+                    dd = dd[2] if len(dd) > 2 else None
+                    if cond_fn is not None:
+                        present = bool(cond_fn({"self": bound}))
+                    else:  # uncompilable condition: presence = literal
+                        present = pos < len(vals)  # values remaining
+                    if not present:
+                        out.append(None)
+                        bound[nm2] = None
+                        continue
+                if isinstance(dd, tuple) and dd and dd[0] == "__struct__":
+                    if pos < len(vals) and isinstance(vals[pos], tuple):
+                        # nested literal {a, b}: consume as its own list
+                        built, _ = consume(dd[1], list(vals[pos]), 0)
+                        pos += 1
+                    else:
+                        built, pos = consume(dd[1], vals, pos)
+                    v2 = tuple(built)
+                elif isinstance(dd, tuple) and dd and dd[0] == "__child__":
+                    raw = vals[pos] if pos < len(vals) else []
+                    if pos < len(vals):
+                        pos += 1
+                    v2 = coerce_child(raw, dd[1])
+                    if len(dd) > 2 and dd[2] is not None:
+                        # DATASET(rec, COUNT(SELF.n)): resize to n with
+                        # zero rows (the serialized-layout contract)
+                        n3 = int(dd[2]({"self": bound}))
+                        zero = tuple(
+                            _zero_value(t3, w3, d3)
+                            for _n3, t3, w3, d3 in dd[1]
+                        )
+                        v2 = (v2 + [zero] * max(0, n3 - len(v2)))[:n3]
+                elif pos < len(vals):
+                    v2 = coerce(vals[pos], ty2, w2)
+                    pos += 1
+                else:
+                    if dd is None:
+                        raise EclSyntaxError(
+                            f"inline row omits {nm2!r} which has no default"
+                        )
+                    v2 = coerce(dd, ty2, w2)
+                out.append(v2)
+                bound[nm2] = v2
+            return out, pos
+
+        data = []
+        for i, r in enumerate(rows):
+            built, pos = consume(fields, list(r), 0)
+            if pos < len(r):
+                raise EclSyntaxError(
+                    f"inline row has {len(r)} values; {pos} consumed"
                 )
-            )
-            + (i,)
-            for i, r in enumerate(rows)
-        ]
+            data.append(tuple(built) + (i,))
         df = self.spark().createDataFrame(data, schema)
         self._set_order(df, [F.col("__ord__")])
         self._ds_fields[id(df)] = fields
@@ -6186,7 +6374,7 @@ class _Parser:
         return {
             nm: d[1]
             for nm, _ty, _w, d in meta
-            if isinstance(d, tuple) and len(d) == 2 and d[0] == "__child__"
+            if isinstance(d, tuple) and len(d) >= 2 and d[0] == "__child__"
         }
 
     def _child_agg(self, fn: str, df) -> Column:
@@ -6325,7 +6513,7 @@ class _Parser:
                         if (
                             nm2 == sub
                             and isinstance(d2, tuple)
-                            and len(d2) == 2
+                            and len(d2) >= 2
                             and d2[0] == "__child__"
                         ):
                             subfields = d2[1]

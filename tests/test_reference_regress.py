@@ -77,6 +77,11 @@ VERBATIM = [
     # #IF/#EXPAND conditional compilation
     "dict2", "sqcond", "sqfilt2", "canmatch", "choose_nfl",
     "diskgroupagg",
+    # ATMOST/KEEP join options (JFlimitedprefixjoin eclhelper.hpp:1726),
+    # nested RECORD-typed members as struct fields with IFBLOCK
+    # presence conditions and DATASET(rec, COUNT(SELF.n)) counted
+    # child lists (type_row rtlconst.hpp)
+    "atmost2", "nestrecs", "nesting",
 ]
 
 
@@ -91,6 +96,11 @@ def _expected(name: str) -> list[list[list[str]]]:
         items = c.findall("Item")
         if items:  # SET-valued cell renders as nested <Item> elements
             return [i.text or "" for i in items]
+        subs = list(c)
+        if subs:
+            # nested record (field elements) or child dataset (<Row>
+            # elements): recurse — matches Row/array-of-Row rendering
+            return [cell(sub) for sub in subs]
         return c.text or ""
 
     out = []
@@ -111,7 +121,10 @@ def _render(v):
     if v is None:
         return ""
     if isinstance(v, (list, tuple)):
-        return [_render(x) for x in v]
+        # pyspark Row is a tuple subclass: nested-record cells render
+        # their fields in order, dropping absent (IFBLOCK) members —
+        # the key XML omits those elements entirely
+        return [_render(x) for x in v if x is not None]
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, decimal.Decimal):
