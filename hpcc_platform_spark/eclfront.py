@@ -95,6 +95,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+class EclFailError(RuntimeError):
+    """FAIL(...) action fired — the reference aborts the workunit."""
+
+
 class EclSyntaxError(ValueError):
     pass
 
@@ -216,6 +220,16 @@ class _WuRef:
     def __init__(self, name: str, fields: list):
         self.name = name
         self.fields = fields
+
+
+class _FailedDs:
+    """A dataset definition whose bind-time evaluation FAILED (LIMIT
+    exceeded, FAIL action): the failure re-raises at each reference —
+    per-use failure propagation, so WHEN ... FAILURE and CATCH see it
+    where the reference executes (when6c)."""
+
+    def __init__(self, exc: Exception):
+        self.exc = exc
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}
@@ -398,7 +412,13 @@ class _Parser:
         # named logical files written by OUTPUT(ds,,'name')
         self.files: dict[str, DataFrame] = {}
         # id(df) -> WHEN action span, fired when the frame's result runs
-        self._when_actions: dict[int, list] = {}
+        self._when_actions: dict[int, tuple] = {}
+        self._post_success: list[list] = []
+        self._in_output = 0
+        self.noop_actions: set[str] = set()
+        self.action_once: set[str] = set()
+        self._action_ran: set[str] = set()
+        self.action_handlers: dict[str, dict] = {}
         # ECL decimals carry up to 32 digits (DECIMAL48_32 in regress);
         # widen python's Decimal context so folding never rounds below
         # the reference's precision
@@ -883,6 +903,26 @@ class _Parser:
         return self.spark().range(1)
 
     def program(self) -> DataFrame:
+        try:
+            self._program_loop()
+        except EclFailError:
+            # the workunit ABORTED (FAIL action): the reference records
+            # the exception alongside the results produced so far
+            # (workflow_contingency keys carry both) — keep the partial
+            # results; callers see them as the workunit's output
+            if not self.actions:
+                raise
+        # resolve named-result placeholders to their final accumulated
+        # state (EXTEND appends finish before anything renders)
+        self.actions = [
+            self._resolve_named(a[1]) if isinstance(a, tuple) else a
+            for a in self.actions
+        ]
+        if not self.actions:
+            raise EclSyntaxError("no OUTPUT(...) or action statement in query")
+        return self.actions[-1]
+
+    def _program_loop(self) -> None:
         while self.peek().kind != "eof":
             if self.accept(";"):  # stray empty statement
                 continue
@@ -905,10 +945,21 @@ class _Parser:
             if t.text == "import":
                 # IMPORT resolves module scopes in the reference's
                 # multi-file layout; this single-file front door binds
-                # STD.* directly and has no external scopes — skip
+                # STD.* directly and has no external scopes — skip.
+                # IMPORT x FROM Std.System.Debug/Log binds engine-side
+                # diagnostics as named no-op actions (workflow_4 Sleep)
+                span_i: list[_Tok] = []
                 while self.peek().text != ";" and self.peek().kind != "eof":
-                    self.next()
+                    span_i.append(self.next())
                 self.accept(";")
+                texts = [tk.text for tk in span_i]
+                if "from" in texts:
+                    fi = texts.index("from")
+                    tail = texts[fi + 1 :]
+                    if "debug" in tail or "log" in tail:
+                        for nm_i in texts[1:fi]:
+                            if nm_i != ",":
+                                self.noop_actions.add(nm_i)
             elif t.text == "evaluate" and self.toks[self.i + 1].text == "(":
                 self._evaluate_stmt()
                 self.accept(";")
@@ -916,36 +967,53 @@ class _Parser:
                 self._run_output_stmt()
                 self.accept(";")
             elif (
-                t.text in ("sequential", "ordered", "parallel")
+                t.text in ("sequential", "ordered", "parallel", "when", "fail")
                 and self.toks[self.i + 1].text == "("
+            ) or (
+                t.text == "std"
+                and self.toks[self.i + 1].text == "."
+                and (
+                    (
+                        self.toks[self.i + 2].text == "system"
+                        and self.toks[self.i + 4].text in ("debug", "log")
+                    )
+                    or self.toks[self.i + 2].text == "file"
+                )
+            ) or (
+                t.text in ("file", "fileservices")
+                and t.text not in self.env
+                and self.toks[self.i + 1].text == "."
+                and self.toks[self.i + 2].kind == "ident"
+                and self.toks[self.i + 3].text == "("
             ):
-                # action-list statement: SEQUENTIAL(o1, o2, ...) —
-                # evaluation is lazy, so the three orderings coincide;
-                # members run in listed order
+                # action statement: SEQUENTIAL(o1, o2, ...) / WHEN(a, b)
+                # / Std.System.Debug diagnostics — evaluation is lazy,
+                # so the orderings coincide; members run in listed order
                 self._exec_actions_here()
                 self.accept(";")
             elif (
                 t.kind == "ident"
                 and t.text in self.action_defs
-                and self.toks[self.i + 1].text == ";"
+                and self.toks[self.i + 1].text in (";", ":")
             ):
-                # a bare action-definition name runs it
+                # a bare action-definition name runs it; a statement
+                # annotation (c : SUCCESS(z);) adds contingencies
                 self.next()
-                self._exec_action_span(self.action_defs[t.text])
+                handlers: dict[str, list] = {}
+                if self.accept(":"):
+                    ann_span = self._capture_stmt_span()
+                    _once, handlers = self._parse_action_annotations(
+                        ann_span
+                    )
+                self._exec_with_handlers(
+                    lambda nm=t.text: self._exec_named_action(nm),
+                    handlers,
+                )
                 self.accept(";")
             elif self._is_definition():
                 self._definition()
             else:
                 self._bare_action()
-        # resolve named-result placeholders to their final accumulated
-        # state (EXTEND appends finish before anything renders)
-        self.actions = [
-            self._resolve_named(a[1]) if isinstance(a, tuple) else a
-            for a in self.actions
-        ]
-        if not self.actions:
-            raise EclSyntaxError("no OUTPUT(...) or action statement in query")
-        return self.actions[-1]
 
     # --- actions (OUTPUT / SEQUENTIAL / named+EXTEND results) ---
     # The reference's workunit model: actions RUN (in workflow order) and
@@ -954,14 +1022,37 @@ class _Parser:
     # Actions are captured as token spans and re-parsed when they run, so
     # reads interleave with appends exactly as the engine executes them
     # (common/workunit workflow machinery; testing/regress/ecl/action1).
+    def _fire_when(self, span: list, wmode: str) -> None:
+        """Run a WHEN side action. SUCCESS actions referenced from an
+        executing OUTPUT run after its result is written (when6d's
+        EXTEND ordering); outside one — eager definition parsing — they
+        run with the reference (when11). BEFORE/PARALLEL always run with
+        the reference."""
+        if wmode == "success" and self._in_output:
+            self._post_success.append(span)
+        else:
+            self._exec_action_span(span)
+
     def _run_output_stmt(self) -> None:
-        """Parse and RUN one OUTPUT(...) statement."""
+        """Parse and RUN one OUTPUT(...) statement; WHEN-SUCCESS
+        actions referenced by it run after its result is written."""
+        depth0 = len(self._post_success)
+        self._in_output += 1
+        try:
+            self._run_output_inner()
+        finally:
+            self._in_output -= 1
+        while len(self._post_success) > depth0:
+            span = self._post_success.pop()
+            self._exec_action_span(span)
+
+    def _run_output_inner(self) -> None:
         self.expect("output")
         self.expect("(")
         df = self._output_arg()
         pending = self._when_actions.pop(id(df), None)
         if pending is not None:
-            self._exec_action_span(pending)
+            self._fire_when(*pending)
         named = None
         extend = False
         file_write = False
@@ -1218,7 +1309,76 @@ class _Parser:
         order = ["__wuord__"] + (["__ord__"] if "__ord__" in df.columns else [])
         return df.orderBy(*order).drop("__wuord__", "__ord__")
 
+    @staticmethod
+    def _parse_action_annotations(ann: list) -> tuple[bool, dict]:
+        """Parse a workflow-annotation tail on an ACTION definition:
+        INDEPENDENT/ONCE/GLOBAL (run-once), FAILURE(act), SUCCESS(act)
+        (common/workunit workflow contingencies). Returns (run_once,
+        {event: handler token span})."""
+        once_f = False
+        handlers: dict[str, list] = {}
+        k = 0
+        while k < len(ann):
+            tx = ann[k].text
+            if tx in ("independent", "once", "global"):
+                once_f = True
+                k += 1
+            elif (
+                tx in ("failure", "success")
+                and k + 1 < len(ann)
+                and ann[k + 1].text == "("
+            ):
+                depth = 1
+                j2 = k + 2
+                while j2 < len(ann) and depth:
+                    depth += ann[j2].text == "("
+                    depth -= ann[j2].text == ")"
+                    if depth:
+                        j2 += 1
+                handlers[tx] = ann[k + 2 : j2]
+                k = j2 + 1
+            else:
+                k += 1
+        return once_f, handlers
+
+    def _exec_named_action(self, name: str) -> None:
+        """Run a defined action by name; ': INDEPENDENT/ONCE' annotated
+        definitions run at most once per workunit (workflow_7/8);
+        FAILURE/SUCCESS contingencies fire around it — a contingency's
+        own failure never masks the original (workflow_contingency_1's
+        101-over-100)."""
+        if name in self.action_once:
+            if name in self._action_ran:
+                return
+            self._action_ran.add(name)
+        handlers = self.action_handlers.get(name, {})
+        self._exec_with_handlers(
+            lambda: self._exec_action_span(self.action_defs[name]),
+            handlers,
+        )
+
+    def _exec_with_handlers(self, run, handlers: dict) -> None:
+        try:
+            run()
+        except EclSyntaxError:
+            raise
+        except Exception:
+            h = handlers.get("failure")
+            if h is not None:
+                try:
+                    self._exec_action_span(h)
+                except EclSyntaxError:
+                    raise
+                except Exception:
+                    pass  # contingency failure keeps the original error
+            raise
+        h = handlers.get("success")
+        if h is not None:
+            self._exec_action_span(h)
+
     def _exec_action_span(self, toks: list[_Tok]) -> None:
+        if not toks:
+            return  # no-op action (Std.System.Debug diagnostics)
         saved_toks, saved_i = self.toks, self.i
         self.toks = toks + [_Tok("eof", "", toks[-1].pos if toks else 0)]
         self.i = 0
@@ -1334,9 +1494,98 @@ class _Parser:
             return
         if t.kind == "ident" and t.text in self.action_defs:
             self.next()
-            self._exec_action_span(self.action_defs[t.text])
+            self._exec_named_action(t.text)
+            return
+        if (
+            t.kind == "ident"
+            and t.text in self.noop_actions
+            and self.toks[self.i + 1].text == "("
+        ):
+            # a named no-op diagnostic (Sleep, PrintStackReport)
+            self.next()
+            close = self._match_paren(self.i)
+            self.i = close + 1
+            return
+        if t.text == "when" and self.toks[self.i + 1].text == "(":
+            # WHEN(a1, a2 [, SUCCESS|FAILURE|PARALLEL|BEFORE]) as an
+            # ACTION (workflow WHEN): a1 runs with its associated a2 —
+            # BEFORE runs a2 first; FAILURE's a2 fires only on failure
+            # (a failing action raises out of the run here, so never)
+            self.next()
+            self.expect("(")
+            s1 = self._capture_arg_span()
+            self.expect(",")
+            s2 = self._capture_arg_span()
+            # the unadorned form runs the associated action as a
+            # DEPENDENCY of the trigger — before it (when8's key order)
+            mode = "before"
+            while self.accept(","):
+                mode = self.next().text
+            self.expect(")")
+            if mode == "before":
+                self._exec_action_span(s2)
+                self._exec_action_span(s1)
+            elif mode == "failure":
+                self._exec_action_span(s1)
+            else:
+                self._exec_action_span(s1)
+                self._exec_action_span(s2)
+            return
+        if t.text == "fail" and self.toks[self.i + 1].text == "(":
+            # FAIL(['msg']) action — aborts the workunit
+            # (eclhelper FAIL activity)
+            self.next()
+            close = self._match_paren(self.i)
+            msg = "".join(
+                _unquote(tk.text) if tk.kind == "str" else tk.text
+                for tk in self.toks[self.i + 1 : close]
+            )
+            raise EclFailError(msg or "FAIL")
+        if (
+            t.text == "std"
+            and self.toks[self.i + 1].text == "."
+            and (
+                (
+                    self.toks[self.i + 2].text == "system"
+                    and self.toks[self.i + 4].text in ("debug", "log")
+                )
+                or self.toks[self.i + 2].text == "file"
+            )
+        ) or (
+            t.text in ("file", "fileservices")
+            and t.text not in self.env
+            and self.toks[self.i + 1].text == "."
+        ):
+            # Std.System.Debug.Sleep/PrintStackReport, Std.System.Log.*,
+            # Std.File/FileServices maintenance calls — engine-side
+            # diagnostics/housekeeping; no workunit results (no-op)
+            while self.peek().text != "(" and self.peek().kind != "eof":
+                self.next()
+            close = self._match_paren(self.i)
+            self.i = close + 1
             return
         if t.text == "if" and self.toks[self.i + 1].text == "(":
+            if self._if_has_action_branch(self.i + 1):
+                # IF(cond, trueAction [, falseAction]): the condition
+                # folds driver-side; only the taken branch executes
+                # (lazy — an untaken FAIL never fires)
+                self.next()
+                self.expect("(")
+                cv = self._cget(self.value(self._dummy()))
+                if cv is None:
+                    raise EclSyntaxError(
+                        "action IF needs a foldable condition"
+                    )
+                self.expect(",")
+                s_true = self._capture_arg_span()
+                s_false: list[_Tok] = []
+                if self.accept(","):
+                    s_false = self._capture_arg_span()
+                self.expect(")")
+                taken = s_true if bool(cv[0]) else s_false
+                if taken:
+                    self._exec_action_span(taken)
+                return
             out = self._if_dataset()
             if out is not _ACTION_DONE:
                 self.actions.append(self._finalize(out))
@@ -1619,11 +1868,20 @@ class _Parser:
             compound = False
         if not body:
             raise EclSyntaxError(f"{name}: empty function body")
+        # ACTION-returning FUNCTION (RETURN OUTPUT(...)): calls are
+        # captured lazily as action definitions (workflow_10's untaken
+        # IF branch must never run)
+        action_fn = any(
+            tk.text == "return"
+            and body[k + 1].text in self._ACTION_HEADS
+            for k, tk in enumerate(body[:-1])
+        )
         self.functions[name] = {
             "params": params,
             "body": list(body),
             "compound": compound,
             "rettype": getattr(self, "_last_rettype", None),
+            "action_fn": action_fn,
         }
         self.expect(";")
 
@@ -1714,6 +1972,11 @@ class _Parser:
                                 f"{name}: unsupported statement in FUNCTION body"
                             )
                     self.expect("return")
+                if self._arg_is_action(self.i):
+                    # ACTION-returning FUNCTION (workflow_1's
+                    # RETURN OUTPUT(..., NAMED, EXTEND)): run it
+                    self._exec_actions_here()
+                    return _ACTION_DONE
                 mark = self.i
                 try:
                     return self.dataset()
@@ -1806,7 +2069,7 @@ class _Parser:
         if (
             self.peek().text == "output"
             or (
-                self.peek().text in ("sequential", "ordered", "parallel")
+                self.peek().text in ("sequential", "ordered", "parallel", "fail")
                 and self.toks[self.i + 1].text == "("
             )
             or (
@@ -1814,10 +2077,64 @@ class _Parser:
                 and self.toks[self.i + 1].kind == "ident"
                 and self.toks[self.i + 1].text in self.action_defs
             )
+            or (
+                # Std.System.Debug/Log diagnostics — no-op actions
+                self.peek().text == "std"
+                and self.toks[self.i + 1].text == "."
+                and self.toks[self.i + 2].text == "system"
+                and self.toks[self.i + 4].text in ("debug", "log")
+            )
+            or (
+                # IF(cond, action [, action]) — action-valued branch
+                self.peek().text == "if"
+                and self.toks[self.i + 1].text == "("
+                and self._if_has_action_branch(self.i + 1)
+            )
+            or (
+                # calls to no-op diagnostics or ACTION-returning
+                # FUNCTIONs — lazy (workflow_10/15)
+                self.peek().kind == "ident"
+                and self.toks[self.i + 1].text == "("
+                and (
+                    self.peek().text in self.noop_actions
+                    or (
+                        self.peek().text in self.functions
+                        and self.functions[self.peek().text].get("action_fn")
+                    )
+                )
+            )
+            or (
+                # WHEN(action, action): only the PURE action form — a
+                # dataset trigger stays a dataset definition (when6)
+                self.peek().text == "when"
+                and self.toks[self.i + 1].text == "("
+                and self._arg_is_action(self.i + 2)
+            )
+            or (
+                # alias of a defined action (a0 := a : independent)
+                self.peek().kind == "ident"
+                and self.peek().text in self.action_defs
+                and self.toks[self.i + 1].text in (";", ":")
+            )
         ):
             # ACTION-valued definition (o1 := OUTPUT(...);): captured,
-            # runs each time an executed action list references it
-            self.action_defs[name.text] = self._capture_stmt_span()
+            # runs each time an executed action list references it —
+            # except ': INDEPENDENT/ONCE' annotated ones, which run at
+            # most once (workflow_7/8's shared-action contract)
+            span_a = self._capture_stmt_span()
+            cut_a = next(
+                (j for j, tk in enumerate(span_a) if tk.text == ":"), None
+            )
+            if cut_a is not None:
+                once_f, handlers = self._parse_action_annotations(
+                    span_a[cut_a + 1 :]
+                )
+                if once_f:
+                    self.action_once.add(name.text)
+                if handlers:
+                    self.action_handlers[name.text] = handlers
+                span_a = span_a[:cut_a]
+            self.action_defs[name.text] = span_a
             self.expect(";")
             return
         if (
@@ -2002,6 +2319,17 @@ class _Parser:
                         kind = "deferred"
                     else:
                         raise dataset_err from None
+            except RecursionError:
+                raise
+            except Exception as bind_exc:
+                # RUNTIME failure binding the definition (LIMIT, FAIL):
+                # bind a failure sentinel — the error re-raises at each
+                # reference instead (when6c's WHEN FAILURE / CATCH path)
+                self.i = mark
+                self._capture_stmt_span()
+                self.env[name.text] = _FailedDs(bind_exc)
+                self.expect(";")
+                return
         # workflow-service annotation(s): expr : PERSIST('name') |
         # STORED('x') | GLOBAL | INDEPENDENT[(few|many)] | ONCE
         # (common/workunit/workflow.cpp). PERSIST is wired to the cache;
@@ -2212,27 +2540,93 @@ class _Parser:
             # the dataset's result actually executes — captured lazily,
             # so a WHEN inside an untaken IF branch never fires
             # (testing/regress/ecl/ifwhen.ecl)
+            if self.toks[self.i + 2].text in (
+                "count", "sum", "min", "max", "ave", "exists",
+            ):
+                # WHEN over a scalar aggregate — the value grammar's
+                # WHEN handles it (when10); bail before consuming
+                raise EclSyntaxError(
+                    f"scalar WHEN at {t.pos} — value grammar handles it"
+                )
             self.next()
             self.expect("(")
-            inner = self.dataset()
+            mark_w = self.i
+            inner = None
+            inner_exc = None
+            try:
+                inner = self.dataset()
+            except EclSyntaxError:
+                raise
+            except Exception as e:
+                # the trigger FAILED (a _FailedDs reference, LIMIT):
+                # with FAILURE the action fires, then the failure
+                # propagates to any enclosing CATCH (when6c)
+                inner_exc = e
+                self.i = mark_w
+                self._capture_arg_span()
             self.expect(",")
-            act = self.next()
-            if act.text in self.action_defs:
-                span = self.action_defs[act.text]
+            if (
+                self.peek().kind == "ident"
+                and self.peek().text in self.action_defs
+                and self.toks[self.i + 1].text in (",", ")")
+            ):
+                span = self.action_defs[self.next().text]
             else:
-                raise EclSyntaxError(
-                    f"WHEN needs a defined action at {act.pos}"
-                )
+                # inline action argument (OUTPUT(...), IF(cond, act),
+                # Std.System.Debug...) — captured as a span
+                span = self._capture_arg_span()
+            # unadorned WHEN runs the action as a dependency — with the
+            # dataset, before the enclosing result writes (when7); only
+            # explicit SUCCESS defers past the write (when6d)
+            mode = "parallel"
             while self.accept(","):
-                self.next()  # SUCCESS / FAILURE / BEFORE event class
+                mode = self.next().text
             self.expect(")")
+            if inner_exc is not None:
+                if mode == "failure":
+                    self._exec_action_span(span)
+                raise inner_exc
+            if mode == "failure":
+                span = []  # fires only on failure — never here
             df = inner.select("*")
             if id(inner) in self._order:
                 self._set_order(df, self._order[id(inner)])
             if id(inner) in self._grouped:
                 self._set_grouped(df, self._grouped[id(inner)])
             self._pins.append(df)
-            self._when_actions[id(df)] = span
+            self._when_actions[id(df)] = (span, mode)
+        elif t.text == "catch" and self.toks[self.i + 1].text == "(":
+            # CATCH(ds, SKIP | FAIL(...)) dataset form (TAKcatch
+            # :1023): a runtime failure of the input is absorbed — SKIP
+            # yields a typed empty dataset (when6c). A clean SYNTAX
+            # failure re-raises so the scalar CATCH can take over.
+            self.next()
+            self.expect("(")
+            mark_c = self.i
+            caught = None
+            try:
+                df = self.dataset()
+            except EclSyntaxError:
+                raise
+            except Exception as e:
+                caught = e
+                self.i = mark_c
+                self._capture_arg_span()
+                df = None
+            self.expect(",")
+            handler = self._capture_arg_span()
+            self.expect(")")
+            if caught is not None:
+                if handler and handler[0].text == "skip":
+                    df = getattr(caught, "empty_df", None)
+                    if df is None:
+                        from pyspark.sql.types import StructType
+
+                        df = self.spark().createDataFrame(
+                            [], schema=StructType([])
+                        )
+                else:
+                    raise caught
         elif t.text == "range" and self.toks[self.i + 1].text == "(":
             # RANGE(setofds, [i, ...]) (TAKnwayinput): select members of
             # a dataset set, 1-based
@@ -2349,6 +2743,8 @@ class _Parser:
             self.next()
             if t.text in self.functions and self.peek().text == "(":
                 r = self._call_function(t.text, self._dummy())
+                if r is _ACTION_DONE:
+                    return r  # action-returning FUNCTION already ran
                 if not isinstance(r, DataFrame):
                     raise EclSyntaxError(
                         f"{t.text} returns a scalar; a dataset was expected at {t.pos}"
@@ -2360,6 +2756,8 @@ class _Parser:
                 raise EclSyntaxError(f"unknown dataset {t.text!r} at {t.pos}")
             else:
                 df = self.env[t.text]
+                if isinstance(df, _FailedDs):
+                    raise df.exc  # per-reference failure propagation
                 if isinstance(df, _WuRef):
                     df = self._resolve_wu(df)
                 if isinstance(df, list):
@@ -2368,6 +2766,46 @@ class _Parser:
                     k = int(self._literal())
                     self.expect("]")
                     df = df[k - 1]
+                if isinstance(df, DataFrame):
+                    # a WHEN-carrying dataset fires its side action the
+                    # first time it is referenced from executing code
+                    # (definitions parse eagerly but OUTPUT statements
+                    # re-parse at run time — this is execution)
+                    pending = self._when_actions.pop(id(df), None)
+                    if pending is not None:
+                        self._fire_when(*pending)
+                if (
+                    isinstance(df, DataFrame)
+                    and self.peek().text == "["
+                    and self.toks[self.i + 1].kind == "num"
+                    and self.toks[self.i + 2].text == "]"
+                    and self.toks[self.i + 3].text != "."
+                ):
+                    # ds[n] in DATASET position: the n-th ROW as a
+                    # one-row dataset (when11); ds[n].field stays on
+                    # the scalar path
+                    order = self._order.get(id(df))
+                    if order is None:
+                        raise EclSyntaxError(
+                            "ds[n] needs an ordered input"
+                        )
+                    self.next()
+                    n_idx = int(self.next().text)
+                    self.expect("]")
+                    from pyspark.sql.window import Window
+
+                    meta_ix = self._ds_fields.get(id(df))
+                    df = (
+                        df.withColumn(
+                            "__rn__",
+                            F.row_number().over(Window.orderBy(*order)),
+                        )
+                        .where(F.col("__rn__") == n_idx)
+                        .drop("__rn__")
+                    )
+                    self._set_order(df, order)
+                    if meta_ix is not None:
+                        self._ds_fields[id(df)] = meta_ix
         else:
             raise EclSyntaxError(f"expected dataset expression at {t.pos}: {t.text!r}")
         if isinstance(df, list):
@@ -2536,8 +2974,10 @@ class _Parser:
                 # keys instead of being replaced (grouphashagg key)
                 table_grouped = True
                 continue
-            if k.text in ("merge", "few", "many"):
-                continue  # strategy hints
+            if k.text in ("merge", "few", "many", "sorted", "unsorted"):
+                # strategy hints; SORTED's key order is already the
+                # emission order here
+                continue
             if k.kind != "ident":
                 raise EclSyntaxError(f"expected group key at {k.pos}")
             keys.append(k.text)
@@ -2624,6 +3064,18 @@ class _Parser:
             and c not in extra and c != "__ord__"
         ]
         keep = ["__ord__"] if ordagg else []
+        if ordagg:
+            # hash-aggregate emission order: the regress keys pin the
+            # reference's hash-table order, which the corpus observes as
+            # key-ascending (grouphashagg, when6); first appearance
+            # breaks ties. Rewrite the ordinal by key BEFORE non-output
+            # keys drop.
+            from pyspark.sql.window import Window
+
+            w = Window.orderBy(
+                *[F.col(k) for k in all_keys], F.col("__ord__")
+            )
+            out = out.withColumn("__ord__", F.row_number().over(w))
         out = out.select(*bare, *agg_names, *keep)
         if ordagg:
             self._set_order(out, [F.col("__ord__")])
@@ -3638,6 +4090,125 @@ class _Parser:
         self._set_order(out, keys)
         return out
 
+    def _dedup_eq_fields(self):
+        """At a DEDUP condition: parse LEFT.f = RIGHT.f [AND ...] if it
+        is a pure same-field equality conjunction, returning the field
+        list; None (position untouched semantics: caller restores) on
+        any other shape."""
+        fields: list[str] = []
+        while True:
+            s1 = self.peek().text
+            if s1 not in ("left", "right"):
+                return None
+            self.next()
+            if not self.accept("."):
+                return None
+            f1 = self.next()
+            if f1.kind != "ident" or not self.accept("="):
+                return None
+            s2 = self.peek().text
+            if s2 not in ("left", "right") or s2 == s1:
+                return None
+            self.next()
+            if not self.accept("."):
+                return None
+            f2 = self.next()
+            if f2.kind != "ident" or f1.text != f2.text:
+                return None
+            fields.append(f1.text)
+            if self.peek().text == "and":
+                self.next()
+                continue
+            if self.peek().text in (",", ")"):
+                return fields
+            return None
+
+    def _dedup_cond_fold(
+        self, df, cond_fn, keep_right, all_flag, gkeys
+    ) -> DataFrame:
+        """DEDUP(ds, cond [,ALL]) with a general LEFT/RIGHT match
+        expression — the reference's sequential survivor scan
+        (hthor.cpp CHThorDedupActivity: survivor vs next; match keeps
+        LEFT by default, RIGHT replaces the survivor) and the ALL
+        all-pairs kill scan (CHThorGroupDedupAllActivity::dedupRange,
+        hthor.cpp:2901-2929: dead LEFT rows skip, keep-LEFT kills RIGHT
+        and continues, keep-RIGHT kills LEFT and breaks). Inherently
+        sequential — one applyInPandas stream per group (the whole
+        stream when ungrouped), cap-guarded; the equality form stays on
+        the parallel field-key path."""
+        import pandas as pd
+        from pyspark.sql.window import Window
+
+        meta = self._ds_fields.get(id(df))
+        order = self._order.get(id(df))
+        if order is None:
+            raise EclSyntaxError(
+                "DEDUP with a match condition needs an ordered input "
+                "(SORT or an inline dataset): the scan order defines "
+                "which duplicate survives"
+            )
+        if "__ord__" not in df.columns:
+            df = df.withColumn(
+                "__ord__", F.row_number().over(Window.orderBy(*order))
+            )
+        schema = df.schema
+        cols = [f.name for f in schema.fields]
+        # the ALL form is quadratic per stream — cap it far below the
+        # linear fold cap
+        cap = 100_000 if all_flag else FOLD_ROWS_CAP
+
+        def fold(_k, pdf):
+            if len(pdf) > cap:
+                raise ValueError(
+                    f"front-door DEDUP condition scan over {len(pdf):,} "
+                    f"rows exceeds the {cap:,}-row cap; use key-equality "
+                    "DEDUP (parallel) or operators/dedup.py for large "
+                    "inputs"
+                )
+            pdf = pdf.sort_values("__ord__")
+            rows = pdf.to_dict("records")
+            if not rows:
+                return pdf.iloc[0:0]
+            if all_flag:
+                alive = [True] * len(rows)
+                for i, li in enumerate(rows):
+                    if not alive[i]:
+                        continue
+                    for j, rj in enumerate(rows):
+                        if i == j or not alive[j]:
+                            continue
+                        if cond_fn({"left": li, "right": rj}):
+                            if keep_right:
+                                alive[i] = False
+                                break
+                            alive[j] = False
+                keep = [r for r, a in zip(rows, alive) if a]
+            else:
+                keep = []
+                cur = rows[0]
+                for nxt in rows[1:]:
+                    if cond_fn({"left": cur, "right": nxt}):
+                        if keep_right:
+                            cur = nxt
+                    else:
+                        keep.append(cur)
+                        cur = nxt
+                keep.append(cur)
+            return pd.DataFrame(keep, columns=cols)
+
+        if gkeys:
+            out = df.groupBy(*gkeys).applyInPandas(fold, schema=schema)
+        else:
+            out = df.groupBy(F.lit(1).alias("__g__")).applyInPandas(
+                fold, schema=schema
+            )
+        self._set_order(out, [F.col("__ord__")])
+        if gkeys:
+            self._set_grouped(out, gkeys)
+        if meta is not None:
+            self._ds_fields[id(out)] = meta
+        return out
+
     def _dedup(self) -> DataFrame:
         self.expect("dedup")
         self.expect("(")
@@ -3646,6 +4217,7 @@ class _Parser:
         keep_right = False
         keep_n = 1
         all_flag = False
+        cond_fn = None
         while self.accept(","):
             t = self.peek().text
             if t == "all":
@@ -3669,9 +4241,35 @@ class _Parser:
                 self.expect(")")
                 keep_n = int(self._dummy().select(nv.alias("n")).collect()[0].n)
                 continue
-            fields.append(self.next().text)
+            if (
+                self.peek().kind == "ident"
+                and self.toks[self.i + 1].text in (",", ")")
+            ):
+                fields.append(self.next().text)
+                continue
+            # anything else is a match CONDITION. A pure equality
+            # conjunction LEFT.f = RIGHT.f [AND ...] reduces to the
+            # parallel field-key path; general expressions compile to a
+            # python predicate for the sequential scan.
+            save = self.i
+            eqf = self._dedup_eq_fields()
+            if eqf is not None:
+                fields.extend(eqf)
+                continue
+            self.i = save
+            self._pyx_bare = {
+                c: "left" for c in df.columns if c != "__ord__"
+            }
+            try:
+                cond_fn = self._compile_pyexpr(["left", "right"])
+            finally:
+                self._pyx_bare = None
         self.expect(")")
         gkeys = self._grouped.get(id(df))
+        if cond_fn is not None:
+            return self._dedup_cond_fold(
+                df, cond_fn, keep_right, all_flag, gkeys
+            )
         if gkeys is not None and fields:
             # DEDUP over a GROUPed input dedups WITHIN each group
             # (thhashdedupslave grouped contract): the group keys join
@@ -3706,17 +4304,20 @@ class _Parser:
             key = F.struct(*[F.col(f) for f in fields])
             w_all = Window.orderBy(*order)
             w_key = Window.partitionBy(key).orderBy(*order)
-            run = (
-                F.row_number().over(w_all) - F.row_number().over(w_key)
-            ).alias("__run__")
+            # materialize the stream position: order keys may already be
+            # SortOrder columns (SORT meta) which cannot nest in .desc()
             within = Window.partitionBy(key, F.col("__run__")).orderBy(
-                *[k.desc() for k in order] if keep_right else order
+                F.col("__pos__").desc() if keep_right else F.col("__pos__")
             )
             out = (
-                df.withColumn("__run__", run)
+                df.withColumn("__pos__", F.row_number().over(w_all))
+                .withColumn(
+                    "__run__",
+                    F.col("__pos__") - F.row_number().over(w_key),
+                )
                 .withColumn("__pick__", F.row_number().over(within))
                 .where(F.col("__pick__") <= keep_n)
-                .drop("__run__", "__pick__")
+                .drop("__run__", "__pick__", "__pos__")
             )
             self._set_order(out, order)
             return out
@@ -3997,7 +4598,13 @@ class _Parser:
             if id(df) in self._grouped:
                 self._set_grouped(out, self._grouped[id(df)])
             return out
-        out = limit_skip(df, n) if skip else limit_fail(df, n)
+        try:
+            out = limit_skip(df, n) if skip else limit_fail(df, n)
+        except Exception as e:
+            # carry the input's shape so a downstream CATCH ... SKIP can
+            # yield a typed empty result (when6c)
+            e.empty_df = self._clean(df).limit(0)
+            raise
         # LIMIT is a guard, not a reorder: grouping and order pass through
         if id(df) in self._order:
             self._set_order(out, self._order[id(df)])
@@ -4026,7 +4633,17 @@ class _Parser:
             while self.accept(","):
                 cols.append(df[self.next().text])
         self.expect(")")
-        return df.repartition(*cols)
+        out = df.repartition(*cols)
+        # partitioning hint only: rows and their stream order are
+        # unchanged (node-local order in the reference; the global
+        # input order here, the single-stream analogue)
+        if id(df) in self._order:
+            self._set_order(out, self._order[id(df)])
+        if id(df) in self._grouped:
+            self._set_grouped(out, self._grouped[id(df)])
+        if id(df) in self._ds_fields:
+            self._ds_fields[id(out)] = self._ds_fields[id(df)]
+        return out
 
     def _group(self) -> DataFrame:
         """GROUP(ds, keys) (TAKgroup :901): marks the frame as grouped for
@@ -4413,6 +5030,90 @@ class _Parser:
         self.i = j + 1
         return raw
 
+    def _capture_arg_span(self) -> list[_Tok]:
+        """Tokens up to the next top-level ',' or ')' (one argument of
+        an enclosing call); the terminator is NOT consumed."""
+        j = self.i
+        depth = 0
+        while j < len(self.toks):
+            tx = self.toks[j].text
+            if tx in ("(", "[", "{"):
+                depth += 1
+            elif tx in (")", "]", "}"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif tx == "," and depth == 0:
+                break
+            elif self.toks[j].kind == "eof":
+                break
+            j += 1
+        span = list(self.toks[self.i : j])
+        self.i = j
+        return span
+
+    _ACTION_HEADS = (
+        "output", "fail", "sequential", "ordered", "parallel", "when",
+        "apply", "notify", "build", "buildindex",
+    )
+
+    def _arg_is_action(self, j: int) -> bool:
+        """Does the argument starting at token j look like an ACTION
+        (defined action name, OUTPUT/FAIL/..., or a Std.System.Debug
+        call)? Drives action-IF vs dataset-IF routing."""
+        t = self.toks[j]
+        if t.kind == "ident" and t.text in self.action_defs:
+            return True
+        if t.kind == "ident" and t.text in self.noop_actions:
+            return True
+        if (
+            t.kind == "ident"
+            and t.text in self.functions
+            and self.functions[t.text].get("action_fn")
+        ):
+            return True
+        if t.text == "fail":
+            # FAIL(rec [, msg]) is the DATASET-typed fail (ifdepend1),
+            # not the abort action
+            if (
+                self.toks[j + 1].text == "("
+                and self.toks[j + 2].kind == "ident"
+                and self.toks[j + 2].text in self.records
+            ):
+                return False
+            return True
+        if t.text in self._ACTION_HEADS:
+            return True
+        if (
+            t.text == "std"
+            and self.toks[j + 1].text == "."
+            and self.toks[j + 2].text == "system"
+        ):
+            return True
+        return False
+
+    def _if_has_action_branch(self, open_at: int) -> bool:
+        """Scan IF's argument list (open_at = index of '('): True when
+        a non-condition argument begins like an action."""
+        close = self._match_paren(open_at)
+        if close is None:
+            return False
+        j = open_at + 1
+        depth = 0
+        arg_starts = [j]
+        while j < close:
+            tx = self.toks[j].text
+            if tx in ("(", "[", "{"):
+                depth += 1
+            elif tx in (")", "]", "}"):
+                depth -= 1
+            elif tx == "," and depth == 0:
+                arg_starts.append(j + 1)
+            j += 1
+        return len(arg_starts) >= 2 and any(
+            self._arg_is_action(k) for k in arg_starts[1:]
+        )
+
     def _capture_stmt_span(self) -> list[_Tok]:
         """Tokens up to the ';' that ends the current statement."""
         j = self.i
@@ -4510,6 +5211,25 @@ class _Parser:
         the literal order; user-visible results drop it."""
         self.expect("dataset")
         self.expect("(")
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.env
+            and isinstance(self.env[self.peek().text], DataFrame)
+            and self.toks[self.i + 1].text == ")"
+        ):
+            # DATASET(row) — a ROW reference wrapped back as a one-row
+            # dataset (when11); fires any pending WHEN on the way
+            d0 = self.env[self.next().text]
+            self.expect(")")
+            pending = self._when_actions.pop(id(d0), None)
+            if pending is not None:
+                self._fire_when(*pending)
+            out0 = d0.select("*")
+            if id(d0) in self._order:
+                self._set_order(out0, self._order[id(d0)])
+            if id(d0) in self._ds_fields:
+                self._ds_fields[id(out0)] = self._ds_fields[id(d0)]
+            return out0
         fname = None
         if self.peek().kind == "str":
             fname = _unquote(self.next().text).lower()
@@ -4623,6 +5343,13 @@ class _Parser:
             self.expect(")")
             return self._resolve_wu(_WuRef(_unquote(nm.text).lower(), fields))
         self.expect("[")
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.functions
+            and self.functions[self.peek().text].get("transform")
+            and self.toks[self.i + 1].text == "("
+        ):
+            return self._inline_transform_rows()
         rows: list[tuple] = []
         if not self.accept("]"):
             while True:
@@ -5438,6 +6165,22 @@ class _Parser:
         if t.kind == "num":
             v, ty = _parse_num(t.text)
             return self._mkconst(v, ty)
+        if t.text == "when" and self.peek().text == "(":
+            # WHEN(expr, action [, BEFORE|SUCCESS|FAILURE|PARALLEL])
+            # over a SCALAR: the action fires when the value evaluates —
+            # nested chains fire inside-out (when10's key order);
+            # FAILURE's action never fires (a failure raises out)
+            self.expect("(")
+            v = self.value(df)
+            self.expect(",")
+            span = self._capture_arg_span()
+            mode = "parallel"
+            while self.accept(","):
+                mode = self.next().text
+            self.expect(")")
+            if mode != "failure":
+                self._exec_action_span(span)
+            return v
         if t.text == "__platform__":
             # the engine identifies as a thor-class batch platform
             # (ecl/hql consts __PLATFORM__)
@@ -6214,6 +6957,31 @@ class _Parser:
 
     def _pyx_cmp(self, params):
         f = self._pyx_addsub(params)
+        neg_in = False
+        if (
+            self.peek().text == "not"
+            and self.toks[self.i + 1].text == "in"
+        ):
+            self.next()
+            neg_in = True
+        if self.peek().text == "in" and self.toks[self.i + 1].text == "[":
+            # v IN ['a','b',...] set membership (ECL comparison rules
+            # per element — dedup_all.ecl's match conditions)
+            self.next()
+            self.expect("[")
+            elems = [self._compile_pyexpr(params)]
+            while self.accept(","):
+                elems.append(self._compile_pyexpr(params))
+            self.expect("]")
+
+            def member(ctx, _f=f, _es=elems, _neg=neg_in):
+                v = _f(ctx)
+                hit = any(_py_cmp_vals("=", v, e(ctx)) for e in _es)
+                return hit != _neg
+
+            return member
+        if neg_in:
+            raise EclSyntaxError("NOT IN needs a set literal here")
         t = self.peek().text
         if t in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
@@ -6358,6 +7126,12 @@ class _Parser:
                 v = c[0]
                 v = float(v) if isinstance(v, Decimal) else v
                 return lambda ctx: v
+        bare = getattr(self, "_pyx_bare", None)
+        if bare and t.kind == "ident" and t.text in bare:
+            # bare field names bind to a designated row param (DEDUP
+            # match conditions read LEFT — dedup.ecl's Value1=1)
+            pname, fld = bare[t.text], t.text
+            return lambda ctx: ctx[pname].get(fld)
         raise EclSyntaxError(
             f"unsupported token {t.text!r} in compiled TRANSFORM at {t.pos}"
         )
@@ -6492,14 +7266,18 @@ class _Parser:
                     self.next()  # ')'
                     fieldnames = [f[0] for f in fields]
 
-                    def _mk_filter(span_l, fnames):
+                    def _mk_filter(span_l, fnames, fmeta):
                         # single-arg closure: pyspark dispatches on arity
                         def one(x):
-                            return self._eval_elem_cond(span_l, x, fnames)
+                            return self._eval_elem_cond(
+                                span_l, x, fnames, fields_meta=fmeta
+                            )
 
                         return one
 
-                    arr = F.filter(arr, _mk_filter(list(span), fieldnames))
+                    arr = F.filter(
+                        arr, _mk_filter(list(span), fieldnames, list(fields))
+                    )
                     continue
                 if (
                     self.peek().text == "."
@@ -6809,13 +7587,17 @@ class _Parser:
             return None
 
     def _eval_elem_cond(
-        self, span: list[_Tok], elem, fieldnames: list, outer: dict | None = None
+        self, span: list[_Tok], elem, fieldnames: list, outer: dict | None = None,
+        fields_meta: list | None = None,
     ) -> Column:
         """Evaluate a filter condition over one array element (the x of
         F.filter's lambda) by re-parsing the span with element-resolved
         field references. ``outer`` maps synthetic identifier names to
         pre-resolved Columns (parent-level fields in multi-level child
         filters — aggsq3's occupants.extra(houseTable.occupants.id != 2)).
+        ``fields_meta`` carries the element's full field specs so NESTED
+        child aggregates resolve against the element, not a same-named
+        top-level definition (sqfilt3's count(persons(count(books)>0))).
         Top-level commas AND together (postfix-filter convention)."""
         out_map = outer or {}
 
@@ -6827,6 +7609,9 @@ class _Parser:
                     return out_map[name]
                 return elem[name]
 
+        ctx = _ElemCtx()
+        if fields_meta is not None:
+            self._ds_fields[id(ctx)] = list(fields_meta)
         conds = self._split_top_commas(span)
         saved_toks, saved_i = self.toks, self.i
         try:
@@ -6836,7 +7621,7 @@ class _Parser:
                     _Tok("eof", "", cspan[-1].pos if cspan else 0)
                 ]
                 self.i = 0
-                c = self.value(_ElemCtx())
+                c = self.value(ctx)
                 acc = c if acc is None else (acc & c)
             return acc
         finally:
@@ -6898,6 +7683,87 @@ class _Parser:
                     self.scalars[pname] = self._mkconst(*pdefault)
                 else:
                     raise EclSyntaxError(f"missing argument {pname!r}")
+            assigned, skip_cond = self._parse_transform_body_columns(
+                fn["body"], base
+            )
+        finally:
+            self.scalars = saved_scalars
+        out_cols = []
+        for nm2, ty2, w2, d2 in out_fields:
+            if nm2 in assigned:
+                col2 = assigned[nm2]
+            elif d2 is not None and not isinstance(d2, tuple):
+                col2 = F.lit(d2)
+            else:
+                raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
+            if w2 and w2 > 0 and ty2 == "string":
+                col2 = F.rpad(col2.cast("string"), w2, " ")
+            elif ty2 == "long" and w2 is not None and w2 < 0:
+                col2 = col2.cast("long").bitwiseAND(
+                    F.lit((1 << (8 * -w2)) - 1)
+                )
+            elif ty2 in ("long", "double", "float", "boolean", "string"):
+                col2 = col2.cast(ty2)
+            out_cols.append(col2.alias(nm2))
+        df = base
+        if skip_cond is not None:
+            df = df.where(~skip_cond)
+        df = df.select(*out_cols, F.col("id").alias("__ord__"))
+        self._set_order(df, [F.col("__ord__")])
+        self._ds_fields[id(df)] = out_fields
+        return df
+
+    def _inline_transform_rows(self) -> DataFrame:
+        """DATASET([t(a,b,..), t(..), ...]) — inline rows built by calls
+        to one NAMED transform (when6.ecl); the record is the
+        transform's output record unless given explicitly. Lowered to
+        spark.range(nrows) with each parameter bound to
+        element_at(array(per-row args), ordinal) — stays in Column
+        mode, no per-row python. Cursor is just past '['."""
+        fname = self.next().text
+        fn = self.functions[fname]
+        params = fn["params"]
+        rows_args: list[list[Column]] = []
+        while True:
+            self.expect("(")
+            args: list[Column] = []
+            if not self.accept(")"):
+                while True:
+                    args.append(self.value(self._dummy()))
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+            rows_args.append(args)
+            if not self.accept(","):
+                break
+            nxt = self.next()
+            if nxt.text != fname:
+                raise EclSyntaxError(
+                    "inline transform rows must all call the same "
+                    f"transform ({fname!r}), got {nxt.text!r} at {nxt.pos}"
+                )
+        self.expect("]")
+        if self.accept(","):
+            out_fields = self._record_fields()
+        else:
+            out_fields = self._resolve_record_fields(fn.get("rettype"))
+        self.expect(")")
+        base = self.spark().range(1, len(rows_args) + 1)
+        saved_scalars = self.scalars
+        self.scalars = dict(self.scalars)
+        try:
+            for idx, (pname, _pty, pdefault) in enumerate(params):
+                per_row = []
+                for args in rows_args:
+                    if idx < len(args):
+                        per_row.append(args[idx])
+                    elif pdefault is not None:
+                        per_row.append(self._mkconst(*pdefault))
+                    else:
+                        raise EclSyntaxError(f"missing argument {pname!r}")
+                self.scalars[pname] = F.element_at(
+                    F.array(*per_row), F.col("id").cast("int")
+                )
             assigned, skip_cond = self._parse_transform_body_columns(
                 fn["body"], base
             )

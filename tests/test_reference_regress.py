@@ -82,6 +82,27 @@ VERBATIM = [
     # presence conditions and DATASET(rec, COUNT(SELF.n)) counted
     # child lists (type_row rtlconst.hpp)
     "atmost2", "nestrecs", "nesting",
+    # DEDUP with general LEFT/RIGHT match conditions (sequential
+    # survivor scan + the ALL all-pairs kill scan, hthor.cpp:2901-2929),
+    # child-query aggregates over the sq fixture
+    "dedup", "dedup_all", "aggds2", "aggds4", "aggidx2", "aggidx4",
+    # WHEN event actions (dataset/scalar/row triggers, BEFORE/SUCCESS/
+    # FAILURE/PARALLEL, hthor TAKwhen), transform-call inline rows,
+    # dataset CATCH ... SKIP over runtime failures, per-reference
+    # failure propagation (_FailedDs)
+    "when6", "when6a", "when6b", "when6c", "when6d", "when6e",
+    "when7", "when8", "when9", "when10", "when11",
+    # workflow engine: ACTION-returning FUNCTIONs, INDEPENDENT/ONCE
+    # run-once actions, FAILURE/SUCCESS contingency clauses
+    # (common/workunit workflow.cpp), Std.System.Debug no-op
+    # diagnostics
+    "workflow", "workflow_1", "workflow_4", "workflow_5", "workflow_6",
+    "workflow_7", "workflow_8", "workflow_10", "workflow_11",
+    "workflow_13", "workflow_14", "workflow_15", "workflow_16",
+    "workflow_contingency_1", "workflow_contingency_2",
+    "workflow_contingency_3", "workflow_contingency_4",
+    "workflow_contingency_5", "workflow_contingency_7",
+    "workflow_contingency_8",
 ]
 
 
