@@ -103,6 +103,9 @@ VERBATIM = [
     "workflow_contingency_3", "workflow_contingency_4",
     "workflow_contingency_5", "workflow_contingency_7",
     "workflow_contingency_8",
+    # nested child aggregates scope to the ELEMENT, not a same-named
+    # top-level definition (count(persons(count(books)>0)))
+    "sqfilt3",
 ]
 
 
