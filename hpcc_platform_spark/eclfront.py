@@ -419,6 +419,7 @@ class _Parser:
         self.action_once: set[str] = set()
         self._action_ran: set[str] = set()
         self.action_handlers: dict[str, dict] = {}
+        self._row_frames: set[str] = set()
         # ECL decimals carry up to 32 digits (DECIMAL48_32 in regress);
         # widen python's Decimal context so folding never rounds below
         # the reference's precision
@@ -669,6 +670,14 @@ class _Parser:
             aa = F.lit(ca[0].rstrip()) if ca is not None else F.rtrim(a)
             bb = F.lit(cb[0].rstrip()) if cb is not None else F.rtrim(b)
             return _cmp(op, aa, bb)
+        if (
+            op in ("=", "<>", "!=")
+            and self._is_strcol(a)
+            and self._is_strcol(b)
+        ):
+            # two string COLUMNS: fixed-width padding is insignificant
+            # (serial6a's unpadded title vs string20 index key)
+            return _cmp(op, F.rtrim(a), F.rtrim(b))
         if op == "+":
             if self._is_strcol(a) or self._is_strcol(b):
                 # ECL string '+' is concatenation; a non-string const
@@ -818,6 +827,31 @@ class _Parser:
             expr = expr.otherwise(default) if expr is not None else default
         return expr
 
+    def _row_select(self, df: DataFrame, n: int) -> DataFrame:
+        """ds[n] as a ONE-ROW dataset: the n-th row in stream order.
+        Unordered inputs allow only [1] (the global-aggregate idiom —
+        one row by construction)."""
+        order = self._order.get(id(df))
+        meta = self._ds_fields.get(id(df))
+        if order is None:
+            if n != 1:
+                raise EclSyntaxError("ds[n] needs an ordered input")
+            out = df.limit(1)
+        else:
+            from pyspark.sql.window import Window
+
+            out = (
+                df.withColumn(
+                    "__rn__", F.row_number().over(Window.orderBy(*order))
+                )
+                .where(F.col("__rn__") == n)
+                .drop("__rn__")
+            )
+            self._set_order(out, order)
+        if meta is not None:
+            self._ds_fields[id(out)] = meta
+        return out
+
     def _ds_row_field(self, src: DataFrame, n: int, fld: str) -> Column:
         """Positional scalar read ds[n].field over an ordered (inline)
         dataset — evaluated driver-side (the regress idiom uses tiny
@@ -826,14 +860,17 @@ class _Parser:
         if fld not in src.columns:
             raise EclSyntaxError(f"unknown field {fld!r} in row access")
         order = self._order.get(id(src))
-        if order is None:
+        if order is None and n != 1:
             raise EclSyntaxError(
                 "ds[n].field needs an ordered input (inline dataset or SORT)"
             )
         fields = self._ds_fields.get(id(src)) or []
         meta = {name: (ty, w) for name, ty, w, _d in fields}
         cap = min(max(n, 1), 1_000_000)  # spark limit is int32; huge n is
-        rows = src.orderBy(*order).limit(cap).collect() if n >= 1 else []
+        # [1] over an unordered input is the global-aggregate idiom
+        # (table(ds, {count(group)})[1].cnt — one row by construction)
+        ordered = src.orderBy(*order) if order is not None else src
+        rows = ordered.limit(cap).collect() if n >= 1 else []
         # out-of-range whenever fewer than n rows came back (n > cap can
         # only be out-of-range too at regress scale)
         if 1 <= n <= len(rows):
@@ -953,6 +990,14 @@ class _Parser:
                     span_i.append(self.next())
                 self.accept(";")
                 texts = [tk.text for tk in span_i]
+                if "serialtest" in texts:
+                    # import Setup.SerialTest — the serial fixture
+                    # module binds directly (no constructor args)
+                    from hpcc_platform_spark import regress_fixtures as RF
+
+                    self._bind_shim_members(
+                        "serialtest", RF.serialtest_members()
+                    )
                 if "from" in texts:
                     fi = texts.index("from")
                     tail = texts[fi + 1 :]
@@ -1172,6 +1217,11 @@ class _Parser:
             members = RF.files_members(*args[:2])
         else:
             members = RF.sq_members(*args[:1])
+        self._bind_shim_members(defname, members)
+
+    def _bind_shim_members(self, defname: str, members: dict) -> None:
+        from hpcc_platform_spark import regress_fixtures as RF
+
         self.shims[defname] = members
         for mn, spec in members.items():
             if spec[0] == "const":
@@ -1187,6 +1237,12 @@ class _Parser:
                 self.env[mn] = d
                 self._ds_fields[id(d)] = list(spec[2])
                 self._pins.append(d)
+                if "__ord__" in d.columns:
+                    self._set_order(d, [F.col("__ord__")])
+                if len(spec) >= 4 and spec[3]:
+                    # the member also names a logical FILE: name-based
+                    # DATASET('name', rec, THOR) reads resolve to it
+                    self.files[str(spec[3]).lower()] = d
 
     def _try_const_str(self) -> str | None:
         """Parse a constant string-valued expression at the cursor
@@ -2285,6 +2341,20 @@ class _Parser:
             mark = self.i
             try:
                 df = self.dataset()
+                if (
+                    self.peek().text == "["
+                    and self.toks[self.i + 1].kind == "num"
+                    and self.toks[self.i + 2].text == "]"
+                    and self.toks[self.i + 3].text in (";", ":")
+                ):
+                    # ROW definition: summary := table(...)[1]; —
+                    # a one-row frame; field reads go through
+                    # _ds_row_field (sqagg2)
+                    self.next()
+                    n_row = int(self.next().text)
+                    self.expect("]")
+                    df = self._row_select(df, n_row)
+                    self._row_frames.add(name.text)
                 if self.peek().text not in (";", ":"):
                     raise EclSyntaxError(
                         f"trailing tokens after dataset at {self.peek().pos}"
@@ -2875,6 +2945,15 @@ class _Parser:
             "distribute", "having", "denormalize", "dataset", "nofold",
         ):
             return True
+        if (
+            t.kind == "ident"
+            and t.text in self.shims
+            and self.toks[i + 1].text == "."
+            and self.toks[i + 2].kind == "ident"
+        ):
+            # shim-qualified fixture dataset (sq.HouseDs)
+            m = self.shims[t.text].get(self.toks[i + 2].text)
+            return m is not None and m[0] == "dataset"
         return t.kind == "ident" and (
             t.text in self.env or t.text in self.deferred
         )
@@ -3696,6 +3775,14 @@ class _Parser:
                 elif fm is not None and fm[1] in ("long", "double"):
                     col2 = F.coalesce(col2, F.lit(0).cast(fm[1]))
             rcols.append(col2.alias(c))
+        if "__ord__" in left.columns and how in ("inner", "left"):
+            # keep the LEFT stream position: the reference's join
+            # emission follows the left input (serial5a key order)
+            res = out.select(
+                *lcols, *rcols, lref["__ord__"].alias("__ord__")
+            )
+            self._set_order(res, [F.col("__ord__")])
+            return res
         return out.select(*lcols, *rcols)
 
     @staticmethod
@@ -3886,24 +3973,55 @@ class _Parser:
         (Spark's range-partitioned sort is the one physical strategy;
         its sort is stable for equal keys within a partition)."""
         keys = []
+        rec_names: dict[str, int] = {}  # record-derived key name -> index
         while True:
             t = self.peek()
             if t.text in ("local", "unstable", "assert", "parallel"):
                 self.next()
+            elif t.text == "except" and self.toks[self.i + 1].kind == "ident":
+                # [WHOLE] RECORD, EXCEPT f — drop f from the key list
+                self.next()
+                while self.peek().kind == "ident":
+                    nm_x = self.next().text
+                    if nm_x in rec_names:
+                        keys[rec_names[nm_x]] = None
+                    if not (
+                        self.peek().text == ","
+                        and self.toks[self.i + 1].kind == "ident"
+                        and self.toks[self.i + 1].text in rec_names
+                    ):
+                        break
+                    self.next()
             elif t.text == "stable" and self.toks[self.i + 1].text == "(":
                 self.next()
                 close = self._match_paren(self.i)
                 self.i = close + 1
             elif self.accept("-"):
                 keys.append(self.value(df).desc())
-            elif t.text == "record":
-                # SORT(ds, RECORD) — order by every field in record order
+            elif t.text == "record" or (
+                t.text == "whole" and self.toks[self.i + 1].text == "record"
+            ):
+                # SORT(ds, [WHOLE] RECORD) — order by every field in
+                # record order; child-dataset (array) fields drop from
+                # the key (rows with equal scalar fields tie — the
+                # result SET is identical either way)
+                if t.text == "whole":
+                    self.next()
                 self.next()
-                keys.extend(df[c].asc() for c in df.columns if c != "__ord__")
+                dt = dict(df.dtypes)
+                for c in df.columns:
+                    if c == "__ord__" or dt.get(c, "").startswith("array"):
+                        continue
+                    rec_names[c] = len(keys)
+                    keys.append(df[c].asc())
             else:
                 keys.append(self.value(df).asc())
             if not self.accept(","):
                 break
+        keys = [k for k in keys if k is not None]
+        if not keys and rec_names:
+            # every record key EXCEPTed / array-typed: a degenerate sort
+            keys = [F.lit(1).asc()]
         if not keys:
             raise EclSyntaxError("SORT needs at least one key")
         return keys
@@ -3944,9 +4062,13 @@ class _Parser:
             )
             self._set_order(out, [F.col("__ord__")])
             self._set_grouped(out, gkeys)
+            if id(df) in self._ds_fields:
+                self._ds_fields[id(out)] = self._ds_fields[id(df)]
             return out
         out = df.orderBy(*keys)
         self._set_order(out, keys)
+        if id(df) in self._ds_fields:
+            self._ds_fields[id(out)] = self._ds_fields[id(df)]
         return out
 
     def _subsort(self) -> DataFrame:
@@ -5248,6 +5370,10 @@ class _Parser:
             fields = self._record_fields()
             while self.accept(","):
                 self.next()  # THOR/FLAT/CSV format token
+                if self.peek().text == "(":
+                    # parenthesized option args: HINT(...), CSV(...)
+                    close = self._match_paren(self.i)
+                    self.i = close + 1
             self.expect(")")
             if fname not in self.files:
                 raise EclSyntaxError(f"unknown logical file {fname!r}")
@@ -5499,7 +5625,20 @@ class _Parser:
     def _dict_record(self):
         """DICTIONARY record: { [type] key [, ...] => [type] value
         { DEFAULT('x') } [, ...] } — returns (key_fields, value_fields,
-        defaults) where fields are (name, spark_type|None)."""
+        defaults) where fields are (name, spark_type|None). A NAMED
+        record (all fields keys, no values — serial7a's wordRec) also
+        accepts."""
+        self._skip_shim_qual()
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.records
+        ):
+            rec = self.records[self.next().text]
+            return (
+                [(nm, ty) for nm, ty, _w, _d in rec],
+                [],
+                {},
+            )
         self.expect("{")
         key_fields: list[tuple[str, str | None]] = []
         value_fields: list[tuple[str, str | None]] = []
@@ -6002,6 +6141,27 @@ class _Parser:
             return ~inner
         return self._cmp(df)
 
+    def _postfix_child(self, col: Column) -> Column:
+        """Postfix child access on a (join-side) field: [n] picks the
+        1-based element of a child dataset; a following .field reads
+        its member (serial6a's RIGHT.words[1].word)."""
+        while (
+            self.peek().text == "["
+            and self.toks[self.i + 1].kind == "num"
+            and self.toks[self.i + 2].text == "]"
+        ):
+            self.next()
+            n = int(self.next().text)
+            self.expect("]")
+            col = F.try_element_at(col, F.lit(n))
+            if (
+                self.peek().text == "."
+                and self.toks[self.i + 1].kind == "ident"
+            ):
+                self.next()
+                col = col[self.next().text]
+        return col
+
     def _cmp(self, df) -> Column:
         a = self._shift(df)
         t = self.peek().text
@@ -6048,6 +6208,12 @@ class _Parser:
                 # empty dictionary: isin() with no args is invalid — and
                 # nothing is a member of the empty set
                 m = a.isin(*d["keys"]) if d["keys"] else F.lit(False)
+                return ~m if negate else m
+            if self.peek().text != "[":
+                # x IN <array expression> — SET(child, field) and other
+                # array-valued columns (serial6a)
+                arr = self._addsub(df)
+                m = F.array_contains(arr, a)
                 return ~m if negate else m
             self.expect("[")
             items = [self._addsub(df)]
@@ -6181,6 +6347,38 @@ class _Parser:
             if mode != "failure":
                 self._exec_action_span(span)
             return v
+        if t.text == "set" and self.peek().text == "(":
+            # SET(child|ds, field) — the field's values as a set
+            # (no_createset): a child array lowers to transform(arr,
+            # x.field) JVM-side; a dataset form folds driver-side at
+            # regress scale (cap-guarded)
+            self.next()
+            mark_s = self.i
+            try:
+                arr_s = self.value(df)
+                self.expect(",")
+                fld_s = self.next().text
+                self.expect(")")
+                return F.transform(arr_s, lambda x: x[fld_s])
+            except EclSyntaxError:
+                self.i = mark_s
+            src_s = self.dataset()
+            self.expect(",")
+            fld_s = self.next().text
+            self.expect(")")
+            rows_s = src_s.select(fld_s).limit(100_001).collect()
+            if len(rows_s) > 100_000:
+                raise EclSyntaxError(
+                    "SET(ds, field) exceeds the 100,000-row driver-side "
+                    "cap; use a JOIN for large-set membership"
+                )
+            return F.array(*[F.lit(r[0]) for r in rows_s])
+        if t.text == "wild" and self.peek().text == "(":
+            # WILD(field) — an index wildcard-access hint (KEYED/WILD
+            # jhtree segment monitors); no row filtering
+            close = self._match_paren(self.i)
+            self.i = close + 1
+            return self._mkconst(True, "boolean")
         if t.text == "__platform__":
             # the engine identifies as a thor-class batch platform
             # (ecl/hql consts __PLATFORM__)
@@ -6781,14 +6979,28 @@ class _Parser:
             self.next()
             jf = getattr(self, "_join_frames", None)
             if jf is not None:
-                return jf[0][self.next().text]
+                fld_j = self.next().text
+                col_j = self._postfix_child(jf[0][fld_j])
+                if (
+                    hasattr(jf[0], "dtypes")
+                    and dict(jf[0].dtypes).get(fld_j) == "string"
+                ):
+                    col_j = self._tag_str(col_j)
+                return col_j
             return df[self.next().text]
         if t.text == "right" and self.peek().text == ".":
             # join right side / NORMALIZE exploded child element
             jf = getattr(self, "_join_frames", None)
             if jf is not None:
                 self.next()
-                return jf[1][self.next().text]
+                fld_j = self.next().text
+                col_j = self._postfix_child(jf[1][fld_j])
+                if (
+                    hasattr(jf[1], "dtypes")
+                    and dict(jf[1].dtypes).get(fld_j) == "string"
+                ):
+                    col_j = self._tag_str(col_j)
+                return col_j
             right = getattr(self, "_right_struct", None)
             if right is None:
                 raise EclSyntaxError(f"RIGHT.<field> outside NORMALIZE at {t.pos}")
@@ -6848,6 +7060,47 @@ class _Parser:
             return self._child_elem_field(
                 df[t.text], self._child_field_names(df)[t.text]
             )
+        if (
+            t.text
+            in (
+                "table", "sort", "dedup", "choosen", "topn", "merge",
+                "project", "normalize", "nofold",
+            )
+            and self.peek().text == "("
+        ):
+            # inline-dataset row-field read: table(...)[1].cnt (sqcond3)
+            mark_r = self.i - 1
+            saved_i = self.i
+            try:
+                self.i = mark_r
+                src_r = self.dataset()
+            except EclSyntaxError:
+                self.i = saved_i
+            else:
+                if self.peek().text != "[":
+                    raise EclSyntaxError(
+                        f"dataset expression in value context at {t.pos}"
+                    )
+                self.next()
+                idxc = self._cget(self.value(self._dummy()))
+                if idxc is None:
+                    raise EclSyntaxError("dataset row index must be constant")
+                n_r = int(idxc[0])
+                self.expect("]")
+                self.expect(".")
+                fld_r = self.next().text
+                return self._ds_row_field(src_r, n_r, fld_r)
+        if (
+            t.kind == "ident"
+            and t.text in getattr(self, "_row_frames", set())
+            and self.peek().text == "."
+            and t.text not in df.columns
+        ):
+            # row-definition field read (summary := table(...)[1];
+            # ... summary.numBooks — sqagg2)
+            self.next()
+            fld_r = self.next().text
+            return self._ds_row_field(self.env[t.text], 1, fld_r)
         if (
             t.kind == "ident"
             and t.text in self.env

@@ -654,3 +654,118 @@ def _sq_simple_index(spark):
         .orderBy("surname", "forename", "aage")
         .coalesce(1)
     )
+
+
+# --------------------------------------------------------------------------
+# SerialTest fixture (setup/serialtest.ecl module; data generated by
+# setup/setupdict.ecl:20-46 — a tiny two-owner library with nested books
+# and grand-child words)
+# --------------------------------------------------------------------------
+
+WORD_REC = [("word", "string", None, None)]
+BOOK_DS_REC = [
+    ("title", "string", None, None),
+    (
+        "words", "array<struct<word: string>>", None,
+        ("__child__", WORD_REC),
+    ),
+]
+LIBRARY_DS_REC = [
+    ("owner", "string", None, None),
+    (
+        "books",
+        "array<struct<title: string, words: array<struct<word: string>>>>",
+        None,
+        ("__child__", BOOK_DS_REC),
+    ),
+]
+BOOK_KEY_REC = [
+    ("title", "string", 20, None),
+    (
+        "words", "array<struct<word: string>>", None,
+        ("__child__", WORD_REC),
+    ),
+    # the index's implicit fileposition payload renders as
+    # __internal_fpos__ = 0 (serial5a key)
+    ("__internal_fpos__", "long", None, None),
+]
+
+_LIBRARY_ROWS = [
+    (
+        "gavin",
+        [
+            ("the hobbit", [("gandalf",), ("rivendell",), ("dragon",),
+                            ("dwarves",), ("elves",)]),
+            ("eragon", [("eragon",), ("dragon",), ("spine",), ("elves",),
+                        ("dwarves",), ("krull",)]),
+        ],
+    ),
+    (
+        "jim",
+        [
+            ("complete diy", [("heating",), ("electrics",),
+                              ("nuclear reactors",), ("spaceships",)]),
+            ("cheeses", [("cheddar",), ("parmesan",), ("stilton",),
+                         ("wensleydale",)]),
+        ],
+    ),
+]
+
+
+def _serial_library(spark):
+    rows = [r + (i + 1,) for i, r in enumerate(_LIBRARY_ROWS)]
+    return spark.createDataFrame(
+        rows,
+        "owner string, books array<struct<title: string, "
+        "words: array<struct<word: string>>>>, __ord__ long",
+    ).coalesce(1)
+
+
+def _serial_book_index(spark):
+    """bookIndex (serialtest.ecl:40): the flattened books keyed by
+    string20 title — an index read returns key order, titles padded."""
+    from pyspark.sql import functions as F
+
+    df = _serial_library(spark)
+    books = df.select(F.explode("books").alias("b")).select(
+        F.rpad(F.col("b.title"), 20, " ").alias("title"),
+        F.col("b.words").alias("words"),
+        F.lit(0).cast("long").alias("__internal_fpos__"),
+    )
+    return (
+        books.orderBy("title")
+        .withColumn(
+            "__ord__",
+            F.row_number().over(__import__("pyspark").sql.window.Window.orderBy("title")),
+        )
+        .coalesce(1)
+    )
+
+
+def serialtest_members() -> dict:
+    """The setup.SerialTest module surface (setup/serialtest.ecl):
+    records, the nested library dataset (also bound as its logical
+    file name), and the book index."""
+    prefix = "~regress::multi::"
+    return {
+        "wordrec": ("record", WORD_REC),
+        "bookdsrec": ("record", BOOK_DS_REC),
+        "librarydsrec": ("record", LIBRARY_DS_REC),
+        "dsfilename": ("const", prefix + "seriallibraryds", "string"),
+        "dictfilename": ("const", prefix + "seriallibrarydict", "string"),
+        "bookkeyfilename": ("const", prefix + "serialbookkey", "string"),
+        "librarydatasetfile": (
+            "dataset", _serial_library, LIBRARY_DS_REC,
+            prefix + "seriallibraryds",
+        ),
+        # the DICTIONARY-serialized twin holds the same logical content;
+        # layout-translated dataset reads see identical rows
+        "librarydictionaryfile": (
+            "dataset", _serial_library, LIBRARY_DS_REC,
+            prefix + "seriallibrarydict",
+        ),
+        "bookindex": (
+            "dataset", _serial_book_index, BOOK_KEY_REC,
+            prefix + "serialbookkey",
+        ),
+    }

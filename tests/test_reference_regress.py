@@ -106,6 +106,16 @@ VERBATIM = [
     # nested child aggregates scope to the ELEMENT, not a same-named
     # top-level definition (count(persons(count(books)>0)))
     "sqfilt3",
+    # SerialTest fixture (setup/serialtest.ecl nested library module):
+    # nested-child file reads with layout translation, child-flatten
+    # joins against the book index (LEFT stream order), WILD index
+    # hints, SET(child, field) membership, [WHOLE] RECORD / EXCEPT
+    # sort keys, blank-insensitive string-column equality
+    "serial3a", "serial3b", "serial4a", "serial5a", "serial6a",
+    "serial6b", "serial7a", "serial7b", "serial7c", "serial7d",
+    "serial9a", "serial9b", "serial9d",
+    # ds[n] row reads over global aggregates (table(...)[1].cnt)
+    "sqcntds", "sqcntidx",
 ]
 
 
