@@ -420,6 +420,7 @@ class _Parser:
         self._action_ran: set[str] = set()
         self.action_handlers: dict[str, dict] = {}
         self._row_frames: set[str] = set()
+        self._row_ids: set[int] = set()
         # ECL decimals carry up to 32 digits (DECIMAL48_32 in regress);
         # widen python's Decimal context so folding never rounds below
         # the reference's precision
@@ -1010,6 +1011,11 @@ class _Parser:
                 self.accept(";")
             elif t.text == "output":
                 self._run_output_stmt()
+                if self.accept(":"):
+                    # statement workflow annotation (OUTPUT(..) : ONCE;)
+                    # — the statement already ran; placement is a no-op
+                    while self.peek().text != ";" and self.peek().kind != "eof":
+                        self.next()
                 self.accept(";")
             elif (
                 t.text in ("sequential", "ordered", "parallel", "when", "fail")
@@ -1047,7 +1053,7 @@ class _Parser:
                 handlers: dict[str, list] = {}
                 if self.accept(":"):
                     ann_span = self._capture_stmt_span()
-                    _once, handlers = self._parse_action_annotations(
+                    _onceflags, handlers = self._parse_action_annotations(
                         ann_span
                     )
                 self._exec_with_handlers(
@@ -1372,12 +1378,17 @@ class _Parser:
         (common/workunit workflow contingencies). Returns (run_once,
         {event: handler token span})."""
         once_f = False
+        eager_f = False
         handlers: dict[str, list] = {}
         k = 0
         while k < len(ann):
             tx = ann[k].text
             if tx in ("independent", "once", "global"):
                 once_f = True
+                # ONCE runs at workflow START (eagerly), not first use
+                # (workflow_once_3: both ONCE outputs appear even though
+                # only one IF branch references them)
+                eager_f = eager_f or tx == "once"
                 k += 1
             elif (
                 tx in ("failure", "success")
@@ -1395,7 +1406,7 @@ class _Parser:
                 k = j2 + 1
             else:
                 k += 1
-        return once_f, handlers
+        return (once_f, eager_f), handlers
 
     def _exec_named_action(self, name: str) -> None:
         """Run a defined action by name; ': INDEPENDENT/ONCE' annotated
@@ -2182,7 +2193,7 @@ class _Parser:
                 (j for j, tk in enumerate(span_a) if tk.text == ":"), None
             )
             if cut_a is not None:
-                once_f, handlers = self._parse_action_annotations(
+                (once_f, eager_f), handlers = self._parse_action_annotations(
                     span_a[cut_a + 1 :]
                 )
                 if once_f:
@@ -2190,6 +2201,12 @@ class _Parser:
                 if handlers:
                     self.action_handlers[name.text] = handlers
                 span_a = span_a[:cut_a]
+                self.action_defs[name.text] = span_a
+                if eager_f:
+                    # ONCE runs at workflow start (workflow_once_3)
+                    self._exec_named_action(name.text)
+                self.expect(";")
+                return
             self.action_defs[name.text] = span_a
             self.expect(";")
             return
@@ -2478,6 +2495,8 @@ class _Parser:
                 )
         if kind == "dataset":
             self.env[name.text] = df
+            if id(df) in self._row_ids:
+                self._row_frames.add(name.text)
         self.expect(";")
 
     def _bare_action(self) -> None:
@@ -2604,6 +2623,44 @@ class _Parser:
             df = self._case_dataset()
         elif t.text == "dataset":
             df = self._inline_dataset()
+        elif (
+            t.text == "row"
+            and self.toks[self.i + 1].text == "("
+            and self.toks[self.i + 2].text == "{"
+            and (close := self._match_paren(self.i + 1)) is not None
+            and self.toks[close + 1].text in (";", ":", ")", ",")
+        ):
+            # ROW({...}, rec) in dataset position — a ONE-ROW table
+            # (workflow_2's f := ROW(...); f.a reads): rewritten to
+            # DATASET([{...}], rec), same literal machinery. Value
+            # contexts (dict2's d2[ROW(...)] key probes) keep the
+            # tuple-constant path — gated on the FOLLOWING token.
+            inner = self.toks[self.i + 2 : close]
+            depth = 0
+            brace_end = None
+            for k, tk in enumerate(inner):
+                depth += tk.text == "{"
+                depth -= tk.text == "}"
+                if depth == 0 and tk.text == "}":
+                    brace_end = k
+                    break
+            if brace_end is None:
+                raise EclSyntaxError(f"unterminated ROW literal at {t.pos}")
+            pos = t.pos
+            repl = (
+                [
+                    _Tok("ident", "dataset", pos),
+                    _Tok("op", "(", pos),
+                    _Tok("op", "[", pos),
+                ]
+                + inner[: brace_end + 1]
+                + [_Tok("op", "]", pos)]
+                + inner[brace_end + 1 :]
+                + [_Tok("op", ")", pos)]
+            )
+            self.toks[self.i : close + 1] = repl
+            df = self._inline_dataset()
+            self._row_ids.add(id(df))
         elif t.text == "when" and self.toks[self.i + 1].text == "(":
             # WHEN(ds, action [, SUCCESS|FAILURE|BEFORE]) (TAKwhen
             # :1022): the dataset passes through; the action runs when
@@ -2721,6 +2778,14 @@ class _Parser:
             df = self._subsort()
         elif t.text == "choosesets":
             df = self._choosesets()
+        elif t.text == "hoist" and self.toks[self.i + 1].text == "(":
+            # HOIST(x) — force-hoist hint in the reference (hqlttcpp
+            # hoisting); lazy evaluation already hoists shared
+            # subplans, so it is the identity
+            self.next()
+            self.expect("(")
+            df = self.dataset()
+            self.expect(")")
         elif t.text == "nocombine" and self.toks[self.i + 1].text == "(":
             # NOCOMBINE(x) — activity-combining barrier in the reference;
             # Catalyst owns operator fusion here, so it is the identity
@@ -5494,6 +5559,12 @@ class _Parser:
         self.expect(",")
         fields = self._record_fields()
         kv_split = getattr(self, "_last_record_split", None)
+        while self.accept(","):
+            opt = self.next()  # DISTRIBUTED/LOCAL placement hints
+            if opt.text not in ("distributed", "local"):
+                raise EclSyntaxError(
+                    f"unknown inline DATASET option {opt.text!r}"
+                )
         self.expect(")")
         schema = ", ".join(f"{n} {t}" for n, t, _, _ in fields) + ", __ord__ long"
 
@@ -6835,20 +6906,43 @@ class _Parser:
             inner = self.dataset()
             self.expect(")")
             return self._mkconst(len(inner.limit(1).take(1)) > 0, "boolean")
-        if t.text in ("min", "max") and self.peek().text == "(":
-            # two-argument scalar MIN/MAX — LEAST/GREATEST
+        if (
+            t.text in ("min", "max", "sum", "ave")
+            and self.peek().text == "("
+        ):
+            # n-ary SCALAR form: MIN/MAX/SUM/AVE(v1, v2, ...) —
+            # LEAST/GREATEST/+ (workflow_3's SUM(a1..a5))
             self.next()
-            a = self.value(df)
-            self.expect(",")
-            b = self.value(df)
+            args = [self.value(df)]
+            while self.accept(","):
+                args.append(self.value(df))
             self.expect(")")
-            ca, cb = self._cget(a), self._cget(b)
-            if ca is not None and cb is not None:
-                pick = min(ca, cb, key=lambda c: c[0]) if t.text == "min" else max(
-                    ca, cb, key=lambda c: c[0]
-                )
-                return self._mkconst(*pick)
-            return F.least(a, b) if t.text == "min" else F.greatest(a, b)
+            consts = [self._cget(a) for a in args]
+            if all(c is not None for c in consts):
+                vals = [c[0] for c in consts]
+                if t.text == "min":
+                    pick = min(consts, key=lambda c: c[0])
+                    return self._mkconst(*pick)
+                if t.text == "max":
+                    pick = max(consts, key=lambda c: c[0])
+                    return self._mkconst(*pick)
+                s = sum(vals)
+                if t.text == "sum":
+                    ty = (
+                        "real"
+                        if any(isinstance(v, float) for v in vals)
+                        else "integer"
+                    )
+                    return self._mkconst(s, ty)
+                return self._mkconst(s / len(vals), "real")
+            if t.text == "min":
+                return F.least(*args) if len(args) > 1 else args[0]
+            if t.text == "max":
+                return F.greatest(*args) if len(args) > 1 else args[0]
+            acc = args[0]
+            for a in args[1:]:
+                acc = acc + a
+            return acc / F.lit(len(args)) if t.text == "ave" else acc
         if t.text == "length":
             self.expect("(")
             inner = self.value(df)
