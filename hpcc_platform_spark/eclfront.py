@@ -412,7 +412,7 @@ class _Parser:
         # named logical files written by OUTPUT(ds,,'name')
         self.files: dict[str, DataFrame] = {}
         # id(df) -> WHEN action span, fired when the frame's result runs
-        self._when_actions: dict[int, tuple] = {}
+        self._when_actions: dict[int, list] = {}
         self._post_success: list[list] = []
         self._in_output = 0
         self.noop_actions: set[str] = set()
@@ -1093,17 +1093,19 @@ class _Parser:
             self._run_output_inner()
         finally:
             self._in_output -= 1
-        while len(self._post_success) > depth0:
-            span = self._post_success.pop()
+        # drain FIFO: multiple SUCCESS actions on one OUTPUT fire in
+        # registration order (the reference's contingency ordering)
+        queued = self._post_success[depth0:]
+        del self._post_success[depth0:]
+        for span in queued:
             self._exec_action_span(span)
 
     def _run_output_inner(self) -> None:
         self.expect("output")
         self.expect("(")
         df = self._output_arg()
-        pending = self._when_actions.pop(id(df), None)
-        if pending is not None:
-            self._fire_when(*pending)
+        for p_w in self._when_actions.pop(id(df), []):
+            self._fire_when(*p_w)
         named = None
         extend = False
         file_write = False
@@ -2721,7 +2723,10 @@ class _Parser:
             if id(inner) in self._grouped:
                 self._set_grouped(df, self._grouped[id(inner)])
             self._pins.append(df)
-            self._when_actions[id(df)] = (span, mode)
+            # a nested WHEN's pending actions ride along: they fire —
+            # in registration order — when THIS result executes
+            prior = self._when_actions.pop(id(inner), [])
+            self._when_actions[id(df)] = prior + [(span, mode)]
         elif t.text == "catch" and self.toks[self.i + 1].text == "(":
             # CATCH(ds, SKIP | FAIL(...)) dataset form (TAKcatch
             # :1023): a runtime failure of the input is absorbed — SKIP
@@ -2906,9 +2911,8 @@ class _Parser:
                     # first time it is referenced from executing code
                     # (definitions parse eagerly but OUTPUT statements
                     # re-parse at run time — this is execution)
-                    pending = self._when_actions.pop(id(df), None)
-                    if pending is not None:
-                        self._fire_when(*pending)
+                    for p_w in self._when_actions.pop(id(df), []):
+                        self._fire_when(*p_w)
                 if (
                     isinstance(df, DataFrame)
                     and self.peek().text == "["
@@ -3822,7 +3826,24 @@ class _Parser:
         # fields whose names LEFT doesn't have (hqlgram default join
         # transform) — same-named fields take the LEFT side's value.
         # Bookkeeping ordinals drop (join order is undefined).
-        lcols = [lref[c] for c in left.columns if c != "__ord__"]
+        lmeta = {
+            f[0]: f for f in (self._ds_fields.get(id(left)) or [])
+        }
+        lcols = []
+        for c in left.columns:
+            if c == "__ord__":
+                continue
+            col2 = lref[c]
+            if how in ("right", "full"):
+                # RIGHT/FULL outer misses leave LEFT's columns NULL —
+                # fill with the type's default the same way the right
+                # side fills below (ECL has no NULLs, rtlField)
+                fm = lmeta.get(c)
+                if fm is not None and fm[1] == "string":
+                    col2 = F.coalesce(col2, F.lit("".ljust(fm[2] or 0)))
+                elif fm is not None and fm[1] in ("long", "double"):
+                    col2 = F.coalesce(col2, F.lit(0).cast(fm[1]))
+            lcols.append(col2.alias(c))
         rmeta = {
             f[0]: f for f in (self._ds_fields.get(id(right)) or [])
         }
@@ -4448,12 +4469,37 @@ class _Parser:
                 c: "left" for c in df.columns if c != "__ord__"
             }
             try:
-                cond_fn = self._compile_pyexpr(["left", "right"])
+                new_fn = self._compile_pyexpr(["left", "right"])
             finally:
                 self._pyx_bare = None
+            if cond_fn is None:
+                cond_fn = new_fn
+            else:
+                # multiple general conditions AND together (each is one
+                # more match criterion, same as listed key fields)
+                cond_fn = (
+                    lambda env, _a=cond_fn, _b=new_fn: _a(env) and _b(env)
+                )
         self.expect(")")
         gkeys = self._grouped.get(id(df))
         if cond_fn is not None:
+            if fields:
+                # DEDUP(ds, f1, ..., cond): rows match when the listed
+                # fields are equal AND the condition holds (hthor.cpp
+                # CHThorDedupActivity::match — every criterion must
+                # agree). Fold the field equality into the predicate;
+                # fixed-width strings compare blank-insensitively.
+                def _eq(a, b):
+                    if isinstance(a, str) and isinstance(b, str):
+                        return a.rstrip() == b.rstrip()
+                    return a == b
+
+                cond_fn = (
+                    lambda env, _f=list(fields), _c=cond_fn: all(
+                        _eq(env["left"][x], env["right"][x]) for x in _f
+                    )
+                    and _c(env)
+                )
             return self._dedup_cond_fold(
                 df, cond_fn, keep_right, all_flag, gkeys
             )
@@ -5269,6 +5315,10 @@ class _Parser:
             ):
                 return False
             return True
+        if t.text == "when" and self.toks[j + 1].text == "(":
+            # nested WHEN: its kind follows its trigger — WHEN over a
+            # dataset is a dataset, WHEN over an action is an action
+            return self._arg_is_action(j + 2)
         if t.text in self._ACTION_HEADS:
             return True
         if (
@@ -5408,9 +5458,8 @@ class _Parser:
             # dataset (when11); fires any pending WHEN on the way
             d0 = self.env[self.next().text]
             self.expect(")")
-            pending = self._when_actions.pop(id(d0), None)
-            if pending is not None:
-                self._fire_when(*pending)
+            for p_w in self._when_actions.pop(id(d0), []):
+                self._fire_when(*p_w)
             out0 = d0.select("*")
             if id(d0) in self._order:
                 self._set_order(out0, self._order[id(d0)])
@@ -6278,7 +6327,36 @@ class _Parser:
                     return self._mkconst(hit != negate, "boolean")
                 # empty dictionary: isin() with no args is invalid — and
                 # nothing is a member of the empty set
-                m = a.isin(*d["keys"]) if d["keys"] else F.lit(False)
+                dkeys = d["keys"]
+                if not dkeys:
+                    m = F.lit(False)
+                elif isinstance(dkeys[0], tuple):
+                    # composite-key dictionary, non-constant probe: the
+                    # probe is a ROW/struct value — compare component-
+                    # wise against each key tuple (isin can't take
+                    # tuples), blank-insensitive on string components
+                    kfs = d["key_fields"]
+                    m = F.lit(False)
+                    for k in dkeys:
+                        eq = F.lit(True)
+                        for kf, x in zip(kfs, k):
+                            comp = a.getField(kf)
+                            if isinstance(x, str):
+                                eq = eq & (
+                                    F.rtrim(comp.cast("string"))
+                                    == F.lit(x.rstrip())
+                                )
+                            else:
+                                eq = eq & (comp == F.lit(x))
+                        m = m | eq
+                elif isinstance(dkeys[0], str):
+                    # single string key: same blank normalization the
+                    # constant path applies
+                    m = F.rtrim(a.cast("string")).isin(
+                        *[k.rstrip() for k in dkeys]
+                    )
+                else:
+                    m = a.isin(*dkeys)
                 return ~m if negate else m
             if self.peek().text != "[":
                 # x IN <array expression> — SET(child, field) and other

@@ -283,3 +283,91 @@ def test_extract_tri_unit_diagonal_materializes_implicit_zeros(spark):
         for r in extract_tri(m, upper=True, unit_diagonal=True, n=4).collect()
     )
     assert (3, 3, 1.0) in got_n
+
+
+# ---- round-8 ADVICE items ----
+
+
+def test_dedup_fields_and_condition_combine(spark):
+    """DEDUP(ds, f1, cond): listed key fields AND the general match
+    condition must all agree for rows to match (r8 ADVICE #1)."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    ecl = """
+    ds := DATASET([{1, 1}, {1, 2}, {2, 3}, {2, 3}, {2, 9}],
+                  {UNSIGNED k, UNSIGNED v});
+    s := SORT(ds, k, v);
+    OUTPUT(DEDUP(s, k, LEFT.v = RIGHT.v));
+    """
+    rows = [(r.k, r.v) for r in run_ecl(ecl, {}, spark=spark).collect()]
+    # matches need BOTH k equal and v equal: (2,3),(2,3) collapse; the
+    # cross-k v ties and same-k v mismatches all survive
+    assert rows == [(1, 1), (1, 2), (2, 3), (2, 9)]
+
+
+def test_dedup_two_conditions_and_together(spark):
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    ecl = """
+    ds := DATASET([{1, 1}, {1, 2}, {1, 2}, {2, 2}],
+                  {UNSIGNED k, UNSIGNED v});
+    s := SORT(ds, k, v);
+    OUTPUT(DEDUP(s, LEFT.k = RIGHT.k, LEFT.v = RIGHT.v));
+    """
+    rows = [(r.k, r.v) for r in run_ecl(ecl, {}, spark=spark).collect()]
+    assert rows == [(1, 1), (1, 2), (2, 2)]
+
+
+def test_right_outer_default_join_fills_left_side(spark):
+    """RIGHT/FULL outer misses fill LEFT-side columns with the type's
+    empty value, same as the right side (r8 ADVICE #2)."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    ecl = """
+    l := DATASET([{1, 'a'}], {UNSIGNED k, STRING3 lv});
+    r := DATASET([{1, 'x'}, {7, 'y'}], {UNSIGNED k, STRING3 rv});
+    j := JOIN(l, r, LEFT.k = RIGHT.k, RIGHT OUTER);
+    OUTPUT(SORT(j, rv));
+    """
+    rows = [(r.k, r.lv, r.rv) for r in run_ecl(ecl, {}, spark=spark).collect()]
+    assert rows == [(1, "a  ", "x  "), (0, "   ", "y  ")]
+
+
+def test_when_success_actions_fire_in_registration_order(spark, tmp_path):
+    """Multiple SUCCESS contingencies on one OUTPUT drain FIFO
+    (r8 ADVICE #3)."""
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    ds := DATASET([{1}], {UNSIGNED v});
+    a1 := OUTPUT(DATASET([{'first'}], {STRING5 tag}), NAMED('t1'));
+    a2 := OUTPUT(DATASET([{'secnd'}], {STRING5 tag}), NAMED('t2'));
+    main := WHEN(WHEN(ds, a1, SUCCESS), a2, SUCCESS);
+    OUTPUT(main);
+    OUTPUT(DATASET(WORKUNIT('t1'), {STRING5 tag})
+           + DATASET(WORKUNIT('t2'), {STRING5 tag}), NAMED('both'));
+    """
+    outs = run_ecl_actions(ecl, {}, spark=spark)
+    tags = [r.tag for r in outs[-1].collect()]
+    assert tags == ["first", "secnd"]
+
+
+def test_multikey_dict_nonconstant_probe(spark):
+    """A non-constant ROW probe against a composite-key dictionary
+    compares component-wise instead of failing in isin (r8 ADVICE #4)."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    src = spark.createDataFrame(
+        [(("x  ", 1), 5), (("x  ", 2), 6), (("y  ", 2), 7)],
+        "kr struct<a:string,b:bigint>, n bigint",
+    )
+    ecl = """
+    d := DICTIONARY([{'x', 1 => 10}, {'y', 2 => 20}],
+                    {STRING3 a, UNSIGNED b => UNSIGNED v});
+    OUTPUT(TABLE(src, {n, hit := kr IN d}));
+    """
+    rows = [
+        (r.n, r.hit)
+        for r in run_ecl(ecl, {"src": src}, spark=spark).collect()
+    ]
+    assert rows == [(5, True), (6, False), (7, True)]

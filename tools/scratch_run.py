@@ -1,14 +1,18 @@
 """Scratch: run one reference regress file through the front door and
 show the first failure (or the rendered results vs key)."""
 import os, sys, traceback
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _REPO)
 from hpcc_platform_spark.eclfront import run_ecl_actions
 
-_ECL = "/root/reference/testing/regress/ecl"
+_ECL = os.environ.get(
+    "SPARK_GRAFT_REF_ECL", "/root/reference/testing/regress/ecl"
+)
 
 spark = (
     SparkSession.builder.master("local[4]")
@@ -21,7 +25,7 @@ spark = (
     .getOrCreate()
 )
 
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 from test_reference_regress import _expected, _render
 
 for name in sys.argv[1:]:

@@ -6,13 +6,17 @@ Usage: python scratch_sweep.py verbatim      -> current VERBATIM list
 """
 import os, re, sys, traceback
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 from hpcc_platform_spark.eclfront import run_ecl_actions
 
-_ECL = "/root/reference/testing/regress/ecl"
+_ECL = os.environ.get(
+    "SPARK_GRAFT_REF_ECL", "/root/reference/testing/regress/ecl"
+)
 
 spark = (
     SparkSession.builder.master("local[8]")
