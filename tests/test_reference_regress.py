@@ -116,6 +116,12 @@ VERBATIM = [
     "serial9a", "serial9b", "serial9d",
     # ds[n] row reads over global aggregates (table(...)[1].cnt)
     "sqcntds", "sqcntidx",
+    # round-9 sweep: pass with no code changes (workflow ONCE/
+    # contingencies, keyed dictionaries, DISTRIBUTE round-trips,
+    # action IF, index caching, CATCH of a bad action)
+    "badcatch", "dict_keyed", "distributeddataset", "ifaction2",
+    "indexcachebug", "workflow_2", "workflow_3", "workflow_once_1",
+    "workflow_once_2", "workflow_once_3",
 ]
 
 
