@@ -192,6 +192,25 @@ class _SkipRow(Exception):
     """Raised by a compiled TRANSFORM when SKIP fires."""
 
 
+class _MatchCtx:
+    """One PARSE match, executor-side: the row text plus the parse tree
+    (patmatch record tuples). MATCH* result-record functions resolve
+    their instance paths against it (pat19.ecl path contract)."""
+
+    __slots__ = ("text", "children")
+
+    def __init__(self, text: str, children: tuple):
+        self.text = text
+        self.children = children
+
+    def find(self, path):
+        from .operators.patmatch import find_path
+
+        if not path:  # bare MATCHTEXT — the whole match (root record)
+            return self.children[0] if self.children else None
+        return find_path(self.children, path)
+
+
 # SET marker for 'ALL' (every possible value): x IN ALL is always true
 # (hqlgram set productions)
 _ALL_SET = object()
@@ -244,6 +263,13 @@ def _unquote(tok_text: str) -> str:
         ch = raw[i]
         if ch == "\\" and i + 1 < len(raw):
             nxt = raw[i + 1]
+            if nxt in "uU" and re.match(
+                r"[0-9A-Fa-f]{4}", raw[i + 2 : i + 6]
+            ):
+                # unicode escape \uXXXX (pat10u's u'abcd水ef')
+                out.append(chr(int(raw[i + 2 : i + 6], 16)))
+                i += 6
+                continue
             out.append(_ESCAPES.get(nxt, nxt))
             i += 2
         else:
@@ -325,7 +351,7 @@ _TOKEN_RX = re.compile(
             |\d+)
   | (?P<str>(?:[uU]8?|[vV]|[qQ])?'(?:[^'\\]|\\.)*')
   | (?P<directive>\#[A-Za-z]+)
-  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:^$@])
+  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:^$@|?])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -397,6 +423,11 @@ class _Parser:
         # TABLE-format records (computed/aggregate members) — name ->
         # raw token slice, spliced at the TABLE call site
         self.records_raw: dict[str, list] = {}
+        # PATTERN/TOKEN/RULE definitions — name -> patmatch AST node
+        self.patterns: dict[str, tuple] = {}
+        # any unicode literal in a pattern def suppresses the ASCII-DFA
+        # ambiguity merge (pat2u: unicode engine keeps every parse)
+        self._patterns_unicode = False
         # SET definitions (a := [2,3,5];) — driver-side Python lists
         self.sets: dict[str, list] = {}
         # parameterized definitions (f(integer x) := x*2; / := FUNCTION)
@@ -2127,6 +2158,13 @@ class _Parser:
         if name.kind != "ident":
             raise EclSyntaxError(f"expected definition name at {name.pos}")
         self.expect(":=")
+        if decl_ty in ("pattern", "token", "rule"):
+            # PATTERN/TOKEN/RULE definition (thorregex/hqlregex pattern
+            # algebra) — parse to a patmatch AST; PARSE(...) ships the
+            # whole definition table executor-side
+            self._pattern_def(name.text, decl_ty)
+            self.expect(";")
+            return
         if (
             self.peek().text == "transform"
             and self.toks[self.i + 1].text != "("
@@ -2727,6 +2765,8 @@ class _Parser:
             # in registration order — when THIS result executes
             prior = self._when_actions.pop(id(inner), [])
             self._when_actions[id(df)] = prior + [(span, mode)]
+        elif t.text == "parse" and self.toks[self.i + 1].text == "(":
+            df = self._parse_op()
         elif t.text == "catch" and self.toks[self.i + 1].text == "(":
             # CATCH(ds, SKIP | FAIL(...)) dataset form (TAKcatch
             # :1023): a runtime failure of the input is absorbed — SKIP
@@ -7073,6 +7113,62 @@ class _Parser:
                 return a
             except Exception:
                 return b
+        if t.text == "regexreplace" and self.peek().text == "(":
+            # REGEXREPLACE(pattern, text, replacement [, NOCASE]) —
+            # eclrtl rtlRegexReplace; JVM-side regexp_replace
+            self.next()
+            pat = self.value(df)
+            self.expect(",")
+            txt = self.value(df)
+            self.expect(",")
+            rep = self.value(df)
+            nc = False
+            while self.accept(","):
+                nc = self.next().text == "nocase" or nc
+            self.expect(")")
+            cp = self._cget(pat)
+            if cp is None:
+                raise EclSyntaxError("REGEXREPLACE needs a constant pattern")
+            rx = ("(?i)" if nc else "") + str(cp[0])
+            cr = self._cget(rep)
+            if cr is None:
+                raise EclSyntaxError(
+                    "REGEXREPLACE needs a constant replacement"
+                )
+            out = F.regexp_replace(txt.cast("string"), rx, str(cr[0]))
+            ct = self._cget(txt)
+            if ct is not None:
+                import re as _re
+
+                return self._tag_str(
+                    F.lit(_re.sub(rx, str(cr[0]), str(ct[0])))
+                )
+            return self._tag_str(out)
+        if t.text == "regexfind" and self.peek().text == "(":
+            # REGEXFIND(pattern, text [, group] [, NOCASE]) — boolean
+            # match, or the numbered capture group's text
+            self.next()
+            pat = self.value(df)
+            self.expect(",")
+            txt = self.value(df)
+            group = None
+            nc = False
+            while self.accept(","):
+                nx = self.next()
+                if nx.text == "nocase":
+                    nc = True
+                else:
+                    group = int(nx.text)
+            self.expect(")")
+            cp = self._cget(pat)
+            if cp is None:
+                raise EclSyntaxError("REGEXFIND needs a constant pattern")
+            rx = ("(?i)" if nc else "") + str(cp[0])
+            if group is None:
+                return txt.cast("string").rlike(rx)
+            return self._tag_str(
+                F.regexp_extract(txt.cast("string"), rx, group)
+            )
         if t.text == "trim":
             # TRIM(s [, LEFT|RIGHT|ALL]) — default strips trailing
             # blanks; LEFT leading; ALL every space (eclrtl rtlTrim*)
@@ -7342,6 +7438,685 @@ class _Parser:
             return self._field_col(df, t.text)
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
+    # --- PATTERN/TOKEN/RULE definitions and the PARSE activity ---
+    # The reference's pattern-mode PARSE (thorregex.cpp activities,
+    # hqlregex.cpp codegen) enumerates every parse of a pattern over each
+    # row's text. The front door compiles definitions to patmatch AST
+    # tuples and runs the enumerator executor-side inside mapInPandas —
+    # map-only, no shuffle (operators/patmatch.py documents the
+    # semantics the pat*.ecl regress files pin).
+    def _pattern_def(self, name: str, kind: str) -> None:
+        self._cur_pat_name = name
+        ast = self._pat_expr()
+        self.patterns[name] = ("named", name, ast, kind)
+
+    def _pat_expr(self):
+        alts = [self._pat_seq()]
+        while self.peek().text in ("|", "or"):
+            self.next()
+            alts.append(self._pat_seq())
+        return alts[0] if len(alts) == 1 else ("alt", tuple(alts))
+
+    _PAT_STOP = {";", ",", ")", "]", "|", "or", ":=", "=>", ""}
+
+    def _pat_seq(self):
+        items = [self._pat_post()]
+        while (
+            self.peek().text not in self._PAT_STOP
+            and self.peek().kind != "eof"
+        ):
+            items.append(self._pat_post())
+        return items[0] if len(items) == 1 else ("seq", tuple(items))
+
+    def _pat_post(self):
+        n = self._pat_prim()
+        while True:
+            t = self.peek().text
+            if t == "+":
+                self.next()
+                n = ("rep", n, 1, None, False)
+            elif t == "*":
+                self.next()
+                if self.peek().kind == "num":
+                    # p*N — exactly N repetitions (dpat6's alpha*2)
+                    cnt = int(self.next().text)
+                    n = ("rep", n, cnt, cnt, False)
+                else:
+                    n = ("rep", n, 0, None, False)
+            elif t == "?":
+                self.next()
+                n = ("rep", n, 0, 1, False)
+            elif t == "penalty" and self.toks[self.i + 1].text == "(":
+                # PENALTY(n) — score cost for BEST selection (dpat2)
+                self.next()
+                self.next()
+                pen = int(self.next().text)
+                self.expect(")")
+                n = ("penalty", n, pen)
+            elif t in ("before", "after") or (
+                t == "not"
+                and self.toks[self.i + 1].text in ("before", "after")
+            ):
+                # p [NOT] AFTER q — lookbehind assertion on the text
+                # preceding the match; [NOT] BEFORE q — lookahead on the
+                # text following it (dpat6's NOT AFTER alpha)
+                neg = False
+                if t == "not":
+                    self.next()
+                    neg = True
+                direction = self.next().text
+                q = self._pat_prim()
+                n = ("assert", n, direction, q, neg)
+            elif t == "in":
+                # p IN q — p's matched text must also fully match q
+                # (pat5's token subsets)
+                self.next()
+                n = ("check", n, self._pat_prim())
+            elif (
+                t == "length" and self.toks[self.i + 1].text == "("
+            ):
+                # p LENGTH(n | lo.. | lo..hi) — match-length constraint
+                # (pat2b's token length forms)
+                self.next()
+                self.next()
+                lo = int(self.next().text)
+                hi: int | None = lo
+                if self.peek().text == ".":
+                    self.next()
+                    self.expect(".")
+                    hi = None
+                    if self.peek().kind == "num":
+                        hi = int(self.next().text)
+                self.expect(")")
+                n = ("len", n, lo, hi)
+            else:
+                return n
+
+    def _pat_prim(self):
+        t = self.next()
+        if t.kind == "str":
+            if t.text[0] in "uU":
+                self._patterns_unicode = True
+            return ("lit", _unquote(t.text))
+        if t.text == "[":
+            elems = [self._pat_expr()]
+            while self.accept(","):
+                elems.append(self._pat_expr())
+            self.expect("]")
+            return elems[0] if len(elems) == 1 else ("alt", tuple(elems))
+        if t.text == "(":
+            n = self._pat_expr()
+            self.expect(")")
+            return n
+        if t.kind != "ident" and t.kind != "kw":
+            raise EclSyntaxError(
+                f"unexpected token {t.text!r} in pattern at {t.pos}"
+            )
+        x = t.text
+        if x == "pattern" and self.peek().text == "(":
+            self.next()
+            s = self.next()
+            if s.kind != "str":
+                raise EclSyntaxError(
+                    f"PATTERN needs a quoted regex at {s.pos}"
+                )
+            if s.text[0] in "uU":
+                self._patterns_unicode = True
+            self.expect(")")
+            return ("regex", _unquote(s.text))
+        if x == "repeat" and self.peek().text == "(":
+            self.next()
+            inner = self._pat_expr()
+            lo, hi, minimal, nbound = 0, None, False, 0
+            while self.accept(","):
+                a = self.next()
+                if a.text in ("min", "max"):
+                    minimal = a.text == "min"
+                elif a.text == "any":
+                    hi = None
+                    nbound = 2
+                elif a.kind == "num":
+                    if nbound == 0:
+                        lo = hi = int(a.text)  # repeat(p, n) = exactly n
+                    else:
+                        hi = int(a.text)
+                    nbound += 1
+                else:
+                    raise EclSyntaxError(
+                        f"unexpected REPEAT argument {a.text!r} at {a.pos}"
+                    )
+            self.expect(")")
+            return ("rep", inner, lo, hi, minimal)
+        if x == "opt" and self.peek().text == "(":
+            self.next()
+            n = self._pat_expr()
+            self.expect(")")
+            return ("rep", n, 0, 1, False)
+        if x == "nocase" and self.peek().text == "(":
+            self.next()
+            n = self._pat_expr()
+            self.expect(")")
+            return ("nocase", n)
+        if x == "use" and self.peek().text == "(":
+            # USE(name) — forward reference, resolved at match time
+            self.next()
+            nm = self.next().text
+            self.expect(")")
+            return ("ref", nm)
+        if x == "validate" and self.peek().text == "(":
+            # VALIDATE(p, cond [, unicodeCond]) — p matches, then the
+            # condition(s) run over the candidate text (pat2c/pat5b);
+            # MATCHTEXT/MATCHUNICODE read the candidate
+            self.next()
+            inner = self._pat_expr()
+            fns = []
+            while self.accept(","):
+                fns.append(self._compile_pyexpr([]))
+            self.expect(")")
+
+            def cond(txt, nocase, _fns=tuple(fns)):
+                mc = _MatchCtx(txt, (("__v__", 0, len(txt), ()),))
+                ctx = {"__match__": mc, "__nocase__": nocase}
+                return all(bool(f(ctx)) for f in _fns)
+
+            return ("validate", inner, cond)
+        if x == "first":
+            return ("first",)
+        if x == "last":
+            return ("last",)
+        if x == "any":
+            return ("any",)
+        if x == "self":
+            return ("ref", self._cur_pat_name)
+        return ("ref", x)
+
+    def _parse_op(self) -> DataFrame:
+        """PARSE(ds, field, pattern, result [, options]) — pattern-mode
+        text parsing (TAKparse; thorregex.cpp). The result is a record
+        of MATCH* expressions, a named/inline TRANSFORM, or a raw record
+        span; each parse tree of each row emits one result row."""
+        self.expect("parse")
+        self.expect("(")
+        src = self.dataset()
+        self.expect(",")
+        mark_f = self.i
+        ftok = self.next()
+        field = ftok.text
+        while self.peek().text == ".":
+            self.next()
+            field = self.next().text
+        if field not in src.columns or self.peek().text != ",":
+            # computed text: any value expression over the row
+            # (parse2's normalizeSeperators(searchText))
+            self.i = mark_f
+            col = self.value(src)
+            src2 = src.withColumn("__ptext__", col)
+            if id(src) in self._order:
+                self._set_order(src2, self._order[id(src)])
+            if id(src) in self._ds_fields:
+                self._ds_fields[id(src2)] = self._ds_fields[id(src)]
+            src = src2
+            field = "__ptext__"
+        self.expect(",")
+        rootname = self.next().text
+        root = ("ref", rootname)
+        self.expect(",")
+        # --- result spec ---
+        tf = None
+        evals = None
+        out_fields = None
+        self._match_refs = set()
+        pk = self.peek()
+        if pk.text == "transform" or (
+            pk.kind == "ident"
+            and pk.text in self.functions
+            and self.functions[pk.text].get("transform")
+        ):
+            body, params, out_fields, _roles = self._parse_transform_ref(1)
+            self._pyx_bare = {c: "left" for c in src.columns if c != "__ord__"}
+            try:
+                tf = self._compile_transform_tokens(
+                    body, list(dict.fromkeys(params + ["left"])), out_fields
+                )
+            finally:
+                self._pyx_bare = None
+            tf = (tf, list(params))
+        elif pk.text == "{":
+            span = self._capture_brace_inner()
+            evals, out_fields = self._parse_result_evals(span, src)
+        elif pk.kind == "ident" and pk.text in self.records_raw:
+            recname = self.next().text
+            span = list(self.records_raw[recname])
+            evals, out_fields = self._parse_result_evals(span, src)
+            # the computed field shape now works as a plain record for
+            # downstream TRANSFORMs (dpat4's ITERATE over PARSE output)
+            self.records.setdefault(recname, list(out_fields))
+        elif pk.kind == "ident" and pk.text in self.records:
+            # declarative record result: fields copy same-named input
+            # columns (record-inheritance form, dpat6) or take their
+            # declared default / type zero
+            self.next()
+            evals = []
+            out_fields = []
+            for nm, ty, w, dflt in self.records[pk.text]:
+                if nm in src.columns:
+                    evals.append(
+                        (nm, (lambda ctx, _f=nm: ctx["left"].get(_f)))
+                    )
+                else:
+                    dv = dflt if dflt is not None else None
+                    evals.append((nm, (lambda ctx, _v=dv: _v)))
+                out_fields.append((nm, ty, w, dflt))
+        else:
+            raise EclSyntaxError(
+                f"expected PARSE result record/transform at {pk.pos}"
+            )
+        # --- options ---
+        # reference defaults: match ALL, SCAN next (hqlnlp.cpp
+        # getOptions: NlpMatchAll + NlpScanNext)
+        want = "all"
+        scanmode = "scan"
+        nocase = False
+        whole = False
+        skip_node = None
+        keep_n = None
+        atmost_n = None
+        nm_blank = False
+        nm_only = False
+        tomita = False
+        best = False
+        choose = None
+        while self.accept(","):
+            o = self.next()
+            ot = o.text
+            if ot == "first":
+                want = "first"
+            elif ot == "all":
+                want = "all"
+            elif ot == "whole":
+                whole = True
+            elif ot == "noscan":
+                scanmode = "noscan"
+            elif ot == "scan":
+                if self.peek().text == "all":
+                    self.next()
+                    scanmode = "scanall"
+                else:
+                    scanmode = "scan"
+            elif ot == "nocase":
+                nocase = True
+            elif ot == "case":
+                nocase = False
+            elif ot == "best":
+                best = True
+            elif ot == "max":
+                choose = "max"
+            elif ot == "min":
+                choose = "min"
+            elif ot == "parse":
+                tomita = True  # same enumerator; ascending emission
+            elif ot == "skip" and self.peek().text == "(":
+                self.next()
+                skip_node = self._pat_expr()
+                self.expect(")")
+            elif ot == "keep" and self.peek().text == "(":
+                self.next()
+                keep_n = int(self.next().text)
+                self.expect(")")
+            elif ot == "atmost" and self.peek().text == "(":
+                self.next()
+                atmost_n = int(self.next().text)
+                self.expect(")")
+            elif ot == "not" and self.peek().text == "matched":
+                self.next()
+                nm_blank = True
+                if self.peek().text == "only":
+                    self.next()
+                    nm_only = True
+            elif ot == "matched" and self.peek().text == "(":
+                # MATCHED(pattern) hint — match quality marker, no
+                # result-shape effect here
+                self.next()
+                depth = 1
+                while depth:
+                    tk = self.next()
+                    depth += tk.text == "("
+                    depth -= tk.text == ")"
+            else:
+                raise EclSyntaxError(
+                    f"unsupported PARSE option {ot!r} at {o.pos}"
+                )
+        self.expect(")")
+        refs = frozenset(self._match_refs)
+        self._match_refs = None
+        return self._run_parse_df(
+            src,
+            field,
+            root,
+            evals=evals,
+            tf=tf,
+            out_fields=out_fields,
+            referenced=refs,
+            want=want,
+            scanmode=scanmode,
+            nocase=nocase,
+            whole=whole,
+            skip_node=skip_node,
+            keep_n=keep_n,
+            atmost_n=atmost_n,
+            nm_blank=nm_blank,
+            nm_only=nm_only,
+            tomita=tomita,
+            best=best,
+            choose=choose,
+        )
+
+    def _capture_brace_inner(self) -> list:
+        """Capture the tokens inside a brace block, consuming both
+        braces."""
+        self.expect("{")
+        depth = 1
+        j = self.i
+        while j < len(self.toks):
+            tx = self.toks[j].text
+            if tx == "{":
+                depth += 1
+            elif tx == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= len(self.toks):
+            raise EclSyntaxError("unclosed brace record")
+        span = list(self.toks[self.i : j])
+        self.i = j + 1
+        return span
+
+    def _parse_result_evals(self, span: list, src: DataFrame):
+        """Compile a PARSE result record span to per-match evaluators:
+        [(name, fn)] plus out_fields [(name, ty, width, None)]. Fields
+        are ``[type name :=] expr`` — bare expressions get _unnamed_N
+        names (the reference's key XML naming)."""
+        # split into field declarations at depth-0 ';' / ','
+        decls: list[list[_Tok]] = []
+        cur: list[_Tok] = []
+        depth = 0
+        for tk in span:
+            if tk.text in ("(", "[", "{"):
+                depth += 1
+            elif tk.text in (")", "]", "}"):
+                depth -= 1
+            if depth == 0 and tk.text in (";", ","):
+                if cur:
+                    decls.append(cur)
+                cur = []
+                continue
+            cur.append(tk)
+        if cur:
+            decls.append(cur)
+        evals: list[tuple] = []
+        out_fields: list[tuple] = []
+        saved_toks, saved_i = self.toks, self.i
+        self._pyx_bare = {c: "left" for c in src.columns if c != "__ord__"}
+        try:
+            for k, decl in enumerate(decls):
+                name = f"_unnamed_{k + 1}"
+                ty, width = None, None
+                body = decl
+                if (
+                    len(decl) == 1
+                    and decl[0].kind == "ident"
+                    and decl[0].text in self.env
+                    and isinstance(self.env[decl[0].text], DataFrame)
+                ):
+                    # record inheritance: the input dataset's fields
+                    # copy through per match (dpat6's `record d; end`)
+                    base = self.env[decl[0].text]
+                    bmeta = self._ds_fields.get(id(base)) or [
+                        (c, t, None, None)
+                        for c, t in base.dtypes
+                        if c != "__ord__"
+                    ]
+                    for bf in bmeta:
+                        evals.append(
+                            (bf[0], (lambda ctx, _f=bf[0]: ctx["left"].get(_f)))
+                        )
+                        out_fields.append((bf[0], bf[1], bf[2], None))
+                    continue
+                if (
+                    decl
+                    and decl[0].text == "dataset"
+                    and len(decl) > 1
+                    and decl[1].text == "("
+                ):
+                    # child-dataset member copied from the input row:
+                    # DATASET(rec) name {attrs} := ds.field (pat11)
+                    j = 2
+                    recname = decl[j].text
+                    child = self.records.get(recname)
+                    if child is None:
+                        raise EclSyntaxError(
+                            f"unknown child record {recname!r} in PARSE "
+                            "result"
+                        )
+                    j += 1  # past recname
+                    while decl[j].text != ")":
+                        j += 1
+                    j += 1
+                    name = decl[j].text
+                    j += 1
+                    if j < len(decl) and decl[j].text == "{":
+                        d2 = 0
+                        while j < len(decl):
+                            d2 += decl[j].text == "{"
+                            d2 -= decl[j].text == "}"
+                            j += 1
+                            if d2 == 0:
+                                break
+                    if decl[j].text != ":=":
+                        raise EclSyntaxError(
+                            "expected ':=' in PARSE child-dataset field"
+                        )
+                    body = decl[j + 1 :]
+                    inner = ", ".join(
+                        f"{n}: {t}" for n, t, _w, _d in child
+                    )
+                    ty = f"array<struct<{inner}>>"
+                if ty is None and (
+                    len(decl) >= 3
+                    and decl[0].kind in ("ident", "kw")
+                    and self._TYPE_RX.match(decl[0].text)
+                    and decl[0].text not in ("pattern",)
+                    and decl[1].kind == "ident"
+                ):
+                    j = 2
+                    if j < len(decl) and decl[j].text == "{":
+                        d2 = 0
+                        while j < len(decl):
+                            d2 += decl[j].text == "{"
+                            d2 -= decl[j].text == "}"
+                            j += 1
+                            if d2 == 0:
+                                break
+                    if j < len(decl) and decl[j].text == ":=":
+                        m = self._TYPE_RX.match(decl[0].text)
+                        base = m.group(1)
+                        digits = decl[0].text[len(base):]
+                        ty = self._SPARK_TYPE.get(base, "string")
+                        if base in ("string", "qstring", "varstring"):
+                            width = int(digits) if digits.isdigit() else None
+                        name = decl[1].text
+                        body = decl[j + 1 :]
+                if (
+                    ty is None
+                    and len(decl) >= 2
+                    and decl[0].kind == "ident"
+                    and decl[1].text == ":="
+                ):
+                    # untyped named field: Subject := MATCHTEXT(...)
+                    name = decl[0].text
+                    body = decl[2:]
+                if ty is None:
+                    # bare expression: type from its head function
+                    head = body[0].text if body else ""
+                    if head == "matched":
+                        ty = "boolean"
+                    elif head in ("matchlength", "matchposition"):
+                        ty = "long"
+                    else:
+                        ty = "string"
+                self.toks = body + [
+                    _Tok("eof", "", body[-1].pos if body else 0)
+                ]
+                self.i = 0
+                fn = self._compile_pyexpr(["left"])
+                if self.peek().kind != "eof":
+                    raise EclSyntaxError(
+                        f"unparsed PARSE result field at {self.peek().pos}"
+                    )
+                evals.append((name, fn))
+                out_fields.append((name, ty, width, None))
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+            self._pyx_bare = None
+        return evals, out_fields
+
+    def _run_parse_df(
+        self,
+        src: DataFrame,
+        field: str,
+        root,
+        *,
+        evals,
+        tf,
+        out_fields,
+        referenced,
+        want,
+        scanmode,
+        nocase,
+        whole,
+        skip_node,
+        keep_n,
+        atmost_n,
+        nm_blank,
+        nm_only,
+        tomita=False,
+        best=False,
+        choose=None,
+    ) -> DataFrame:
+        """Run the PARSE enumeration executor-side: mapInPandas over the
+        input (map-only, parallel over partitions); per row, each parse
+        tree evaluates the result record; duplicate rows within one
+        position's enumeration collapse (parse-forest contract)."""
+        import pandas as pd
+
+        from .operators.patmatch import run_parse, tree_key
+
+        order = self._order.get(id(src))
+        if "__ord__" not in src.columns:
+            from pyspark.sql.window import Window
+
+            if order is None:
+                order = [F.lit(1)]
+            src = src.withColumn(
+                "__ord__", F.row_number().over(Window.orderBy(*order))
+            )
+        defs = dict(self.patterns)
+        if self._patterns_unicode:
+            kinds = {nm: "rule" for nm in defs}
+        else:
+            kinds = {nm: nd[3] for nm, nd in defs.items()}
+        names = [f[0] for f in out_fields]
+        schema = self._fold_schema(out_fields)
+        meta = {f[0]: f for f in out_fields}
+
+        def coerce(nm, v):
+            _n, ty, width, _d = meta[nm]
+            if ty.startswith("array"):
+                return v
+            if ty == "boolean":
+                return bool(v)
+            if ty == "long":
+                return int(v) if v is not None else 0
+            if ty in ("double", "float"):
+                return float(v) if v is not None else 0.0
+            s = v if isinstance(v, str) else _coerce_scalar(v, "string")
+            if width:
+                s = s[:width].ljust(width)
+            return s
+
+        tf_fn, tf_params = tf if tf is not None else (None, [])
+
+        def eval_row(rec, mc):
+            ctx = {"left": rec, "__match__": mc}
+            for p in tf_params:
+                ctx.setdefault(p, rec)
+            if tf_fn is not None:
+                out = tf_fn(ctx)
+                return tuple(out.get(n) for n in names)
+            return tuple(
+                coerce(nm, fn(ctx)) for nm, fn in evals
+            )
+
+        def gen(batches):
+            for pdf in batches:
+                out_rows = []
+                for rec in pdf.to_dict("records"):
+                    text = rec.get(field) or ""
+                    groups = run_parse(
+                        defs,
+                        root,
+                        text,
+                        nocase=nocase,
+                        skip=skip_node,
+                        scan=scanmode,
+                        want=want,
+                        whole=whole,
+                        asc=tomita,
+                        best=best,
+                        choose=choose,
+                    )
+                    rows: list[tuple] = []
+                    for g in groups:
+                        seen = set()
+                        for s, e, children in g:
+                            # duplicate-parse collapse: identity is the
+                            # extent plus referenced captures + anchor
+                            # hits (patmatch.tree_key contract)
+                            k = (s, e, tree_key(children, referenced, kinds))
+                            if k in seen:
+                                continue
+                            seen.add(k)
+                            # children already carry the root named
+                            # record (enum of a named def wraps it)
+                            mc = _MatchCtx(text, children)
+                            try:
+                                vals = eval_row(rec, mc)
+                            except _SkipRow:
+                                continue
+                            rows.append(vals)
+                    if atmost_n is not None and len(rows) > atmost_n:
+                        rows = []
+                    if keep_n is not None:
+                        rows = rows[:keep_n]
+                    if not rows and (nm_blank or nm_only):
+                        mc = _MatchCtx(text, ())
+                        try:
+                            rows = [eval_row(rec, mc)]
+                        except _SkipRow:
+                            rows = []
+                    elif nm_only:
+                        rows = []
+                    base = rec.get("__ord__", 0) * 1_000_000
+                    for k, vals in enumerate(rows):
+                        out_rows.append(vals + (base + k,))
+                yield pd.DataFrame(out_rows, columns=names + ["__ord__"])
+
+        out = src.mapInPandas(gen, schema=schema)
+        self._set_order(out, [F.col("__ord__")])
+        self._ds_fields[id(out)] = list(out_fields)
+        return out
+
     # --- compiled transforms (ROLLUP / ITERATE / PROJECT folds) ---
     # A user TRANSFORM is a per-row function; ROLLUP/ITERATE apply it as
     # a sequential fold over adjacent rows — inherently ordered work the
@@ -7389,6 +8164,53 @@ class _Parser:
         ):
             self.next()
             neg_in = True
+        if (
+            self.peek().text == "in"
+            and self.toks[self.i + 1].kind == "ident"
+            and self.toks[self.i + 1].text in self.sets
+        ):
+            # v IN setname — ECL set membership (case-sensitive,
+            # trailing-blank-insensitive; pat5b's matchtext in target)
+            self.next()
+            vals = self.sets[self.next().text]
+
+            def inset(ctx, _f=f, _v=vals, _neg=neg_in):
+                if _v is _ALL_SET:
+                    return not _neg
+                x = _f(ctx)
+                hit = any(_py_cmp_vals("=", x, v) for v in _v)
+                return hit != _neg
+
+            return inset
+        if (
+            self.peek().text == "in"
+            and self.toks[self.i + 1].kind == "ident"
+            and self.toks[self.i + 1].text in self.patterns
+        ):
+            # v IN <patternname> — the value must fully match the
+            # pattern (VALIDATE conditions: pat5b's matchtext in target)
+            self.next()
+            pname = self.next().text
+            defs = self.patterns  # live dict: fully populated by PARSE
+
+            def inpat(ctx, _f=f, _p=pname, _d=defs, _neg=neg_in):
+                from .operators.patmatch import Matcher
+
+                v = str(_f(ctx))
+                mm = Matcher(_d, v, nocase=bool(ctx.get("__nocase__")))
+                hit = any(e == len(v) for e, _ in mm.enum(("ref", _p), 0))
+                return hit != _neg
+
+            return inpat
+        if self.peek().text == "between":
+            # v BETWEEN lo AND hi (inclusive — ECL range comparison)
+            self.next()
+            lo = self._pyx_addsub(params)
+            self.expect("and")
+            hi = self._pyx_addsub(params)
+            return (
+                lambda a, b, c: lambda ctx: b(ctx) <= a(ctx) <= c(ctx)
+            )(f, lo, hi)
         if self.peek().text == "in" and self.toks[self.i + 1].text == "[":
             # v IN ['a','b',...] set membership (ECL comparison rules
             # per element — dedup_all.ecl's match conditions)
@@ -7517,7 +8339,18 @@ class _Parser:
         if t.text == "trim":
             self.expect("(")
             f = self._compile_pyexpr(params)
+            lead = False
+            while self.accept(","):
+                flag = self.next().text
+                if flag == "left":
+                    lead = True
+                elif flag in ("right", "all"):
+                    pass
+                else:
+                    raise EclSyntaxError(f"unknown TRIM flag {flag!r}")
             self.expect(")")
+            if lead:
+                return lambda ctx: str(f(ctx)).strip()
             return lambda ctx: str(f(ctx)).rstrip()
         if t.text == "length":
             self.expect("(")
@@ -7540,6 +8373,50 @@ class _Parser:
             f = self._compile_pyexpr(params)
             self.expect(")")
             return f
+        if t.text in (
+            "matchtext",
+            "matchunicode",
+            "matched",
+            "matchlength",
+            "matchposition",
+        ):
+            # PARSE result-record MATCH* functions: resolve an instance
+            # path (name[n]/name[n]/...) against the row's parse tree
+            # (_MatchCtx; pat19.ecl pins the path contract)
+            path: list[tuple] = []
+            if self.peek().text == "(":
+                self.next()
+                while self.peek().text != ")":
+                    nm = self.next().text
+                    idx = None
+                    if self.peek().text == "[":
+                        self.next()
+                        idx = int(self.next().text)
+                        self.expect("]")
+                    path.append((nm, idx))
+                    if not self.accept("/"):
+                        break
+                self.expect(")")
+            refs = getattr(self, "_match_refs", None)
+            if refs is not None:
+                refs.update(nm for nm, _ in path)
+            fname = t.text
+
+            def matchfn(ctx, _p=tuple(path), _f=fname):
+                mc = ctx.get("__match__")
+                rec = mc.find(list(_p)) if mc is not None else None
+                if _f == "matched":
+                    return rec is not None
+                if rec is None:
+                    return 0 if _f in ("matchlength", "matchposition") else ""
+                _nm, s, e, _c = rec
+                if _f == "matchlength":
+                    return e - s
+                if _f == "matchposition":
+                    return s + 1
+                return mc.text[s:e]
+
+            return matchfn
         if t.text in params and self.peek().text == ".":
             self.next()
             field = self.next().text
@@ -7556,6 +8433,18 @@ class _Parser:
             # bare field names bind to a designated row param (DEDUP
             # match conditions read LEFT — dedup.ecl's Value1=1)
             pname, fld = bare[t.text], t.text
+            return lambda ctx: ctx[pname].get(fld)
+        if (
+            bare
+            and t.kind == "ident"
+            and self.peek().text == "."
+            and self.toks[self.i + 1].text in bare
+        ):
+            # dataset-qualified read of an input field (ds.ids in a
+            # PARSE result record) — same row binding as the bare form
+            self.next()
+            fld = self.next().text
+            pname = bare[fld]
             return lambda ctx: ctx[pname].get(fld)
         raise EclSyntaxError(
             f"unsupported token {t.text!r} in compiled TRANSFORM at {t.pos}"

@@ -122,6 +122,14 @@ VERBATIM = [
     "badcatch", "dict_keyed", "distributeddataset", "ifaction2",
     "indexcachebug", "workflow_2", "workflow_3", "workflow_once_1",
     "workflow_once_2", "workflow_once_3",
+    # PATTERN/TOKEN/RULE + PARSE (operators/patmatch.py): regex-mode
+    # enumeration, tokens (maximal munch), separators, tomita-mode
+    # left-recursive rules, VALIDATE/LENGTH/penalty/BEST/MAX, anchors,
+    # MATCH* instance paths, unicode patterns
+    "pat1", "pat2", "pat2b", "pat2c", "pat3", "pat4", "pat5", "pat5b",
+    "pat11", "pat19", "patmin", "pat1u", "pat2u", "pat2cu", "pat2du",
+    "pat3u", "pat4u", "pat5u", "pat10u",
+    "dpat2", "dpat4", "dpat5", "dpat6", "parse", "parse2",
 ]
 
 
