@@ -197,11 +197,21 @@ class _MatchCtx:
     (patmatch record tuples). MATCH* result-record functions resolve
     their instance paths against it (pat19.ecl path contract)."""
 
-    __slots__ = ("text", "children")
+    __slots__ = ("text", "children", "kinds", "tomita", "tracked")
 
-    def __init__(self, text: str, children: tuple):
+    def __init__(
+        self,
+        text: str,
+        children: tuple,
+        kinds=None,
+        tomita=False,
+        tracked=frozenset(),
+    ):
         self.text = text
         self.children = children
+        self.kinds = kinds or {}
+        self.tomita = tomita
+        self.tracked = tracked
 
     def find(self, path):
         from .operators.patmatch import find_path
@@ -330,6 +340,84 @@ def _fmt_real(v: float) -> str:
 
 _STR_BASES = {"string", "varstring", "qstring", "utf8", "unicode"}
 _INT_BASES = {"integer", "unsigned"}
+# spark-type name → DDL type (array<struct<...>> literals)
+_SQL_TY = {"long": "bigint", "string": "string", "double": "double",
+           "boolean": "boolean", "int": "int", "float": "float"}
+
+
+def _rx_groups(rx: str) -> int:
+    """Capture-group count of a pattern. Python compile when possible;
+    a tolerant scan otherwise (Java-only syntax like \\p{L})."""
+    try:
+        return re.compile(rx).groups
+    except re.error:
+        n = 0
+        i, L = 0, len(rx)
+        while i < L:
+            c = rx[i]
+            if c == "\\":
+                i += 2
+                continue
+            if c == "(" and rx[i + 1 : i + 2] != "?":
+                n += 1
+            i += 1
+        return n
+
+
+def _repl_tokens(repl: str, ngroups: int) -> list:
+    """Parse a regex replacement in the reference's syntax ($N group
+    refs, backslash escapes; eclregex.cpp rtlRegexReplace) into
+    [('lit', s) | ('grp', n)] tokens. A $N beyond the pattern's group
+    count renders as the empty string (regex3.ecl Result 10), unlike
+    Java's IndexOutOfBounds."""
+    out = []
+    lit = []
+    i, L = 0, len(repl)
+    while i < L:
+        c = repl[i]
+        if c == "\\" and i + 1 < L:
+            lit.append(repl[i + 1])
+            i += 2
+        elif c == "$" and i + 1 < L and repl[i + 1].isdigit():
+            j = i + 1
+            while j < L and repl[j].isdigit():
+                j += 1
+            n = int(repl[i + 1 : j])
+            if lit:
+                out.append(("lit", "".join(lit)))
+                lit = []
+            out.append(("grp", n) if n <= ngroups else ("lit", ""))
+            i = j
+        else:
+            lit.append(c)
+            i += 1
+    if lit:
+        out.append(("lit", "".join(lit)))
+    return out
+
+
+def _repl_to_java(tokens: list) -> str:
+    """Render replacement tokens back to Java Matcher syntax (literal
+    $ and backslash escaped) for F.regexp_replace."""
+    parts = []
+    for kind, v in tokens:
+        if kind == "grp":
+            parts.append(f"${v}")
+        else:
+            parts.append(v.replace("\\", "\\\\").replace("$", "\\$"))
+    return "".join(parts)
+
+
+def _repl_py_sub(rx: str, tokens: list, text: str) -> str:
+    """Constant-fold REGEXREPLACE Python-side with the reference's
+    unset-group-is-empty semantics."""
+
+    def _one(m):
+        return "".join(
+            (m.group(v) or "") if kind == "grp" else v for kind, v in tokens
+        )
+
+    return re.sub(rx, _one, text)
 
 
 def _is_numeric_ty(ty: str) -> bool:
@@ -411,6 +499,10 @@ class _Parser:
     ):
         self.toks = toks
         self.i = 0
+        # #option('divideByZero','fail') — zero divisors abort the
+        # workunit instead of yielding 0 (dbz2a/b/c; eclagent
+        # "Division by zero"). Set by run_ecl* from the raw source.
+        self.dbz_fail = False
         self.env: dict[str, DataFrame] = {k.lower(): v for k, v in catalog.items()}
         self.persist_cache = persist_cache
         self._spark = spark
@@ -438,6 +530,9 @@ class _Parser:
         self.action_defs: dict[str, list] = {}
         # MODULE definitions — name -> {member: span | nested dict}
         self.modules: dict[str, dict] = {}
+        # scalar aggregate-definition spans (b := AVE(ds, e);) for
+        # correlated re-binding inside row contexts (sqshare)
+        self.scalar_spans: dict[str, list] = {}
         # #STORED('name', v) directive values, picked up by ': stored'
         self._stored_overrides: dict[str, object] = {}
         # named logical files written by OUTPUT(ds,,'name')
@@ -650,6 +745,8 @@ class _Parser:
                     x, y = float(x), float(y)
                 elif _ty_base(ty) == "decimal":
                     x, y = self._as_num(x, "decimal"), self._as_num(y, "decimal")
+                if op in ("/", "div", "%") and y == 0 and self.dbz_fail:
+                    raise EclFailError("Division by zero")
                 if op == "+":
                     r = x + y
                 elif op == "-":
@@ -1703,6 +1800,8 @@ class _Parser:
             self.i = mark
             try:
                 col = self.value(self._dummy())
+            except EclFailError:
+                raise
             except Exception:
                 raise dataset_err from None
             self.actions.append(
@@ -1758,6 +1857,8 @@ class _Parser:
                 return self._scalar_result_df(
                     col, f"result_{len(self.actions) + 1}"
                 )
+            except EclFailError:
+                raise
             except Exception:
                 raise dataset_err from None
 
@@ -2084,6 +2185,8 @@ class _Parser:
                     self.i = mark
                     try:
                         return self._ret_coerce(self.value(df), fn)
+                    except EclFailError:
+                        raise
                     except Exception:
                         raise dataset_err from None
             finally:
@@ -2388,8 +2491,13 @@ class _Parser:
         ):
             # aggregate-of-dataset definition is a SCALAR in ECL
             # (b := COUNT(d);) — the value grammar's eager branch
-            # evaluates it once and inlines a literal
+            # evaluates it once and inlines a literal. The span is
+            # kept: referenced inside a row context over the source's
+            # parent, the aggregate re-binds per row (sqshare's
+            # ave(oldest5People, age(dob)) per house).
+            agg_mark = self.i
             self.scalars[name.text] = self.value(self._dummy())
+            self.scalar_spans[name.text] = self.toks[agg_mark : self.i]
             kind = "scalar"
         else:
             # type-driven dataset-vs-scalar dispatch (hqlgram binds by
@@ -2422,6 +2530,8 @@ class _Parser:
                 try:
                     self.scalars[name.text] = self.value(self._dummy())
                     kind = "scalar"
+                except EclFailError:
+                    raise
                 except Exception:
                     msg = str(dataset_err)
                     if (
@@ -2556,6 +2666,8 @@ class _Parser:
             self.i = mark
             try:
                 col = self.value(self._dummy())
+            except EclFailError:
+                raise
             except Exception:
                 raise dataset_err from None
             df = self._scalar_result_df(
@@ -3096,23 +3208,42 @@ class _Parser:
         self.expect("{")
         bare: list[str] = []
         aggs: list[Column] = []
+        # (name, unaliased col, is-group-aggregate) — keyed tables wrap
+        # row-level computed members in FIRST() (aggds3's cnt :=
+        # count(books) alongside a group key)
+        raw_aggs: list[tuple] = []
         ordered_members: list[Column] = []  # declared order, project form
+        member_order: list[str] = []  # declared-order output names
         saved_flag = getattr(self, "_table_has_group_agg", False)
         self._table_has_group_agg = False
         while True:
             t = self.peek()
             if (
-                t.text in ("sum", "count", "min", "max", "ave", "round")
+                t.text in ("sum", "count", "min", "max", "ave", "round",
+                           "exists")
                 and self.toks[self.i + 1].text == "("
             ):
                 # unnamed aggregate field: { COUNT(GROUP) } — the
                 # reference generates _unnamed_... names; ours follow
                 # suit (the value compare is name-independent)
-                col_m = self._field_value(src).alias(
-                    f"_unnamed_{len(aggs) + 1}"
-                )
+                nm_u = f"_unnamed_{len(aggs) + 1}"
+                raw_m = self._field_value(src)
+                col_m = raw_m.alias(nm_u)
                 aggs.append(col_m)
+                raw_aggs.append((nm_u, raw_m, self._last_field_isagg))
                 ordered_members.append(col_m)
+                member_order.append(nm_u)
+            elif t.kind == "str":
+                # unnamed constant member: { 'Count: ', count(group) }
+                # (aggds3) — a literal column in record position
+                self.next()
+                nm_u = f"_unnamed_{len(aggs) + 1}"
+                raw_m = self._tag_str(F.lit(_unquote(t.text)))
+                col_m = raw_m.alias(nm_u)
+                aggs.append(col_m)
+                raw_aggs.append((nm_u, raw_m, True))  # constant: agg-safe
+                ordered_members.append(col_m)
+                member_order.append(nm_u)
             else:
                 t = self.next()
                 if t.kind != "ident":
@@ -3135,13 +3266,20 @@ class _Parser:
                     nm_q = self.next().text
                     bare.append(nm_q)
                     ordered_members.append(src[nm_q])
+                    member_order.append(nm_q)
                 elif self.accept(":="):
-                    col_m = self._field_value(src).alias(t.text)
+                    raw_m = self._field_value(src)
+                    col_m = raw_m.alias(t.text)
                     aggs.append(col_m)
+                    raw_aggs.append(
+                        (t.text, raw_m, self._last_field_isagg)
+                    )
                     ordered_members.append(col_m)
+                    member_order.append(t.text)
                 else:
                     bare.append(t.text)
                     ordered_members.append(src[t.text])
+                    member_order.append(t.text)
             if not (self.accept(",") or self.accept(";")):
                 break
             if self.peek().text == "}":
@@ -3264,7 +3402,11 @@ class _Parser:
                 *[F.col(k) for k in all_keys], F.col("__ord__")
             )
             out = out.withColumn("__ord__", F.row_number().over(w))
-        out = out.select(*bare, *agg_names, *keep)
+        declared = [nm for nm in member_order if nm in out.columns]
+        rest = [
+            c for c in (list(bare) + agg_names) if c not in declared
+        ]
+        out = out.select(*declared, *rest, *keep)
         if ordagg:
             self._set_order(out, [F.col("__ord__")])
         return out
@@ -3278,42 +3420,105 @@ class _Parser:
         try:
             col = self._agg_value(src)
             self._table_has_group_agg = True
+            self._last_field_isagg = True
             return col
         except EclSyntaxError:
             self.i = mark
+            self._last_field_isagg = False
             return self.value(src)
 
     def _agg_value(self, src: DataFrame) -> Column:
+        """A TABLE aggregate member: arithmetic over GROUP aggregates
+        and group-key fields (aggds1's count(group, cond) / aage —
+        grouping columns are legal inside Catalyst agg expressions).
+        Raises unless at least one GROUP aggregate appears, so plain
+        computed members fall back to the project form."""
+        self._agg_seen = False
+        col = self._agg_addsub(src)
+        if not self._agg_seen:
+            raise EclSyntaxError(
+                f"expected aggregate (SUM/COUNT/MIN/MAX/AVE/EXISTS over"
+                f" GROUP) at {self.peek().pos}"
+            )
+        return col
+
+    def _agg_addsub(self, src: DataFrame) -> Column:
+        c = self._agg_muldiv(src)
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            r = self._agg_muldiv(src)
+            c = (c + r) if op == "+" else (c - r)
+        return c
+
+    def _agg_muldiv(self, src: DataFrame) -> Column:
+        c = self._agg_prim(src)
+        while self.peek().text in ("*", "/", "%", "div"):
+            op = self.next().text
+            r = self._agg_prim(src)
+            if op == "*":
+                c = c * r
+            elif op == "/":
+                # ECL real division; zero divisor yields 0
+                c = F.when(
+                    r.cast("double") != 0, c.cast("double") / r.cast("double")
+                ).otherwise(F.lit(0.0))
+            elif op == "div":
+                c = F.when(r != 0, (c / r).cast("long")).otherwise(F.lit(0))
+            else:
+                c = F.when(r != 0, c % r).otherwise(F.lit(0))
+        return c
+
+    def _agg_prim(self, src: DataFrame) -> Column:
         t = self.peek()
-        if t.text in ("sum", "count", "min", "max", "ave"):
+        if (
+            t.text in ("sum", "count", "min", "max", "ave", "exists")
+            and self.toks[self.i + 1].text == "("
+            and self.toks[self.i + 2].text == "group"
+        ):
             fn = self.next().text
             self.expect("(")
             self.expect("group")
-            if fn == "count":
+            self._agg_seen = True
+            if fn in ("count", "exists"):
                 if self.accept(","):
                     # COUNT(GROUP, cond) — conditional count (the Q12
                     # pivot-count shape); lowered to SUM(IF(cond,1,0))
                     cond = self.value(src)
                     self.expect(")")
-                    return F.sum(
+                    cnt = F.sum(
                         F.when(cond, F.lit(1)).otherwise(F.lit(0))
                     ).cast("long")
-                self.expect(")")
-                return F.count(F.lit(1))
+                else:
+                    self.expect(")")
+                    cnt = F.count(F.lit(1))
+                return cnt if fn == "count" else (cnt > 0)
             self.expect(",")
             e = self.value(src)
             self.expect(")")
             return {"sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg}[fn](e)
-        if t.text == "round":
+        if t.text == "round" and self.toks[self.i + 1].text == "(":
             self.next()
-            self.expect("(")
-            inner = self._agg_value(src)
-            self.expect(",")
-            nd = self.next()
+            self.next()
+            inner = self._agg_addsub(src)
+            nd = 0
+            if self.accept(","):
+                nd = int(self.next().text)
             self.expect(")")
-            return F.round(inner, int(nd.text))
+            return F.round(inner, nd)
+        if t.text == "(":
+            self.next()
+            inner = self._agg_addsub(src)
+            self.expect(")")
+            return inner
+        if t.kind == "num":
+            v, _ty = _parse_num(self.next().text)
+            return F.lit(float(v) if isinstance(v, Decimal) else v)
+        if t.kind == "ident" and isinstance(src, DataFrame) and t.text in src.columns:
+            # a group-key field inside the aggregate expression
+            self.next()
+            return src[t.text]
         raise EclSyntaxError(
-            f"expected aggregate (SUM/COUNT/MIN/MAX/AVE over GROUP) at {t.pos}"
+            f"expected aggregate term at {t.pos}, got {t.text!r}"
         )
 
     def _project(self) -> DataFrame:
@@ -3365,7 +3570,9 @@ class _Parser:
             self.dataset()  # shape comes from the input; parse and discard
             self.expect(")")
         elif self.peek().kind == "ident" and self.peek().text in self.records:
-            declared = [f[0] for f in self.records[self.next().text]]
+            nfields = self.records[self.next().text]
+            declared = [f[0] for f in nfields]
+            declared_meta = {f[0]: f for f in nfields}
         else:
             raise EclSyntaxError(
                 f"expected {{...}}, named record or RECORDOF(ds) at {self.peek().pos}"
@@ -3394,7 +3601,11 @@ class _Parser:
         cols: list[Column] = []
         for f in order:
             if f in assigned:
-                cols.append(assigned[f].alias(f))
+                col2 = assigned[f]
+                meta = (declared_meta or {}).get(f)
+                if meta is not None:
+                    col2 = self._coerce_field_col(col2, meta[1], meta[2])
+                cols.append(col2.alias(f))
             elif copy_rest:
                 if f not in src.columns:
                     meta = (declared_meta or {}).get(f)
@@ -3404,7 +3615,13 @@ class _Parser:
                     raise EclSyntaxError(
                         f"SELF := LEFT cannot supply unknown field {f!r}"
                     )
-                cols.append(src[f])
+                col2 = src[f]
+                meta = (declared_meta or {}).get(f)
+                if meta is not None:
+                    # output layout may differ from the input's (e.g.
+                    # UNICODE80 → UNICODE100, unaligned_unicode.ecl)
+                    col2 = self._coerce_field_col(col2, meta[1], meta[2])
+                cols.append(col2.alias(f))
             else:
                 meta = (declared_meta or {}).get(f)
                 if meta is not None and meta[3] is not None:
@@ -5188,7 +5405,13 @@ class _Parser:
         width = None
         base = m.group(1)
         digits = ty.text[len(base):]
-        if base in ("string", "qstring", "varstring") and digits.isdigit():
+        if (
+            base in ("string", "qstring", "varstring", "unicode")
+            and digits.isdigit()
+        ):
+            # fixed-width character types pad with trailing spaces
+            # (UNICODEn included — rtlUnicodeToUnicode pads; utf8 has
+            # no fixed-size form, regex_find_fixed.ecl)
             width = int(digits)
         elif base in ("integer", "unsigned") and digits.isdigit():
             width = -int(digits)  # negative marks an INT byte width
@@ -6771,10 +6994,21 @@ class _Parser:
                     if len(intpart) > w:
                         return self._mkconst("*" * w, "string")
                     return self._mkconst(s2[:w].ljust(w), "string")
-                s2 = "%*.*f" % (w, d, v)
+                # exact holeRealFormat algorithm (eclrtl.cpp:1243):
+                # places clamps to width-1, a leading '0' strips when
+                # over-width, then '*' fill with the '.' positioned
+                if w <= 0:
+                    return self._mkconst("", "string")
+                d2 = min(d, w - 1) if d >= w else d
+                s2 = "%*.*f" % (w, d2, v)
+                if len(s2) > w and s2[0] == "0":
+                    s2 = s2[1:]
                 if len(s2) > w:
-                    return self._mkconst("*" * w, "string")
-                return self._mkconst(s2, "string")
+                    stars = ["*"] * w
+                    if d2:
+                        stars[w - d2 - 1] = "."
+                    return self._mkconst("".join(stars), "string")
+                return self._mkconst(s2.rjust(w), "string")
             if d is None:
                 raise EclSyntaxError("REALFORMAT width-only needs a constant")
             return F.lpad(F.format_number(x.cast("double"), d), w, " ")
@@ -7135,14 +7369,18 @@ class _Parser:
                 raise EclSyntaxError(
                     "REGEXREPLACE needs a constant replacement"
                 )
-            out = F.regexp_replace(txt.cast("string"), rx, str(cr[0]))
+            toks = _repl_tokens(str(cr[0]), _rx_groups(rx))
             ct = self._cget(txt)
             if ct is not None:
-                import re as _re
-
-                return self._tag_str(
-                    F.lit(_re.sub(rx, str(cr[0]), str(ct[0])))
-                )
+                try:
+                    return self._tag_str(
+                        F.lit(_repl_py_sub(rx, toks, str(ct[0])))
+                    )
+                except re.error:
+                    pass  # Java-only pattern syntax: evaluate JVM-side
+            out = F.regexp_replace(
+                txt.cast("string"), rx, _repl_to_java(toks)
+            )
             return self._tag_str(out)
         if t.text == "regexfind" and self.peek().text == "(":
             # REGEXFIND(pattern, text [, group] [, NOCASE]) — boolean
@@ -7166,6 +7404,11 @@ class _Parser:
             rx = ("(?i)" if nc else "") + str(cp[0])
             if group is None:
                 return txt.cast("string").rlike(rx)
+            if group > _rx_groups(rx) and group > 0:
+                # group index beyond the pattern's capture count: the
+                # reference returns the empty string (eclregex
+                # rtlRegexFindStrFound); Spark regexp_extract raises
+                return self._tag_str(F.lit(""))
             return self._tag_str(
                 F.regexp_extract(txt.cast("string"), rx, group)
             )
@@ -7365,9 +7608,14 @@ class _Parser:
             and t.text not in df.columns
         ):
             # row-definition field read (summary := table(...)[1];
-            # ... summary.numBooks — sqagg2)
+            # ... summary.numBooks — sqagg2). Inside a row context over
+            # the child's parent the aggregate re-binds per parent row;
+            # otherwise the hoisted global row serves the value.
             self.next()
             fld_r = self.next().text
+            rb = self._rebind_row_field(t.text, df, fld_r)
+            if rb is not None:
+                return rb
             return self._ds_row_field(self.env[t.text], 1, fld_r)
         if (
             t.kind == "ident"
@@ -7434,6 +7682,13 @@ class _Parser:
                 self.next()
                 return self._field_col(df, self.next().text)
             if t.text in self.scalars and t.text not in df.columns:
+                if t.text in self.scalar_spans and df is not None:
+                    # a hoisted dataset aggregate referenced inside a
+                    # row context re-binds to the row's child scope
+                    # when its source chain derives from df (sqshare)
+                    rb = self._rebind_scalar(t.text, df)
+                    if rb is not None:
+                        return rb
                 return self.scalars[t.text]
             return self._field_col(df, t.text)
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
@@ -7726,6 +7981,8 @@ class _Parser:
         tomita = False
         best = False
         choose = None
+        max_len = None
+        matched_names: set = set()
         while self.accept(","):
             o = self.next()
             ot = o.text
@@ -7747,6 +8004,18 @@ class _Parser:
                 nocase = True
             elif ot == "case":
                 nocase = False
+            elif ot == "maxlength" and self.peek().text == "(":
+                # MAXLENGTH(n): the match buffer caps at n chars — any
+                # match consuming more is rejected (tpat8 Result 2)
+                self.next()
+                max_len = int(self.next().text)
+                self.expect(")")
+            elif ot == "use" and self.peek().text == "(":
+                # USE(rule): declares an extra rule for USE references —
+                # definitions here are all live in the defs table
+                self.next()
+                while self.next().text != ")":
+                    pass
             elif ot == "best":
                 best = True
             elif ot == "max":
@@ -7774,20 +8043,21 @@ class _Parser:
                     self.next()
                     nm_only = True
             elif ot == "matched" and self.peek().text == "(":
-                # MATCHED(pattern) hint — match quality marker, no
-                # result-shape effect here
+                # MATCHED(name|ALL): which pattern instances the match
+                # walker tracks inside token content (dpat3 vs dpat1)
                 self.next()
-                depth = 1
-                while depth:
-                    tk = self.next()
-                    depth += tk.text == "("
-                    depth -= tk.text == ")"
+                while self.peek().text != ")":
+                    nx = self.next()
+                    if nx.kind == "ident":
+                        matched_names.add(nx.text)
+                self.next()
             else:
                 raise EclSyntaxError(
                     f"unsupported PARSE option {ot!r} at {o.pos}"
                 )
         self.expect(")")
         refs = frozenset(self._match_refs)
+        tracked = frozenset(self._match_refs | matched_names)
         self._match_refs = None
         return self._run_parse_df(
             src,
@@ -7809,6 +8079,8 @@ class _Parser:
             tomita=tomita,
             best=best,
             choose=choose,
+            max_len=max_len,
+            tracked=tracked,
         )
 
     def _capture_brace_inner(self) -> list:
@@ -8003,6 +8275,8 @@ class _Parser:
         tomita=False,
         best=False,
         choose=None,
+        max_len=None,
+        tracked=frozenset(),
     ) -> DataFrame:
         """Run the PARSE enumeration executor-side: mapInPandas over the
         input (map-only, parallel over partitions); per row, each parse
@@ -8075,6 +8349,7 @@ class _Parser:
                         asc=tomita,
                         best=best,
                         choose=choose,
+                        max_len=max_len,
                     )
                     rows: list[tuple] = []
                     for g in groups:
@@ -8089,7 +8364,9 @@ class _Parser:
                             seen.add(k)
                             # children already carry the root named
                             # record (enum of a named def wraps it)
-                            mc = _MatchCtx(text, children)
+                            mc = _MatchCtx(
+                                text, children, kinds, tomita, tracked
+                            )
                             try:
                                 vals = eval_row(rec, mc)
                             except _SkipRow:
@@ -8373,6 +8650,37 @@ class _Parser:
             f = self._compile_pyexpr(params)
             self.expect(")")
             return f
+        if t.text in ("parselib", "lib_parselib") and self.peek().text == ".":
+            # parseLib.getParseTree() / getXmlParseTree() — the
+            # parselib plugin's tree renderings (tpat2, dpat1)
+            j = self.i
+            member = None
+            while self.toks[j].text == ".":
+                member = self.toks[j + 1].text
+                j += 2
+            if (
+                member in ("getparsetree", "getxmlparsetree")
+                and self.toks[j].text == "("
+                and self.toks[j + 1].text == ")"
+            ):
+                self.i = j + 2
+                xml = member == "getxmlparsetree"
+
+                def treefn(ctx, _xml=xml):
+                    from .operators.patmatch import (
+                        parse_tree_str,
+                        parse_tree_xml,
+                    )
+
+                    mc = ctx.get("__match__")
+                    if mc is None:
+                        return ""
+                    fn = parse_tree_xml if _xml else parse_tree_str
+                    return fn(
+                        mc.text, mc.children, mc.kinds, mc.tomita, mc.tracked
+                    )
+
+                return treefn
         if t.text in (
             "matchtext",
             "matchunicode",
@@ -8759,9 +9067,433 @@ class _Parser:
         finally:
             self.toks, self.i = saved_toks, saved_i
 
+    def _rebind_row_field(self, name: str, df, fld: str):
+        """Correlated aggregate-row access: a definition
+        ``summary := table(<child expr>, { nm := AGG(group, e), ... })[1]``
+        referenced as ``summary.<fld>`` inside a row context over the
+        child's parent re-evaluates per parent row (sqagg2/sqshare —
+        the reference's implicit-relationship normalization turns the
+        hoisted global aggregate back into a child query). Returns the
+        aggregate Column, or None when the definition isn't shaped so
+        relative to df."""
+        span = self.ds_spans.get(name)
+        if (
+            span is None
+            or df is None
+            or len(span) < 8
+            or span[-3].text != "["
+            or span[-2].text != "1"
+            or span[-1].text != "]"
+        ):
+            return None
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = list(span[:-3]) + [_Tok("eof", "", span[-1].pos)]
+        self.i = 0
+        try:
+            if self.peek().text != "table":
+                return None
+            self.next()
+            self.expect("(")
+            src_mark = self.i
+            inner = self._rebind_parse(df)
+            if inner is None:
+                return None
+            arr, fields = inner
+            # element provenance: the table source's canonical dataset
+            # chain (so member aggregates like count(xbooks) re-bind to
+            # the element when xbooks extends it)
+            ep = tuple(
+                self._resolve_chain(
+                    self._span_chain(self.toks[src_mark : self.i])
+                )
+            )
+            if not self.accept(","):
+                return None
+            self.expect("{")
+            body: list[_Tok] = []
+            depth = 0
+            while not (depth == 0 and self.peek().text == "}"):
+                tk = self.next()
+                if tk.kind == "eof":
+                    raise EclSyntaxError("unterminated record")
+                depth += tk.text in ("(", "[", "{")
+                depth -= tk.text in (")", "]")
+                body.append(tk)
+            self.next()  # '}'
+            for mspan in self._split_top_commas(body):
+                asg = next(
+                    (k for k, tk in enumerate(mspan) if tk.text == ":="),
+                    None,
+                )
+                if asg is None or mspan[asg - 1].text != fld:
+                    continue
+                return self._group_agg_col(
+                    mspan[asg + 1 :], arr, fields, elem_path=ep
+                )
+            return None
+        except EclSyntaxError:
+            return None
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+
+    def _group_agg_col(
+        self, espan: list, arr: Column, fields: list, elem_path=None
+    ):
+        """AGG(group[, elem-expr]) over a child array — the ungrouped
+        TABLE aggregate body (sqagg2's sum(group, count(books))).
+        Element expressions evaluate per element (nested child
+        aggregates included) inside whole-stage codegen."""
+        if (
+            len(espan) < 4
+            or espan[0].text
+            not in ("count", "sum", "max", "min", "ave", "exists")
+            or espan[1].text != "("
+            or espan[2].text != "group"
+            or espan[-1].text != ")"
+        ):
+            return None
+        fn = espan[0].text
+        if fn == "count":
+            return F.size(arr).cast("long") if len(espan) == 4 else None
+        if fn == "exists":
+            return (F.size(arr) > 0) if len(espan) == 4 else None
+        if espan[3].text != ",":
+            return None
+        inner = espan[4:-1]
+        fieldnames = [f[0] for f in fields]
+
+        def _mk_val(span_l, fnames, fmeta, ep_l):
+            def one(x):
+                return self._eval_elem_cond(
+                    span_l, x, fnames, fields_meta=fmeta, elem_path=ep_l
+                )
+
+            return one
+
+        vals = F.transform(
+            arr, _mk_val(list(inner), fieldnames, fields, elem_path)
+        )
+        tymap = {f[0]: f[1] for f in fields}
+        is_int = espan[4].text == "count" or (
+            len(inner) == 1
+            and inner[0].kind == "ident"
+            and tymap.get(inner[0].text) == "long"
+        )
+        if fn == "sum":
+            s = F.aggregate(vals, F.lit(0).cast("double"), lambda a, b: a + b)
+            return s.cast("long") if is_int else s
+        if fn == "ave":
+            return F.when(
+                F.size(arr) > 0,
+                F.aggregate(vals, F.lit(0).cast("double"), lambda a, b: a + b)
+                / F.size(arr),
+            ).otherwise(F.lit(0.0))
+        zero = (
+            F.lit("")
+            if (
+                len(inner) == 1
+                and inner[0].kind == "ident"
+                and tymap.get(inner[0].text) == "string"
+            )
+            else F.lit(0)
+        )
+        agg = F.array_min(vals) if fn == "min" else F.array_max(vals)
+        return F.coalesce(agg, zero)
+
     def _rebind_parse(self, df):
+        """Child-shaped expression with a trailing [a..b] range slice
+        allowed (sqagg2's sort(...)[1..200])."""
+        out = self._rebind_parse_base(df)
+        if out is None:
+            return None
+        while (
+            self.peek().text == "["
+            and self.toks[self.i + 1].kind == "num"
+            and self.toks[self.i + 2].text == "."
+            and self.toks[self.i + 3].text == "."
+        ):
+            self.next()
+            lo = int(self.next().text)
+            self.next()  # '.'
+            self.next()  # '.'
+            hi = int(self.next().text)
+            self.expect("]")
+            arr, fields = out
+            out = (F.slice(arr, lo, max(hi - lo + 1, 0)), fields)
+        return out
+
+    def _rebind_scalar(self, name: str, df):
+        """Correlated scalar aggregate: ``x := AVE(someChildDs, e);``
+        referenced in a row context over the child's parent re-binds
+        per row (sqshare's aveAgeTop5 per house). Returns the Column
+        or None when the span isn't child-shaped relative to df."""
+        span = self.scalar_spans.get(name)
+        if (
+            not span
+            or span[0].text not in ("count", "sum", "min", "max", "ave", "exists")
+            or len(span) < 3
+            or span[1].text != "("
+        ):
+            return None
+        fn = span[0].text
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = list(span) + [_Tok("eof", "", span[-1].pos)]
+        self.i = 2  # past 'fn ('
+        try:
+            inner = self._rebind_parse(df)
+            if inner is None:
+                return None
+            arr, fields = inner
+            if fn in ("count", "exists"):
+                if not self.accept(")"):
+                    return None
+                return (
+                    F.size(arr).cast("long")
+                    if fn == "count"
+                    else (F.size(arr) > 0)
+                )
+            if not self.accept(","):
+                return None
+            espan: list[_Tok] = []
+            depth = 0
+            while not (depth == 0 and self.peek().text == ")"):
+                tk = self.next()
+                if tk.kind == "eof":
+                    return None
+                depth += tk.text == "("
+                depth -= tk.text == ")"
+                espan.append(tk)
+            self.next()  # ')'
+            if self.peek().kind != "eof":
+                return None
+            fake = (
+                [_Tok("ident", fn, 0), _Tok("sym", "(", 0),
+                 _Tok("ident", "group", 0), _Tok("sym", ",", 0)]
+                + espan
+                + [_Tok("sym", ")", 0)]
+            )
+            return self._group_agg_col(fake, arr, fields)
+        except EclSyntaxError:
+            return None
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+
+    def _span_chain(self, span: list) -> list:
+        """Leading ident-dot chain of a definition span, unwrapping
+        sort(/nofold( wrappers — the dataset path a child-shaped
+        definition derives from ('sq.housepersonbookds.persons')."""
+        i = 0
+        while (
+            i + 1 < len(span)
+            and span[i].kind == "ident"
+            and span[i].text in ("sort", "nofold", "dedup", "choosen")
+            and span[i + 1].text == "("
+        ):
+            i += 2
+        chain = []
+        while i < len(span) and span[i].kind == "ident":
+            chain.append(span[i].text)
+            if i + 1 < len(span) and span[i + 1].text == ".":
+                i += 2
+            else:
+                break
+        # canonical form drops fixture-shim qualifiers (sq.X → X),
+        # matching the post-_skip_shim_qual token stream
+        while chain and chain[0] in self.shims:
+            chain = chain[1:]
+        return chain
+
+    def _resolve_chain(self, chain: list, depth: int = 0) -> list:
+        """Expand a leading definition name to its own source chain
+        (xpersons → sq.housepersonbookds.persons) so provenance
+        comparison is canonical."""
+        if not chain or depth > 5:
+            return chain
+        head = chain[0]
+        if head in self.ds_spans:
+            sub = self._span_chain(self.ds_spans[head])
+            if sub and sub[0] != head:
+                return self._resolve_chain(sub, depth + 1) + chain[1:]
+        return chain
+
+    def _corr_filter_array(self, df):
+        """``otherDs(keyfield = <parent>.pfield)`` inside a rebind
+        context: a correlated filter of a SEPARATE dataset. Lowers to a
+        per-parent-row array via a driver-built map literal keyed by
+        the join field (cap-guarded — the scale path is a groupBy +
+        broadcast join, operators/join.py). Returns (arr, fields) or
+        None when the tokens aren't shaped so. Reference: sqshare's
+        personsDs := sq.PersonDs(houseid = sq.HousePersonBookDs.id)."""
+        t = self.peek()
+        if not (
+            t.kind == "ident"
+            and isinstance(self.env.get(t.text), DataFrame)
+            and self.env[t.text] is not df
+            and self.toks[self.i + 1].text == "("
+        ):
+            return None
+        base_ds = self.env[t.text]
+        mark = self.i
+        self.next()
+        self.next()
+        span: list[_Tok] = []
+        depth = 0
+        while not (depth == 0 and self.peek().text == ")"):
+            tk = self.next()
+            if tk.kind == "eof":
+                self.i = mark
+                return None
+            depth += tk.text == "("
+            depth -= tk.text == ")"
+            span.append(tk)
+        self.next()  # ')'
+        # shape: keyfield = dotted-parent-chain (either side order)
+        eq = next(
+            (k for k, tk in enumerate(span) if tk.text == "="), None
+        )
+        if eq is None:
+            self.i = mark
+            return None
+        lhs, rhs = span[:eq], span[eq + 1 :]
+        if len(lhs) == 1 and lhs[0].text in base_ds.columns:
+            keyf, pspan = lhs[0].text, rhs
+        elif len(rhs) == 1 and rhs[0].text in base_ds.columns:
+            keyf, pspan = rhs[0].text, lhs
+        else:
+            self.i = mark
+            return None
+        # the parent side must reference df (a dotted chain over it)
+        saved_toks, saved_i = self.toks, self.i
+        try:
+            self.toks = list(pspan) + [_Tok("eof", "", pspan[-1].pos)]
+            self.i = 0
+            self._skip_shim_qual()
+            head = self.peek().text
+            if not (
+                self.env.get(head) is df
+                or (hasattr(df, "columns") and head in df.columns)
+            ):
+                self.toks, self.i = saved_toks, saved_i
+                self.i = mark
+                return None
+            parent_col = self.value(df)
+            if self.peek().kind != "eof":
+                parent_col = None
+        except EclSyntaxError:
+            parent_col = None
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+        if parent_col is None:
+            self.i = mark
+            return None
+        meta = self._ds_fields.get(id(base_ds))
+        if meta is None:
+            meta = [
+                (f.name, f.dataType.simpleString(), None, None)
+                for f in base_ds.schema.fields
+            ]
+        rows = base_ds.limit(5001).collect()
+        if len(rows) > 5000:
+            raise EclFailError(
+                "correlated dataset filter exceeds the front-door map "
+                "cap (5000 rows) — use the join combinator instead"
+            )
+        # meta may carry virtual fields (filepos) absent from the frame
+        fnames = [m[0] for m in meta if m[0] in base_ds.columns]
+        tymap = {m[0]: m[1] for m in meta}
+        grouped: dict = {}
+        for r in rows:
+            grouped.setdefault(r[keyf], []).append(r)
+        entries = []
+        for k, rs in grouped.items():
+            arr = F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.lit(
+                                float(r[nm])
+                                if tymap.get(nm) == "double"
+                                and r[nm] is not None
+                                else r[nm]
+                            )
+                            .cast(
+                                tymap[nm]
+                                if tymap.get(nm)
+                                in ("string", "long", "double", "boolean")
+                                else "string"
+                                if tymap.get(nm) in _STR_BASES
+                                else "double"
+                            )
+                            .alias(nm)
+                            for nm in fnames
+                        ]
+                    )
+                    for r in rs
+                ]
+            )
+            kl = float(k) if isinstance(k, Decimal) else k
+            entries += [F.lit(kl), arr]
+        if not entries:
+            return None
+        m = F.create_map(*entries)
+        pk = parent_col
+        arr_col = F.element_at(m, pk.cast("double") if isinstance(
+            next(iter(grouped)), (float, Decimal)
+        ) else pk)
+        fields = [
+            (
+                nm,
+                tymap[nm]
+                if tymap.get(nm) in ("string", "long", "double", "boolean")
+                else "string"
+                if tymap.get(nm) in _STR_BASES
+                else "double",
+                None,
+                None,
+            )
+            for nm in fnames
+        ]
+        return F.coalesce(arr_col, F.array().cast(
+            "array<struct<"
+            + ",".join(f"{nm}:{_SQL_TY.get(ty, ty)}" for nm, ty, _w, _d in fields)
+            + ">>"
+        )), fields
+
+    def _rebind_parse_base(self, df):
         self._skip_shim_qual()
         t = self.peek()
+        ep = getattr(df, "_elem_path", None)
+        if ep and t.kind == "ident":
+            # inside a child ELEMENT context: a dataset path whose
+            # resolved chain extends the element's provenance re-binds
+            # to the element (sqagg2's count(xbooks) per person — the
+            # reference normalizes to the closest enclosing scope)
+            j = self.i
+            raw = []
+            while self.toks[j].kind == "ident":
+                raw.append(self.toks[j].text)
+                if self.toks[j + 1].text == ".":
+                    j += 2
+                else:
+                    break
+            resolved = self._resolve_chain(list(raw))
+            epl = list(ep)
+            if (
+                len(resolved) > len(epl)
+                and resolved[: len(epl)] == epl
+            ):
+                exp0 = (
+                    len(self._resolve_chain([raw[0]]))
+                    if raw and raw[0] in self.ds_spans
+                    else 1
+                )
+                if exp0 <= len(epl):
+                    covered = 1 + (len(epl) - exp0)
+                    self.i += 2 * covered  # ident '.' pairs
+                    try:
+                        return self._child_expr(df)
+                    except EclSyntaxError:
+                        return None
         if t.text == "if" and self.toks[self.i + 1].text == "(":
             # IF(row-cond, childA, childB) — the condition reads the
             # PARENT row; per-row array pick (sqcond whichPersons)
@@ -8787,39 +9519,63 @@ class _Parser:
             self.expect(")")
             return r
         if t.text == "sort" and self.toks[self.i + 1].text == "(":
-            # SORT(child, [-]key, ...) — per-row array sort via an
+            # SORT(child, [-]key-expr, ...) — per-row array sort via an
             # array_sort comparator (children are bounded; the global
-            # form is operators/sort.py)
+            # form is operators/sort.py). Keys may be expressions
+            # (sqagg2's surname + (string)dob + forename).
             self.next()
             self.next()
             inner = self._rebind_parse(df)
             if inner is None:
                 return None
             arr, fields = inner
-            keys: list[tuple[str, bool]] = []
+            fnames = [f[0] for f in fields]
+            keys: list[tuple[list, bool]] = []  # (expr span, asc)
             while self.accept(","):
                 asc = True
                 if self.accept("-"):
                     asc = False
-                keys.append((self.next().text, asc))
+                kspan: list[_Tok] = []
+                depth = 0
+                while not (
+                    depth == 0 and self.peek().text in (",", ")")
+                ):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated SORT key")
+                    depth += tk.text in ("(", "[")
+                    depth -= tk.text in (")", "]")
+                    kspan.append(tk)
+                keys.append((kspan, asc))
             self.expect(")")
 
-            def _mk_cmp(keys_l):
+            def _mk_cmp(keys_l, fn_l, fm_l):
+                def kv(row, span):
+                    if len(span) == 1 and span[0].kind == "ident":
+                        return row[span[0].text]
+                    return self._eval_elem_cond(
+                        span, row, fn_l, fields_meta=fm_l
+                    )
+
                 def cmp2(l, r):
                     expr = F.lit(0)
-                    for name, asc in reversed(keys_l):
+                    for span, asc in reversed(keys_l):
                         lt = F.lit(-1 if asc else 1)
                         gt = F.lit(1 if asc else -1)
+                        lk, rk = kv(l, span), kv(r, span)
                         expr = (
-                            F.when(l[name] < r[name], lt)
-                            .when(l[name] > r[name], gt)
+                            F.when(lk < rk, lt)
+                            .when(lk > rk, gt)
                             .otherwise(expr)
                         )
                     return expr
 
                 return cmp2
 
-            return F.array_sort(arr, _mk_cmp(list(keys))), fields
+            return (
+                F.array_sort(arr, _mk_cmp(list(keys), fnames, list(fields))),
+                fields,
+            )
         if t.text == "table" and self.toks[self.i + 1].text == "(":
             # table(<child expr>, {f1, f2, ...}) — project each element
             self.next()
@@ -8893,6 +9649,11 @@ class _Parser:
             self.next()
             self.next()
             return self._child_expr(df)
+        # correlated filter of a separate dataset (sqshare's
+        # personsDs := sq.PersonDs(houseid = parent.id))
+        cf = self._corr_filter_array(df)
+        if cf is not None:
+            return cf
         # everything else — row child fields, other correlated
         # definitions, DEDUP — is the child-expression grammar
         try:
@@ -8902,7 +9663,7 @@ class _Parser:
 
     def _eval_elem_cond(
         self, span: list[_Tok], elem, fieldnames: list, outer: dict | None = None,
-        fields_meta: list | None = None,
+        fields_meta: list | None = None, elem_path: tuple | None = None,
     ) -> Column:
         """Evaluate a filter condition over one array element (the x of
         F.filter's lambda) by re-parsing the span with element-resolved
@@ -8917,6 +9678,9 @@ class _Parser:
 
         class _ElemCtx:
             columns = list(fieldnames) + list(out_map)
+            # provenance of the element's source array — dataset paths
+            # extending it re-bind to the element (_rebind_parse_base)
+            _elem_path = elem_path
 
             def __getitem__(self, name):
                 if name in out_map:
@@ -9152,6 +9916,18 @@ class _Parser:
         finally:
             self.toks, self.i = saved_toks, saved_i
         return assigned, skip_cond
+
+    def _coerce_field_col(self, col2: Column, ty2: str, w2) -> Column:
+        """Coerce an assigned value to its declared field type: fixed
+        character widths rpad/truncate to w (rtlField string
+        semantics), INTn wraps to the byte width, scalar types cast."""
+        if w2 and w2 > 0 and ty2 == "string":
+            return F.rpad(col2.cast("string"), w2, " ")
+        if ty2 == "long" and w2 is not None and w2 < 0:
+            return col2.cast("long").bitwiseAND(F.lit((1 << (8 * -w2)) - 1))
+        if ty2 in ("long", "double", "float", "boolean", "string"):
+            return col2.cast(ty2)
+        return col2
 
     def _resolve_record_fields(self, rettype: str | None) -> list:
         """Field meta [(name, spark_ty, width, default)] for a transform
@@ -9695,7 +10471,14 @@ def run_ecl(
     ``persist_cache`` (a plans.PersistCache) activates the
     ``: PERSIST('name')`` workflow annotation on definitions; ``spark``
     is only needed when the catalog is empty (inline-dataset programs)."""
-    return _Parser(_lex(text), catalog, persist_cache, spark).program()
+    p = _Parser(_lex(text), catalog, persist_cache, spark)
+    p.dbz_fail = bool(_DBZ_FAIL_RX.search(text))
+    return p.program()
+
+
+_DBZ_FAIL_RX = re.compile(
+    r"#option\s*\(\s*'divideByZero'\s*,\s*'fail'", re.IGNORECASE
+)
 
 
 def run_ecl_actions(
@@ -9708,5 +10491,6 @@ def run_ecl_actions(
     the reference's one-result-per-action workunit shape (regress key
     files list them as Result 1..N)."""
     p = _Parser(_lex(text), catalog, persist_cache, spark)
+    p.dbz_fail = bool(_DBZ_FAIL_RX.search(text))
     p.program()
     return p.actions

@@ -45,8 +45,8 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
-TEXT_CAP = 5_000
-STEP_CAP = 2_000_000
+TEXT_CAP = 100_000
+STEP_CAP = 20_000_000
 
 # POSIX character classes → Python re equivalents (PATTERN('[[:digit:]]'))
 _POSIX = {
@@ -127,6 +127,18 @@ class Matcher:
         self.skip = skip
         self.steps = 0
         self._active: dict[tuple[str, int], int] = {}
+        # open regex-leaf generators on the current backtrack path;
+        # a completed parse marks them committed (greedy length cut)
+        self._rx_open: list = []
+
+    def commit_regexes(self):
+        """Called by the driver when a complete parse is reported: every
+        open regex leaf participated in it, so none of them offers a
+        shorter-than-chosen match afterwards (the reference's regex
+        leaves are maximal-munch with failure-driven backtracking only —
+        dpat3 reports namet "Hamor", never "Hamo")."""
+        for flag in self._rx_open:
+            flag[0] = True
 
     def _tick(self):
         self.steps += 1
@@ -161,14 +173,15 @@ class Matcher:
             e = pos + len(s)
             seg = text[pos:e]
             if seg == s or (ci and seg.lower() == s.lower()):
-                if ir and self.skip is not None:
-                    # implicit token in rule scope: the separator
-                    # trails it, recorded so extents can trim it
-                    e2 = self._skip_end(e)
+                if ir:
+                    # implicit token in rule scope: record the terminal
+                    # (parse-tree leaves) and any trailing separator
+                    rec = (("__t__", pos, e, ()),)
+                    e2 = self._skip_end(e) if self.skip is not None else e
                     if e2 > e:
-                        yield (e2, (("__sep__", e, e2, ()),))
+                        yield (e2, rec + (("__sep__", e, e2, ()),))
                     else:
-                        yield (e, ())
+                        yield (e, rec)
                 else:
                     yield (e, ())
         elif kind == "regex":
@@ -178,23 +191,40 @@ class Matcher:
                 greedy = m.end()
                 if ir:
                     # rule scope: implicit token — maximal munch only,
-                    # trailing separator consumed (parse.ecl)
+                    # trailing separator consumed (parse.ecl); the
+                    # terminal records for parse-tree leaves
+                    rec = (("__t__", pos, greedy, ()),)
                     e2 = (
                         self._skip_end(greedy)
                         if self.skip is not None
                         else greedy
                     )
                     if e2 > greedy:
-                        yield (e2, (("__sep__", greedy, e2, ()),))
+                        yield (e2, rec + (("__sep__", greedy, e2, ()),))
                     else:
-                        yield (greedy, ())
+                        yield (greedy, rec)
                 else:
-                    yield (greedy, ())
-                    # pattern scope backtracks into shorter matches
-                    for e in range(greedy - 1, pos - 1, -1):
-                        self._tick()
-                        if rx.fullmatch(text, pos, e):
-                            yield (e, ())
+                    flag = [False]
+                    self._rx_open.append(flag)
+                    try:
+                        yield (greedy, ())
+                        # pattern scope backtracks into shorter matches
+                        # — unless the greedy choice already closed a
+                        # complete parse (failure-driven only)
+                        for e in range(greedy - 1, pos - 1, -1):
+                            if flag[0]:
+                                break
+                            self._tick()
+                            if rx.fullmatch(text, pos, e):
+                                yield (e, ())
+                                if flag[0]:
+                                    break
+                    finally:
+                        # identity removal: flags compare equal by value
+                        for i in range(len(self._rx_open) - 1, -1, -1):
+                            if self._rx_open[i] is flag:
+                                del self._rx_open[i]
+                                break
         elif kind == "any":
             if pos < len(text):
                 yield (pos + 1, ())
@@ -217,6 +247,12 @@ class Matcher:
             yield from self._rep(inner, lo, hi, minimal, pos, 0, ci, ir)
         elif kind == "named":
             _, name, inner, dkind = node
+            if dkind == "pattern" and ir:
+                # a PATTERN referenced from rule scope is an implicit
+                # token (hqlregex no_pat_imptoken): maximal munch —
+                # dpat3's namet reports 'Hamor the Hivite', never the
+                # shorter opt-less 'Hamor' (contrast dpat1's rule form)
+                dkind = "token"
             if dkind == "token":
                 # a TOKEN is a lexical unit: maximal munch, no
                 # backtracking into shorter matches (pat5.ecl: patWord
@@ -378,6 +414,7 @@ def run_parse(
     asc: bool = False,
     best: bool = False,
     choose: str | None = None,
+    max_len: int | None = None,
 ) -> list[list[tuple[int, int, tuple]]]:
     """Enumerate matches of ``root`` over ``text`` under PARSE's scan
     semantics.  Returns GROUPS of matches — one group per collection
@@ -391,6 +428,14 @@ def run_parse(
         out = []
         it = m.enum(root, p)
         for e, c in it:
+            m.commit_regexes()
+            if max_len is not None and e - p > max_len:
+                # MAXLENGTH(n): the match buffer caps at n chars
+                continue
+            if asc and e == p:
+                # tomita mode: tokens consume — no zero-width match
+                # (tpat4's empty input emits nothing)
+                continue
             if whole:
                 # trailing separator text may follow the last token
                 ee = e
@@ -588,3 +633,137 @@ def find_path(children: tuple, path: list) -> tuple | None:
         if not cur:
             return None
     return cur[0]
+
+
+def _tree_skip(nm: str) -> bool:
+    return nm == "__sep__" or nm.startswith(("__anchor", "__penalty"))
+
+
+def parse_tree_str(
+    text: str, children: tuple, kinds: dict, tomita: bool, tracked=frozenset()
+) -> str:
+    """The parselib default parse-tree rendering: ``name[child ...]``
+    with unnamed terminals as quoted text (plugins/parselib
+    getDefaultParseTree; tpat2.ecl pins the format).  Walker contract
+    pinned by dpat1/dpat3: rule-scope instances always appear; inside
+    token content (explicit tokens, or patterns referenced from rule
+    scope — implicit tokens) only ``tracked`` names (result-referenced
+    or MATCHED()-listed) appear; bare terminals render in tomita mode
+    only; the match root is unnamed in regex mode."""
+
+    def render(r, in_token):
+        nm, s, e, cs = r
+        if _tree_skip(nm):
+            return None
+        if nm == "__t__":
+            return ('"' + text[s:e] + '"') if tomita and not in_token else None
+        if in_token and nm not in tracked:
+            sub = [
+                x
+                for c in cs
+                if (x := render(c, True)) is not None
+            ]
+            return " ".join(sub) if sub else None
+        child_tok = in_token or kinds.get(nm) in ("token", "pattern")
+        sub = [
+            x for c in cs if (x := render(c, child_tok)) is not None
+        ]
+        if sub:
+            return nm + "[" + " ".join(sub) + "]"
+        return nm + '"' + text[s:e] + '"'
+
+    if not tomita and len(children) == 1 and children[0][3]:
+        # regex-mode walker root is unnamed: bare brackets around the
+        # top rule's children (dpat1's `Tree: [namet[...] ...]`)
+        sub = [
+            x
+            for c in children[0][3]
+            if (x := render(c, False)) is not None
+        ]
+        return "[" + " ".join(sub) + "]"
+    return " ".join(
+        x for c in children if (x := render(c, False)) is not None
+    )
+
+
+def parse_tree_xml(
+    text: str, children: tuple, kinds: dict, tomita: bool, tracked=frozenset()
+) -> str:
+    """The parselib XML parse-tree rendering (getXmlParseTree): tags
+    indented one space per level, terminals inline, a <matches>
+    wrapper.  Same walker contract as parse_tree_str."""
+    out: list = []
+
+    def rec(r, indent, in_token):
+        nm, s, e, cs = r
+        if _tree_skip(nm):
+            return
+        if nm == "__t__":
+            if tomita and not in_token:
+                out.append(text[s:e])
+            return
+        if in_token and nm not in tracked:
+            for c in cs:
+                rec(c, indent, True)
+            return
+        child_tok = in_token or kinds.get(nm) in ("token", "pattern")
+        kids = [c for c in cs if not _tree_skip(c[0])]
+        probe: list = []
+        save = out[:]
+        del out[:]
+        for c in kids:
+            rec(c, indent + 1, child_tok)
+        probe = out[:]
+        del out[:]
+        out.extend(save)
+        out.append(" " * indent + "<" + nm + ">")
+        if probe:
+            out.append("\n")
+            out.extend(probe)
+            out.append(" " * indent)
+        else:
+            out.append(text[s:e])
+        out.append("</" + nm + ">\n")
+
+    if not tomita and len(children) == 1 and children[0][3]:
+        for c in children[0][3]:
+            rec(c, 0, False)
+    else:
+        for c in children:
+            rec(c, 0, False)
+    return "<matches>" + "".join(out) + "</matches>"
+
+
+def find_path(children: tuple, path: list) -> tuple | None:
+    """Resolve a MATCHTEXT-style path (``a[3]/word[1]``) against a parse
+    tree.  ``path`` is a list of ``(name, index_or_None)``; each
+    component selects matching descendants (any depth, document order)
+    of the current node set, then applies its 1-based index.  A missing
+    index keeps all instances for intermediate components and means
+    "first" for the final one (pat19.ecl pins the contract: ``e/a[2]``
+    is the 2nd instance of the PATH, not index-within-first-e)."""
+
+    def descendants(recs: tuple, name: str, acc: list) -> None:
+        for r in recs:
+            if r[0] == name:
+                acc.append(r)
+            descendants(r[3], name, acc)
+
+    cur = [("", 0, 0, children)]
+    for i, (name, idx) in enumerate(path):
+        found: list = []
+        for node in cur:
+            descendants(node[3], name, found)
+        last = i == len(path) - 1
+        if idx is None and not last:
+            cur = found
+        else:
+            j = (idx or 1) - 1
+            cur = [found[j]] if j < len(found) else []
+        if not cur:
+            return None
+    return cur[0]
+
+
+def _tree_skip(nm: str) -> bool:
+    return nm == "__sep__" or nm.startswith(("__anchor", "__penalty"))

@@ -8,6 +8,7 @@ copied into this repo."""
 from __future__ import annotations
 
 import os
+import re
 import xml.etree.ElementTree as ET
 
 import pytest
@@ -130,6 +131,17 @@ VERBATIM = [
     "pat11", "pat19", "patmin", "pat1u", "pat2u", "pat2cu", "pat2du",
     "pat3u", "pat4u", "pat5u", "pat10u",
     "dpat2", "dpat4", "dpat5", "dpat6", "parse", "parse2",
+    # parselib tree renderings (getParseTree/getXmlParseTree walker
+    # contract), MAXLENGTH, USE() declarations, tomita zero-width,
+    # implicit-token patterns, regex-leaf maximal munch
+    "dpat1", "dpat3", "tpat2", "tpat3", "tpat4", "tpat8", "tpat10",
+    "tpat19",
+    # REGEXFIND/REGEXREPLACE parity (group index beyond pattern's
+    # capture count → '', $N replacement tokens, unset-group-empty),
+    # holeRealFormat exact algorithm, UNICODEn fixed-width padding,
+    # #option('divideByZero','fail') workunit aborts (Exception keys)
+    "regex1", "regex2", "regex2b", "regex3", "regex_find_fixed",
+    "unaligned_unicode", "realformat", "dbz2a", "dbz2b", "dbz2c",
 ]
 
 
@@ -150,6 +162,15 @@ def _expected(name: str) -> list[list[list[str]]]:
             # elements): recurse — matches Row/array-of-Row rendering
             return [cell(sub) for sub in subs]
         return c.text or ""
+
+    exc = root.find("Exception")
+    if exc is not None and root.find("Dataset") is None:
+        # an exception-ONLY key means the workunit must ABORT with
+        # this message (dbz2a: "System error: -1: Division by zero").
+        # Keys mixing Exception with Datasets (workflow contingencies)
+        # compare the datasets as usual.
+        msg = exc.findtext("Message") or ""
+        return ("__exception__", msg.split(": ")[-1])
 
     out = []
     for ds in root.findall("Dataset"):
@@ -189,8 +210,12 @@ def _render(v):
 def test_reference_regress_file_verbatim(name, spark):
     with open(os.path.join(_ECL_DIR, f"{name}.ecl")) as f:
         text = f.read()
-    actions = run_ecl_actions(text, {}, spark=spark)
     expected = _expected(name)
+    if isinstance(expected, tuple) and expected[0] == "__exception__":
+        with pytest.raises(Exception, match=re.escape(expected[1])):
+            run_ecl_actions(text, {}, spark=spark)
+        return
+    actions = run_ecl_actions(text, {}, spark=spark)
     assert len(actions) == len(expected), (
         f"{name}: {len(actions)} actions vs {len(expected)} expected datasets"
     )

@@ -50,8 +50,17 @@ for name in names:
     try:
         with open(os.path.join(_ECL, f"{name}.ecl")) as f:
             text = f.read()
-        actions = run_ecl_actions(text, {}, spark=spark)
         expected = _expected(name)
+        if isinstance(expected, tuple) and expected[0] == "__exception__":
+            try:
+                run_ecl_actions(text, {}, spark=spark)
+            except Exception as e:
+                assert expected[1] in str(e), f"exception {e} != {expected[1]}"
+                print(f"PASS {name}", flush=True)
+                npass += 1
+                continue
+            raise AssertionError(f"expected abort: {expected[1]}")
+        actions = run_ecl_actions(text, {}, spark=spark)
         assert len(actions) == len(expected), (
             f"{len(actions)} actions vs {len(expected)} expected"
         )
