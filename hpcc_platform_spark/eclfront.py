@@ -266,14 +266,18 @@ _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}
 
 def _unquote(tok_text: str) -> str:
     """Strip quotes (and any u/u8/v/q type prefix) and interpret ECL
-    string escapes (\n \t \r \\ \')."""
+    string escapes (\n \t \r \\ \'). \\uXXXX decoding applies only to
+    unicode-prefixed literals (u'...'/U'.../u8'...'); a plain STRING
+    keeps the backslash passthrough (hqllex.l string productions)."""
+    prefix = tok_text[: tok_text.index("'")].lower()
+    is_unicode = prefix.startswith("u")
     raw = tok_text[tok_text.index("'") + 1:-1]
     out, i = [], 0
     while i < len(raw):
         ch = raw[i]
         if ch == "\\" and i + 1 < len(raw):
             nxt = raw[i + 1]
-            if nxt in "uU" and re.match(
+            if is_unicode and nxt in "uU" and re.match(
                 r"[0-9A-Fa-f]{4}", raw[i + 2 : i + 6]
             ):
                 # unicode escape \uXXXX (pat10u's u'abcd水ef')
@@ -353,12 +357,18 @@ def _rx_groups(rx: str) -> int:
     except re.error:
         n = 0
         i, L = 0, len(rx)
+        in_class = False
         while i < L:
             c = rx[i]
             if c == "\\":
                 i += 2
                 continue
-            if c == "(" and rx[i + 1 : i + 2] != "?":
+            if in_class:
+                if c == "]":
+                    in_class = False
+            elif c == "[":
+                in_class = True
+            elif c == "(" and rx[i + 1 : i + 2] != "?":
                 n += 1
             i += 1
         return n
@@ -827,17 +837,36 @@ class _Parser:
             return a - b
         if op == "*":
             return a * b
-        if op == "/":
-            return a / b
-        if op == "%":
-            return a % b
-        if op == "div":
-            return (a / b).cast("long")
+        if op in ("/", "%", "div"):
+            # ECL divide-by-zero default is 0, not NULL or an ANSI
+            # error (eclrtl rtlDivide); under
+            # #option('divideByZero','fail') the zero branch aborts.
+            if op == "/":
+                q, zero, cast_to = a / b, F.lit(0.0), "double"
+            elif op == "%":
+                q, zero, cast_to = a % b, F.lit(0), "long"
+            else:
+                q, zero, cast_to = (a / b).cast("long"), F.lit(0), "long"
+            if self.dbz_fail:
+                return self._dbz_guard(q, b, cast_to)
+            return F.when(b.cast("double") != 0, q).otherwise(zero)
         if op == "<<":
             return F.shiftleft(a, b)
         if op == ">>":
             return F.shiftright(a, b)
         return _cmp(op, a, b)
+
+    @staticmethod
+    def _dbz_guard(expr: Column, divisor: Column, cast_to: str) -> Column:
+        """Per-row #option('divideByZero','fail') enforcement on the
+        Column path: a zero divisor aborts the workunit via raise_error
+        (CASE branches are lazy, so non-zero rows never evaluate it) —
+        parity with eclagent's "Division by zero" abort (dbz2a/b/c)."""
+        return F.when(
+            divisor.cast("double") != 0, expr
+        ).otherwise(
+            F.raise_error(F.lit("Division by zero")).cast(cast_to)
+        )
 
     def _scalar_result_df(self, col: Column, alias: str) -> DataFrame:
         """A one-row result frame for a scalar action. Constants build
@@ -3458,14 +3487,24 @@ class _Parser:
             if op == "*":
                 c = c * r
             elif op == "/":
-                # ECL real division; zero divisor yields 0
-                c = F.when(
-                    r.cast("double") != 0, c.cast("double") / r.cast("double")
-                ).otherwise(F.lit(0.0))
+                # ECL real division; zero divisor yields 0 (or aborts
+                # under #option('divideByZero','fail'))
+                q = c.cast("double") / r.cast("double")
+                if self.dbz_fail:
+                    c = self._dbz_guard(q, r, "double")
+                else:
+                    c = F.when(r.cast("double") != 0, q).otherwise(F.lit(0.0))
             elif op == "div":
-                c = F.when(r != 0, (c / r).cast("long")).otherwise(F.lit(0))
+                q = (c / r).cast("long")
+                if self.dbz_fail:
+                    c = self._dbz_guard(q, r, "long")
+                else:
+                    c = F.when(r != 0, q).otherwise(F.lit(0))
             else:
-                c = F.when(r != 0, c % r).otherwise(F.lit(0))
+                if self.dbz_fail:
+                    c = self._dbz_guard(c % r, r, "long")
+                else:
+                    c = F.when(r != 0, c % r).otherwise(F.lit(0))
         return c
 
     def _agg_prim(self, src: DataFrame) -> Column:
@@ -8384,7 +8423,10 @@ class _Parser:
                             rows = []
                     elif nm_only:
                         rows = []
-                    base = rec.get("__ord__", 0) * 1_000_000
+                    # 1<<40 result-slots per input row: SCAN ALL over a
+                    # 100k-char text can exceed 1M parses, which would
+                    # overflow into the next row's ordinal range
+                    base = rec.get("__ord__", 0) * (1 << 40)
                     for k, vals in enumerate(rows):
                         out_rows.append(vals + (base + k,))
                 yield pd.DataFrame(out_rows, columns=names + ["__ord__"])

@@ -732,38 +732,3 @@ def parse_tree_xml(
         for c in children:
             rec(c, 0, False)
     return "<matches>" + "".join(out) + "</matches>"
-
-
-def find_path(children: tuple, path: list) -> tuple | None:
-    """Resolve a MATCHTEXT-style path (``a[3]/word[1]``) against a parse
-    tree.  ``path`` is a list of ``(name, index_or_None)``; each
-    component selects matching descendants (any depth, document order)
-    of the current node set, then applies its 1-based index.  A missing
-    index keeps all instances for intermediate components and means
-    "first" for the final one (pat19.ecl pins the contract: ``e/a[2]``
-    is the 2nd instance of the PATH, not index-within-first-e)."""
-
-    def descendants(recs: tuple, name: str, acc: list) -> None:
-        for r in recs:
-            if r[0] == name:
-                acc.append(r)
-            descendants(r[3], name, acc)
-
-    cur = [("", 0, 0, children)]
-    for i, (name, idx) in enumerate(path):
-        found: list = []
-        for node in cur:
-            descendants(node[3], name, found)
-        last = i == len(path) - 1
-        if idx is None and not last:
-            cur = found
-        else:
-            j = (idx or 1) - 1
-            cur = [found[j]] if j < len(found) else []
-        if not cur:
-            return None
-    return cur[0]
-
-
-def _tree_skip(nm: str) -> bool:
-    return nm == "__sep__" or nm.startswith(("__anchor", "__penalty"))

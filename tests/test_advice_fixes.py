@@ -371,3 +371,59 @@ def test_multikey_dict_nonconstant_probe(spark):
         for r in run_ecl(ecl, {"src": src}, spark=spark).collect()
     ]
     assert rows == [(5, True), (6, False), (7, True)]
+
+
+# ---- round-9 ADVICE items ------------------------------------------------
+
+
+def test_patmatch_no_duplicate_definitions():
+    """find_path/_tree_skip were once defined twice (r9 ADVICE #1); guard
+    against same-module re-definition creeping back."""
+    import ast
+    import inspect
+
+    from hpcc_platform_spark.operators import patmatch
+
+    tree = ast.parse(inspect.getsource(patmatch))
+    names = [
+        n.name for n in tree.body if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+    ]
+    dupes = {n for n in names if names.count(n) > 1}
+    assert not dupes, f"duplicate module-level definitions: {dupes}"
+
+
+def test_dbz_fail_fires_per_row_not_just_constants(spark):
+    """#option('divideByZero','fail') aborts on a zero divisor in ROW
+    data, not only in constant-folded arithmetic (r9 ADVICE #2)."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    src = spark.createDataFrame([(10, 2), (7, 0)], "a bigint, b bigint")
+    ecl = """
+    #option('divideByZero', 'fail');
+    OUTPUT(TABLE(src, {q := a / b}));
+    """
+    with pytest.raises(Exception, match="Division by zero"):
+        run_ecl(ecl, {"src": src}, spark=spark).collect()
+    # without the option, the zero-divisor row yields 0 (ECL default)
+    ok = run_ecl(
+        "OUTPUT(TABLE(src, {q := a / b}));", {"src": src}, spark=spark
+    ).collect()
+    assert [r.q for r in ok] == [5.0, 0.0] or [r.q for r in ok] == [5.0, None]
+
+
+def test_unquote_plain_string_keeps_backslash_u(spark):
+    """\\uXXXX decodes only inside u'...' unicode literals; a plain
+    STRING literal keeps the escape-char passthrough (r9 ADVICE #4)."""
+    from hpcc_platform_spark.eclfront import _unquote
+
+    assert _unquote("u'ab\\u6c34cd'") == "ab水cd"
+    assert _unquote("'ab\\u6c34cd'") == "abu6c34cd"  # \u -> u passthrough
+
+
+def test_rx_groups_ignores_parens_in_char_class():
+    """The fallback scanner must not count '(' inside [...] as a capture
+    group (r9 ADVICE #5). \\p{L} forces the fallback path."""
+    from hpcc_platform_spark.eclfront import _rx_groups
+
+    assert _rx_groups(r"\p{L}([(])x") == 1
+    assert _rx_groups(r"\p{L}[()](a)(b)") == 2
