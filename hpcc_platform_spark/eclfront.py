@@ -1995,7 +1995,9 @@ class _Parser:
         if self.accept(")"):
             return params
         while True:
-            while self.peek().text in ("const", "linkcounted", "embedded"):
+            while self.peek().text in (
+                "const", "linkcounted", "embedded", "virtual"
+            ):
                 self.next()
             ty = None
             t = self.next()
@@ -2010,10 +2012,17 @@ class _Parser:
                 ty = t.text
                 t = self.next()
             elif t.text == "dataset" and self.peek().text == "(":
-                # dataset(rec) typed parameter — the record shape comes
-                # from the argument itself; parse and drop the name
+                # dataset(rec) / dataset({inline record}) typed parameter
+                # — the record shape comes from the argument itself;
+                # parse and drop the layout
                 self.next()  # '('
-                self.next()  # record name
+                if self.peek().text == "{":
+                    close = self._match_brace(self.i)
+                    if close is None:
+                        raise EclSyntaxError("unterminated record in dataset param")
+                    self.i = close + 1
+                else:
+                    self.next()  # record name
                 self.expect(")")
                 ty = "dataset"
                 t = self.next()
@@ -2142,19 +2151,33 @@ class _Parser:
         fn = self.functions[name]
         self.expect("(")
         args: list[tuple] = []
+        named: dict[str, tuple] = {}
         if self.peek().text != ")":
             while True:
+                argname = None
+                if (
+                    self.peek().kind == "ident"
+                    and self.toks[self.i + 1].text == ":="
+                ):
+                    # named argument (quantile1a's first := true)
+                    argname = self.next().text
+                    self.next()  # ':='
                 if self._at_dataset_start(self.i):
-                    args.append(("ds", self.dataset()))
+                    a = ("ds", self.dataset())
                 else:
-                    args.append(("val", self.value(df)))
+                    a = ("val", self.value(df))
+                if argname is not None:
+                    named[argname] = a
+                else:
+                    args.append(a)
                 if not self.accept(","):
                     break
         self.expect(")")
         params = fn["params"]
-        if len(args) > len(params):
+        if len(args) + len(named) > len(params):
             raise EclSyntaxError(
-                f"{name} takes {len(params)} argument(s), got {len(args)}"
+                f"{name} takes {len(params)} argument(s), got "
+                f"{len(args) + len(named)}"
             )
         saved_scopes = (self.env, self.scalars, self.sets, self.dicts, self.records)
         self.env = dict(self.env)
@@ -2164,7 +2187,9 @@ class _Parser:
         self.records = dict(self.records)
         try:
             for idx, (pname, pty, pdefault) in enumerate(params):
-                if idx < len(args):
+                if pname in named:
+                    kind, aval = named[pname]
+                elif idx < len(args):
                     kind, aval = args[idx]
                 elif pdefault is not None:
                     kind, aval = "val", self._mkconst(pdefault[0], pdefault[1])
@@ -2184,7 +2209,19 @@ class _Parser:
                             )
                     self.scalars[pname] = col
             saved_toks, saved_i = self.toks, self.i
-            self.toks = fn["body"] + [_Tok("eof", "", self.toks[-1].pos)]
+            body = fn["body"]
+            kwnames = {p[0] for p in params if p[0] in _KEYWORDS}
+            if kwnames:
+                # a parameter named by a lexer keyword (quantile1a's
+                # `dataset(rawRec) in`): its uses in THIS body are names,
+                # so re-kind matching kw tokens to ident for resolution
+                body = [
+                    _Tok("ident", tk.text, tk.pos)
+                    if tk.kind == "kw" and tk.text in kwnames
+                    else tk
+                    for tk in body
+                ]
+            self.toks = body + [_Tok("eof", "", self.toks[-1].pos)]
             self.i = 0
             try:
                 if fn["compound"]:
@@ -2210,7 +2247,14 @@ class _Parser:
                 mark = self.i
                 try:
                     return self.dataset()
-                except EclSyntaxError as dataset_err:
+                except EclFailError:
+                    raise
+                except Exception as dataset_err:
+                    # not only EclSyntaxError: a scalar IF(c = total, ..)
+                    # body routed into _if_dataset evaluates its
+                    # condition eagerly and raises AnalysisException
+                    # when it references row state (quantile1a's
+                    # calcQuantile) — fall back to the value parse
                     self.i = mark
                     try:
                         return self._ret_coerce(self.value(df), fn)
@@ -2784,6 +2828,8 @@ class _Parser:
             df = self._choosen()
         elif t.text == "topn":
             df = self._topn()
+        elif t.text == "quantile":
+            df = self._quantile()
         elif t.text == "merge":
             df = self._merge()
         elif t.text in ("sample", "enth"):
@@ -3193,6 +3239,7 @@ class _Parser:
             "table", "project", "normalize", "join", "sort", "dedup",
             "choosen", "topn", "merge", "sample", "enth", "limit",
             "distribute", "having", "denormalize", "dataset", "nofold",
+            "quantile",
         ):
             return True
         if (
@@ -3685,28 +3732,87 @@ class _Parser:
         COUNTER is the 1-based ordinal, SKIP(cond) filters."""
         fname = self.next().text
         fn = self.functions[fname]
+        base = src
+        order = self._order.get(id(src))
+        if order is not None:
+            # materialize the tracked order as the __ord__ column
+            # (REPLACING any stale generation-order one) so the output's
+            # order doesn't reference pre-projection attributes (a
+            # downstream DEDUP/SORT over the projection would otherwise
+            # hit unresolvable lineage or the wrong order — quantile1a's
+            # DEDUP(q, quant), quantile4's post-SORT adjacency)
+            from pyspark.sql.window import Window
+
+            tie = (
+                [F.col("__ord__").asc()] if "__ord__" in base.columns else []
+            )
+            base = base.withColumn(
+                "__ord__",
+                F.row_number().over(Window.orderBy(*order, *tie)).cast("long"),
+            )
+        if order is not None:
+            from pyspark.sql.window import Window
+
+            counter_col = F.row_number().over(Window.orderBy(*order))
+        else:
+            counter_col = F.monotonically_increasing_id() + 1
         self.expect("(")
-        roles = [self.next().text]
-        while self.accept(","):
-            roles.append(self.next().text)
+        roles: list = []
+        saved_counter0 = getattr(self, "_counter_col", None)
+        saved_rp0 = getattr(self, "_row_params", None)
+        self._counter_col = counter_col
+        self._row_params = dict(saved_rp0 or {})
+        self._row_params.setdefault("left", base)
+        try:
+            while True:
+                t = self.peek()
+                nxt = self.toks[self.i + 1].text
+                if t.text in ("left", "right", "counter") and nxt in (",", ")"):
+                    roles.append(self.next().text)
+                else:
+                    # expression argument (quantile1a's
+                    # createQuantile(LEFT, calcQuantile(COUNTER, ...)))
+                    # — evaluated against the input row with COUNTER
+                    # bound to the stream ordinal
+                    roles.append(("expr", self.value(base)))
+                if not self.accept(","):
+                    break
+        finally:
+            self._counter_col = saved_counter0
+            self._row_params = saved_rp0
         self.expect(")")
         while self.accept(","):
             opt = self.next()
             if opt.text not in ("local", "parallel"):
                 raise EclSyntaxError(f"unknown PROJECT option {opt.text!r}")
         self.expect(")")
+        out_cols, skip_cond, out_fields = self._named_transform_cols(
+            fn, roles, base, counter_col
+        )
+        out = base
+        if skip_cond is not None:
+            out = out.where(~skip_cond)
+        keep = ["__ord__"] if "__ord__" in base.columns else []
+        out = out.select(*out_cols, *keep)
+        if keep:
+            # the order lives in the kept __ord__ column — self-contained
+            # lineage for downstream operators over the projection
+            self._set_order(out, [F.col("__ord__")])
+        elif id(src) in self._order:
+            self._set_order(out, self._order[id(src)])
+        self._ds_fields[id(out)] = out_fields
+        return out
+
+    def _named_transform_cols(
+        self, fn: dict, roles: list[str], base: DataFrame, counter_col
+    ) -> tuple[list[Column], Column | None, list]:
+        """Bind a named TRANSFORM's parameters (row roles like LEFT to
+        ``base``, COUNTER to ``counter_col``), re-parse its body in
+        Column mode, and return (output columns, SKIP condition, output
+        field meta) — shared by PROJECT/QUANTILE named-transform call
+        sites."""
         params = fn["params"]
         out_fields = self._resolve_record_fields(fn.get("rettype"))
-        base = src
-        counter_col = None
-        if any(r == "counter" for r in roles):
-            order = self._order.get(id(src))
-            if order is not None:
-                from pyspark.sql.window import Window
-
-                counter_col = F.row_number().over(Window.orderBy(*order))
-            else:
-                counter_col = F.monotonically_increasing_id() + 1
         saved_rp = getattr(self, "_row_params", None)
         saved_counter = getattr(self, "_counter_col", None)
         rp = dict(saved_rp or {})
@@ -3719,6 +3825,8 @@ class _Parser:
                 pname = params[idx][0]
                 if role == "counter":
                     self.scalars[pname] = counter_col
+                elif isinstance(role, tuple) and role[0] == "expr":
+                    self.scalars[pname] = role[1]
                 else:
                     rp[pname] = base
             self._row_params = rp
@@ -3750,15 +3858,7 @@ class _Parser:
             elif ty2 in ("long", "double", "float", "boolean", "string"):
                 col2 = col2.cast(ty2)
             out_cols.append(col2.alias(nm2))
-        out = base
-        if skip_cond is not None:
-            out = out.where(~skip_cond)
-        keep = ["__ord__"] if "__ord__" in base.columns else []
-        out = out.select(*out_cols, *keep)
-        if id(src) in self._order:
-            self._set_order(out, self._order[id(src)])
-        self._ds_fields[id(out)] = out_fields
-        return out
+        return out_cols, skip_cond, out_fields
 
     def _normalize(self) -> DataFrame:
         """NORMALIZE(ds, LEFT.child, TRANSFORM({...}, SELF.f := ...))
@@ -4219,15 +4319,22 @@ class _Parser:
         fn = self.functions[fname]  # the name token was the option token
         self.expect("(")
         args = []
-        while True:
-            if self.peek().text in ("left", "right") and self.toks[
-                self.i + 1
-            ].text in (",", ")"):
-                args.append(("side", self.next().text))
-            else:
-                args.append(("val", self.value(self._dummy())))
-            if not self.accept(","):
-                break
+        saved_jf = getattr(self, "_join_frames", None)
+        self._join_frames = (left, right)
+        try:
+            while True:
+                if self.peek().text in ("left", "right") and self.toks[
+                    self.i + 1
+                ].text in (",", ")"):
+                    args.append(("side", self.next().text))
+                else:
+                    # expression argument — LEFT.x/RIGHT.y read the join
+                    # sides (quantile1a's createQuantile(LEFT, RIGHT.quant))
+                    args.append(("val", self.value(self._dummy())))
+                if not self.accept(","):
+                    break
+        finally:
+            self._join_frames = saved_jf
         self.expect(")")
         params = fn["params"]
         out_fields = self._resolve_record_fields(fn.get("rettype"))
@@ -4356,6 +4463,17 @@ class _Parser:
         its sort is stable for equal keys within a partition)."""
         keys = []
         rec_names: dict[str, int] = {}  # record-derived key name -> index
+        if self.peek().text == "{":
+            # brace-wrapped key list (SORT(ds, {id}) — hqlgram sortList
+            # from a record form)
+            self.next()
+            keys.append(self.value(df).asc())
+            while self.accept(","):
+                keys.append(self.value(df).asc())
+            self.expect("}")
+            # trailing placement options may follow after a comma at the
+            # caller; nothing more to consume here
+            return keys
         while True:
             t = self.peek()
             if t.text in ("local", "unstable", "assert", "parallel"):
@@ -4943,6 +5061,261 @@ class _Parser:
         out = df.orderBy(*keys).limit(int(n.text))
         self._set_order(out, keys)
         return out
+
+    # largest division count the enumerated (q, idx) table handles; above
+    # it the closed-form DEDUP path takes over (quantile2's 999999999)
+    _QUANTILE_ENUM_CAP = 100_000
+
+    def _quantile(self) -> DataFrame:
+        """QUANTILE(ds, n, {sort-order} [, transform(LEFT [, COUNTER])]
+        [, FIRST] [, LAST] [, DEDUP] [, RANGE(set)] [, SKEW(..)]
+        [, UNSTABLE] [, LOCAL]) — IHThorQuantileArg
+        (rtl/include/eclhelper.hpp:1386-1420), Roxie activity
+        roxie/ccd/ccdserver.cpp:8921-9170. After sorting the N rows of
+        each group, quantile q (0..n) selects 0-based index
+        ``min(q*(N div n) + ((n-1) div 2 + q*(N mod n)) div n, N-1)``
+        (the activity's skipSize/skipExtra accumulator in closed form);
+        q=0 emits only under FIRST, q=n only under LAST, interior q
+        filter by RANGE when given, and DEDUP suppresses a selection
+        whose index equals the previously emitted one (monotone indices
+        make that "first q per index"). An empty ungrouped input gets
+        one all-defaults row (createDefault). Lowered to a row_number
+        window plus an equi-join against the per-group (q, idx) table —
+        no per-row driver work; division counts beyond the enum cap
+        use the closed-form inverse (requires DEDUP)."""
+        from pyspark.sql.window import Window
+
+        self.expect("quantile")
+        self.expect("(")
+        src = self.dataset()
+        self.expect(",")
+        nc = self._cget(self.value(self._dummy()))
+        if nc is None:
+            raise EclSyntaxError("QUANTILE division count must be constant")
+        n = int(nc[0])
+        if n < 1:
+            n = 1  # (__int64)numDivisions < 1 is clamped to 1
+        self.expect(",")
+        if self.peek().text != "{":
+            raise EclSyntaxError(
+                f"QUANTILE sort order must be {{...}} at {self.peek().pos}"
+            )
+        kclose = self._match_brace(self.i)
+        if kclose is None:
+            raise EclSyntaxError("unterminated QUANTILE sort order")
+        key_span = self.toks[self.i + 1 : kclose]
+        self.i = kclose + 1
+
+        def parse_keys(frame: DataFrame) -> list[Column]:
+            # deferred so the keys bind to the FINAL input frame (an
+            # empty input is replaced by the createDefault row below)
+            saved_toks, saved_i = self.toks, self.i
+            self.toks = key_span + [_Tok("eof", "", 0)]
+            self.i = 0
+            try:
+                ks = [self.value(frame).asc()]
+                while self.accept(","):
+                    ks.append(self.value(frame).asc())
+                return ks
+            finally:
+                self.toks, self.i = saved_toks, saved_i
+        first = last = dedup = False
+        rng: set[int] | None = None
+        tx_fn = tx_roles = None
+        while self.accept(","):
+            t = self.peek()
+            if t.text == "first":
+                self.next()
+                first = True
+            elif t.text == "last":
+                self.next()
+                last = True
+            elif t.text == "dedup":
+                self.next()
+                dedup = True
+            elif t.text in ("unstable", "stable", "local", "grouped"):
+                self.next()
+                if self.peek().text == "(":
+                    self.i = self._match_paren(self.i) + 1
+            elif t.text in ("skew", "score") and self.toks[self.i + 1].text == "(":
+                self.next()
+                self.i = self._match_paren(self.i) + 1
+            elif t.text == "range" and self.toks[self.i + 1].text == "(":
+                self.next()
+                self.expect("(")
+                vals: list = []
+                if self.accept("["):
+                    if not self.accept("]"):
+                        while True:
+                            rv = self._cget(self.value(self._dummy()))
+                            if rv is None:
+                                raise EclSyntaxError(
+                                    "QUANTILE RANGE entries must be constant"
+                                )
+                            vals.append(rv[0])
+                            if not self.accept(","):
+                                break
+                        self.expect("]")
+                else:
+                    rv = self._cget(self.value(self._dummy()))
+                    if rv is None:
+                        raise EclSyntaxError("QUANTILE RANGE must be constant")
+                    vals = (
+                        list(rv[0])
+                        if isinstance(rv[0], (list, tuple))
+                        else [rv[0]]
+                    )
+                # entries reinterpret as unsigned __int64 (compareUint64)
+                rng = {int(v) & ((1 << 64) - 1) for v in vals}
+                self.expect(")")
+            elif (
+                t.kind == "ident"
+                and t.text in self.functions
+                and self.functions[t.text].get("transform")
+                and self.toks[self.i + 1].text == "("
+            ):
+                tx_fn = self.functions[self.next().text]
+                self.expect("(")
+                tx_roles = [self.next().text]
+                while self.accept(","):
+                    tx_roles.append(self.next().text)
+                self.expect(")")
+            else:
+                raise EclSyntaxError(
+                    f"unknown QUANTILE option {t.text!r} at {t.pos}"
+                )
+        self.expect(")")
+
+        gkeys = self._grouped.get(id(src))
+        if gkeys is None and not src.take(1):
+            src = self._quantile_default_row(src)
+        keys = parse_keys(src)
+        gcols = list(gkeys) if gkeys else []
+        part = [F.col(k) for k in gcols] if gcols else [F.lit(1)]
+        tie = [F.col("__ord__").asc()] if "__ord__" in src.columns else []
+        w = Window.partitionBy(*part).orderBy(*keys, *tie)
+        base = src.withColumn(
+            "__idx__", (F.row_number().over(w) - F.lit(1)).cast("long")
+        ).withColumn(
+            "__nq__", F.count(F.lit(1)).over(Window.partitionBy(*part))
+        )
+        init = (n - 1) // 2
+        Ncol = F.col("__nq__")
+
+        if n <= self._QUANTILE_ENUM_CAP:
+            qdf = self.spark().range(0, n + 1).select(
+                F.col("id").cast("long").alias("__q__")
+            )
+            inner = (F.col("__q__") > 0) & (F.col("__q__") < n)
+            if rng is not None:
+                # entries above n can never match (q <= n); dropping them
+                # also keeps uint64-reinterpreted negatives out of lit()
+                valid = [int(v) for v in rng if v <= n]
+                inner = (
+                    inner & F.col("__q__").isin(*valid)
+                    if valid
+                    else F.lit(False)
+                )
+            inc = inner
+            if first:
+                inc = inc | (F.col("__q__") == 0)
+            if last:
+                inc = inc | (F.col("__q__") == n)
+            qdf = qdf.where(inc)
+            stats = base.groupBy(*gcols).agg(F.max("__nq__").alias("__nq__"))
+            q = F.col("__q__")
+            raw = (
+                q * F.floor(Ncol / n).cast("long")
+                + F.floor((F.lit(init) + q * (Ncol % n)) / n).cast("long")
+            )
+            cand = stats.crossJoin(F.broadcast(qdf)).withColumn(
+                "__idx__", F.least(raw, Ncol - 1)
+            ).drop("__nq__")
+            if dedup:
+                cand = cand.groupBy(*gcols, "__idx__").agg(
+                    F.min("__q__").alias("__q__")
+                )
+            sel = base.join(cand, on=gcols + ["__idx__"], how="inner")
+        else:
+            # closed-form inverse: min q in [1, n-1] with idx(q) == i is
+            # ceil((i*n - init)/N) (skipSize is 0 since n > N); every
+            # index is hit because the q-window per index is n/N > 1
+            if not dedup or rng is not None:
+                raise EclSyntaxError(
+                    "QUANTILE beyond %d divisions needs DEDUP (the "
+                    "selection itself would have n+1 rows)"
+                    % self._QUANTILE_ENUM_CAP
+                )
+            nmax = base.agg(F.max("__nq__")).collect()[0][0] or 0
+            if nmax > n:
+                raise EclSyntaxError(
+                    "QUANTILE: division count exceeds the enum cap but "
+                    "is smaller than the row count"
+                )
+            qcol = F.greatest(
+                F.lit(1),
+                F.ceil((F.col("__idx__") * n - init) / Ncol).cast("long"),
+            )
+            if first:
+                qcol = F.when(F.col("__idx__") == 0, F.lit(0)).otherwise(qcol)
+            sel = base.withColumn("__q__", qcol)
+
+        # output order: groups in stream order, ascending q within
+        if gcols and "__ord__" in sel.columns:
+            sel = sel.withColumn(
+                "__gpos__",
+                F.min("__ord__").over(
+                    Window.partitionBy(*[F.col(k) for k in gcols])
+                ),
+            )
+            ordkeys = [F.col("__gpos__"), F.col("__q__")]
+        else:
+            ordkeys = [F.col("__q__")]
+
+        out_fields = None
+        if tx_fn is not None:
+            out_cols, skip_cond, out_fields = self._named_transform_cols(
+                tx_fn, tx_roles, sel, F.col("__q__")
+            )
+            if skip_cond is not None:
+                sel = sel.where(~skip_cond)
+        else:
+            drop = {"__idx__", "__nq__", "__q__", "__gpos__", "__ord__"}
+            out_cols = [sel[c] for c in sel.columns if c not in drop]
+        out = sel.select(
+            *out_cols,
+            F.row_number().over(Window.orderBy(*ordkeys)).alias("__ord__"),
+        )
+        self._set_order(out, [F.col("__ord__")])
+        if gkeys is not None:
+            self._set_grouped(out, gkeys)
+        if out_fields is not None:
+            self._ds_fields[id(out)] = out_fields
+        elif id(src) in self._ds_fields:
+            self._ds_fields[id(out)] = self._ds_fields[id(src)]
+        return out
+
+    def _quantile_default_row(self, src: DataFrame) -> DataFrame:
+        """One all-defaults row in src's schema (the activity's
+        helper.createDefault when the input is empty): 0 for numerics,
+        '' for strings, false for booleans, empty arrays."""
+        cols = []
+        for f in src.schema.fields:
+            tn = f.dataType.simpleString()
+            if f.name == "__ord__":
+                c = F.lit(1).cast("long")
+            elif tn.startswith(("array", "struct", "map")):
+                c = F.lit(None).cast(f.dataType)
+            elif tn in ("string", "varchar", "char"):
+                c = F.lit("")
+            elif tn == "boolean":
+                c = F.lit(False)
+            elif tn == "binary":
+                c = F.lit(b"")
+            else:
+                c = F.lit(0).cast(f.dataType)
+            cols.append(c.alias(f.name))
+        return self._dummy().select(*cols)
 
     def _merge(self) -> DataFrame:
         """MERGE(a, b, ..., SORTED(keys)) (TAKmerge eclhelper.hpp:937):
@@ -5676,9 +6049,23 @@ class _Parser:
 
     def _record_end(self) -> list[tuple[str, str, int | None]]:
         """RECORD type name; ... END — the named-record definition form
-        (hqlgram.y record productions)."""
+        (hqlgram.y record productions). RECORD(base [, base2]) inherits
+        every field of the named base record(s) (quantile1's
+        quantRec := RECORD(rawRec) UNSIGNED4 quant; END)."""
         self.expect("record")
         fields: list[tuple[str, str, int | None]] = []
+        if self.peek().text == "(":
+            self.next()
+            while True:
+                b = self.next()
+                if b.kind != "ident" or b.text not in self.records:
+                    raise EclSyntaxError(
+                        f"unknown base record {b.text!r} at {b.pos}"
+                    )
+                fields.extend(self.records[b.text])
+                if not self.accept(","):
+                    break
+            self.expect(")")
         while self.peek().text != "end":
             self._skip_shim_qual()
             nx = self.peek()
@@ -5823,9 +6210,14 @@ class _Parser:
                 raise EclSyntaxError(f"expected TRANSFORM at {tk.pos}")
             self.expect("(")
             fields = self._record_fields()
-            base = self.spark().range(1, n + 1)  # col 'id' = COUNTER
+            # COUNTER ordinal under a private name — spark.range's
+            # default 'id' column would shadow a record field or
+            # transform parameter named id (quantile*.ecl createRaw)
+            base = self.spark().range(1, n + 1).select(
+                F.col("id").alias("__ctr__")
+            )
             saved_counter = getattr(self, "_counter_col", None)
-            self._counter_col = F.col("id")
+            self._counter_col = F.col("__ctr__")
             try:
                 assigned: dict[str, Column] = {}
                 while self.accept(",") or self.accept(";"):
@@ -5869,7 +6261,7 @@ class _Parser:
                     # (unsigned x := real-expr truncates, rtlField casts)
                     col2 = col2.cast(ty2)
                 out_cols.append(col2.alias(nm2))
-            df = base.select(*out_cols, F.col("id").alias("__ord__"))
+            df = base.select(*out_cols, F.col("__ctr__").alias("__ord__"))
             self._set_order(df, [F.col("__ord__")])
             self._ds_fields[id(df)] = fields
             return df
@@ -9772,9 +10164,13 @@ class _Parser:
         distributed generation, no per-row python."""
         fname = self.next().text
         fn = self.functions[fname]
-        base = self.spark().range(1, n + 1)
+        # private ordinal name: spark.range's 'id' would shadow a
+        # transform parameter or output field called id
+        base = self.spark().range(1, n + 1).select(
+            F.col("id").alias("__ctr__")
+        )
         saved_counter = getattr(self, "_counter_col", None)
-        self._counter_col = F.col("id")
+        self._counter_col = F.col("__ctr__")
         try:
             self.expect("(")
             args: list[Column] = []
@@ -9828,7 +10224,7 @@ class _Parser:
         df = base
         if skip_cond is not None:
             df = df.where(~skip_cond)
-        df = df.select(*out_cols, F.col("id").alias("__ord__"))
+        df = df.select(*out_cols, F.col("__ctr__").alias("__ord__"))
         self._set_order(df, [F.col("__ord__")])
         self._ds_fields[id(df)] = out_fields
         return df
@@ -9868,7 +10264,11 @@ class _Parser:
         else:
             out_fields = self._resolve_record_fields(fn.get("rettype"))
         self.expect(")")
-        base = self.spark().range(1, len(rows_args) + 1)
+        # private ordinal name (see _generated_named_transform): range's
+        # 'id' column must not shadow a parameter or field named id
+        base = self.spark().range(1, len(rows_args) + 1).select(
+            F.col("id").alias("__ctr__")
+        )
         saved_scalars = self.scalars
         self.scalars = dict(self.scalars)
         try:
@@ -9882,7 +10282,7 @@ class _Parser:
                     else:
                         raise EclSyntaxError(f"missing argument {pname!r}")
                 self.scalars[pname] = F.element_at(
-                    F.array(*per_row), F.col("id").cast("int")
+                    F.array(*per_row), F.col("__ctr__").cast("int")
                 )
             assigned, skip_cond = self._parse_transform_body_columns(
                 fn["body"], base
@@ -9909,7 +10309,7 @@ class _Parser:
         df = base
         if skip_cond is not None:
             df = df.where(~skip_cond)
-        df = df.select(*out_cols, F.col("id").alias("__ord__"))
+        df = df.select(*out_cols, F.col("__ctr__").alias("__ord__"))
         self._set_order(df, [F.col("__ord__")])
         self._ds_fields[id(df)] = out_fields
         return df

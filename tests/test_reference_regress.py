@@ -142,6 +142,14 @@ VERBATIM = [
     # #option('divideByZero','fail') workunit aborts (Exception keys)
     "regex1", "regex2", "regex2b", "regex3", "regex_find_fixed",
     "unaligned_unicode", "realformat", "dbz2a", "dbz2b", "dbz2c",
+    # QUANTILE (IHThorQuantileArg eclhelper.hpp:1386-1420, Roxie
+    # ccdserver.cpp:8921-9170): divisions/FIRST/LAST/DEDUP/RANGE,
+    # named transforms with expression args (calcQuantile(COUNTER,..)),
+    # named function arguments (first := true), RECORD(base)
+    # inheritance, keyword-named dataset parameters
+    "quantile1", "quantile1a", "quantile1b", "quantile2", "quantile3",
+    "quantile4", "quantile7", "quantile8", "quantile11", "quantile12",
+    "quantile13", "quantile_e1",
 ]
 
 
