@@ -449,7 +449,7 @@ _TOKEN_RX = re.compile(
             |\d+)
   | (?P<str>(?:[uU]8?|[vV]|[qQ])?'(?:[^'\\]|\\.)*')
   | (?P<directive>\#[A-Za-z]+)
-  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:^$@|?])
+  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:^$@|?&])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -1230,14 +1230,27 @@ class _Parser:
     # Actions are captured as token spans and re-parsed when they run, so
     # reads interleave with appends exactly as the engine executes them
     # (common/workunit workflow machinery; testing/regress/ecl/action1).
-    def _fire_when(self, span: list, wmode: str) -> None:
+    def _fire_when(self, span: list, wmode: str, scope=None) -> None:
         """Run a WHEN side action. SUCCESS actions referenced from an
         executing OUTPUT run after its result is written (when6d's
         EXTEND ordering); outside one — eager definition parsing — they
         run with the reference (when11). BEFORE/PARALLEL always run with
-        the reference."""
+        the reference. ``scope`` re-installs the (env, scalars)
+        captured at registration time — a WHEN registered inside a
+        FUNCTION body references its parameters (loop3's o1/o2)."""
         if wmode == "success" and self._in_output:
             self._post_success.append(span)
+            return
+        if scope is not None:
+            saved = (self.env, self.scalars)
+            self.env = dict(self.env)
+            self.env.update(scope[0])
+            self.scalars = dict(self.scalars)
+            self.scalars.update(scope[1])
+            try:
+                self._exec_action_span(span)
+            finally:
+                self.env, self.scalars = saved
         else:
             self._exec_action_span(span)
 
@@ -1927,6 +1940,17 @@ class _Parser:
             and self.toks[self.i + 4].text == ":="
         ):
             return True
+        # DATASET(rec) rettype prefix: DATASET(rec) name(params) :=
+        if t.text == "dataset" and nxt.text == "(":
+            close = self._match_paren(self.i + 1)
+            if (
+                close is not None
+                and self.toks[close + 1].kind == "ident"
+                and self.toks[close + 2].text == "("
+            ):
+                close2 = self._match_paren(close + 2)
+                if close2 is not None and self.toks[close2 + 1].text == ":=":
+                    return True
         # parameterized forms: name(params) := ... and
         # rettype name(params) := ... (rettype may be a scalar type, a
         # record/dataset name, or an inline {brace record})
@@ -2308,6 +2332,23 @@ class _Parser:
                 while self.peek().text != ";" and self.peek().kind != "eof":
                     self.next()
             self.expect(";")
+            return
+        if (
+            first.text == "dataset"
+            and self.toks[self.i].text == "("
+            and (close_rt := self._match_paren(self.i)) is not None
+            and self.toks[close_rt + 1].kind == "ident"
+            and self.toks[close_rt + 2].text == "("
+        ):
+            # DATASET(rec) return-type prefix on a parameterized
+            # definition (loopif's DATASET(rec) loopBody(...) := ...)
+            rec_rt = self.toks[self.i + 1].text
+            self.i = close_rt + 1
+            name = self.next()
+            params = self._parse_params()
+            self.expect(":=")
+            self._last_rettype = rec_rt if rec_rt in self.records else None
+            self._capture_function_body(name.text, params)
             return
         if self.toks[self.i].text == ":=":
             name = first
@@ -2830,6 +2871,8 @@ class _Parser:
             df = self._topn()
         elif t.text == "quantile":
             df = self._quantile()
+        elif t.text == "loop":
+            df = self._loop()
         elif t.text == "merge":
             df = self._merge()
         elif t.text in ("sample", "enth"):
@@ -2951,7 +2994,9 @@ class _Parser:
             # a nested WHEN's pending actions ride along: they fire —
             # in registration order — when THIS result executes
             prior = self._when_actions.pop(id(inner), [])
-            self._when_actions[id(df)] = prior + [(span, mode)]
+            self._when_actions[id(df)] = prior + [
+                (span, mode, (dict(self.env), dict(self.scalars)))
+            ]
         elif t.text == "parse" and self.toks[self.i + 1].text == "(":
             df = self._parse_op()
         elif t.text == "catch" and self.toks[self.i + 1].text == "(":
@@ -3221,11 +3266,33 @@ class _Parser:
             df = sliced
         # dataset append: a + b (+ c ...) — ECL's inline FUNNEL
         # (TAKfunnel eclhelper.hpp:903); unordered concat, so any
-        # tracked order is dropped.
-        while self.peek().text == "+" and self._at_dataset_start(self.i + 1):
-            self.next()
+        # tracked order is dropped. a & b is the ORDERED append — all
+        # of a's rows precede b's (loopall's rows(left) & rows(left)).
+        while self.peek().text in ("+", "&") and self._at_dataset_start(
+            self.i + 1
+        ):
+            op_a = self.next().text
             rhs = self.dataset()
-            df = df.unionByName(rhs)
+            if (
+                op_a == "&"
+                and "__ord__" in df.columns
+                and "__ord__" in rhs.columns
+            ):
+                from pyspark.sql.window import Window
+
+                lw2 = df.withColumn("__src__", F.lit(0))
+                rw2 = rhs.withColumn("__src__", F.lit(1))
+                u = lw2.unionByName(rw2)
+                u = u.withColumn(
+                    "__ord__",
+                    F.row_number().over(
+                        Window.orderBy("__src__", "__ord__")
+                    ).cast("long"),
+                ).drop("__src__")
+                df = u
+                self._set_order(df, [F.col("__ord__")])
+            else:
+                df = df.unionByName(rhs)
         return df
 
     def _at_dataset_start(self, i: int) -> bool:
@@ -3239,7 +3306,7 @@ class _Parser:
             "table", "project", "normalize", "join", "sort", "dedup",
             "choosen", "topn", "merge", "sample", "enth", "limit",
             "distribute", "having", "denormalize", "dataset", "nofold",
-            "quantile",
+            "quantile", "loop",
         ):
             return True
         if (
@@ -3919,6 +3986,7 @@ class _Parser:
         exploded = src.withColumn("__child__", F.explode(F.col(child)))
         saved_right = getattr(self, "_right_struct", None)
         self._right_struct = F.col("__child__")
+        copy_sources: list[str] = []
         try:
             assigned: dict[str, Column] = {}
             while self.accept(",") or self.accept(";"):
@@ -3927,7 +3995,19 @@ class _Parser:
                 s = self.next()
                 if s.text != "self":
                     raise EclSyntaxError(f"expected SELF at {s.pos}")
-                self.expect(".")
+                if not self.accept("."):
+                    # SELF := LEFT / SELF := RIGHT — bulk copy of the
+                    # remaining declared fields from that side
+                    # (quantile6's TRANSFORM(normRec, SELF := LEFT;
+                    # SELF := RIGHT))
+                    self.expect(":=")
+                    side = self.next()
+                    if side.text not in ("left", "right"):
+                        raise EclSyntaxError(
+                            f"SELF := LEFT|RIGHT expected at {side.pos}"
+                        )
+                    copy_sources.append(side.text)
+                    continue
                 field = self.next().text
                 self.expect(":=")
                 assigned[field] = self.value(exploded)
@@ -3935,6 +4015,20 @@ class _Parser:
             self._right_struct = saved_right
         self.expect(")")
         self.expect(")")
+        child_fields = {
+            f.name for f in src.schema[child].dataType.elementType.fields
+        }
+        parent_fields = set(src.columns) - {"__ord__", child}
+        for f in declared:
+            if f in assigned:
+                continue
+            for side in copy_sources:
+                if side == "left" and f in parent_fields:
+                    assigned[f] = F.col(f)
+                    break
+                if side == "right" and f in child_fields:
+                    assigned[f] = F.col("__child__")[f]
+                    break
         missing = [f for f in declared if f not in assigned]
         if missing:
             raise EclSyntaxError(f"NORMALIZE TRANSFORM must assign: {missing}")
@@ -3948,13 +4042,20 @@ class _Parser:
         right = self.dataset()
         self.expect(",")
         # SELF-join: both sides are the same frame — qualify each side
-        # with an alias so references resolve unambiguously
-        if left is right:
-            lw, rw = left.alias("__jl__"), right.alias("__jr__")
+        # with an alias so references resolve unambiguously. LOOP bodies
+        # get the same treatment: after one iteration the current frame
+        # carries the fixed side's lineage, and raw attribute references
+        # would be ambiguous (loop10/looplookup re-join the same rhs)
+        self._join_seq = getattr(self, "_join_seq", 0) + 1
+        if left is right or getattr(self, "_loop_depth", 0) > 0:
+            ltag = f"__jl{self._join_seq}__"
+            rtag = f"__jr{self._join_seq}__"
+            lw, rw = left.alias(ltag), right.alias(rtag)
 
             class _Side:
-                def __init__(side, tag, cols):
+                def __init__(side, tag, frame, cols):
                     side._tag = tag
+                    side._frame = frame
                     side.columns = cols
 
                 def __getitem__(side, name):
@@ -3962,10 +4063,10 @@ class _Parser:
 
                 @property
                 def dtypes(side):
-                    return left.dtypes
+                    return side._frame.dtypes
 
-            lref = _Side("__jl__", left.columns)
-            rref = _Side("__jr__", right.columns)
+            lref = _Side(ltag, left, left.columns)
+            rref = _Side(rtag, right, right.columns)
         else:
             lw, rw = left, right
             lref, rref = left, right
@@ -4093,8 +4194,14 @@ class _Parser:
             elif t == "hint" and self.peek().text == "(":
                 close = self._match_paren(self.i)
                 self.i = close + 1  # physical hints — Catalyst plans here
-            elif t in ("local", "nosort", "few", "many", "parallel", "grouped"):
-                pass  # placement/strategy hints — Catalyst plans here
+            elif t in (
+                "local", "nosort", "few", "many", "parallel", "grouped",
+                "smart", "unordered", "ordered", "stable", "unstable",
+            ):
+                # placement/strategy hints — Catalyst (AQE) plans here;
+                # SMART is the reference's runtime lookup/hash failover
+                # (thorlcr lookupjoin), which IS Spark's adaptive join
+                pass
             else:
                 raise EclSyntaxError(f"unknown JOIN option {t!r}")
         self.expect(")")
@@ -5294,6 +5401,239 @@ class _Parser:
         elif id(src) in self._ds_fields:
             self._ds_fields[id(out)] = self._ds_fields[id(src)]
         return out
+
+    # iteration cap for condition-driven LOOPs (no count given): the
+    # reference aborts runaway loops via graph limits; regress loops are
+    # a few hundred iterations at most
+    _LOOP_ITER_CAP = 2000
+
+    def _loop(self) -> DataFrame:
+        """LOOP(ds [, count] [, rowfilter] [, loopcondition], body)
+        (TAKloopcount/looprow/loopdataset eclhelper.hpp:987-989,
+        thorlcr/activities/loop/thloopslave.cpp). Driver-side control
+        flow over lazily-planned bodies — operators/loop.py is the
+        combinator; here the body token span re-parses each iteration
+        with ROWS(LEFT) bound to the current frame and COUNTER to the
+        iteration ordinal. Rows failing the rowfilter leave the loop
+        into the final output; the loopcondition (global, may read
+        ROWS(LEFT)/COUNTER) is checked BEFORE each iteration
+        (loopall.ecl pins first-time semantics). Lineage is checkpointed
+        every 10 iterations so plan size stays bounded (looplookup runs
+        200 iterations)."""
+        self.expect("loop")
+        self.expect("(")
+        src = self.dataset()
+        spans: list[list[_Tok]] = []
+        while self.accept(","):
+            spans.append(self._capture_arg_span())
+        self.expect(")")
+        if not spans:
+            raise EclSyntaxError("LOOP needs a body")
+        body_span = self._loop_rewrite_rows(spans[-1])
+        count = None
+        rowfilter_span = None
+        cond_span = None
+        for sp in spans[:-1]:
+            has_leftdot = any(
+                sp[k].text == "left"
+                and k + 1 < len(sp)
+                and sp[k + 1].text == "."
+                for k in range(len(sp))
+            )
+            has_rows = any(tk.text == "rows" for tk in sp)
+            has_counter = any(tk.text == "counter" for tk in sp)
+            if has_leftdot and not has_rows:
+                if rowfilter_span is not None:
+                    raise EclSyntaxError("LOOP: two row filters")
+                rowfilter_span = list(sp)
+            elif has_rows or has_counter:
+                if cond_span is not None:
+                    raise EclSyntaxError("LOOP: two loop conditions")
+                cond_span = self._loop_rewrite_rows(sp)
+            else:
+                nc = self._cget(self._parse_span_value(sp, self._dummy()))
+                if nc is None:
+                    raise EclSyntaxError("LOOP count must be constant")
+                count = int(nc[0])
+        current = src
+        exited: DataFrame | None = None
+        i = 0
+        while True:
+            i += 1
+            if count is not None and i > count:
+                break
+            if count is None and i > self._LOOP_ITER_CAP:
+                raise EclSyntaxError(
+                    f"LOOP exceeded {self._LOOP_ITER_CAP} iterations"
+                )
+            if cond_span is not None and not self._loop_eval_cond(
+                cond_span, current, i
+            ):
+                break
+            cur_in = current
+            if rowfilter_span is not None:
+                fcol = self._loop_eval_rowfilter(
+                    rowfilter_span, current, i
+                )
+                stay = current.where(fcol)
+                # rows leave the loop the iteration their filter fails;
+                # the final stream is exit-iteration-major, stream-order
+                # minor (loopthor Result 3 pins it)
+                leave = current.where(~fcol).withColumn(
+                    "__exit__", F.lit(i).cast("long")
+                )
+                exited = (
+                    leave
+                    if exited is None
+                    else exited.unionByName(leave)
+                )
+                if count is None and cond_span is None and not stay.take(1):
+                    # pure row-filter loop: stop when nothing iterates
+                    current = stay
+                    break
+                cur_in = stay
+            current = self._loop_run_body(body_span, cur_in, i)
+            if i % 10 == 0:
+                current = current.localCheckpoint(eager=True)
+        out = current
+        if exited is not None:
+            from pyspark.sql.window import Window
+
+            big = F.lit(1 << 40).cast("long")
+            out = out.withColumn("__exit__", big)
+            if "__ord__" not in out.columns:
+                out = out.withColumn("__ord__", F.lit(0).cast("long"))
+            ex = exited
+            if "__ord__" not in ex.columns:
+                ex = ex.withColumn("__ord__", F.lit(0).cast("long"))
+            out = out.unionByName(ex.select(*out.columns))
+            out = out.withColumn(
+                "__ord__",
+                F.row_number().over(
+                    Window.orderBy("__exit__", "__ord__")
+                ).cast("long"),
+            ).drop("__exit__")
+        if "__ord__" in out.columns:
+            self._set_order(out, [F.col("__ord__")])
+        if id(src) in self._ds_fields:
+            self._ds_fields[id(out)] = self._ds_fields[id(src)]
+        return out
+
+    @staticmethod
+    def _loop_rewrite_rows(span: list[_Tok]) -> list[_Tok]:
+        """ROWS(LEFT) → the synthetic env name __loop_rows__."""
+        out: list[_Tok] = []
+        k = 0
+        while k < len(span):
+            if (
+                span[k].text == "rows"
+                and k + 3 < len(span)
+                and span[k + 1].text == "("
+                and span[k + 2].text == "left"
+                and span[k + 3].text == ")"
+            ):
+                out.append(_Tok("ident", "__loop_rows__", span[k].pos))
+                k += 4
+            else:
+                out.append(span[k])
+                k += 1
+        return out
+
+    def _parse_span_value(self, span: list[_Tok], df) -> Column:
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = list(span) + [_Tok("eof", "", span[-1].pos if span else 0)]
+        self.i = 0
+        try:
+            return self.value(df)
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+
+    def _loop_run_body(
+        self, span: list[_Tok], rows: DataFrame, counter: int
+    ) -> DataFrame:
+        saved_env = self.env
+        saved_counter = getattr(self, "_counter_col", None)
+        self.env = dict(self.env)
+        self.env["__loop_rows__"] = rows
+        self._counter_col = self._mkconst(counter, "integer")
+        self._loop_depth = getattr(self, "_loop_depth", 0) + 1
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = list(span) + [_Tok("eof", "", span[-1].pos if span else 0)]
+        self.i = 0
+        try:
+            out = self.dataset()
+            # a WHEN wrapping the body fires its actions once per
+            # iteration — the body result "executes" as the next
+            # iteration's input (loop3's NAMED/EXTEND side outputs)
+            for p_w in self._when_actions.pop(id(out), []):
+                if p_w[0]:
+                    self._fire_when(*p_w)
+            # fresh attribute ids per iteration (alias every column):
+            # a body joining a FIXED dataset (loop10's ds2) would
+            # otherwise hit ambiguous-attribute analysis errors on the
+            # second iteration, when the current frame already contains
+            # that dataset's lineage
+            meta = self._ds_fields.get(id(out))
+            out2 = out.select(
+                *[F.col(c).alias(c) for c in out.columns]
+            )
+            if "__ord__" in out2.columns:
+                # dense-rank the ordinal each iteration: join/explode ords
+                # compose multiplicatively and would overflow int64
+                # after a few iterations (looplookup runs 200)
+                from pyspark.sql.window import Window
+
+                out2 = out2.withColumn(
+                    "__ord__",
+                    F.row_number().over(
+                        Window.orderBy("__ord__")
+                    ).cast("long"),
+                )
+                self._set_order(out2, [F.col("__ord__")])
+            elif id(out) in self._order:
+                self._set_order(out2, self._order[id(out)])
+            if meta is not None:
+                self._ds_fields[id(out2)] = meta
+            return out2
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+            self.env = saved_env
+            self._counter_col = saved_counter
+            self._loop_depth -= 1
+
+    def _loop_eval_cond(
+        self, span: list[_Tok], rows: DataFrame, counter: int
+    ) -> bool:
+        saved_env = self.env
+        saved_counter = getattr(self, "_counter_col", None)
+        self.env = dict(self.env)
+        self.env["__loop_rows__"] = rows
+        self._counter_col = self._mkconst(counter, "integer")
+        try:
+            col = self._parse_span_value(span, self._dummy())
+            cc = self._cget(col)
+            if cc is not None:
+                return bool(cc[0])
+            return bool(
+                self._dummy().select(col.alias("c")).collect()[0].c
+            )
+        finally:
+            self.env = saved_env
+            self._counter_col = saved_counter
+
+    def _loop_eval_rowfilter(
+        self, span: list[_Tok], rows: DataFrame, counter: int
+    ) -> Column:
+        saved_rp = getattr(self, "_row_params", None)
+        saved_counter = getattr(self, "_counter_col", None)
+        self._row_params = dict(saved_rp or {})
+        self._row_params["left"] = rows
+        self._counter_col = self._mkconst(counter, "integer")
+        try:
+            return self._parse_span_value(span, rows)
+        finally:
+            self._row_params = saved_rp
+            self._counter_col = saved_counter
 
     def _quantile_default_row(self, src: DataFrame) -> DataFrame:
         """One all-defaults row in src's schema (the activity's
@@ -9201,11 +9541,38 @@ class _Parser:
     # dataset activities).
     def _child_field_names(self, df) -> dict:
         meta = self._ds_fields.get(id(df)) or []
-        return {
+        out = {
             nm: d[1]
             for nm, _ty, _w, d in meta
             if isinstance(d, tuple) and len(d) >= 2 and d[0] == "__child__"
         }
+        if not out and df is not None:
+            # no registered meta (frame derived through withColumn/join):
+            # derive child fields from the Spark schema itself
+            from pyspark.sql import types as T
+
+            ty_map = {
+                "bigint": "long", "int": "long", "smallint": "long",
+                "tinyint": "long", "double": "double", "float": "float",
+                "string": "string", "boolean": "boolean",
+            }
+            for f in df.schema.fields:
+                if isinstance(f.dataType, T.ArrayType) and isinstance(
+                    f.dataType.elementType, T.StructType
+                ):
+                    out[f.name] = [
+                        (
+                            sf.name,
+                            ty_map.get(
+                                sf.dataType.simpleString(),
+                                sf.dataType.simpleString(),
+                            ),
+                            None,
+                            None,
+                        )
+                        for sf in f.dataType.elementType.fields
+                    ]
+        return out
 
     def _child_agg(self, fn: str, df) -> Column:
         """fn is count/sum/min/max/ave/exists; at '(' of the call."""
@@ -9269,6 +9636,17 @@ class _Parser:
         """A child-dataset expression: child field, postfix filter,
         DEDUP(child, keys, ALL). Returns (array Column, child fields)."""
         t = self.next()
+        rp0 = getattr(self, "_row_params", None) or {}
+        if (
+            t.kind == "ident"
+            and t.text in rp0
+            and isinstance(rp0[t.text], DataFrame)
+            and self.peek().text == "."
+        ):
+            # row-parameter qualifier (quantile9's l.ids): strip it and
+            # read the child field of that parameter's row frame
+            self.next()  # '.'
+            return self._child_expr(rp0[t.text])
         if t.text == "dedup" and self.peek().text == "(":
             self.next()
             arr, fields = self._child_expr(df)
@@ -10010,6 +10388,159 @@ class _Parser:
                 F.array_sort(arr, _mk_cmp(list(keys), fnames, list(fields))),
                 fields,
             )
+        if t.text == "quantile" and self.toks[self.i + 1].text == "(":
+            # QUANTILE as a child query (quantile5/9/10): the selection
+            # arithmetic (see _quantile) runs per parent row as JVM
+            # array expressions — sort_array + sequence + transform, no
+            # per-row python, no shuffle
+            self.next()
+            self.next()
+            inner = self._rebind_parse(df)
+            if inner is None:
+                return None
+            arr, fields = inner
+            if not self.accept(","):
+                return None
+            nv = self.value(df)  # may be a parent-row column
+            if not self.accept(","):
+                return None
+            self.expect("{")
+            knames = [self.next().text]
+            while self.accept(","):
+                knames.append(self.next().text)
+            self.expect("}")
+            first = last = False
+            rng_cols: list[Column] | None = None
+            while self.accept(","):
+                o = self.next()
+                if o.text == "first":
+                    first = True
+                elif o.text == "last":
+                    last = True
+                elif o.text == "range" and self.peek().text == "(":
+                    self.next()
+                    self.expect("[")
+                    rng_cols = [self.value(df)]
+                    while self.accept(","):
+                        rng_cols.append(self.value(df))
+                    self.expect("]")
+                    self.expect(")")
+                else:
+                    return None  # DEDUP/transform in child form: punt
+            self.expect(")")
+            fnames = [f[0] for f in fields]
+
+            def _mk_qcmp(kn):
+                def cmp2(l, r):
+                    expr = F.lit(0)
+                    for k in reversed(kn):
+                        expr = (
+                            F.when(l[k] < r[k], F.lit(-1))
+                            .when(l[k] > r[k], F.lit(1))
+                            .otherwise(expr)
+                        )
+                    return expr
+
+                return cmp2
+
+            sarr = F.array_sort(arr, _mk_qcmp(list(knames)))
+            n = F.greatest(F.lit(1).cast("long"), nv.cast("long"))
+            N = F.size(sarr).cast("long")
+            init = F.floor((n - F.lit(1)) / F.lit(2)).cast("long")
+
+            def sel_idx(q):
+                raw = (
+                    q * F.floor(N / n).cast("long")
+                    + F.floor((init + q * (N % n)) / n).cast("long")
+                )
+                return F.least(raw, N - 1)
+
+            qs = F.when(
+                n >= 2, F.sequence(F.lit(1).cast("long"), n - 1)
+            ).otherwise(F.array().cast("array<long>"))
+            if rng_cols is not None:
+                rset = F.array(*[c.cast("long") for c in rng_cols])
+                qs = F.filter(qs, lambda q: F.array_contains(rset, q))
+            if first:
+                qs = F.concat(F.array(F.lit(0).cast("long")), qs)
+            if last:
+                qs = F.concat(qs, F.array(n))
+            out_arr = F.transform(
+                qs,
+                lambda q: F.element_at(sarr, (sel_idx(q) + 1).cast("int")),
+            )
+            return out_arr, fields
+        if (
+            t.kind == "ident"
+            and t.text in getattr(self, "_rebind_arrays", {})
+            and self.toks[self.i + 1].text != "("
+        ):
+            # a dataset parameter bound to a child array by the
+            # function-inlining branch below (quantile5's selectMedian)
+            self.next()
+            return self._rebind_arrays[t.text]
+        if (
+            t.kind == "ident"
+            and t.text in self.functions
+            and not self.functions[t.text].get("transform")
+            and self.toks[self.i + 1].text == "("
+        ):
+            # function call in child position: inline the body with
+            # dataset args bound as child arrays and scalars as Columns
+            # (quantile5's SELF.ids := selectMedian(l.ids))
+            fn = self.functions[self.next().text]
+            if fn.get("compound"):
+                return None
+            self.next()  # '('
+            params = fn["params"]
+            bind_arr: dict = {}
+            bind_sca: dict = {}
+            k = 0
+            if self.peek().text != ")":
+                while True:
+                    pname = params[k][0] if k < len(params) else f"__p{k}"
+                    mark_a = self.i
+                    got = None
+                    try:
+                        got = self._rebind_parse(df)
+                    except EclSyntaxError:
+                        got = None
+                    if got is not None and self.peek().text in (",", ")"):
+                        bind_arr[pname] = got
+                    else:
+                        self.i = mark_a
+                        bind_sca[pname] = self.value(df)
+                    k += 1
+                    if not self.accept(","):
+                        break
+            self.expect(")")
+            for idx2 in range(k, len(params)):
+                pname2, _pty2, pdefault2 = params[idx2]
+                if pdefault2 is not None:
+                    bind_sca[pname2] = self._mkconst(*pdefault2)
+            saved_arrs = getattr(self, "_rebind_arrays", None)
+            saved_scal = self.scalars
+            self._rebind_arrays = dict(saved_arrs or {})
+            self._rebind_arrays.update(bind_arr)
+            self.scalars = dict(self.scalars)
+            self.scalars.update(bind_sca)
+            saved_toks2, saved_i2 = self.toks, self.i
+            body2 = fn["body"]
+            self.toks = body2 + [
+                _Tok("eof", "", body2[-1].pos if body2 else 0)
+            ]
+            self.i = 0
+            try:
+                out2 = self._rebind_parse(df)
+                if out2 is not None and self.peek().kind != "eof":
+                    out2 = None
+                return out2
+            except EclSyntaxError:
+                return None
+            finally:
+                self.toks, self.i = saved_toks2, saved_i2
+                self._rebind_arrays = saved_arrs
+                self.scalars = saved_scal
         if t.text == "table" and self.toks[self.i + 1].text == "(":
             # table(<child expr>, {f1, f2, ...}) — project each element
             self.next()
@@ -10264,6 +10795,22 @@ class _Parser:
         else:
             out_fields = self._resolve_record_fields(fn.get("rettype"))
         self.expect(")")
+        try:
+            return self._inline_transform_rows_columns(
+                fn, params, rows_args, out_fields
+            )
+        except EclSyntaxError:
+            # a transform member the Column path can't express — e.g. a
+            # per-row child DATASET built from the row's own arguments
+            # (quantile6's SELF.ids := createDataset(cnt, scale, delta))
+            # — re-parses the body once per row with constant bindings
+            return self._inline_transform_rows_perrow(
+                fn, params, rows_args, out_fields
+            )
+
+    def _inline_transform_rows_columns(
+        self, fn: dict, params: list, rows_args: list, out_fields: list
+    ) -> DataFrame:
         # private ordinal name (see _generated_named_transform): range's
         # 'id' column must not shadow a parameter or field named id
         base = self.spark().range(1, len(rows_args) + 1).select(
@@ -10314,6 +10861,131 @@ class _Parser:
         self._ds_fields[id(df)] = out_fields
         return df
 
+    def _inline_transform_rows_perrow(
+        self, fn: dict, params: list, rows_args: list, out_fields: list
+    ) -> DataFrame:
+        """DATASET([t(..), ..]) fallback for transforms the Column path
+        can't express: each call re-parses the body with its CONSTANT
+        argument bindings, dataset-valued members (SELF.ids :=
+        createDataset(...)) nest as array<struct> via sort_array over
+        collect_list — one small Spark plan per literal row, unioned.
+        Row counts here are source-literal counts (quantile6: 5), not
+        data sizes; the child plans themselves stay distributed."""
+        meta = {f[0]: f for f in out_fields}
+        row_frames: list[DataFrame] = []
+        for args in rows_args:
+            bound: dict[str, Column] = {}
+            for idx, (pname, pty, pdefault) in enumerate(params):
+                if idx < len(args):
+                    val = args[idx]
+                    if (
+                        pty is not None
+                        and pty != "dataset"
+                        and self._TYPE_RX.match(pty)
+                    ):
+                        cv = self._cget(val)
+                        if cv is not None:
+                            # declared param type coerces the argument
+                            # (quantile9's integer scale ← 0.3 → 0)
+                            val = self._mkconst(
+                                self._coerce_const(cv[0], pty), pty
+                            )
+                    bound[pname] = val
+                elif pdefault is not None:
+                    bound[pname] = self._mkconst(*pdefault)
+                else:
+                    raise EclSyntaxError(f"missing argument {pname!r}")
+            saved_scalars = self.scalars
+            self.scalars = dict(self.scalars)
+            self.scalars.update(bound)
+            saved_toks, saved_i = self.toks, self.i
+            body = fn["body"]
+            self.toks = body + [_Tok("eof", "", body[-1].pos if body else 0)]
+            self.i = 0
+            assigned: dict[str, tuple] = {}
+            try:
+                while self.peek().kind != "eof":
+                    if self.accept(";") or self.accept(","):
+                        continue
+                    st = self.next()
+                    if st.text != "self" or not self.accept("."):
+                        raise EclSyntaxError(f"expected SELF.<f> at {st.pos}")
+                    fname2 = self.next().text
+                    self.expect(":=")
+                    if self._at_dataset_start(self.i):
+                        assigned[fname2] = ("ds", self.dataset())
+                    else:
+                        mark2 = self.i
+                        try:
+                            assigned[fname2] = (
+                                "col", self.value(self._dummy())
+                            )
+                        except EclSyntaxError:
+                            # dataset-returning function call (quantile6's
+                            # SELF.ids := createDataset(cnt, scale, delta))
+                            self.i = mark2
+                            assigned[fname2] = ("ds", self.dataset())
+            finally:
+                self.toks, self.i = saved_toks, saved_i
+                self.scalars = saved_scalars
+            cols: list[Column] = []
+            children: list[DataFrame] = []
+            for nm2, ty2, w2, d2 in out_fields:
+                kind, val = assigned.get(nm2, (None, None))
+                if kind == "col":
+                    cols.append(
+                        self._coerce_field_col(val, ty2, w2).alias(nm2)
+                    )
+                elif kind == "ds":
+                    children.append(self._nest_as_array(val, nm2))
+                elif d2 is not None and not isinstance(d2, tuple):
+                    cols.append(F.lit(d2).alias(nm2))
+                else:
+                    raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
+            frame = self._dummy().select(*cols)
+            for ch in children:
+                frame = frame.crossJoin(ch)
+            # declared field order + literal row ordinal
+            frame = frame.select(
+                *[f[0] for f in out_fields],
+                F.lit(len(row_frames) + 1).cast("long").alias("__ord__"),
+            )
+            row_frames.append(frame)
+        out = row_frames[0]
+        for rf in row_frames[1:]:
+            out = out.unionByName(rf)
+        self._set_order(out, [F.col("__ord__")])
+        self._ds_fields[id(out)] = out_fields
+        return out
+
+    def _nest_as_array(self, child: DataFrame, alias: str) -> DataFrame:
+        """A dataset value → ONE-row frame holding it as an ordered
+        array<struct> column (child-dataset member nesting)."""
+        order = self._order.get(id(child))
+        if "__ord__" not in child.columns:
+            from pyspark.sql.window import Window
+
+            okeys = order if order is not None else [
+                F.monotonically_increasing_id()
+            ]
+            child = child.withColumn(
+                "__ord__", F.row_number().over(Window.orderBy(*okeys))
+            )
+        fields = [c for c in child.columns if c != "__ord__"]
+        s = child.select(
+            F.struct(
+                F.col("__ord__").alias("__k__"),
+                *[F.col(c) for c in fields],
+            ).alias("s")
+        )
+        packed = s.agg(
+            F.transform(
+                F.sort_array(F.collect_list("s")),
+                lambda x: F.struct(*[x[c].alias(c) for c in fields]),
+            ).alias(alias)
+        )
+        return packed
+
     def _parse_transform_body_columns(self, body: list[_Tok], df):
         """Column-mode parse of a stored TRANSFORM body: optional
         leading attribute list (SKIP(cond)), then SELF.f := expr
@@ -10345,7 +11017,35 @@ class _Parser:
                 if self.accept("."):
                     fname = self.next().text
                     self.expect(":=")
-                    assigned[fname] = self.value(df)
+                    mark_v = self.i
+                    rb = None
+                    if self.peek().text == "quantile" and (
+                        self.toks[self.i + 1].text == "("
+                    ):
+                        # child-dataset member built by a per-row child
+                        # query (quantile9's SELF.ids := QUANTILE(l.ids,
+                        # l.numParts, {id})) — the rebind grammar yields
+                        # the array<struct> Column; tried FIRST because
+                        # the value grammar has no QUANTILE form
+                        rb = self._rebind_parse(df)
+                        if rb is None:
+                            self.i = mark_v
+                    if rb is not None:
+                        assigned[fname] = rb[0]
+                        continue
+                    try:
+                        assigned[fname] = self.value(df)
+                    except EclFailError:
+                        raise
+                    except Exception:
+                        # a dataset-returning call the value grammar
+                        # can't type (quantile5's selectMedian(l.ids))
+                        # — retry as a child-query rebind
+                        self.i = mark_v
+                        rb = self._rebind_parse(df)
+                        if rb is None:
+                            raise
+                        assigned[fname] = rb[0]
                 else:
                     self.expect(":=")
                     src_p = self.next().text

@@ -150,6 +150,16 @@ VERBATIM = [
     "quantile1", "quantile1a", "quantile1b", "quantile2", "quantile3",
     "quantile4", "quantile7", "quantile8", "quantile11", "quantile12",
     "quantile13", "quantile_e1",
+    # QUANTILE as a child query (grouped form, per-row child datasets in
+    # inline transform rows, JVM array-expression selection) and
+    # NORMALIZE SELF := LEFT/RIGHT bulk copies
+    "quantile5", "quantile6", "quantile6b", "quantile9", "quantile10",
+    # front-door LOOP (TAKloopcount/looprow/loopdataset eclhelper.hpp
+    # :987-989, thorlcr/activities/loop/): count mode, row-filter mode
+    # with exit-iteration-major stream order, condition-driven
+    # termination, LEFT-only bodies re-joining fixed datasets
+    # (fresh attribute ids per iteration), COUNTER in body filters
+    "loop3", "loop10", "loopagain2", "loopif", "looplookup", "loopthor",
 ]
 
 
