@@ -547,6 +547,17 @@ class _Parser:
         self._stored_overrides: dict[str, object] = {}
         # named logical files written by OUTPUT(ds,,'name')
         self.files: dict[str, DataFrame] = {}
+        # field XPATH storage attributes, keyed by id(field tuple):
+        # FROMJSON/FROMXML match input keys/elements by these names
+        # (hqlexpr no_xml/no_json; fromjson2's xpath('Name'))
+        self._fxp: dict[int, str] = {}
+        # record-typed TRANSFORM locals (namesRec2 lClaim := fromjson..)
+        # — name -> field meta, for lClaim.field struct access
+        self._struct_locals: dict[str, list] = {}
+        # per-row TRANSFORM dictionaries (dict16's myDict :=
+        # DICTIONARY([{l.search-1},...], idRec)) — name -> key Columns;
+        # IN probes lower to an OR-chain of equality comparisons
+        self._col_dicts: dict[str, list] = {}
         # id(df) -> WHEN action span, fired when the frame's result runs
         self._when_actions: dict[int, list] = {}
         self._post_success: list[list] = []
@@ -856,12 +867,17 @@ class _Parser:
             return F.shiftright(a, b)
         return _cmp(op, a, b)
 
-    @staticmethod
-    def _dbz_guard(expr: Column, divisor: Column, cast_to: str) -> Column:
+    def _dbz_guard(self, expr: Column, divisor: Column, cast_to: str) -> Column:
         """Per-row #option('divideByZero','fail') enforcement on the
         Column path: a zero divisor aborts the workunit via raise_error
         (CASE branches are lazy, so non-zero rows never evaluate it) —
-        parity with eclagent's "Division by zero" abort (dbz2a/b/c)."""
+        parity with eclagent's "Division by zero" abort (dbz2a/b/c).
+        Inside a scalar CATCH scope the failure instead surfaces as a
+        NULL marker, which CATCH coalesces to its fallback — true
+        per-evaluation semantics (a row-2-only zero divisor falls back
+        on that row alone, rows before it keep their values)."""
+        if getattr(self, "_catch_rows", 0):
+            return F.when(divisor.cast("double") != 0, expr)
         return F.when(
             divisor.cast("double") != 0, expr
         ).otherwise(
@@ -1080,7 +1096,7 @@ class _Parser:
     # unsigned8) allowed as definition prefixes; the engine works in
     # Spark types, so the prefix is validated-and-dropped.
     _TYPE_RX = re.compile(
-        r"^(string|varstring|qstring|utf8|unicode|integer|unsigned|real|"
+        r"^(string|varstring|varunicode|qstring|utf8|unicode|integer|unsigned|real|"
         r"boolean|decimal|udecimal)\d*(_\d+)?$"
     )
 
@@ -1319,7 +1335,9 @@ class _Parser:
         self.expect(")")
         if named is not None:
             seq = self._named_seq.get(named, 0)
-            tagged = self._finalize(df).withColumn("__wuord__", F.lit(seq))
+            tagged = self._finalize(self._render_unsigned(df)).withColumn(
+                "__wuord__", F.lit(seq)
+            )
             if extend and named in self.named_results:
                 self.named_results[named] = self.named_results[
                     named
@@ -1336,7 +1354,7 @@ class _Parser:
             # the write consumes the rows; the numbered result is empty
             self.actions.append(self._clean(df).limit(0))
             return
-        self.actions.append(self._finalize(df))
+        self.actions.append(self._finalize(self._render_unsigned(df)))
 
     def _output_projection(self, df: DataFrame) -> DataFrame:
         """OUTPUT(ds, {fields}) — vertical-slice projection; fields may
@@ -2795,6 +2813,39 @@ class _Parser:
         self.expect(";")
         self.actions.append(self._finalize(df))
 
+    def _render_unsigned(self, df: DataFrame) -> DataFrame:
+        """Emit-time u64 rendering: a bare-UNSIGNED field (width mark
+        -8) whose long value went negative renders as the unsigned
+        64-bit value (dict12's -1 -> 18446744073709551615), via a
+        decimal(20,0) reinterpretation. Applied only at the action
+        boundary — internal arithmetic stays on native longs."""
+        meta = self._ds_fields.get(id(df))
+        if not meta:
+            return df
+        u64 = [
+            f[0]
+            for f in meta
+            if len(f) >= 3 and f[1] == "long" and f[2] == -8
+        ]
+        todo = [
+            c for c, t in df.dtypes if c in u64 and t == "bigint"
+        ]
+        if not todo:
+            return df
+        two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(21,0))")
+        out = df
+        for c in todo:
+            dc = F.col(c).cast("decimal(21,0)")
+            out = out.withColumn(
+                c,
+                F.when(F.col(c) < 0, dc + two64).otherwise(dc)
+                .cast("decimal(20,0)"),
+            )
+        if id(df) in self._order:
+            self._set_order(out, self._order[id(df)])
+        self._ds_fields[id(out)] = meta
+        return out
+
     def _finalize(self, df: DataFrame) -> DataFrame:
         """Emit-time canonicalization: a frame with a TRACKED order
         renders in that order — the tracked order wins over the inline
@@ -3791,6 +3842,8 @@ class _Parser:
         out = src.select(*cols, *keep)
         if id(src) in self._order:  # projection preserves row order
             self._set_order(out, self._order[id(src)])
+        if declared_meta is not None and declared is not None:
+            self._ds_fields[id(out)] = [declared_meta[f] for f in declared]
         return out
 
     def _project_named_transform(self, src: DataFrame) -> DataFrame:
@@ -3919,9 +3972,12 @@ class _Parser:
             if w2 and w2 > 0 and ty2 == "string":
                 col2 = F.rpad(col2.cast("string"), w2, " ")
             elif ty2 == "long" and w2 is not None and w2 < 0:
-                col2 = col2.cast("long").bitwiseAND(
-                    F.lit((1 << (8 * -w2)) - 1)
-                )
+                if -w2 >= 8:
+                    col2 = col2.cast("long")
+                else:
+                    col2 = col2.cast("long").bitwiseAND(
+                        F.lit((1 << (8 * -w2)) - 1)
+                    )
             elif ty2 in ("long", "double", "float", "boolean", "string"):
                 col2 = col2.cast(ty2)
             out_cols.append(col2.alias(nm2))
@@ -4289,9 +4345,12 @@ class _Parser:
                     if w2 and w2 > 0 and ty2 == "string":
                         col2 = F.rpad(col2.cast("string"), w2, " ")
                     elif ty2 == "long" and w2 is not None and w2 < 0:
-                        col2 = col2.cast("long").bitwiseAND(
-                            F.lit((1 << (8 * -w2)) - 1)
-                        )
+                        if -w2 >= 8:
+                            col2 = col2.cast("long")
+                        else:
+                            col2 = col2.cast("long").bitwiseAND(
+                                F.lit((1 << (8 * -w2)) - 1)
+                            )
                     elif ty2 in ("long", "double", "float", "boolean", "string"):
                         col2 = col2.cast(ty2)
                 cols.append(col2.alias(f))
@@ -6028,10 +6087,19 @@ class _Parser:
         )
 
     def _literal(self):
-        """One literal token (string/number/bool) as a Python value."""
+        """One literal token (string/number/bool) as a Python value.
+        Adjacent string literals joined by + concatenate (fromjson's
+        long inline JSON rows split across lines)."""
         t = self.next()
         if t.kind == "str":
-            return _unquote(t.text)
+            s = _unquote(t.text)
+            while (
+                self.peek().text == "+"
+                and self.toks[self.i + 1].kind == "str"
+            ):
+                self.next()
+                s += _unquote(self.next().text)
+            return s
         if t.kind == "num":
             v, _ty = _parse_num(t.text)
             return float(v) if isinstance(v, Decimal) else v
@@ -6053,7 +6121,8 @@ class _Parser:
 
     _SPARK_TYPE = {
         "string": "string", "varstring": "string", "qstring": "string",
-        "utf8": "string", "unicode": "string", "integer": "long",
+        "utf8": "string", "unicode": "string", "varunicode": "string",
+        "integer": "long",
         "unsigned": "long", "real": "double", "decimal": "double",
         "udecimal": "double", "boolean": "boolean",
     }
@@ -6084,6 +6153,36 @@ class _Parser:
         declare nested child datasets (array<struct> columns)."""
         self._skip_shim_qual()
         ty = self.next()
+        if ty.text == "set" and self.peek().text == "of":
+            # SET OF <type> member — an array column ("__set__" mark;
+            # fromjson's colours renders {"All"}/<All/> as [''])
+            self.next()
+            ety = self.next()
+            m0 = self._TYPE_RX.match(ety.text)
+            if not m0:
+                raise EclSyntaxError(f"expected set element type at {ety.pos}")
+            ebase = self._SPARK_TYPE[m0.group(1)]
+            nm = self.next()
+            if nm.kind != "ident":
+                raise EclSyntaxError(f"expected field name at {nm.pos}")
+            xp = None
+            if self.peek().text == "{":
+                attr_toks = []
+                depth = 0
+                while True:
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unclosed field attribute block")
+                    depth += tk.text == "{"
+                    depth -= tk.text == "}"
+                    if depth == 0:
+                        break
+                    attr_toks.append(tk)
+                xp = self._scan_xpath(attr_toks)
+            fld = (nm.text, f"array<{ebase}>", None, ("__set__", ebase))
+            if xp:
+                self._fxp[id(fld)] = xp
+            return fld
         if ty.text == "dataset" and self.peek().text == "(":
             # child dataset member: DATASET(recname) fieldname
             self.next()
@@ -6131,7 +6230,9 @@ class _Parser:
             nm = self.next()
             if nm.kind != "ident":
                 raise EclSyntaxError(f"expected field name at {nm.pos}")
+            xp = None
             if self.peek().text == "{":
+                attr_toks = []
                 depth = 0
                 while True:
                     tk = self.next()
@@ -6141,13 +6242,18 @@ class _Parser:
                     depth -= tk.text == "}"
                     if depth == 0:
                         break
+                    attr_toks.append(tk)
+                xp = self._scan_xpath(attr_toks)
             inner = ", ".join(
                 f"{n}: {t}" for n, t, _w, _d in child_fields
             )
             mark = ("__child__", child_fields)
             if count_fn is not None:
                 mark = ("__child__", child_fields, count_fn)
-            return nm.text, f"array<struct<{inner}>>", None, mark
+            fld = (nm.text, f"array<struct<{inner}>>", None, mark)
+            if xp:
+                self._fxp[id(fld)] = xp
+            return fld
         m = self._TYPE_RX.match(ty.text)
         if not m:
             raise EclSyntaxError(f"expected field type at {ty.pos}, got {ty.text!r}")
@@ -6167,9 +6273,16 @@ class _Parser:
             width = int(digits)
         elif base in ("integer", "unsigned") and digits.isdigit():
             width = -int(digits)  # negative marks an INT byte width
+        elif base == "unsigned" and not digits:
+            # bare UNSIGNED is unsigned8: values live in a long (native
+            # 64-bit wrap) and render as u64 at output (dict11/12's
+            # 18446744073709551615)
+            width = -8
+        xp = None
         if self.peek().text == "{":
-            # field attribute block {XPATH('x')}/{MAXLENGTH(n)} — storage
-            # metadata, parsed and dropped
+            # field attribute block {XPATH('x')}/{MAXLENGTH(n)} — XPATH
+            # is kept (FROMJSON/FROMXML input-name mapping); the rest is
+            # storage metadata, parsed and dropped
             close = None
             depth = 0
             j = self.i
@@ -6184,6 +6297,7 @@ class _Parser:
                 j += 1
             if close is None:
                 raise EclSyntaxError("unclosed field attribute block")
+            xp = self._scan_xpath(self.toks[self.i : close])
             self.i = close + 1
         spark_ty = self._SPARK_TYPE[base]
         if base == "real" and digits == "4":
@@ -6199,7 +6313,25 @@ class _Parser:
         default = None
         if self.accept(":="):  # field default: integer2 age := 25
             default = self._literal()
-        return nm.text, spark_ty, width, default
+        fld = (nm.text, spark_ty, width, default)
+        if xp:
+            self._fxp[id(fld)] = xp
+        return fld
+
+    @staticmethod
+    def _scan_xpath(toks: list) -> str | None:
+        """XPATH('path') inside a field attribute block → the path
+        string (case preserved — input matching is exact-case)."""
+        for j, tk in enumerate(toks):
+            if (
+                tk.kind == "ident"
+                and tk.text == "xpath"
+                and j + 2 < len(toks)
+                and toks[j + 1].text == "("
+                and toks[j + 2].kind == "str"
+            ):
+                return _unquote(toks[j + 2].text)
+        return None
 
     def _record_fields(self) -> list[tuple[str, str, int | None]]:
         """{ type name, type name, ... } or a named RECORD reference →
@@ -6593,9 +6725,12 @@ class _Parser:
                     col2 = F.rpad(col2.cast("string"), w2, " ")
                 elif ty2 == "long" and w2 is not None and w2 < 0:
                     # unsignedN/integerN: wrap to the declared byte width
-                    col2 = col2.cast("long").bitwiseAND(
-                        F.lit((1 << (8 * -w2)) - 1)
-                    )
+                    if -w2 >= 8:
+                        col2 = col2.cast("long")
+                    else:
+                        col2 = col2.cast("long").bitwiseAND(
+                            F.lit((1 << (8 * -w2)) - 1)
+                        )
                 elif ty2 in ("long", "double", "float", "boolean", "string"):
                     # declared field type coerces the assigned value
                     # (unsigned x := real-expr truncates, rtlField casts)
@@ -6661,6 +6796,8 @@ class _Parser:
             if ty == "long" and width is not None and width < 0:
                 bits = 8 * -width
                 v = int(v) & ((1 << bits) - 1)
+                if bits >= 64 and v >= 1 << 63:
+                    v -= 1 << 64  # store as the signed-long bit pattern
                 return v
             if ty == "string" and isinstance(v, (int, float)):
                 v = str(v)
@@ -6776,12 +6913,41 @@ class _Parser:
             return items
         return self._literal()
 
+    def _dictionary_columns(self, df) -> list:
+        """DICTIONARY([{expr}, ...], rec) in a ROW context (dict16's
+        per-row myDict): single-key entries evaluate to row-correlated
+        Columns. The record argument is parsed and dropped (keys carry
+        the comparison semantics)."""
+        self.expect("dictionary")
+        self.expect("(")
+        self.expect("[")
+        cols = []
+        while True:
+            self.expect("{")
+            cols.append(self.value(df))
+            self.expect("}")
+            if not self.accept(","):
+                break
+        self.expect("]")
+        if self.accept(","):
+            if (
+                self.peek().kind == "ident"
+                and self.peek().text in self.records
+            ):
+                self.next()
+            else:
+                self._dict_record()
+        self.expect(")")
+        return cols
+
     def _dict_record(self):
-        """DICTIONARY record: { [type] key [, ...] => [type] value
-        { DEFAULT('x') } [, ...] } — returns (key_fields, value_fields,
-        defaults) where fields are (name, spark_type|None). A NAMED
-        record (all fields keys, no values — serial7a's wordRec) also
-        accepts."""
+        """DICTIONARY record: { [type] key [:= expr] [, ...] =>
+        [type] value [:= expr] { DEFAULT('x') } [, ...] } — returns
+        (key_fields, value_fields, defaults, srcs) where fields are
+        (name, spark_type|None) and srcs maps a RENAMED/computed member
+        (dict10's UNSIGNED value := square) to its source token span.
+        A NAMED record (all fields keys, no values — serial7a's
+        wordRec) also accepts."""
         self._skip_shim_qual()
         if (
             self.peek().kind == "ident"
@@ -6792,11 +6958,13 @@ class _Parser:
                 [(nm, ty) for nm, ty, _w, _d in rec],
                 [],
                 {},
+                {},
             )
         self.expect("{")
         key_fields: list[tuple[str, str | None]] = []
         value_fields: list[tuple[str, str | None]] = []
         defaults: dict[str, object] = {}
+        srcs: dict[str, list] = {}
         side = key_fields
         while True:
             t = self.next()
@@ -6821,13 +6989,29 @@ class _Parser:
                         self.expect(")")
                     elif a.kind == "eof":
                         raise EclSyntaxError("unclosed field attributes")
+            if self.accept(":="):
+                # renamed/computed member: capture the source expression
+                # span up to a top-level => , or }
+                span: list[_Tok] = []
+                depth = 0
+                while not (
+                    depth == 0
+                    and self.peek().text in ("=>", ",", "}")
+                ):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated member source")
+                    depth += tk.text in ("(", "[", "{")
+                    depth -= tk.text in (")", "]", "}")
+                    span.append(tk)
+                srcs[name] = span
             if self.accept("=>"):
                 side = value_fields
                 continue
             if not self.accept(","):
                 break
         self.expect("}")
-        return key_fields, value_fields, defaults
+        return key_fields, value_fields, defaults, srcs
 
     @staticmethod
     def _type_zero(ty: str | None):
@@ -6882,10 +7066,11 @@ class _Parser:
             key_fields = [(nm, ty) for nm, ty, _w, _d in fields[:split]]
             value_fields = [(nm, ty) for nm, ty, _w, _d in fields[split:]]
             defaults: dict = {}
+            srcs: dict = {}
             self.next()  # ')'
         else:
             self.expect(",")
-            key_fields, value_fields, defaults = self._dict_record()
+            key_fields, value_fields, defaults, srcs = self._dict_record()
             self.expect(")")
         nkeys = len(key_fields)
         entries: list[tuple] = []  # (key scalar|tuple, [value literals])
@@ -6904,7 +7089,13 @@ class _Parser:
             # instead — the combinator layer's broadcast-map join
             # (queries/q_nested.py dictionary_lookup) is the scale path.
             cap = DICT_COLLECT_CAP
-            rows = src_df.select(*kcols, *vcols).limit(cap + 1).collect()
+            sel = [
+                self._parse_span_value(srcs[n], src_df).alias(n)
+                if n in srcs
+                else F.col(n)
+                for n in kcols + vcols
+            ]
+            rows = src_df.select(*sel).limit(cap + 1).collect()
             if len(rows) > cap:
                 raise EclSyntaxError(
                     f"DICTIONARY source exceeds {cap:,} rows; a dictionary "
@@ -7330,6 +7521,14 @@ class _Parser:
             negate = True
         if t == "in":
             self.next()
+            if (
+                self.peek().kind == "ident"
+                and self.peek().text in self._col_dicts
+            ):
+                m = F.lit(False)
+                for kc in self._col_dicts[self.next().text]:
+                    m = m | (a == kc)
+                return ~m if negate else m
             if self.peek().kind == "ident" and self.peek().text in self.sets:
                 vals = self.sets[self.next().text]
                 if vals is _ALL_SET:
@@ -7491,6 +7690,184 @@ class _Parser:
             ln = hi_c - lo_c + F.lit(1)
         return self._tag_str(F.substring(c, lo_c, ln))
 
+    def _fromtext(self, is_xml: bool, df) -> Column:
+        """FROMJSON/FROMXML(record, text [, TRIM] [, ONFAIL(tf)]) — a
+        struct Column typed by the record (no_json/no_xml
+        hqlexpr.hpp:518-519; fromjson2.ecl..fromxml4.ecl). Lowered to
+        the native from_json/from_xml parsers with a RECORD-derived
+        schema whose input names are the declared XPATHs (exact case —
+        the parsers match case-sensitively), then coerced field-by-field
+        into the record's struct shape. All JVM-side; xpath paths with
+        '/' navigate nested parse structs (fromjson3's Name/FName)."""
+        self.expect("(")
+        rec = self.next()
+        if rec.kind != "ident" or rec.text not in self.records:
+            raise EclSyntaxError(
+                f"FROMJSON/FROMXML needs a record name at {rec.pos}"
+            )
+        fields = self.records[rec.text]
+        self.expect(",")
+        src = self.value(df)
+        trim = False
+        while self.accept(","):
+            opt = self.next()
+            if opt.text == "trim":
+                trim = True
+            elif opt.text == "onfail" and self.peek().text == "(":
+                # parse failures yield NULL fields (the native parsers'
+                # PERMISSIVE mode); the ONFAIL transform itself is not
+                # evaluated (fromxml5's exact error text is out of scope)
+                close = self._match_paren(self.i)
+                self.i = close + 1
+            else:
+                raise EclSyntaxError(
+                    f"unsupported FROMJSON/FROMXML option {opt.text!r}"
+                )
+        self.expect(")")
+        tree = self._fromtext_tree(fields, is_xml)
+        schema = self._fromtext_schema(tree)
+        txt = src.cast("string")
+        parsed = (
+            F.from_xml(txt, F.lit(schema))
+            if is_xml
+            else F.from_json(txt, schema)
+        )
+        return self._fromtext_build(parsed, fields, trim, is_xml)
+
+    @staticmethod
+    def _fromtext_mark(d):
+        """A field's structural mark, unwrapping the IFBLOCK
+        ("__optional__", cond, inner) layer: (mark|None, optional?,
+        plain-default|None)."""
+        mark = d if isinstance(d, tuple) else None
+        if mark and mark[0] == "__optional__":
+            inner = mark[2]
+            if isinstance(inner, tuple):
+                return inner, True, None
+            return None, True, inner
+        if mark:
+            return mark, False, None
+        return None, False, d
+
+    def _fromtext_key(self, f, is_xml: bool) -> list[str]:
+        """Input path segments for a field: its XPATH (exact case) or
+        the lowercased field name; XML attributes (@x) parse under the
+        native reader's '_' prefix."""
+        xp = self._fxp.get(id(f)) or f[0]
+        segs = xp.split("/")
+        if is_xml:
+            segs = [("_" + s[1:]) if s.startswith("@") else s for s in segs]
+        return segs
+
+    def _fromtext_tree(self, fields: list, is_xml: bool) -> dict:
+        """Record fields → a nested {input-name: entry} tree merging
+        shared XPATH path prefixes; entries are ('__leaf__', ty),
+        ('__child__', subtree), ('__struct__', subtree), ('__set__',)
+        or a dict."""
+        tree: dict[str, object] = {}
+        for f in fields:
+            nm, ty, _w, d = f[:4]
+            segs = self._fromtext_key(f, is_xml)
+            node = tree
+            for s in segs[:-1]:
+                nxt = node.setdefault(s, {})
+                if not isinstance(nxt, dict):
+                    raise EclSyntaxError(f"conflicting XPATH prefix {segs!r}")
+                node = nxt
+            mark, _opt, _dflt = self._fromtext_mark(d)
+            if mark and mark[0] == "__child__":
+                sub = self._fromtext_tree(mark[1], is_xml)
+                if self._fxp.get(id(f)):
+                    node[segs[-1]] = ("__child__", sub)
+                else:
+                    # no XPATH: the reference serializes child datasets
+                    # under a Row wrapper ({"books": {"Row": [...]}};
+                    # <books><Row>..</Row></books>)
+                    node[segs[-1]] = {"Row": ("__child__", sub)}
+            elif mark and mark[0] == "__struct__":
+                node[segs[-1]] = ("__struct__",
+                                  self._fromtext_tree(mark[1], is_xml))
+            elif mark and mark[0] == "__set__":
+                # SET OF: {"All": true} | {"Item": [..]} (<All/>/<Item>)
+                node[segs[-1]] = ("__set__",)
+            else:
+                node[segs[-1]] = ("__leaf__", ty)
+        return tree
+
+    def _fromtext_schema(self, tree: dict) -> str:
+        """Parse-schema DDL for a tree: leaves read as string (booleans
+        as boolean) — type coercion happens on the way OUT, so the
+        parser never drops a field over a format nit."""
+        parts = []
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                parts.append(f"`{k}`: {self._fromtext_schema(v)}")
+            elif v[0] == "__child__":
+                parts.append(f"`{k}`: array<{self._fromtext_schema(v[1])}>")
+            elif v[0] == "__struct__":
+                parts.append(f"`{k}`: {self._fromtext_schema(v[1])}")
+            elif v[0] == "__set__":
+                parts.append(
+                    f"`{k}`: struct<`All`: string, `Item`: array<string>>"
+                )
+            else:
+                ty = "boolean" if v[1] == "boolean" else "string"
+                parts.append(f"`{k}`: {ty}")
+        return "struct<" + ", ".join(parts) + ">"
+
+    def _fromtext_build(self, parsed, fields: list, trim: bool,
+                        is_xml: bool):
+        """Parsed struct → the record's typed struct: fixed widths pad,
+        defaults apply when absent, absent IFBLOCK members stay NULL.
+        Fields order attributes-first (xpath '@..'), matching the
+        reference's serialized form so renderings align."""
+        ordered = sorted(
+            fields,
+            key=lambda f: 0 if (
+                self._fxp.get(id(f), "").startswith("@")
+            ) else 1,
+        )
+        cols = []
+        for f in ordered:
+            nm, ty, w, d = f[:4]
+            src = parsed
+            for s in self._fromtext_key(f, is_xml):
+                src = src[s]
+            mark, optional, dflt = self._fromtext_mark(d)
+            if mark and mark[0] == "__child__":
+                def _elem_fn(sub2):
+                    # single-arg lambda (a default param would read as
+                    # the (element, index) binary form to Spark)
+                    return lambda e: self._fromtext_build(
+                        e, sub2, trim, is_xml
+                    )
+
+                if not self._fxp.get(id(f)):
+                    src = src["Row"]
+                col = F.transform(src, _elem_fn(mark[1]))
+            elif mark and mark[0] == "__struct__":
+                built = self._fromtext_build(src, mark[1], trim, is_xml)
+                col = F.when(src.isNotNull(), built) if optional else built
+            elif mark and mark[0] == "__set__":
+                col = F.when(
+                    src["All"].isNotNull(), F.array(F.lit(""))
+                ).otherwise(src["Item"])
+            else:
+                col = src.cast("string")
+                if ty == "string":
+                    if trim:
+                        col = F.rtrim(col)
+                    if dflt is not None:
+                        col = F.coalesce(col, F.lit(dflt))
+                    if w and w > 0:
+                        col = F.rpad(col, w, " ")
+                else:
+                    col = col.cast(ty)
+                    if dflt is not None:
+                        col = F.coalesce(col, F.lit(dflt).cast(ty))
+            cols.append(col.alias(nm))
+        return F.struct(*cols)
+
     def _atom(self, df) -> Column:
         self._skip_shim_qual()  # Files.DG_Fnames[2] -> DG_Fnames[2]
         t = self.next()
@@ -7556,6 +7933,18 @@ class _Parser:
                     "cap; use a JOIN for large-set membership"
                 )
             return F.array(*[F.lit(r[0]) for r in rows_s])
+        if t.text in ("fromjson", "fromxml") and self.peek().text == "(":
+            return self._fromtext(t.text == "fromxml", df)
+        if (
+            t.text == "sort"
+            and self.peek().text == "("
+            and (getattr(self, "_row_params", None) or {})
+        ):
+            # SORT over a child array in a row context (dict17's
+            # SELF.ids := SORT(l.ids, id)(filter)) — child-expr grammar
+            self.i -= 1
+            arr_s, _fs = self._child_expr(df)
+            return arr_s
         if t.text == "wild" and self.peek().text == "(":
             # WILD(field) — an index wildcard-access hint (KEYED/WILD
             # jhtree segment monitors); no row filtering
@@ -8102,22 +8491,43 @@ class _Parser:
             # CATCH(expr, fallback) scalar form (no_catchds analogue for
             # values; testing/regress/ecl/catchexpr.ecl): evaluate the
             # first expression; a runtime failure yields the fallback.
-            # LIMITATION (documented): the decision is made once at parse
-            # time by probing a limit(1) evaluation — an expression that
-            # only fails on rows beyond the first keeps the failing
-            # branch, unlike the reference's per-evaluation CATCH. The
-            # regress corpus exercises whole-expression failures (divide
-            # by zero, FAIL()), which the probe classifies correctly.
+            # Statically-recognizable per-row failure classes (dbz-fail
+            # divisions) lower to runtime guards — inside this scope
+            # they yield NULL markers instead of raising, and the
+            # trailing coalesce applies the fallback PER ROW (a
+            # row-2-only zero divisor falls back on that row alone).
+            # The limit(1) probe stays as the last resort for
+            # whole-expression failures (FAIL(), bad constants) the
+            # guards can't classify.
             self.next()
-            a = self.value(df)
+            mark_c = self.i
+            self._catch_rows = getattr(self, "_catch_rows", 0) + 1
+            try:
+                a = self.value(df)
+            except EclFailError:
+                # constant-folded failure (CATCH(1/0, fb) under
+                # dbz-fail): skip the failing span, take the fallback
+                a = None
+                self.i = mark_c
+                depth = 0
+                while not (depth == 0 and self.peek().text == ","):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated CATCH")
+                    depth += tk.text == "("
+                    depth -= tk.text == ")"
+            finally:
+                self._catch_rows -= 1
             self.expect(",")
             b = self.value(df)
             self.expect(")")
+            if a is None:
+                return b
             try:
                 df.select(a.alias("probe")).limit(1).collect()
-                return a
             except Exception:
                 return b
+            return F.coalesce(a, b)
         if t.text == "regexreplace" and self.peek().text == "(":
             # REGEXREPLACE(pattern, text, replacement [, NOCASE]) —
             # eclrtl rtlRegexReplace; JVM-side regexp_replace
@@ -8412,23 +8822,54 @@ class _Parser:
             # type's empty value (''/0/false), as the reference renders it
             d = self.dicts[t.text]
             self.next()
-            ks = [self._literal()]  # literals and constant scalars both
+            kvals = [self.value(df)]
             while self.accept(","):  # composite key: d[5,2].name
-                ks.append(self._literal())
-            k = ks[0] if len(ks) == 1 else tuple(ks)
+                kvals.append(self.value(df))
             self.expect("]")
             self.expect(".")
             fld = self.next().text
             names = [n for n, _ in d["value_fields"]]
             if fld not in names:
                 raise EclSyntaxError(f"unknown dictionary value field {fld!r}")
-            entry = d["values"].get(k)
-            if entry is not None and entry.get(fld) is not None:
-                return F.lit(entry[fld])
-            if fld in d["defaults"]:
-                return F.lit(d["defaults"][fld])
             ty = dict(d["value_fields"])[fld]
-            return F.lit(self._type_zero(ty))
+            miss = (
+                d["defaults"][fld]
+                if fld in d["defaults"]
+                else self._type_zero(ty)
+            )
+            consts = [self._cget(kc) for kc in kvals]
+            if all(c is not None for c in consts):
+                k = (
+                    consts[0][0]
+                    if len(consts) == 1
+                    else tuple(c[0] for c in consts)
+                )
+                entry = d["values"].get(k)
+                if entry is not None and entry.get(fld) is not None:
+                    return F.lit(entry[fld])
+                return F.lit(miss)
+            # non-constant probe (dict11's squareRoots[LEFT.value].root):
+            # the dictionary is already a driver-held map (cap-guarded),
+            # so lower to element_at over a map literal — a broadcast
+            # scalar lookup, no shuffle, no per-row Python
+            if len(kvals) > 1:
+                raise EclSyntaxError(
+                    "composite-key dictionary probes must be constant"
+                )
+            if not d["keys"]:
+                return F.lit(miss)
+            str_keys = isinstance(d["keys"][0], str)
+            pairs = []
+            for k in d["keys"]:
+                v = d["values"][k].get(fld)
+                pairs.append(F.lit(k.rstrip() if str_keys else k))
+                pairs.append(F.lit(miss if v is None else v))
+            probe = kvals[0]
+            if str_keys:
+                probe = F.rtrim(probe.cast("string"))
+            return F.coalesce(
+                F.element_at(F.create_map(*pairs), probe), F.lit(miss)
+            )
         if t.kind == "ident":
             if t.text in self.functions and self.peek().text == "(":
                 r = self._call_function(t.text, df)
@@ -8439,6 +8880,20 @@ class _Parser:
                 return r
             rp = getattr(self, "_row_params", None) or {}
             if t.text in rp and self.peek().text == ".":
+                frame0 = rp[t.text]
+                fldtok = self.toks[self.i + 1]
+                if (
+                    isinstance(frame0, DataFrame)
+                    and fldtok.kind == "ident"
+                    and self.toks[self.i + 2].text == "("
+                    and fldtok.text in self._child_field_names(frame0)
+                ):
+                    # filtered child read in a row context (dict16's
+                    # l.ids(id IN myDict)) — the child-expr grammar
+                    # owns the postfix element filter
+                    self.i -= 1
+                    arr0, _cf0 = self._child_expr(df)
+                    return arr0
                 # row-parameter field (named-transform Column mode)
                 self.next()
                 return rp[t.text][self.next().text]
@@ -8452,6 +8907,15 @@ class _Parser:
                 # TABLE/filter over that dataset — reads the row field
                 self.next()
                 return self._field_col(df, self.next().text)
+            if (
+                t.text in self._struct_locals
+                and t.text in self.scalars
+                and self.peek().text == "."
+            ):
+                # struct-local member access (lClaim.name): getField on
+                # the record-typed local's struct Column
+                self.next()
+                return self.scalars[t.text][self.next().text]
             if t.text in self.scalars and t.text not in df.columns:
                 if t.text in self.scalar_spans and df is not None:
                     # a hoisted dataset aggregate referenced inside a
@@ -9647,6 +10111,65 @@ class _Parser:
             # read the child field of that parameter's row frame
             self.next()  # '.'
             return self._child_expr(rp0[t.text])
+        if t.text == "sort" and self.peek().text == "(":
+            # SORT(child, keys): array_sort with a field comparator
+            # (dict17's SORT(l.ids, id)); stays a JVM array expression
+            self.next()
+            arr, fields = self._child_expr(df)
+            keys: list[tuple[str, bool]] = []
+            while self.accept(","):
+                k = self.next()
+                if k.text == "local":
+                    continue
+                desc = False
+                if k.text == "-":
+                    k = self.next()
+                    desc = True
+                keys.append((k.text, desc))
+            self.expect(")")
+            tymap0 = {nm: ty for nm, ty, _w, _d in fields}
+
+            def _cmp2(x, y):
+                res = F.lit(0)
+                for kk, dd in reversed(keys):
+                    a_, b_ = (y[kk], x[kk]) if dd else (x[kk], y[kk])
+                    if tymap0.get(kk) == "string":
+                        a_, b_ = F.rtrim(a_), F.rtrim(b_)
+                    res = (
+                        F.when(a_ < b_, F.lit(-1))
+                        .when(a_ > b_, F.lit(1))
+                        .otherwise(res)
+                    )
+                return res
+
+            arr = F.array_sort(arr, _cmp2)
+            # optional postfix element filter: SORT(...)(cond)
+            if self.peek().text == "(":
+                self.next()
+                span: list[_Tok] = []
+                depth = 0
+                while not (depth == 0 and self.peek().text == ")"):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated child filter")
+                    depth += tk.text == "("
+                    depth -= tk.text == ")"
+                    span.append(tk)
+                self.next()  # ')'
+                fieldnames = [f[0] for f in fields]
+
+                def _mk_f(span_l, fnames, fmeta):
+                    def one(x):
+                        return self._eval_elem_cond(
+                            span_l, x, fnames, fields_meta=fmeta
+                        )
+
+                    return one
+
+                arr = F.filter(
+                    arr, _mk_f(list(span), fieldnames, list(fields))
+                )
+            return arr, fields
         if t.text == "dedup" and self.peek().text == "(":
             self.next()
             arr, fields = self._child_expr(df)
@@ -10746,9 +11269,12 @@ class _Parser:
             if w2 and w2 > 0 and ty2 == "string":
                 col2 = F.rpad(col2.cast("string"), w2, " ")
             elif ty2 == "long" and w2 is not None and w2 < 0:
-                col2 = col2.cast("long").bitwiseAND(
-                    F.lit((1 << (8 * -w2)) - 1)
-                )
+                if -w2 >= 8:
+                    col2 = col2.cast("long")
+                else:
+                    col2 = col2.cast("long").bitwiseAND(
+                        F.lit((1 << (8 * -w2)) - 1)
+                    )
             elif ty2 in ("long", "double", "float", "boolean", "string"):
                 col2 = col2.cast(ty2)
             out_cols.append(col2.alias(nm2))
@@ -10847,9 +11373,12 @@ class _Parser:
             if w2 and w2 > 0 and ty2 == "string":
                 col2 = F.rpad(col2.cast("string"), w2, " ")
             elif ty2 == "long" and w2 is not None and w2 < 0:
-                col2 = col2.cast("long").bitwiseAND(
-                    F.lit((1 << (8 * -w2)) - 1)
-                )
+                if -w2 >= 8:
+                    col2 = col2.cast("long")
+                else:
+                    col2 = col2.cast("long").bitwiseAND(
+                        F.lit((1 << (8 * -w2)) - 1)
+                    )
             elif ty2 in ("long", "double", "float", "boolean", "string"):
                 col2 = col2.cast(ty2)
             out_cols.append(col2.alias(nm2))
@@ -10991,6 +11520,8 @@ class _Parser:
         leading attribute list (SKIP(cond)), then SELF.f := expr
         assignments. Returns (assigned dict, skip condition|None)."""
         saved_toks, saved_i = self.toks, self.i
+        saved_sl = dict(self._struct_locals)
+        saved_cd = dict(self._col_dicts)
         self.toks = body + [_Tok("eof", "", body[-1].pos if body else 0)]
         self.i = 0
         assigned: dict[str, Column] = {}
@@ -11012,6 +11543,31 @@ class _Parser:
                 if self.accept(";") or self.accept(","):
                     continue
                 st = self.next()
+                if (
+                    st.kind == "ident"
+                    and self.peek().text == ":="
+                    and self.toks[self.i + 1].text == "dictionary"
+                ):
+                    # per-row dictionary local (dict16): keys are row-
+                    # correlated Columns; IN lowers to an equality chain
+                    self.next()  # ':='
+                    self._col_dicts[st.text] = self._dictionary_columns(df)
+                    continue
+                if (
+                    st.kind == "ident"
+                    and st.text in self.records
+                    and self.peek().kind == "ident"
+                    and self.toks[self.i + 1].text == ":="
+                ):
+                    # record-typed local: namesRec2 lClaim := fromjson(
+                    # namesRec2, L.str, trim); — a struct-valued Column
+                    # later fields read via lClaim.field (fromjson2)
+                    lrec = self.records[st.text]
+                    lname = self.next().text
+                    self.next()  # ':='
+                    self.scalars[lname] = self.value(df)
+                    self._struct_locals[lname] = lrec
+                    continue
                 if st.text != "self":
                     raise EclSyntaxError(f"expected SELF at {st.pos}")
                 if self.accept("."):
@@ -11057,6 +11613,8 @@ class _Parser:
                     assigned["__copy_from__"] = src_p
         finally:
             self.toks, self.i = saved_toks, saved_i
+            self._struct_locals = saved_sl
+            self._col_dicts = saved_cd
         return assigned, skip_cond
 
     def _coerce_field_col(self, col2: Column, ty2: str, w2) -> Column:
@@ -11066,6 +11624,8 @@ class _Parser:
         if w2 and w2 > 0 and ty2 == "string":
             return F.rpad(col2.cast("string"), w2, " ")
         if ty2 == "long" and w2 is not None and w2 < 0:
+            if -w2 >= 8:  # full-width: native long wrap, no mask
+                return col2.cast("long")
             return col2.cast("long").bitwiseAND(F.lit((1 << (8 * -w2)) - 1))
         if ty2 in ("long", "double", "float", "boolean", "string"):
             return col2.cast(ty2)

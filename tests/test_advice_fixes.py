@@ -427,3 +427,32 @@ def test_rx_groups_ignores_parens_in_char_class():
 
     assert _rx_groups(r"\p{L}([(])x") == 1
     assert _rx_groups(r"\p{L}[()](a)(b)") == 2
+
+
+def test_scalar_catch_is_per_evaluation(spark):
+    """CATCH over a dbz-fail division falls back PER ROW: a failure
+    that first appears on row 2 yields the fallback on that row only,
+    keeping row 1's value (r7 ask #6, closed r10). The old limit(1)
+    probe kept the failing branch and aborted the whole workunit."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    src = spark.createDataFrame([(1, 10), (2, 0), (3, 5)], "k bigint, d bigint")
+    ecl = """
+    #option('divideByZero', 'fail');
+    OUTPUT(SORT(TABLE(src, {k, q := CATCH(100 DIV d, -1)}), k));
+    """
+    rows = run_ecl(ecl, {"src": src}, spark=spark).collect()
+    assert [(r.k, r.q) for r in rows] == [(1, 10), (2, -1), (3, 20)]
+
+
+def test_scalar_catch_constant_failure_takes_fallback(spark):
+    """CATCH(1/0, fb) under dbz-fail: the constant-folded failure is
+    caught at parse time and the fallback is returned."""
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    #option('divideByZero', 'fail');
+    OUTPUT(CATCH(1 DIV 0, 42));
+    """
+    (df,) = run_ecl_actions(ecl, {}, spark=spark)
+    assert df.collect()[0][0] == 42

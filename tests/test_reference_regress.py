@@ -160,6 +160,19 @@ VERBATIM = [
     # termination, LEFT-only bodies re-joining fixed datasets
     # (fresh attribute ids per iteration), COUNTER in body filters
     "loop3", "loop10", "loopagain2", "loopif", "looplookup", "loopthor",
+    # FROMJSON/FROMXML Column mode (no_json/no_xml hqlexpr.hpp:518-519)
+    # — native from_json/from_xml with RECORD-derived schemas, XPATH
+    # input names, record-typed TRANSFORM locals (lClaim.field)
+    "fromjson2", "fromjson3", "fromjson4",
+    "fromxml2", "fromxml3", "fromxml4",
+    # full nested forms: XPATH attributes (@x), IFBLOCK presence,
+    # SET OF All/Item conventions, field defaults, child Row wrappers
+    "fromjson", "fromxml",
+    # dict tail: renamed/computed DICTIONARY members (UNSIGNED value :=
+    # square), Column-mode probes (squareRoots[LEFT.value].root ->
+    # element_at over a map literal), per-row TRANSFORM dictionaries
+    # (IN -> equality chain), child SORT(arr, key)(filter), u64 render
+    "dict10", "dict11", "dict12", "dict16", "dict17",
 ]
 
 
@@ -171,14 +184,20 @@ def _expected(name: str) -> list[list[list[str]]]:
     with open(os.path.join(_ECL_DIR, "key", f"{name}.xml")) as f:
         root = ET.fromstring(f"<keys>{f.read()}</keys>")
     def cell(c):
+        # XPATH('@x') fields render as ATTRIBUTES, preceding child
+        # elements in document order (fromjson/fromxml's phoneRecord)
+        attrs = list(c.attrib.values())
         items = c.findall("Item")
         if items:  # SET-valued cell renders as nested <Item> elements
-            return [i.text or "" for i in items]
+            vals = [i.text or "" for i in items]
+            return attrs + vals if attrs else vals
         subs = list(c)
         if subs:
             # nested record (field elements) or child dataset (<Row>
             # elements): recurse — matches Row/array-of-Row rendering
-            return [cell(sub) for sub in subs]
+            return attrs + [cell(sub) for sub in subs]
+        if attrs:
+            return attrs + ([c.text] if c.text else [])
         return c.text or ""
 
     exc = root.find("Exception")
@@ -194,7 +213,23 @@ def _expected(name: str) -> list[list[list[str]]]:
     for ds in root.findall("Dataset"):
         rows = []
         for row in ds.findall("Row"):
-            rows.append([cell(c) for c in row])
+            # a child-dataset field with a simple XPATH renders each
+            # child row as its own repeated element (<Name>..</Name>
+            # <Name>..</Name>, fromjson2) — a run of >=2 adjacent
+            # same-tag cells is ONE array-typed column
+            cells: list = []
+            kids = list(row)
+            j = 0
+            while j < len(kids):
+                k = j
+                while k < len(kids) and kids[k].tag == kids[j].tag:
+                    k += 1
+                if k - j >= 2:
+                    cells.append([cell(c) for c in kids[j:k]])
+                else:
+                    cells.append(cell(kids[j]))
+                j = k
+            rows.append(cells)
         out.append(rows)
     return out
 
