@@ -5828,10 +5828,15 @@ class _Parser:
         n = int(self.next().text)
         skip = False
         onfail = None
-        if self.accept(","):
+        while self.accept(","):
             kw = self.next()
             if kw.text == "skip":
                 skip = True
+            elif kw.text in ("keyed", "count"):
+                # KEYED/COUNT limit placement hints (jhtree keyed-limit
+                # monitors, indexread3) — the guard semantics are the
+                # same on this engine
+                continue
             elif kw.text == "onfail" and self.peek().text == "(":
                 self.next()
                 onfail = self.next().text
@@ -7534,7 +7539,14 @@ class _Parser:
                 if vals is _ALL_SET:
                     m = self._mkconst(True, "boolean")
                     return self._mkconst(False, "boolean") if negate else m
-                m = a.isin(*vals) if vals else F.lit(False)
+                if vals and all(isinstance(v, str) for v in vals):
+                    # ECL string IN is blank-insensitive (indexread3's
+                    # padded Lname IN ['Anderson', 'Smith'])
+                    m = F.rtrim(a).isin(*[v.rstrip() for v in vals])
+                elif vals:
+                    m = a.isin(*vals)
+                else:
+                    m = F.lit(False)
                 ca = self._cget(a)
                 if ca is not None:
                     hit = any(
@@ -7602,7 +7614,15 @@ class _Parser:
             while self.accept(","):
                 items.append(self._addsub(df))
             self.expect("]")
-            m = a.isin(*items)
+            cs = [self._cget(it) for it in items]
+            if cs and all(
+                c is not None and isinstance(c[0], str) for c in cs
+            ):
+                # string IN is blank-insensitive (padded Lname IN
+                # ['Anderson', 'Smith'], indexread3)
+                m = F.rtrim(a).isin(*[c[0].rstrip() for c in cs])
+            else:
+                m = a.isin(*items)
             return ~m if negate else m
         if t == "between":
             self.next()
@@ -7951,6 +7971,16 @@ class _Parser:
             close = self._match_paren(self.i)
             self.i = close + 1
             return self._mkconst(True, "boolean")
+        if t.text == "keyed" and self.peek().text == "(":
+            # KEYED(cond [, OPT]) — a keyed-access HINT around a real
+            # condition (jhtree segment monitors); the filter itself
+            # still applies (indexread3's KEYED(Lname='Anderson'))
+            self.next()
+            v = self.value(df)
+            while self.accept(","):
+                self.next()  # OPT
+            self.expect(")")
+            return v
         if t.text == "__platform__":
             # the engine identifies as a thor-class batch platform
             # (ecl/hql consts __PLATFORM__)
@@ -8656,8 +8686,29 @@ class _Parser:
                         c2 = F.rpad(F.substring(c2, 1, w), w, " ")
                     return self._tag_str(c2)
                 if base in _INT_BASES:
+                    if self._is_strcol(operand):
+                        # ECL rtlStrToInt: parse the leading numeric
+                        # prefix, non-numeric -> 0 ((integer)'J' = 0,
+                        # indexread3's fuzzy) — never an ANSI error
+                        return F.coalesce(
+                            F.regexp_extract(
+                                operand.cast("string"),
+                                r"^\s*([-+]?\d+)",
+                                1,
+                            ).try_cast("long"),
+                            F.lit(0),
+                        )
                     return operand.cast("long")
                 if base == "real":
+                    if self._is_strcol(operand):
+                        return F.coalesce(
+                            F.regexp_extract(
+                                operand.cast("string"),
+                                r"^\s*([-+]?\d*\.?\d+(?:[eE][-+]?\d+)?)",
+                                1,
+                            ).try_cast("double"),
+                            F.lit(0.0),
+                        )
                     return operand.cast("double")
                 if base == "boolean":
                     return operand.cast("boolean")

@@ -180,6 +180,83 @@ def _dg_evens(spark):
 DG_OUTREC_FP = DG_OUTREC + [_FILEPOS]
 DG_OUTRECCHILD_FP = DG_OUTRECCHILD + [_FILEPOS]
 
+# ---- fetch fixture (setup/setup_fetch.ecl + files.ecl:88-114) ----
+
+DG_FETCH_REC = [
+    ("sequence", "long", None, None),
+    ("state", "string", 2, None),
+    ("city", "string", 20, None),
+    ("lname", "string", 25, None),
+    ("fname", "string", 15, None),
+]
+_FETCH_FILEPOS = ("__filepos", "long", None, None)
+DG_FETCH_REC_FP = DG_FETCH_REC + [_FETCH_FILEPOS]
+# INDEX(DG_FetchFile, {Lname,Fname}, {tfn := TRIM(Fname), state,
+# STRING100 blobfield := fname+lname, __filepos}) (files.ecl:103)
+DG_FETCH_INDEX_REC = [
+    ("lname", "string", 25, None),
+    ("fname", "string", 15, None),
+    ("tfn", "string", None, None),
+    ("state", "string", 2, None),
+    ("blobfield", "string", 100, None),
+    _FETCH_FILEPOS,
+]
+_DG_FETCH_RECSIZE = 70  # 8+2+20+25+15 bytes
+
+
+@lru_cache(maxsize=None)
+def _fetch_rows() -> list[tuple]:
+    """FetchData literals (setup_fetch.ecl), in the stored FILE order:
+    two-way DISTRIBUTE on lname<'Jom', each part SORTed by whole record,
+    parts concatenated — __filepos is the global 70-byte offset."""
+    text = _read("setup_fetch.ecl")
+    rows: list[tuple] = []
+    for m in re.finditer(
+        r"\{(\d+),\s*'([^']*)',\s*'([^']*)',\s*'([^']*)',\s*'([^']*)'\}",
+        text,
+    ):
+        seq, state, city, ln, fn = m.groups()
+        rows.append((int(seq), state, city, ln, fn))
+    ordered = sorted(r for r in rows if r[3] < "Jom") + sorted(
+        r for r in rows if not (r[3] < "Jom")
+    )
+    return [
+        (
+            seq,
+            state.ljust(2),
+            city.ljust(20),
+            ln.ljust(25),
+            fn.ljust(15),
+            i * _DG_FETCH_RECSIZE,
+        )
+        for i, (seq, state, city, ln, fn) in enumerate(ordered)
+    ]
+
+
+def _dg_fetchfile(spark):
+    return spark.createDataFrame(
+        _fetch_rows(),
+        "sequence long, state string, city string, lname string, "
+        "fname string, __filepos long",
+    ).coalesce(1)
+
+
+def _dg_fetchindex(spark):
+    """DG_FetchIndex read order: (lname, fname, state, __filepos) — the
+    BUILDINDEX sort (setup_fetch.ecl); payload per files.ecl:103."""
+    rows = sorted(
+        (
+            (r[3], r[4], r[4].strip(), r[1], (r[4] + r[3]).ljust(100), r[5])
+            for r in _fetch_rows()
+        ),
+        key=lambda t: (t[0], t[1], t[3], t[5]),
+    )
+    return spark.createDataFrame(
+        [r + (i,) for i, r in enumerate(rows)],
+        "lname string, fname string, tfn string, state string, "
+        "blobfield string, __filepos long, __ord__ long",
+    ).coalesce(1)
+
 
 def files_members(multi_part: bool = False, use_local: bool = False) -> dict:
     """The setup.Files(...) module surface (setup/files.ecl). File-name
@@ -220,6 +297,19 @@ def files_members(multi_part: bool = False, use_local: bool = False) -> dict:
         # (sources/index.py design); same rows, key order
         "dg_indexfile": ("dataset", _dg_index, DG_OUTREC_FP),
         "dg_indexfileevens": ("dataset", _dg_index_evens, DG_OUTREC_FP),
+        "dg_fetchrecord": ("record", DG_FETCH_REC),
+        "dg_fetchfilename": ("const", prefix + "c.dg_fetchfile", "string"),
+        "dg_fetchindex1name": ("const", iprefix + "dg_fetchindex1", "string"),
+        "dg_fetchindexdiffname": (
+            "const", iprefix + "dg_fetchindexdiff", "string",
+        ),
+        "dg_fetchfile": ("dataset", _dg_fetchfile, DG_FETCH_REC_FP),
+        "dg_fetchfilepreload": ("dataset", _dg_fetchfile, DG_FETCH_REC_FP),
+        "dg_fetchfilepreloadindexed": (
+            "dataset", _dg_fetchfile, DG_FETCH_REC_FP,
+        ),
+        "dg_fetchindex": ("dataset", _dg_fetchindex, DG_FETCH_INDEX_REC),
+        "dg_fetchindex1": ("dataset", _dg_fetchindex, DG_FETCH_INDEX_REC),
     }
     for name, vals in s.items():
         m[name] = ("set", vals)

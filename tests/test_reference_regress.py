@@ -173,6 +173,13 @@ VERBATIM = [
     # element_at over a map literal), per-row TRANSFORM dictionaries
     # (IN -> equality chain), child SORT(arr, key)(filter), u64 render
     "dict10", "dict11", "dict12", "dict16", "dict17",
+    # index-read tail over the DG_Fetch fixture (setup_fetch.ecl two-way
+    # distribute + record sort, BUILDINDEX key order, blob payload):
+    # KEYED/WILD hints as filters, keyed LIMIT hints, blank-insensitive
+    # string IN, lenient (integer)/(real) string casts, positional
+    # CHOOSEN over the key order
+    "indexread", "indexread3", "indexread8", "indexagg",
+    "indexagg_choosen",
 ]
 
 
