@@ -695,6 +695,11 @@ class _Parser:
         self._coltype[id(col)] = "string"
         return col
 
+    def _tag_arr(self, col: Column) -> Column:
+        self._cpins.append(col)
+        self._coltype[id(col)] = "array"
+        return col
+
     def _is_strcol(self, col) -> bool:
         c = self._cget(col)
         if c is not None:
@@ -829,6 +834,12 @@ class _Parser:
             # (serial6a's unpadded title vs string20 index key)
             return _cmp(op, F.rtrim(a), F.rtrim(b))
         if op == "+":
+            if (
+                self._coltype.get(id(a)) == "array"
+                or self._coltype.get(id(b)) == "array"
+            ):
+                # child-dataset append (fetch2's L.books + R.books)
+                return self._tag_arr(F.concat(a, b))
             if self._is_strcol(a) or self._is_strcol(b):
                 # ECL string '+' is concatenation; a non-string const
                 # side coerces to its string rendering first
@@ -1924,6 +1935,18 @@ class _Parser:
 
     def _is_definition(self) -> bool:
         t = self.toks[self.i]
+        if (
+            t.text in self.shims
+            and self.toks[self.i + 1].text == "."
+        ):
+            # shim-qualified rettype (sq.PersonBookIdRec f(...) := ...):
+            # classify past the qualifier (keyed_join3)
+            save_i = self.i
+            self.i += 2
+            try:
+                return self._is_definition()
+            finally:
+                self.i = save_i
         if t.text == "{":
             # inline {brace record} rettype: { ... } name(params) :=
             close = self._match_brace(self.i)
@@ -1958,6 +1981,16 @@ class _Parser:
             and self.toks[self.i + 4].text == ":="
         ):
             return True
+        # TYPEOF(ds)/RECORDOF(ds) rettype prefix (keyed_fetch, fetch2)
+        if t.text in ("typeof", "recordof") and nxt.text == "(":
+            close = self._match_paren(self.i + 1)
+            if (
+                close is not None
+                and self.toks[close + 1].kind in ("ident", "kw")
+                and self.toks[close + 2].text == "("
+            ):
+                k = self._match_paren(close + 2)
+                return k is not None and self.toks[k + 1].text == ":="
         # DATASET(rec) rettype prefix: DATASET(rec) name(params) :=
         if t.text == "dataset" and nxt.text == "(":
             close = self._match_paren(self.i + 1)
@@ -2041,6 +2074,7 @@ class _Parser:
                 "const", "linkcounted", "embedded", "virtual"
             ):
                 self.next()
+            self._skip_shim_qual()  # Files.DG_FlatFile L (keyed_join)
             ty = None
             t = self.next()
             if t.kind != "ident" and t.kind != "kw":
@@ -2053,6 +2087,13 @@ class _Parser:
             ):
                 ty = t.text
                 t = self.next()
+            elif t.text == "typeof" and self.peek().text == "(":
+                # TYPEOF(ds) typed parameter (keyed_fetch's maybesort):
+                # shape comes from the argument
+                close = self._match_paren(self.i)
+                self.i = close + 1
+                ty = "dataset"
+                t = self.next()
             elif t.text == "dataset" and self.peek().text == "(":
                 # dataset(rec) / dataset({inline record}) typed parameter
                 # — the record shape comes from the argument itself;
@@ -2064,6 +2105,7 @@ class _Parser:
                         raise EclSyntaxError("unterminated record in dataset param")
                     self.i = close + 1
                 else:
+                    self._skip_shim_qual()  # dataset(sq.X) (fetch2)
                     self.next()  # record name
                 self.expect(")")
                 ty = "dataset"
@@ -2094,6 +2136,13 @@ class _Parser:
         END``) for re-parse at each call site — the reference binds
         parameters the same lazy way (hqlgram.y parameterized
         definitions create no_funcdef nodes expanded on use)."""
+        while (
+            self.peek().kind == "directive"
+            and self.peek().text in ("#if", "#expand")
+        ):
+            # conditional compilation WRAPPING a definition body
+            # (keyed_fetch's maybesort := #if (useLocal) ... #else ...)
+            self._process_cond_directives()
         if self.peek().text == "function" or (
             self.peek().text == "transform"
             and self.toks[self.i + 1].text != "("
@@ -2311,6 +2360,7 @@ class _Parser:
              self.records) = saved_scopes
 
     def _definition(self) -> None:
+        self._skip_shim_qual()
         if self.peek().text == "{":
             # inline {brace record} return type on a parameterized
             # definition: register it as a synthetic named record
@@ -2341,7 +2391,7 @@ class _Parser:
                 vals: list = []
                 if not self.accept("]"):
                     while True:
-                        vals.append(self._literal())
+                        vals.append(self._set_element())
                         if not self.accept(","):
                             break
                     self.expect("]")
@@ -2350,6 +2400,33 @@ class _Parser:
                 while self.peek().text != ";" and self.peek().kind != "eof":
                     self.next()
             self.expect(";")
+            return
+        if (
+            first.text in ("typeof", "recordof")
+            and self.toks[self.i].text == "("
+            and (close_t := self._match_paren(self.i)) is not None
+            and self.toks[close_t + 1].kind in ("ident", "kw")
+            and self.toks[close_t + 2].text == "("
+        ):
+            # TYPEOF/RECORDOF(ds) return-type prefix: synthesize a
+            # record from the dataset's field meta (keyed_fetch, fetch2)
+            self.i += 1  # inside '('
+            self._skip_shim_qual()
+            dsname = self.next().text
+            self.i = close_t + 1
+            dfd = self.env.get(dsname)
+            meta = (
+                self._ds_fields.get(id(dfd)) if dfd is not None else None
+            )
+            if meta is None:
+                raise EclSyntaxError(f"TYPEOF of unknown dataset {dsname!r}")
+            syn_t = f"__rec_{len(self.records)}__"
+            self.records[syn_t] = list(meta)
+            name = self.next()
+            params = self._parse_params()
+            self.expect(":=")
+            self._last_rettype = syn_t
+            self._capture_function_body(name.text, params)
             return
         if (
             first.text == "dataset"
@@ -2610,7 +2687,7 @@ class _Parser:
             vals: list = []
             if not self.accept("]"):
                 while True:
-                    vals.append(self._literal())
+                    vals.append(self._set_element())
                     if not self.accept(","):
                         break
                 self.expect("]")
@@ -2944,6 +3021,8 @@ class _Parser:
             df = self._case_dataset()
         elif t.text == "dataset":
             df = self._inline_dataset()
+        elif t.text == "fetch" and self.toks[self.i + 1].text == "(":
+            df = self._fetch()
         elif (
             t.text == "row"
             and self.toks[self.i + 1].text == "("
@@ -3357,7 +3436,7 @@ class _Parser:
             "table", "project", "normalize", "join", "sort", "dedup",
             "choosen", "topn", "merge", "sample", "enth", "limit",
             "distribute", "having", "denormalize", "dataset", "nofold",
-            "quantile", "loop",
+            "quantile", "loop", "fetch",
         ):
             return True
         if (
@@ -3959,6 +4038,7 @@ class _Parser:
             self._counter_col = saved_counter
             self.scalars = saved_scalars
         copy_from = assigned.pop("__copy_from__", None)
+        fill_dflt = assigned.pop("__fill_defaults__", False)
         out_cols = []
         for nm2, ty2, w2, d2 in out_fields:
             if nm2 in assigned:
@@ -3967,6 +4047,8 @@ class _Parser:
                 col2 = base[nm2]
             elif d2 is not None and not isinstance(d2, tuple):
                 col2 = F.lit(d2)
+            elif fill_dflt:
+                col2 = self._zero_col(ty2, w2)
             else:
                 raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
             if w2 and w2 > 0 and ty2 == "string":
@@ -4090,6 +4172,84 @@ class _Parser:
             raise EclSyntaxError(f"NORMALIZE TRANSFORM must assign: {missing}")
         return exploded.select(*[assigned[f].alias(f) for f in declared])
 
+
+    def _fetch(self) -> DataFrame:
+        """FETCH(base, index(filter), RIGHT.<posfield>, t(LEFT) [,opts])
+        (TAKfetch eclhelper.hpp:926): for each index row, read the base
+        record at its file position — lowered to an equi-join on the
+        position column (the combinator layer's surrogate-key join).
+        Emission follows the index stream order (keyed_fetch)."""
+        self.expect("fetch")
+        self.expect("(")
+        base = self.dataset()
+        base_meta = self._ds_fields.get(id(base))
+        self.expect(",")
+        idx = self.dataset()
+        self.expect(",")
+        self.expect("right")
+        self.expect(".")
+        posf = self.next().text
+        self.expect(",")
+        fname = self.next().text
+        if fname not in self.functions:
+            raise EclSyntaxError("FETCH needs a named transform")
+        # the base side renames under a private prefix so the equi-join
+        # condition and transform reads resolve unambiguously
+        bpos = posf if posf in base.columns else "filepos"
+        b = base.select(
+            *[F.col(c).alias("__b_" + c) for c in base.columns]
+        )
+        bcols = [c for c in base.columns if c != "__ord__"]
+        bdt = dict(base.dtypes)
+
+        class _BaseSide:
+            columns = bcols
+            dtypes = [(c, bdt.get(c, "string")) for c in bcols]
+
+            def __getitem__(self, name):
+                return F.col("__b_" + name)
+
+        # LEFT binds to the fetched base record, RIGHT to the index row
+        # (the transform's argument list decides, like a JOIN transform)
+        declared, assigned, copy_side, meta, skip_cond = (
+            self._join_named_transform(fname, _BaseSide(), idx)
+        )
+        while self.accept(","):
+            self.next()  # LOCAL etc.
+        self.expect(")")
+        joined = idx.join(b, F.col("__b_" + bpos) == idx[posf], "inner")
+        if skip_cond is not None:
+            joined = joined.where(~skip_cond)
+        cols = []
+        for f in declared:
+            if f in assigned:
+                col2 = assigned[f]
+            elif copy_side == "left":
+                col2 = _BaseSide()[f]
+            elif copy_side == "right":
+                col2 = idx[f]
+            elif copy_side == "__defaults__":
+                fm0 = (meta or {}).get(f)
+                col2 = self._zero_col(
+                    fm0[1] if fm0 else None, fm0[2] if fm0 else None
+                )
+            else:
+                raise EclSyntaxError(
+                    f"FETCH TRANSFORM field {f!r} not assigned"
+                )
+            fm = (meta or {}).get(f)
+            if fm is not None:
+                col2 = self._coerce_field_col(col2, fm[1], fm[2])
+            cols.append(col2.alias(f))
+        keep = ["__ord__"] if "__ord__" in idx.columns else []
+        out = joined.select(*cols, *keep)
+        if keep:
+            self._set_order(out, [F.col("__ord__")])
+        out_meta = [(meta or {}).get(f) for f in declared]
+        if all(m is not None for m in out_meta):
+            self._ds_fields[id(out)] = out_meta
+        return out
+
     def _join(self) -> DataFrame:
         self.expect("join")
         self.expect("(")
@@ -4170,6 +4330,7 @@ class _Parser:
         many = False
         use_all = False
         transform_spec = None
+        transform_src = None
         join_limit_n = None
         join_onfail = None
         atmost_n = None
@@ -4195,17 +4356,19 @@ class _Parser:
             elif t == "all":
                 use_all = True
             elif t == "transform":
-                transform_spec = self._join_transform(
-                    self._defaulting_side(lref), self._defaulting_side(rref)
-                )
+                # defer the parse until the join TYPE is known: a LEFT/
+                # RIGHT ONLY transform must read the dead side as blanks
+                close_t = self._match_paren(self.i)
+                transform_src = ("inline", None, self.i, close_t)
+                self.i = close_t + 1
             elif (
                 t in self.functions
                 and self.functions[t].get("transform")
                 and self.peek().text == "("
             ):
-                transform_spec = self._join_named_transform(
-                    t, self._defaulting_side(lref), self._defaulting_side(rref)
-                )
+                close_t = self._match_paren(self.i)
+                transform_src = ("named", t, self.i, close_t)
+                self.i = close_t + 1
             elif t == "limit" and self.peek().text == "(":
                 self.next()
                 nc = self._cget(self.value(self._dummy()))
@@ -4225,8 +4388,12 @@ class _Parser:
                 else:
                     join_onfail = self._join_named_transform(
                         fname2,
-                        self._defaulting_side(lref),
-                        self._all_default_side(rref),
+                        self._defaulting_side(
+                            lref, self._ds_fields.get(id(left))
+                        ),
+                        self._all_default_side(
+                            rref, self._ds_fields.get(id(right))
+                        ),
                     )
                 self.expect(")")
             elif t == "atmost" and self.peek().text == "(":
@@ -4250,17 +4417,44 @@ class _Parser:
             elif t == "hint" and self.peek().text == "(":
                 close = self._match_paren(self.i)
                 self.i = close + 1  # physical hints — Catalyst plans here
+            elif t == "keyed" and self.peek().text == "(":
+                # KEYED(index) — full-keyed-join access path via the
+                # named index (thkeyedjoinslave); the join's semantics
+                # are unchanged, so the hint parses and drops
+                close = self._match_paren(self.i)
+                self.i = close + 1
             elif t in (
                 "local", "nosort", "few", "many", "parallel", "grouped",
                 "smart", "unordered", "ordered", "stable", "unstable",
+                "keyed", "unkeyed",
             ):
                 # placement/strategy hints — Catalyst (AQE) plans here;
                 # SMART is the reference's runtime lookup/hash failover
-                # (thorlcr lookupjoin), which IS Spark's adaptive join
+                # (thorlcr lookupjoin), which IS Spark's adaptive join;
+                # KEYED/UNKEYED pick the index-vs-scan access path
+                # (thkeyedjoinslave), an access hint on this engine
                 pass
             else:
                 raise EclSyntaxError(f"unknown JOIN option {t!r}")
         self.expect(")")
+        if transform_src is not None:
+            saved_it = self.i
+            lmeta0 = self._ds_fields.get(id(left))
+            rmeta0 = self._ds_fields.get(id(right))
+            l_side = self._defaulting_side(lref, lmeta0)
+            r_side = self._defaulting_side(rref, rmeta0)
+            if how == "left_anti":
+                r_side = self._all_default_side(rref, rmeta0)
+            elif how == "right_anti":
+                l_side = self._all_default_side(lref, lmeta0)
+            self.i = transform_src[2]
+            if transform_src[0] == "inline":
+                transform_spec = self._join_transform(l_side, r_side)
+            else:
+                transform_spec = self._join_named_transform(
+                    transform_src[1], l_side, r_side
+                )
+            self.i = saved_it
         if lookup and not many and eq_pairs:
             # LOOKUP (without MANY) keeps ONE right match per left row
             # (hthor/thor lookup-join contract; MANY LOOKUP keeps all) —
@@ -4335,6 +4529,11 @@ class _Parser:
                     col2 = lref[f]
                 elif copy_side == "right":
                     col2 = rref[f]
+                elif copy_side == "__defaults__":
+                    fm0 = (meta or {}).get(f)
+                    col2 = self._zero_col(
+                        fm0[1] if fm0 else None, fm0[2] if fm0 else None
+                    )
                 else:
                     raise EclSyntaxError(
                         f"JOIN TRANSFORM field {f!r} not assigned"
@@ -4362,6 +4561,10 @@ class _Parser:
         has_ords = "__ord__" in left.columns and "__ord__" in right.columns
 
         def join_ord():
+            if how in ("left_anti", "right_anti"):
+                # the dead side's ordinal never survives an anti join
+                ref = lref if how == "left_anti" else rref
+                return (ref["__ord__"] * F.lit(1_000_000)).alias("__ord__")
             return (
                 F.coalesce(lref["__ord__"], F.lit(1 << 40)) * F.lit(1_000_000)
                 + F.coalesce(rref["__ord__"], F.lit(0))
@@ -4433,15 +4636,19 @@ class _Parser:
             return res
         return out.select(*lcols, *rcols)
 
-    @staticmethod
-    def _defaulting_side(frame):
+    def _defaulting_side(self, frame, meta=None):
         """Wrap a join side so field reads COALESCE to the field type's
         default — ECL has no NULLs: an outer-join miss reads as 0/''/
-        false in the transform (rtlField defaults)."""
+        false in the transform (rtlField defaults; fixed-width strings
+        read as width blanks, keyed_join's unmatched rightrec)."""
         dt = dict(frame.dtypes) if hasattr(frame, "dtypes") else {}
+        widths = {f[0]: f[2] for f in (meta or []) if len(f) >= 3}
 
         class _Dflt:
             columns = getattr(frame, "columns", [])
+            # expose dtypes so readers string-tag text fields (ECL '+'
+            # concatenation inside join transforms, keyed_join)
+            dtypes = getattr(frame, "dtypes", [])
 
             def __getitem__(self, name):
                 ty = dt.get(name, "")
@@ -4452,19 +4659,21 @@ class _Parser:
                 elif ty == "boolean":
                     d = F.lit(False)
                 else:
-                    d = F.lit("")
+                    w = widths.get(name)
+                    d = F.lit("".ljust(w) if w and w > 0 else "")
                 return F.coalesce(frame[name], d)
 
         return _Dflt()
 
-    @staticmethod
-    def _all_default_side(frame):
+    def _all_default_side(self, frame, meta=None):
         """A side that reads as an all-defaults BLANK row (the
         unmatched side in an ONFAIL transform)."""
         dt = dict(frame.dtypes) if hasattr(frame, "dtypes") else {}
+        widths = {f[0]: f[2] for f in (meta or []) if len(f) >= 3}
 
         class _Blank:
             columns = getattr(frame, "columns", [])
+            dtypes = getattr(frame, "dtypes", [])
 
             def __getitem__(self, name):
                 ty = dt.get(name, "")
@@ -4474,7 +4683,8 @@ class _Parser:
                     return F.lit(0.0)
                 if ty == "boolean":
                     return F.lit(False)
-                return F.lit("")
+                w = widths.get(name)
+                return F.lit("".ljust(w) if w and w > 0 else "")
 
         return _Blank()
 
@@ -4527,9 +4737,13 @@ class _Parser:
             self._row_params = saved_rp
             self.scalars = saved_scalars
         copy_from = assigned.pop("__copy_from__", None)
+        if assigned.pop("__fill_defaults__", False):
+            copy_map[None] = "__defaults__"
         copy_side = copy_map.get(copy_from)
         declared = [f[0] for f in out_fields]
         meta = {f[0]: f for f in out_fields}
+        if copy_side is None and copy_map.get(None):
+            copy_side = "__defaults__"
         return declared, assigned, copy_side, meta, skip_cond
 
     def _join_transform(self, left: DataFrame, right: DataFrame):
@@ -6091,6 +6305,22 @@ class _Parser:
             *[parent[c] for c in parent.columns], nested[nested_field]
         )
 
+
+    def _set_element(self):
+        """One SET literal element: a literal token, or any constant-
+        foldable expression (keyed_join's Files.DG_Fnames[4])."""
+        mark = self.i
+        try:
+            return self._literal()
+        except EclSyntaxError:
+            self.i = mark
+        c = self._cget(self.value(self._dummy()))
+        if c is None:
+            raise EclSyntaxError(
+                f"set element must be constant at {self.toks[mark].pos}"
+            )
+        return c[0]
+
     def _literal(self):
         """One literal token (string/number/bool) as a Python value.
         Adjacent string literals joined by + concatenate (fromjson's
@@ -6378,7 +6608,7 @@ class _Parser:
                 if self.peek().text == "}":
                     break
                 continue
-            fields.append(self._one_field())
+            fields.append(self._record_member())
             if self.accept("=>"):
                 # dictionary-shaped record ({key => value}): remember the
                 # key/value split for DICTIONARY(ds) inference
@@ -6899,8 +7129,16 @@ class _Parser:
         return self.spark().createDataFrame([], schema)
 
     def _row_value(self):
-        """One value inside an inline-dataset row: a literal or a
-        nested child-dataset list [{...}, ...]."""
+        """One value inside an inline-dataset row: a literal, a nested
+        ROW literal {..} for a record-typed member (keyed_join6's
+        { { false, '1' }, ... }), or a child-dataset list [{...}, ...]."""
+        if self.peek().text == "{":
+            self.next()
+            sub = [self._row_value()]
+            while self.accept(",") or self.accept("=>"):
+                sub.append(self._row_value())
+            self.expect("}")
+            return tuple(sub)
         if self.peek().text == "[":
             self.next()
             items = []
@@ -7017,6 +7255,44 @@ class _Parser:
                 break
         self.expect("}")
         return key_fields, value_fields, defaults, srcs
+
+    def _zero_col(self, ty: str | None, w=None) -> Column:
+        """A typed ZERO Column for SELF := [] fills (rtlField defaults):
+        0/''/false, zero decimals, empty arrays, structs of zeros."""
+        if ty is None or ty == "string":
+            return F.lit(" " * w if w and w > 0 else "")
+        if ty == "long":
+            return F.lit(0)
+        if ty in ("double", "float"):
+            return F.lit(0.0).cast(ty)
+        if ty == "boolean":
+            return F.lit(False)
+        if ty.startswith("decimal"):
+            return F.expr(f"CAST(0 AS {ty})")
+        if ty.startswith("array"):
+            return F.expr("array()").cast(ty)
+        if ty.startswith("struct"):
+            from pyspark.sql.types import StructType, _parse_datatype_string
+
+            def zero_dt(dt):
+                if isinstance(dt, StructType):
+                    return F.struct(
+                        *[
+                            zero_dt(f.dataType).alias(f.name)
+                            for f in dt.fields
+                        ]
+                    )
+                ss = dt.simpleString()
+                if ss == "string":
+                    return F.lit("")
+                if ss == "boolean":
+                    return F.lit(False)
+                if ss.startswith("array"):
+                    return F.expr("array()").cast(dt)
+                return F.lit(0).cast(dt)
+
+            return zero_dt(_parse_datatype_string(ty))
+        return F.lit(self._type_zero(ty))
 
     @staticmethod
     def _type_zero(ty: str | None):
@@ -7981,6 +8257,10 @@ class _Parser:
                 self.next()  # OPT
             self.expect(")")
             return v
+        if t.text == "workunit" and self.peek().text != "(":
+            # bare WORKUNIT — the workunit id (names scratch files in
+            # loopvar/keyed_join5; any stable constant serves)
+            return self._mkconst("spark-wu", "string")
         if t.text == "__platform__":
             # the engine identifies as a thor-class batch platform
             # (ecl/hql consts __PLATFORM__)
@@ -8076,8 +8356,31 @@ class _Parser:
             self.expect("(")
             cond = self.value(df)
             self.expect(",")
+            if self.peek().text == "skip" and self.toks[
+                self.i + 1
+            ].text == ",":
+                # IF(cond, SKIP, v) in a Column-mode transform: the row
+                # drops when cond holds; the value is the else branch
+                # (keyed_join's makePairSkip)
+                self.next()
+                self.expect(",")
+                els = self.value(df)
+                self.expect(")")
+                ps = getattr(self, "_pending_skip", None)
+                self._pending_skip = cond if ps is None else (ps | cond)
+                return els
             then = self.value(df)
             self.expect(",")
+            if self.peek().text == "skip" and self.toks[
+                self.i + 1
+            ].text == ")":
+                # IF(cond, v, SKIP): row drops when cond FAILS
+                self.next()
+                self.expect(")")
+                ps = getattr(self, "_pending_skip", None)
+                ns = ~cond
+                self._pending_skip = ns if ps is None else (ps | ns)
+                return then
             els = self.value(df)
             self.expect(")")
             cc = self._cget(cond)
@@ -8724,11 +9027,20 @@ class _Parser:
             if jf is not None:
                 fld_j = self.next().text
                 col_j = self._postfix_child(jf[0][fld_j])
-                if (
-                    hasattr(jf[0], "dtypes")
-                    and dict(jf[0].dtypes).get(fld_j) == "string"
+                dt_j = dict(jf[0].dtypes) if hasattr(jf[0], "dtypes") else {}
+                while (
+                    dt_j.get(fld_j, "").startswith("struct")
+                    and self.peek().text == "."
+                    and self.toks[self.i + 1].kind == "ident"
                 ):
+                    # nested-record member (keyed_join6's LEFT.s.v)
+                    self.next()
+                    col_j = col_j[self.next().text]
+                    dt_j = {}
+                if dt_j.get(fld_j) == "string":
                     col_j = self._tag_str(col_j)
+                elif dt_j.get(fld_j, "").startswith("array"):
+                    col_j = self._tag_arr(col_j)
                 return col_j
             return df[self.next().text]
         if t.text == "right" and self.peek().text == ".":
@@ -8778,7 +9090,16 @@ class _Parser:
                     self.expect("]")
                     if a is None:
                         raise EclSyntaxError(f"set index needed at {t.pos}")
-                    return F.lit(v[a - 1])
+                    ev = v[a - 1]
+                    ety = (
+                        "string" if isinstance(ev, str)
+                        else "boolean" if isinstance(ev, bool)
+                        else "integer" if isinstance(ev, int)
+                        else "real"
+                    )
+                    # constant-registered so set elements fold where a
+                    # constant is required (keyed_join's SkipFilter)
+                    return self._mkconst(ev, ety)
             return F.lit(v)
         if (
             t.kind == "ident"
@@ -8947,7 +9268,20 @@ class _Parser:
                     return arr0
                 # row-parameter field (named-transform Column mode)
                 self.next()
-                return rp[t.text][self.next().text]
+                fld_r = self.next().text
+                col_r = frame0[fld_r]
+                dty_r = (
+                    dict(frame0.dtypes).get(fld_r, "")
+                    if hasattr(frame0, "dtypes")
+                    else ""
+                )
+                if dty_r == "string":
+                    # string-tag so ECL '+' concatenates (keyed_join's
+                    # L.DG_firstname + L.DG_lastname)
+                    col_r = self._tag_str(col_r)
+                elif dty_r.startswith("array"):
+                    col_r = self._tag_arr(col_r)
+                return col_r
             if (
                 t.text in self.env
                 and self.peek().text == "."
@@ -11573,6 +11907,8 @@ class _Parser:
         saved_toks, saved_i = self.toks, self.i
         saved_sl = dict(self._struct_locals)
         saved_cd = dict(self._col_dicts)
+        saved_ps = getattr(self, "_pending_skip", None)
+        self._pending_skip = None
         self.toks = body + [_Tok("eof", "", body[-1].pos if body else 0)]
         self.i = 0
         assigned: dict[str, Column] = {}
@@ -11655,6 +11991,13 @@ class _Parser:
                         assigned[fname] = rb[0]
                 else:
                     self.expect(":=")
+                    if self.peek().text == "[":
+                        # SELF := [] — remaining fields take their
+                        # declared default or type zero (fetch2)
+                        self.next()
+                        self.expect("]")
+                        assigned["__fill_defaults__"] = True
+                        continue
                     src_p = self.next().text
                     rp = getattr(self, "_row_params", None) or {}
                     if src_p not in rp:
@@ -11666,6 +12009,12 @@ class _Parser:
             self.toks, self.i = saved_toks, saved_i
             self._struct_locals = saved_sl
             self._col_dicts = saved_cd
+            ps = getattr(self, "_pending_skip", None)
+            self._pending_skip = saved_ps
+        if ps is not None:
+            # IF(cond, SKIP, v) inside an assignment joins the
+            # transform's SKIP condition
+            skip_cond = ps if skip_cond is None else (skip_cond | ps)
         return assigned, skip_cond
 
     def _coerce_field_col(self, col2: Column, ty2: str, w2) -> Column:
@@ -12149,6 +12498,26 @@ class _Parser:
         mod = self.next().text
         if mod == "uni":
             return self._std_uni_call(df)
+        if mod == "system" and self.peek().text == ".":
+            # Std.System.Thorlib.* introspection (functions/system.py is
+            # the combinator layer): this engine identifies as a
+            # thor-class batch platform
+            self.next()
+            sub = self.next().text
+            self.expect(".")
+            fn2 = self.next().text
+            if self.peek().text == "(":
+                close = self._match_paren(self.i)
+                self.i = close + 1
+            if sub == "thorlib" and fn2 == "platform":
+                return self._mkconst("thor", "string")
+            if sub == "thorlib" and fn2 in ("nodes", "node"):
+                return self._mkconst(
+                    1 if fn2 == "nodes" else 0, "integer"
+                )
+            raise EclSyntaxError(
+                f"unsupported Std.System.{sub}.{fn2}"
+            )
         if mod != "str":
             raise EclSyntaxError(f"unsupported STD module {mod!r}")
         self.expect(".")

@@ -25,6 +25,9 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
 _ECL_SETUP = "/root/reference/testing/regress/ecl/setup"
 
 # fixture DataFrames are tiny (5-576 rows) but shared across every
@@ -90,6 +93,7 @@ DG_OUTRECCHILD = [
     ("dg_prange", "long", None, None),
 ]
 _FILEPOS = ("filepos", "long", None, None)
+_FILEPOS_VAR = ("__filepos", "long", None, None)
 # DG_OutRec is 4+10+10+1 bytes in the reference's flat layout — the
 # virtual(fileposition) column is the byte offset of each record
 _DG_RECSIZE = 25
@@ -113,11 +117,15 @@ def _dg_parent_rows() -> list[tuple]:
 
 
 def _dg_parents(spark):
-    rows = [r + (i * _DG_RECSIZE,) for i, r in enumerate(_dg_parent_rows())]
+    # __ord__ carries the stored stream position so joins/positional
+    # operators see the reference's emission order
+    rows = [
+        r + (i * _DG_RECSIZE, i) for i, r in enumerate(_dg_parent_rows())
+    ]
     return spark.createDataFrame(
         rows,
         "dg_parentid long, dg_firstname string, dg_lastname string, "
-        "dg_prange long, filepos long",
+        "dg_prange long, filepos long, __ord__ long",
     ).coalesce(1)
 
 
@@ -165,20 +173,103 @@ def _dg_evens(spark):
     even-indexed DG_Fnames element."""
     s = _dg_sets()
     evens = {s["dg_fnames"][i] for i in range(1, 16, 2)}
-    rows = [
-        r + (i * _DG_RECSIZE,)
-        for i, r in enumerate(_dg_parent_rows())
-        if r[1] in evens
-    ]
+    # filepos restarts for the evens FILE (it is its own stored file —
+    # fetch.ecl pins offsets 0, 25, 50 ...)
+    rows = [r for r in _dg_parent_rows() if r[1] in evens]
+    rows = [r + (j * _DG_RECSIZE, j) for j, r in enumerate(rows)]
     return spark.createDataFrame(
         rows,
         "dg_parentid long, dg_firstname string, dg_lastname string, "
-        "dg_prange long, filepos long",
+        "dg_prange long, filepos long, __ord__ long",
     ).coalesce(1)
 
 
 DG_OUTREC_FP = DG_OUTREC + [_FILEPOS]
 DG_OUTRECCHILD_FP = DG_OUTRECCHILD + [_FILEPOS]
+
+# ---- var-file fixture (setup.ecl:113-123 Proj1 + files.ecl:131-181) ----
+
+DG_VAR_REC = [
+    ("emptyfield", "string", None, None),
+    ("dg_parentid", "long", None, None),
+    ("dg_firstname", "string", 10, None),
+    ("dg_lastname", "string", 10, None),
+    ("dg_prange", "long", None, None),
+    # IFBLOCK(self.DG_Prange%2=0) string20 ExtraField — absent rows
+    # read as NULL (rendered as an omitted cell)
+    ("extrafield", "string", 20, ("__optional__", None, None)),
+]
+DG_VAR_REC_FP = DG_VAR_REC + [_FILEPOS_VAR]
+DG_INTINDEX_REC = [
+    ("dg_parentid", "long", None, None),
+    ("dg_firstname", "string", 10, None),
+    ("dg_lastname", "string", None, None),
+    _FILEPOS_VAR,
+]
+DG_VARINDEX_REC = [
+    ("dg_firstname", "string", 10, None),
+    ("dg_lastname", "string", 10, None),
+    _FILEPOS_VAR,
+]
+
+
+def _dg_var_rows() -> list[tuple]:
+    """DG_VarOutRecs (setup.ecl:113-120): per parent row, ExtraField
+    only when DG_Prange is even — trim(lastname[1..n]+firstname[1..n],
+    ALL) with n=prange (or prange-10 past 10). __filepos accumulates
+    the VARIABLE record size: 4-byte string length prefix + 25 fixed +
+    20 when the IFBLOCK is present."""
+    rows = []
+    pos = 0
+    for pid, fn, ln, pr in _dg_parent_rows():
+        extra = None
+        if pr % 2 == 0:
+            n = pr if pr <= 10 else pr - 10
+            extra = (ln[:n] + fn[:n]).replace(" ", "").ljust(20)
+        rows.append(("", pid, fn, ln, pr, extra, pos))
+        pos += 4 + _DG_RECSIZE + (20 if extra is not None else 0)
+    return rows
+
+
+def _dg_varfile(spark):
+    rows = [r + (i,) for i, r in enumerate(_dg_var_rows())]
+    return spark.createDataFrame(
+        rows,
+        "emptyfield string, dg_parentid long, dg_firstname string, "
+        "dg_lastname string, dg_prange long, extrafield string, "
+        "__filepos long, __ord__ long",
+    ).coalesce(1)
+
+
+def _dg_intindex(spark):
+    """DG_IntIndex (files.ecl:177): keys {DG_parentID; DG_firstname},
+    payload STRING DG_lastname, __filepos — key order."""
+    rows = sorted(
+        ((r[1], r[2], r[3], r[6]) for r in _dg_var_rows()),
+        key=lambda t: (t[0], t[1], t[3]),
+    )
+    rows = [r + (i,) for i, r in enumerate(rows)]
+    return spark.createDataFrame(
+        rows,
+        "dg_parentid long, dg_firstname string, dg_lastname string, "
+        "__filepos long, __ord__ long",
+    ).coalesce(1)
+
+
+def _dg_varindex(spark):
+    """DG_NormalVarIndex / DG_VarIndex (files.ecl:175,181): keys
+    {DG_firstname; DG_lastname; __filepos}."""
+    rows = sorted(
+        ((r[2], r[3], r[6]) for r in _dg_var_rows()),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    rows = [r + (i,) for i, r in enumerate(rows)]
+    return spark.createDataFrame(
+        rows,
+        "dg_firstname string, dg_lastname string, __filepos long, "
+        "__ord__ long",
+    ).coalesce(1)
+
 
 # ---- fetch fixture (setup/setup_fetch.ecl + files.ecl:88-114) ----
 
@@ -297,6 +388,12 @@ def files_members(multi_part: bool = False, use_local: bool = False) -> dict:
         # (sources/index.py design); same rows, key order
         "dg_indexfile": ("dataset", _dg_index, DG_OUTREC_FP),
         "dg_indexfileevens": ("dataset", _dg_index_evens, DG_OUTREC_FP),
+        "dg_varoutrec": ("record", DG_VAR_REC),
+        "dg_varfile": ("dataset", _dg_varfile, DG_VAR_REC_FP),
+        "dg_intindex": ("dataset", _dg_intindex, DG_INTINDEX_REC),
+        "dg_normalvarindex": ("dataset", _dg_varindex, DG_VARINDEX_REC),
+        "dg_transvarindex": ("dataset", _dg_varindex, DG_VARINDEX_REC),
+        "dg_varindex": ("dataset", _dg_varindex, DG_VARINDEX_REC),
         "dg_fetchrecord": ("record", DG_FETCH_REC),
         "dg_fetchfilename": ("const", prefix + "c.dg_fetchfile", "string"),
         "dg_fetchindex1name": ("const", iprefix + "dg_fetchindex1", "string"),
@@ -319,13 +416,23 @@ def files_members(multi_part: bool = False, use_local: bool = False) -> dict:
 def _dg_index(spark):
     """DG_NormalIndexFile: the flat file ordered by its index key
     (DG_firstname, DG_lastname) — an index read returns key order."""
-    df = _dg_parents(spark)
-    return df.orderBy("dg_firstname", "dg_lastname", "filepos").coalesce(1)
+    df = _dg_parents(spark).drop("__ord__")
+    df = df.orderBy("dg_firstname", "dg_lastname", "filepos").coalesce(1)
+    return df.withColumn(
+        "__ord__", F.row_number().over(
+            Window.orderBy("dg_firstname", "dg_lastname", "filepos")
+        ).cast("long"),
+    ).coalesce(1)
 
 
 def _dg_index_evens(spark):
-    df = _dg_evens(spark)
-    return df.orderBy("dg_firstname", "dg_lastname", "filepos").coalesce(1)
+    df = _dg_evens(spark).drop("__ord__")
+    df = df.orderBy("dg_firstname", "dg_lastname", "filepos").coalesce(1)
+    return df.withColumn(
+        "__ord__", F.row_number().over(
+            Window.orderBy("dg_firstname", "dg_lastname", "filepos")
+        ).cast("long"),
+    ).coalesce(1)
 
 
 # --------------------------------------------------------------------------
@@ -637,7 +744,7 @@ def _sq_simple_person_book(spark):
     """SimplePersonBookDs (setupsq.ecl:256-266): person rows with
     fixed-width names, the booklimit nested as limit.booklimit."""
     rows = []
-    n = 0
+    pos = 0
     for h in _sq_ids():
         for p in h["persons"]:
             books = [
@@ -648,9 +755,15 @@ def _sq_simple_person_book(spark):
             rows.append(
                 (p["surname"].ljust(20), p["forename"].ljust(10),
                  _dec(p["dob"], 0), (_dec(p["booklimit"], 0),), p["aage"],
-                 books, n)
+                 books, pos)
             )
-            n += 1
+            # variable record size (fetch2 pins the offsets): 20+10+4
+            # (udecimal8) + 4 (blob NestedBlob) + 1 (unsigned1) + 4-byte
+            # child count + per book 4(id)+4+len(name)+4+len(author)+
+            # 1(rating)+4(price)
+            pos += 43 + sum(
+                17 + len(b["name"]) + len(b["author"]) for b in p["books"]
+            )
     return spark.createDataFrame(
         rows,
         "surname string, forename string, dob decimal(8,0), "

@@ -94,11 +94,17 @@ def _resolve(f: Field) -> T.DataType:
     if t.startswith("set of "):
         inner = Field(f.name, t[len("set of "):])
         return T.ArrayType(_resolve(inner))
+    if t.startswith("alien:"):
+        # user TYPE module (type_alien rtlconst.hpp:52): the logical
+        # type comes from the registered codec
+        return alien_type(t[len("alien:"):]).logical_type
     raise ValueError(f"unknown ECL type: {f.ecl_type}")
 
 
 def _ingest(f: Field, c: Column) -> Column:
     t = f.ecl_type.lower().strip()
+    if t.startswith("alien:"):
+        return alien_load(t[len("alien:"):], c)
     if m := re.fullmatch(r"string(\d+)", t):
         # Fixed-width blank-padded (type_string, rtlconst.hpp:31): pad to
         # width, truncate overflow — byte-compatible with the reference's
@@ -171,3 +177,54 @@ def ifblock(cond: Column, **fields: Column) -> list[Column]:
     the guard condition on earlier fields holds — absent fields are NULL,
     exactly the reference's semantics when the block isn't present."""
     return [F.when(cond, c).alias(n) for n, c in fields.items()]
+
+
+# -- alien types (type_alien, rtlconst.hpp:52) ------------------------------
+# The reference lets a record declare a user TYPE module whose LOAD/STORE
+# functions translate between the stored physical form and the logical
+# value (eclhelper IHThorAlienTypeInfo). The Spark analogue: a registered
+# codec pair of Column transforms applied at ingest/store time.
+
+@dataclass(frozen=True)
+class AlienType:
+    """A pluggable physical<->logical codec (type_alien).
+
+    ``load`` maps the stored Column to the logical value (the TYPE
+    module's LOAD); ``store`` maps a logical value back to the stored
+    form (STORE); ``logical_type`` is the Spark type LOAD yields."""
+
+    name: str
+    load: "object"   # Callable[[Column], Column]
+    store: "object"  # Callable[[Column], Column]
+    logical_type: T.DataType
+
+
+_ALIEN_TYPES: dict[str, AlienType] = {}
+
+
+def register_alien_type(name, load, store, logical_type) -> AlienType:
+    """Register an alien TYPE so record fields may declare
+    ``alien:<name>`` and get the codec applied on ingest. Returns the
+    registration (idempotent by name; re-registering replaces)."""
+    at = AlienType(name.lower(), load, store, logical_type)
+    _ALIEN_TYPES[at.name] = at
+    return at
+
+
+def alien_type(name: str) -> AlienType:
+    at = _ALIEN_TYPES.get(name.lower())
+    if at is None:
+        raise KeyError(f"alien type {name!r} is not registered")
+    return at
+
+
+def alien_load(name: str, col: Column | str) -> Column:
+    """Stored physical form -> logical value (TYPE module LOAD)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return alien_type(name).load(c)
+
+
+def alien_store(name: str, col: Column | str) -> Column:
+    """Logical value -> stored physical form (TYPE module STORE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return alien_type(name).store(c)

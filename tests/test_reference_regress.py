@@ -180,6 +180,15 @@ VERBATIM = [
     # CHOOSEN over the key order
     "indexread", "indexread3", "indexread8", "indexagg",
     "indexagg_choosen",
+    # keyed-join/FETCH family (thkeyedjoinslave, TAKfetch :926): join
+    # KEYED hints, IF(cond, SKIP, v) transforms, width-padded unmatched
+    # sides, deferred transform binding for LEFT/RIGHT ONLY, FETCH by
+    # file position over the DG and sq fixtures, TYPEOF/RECORDOF
+    # rettypes, SELF := [] typed-zero fills, child-array '+' append
+    "keyed_join", "keyed_join6", "keyed_fetch", "fetch", "fetch2",
+    # sweep finds: pass with the round's generic fixes
+    "aggds1", "regex1u", "sqagg2", "sqfiltsubstring", "sqshare",
+    "sqshare2",
 ]
 
 
@@ -250,6 +259,10 @@ def _render(v):
     if v is None:
         return ""
     if isinstance(v, (list, tuple)):
+        if isinstance(v, list) and not v:
+            # an EMPTY child dataset renders as an empty element —
+            # cell text '' (fetch2's bookless person)
+            return ""
         # pyspark Row is a tuple subclass: nested-record cells render
         # their fields in order, dropping absent (IFBLOCK) members —
         # the key XML omits those elements entirely

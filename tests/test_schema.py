@@ -138,3 +138,36 @@ def test_translation_modes(spark, tmp_path):
     # narrowing refused
     with pytest.raises(ValueError, match="not a lossless widening"):
         read_translated(spark, path, "k smallint, v double, extra string")
+
+
+def test_alien_type_codec_roundtrip(spark):
+    """type_alien (rtlconst.hpp:52): a registered TYPE module's
+    LOAD/STORE codec pair applies at ingest and store — here a
+    zero-padded reversed-digits physical form for an integer."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.schema import (
+        Field,
+        RecordDef,
+        alien_load,
+        alien_store,
+        register_alien_type,
+    )
+    import pyspark.sql.types as T
+
+    register_alien_type(
+        "revnum",
+        load=lambda c: F.reverse(c).cast("long"),
+        store=lambda c: F.reverse(F.lpad(c.cast("string"), 6, "0")),
+        logical_type=T.LongType(),
+    )
+    df = spark.createDataFrame([("321000",), ("540000",)], "v string")
+    loaded = df.select(alien_load("revnum", "v").alias("v"))
+    assert [r.v for r in loaded.collect()] == [123, 45]
+    stored = loaded.select(alien_store("revnum", "v").alias("v"))
+    assert [r.v for r in stored.collect()] == ["321000", "540000"]
+    # record-level: a field declared alien:<name> decodes on coerce
+    rec = RecordDef([Field("v", "alien:revnum")])
+    assert rec.spark_type()["v"].dataType == T.LongType()
+    out = rec.coerce(df)
+    assert [r.v for r in out.collect()] == [123, 45]
