@@ -551,6 +551,9 @@ class _Parser:
         # FROMJSON/FROMXML match input keys/elements by these names
         # (hqlexpr no_xml/no_json; fromjson2's xpath('Name'))
         self._fxp: dict[int, str] = {}
+        # id(filtered frame) -> the KEYED-only filtered view (keyed
+        # LIMIT counts against it, indexlimit3)
+        self._keyed_view: dict[int, DataFrame] = {}
         # record-typed TRANSFORM locals (namesRec2 lClaim := fromjson..)
         # — name -> field meta, for lClaim.field struct access
         self._struct_locals: dict[str, list] = {}
@@ -2104,6 +2107,15 @@ class _Parser:
                     if close is None:
                         raise EclSyntaxError("unterminated record in dataset param")
                     self.i = close + 1
+                elif (
+                    self.peek().text in ("recordof", "typeof")
+                    and self.toks[self.i + 1].text == "("
+                ):
+                    # dataset(RECORDOF(ds)) param (indexread6): the
+                    # shape still comes from the argument
+                    self.next()
+                    close2 = self._match_paren(self.i)
+                    self.i = close2 + 1
                 else:
                     self._skip_shim_qual()  # dataset(sq.X) (fetch2)
                     self.next()  # record name
@@ -2206,6 +2218,28 @@ class _Parser:
             and body[k + 1].text in self._ACTION_HEADS
             for k, tk in enumerate(body[:-1])
         )
+        if (
+            not compound
+            and len(body) > 4
+            and body[0].text == "transform"
+            and body[1].text == "("
+            and body[-1].text == ")"
+            and body[2].kind == "ident"
+            and body[3].text == ","
+        ):
+            # one-line transform(rec, assignments) definition
+            # (looprpn's mkValue): a named TRANSFORM with the rec as
+            # its output record
+            self.functions[name] = {
+                "params": params,
+                "body": list(body[4:-1]),
+                "compound": False,
+                "rettype": body[2].text,
+                "transform": True,
+                "action_fn": False,
+            }
+            self.expect(";")
+            return
         self.functions[name] = {
             "params": params,
             "body": list(body),
@@ -2253,7 +2287,13 @@ class _Parser:
                     # named argument (quantile1a's first := true)
                     argname = self.next().text
                     self.next()  # ':='
-                if self._at_dataset_start(self.i):
+                if self._at_dataset_start(self.i) and not (
+                    self.toks[self.i].kind == "ident"
+                    and self.toks[self.i + 1].text == "["
+                ):
+                    # a bare `ds[n]...` argument is a row/field READ
+                    # (dict_case's getBandValue(bands[1].band)) — the
+                    # value grammar owns ds[n].field
                     a = ("ds", self.dataset())
                 else:
                     a = ("val", self.value(df))
@@ -2646,6 +2686,31 @@ class _Parser:
             # IF(const-cond, dict [, dict]) — missing ELSE is the empty
             # dictionary of the same shape (dict2 d7/d7n)
             self.dicts[name.text] = _dif
+            kind = "dict"
+        elif (
+            self.peek().text == "case"
+            and self.toks[self.i + 1].text == "("
+            and (_dcs := self._try_dict_case()) is not None
+        ):
+            # CASE(const, v1=>dict1, ..., default) over dictionaries
+            # (dict_case's language pick)
+            self.dicts[name.text] = _dcs
+            kind = "dict"
+        elif (
+            self.peek().text == "choose"
+            and self.toks[self.i + 1].text == "("
+            and (_dch := self._try_dict_choose()) is not None
+        ):
+            # CHOOSE(const-n, dict1, dict2, ...) (dict_choose)
+            self.dicts[name.text] = _dch
+            kind = "dict"
+        elif (
+            self.peek().text == "map"
+            and self.toks[self.i + 1].text == "("
+            and (_dmp := self._try_dict_map()) is not None
+        ):
+            # MAP(cond=>dict, ..., default) over dictionaries (dict_map)
+            self.dicts[name.text] = _dmp
             kind = "dict"
         elif self.peek().text == "record":
             start = self.i
@@ -3362,11 +3427,61 @@ class _Parser:
         # postfix record filter(s): ds(cond, cond...) — conditions ANDed
         while self.peek().text == "(":
             self.next()
-            cond = self.value(df)
-            while self.accept(","):
-                cond = cond & self.value(df)
+            cond = None
+            kcond = None
+            while True:
+                # split the arg on top-level ANDs so KEYED(...) terms
+                # are separable (keyed LIMIT counts them alone)
+                span: list[_Tok] = []
+                depth = 0
+                while not (
+                    depth == 0 and self.peek().text in (",", ")")
+                ):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated filter")
+                    depth += tk.text in ("(", "[")
+                    depth -= tk.text in (")", "]")
+                    span.append(tk)
+                parts = [[]]
+                d2 = 0
+                splittable = True
+                pending_between = 0
+                for tk in span:
+                    d2 += tk.text in ("(", "[")
+                    d2 -= tk.text in (")", "]")
+                    if d2 == 0 and tk.text == "or":
+                        splittable = False
+                    if d2 == 0 and tk.text == "between":
+                        pending_between += 1
+                    if (
+                        d2 == 0
+                        and tk.text == "and"
+                        and splittable
+                        and not pending_between
+                    ):
+                        parts.append([])
+                    else:
+                        if d2 == 0 and tk.text == "and" and pending_between:
+                            pending_between -= 1  # BETWEEN lo AND hi
+                        parts[-1].append(tk)
+                if not splittable:
+                    parts = [span]
+                for part in parts:
+                    keyed0 = bool(part) and part[0].text == "keyed"
+                    c2 = self._parse_span_value(part, df)
+                    cond = c2 if cond is None else (cond & c2)
+                    if keyed0:
+                        kcond = c2 if kcond is None else (kcond & c2)
+                if not self.accept(","):
+                    break
             self.expect(")")
             filtered = df.where(cond)
+            if kcond is not None:
+                # keep the KEYED-only view: a KEYED LIMIT counts rows
+                # the key monitors match, before post-filters
+                # (indexlimit3's LIMIT(fi, n, KEYED))
+                self._keyed_view[id(filtered)] = df.where(kcond)
             if id(df) in self._order:  # filters preserve order
                 self._set_order(filtered, self._order[id(df)])
             if id(df) in self._grouped:  # ...and grouping (whole groups
@@ -6029,6 +6144,67 @@ class _Parser:
         self._set_order(out, keys)
         return out
 
+
+    def _inline_transform_fn(self) -> str:
+        """An inline TRANSFORM(rec|RECORDOF(ds), assignments) used in an
+        option position (LIMIT ONFAIL) — registered as a synthetic
+        zero-parameter transform and referenced by name."""
+        self.expect("transform")
+        self.expect("(")
+        if self.peek().text in ("recordof", "typeof"):
+            self.next()
+            self.expect("(")
+            if (
+                self.peek().kind == "ident"
+                and self.peek().text in self.records
+                and self.toks[self.i + 1].text == ")"
+            ):
+                # RECORDOF(recname) — already a record (indexlimit3)
+                meta = list(self.records[self.next().text])
+            else:
+                d0 = self.dataset()
+                meta = self._ds_fields.get(id(d0))
+                if meta is None:
+                    meta = [
+                        (f.name, f.dataType.simpleString(), None, None)
+                        for f in d0.schema.fields
+                        if f.name != "__ord__"
+                    ]
+            self.expect(")")
+            rettype = f"__rec_{len(self.records)}__"
+            self.records[rettype] = list(meta)
+        elif (
+            self.peek().kind == "ident"
+            and self.peek().text in self.records
+        ):
+            rettype = self.next().text
+        else:
+            fields = self._record_fields()
+            rettype = f"__rec_{len(self.records)}__"
+            self.records[rettype] = fields
+        # body: the assignment list up to the TRANSFORM's close paren
+        span: list[_Tok] = []
+        depth = 0
+        while not (depth == 0 and self.peek().text == ")"):
+            tk = self.next()
+            if tk.kind == "eof":
+                raise EclSyntaxError("unterminated inline TRANSFORM")
+            depth += tk.text == "("
+            depth -= tk.text == ")"
+            span.append(tk)
+        self.next()  # ')'
+        if span and span[0].text == ",":
+            span = span[1:]
+        fname = f"__xform_{len(self.functions)}__"
+        self.functions[fname] = {
+            "params": [],
+            "body": span,
+            "compound": False,
+            "rettype": rettype,
+            "transform": True,
+        }
+        return fname
+
     def _limit(self) -> DataFrame:
         """LIMIT(ds, n [, SKIP]) (TAKlimit :931 / TAKskiplimit :975):
         guard, not truncation — fail (or yield empty with SKIP) when the
@@ -6042,18 +6218,29 @@ class _Parser:
         n = int(self.next().text)
         skip = False
         onfail = None
+        keyed_opt = False
         while self.accept(","):
             kw = self.next()
             if kw.text == "skip":
                 skip = True
-            elif kw.text in ("keyed", "count"):
-                # KEYED/COUNT limit placement hints (jhtree keyed-limit
-                # monitors, indexread3) — the guard semantics are the
-                # same on this engine
-                continue
+            elif kw.text == "keyed":
+                # KEYED limit: the guard counts the rows the key
+                # monitors match, BEFORE post-filters (jhtree keyed
+                # limits; indexlimit3's LIMIT(fi, 4, KEYED))
+                keyed_opt = True
+            elif kw.text == "count":
+                continue  # COUNT placement hint
             elif kw.text == "onfail" and self.peek().text == "(":
                 self.next()
-                onfail = self.next().text
+                if (
+                    self.peek().text == "transform"
+                    and self.toks[self.i + 1].text == "("
+                ):
+                    # inline ONFAIL(TRANSFORM(RECORDOF(ds), ...)) —
+                    # registered as a synthetic transform (indexlimit3)
+                    onfail = self._inline_transform_fn()
+                else:
+                    onfail = self.next().text
                 self.expect(")")
             else:
                 raise EclSyntaxError(f"unknown LIMIT option {kw.text!r}")
@@ -6073,18 +6260,33 @@ class _Parser:
             )
             order = self._order.get(id(df))
             keep_cols = [c for c in df.columns if c != "__ord__"]
+            cnt_df = (
+                self._keyed_view.get(id(df), df) if keyed_opt else df
+            )
             base = df
             if order is not None:
                 base = df.withColumn(
                     "__neword__", F.row_number().over(Window.orderBy(*order))
                 )
-            kept = (
-                base.withColumn(
-                    "__tot__", F.count(F.lit(1)).over(Window.partitionBy())
+            if cnt_df is df:
+                kept = (
+                    base.withColumn(
+                        "__tot__",
+                        F.count(F.lit(1)).over(Window.partitionBy()),
+                    )
+                    .where(F.col("__tot__") <= n)
+                    .drop("__tot__")
                 )
-                .where(F.col("__tot__") <= n)
-                .drop("__tot__")
-            )
+            else:
+                kept = (
+                    base.crossJoin(
+                        F.broadcast(
+                            cnt_df.agg(F.count(F.lit(1)).alias("__tot__"))
+                        )
+                    )
+                    .where(F.col("__tot__") <= n)
+                    .drop("__tot__")
+                )
             sel = list(keep_cols) + (
                 [F.col("__neword__").alias("__ord__")] if order is not None else []
             )
@@ -6093,18 +6295,30 @@ class _Parser:
             if skip_cond is not None:
                 sc = self._cget(skip_cond)
                 skip_true = sc is not None and bool(sc[0])
+            fill_dflt = assigned.pop("__fill_defaults__", False)
+
+            def _fail_col(f):
+                nm2, ty2, w2, d2 = f[:4]
+                if nm2 in assigned:
+                    c2 = assigned[nm2]
+                elif d2 is not None and not isinstance(d2, tuple):
+                    c2 = F.lit(d2)
+                elif fill_dflt or nm2.startswith("__"):
+                    # SELF := [] — unassigned fields take type zeros
+                    # (indexlimit3's replacement row); internal fields
+                    # (__internal_fpos__) always default
+                    return self._zero_col(ty2, w2).alias(nm2)
+                else:
+                    raise EclSyntaxError(
+                        f"ONFAIL transform must assign {nm2!r}"
+                    )
+                return self._coerce_field_col(c2, ty2, w2).alias(nm2)
+
             fail_row = (
-                df.agg(F.count(F.lit(1)).alias("__c__"))
+                cnt_df.agg(F.count(F.lit(1)).alias("__c__"))
                 .where(F.col("__c__") > n)
                 .select(
-                    *[
-                        assigned[f[0]].cast(
-                            f[1]
-                            if f[1] in ("long", "double", "string", "boolean")
-                            else "string"
-                        ).alias(f[0])
-                        for f in out_fields
-                    ],
+                    *[_fail_col(f) for f in out_fields],
                     *(
                         [F.lit(1).cast("long").alias("__ord__")]
                         if order is not None
@@ -7143,6 +7357,14 @@ class _Parser:
             self.next()
             items = []
             if not self.accept("]"):
+                if self.peek().text != "{":
+                    # SET-valued member: a list of scalars
+                    # (keyed_join2's {['Anderson', 'Taylor']})
+                    items.append(self._literal())
+                    while self.accept(","):
+                        items.append(self._literal())
+                    self.expect("]")
+                    return items
                 while True:
                     self.expect("{")
                     sub = [self._row_value()]
@@ -7154,6 +7376,23 @@ class _Parser:
                         break
                 self.expect("]")
             return items
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.env
+            and isinstance(self.env[self.peek().text], DataFrame)
+            and self.toks[self.i + 1].text in (",", "}")
+        ):
+            # a DATASET reference as a child-member value (loopall's
+            # {'parent1', namesTable2}) — its rows nest as the child
+            # list (literal-scale, cap-guarded)
+            d0 = self.env[self.next().text]
+            rows0 = self._clean(d0).limit(10_001).collect()
+            if len(rows0) > 10_000:
+                raise EclSyntaxError(
+                    "dataset-valued row member exceeds the 10,000-row "
+                    "literal cap"
+                )
+            return [tuple(r) for r in rows0]
         return self._literal()
 
     def _dictionary_columns(self, df) -> list:
@@ -7261,8 +7500,8 @@ class _Parser:
         0/''/false, zero decimals, empty arrays, structs of zeros."""
         if ty is None or ty == "string":
             return F.lit(" " * w if w and w > 0 else "")
-        if ty == "long":
-            return F.lit(0)
+        if ty in ("long", "bigint", "int", "smallint", "tinyint"):
+            return F.lit(0).cast("long" if ty == "long" else ty)
         if ty in ("double", "float"):
             return F.lit(0.0).cast(ty)
         if ty == "boolean":
@@ -7423,9 +7662,19 @@ class _Parser:
         base = self.dataset()
         keys: list[str] = []
         fname = None
+        ds_payload = False
         while self.accept(","):
             if self.peek().text == "{":
                 members = self._capture_brace_members()
+                if keys:
+                    # whole-dataset payload ({ds}): the build appends
+                    # the implicit __internal_fpos__ (indexlimit3)
+                    ds_payload = ds_payload or any(
+                        len(mem) == 1
+                        and mem[0].kind == "ident"
+                        and mem[0].text in self.env
+                        for mem in members
+                    )
                 if not keys:
                     for mem in members:
                         asg = next(
@@ -7475,6 +7724,24 @@ class _Parser:
             self._set_order(df, [F.col(k) for k in keys])
         else:
             df = base
+        if (
+            meta is not None
+            and keys
+            and ds_payload
+            and not any(
+                "filepos" in f[0] or f[0].startswith("__")
+                for f in meta
+            )
+        ):
+            # a built index whose source record carries no fileposition
+            # field gets the IMPLICIT trailing __internal_fpos__ the
+            # reference's BUILDINDEX appends (indexlimit3's key rows
+            # render it as 0)
+            ordcols = self._order.pop(id(df), None)
+            df = df.withColumn("__internal_fpos__", F.lit(0))
+            if ordcols is not None:
+                self._set_order(df, ordcols)
+            meta = list(meta) + [("__internal_fpos__", "long", None, None)]
         if meta is not None:
             self._ds_fields[id(df)] = meta
         self._pins.append(df)
@@ -7531,6 +7798,44 @@ class _Parser:
         self.ds_spans[name] = list(span)
         return df
 
+
+    @staticmethod
+    def _dict_entry(d: dict, k):
+        """Constant-probe lookup, blank-insensitive on string key
+        components (dict_field2's 'White ' probe vs 'White' key)."""
+        entry = d["values"].get(k)
+        if entry is not None:
+            return entry
+
+        def nrm(v):
+            if isinstance(v, tuple):
+                return tuple(nrm(x) for x in v)
+            return v.rstrip() if isinstance(v, str) else v
+
+        nk = nrm(k)
+        for kk, vv in d["values"].items():
+            if nrm(kk) == nk:
+                return vv
+        return None
+
+    def _dict_field_ty(self, d: dict, fld: str):
+        """A value field's type, inferred from stored values when the
+        build record declared none ({ color => value })."""
+        ty = dict(d["value_fields"]).get(fld)
+        if ty is not None:
+            return ty
+        for vv in d["values"].values():
+            x = vv.get(fld)
+            if x is not None:
+                if isinstance(x, bool):
+                    return "boolean"
+                if isinstance(x, int):
+                    return "long"
+                if isinstance(x, float):
+                    return "double"
+                return "string"
+        return None
+
     def _try_dict_if(self):
         """IF(const-cond, dict [, dict]) — returns the chosen dictionary,
         or None (cursor restored) when the branches aren't dictionaries
@@ -7579,6 +7884,140 @@ class _Parser:
                 "defaults": dthen["defaults"],
             }
         return dthen if cond[0] else delse
+
+    def _try_dict_case(self):
+        """CASE(const-selector, v1 => dict1, ..., [defaultdict|ERROR])
+        — folds to the matching dictionary (dict_case's per-language
+        code tables); None (cursor restored) when it isn't that shape.
+        A matched ERROR default aborts like the reference."""
+        mark = self.i
+        try:
+            self.next()  # case
+            self.expect("(")
+            sel = self._cget(self.value(self._dummy()))
+            if sel is None:
+                raise EclSyntaxError("not a dictionary CASE")
+            sv = sel[0].rstrip() if isinstance(sel[0], str) else sel[0]
+            chosen = None
+            saw_dict = False
+            while self.accept(","):
+                if (
+                    self.peek().text == "error"
+                    and self.toks[self.i + 1].text == "("
+                ):
+                    # default branch: ERROR('msg') — fires only when no
+                    # alternative matched
+                    self.next()
+                    close = self._match_paren(self.i)
+                    span = self.toks[self.i + 1 : close]
+                    self.i = close + 1
+                    if chosen is None:
+                        msg = self._cget(self._parse_span_value(span, None))
+                        raise EclFailError(
+                            str(msg[0]) if msg else "CASE default error"
+                        )
+                    continue
+                v = self._cget(self.value(self._dummy()))
+                if not self.accept("=>"):
+                    # trailing default dictionary
+                    if self.peek().text == ")" and v is None:
+                        raise EclSyntaxError("not a dictionary CASE")
+                    raise EclSyntaxError("not a dictionary CASE")
+                if self.peek().text not in self.dicts:
+                    raise EclSyntaxError("not a dictionary CASE")
+                d = self.dicts[self.next().text]
+                saw_dict = True
+                if v is not None:
+                    bv = v[0].rstrip() if isinstance(v[0], str) else v[0]
+                    if chosen is None and bv == sv:
+                        chosen = d
+            self.expect(")")
+            if not saw_dict:
+                raise EclSyntaxError("not a dictionary CASE")
+        except EclFailError:
+            raise
+        except EclSyntaxError:
+            self.i = mark
+            return None
+        return chosen
+
+    def _try_dict_choose(self):
+        """CHOOSE(const-n, dict1, dict2, ...) — the 1-based pick
+        (dict_choose); None (cursor restored) when not that shape."""
+        mark = self.i
+        try:
+            self.next()  # choose
+            self.expect("(")
+            n = self._cget(self.value(self._dummy()))
+            if n is None:
+                raise EclSyntaxError("not a dictionary CHOOSE")
+            picks = []
+            while self.accept(","):
+                if self.peek().text not in self.dicts:
+                    raise EclSyntaxError("not a dictionary CHOOSE")
+                picks.append(self.dicts[self.next().text])
+            self.expect(")")
+            if not picks:
+                raise EclSyntaxError("not a dictionary CHOOSE")
+        except EclSyntaxError:
+            self.i = mark
+            return None
+        k = int(n[0])
+        return picks[k - 1] if 1 <= k <= len(picks) else picks[-1]
+
+    def _try_dict_map(self):
+        """MAP(const-cond => dict, ..., [default|ERROR]) over
+        dictionaries (dict_map); None (cursor restored) otherwise."""
+        mark = self.i
+        try:
+            self.next()  # map
+            self.expect("(")
+            chosen = None
+            saw = False
+            while True:
+                if (
+                    self.peek().text == "error"
+                    and self.toks[self.i + 1].text == "("
+                ):
+                    self.next()
+                    close = self._match_paren(self.i)
+                    span = self.toks[self.i + 1 : close]
+                    self.i = close + 1
+                    if chosen is None:
+                        msg = self._cget(
+                            self._parse_span_value(span, None)
+                        )
+                        raise EclFailError(
+                            str(msg[0]) if msg else "MAP default error"
+                        )
+                elif self.peek().text in self.dicts and self.toks[
+                    self.i + 1
+                ].text in (",", ")"):
+                    d = self.dicts[self.next().text]  # trailing default
+                    if chosen is None:
+                        chosen = d
+                    saw = True
+                else:
+                    cond = self._cget(self.value(self._dummy()))
+                    if cond is None or not self.accept("=>"):
+                        raise EclSyntaxError("not a dictionary MAP")
+                    if self.peek().text not in self.dicts:
+                        raise EclSyntaxError("not a dictionary MAP")
+                    d = self.dicts[self.next().text]
+                    saw = True
+                    if chosen is None and bool(cond[0]):
+                        chosen = d
+                if not self.accept(","):
+                    break
+            self.expect(")")
+            if not saw:
+                raise EclSyntaxError("not a dictionary MAP")
+        except EclFailError:
+            raise
+        except EclSyntaxError:
+            self.i = mark
+            return None
+        return chosen
 
     def _if_dataset(self) -> DataFrame:
         """IF(cond, ds1 [, ds2]) at dataset position (TAKif
@@ -7881,9 +8320,15 @@ class _Parser:
                 return ~m if negate else m
             if self.peek().text != "[":
                 # x IN <array expression> — SET(child, field) and other
-                # array-valued columns (serial6a)
+                # array-valued columns (serial6a); string membership is
+                # blank-insensitive (keyed_join2's padded RIGHT.Lname
+                # IN LEFT.Lnames)
                 arr = self._addsub(df)
-                m = F.array_contains(arr, a)
+                if self._is_strcol(a):
+                    ra = F.rtrim(a)
+                    m = F.exists(arr, lambda e: F.rtrim(e) == ra)
+                else:
+                    m = F.array_contains(arr, a)
                 return ~m if negate else m
             self.expect("[")
             items = [self._addsub(df)]
@@ -8257,6 +8702,20 @@ class _Parser:
                 self.next()  # OPT
             self.expect(")")
             return v
+        if t.text == "error" and self.peek().text == "(":
+            # scalar ERROR([typed-default,] 'msg') — aborts the workunit
+            # WHEN EVALUATED (dict_case's getBandValue miss branch);
+            # lowered to raise_error so untaken branches stay lazy
+            self.next()
+            spans = [self._capture_arg_span()]
+            while self.accept(","):
+                spans.append(self._capture_arg_span())
+            self.expect(")")
+            try:
+                msg = self._parse_span_value(spans[-1], df)
+            except Exception:
+                msg = F.lit("ERROR")
+            return F.raise_error(msg.cast("string"))
         if t.text == "workunit" and self.peek().text != "(":
             # bare WORKUNIT — the workunit id (names scratch files in
             # loopvar/keyed_join5; any stable constant serves)
@@ -9201,9 +9660,33 @@ class _Parser:
             self.expect(".")
             fld = self.next().text
             names = [n for n, _ in d["value_fields"]]
+            if fld not in names and fld in d["key_fields"]:
+                # reading a KEY field back (dict_field2's
+                # code1ToColor[1].value): the probe itself on a hit, the
+                # type's zero on a miss
+                kpos = d["key_fields"].index(fld)
+                consts_k = [self._cget(kc) for kc in kvals]
+                if all(c is not None for c in consts_k):
+                    k = (
+                        consts_k[0][0]
+                        if len(consts_k) == 1
+                        else tuple(c[0] for c in consts_k)
+                    )
+                    if k in d["values"]:
+                        return F.lit(
+                            k if len(consts_k) == 1 else k[kpos]
+                        )
+                    kz = consts_k[kpos][0]
+                    return F.lit("" if isinstance(kz, str) else 0)
+                probe0 = kvals[kpos]
+                hit0 = F.lit(False)
+                for k in d["keys"]:
+                    kk = k if len(kvals) == 1 else k[kpos]
+                    hit0 = hit0 | (probe0 == F.lit(kk))
+                return F.when(hit0, probe0).otherwise(F.lit(0))
             if fld not in names:
                 raise EclSyntaxError(f"unknown dictionary value field {fld!r}")
-            ty = dict(d["value_fields"])[fld]
+            ty = self._dict_field_ty(d, fld)
             miss = (
                 d["defaults"][fld]
                 if fld in d["defaults"]
@@ -9216,7 +9699,7 @@ class _Parser:
                     if len(consts) == 1
                     else tuple(c[0] for c in consts)
                 )
-                entry = d["values"].get(k)
+                entry = self._dict_entry(d, k)
                 if entry is not None and entry.get(fld) is not None:
                     return F.lit(entry[fld])
                 return F.lit(miss)
@@ -11681,7 +12164,8 @@ class _Parser:
         fname = self.next().text
         fn = self.functions[fname]
         params = fn["params"]
-        rows_args: list[list[Column]] = []
+        entries: list[tuple[str, list[Column]]] = []
+        cur = fname
         while True:
             self.expect("(")
             args: list[Column] = []
@@ -11691,33 +12175,62 @@ class _Parser:
                     if not self.accept(","):
                         break
                 self.expect(")")
-            rows_args.append(args)
+            entries.append((cur, args))
             if not self.accept(","):
                 break
             nxt = self.next()
-            if nxt.text != fname:
+            if nxt.text not in self.functions or not self.functions[
+                nxt.text
+            ].get("transform"):
                 raise EclSyntaxError(
-                    "inline transform rows must all call the same "
-                    f"transform ({fname!r}), got {nxt.text!r} at {nxt.pos}"
+                    "inline transform rows must call named transforms, "
+                    f"got {nxt.text!r} at {nxt.pos}"
                 )
+            cur = nxt.text
         self.expect("]")
         if self.accept(","):
             out_fields = self._record_fields()
         else:
             out_fields = self._resolve_record_fields(fn.get("rettype"))
         self.expect(")")
-        try:
-            return self._inline_transform_rows_columns(
-                fn, params, rows_args, out_fields
+        if all(e[0] == fname for e in entries):
+            rows_args = [e[1] for e in entries]
+            try:
+                return self._inline_transform_rows_columns(
+                    fn, params, rows_args, out_fields
+                )
+            except EclSyntaxError:
+                # a transform member the Column path can't express —
+                # e.g. a per-row child DATASET built from the row's own
+                # arguments (quantile6) — re-parse per row
+                return self._inline_transform_rows_perrow(
+                    fn, params, rows_args, out_fields
+                )
+        # MIXED transforms in one list (looprpn's mkValue/mkOp rows):
+        # per-row parse, one transform each, same output record
+        frames = [
+            self._inline_transform_rows_perrow(
+                self.functions[nm], self.functions[nm]["params"],
+                [args], out_fields,
             )
-        except EclSyntaxError:
-            # a transform member the Column path can't express — e.g. a
-            # per-row child DATASET built from the row's own arguments
-            # (quantile6's SELF.ids := createDataset(cnt, scale, delta))
-            # — re-parses the body once per row with constant bindings
-            return self._inline_transform_rows_perrow(
-                fn, params, rows_args, out_fields
-            )
+            for nm, args in entries
+        ]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        from pyspark.sql.window import Window
+
+        out = out.drop("__ord__").withColumn(
+            "__ord__",
+            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
+        ) if "__ord__" in out.columns else out.withColumn(
+            "__ord__",
+            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
+        )
+        out = out.coalesce(1)
+        self._set_order(out, [F.col("__ord__")])
+        self._ds_fields[id(out)] = list(out_fields)
+        return out
 
     def _inline_transform_rows_columns(
         self, fn: dict, params: list, rows_args: list, out_fields: list
@@ -11822,6 +12335,14 @@ class _Parser:
                     if self.accept(";") or self.accept(","):
                         continue
                     st = self.next()
+                    if st.text == "self" and self.peek().text == ":=":
+                        # SELF := [] — remaining fields take type zeros
+                        # (looprpn's mkValue)
+                        self.next()
+                        self.expect("[")
+                        self.expect("]")
+                        assigned["__fill_defaults__"] = ("flag", True)
+                        continue
                     if st.text != "self" or not self.accept("."):
                         raise EclSyntaxError(f"expected SELF.<f> at {st.pos}")
                     fname2 = self.next().text
@@ -11842,6 +12363,7 @@ class _Parser:
             finally:
                 self.toks, self.i = saved_toks, saved_i
                 self.scalars = saved_scalars
+            fill_dflt = assigned.pop("__fill_defaults__", None) is not None
             cols: list[Column] = []
             children: list[DataFrame] = []
             for nm2, ty2, w2, d2 in out_fields:
@@ -11854,6 +12376,8 @@ class _Parser:
                     children.append(self._nest_as_array(val, nm2))
                 elif d2 is not None and not isinstance(d2, tuple):
                     cols.append(F.lit(d2).alias(nm2))
+                elif fill_dflt:
+                    cols.append(self._zero_col(ty2, w2).alias(nm2))
                 else:
                     raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
             frame = self._dummy().select(*cols)

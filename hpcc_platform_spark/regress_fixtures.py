@@ -271,6 +271,26 @@ def _dg_varindex(spark):
     ).coalesce(1)
 
 
+# ---- qfetch index (files.ecl:104): QSTRING keys, no payload ----
+
+DG_QFETCH_INDEX_REC = [
+    ("lname", "string", 25, None),
+    ("fname", "string", 15, None),
+]
+
+
+def _dg_qfetchindex(spark):
+    """DG_QFetchIndex: {qstring25 Lname, qstring15 Fname} — QSTRING is
+    the 6-bit UPPERCASE alphabet (rtlconst type_qstring), key order."""
+    rows = sorted(
+        (r[3].upper(), r[4].upper()) for r in _fetch_rows()
+    )
+    rows = [r + (i,) for i, r in enumerate(rows)]
+    return spark.createDataFrame(
+        rows, "lname string, fname string, __ord__ long"
+    ).coalesce(1)
+
+
 # ---- fetch fixture (setup/setup_fetch.ecl + files.ecl:88-114) ----
 
 DG_FETCH_REC = [
@@ -406,6 +426,12 @@ def files_members(multi_part: bool = False, use_local: bool = False) -> dict:
             "dataset", _dg_fetchfile, DG_FETCH_REC_FP,
         ),
         "dg_fetchindex": ("dataset", _dg_fetchindex, DG_FETCH_INDEX_REC),
+        "dg_qfetchindexname": (
+            "const", iprefix + "dg_qfetchindex1", "string",
+        ),
+        "dg_qfetchindex": (
+            "dataset", _dg_qfetchindex, DG_QFETCH_INDEX_REC,
+        ),
         "dg_fetchindex1": ("dataset", _dg_fetchindex, DG_FETCH_INDEX_REC),
     }
     for name, vals in s.items():

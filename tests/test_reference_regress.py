@@ -189,6 +189,18 @@ VERBATIM = [
     # sweep finds: pass with the round's generic fixes
     "aggds1", "regex1u", "sqagg2", "sqfiltsubstring", "sqshare",
     "sqshare2",
+    # dict tail 2: CASE/CHOOSE/MAP over dictionaries, dict[key].keyfield
+    # reads, blank-insensitive constant probes, scalar ERROR branches,
+    # ONCE-annotated dicts, ds[n].field function arguments
+    "dict_case", "dict_choose", "dict_map", "dict_once", "dict_field2",
+    # keyed LIMIT over the KEYED-only row count, inline ONFAIL
+    # transforms, implicit __internal_fpos__ on {ds}-payload indexes
+    "indexlimit3",
+    # dataset(RECORDOF(x)) action params; the QSTRING DG_QFetchIndex
+    "indexread6", "indexread7",
+    # blank-insensitive IN over SET columns in join conditions,
+    # SET-valued inline-row members
+    "keyed_join2",
 ]
 
 
