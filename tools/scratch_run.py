@@ -33,7 +33,8 @@ for name in sys.argv[1:]:
         text = f.read()
     print(f"==== {name} ====")
     try:
-        actions = run_ecl_actions(text, {}, spark=spark)
+        from test_reference_regress import _queryxml
+        actions = run_ecl_actions(text, {}, spark=spark, stored=_queryxml(name))
         expected = _expected(name)
         print(f"actions={len(actions)} expected={len(expected)}")
         for i, df in enumerate(actions):

@@ -60,7 +60,8 @@ for name in names:
                 npass += 1
                 continue
             raise AssertionError(f"expected abort: {expected[1]}")
-        actions = run_ecl_actions(text, {}, spark=spark)
+        from test_reference_regress import _queryxml
+        actions = run_ecl_actions(text, {}, spark=spark, stored=_queryxml(name))
         assert len(actions) == len(expected), (
             f"{len(actions)} actions vs {len(expected)} expected"
         )
