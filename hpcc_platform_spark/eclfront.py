@@ -1289,8 +1289,14 @@ class _Parser:
         captured at registration time — a WHEN registered inside a
         FUNCTION body references its parameters (loop3's o1/o2)."""
         if wmode == "success" and self._in_output:
-            self._post_success.append(span)
+            # keep the captured scope with the deferred span — a SUCCESS
+            # action registered inside a FUNCTION body still references
+            # its parameters when the drain loop runs it later
+            self._post_success.append((span, scope))
             return
+        self._exec_action_span_scoped(span, scope)
+
+    def _exec_action_span_scoped(self, span: list, scope) -> None:
         if scope is not None:
             saved = (self.env, self.scalars)
             self.env = dict(self.env)
@@ -1317,8 +1323,8 @@ class _Parser:
         # registration order (the reference's contingency ordering)
         queued = self._post_success[depth0:]
         del self._post_success[depth0:]
-        for span in queued:
-            self._exec_action_span(span)
+        for span, scope in queued:
+            self._exec_action_span_scoped(span, scope)
 
     def _run_output_inner(self) -> None:
         out_pos = self.peek().pos
@@ -3579,6 +3585,9 @@ class _Parser:
                 # the key monitors match, before post-filters
                 # (indexlimit3's LIMIT(fi, n, KEYED))
                 self._keyed_view[id(filtered)] = df.where(kcond)
+                # pin the keyed frame: id()-keyed registries need the
+                # object alive or a reused id inherits a stale view
+                self._pins.append(filtered)
             if id(df) in self._order:  # filters preserve order
                 self._set_order(filtered, self._order[id(df)])
             if id(df) in self._grouped:  # ...and grouping (whole groups
@@ -9578,8 +9587,8 @@ class _Parser:
                     tk = self.next()
                     if tk.kind == "eof":
                         raise EclSyntaxError("unterminated CATCH")
-                    depth += tk.text == "("
-                    depth -= tk.text == ")"
+                    depth += tk.text in ("(", "[")
+                    depth -= tk.text in (")", "]")
             finally:
                 self._catch_rows -= 1
             self.expect(",")
@@ -9952,10 +9961,16 @@ class _Parser:
                     return F.lit("" if isinstance(kz, str) else 0)
                 probe0 = kvals[kpos]
                 hit0 = F.lit(False)
+                str_key = False
                 for k in d["keys"]:
                     kk = k if len(kvals) == 1 else k[kpos]
+                    str_key = str_key or isinstance(kk, str)
                     hit0 = hit0 | (probe0 == F.lit(kk))
-                return F.when(hit0, probe0).otherwise(F.lit(0))
+                # the miss literal takes the key's type — a string key
+                # must miss to '' (Spark coerces when/otherwise to
+                # string, so lit(0) would render '0')
+                miss0 = F.lit("") if str_key else F.lit(0)
+                return F.when(hit0, probe0).otherwise(miss0)
             if fld not in names:
                 raise EclSyntaxError(f"unknown dictionary value field {fld!r}")
             ty = self._dict_field_ty(d, fld)

@@ -456,3 +456,55 @@ def test_scalar_catch_constant_failure_takes_fallback(spark):
     """
     (df,) = run_ecl_actions(ecl, {}, spark=spark)
     assert df.collect()[0][0] == 42
+
+
+# ---- round-10 ADVICE items -----------------------------------------------
+
+
+def test_when_success_scope_survives_output_deferral(spark):
+    """A WHEN-SUCCESS action registered inside a FUNCTION body keeps its
+    captured parameter scope when deferred past the OUTPUT that
+    references it (r10 ADVICE #1)."""
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    f(unsigned amount) := FUNCTION
+      doubled := amount + amount;
+      note := OUTPUT(DATASET([{doubled}], {unsigned v}), NAMED('side'));
+      ds := DATASET([{amount}], {unsigned v});
+      RETURN WHEN(ds, note, SUCCESS);
+    END;
+    OUTPUT(f(21));
+    """
+    dfs = run_ecl_actions(ecl, {}, spark=spark)
+    vals = sorted(r[0] for df in dfs for r in df.collect())
+    assert vals == [21, 42]
+
+
+def test_dict_key_field_nonconstant_probe_string_miss(spark):
+    """Reading a STRING key field back with a non-constant probe misses
+    to '' (the type's empty value), not '0' (r10 ADVICE #3)."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    src = spark.createDataFrame([("red",), ("nope",)], "c string")
+    ecl = """
+    d := DICTIONARY([{'red' => 1}, {'blue' => 2}],
+                    {STRING colour => unsigned code});
+    OUTPUT(TABLE(src, {k := d[c].colour}));
+    """
+    rows = [r.k for r in run_ecl(ecl, {"src": src}, spark=spark).collect()]
+    assert rows == ["red", ""]
+
+
+def test_catch_set_literal_first_arg(spark):
+    """CATCH whose failing first argument contains a bracketed set
+    literal with top-level commas still finds the real fallback comma
+    (r10 ADVICE #4)."""
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    #option('divideByZero', 'fail');
+    OUTPUT(CATCH((1 DIV 0) IN [1, 2, 3], false));
+    """
+    (df,) = run_ecl_actions(ecl, {}, spark=spark)
+    assert df.collect()[0][0] is False

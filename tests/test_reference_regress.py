@@ -254,13 +254,15 @@ def _expected(name: str) -> list[list[list[str]]]:
 
     out = []
     for ds in root.findall("Dataset"):
-        rows = []
+        # a child-dataset field with a simple XPATH renders each child
+        # row as its own repeated element (<Name>..</Name> <Name>..
+        # </Name>, fromjson2). Array-typed columns are detected over the
+        # WHOLE dataset (any row with a >=2 adjacent same-tag run makes
+        # that tag an array column in every row) so a child dataset that
+        # happens to hold one row in some rows still parses as a
+        # one-element list there.
+        array_tags: set = set()
         for row in ds.findall("Row"):
-            # a child-dataset field with a simple XPATH renders each
-            # child row as its own repeated element (<Name>..</Name>
-            # <Name>..</Name>, fromjson2) — a run of >=2 adjacent
-            # same-tag cells is ONE array-typed column
-            cells: list = []
             kids = list(row)
             j = 0
             while j < len(kids):
@@ -268,6 +270,18 @@ def _expected(name: str) -> list[list[list[str]]]:
                 while k < len(kids) and kids[k].tag == kids[j].tag:
                     k += 1
                 if k - j >= 2:
+                    array_tags.add(kids[j].tag)
+                j = k
+        rows = []
+        for row in ds.findall("Row"):
+            cells: list = []
+            kids = list(row)
+            j = 0
+            while j < len(kids):
+                k = j
+                while k < len(kids) and kids[k].tag == kids[j].tag:
+                    k += 1
+                if k - j >= 2 or kids[j].tag in array_tags:
                     cells.append([cell(c) for c in kids[j:k]])
                 else:
                     cells.append(cell(kids[j]))
