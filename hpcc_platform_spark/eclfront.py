@@ -584,6 +584,7 @@ class _Parser:
         # id(df) -> WHEN action span, fired when the frame's result runs
         self._when_actions: dict[int, list] = {}
         self._post_success: list[list] = []
+        self._array_params: dict[str, tuple] = {}
         self._in_output = 0
         self.noop_actions: set[str] = set()
         self.action_once: set[str] = set()
@@ -2340,7 +2341,28 @@ class _Parser:
                     # named argument (quantile1a's first := true)
                     argname = self.next().text
                     self.next()  # ':='
-                if self._at_dataset_start(self.i) and not (
+                ap0 = getattr(self, "_array_params", None) or {}
+                if (
+                    self.peek().kind == "ident"
+                    and self.peek().text in ap0
+                    and self.toks[self.i + 1].text in (",", ")")
+                ):
+                    # forwarding a bound array<struct> dataset param
+                    a = ("arr", ap0[self.next().text])
+                elif (
+                    self.peek().text == "rows"
+                    and self.toks[self.i + 1].text == "("
+                    and self.toks[self.i + 2].text == "left"
+                    and "__nary_rows__" in ap0
+                ):
+                    # ROWS(LEFT) argument in an n-ary join scope
+                    # (stepjoin3's totalProbability(rows(left)))
+                    self.next()
+                    self.expect("(")
+                    self.expect("left")
+                    self.expect(")")
+                    a = ("arr", ap0["__nary_rows__"])
+                elif self._at_dataset_start(self.i) and not (
                     self.toks[self.i].kind == "ident"
                     and self.toks[self.i + 1].text == "["
                 ):
@@ -2364,11 +2386,13 @@ class _Parser:
                 f"{len(args) + len(named)}"
             )
         saved_scopes = (self.env, self.scalars, self.sets, self.dicts, self.records)
+        saved_ap = getattr(self, "_array_params", None)
         self.env = dict(self.env)
         self.scalars = dict(self.scalars)
         self.sets = dict(self.sets)
         self.dicts = dict(self.dicts)
         self.records = dict(self.records)
+        self._array_params = dict(saved_ap or {})
         try:
             for idx, (pname, pty, pdefault) in enumerate(params):
                 if pname in named:
@@ -2383,6 +2407,11 @@ class _Parser:
                     )
                 if kind == "ds":
                     self.env[pname] = aval
+                elif kind == "arr":
+                    # array<struct>-backed dataset parameter: visible to
+                    # the child-aggregate grammar under the param name
+                    self._array_params[pname] = aval
+                    self.scalars[pname] = aval[0]
                 else:
                     col = aval
                     if pty is not None and pty != "dataset" and self._TYPE_RX.match(pty):
@@ -2451,6 +2480,7 @@ class _Parser:
         finally:
             (self.env, self.scalars, self.sets, self.dicts,
              self.records) = saved_scopes
+            self._array_params = saved_ap
 
     def _definition(self) -> None:
         self._skip_shim_qual()
@@ -3077,6 +3107,10 @@ class _Parser:
             df = self._normalize()
         elif t.text == "join":
             df = self._join()
+        elif t.text == "mergejoin" and self.toks[self.i + 1].text == "(":
+            self.next()
+            self.expect("(")
+            df = self._nary_join("mergejoin")
         elif t.text == "sort":
             df = self._sort()
         elif t.text == "sorted" and self.toks[self.i + 1].text == "(":
@@ -3376,6 +3410,20 @@ class _Parser:
             self.expect("(")
             df = self.dataset()
             self.expect(")")
+        elif (
+            t.text in ("allnodes", "local", "thisnode")
+            and self.toks[self.i + 1].text == "("
+        ):
+            # ALLNODES/LOCAL/THISNODE — node-placement wrappers in the
+            # reference (Roxie remote execution, thgraph locality);
+            # Spark's planner owns placement, so they are the identity
+            # (stepping5's ALLNODES(LOCAL(indexRead)))
+            self.next()
+            self.expect("(")
+            df = self.dataset()
+            self.expect(")")
+        elif t.text == "stepped" and self.toks[self.i + 1].text == "(":
+            df = self._stepped()
         elif t.text in ("count", "sum", "min", "max", "ave"):
             df = self._scalar_dataset()
         elif t.text == "(":
@@ -4275,9 +4323,11 @@ class _Parser:
         out_fields = self._resolve_record_fields(fn.get("rettype"))
         saved_rp = getattr(self, "_row_params", None)
         saved_counter = getattr(self, "_counter_col", None)
+        saved_ap = getattr(self, "_array_params", None)
         rp = dict(saved_rp or {})
         saved_scalars = self.scalars
         self.scalars = dict(self.scalars)
+        self._array_params = dict(saved_ap or {})
         try:
             for idx, role in enumerate(roles):
                 if idx >= len(params):
@@ -4287,8 +4337,20 @@ class _Parser:
                     self.scalars[pname] = counter_col
                 elif isinstance(role, tuple) and role[0] == "expr":
                     self.scalars[pname] = role[1]
+                elif isinstance(role, tuple) and role[0] == "arr":
+                    # ROWS(LEFT)-style dataset argument: an array<struct>
+                    # Column + element fields (n-ary join transforms)
+                    self._array_params[pname] = role[1]
+                    self.scalars[pname] = role[1][0]
                 else:
                     rp[pname] = base
+            for pname, _pty, pdefault in params[len(roles):]:
+                # unpassed trailing parameters take their declared
+                # defaults (stepjoin3's skipFilter = true)
+                if pdefault is not None:
+                    self.scalars[pname] = self._mkconst(
+                        pdefault[0], pdefault[1]
+                    )
             self._row_params = rp
             self._counter_col = counter_col
             assigned, skip_cond = self._parse_transform_body_columns(
@@ -4298,6 +4360,7 @@ class _Parser:
             self._row_params = saved_rp
             self._counter_col = saved_counter
             self.scalars = saved_scalars
+            self._array_params = saved_ap
         copy_from = assigned.pop("__copy_from__", None)
         fill_dflt = assigned.pop("__fill_defaults__", False)
         out_cols = []
@@ -4514,6 +4577,10 @@ class _Parser:
     def _join(self) -> DataFrame:
         self.expect("join")
         self.expect("(")
+        if self.peek().text == "[":
+            # JOIN(SET OF DATASETS, ...) — the n-way smart-stepping
+            # merge join (stepjoin1/stepjoin3)
+            return self._nary_join("join")
         left = self.dataset()
         self.expect(",")
         right = self.dataset()
@@ -4949,6 +5016,417 @@ class _Parser:
 
         return _Blank()
 
+    # --- n-way smart-stepping JOIN / MERGEJOIN ---------------------------
+    # Reference: TAKnwayjoin/TAKnwaymerge (rtl/include/eclhelper.hpp
+    # :1050/:1049), engine common/thorhelper/thorstep2.cpp
+    # (CMergeJoinProcessor and friends), Roxie ccdserver.cpp:17854-18026.
+    # Semantics pinned by testing/regress/ecl/stepjoin1-4:
+    #   - a MATCH is one row from every input agreeing on the join-key
+    #     equalities (STEPPED(...) plus residual pairwise conditions);
+    #   - a trailing condition referencing ROWS(LEFT) filters whole
+    #     match tuples (stepjoin3/4's totalProbability global filters);
+    #   - MERGEJOIN emits each participating INPUT row once, merged in
+    #     SORTED order (input index breaks ties);
+    #   - JOIN emits one TRANSFORM row per tuple; the transform reads
+    #     LEFT (first input's row) and ROWS(LEFT) (the tuple, input
+    #     order);
+    #   - LEFT ONLY keeps first-input rows in no surviving tuple;
+    #     LEFT OUTER adds them as singleton tuples.
+    # Spark lowering: the tuple frame is a chain of hash equi-joins on
+    # the extracted key equalities (Catalyst picks broadcast/SMJ per
+    # side); tuple filters and transform reads over ROWS(LEFT) are JVM
+    # array expressions on a packed array<struct> column; output order
+    # re-derives from the declared SORTED fields + per-input ordinals.
+    # The reference's seek/skip physical protocol (IKeyCursor::
+    # lookupSkip) is supplied by scan pruning + hash joins instead.
+
+    def _nary_join(self, kw: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        self.expect("[")
+        inputs = [self.dataset()]
+        while self.accept(","):
+            inputs.append(self.dataset())
+        self.expect("]")
+        self.expect(",")
+        cond_span = self._capture_arg_span()
+        how = "inner"
+        sorted_keys: list[str] = []
+        transform_src = None
+        while self.accept(","):
+            t = self.next()
+            if t.text == "left" and self.peek().text in ("only", "outer"):
+                how = "only" if self.next().text == "only" else "outer"
+            elif t.text == "inner":
+                pass
+            elif t.text == "assert" and self.peek().text == "sorted":
+                self.next()
+            elif t.text == "sorted" and self.peek().text == "(":
+                self.next()
+                while self.peek().text != ")":
+                    k = self.next()
+                    if k.kind == "ident":
+                        sorted_keys.append(k.text)
+                    self.accept(",")
+                self.next()
+            elif t.text in ("internal", "mofn") and self.peek().text == "(":
+                close = self._match_paren(self.i)
+                self.i = close + 1
+            elif t.text in ("dedup", "local"):
+                pass
+            elif (
+                t.text in self.functions
+                and self.functions[t.text].get("transform")
+                and self.peek().text == "("
+            ):
+                close = self._match_paren(self.i)
+                transform_src = ("named", t.text, self.i, close)
+                self.i = close + 1
+            elif t.kind == "ident":
+                sorted_keys.append(t.text)  # bare sort field (stepskip)
+            else:
+                raise EclSyntaxError(
+                    f"unsupported {kw.upper()} option {t.text!r} at {t.pos}"
+                )
+        self.expect(")")
+
+        eq_pairs, pair_spans, tuple_spans = self._nary_cond_parts(cond_span)
+        n = len(inputs)
+        orig_cols = [c for c in inputs[0].columns if c != "__ord__"]
+        meta0 = self._ds_fields.get(id(inputs[0]))
+        if meta0 is None:
+            tmap = {
+                "bigint": "long", "int": "long", "smallint": "long",
+                "tinyint": "long", "double": "double",
+            }
+            meta0 = [
+                (c, tmap.get(dt, dt), None, None)
+                for c, dt in inputs[0].dtypes
+                if c != "__ord__"
+            ]
+
+        # per-input frames: fields renamed c -> c__jn<i>, plus the
+        # stream ordinal __so<i>__ (tie-break / identity)
+        sides = []
+        for i, d in enumerate(inputs):
+            order = self._order.get(id(d))
+            if order is None and "__ord__" in d.columns:
+                order = [F.col("__ord__")]
+            so = (
+                F.row_number().over(Window.orderBy(*order)).cast("long")
+                if order is not None
+                else F.monotonically_increasing_id()
+            )
+            sides.append(
+                d.select(
+                    *[F.col(c).alias(f"{c}__jn{i}") for c in orig_cols],
+                    so.alias(f"__so{i}__"),
+                )
+            )
+
+        class _NSide:
+            def __init__(s, idx):
+                s._idx = idx
+                s.columns = list(orig_cols)
+
+            def __getitem__(s, name):
+                return F.col(f"{name}__jn{s._idx}")
+
+            @property
+            def dtypes(s):
+                return [
+                    (c, dt)
+                    for c, dt in inputs[0].dtypes
+                    if c != "__ord__"
+                ]
+
+        tup = sides[0]
+        for i in range(1, n):
+            cond = None
+            for lf, rf in eq_pairs:
+                c = F.col(f"{lf}__jn0") == F.col(f"{rf}__jn{i}")
+                cond = c if cond is None else cond & c
+            saved_jf = getattr(self, "_join_frames", None)
+            self._join_frames = (_NSide(i - 1), _NSide(i))
+            try:
+                for span in pair_spans:
+                    c = self._parse_span_value(list(span), self._dummy())
+                    cond = c if cond is None else cond & c
+            finally:
+                self._join_frames = saved_jf
+            if cond is None:
+                raise EclSyntaxError(f"{kw.upper()}: no join condition")
+            tup = tup.join(sides[i], cond, "inner")
+        structs = [
+            F.struct(
+                *[F.col(f"{c}__jn{i}").alias(c) for c in orig_cols]
+            )
+            for i in range(n)
+        ]
+        sel = (
+            [F.col(f"{c}__jn0").alias(c) for c in orig_cols]
+            + [F.array(*structs).alias("__nary_rows__")]
+            + [F.col(f"__so{i}__") for i in range(n)]
+        )
+        tup = tup.select(*sel)
+        # tuple-level filters (ROWS(LEFT) conditions)
+        saved_ap = getattr(self, "_array_params", None)
+        self._array_params = dict(saved_ap or {})
+        self._array_params["__nary_rows__"] = (
+            F.col("__nary_rows__"), meta0,
+        )
+        try:
+            for span in tuple_spans:
+                tup = tup.where(
+                    self._parse_span_value(list(span), tup)
+                )
+            # first-input rows in no surviving tuple (LEFT ONLY /
+            # OUTER tail), packed as singleton tuples
+            lo = None
+            if how in ("only", "outer"):
+                survivors = tup.select(
+                    F.col("__so0__").alias("__sok__")
+                ).distinct()
+                lo = sides[0].join(
+                    survivors,
+                    F.col("__so0__") == F.col("__sok__"),
+                    "left_anti",
+                )
+                lo_sel = (
+                    [F.col(f"{c}__jn0").alias(c) for c in orig_cols]
+                    + [F.array(structs[0]).alias("__nary_rows__")]
+                    + [F.col("__so0__")]
+                    + [
+                        F.lit(-1).cast("long").alias(f"__so{i}__")
+                        for i in range(1, n)
+                    ]
+                )
+                lo = lo.select(*lo_sel)
+            if transform_src is None:
+                out = self._nary_merge_rows(
+                    tup, lo, how, n, orig_cols, sorted_keys
+                )
+            else:
+                out = self._nary_transform_rows(
+                    tup, lo, how, n, orig_cols, meta0, sorted_keys,
+                    transform_src,
+                )
+        finally:
+            self._array_params = saved_ap
+        return out
+
+    def _nary_cond_parts(self, span: list):
+        """Split an n-ary join condition into key-equality pairs,
+        residual pairwise spans, and ROWS(LEFT) tuple-filter spans
+        (rewritten to the __nary_rows__ binding)."""
+        parts: list[list] = [[]]
+        depth = 0
+        pend_between = 0
+        for tk in span:
+            if tk.text in ("(", "[", "{"):
+                depth += 1
+            elif tk.text in (")", "]", "}"):
+                depth -= 1
+            if depth == 0 and tk.text == "between":
+                pend_between += 1
+            if depth == 0 and tk.text == "and":
+                if pend_between:
+                    pend_between -= 1
+                else:
+                    parts.append([])
+                    continue
+            parts[-1].append(tk)
+        eq_pairs: list[tuple[str, str]] = []
+        pair_spans: list[list] = []
+        tuple_spans: list[list] = []
+
+        def has_rows_left(p):
+            return any(
+                p[k].text == "rows"
+                and k + 2 < len(p)
+                and p[k + 1].text == "("
+                and p[k + 2].text == "left"
+                for k in range(len(p))
+            )
+
+        def classify(p):
+            if not p:
+                return
+            if p[0].text == "stepped" and len(p) > 2 and p[1].text == "(":
+                eqs2, pairs2, tups2 = self._nary_cond_parts(p[2:-1])
+                eq_pairs.extend(eqs2)
+                pair_spans.extend(pairs2)
+                tuple_spans.extend(tups2)
+                return
+            if has_rows_left(p):
+                tuple_spans.append(list(p))
+                return
+            eq = self._nary_extract_eq(p)
+            if eq is not None:
+                eq_pairs.append(eq)
+            else:
+                pair_spans.append(list(p))
+
+        for p in parts:
+            classify(p)
+        return eq_pairs, pair_spans, tuple_spans
+
+    def _nary_extract_eq(self, p: list):
+        """LEFT.f = RIGHT.g → (f, g); one level of user scalar-function
+        expansion (stepjoin1's smallTest(LEFT.number, RIGHT.number))."""
+        if (
+            len(p) == 7
+            and p[0].text == "left" and p[1].text == "."
+            and p[3].text == "=" and p[4].text == "right"
+            and p[5].text == "."
+        ):
+            return (p[2].text, p[6].text)
+        if (
+            len(p) > 3
+            and p[0].kind == "ident"
+            and p[0].text in self.functions
+            and p[1].text == "("
+            and p[-1].text == ")"
+        ):
+            fn = self.functions[p[0].text]
+            if fn.get("compound") or fn.get("transform"):
+                return None
+            args: list[list] = [[]]
+            depth = 0
+            for tk in p[2:-1]:
+                if tk.text in ("(", "["):
+                    depth += 1
+                elif tk.text in (")", "]"):
+                    depth -= 1
+                if depth == 0 and tk.text == ",":
+                    args.append([])
+                else:
+                    args[-1].append(tk)
+            sub = {
+                fn["params"][k][0]: args[k]
+                for k in range(min(len(args), len(fn["params"])))
+            }
+            exp: list = []
+            for tk in fn["body"]:
+                if tk.kind == "ident" and tk.text in sub:
+                    exp.extend(sub[tk.text])
+                else:
+                    exp.append(tk)
+            return self._nary_extract_eq(exp)
+        return None
+
+    def _nary_merge_rows(
+        self, tup, lo, how, n, orig_cols, sorted_keys
+    ) -> DataFrame:
+        """MERGEJOIN output: each participating input row once, merged
+        in SORTED order, input index then stream position on ties."""
+        from pyspark.sql.window import Window
+
+        parts = []
+        if how != "only":
+            rng = range(n)
+            for i in rng:
+                p = (
+                    tup.select(
+                        F.col("__nary_rows__")[i].alias("__r__"),
+                        F.col(f"__so{i}__").alias("__so__"),
+                    )
+                    .distinct()
+                    .select(
+                        *[
+                            F.col("__r__")[c].alias(c)
+                            for c in orig_cols
+                        ],
+                        F.lit(i).alias("__src__"),
+                        F.col("__so__"),
+                    )
+                )
+                parts.append(p)
+        if how in ("only", "outer"):
+            parts.append(
+                lo.select(
+                    *orig_cols,
+                    F.lit(0).alias("__src__"),
+                    F.col("__so0__").alias("__so__"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        okeys = [F.col(k) for k in sorted_keys] + [
+            F.col("__src__"), F.col("__so__"),
+        ]
+        out = out.withColumn(
+            "__neword__",
+            F.row_number().over(Window.orderBy(*okeys)).cast("long"),
+        ).select(*orig_cols, F.col("__neword__").alias("__ord__"))
+        self._set_order(out, [F.col("__ord__")])
+        return out
+
+    def _nary_transform_rows(
+        self, tup, lo, how, n, orig_cols, meta0, sorted_keys,
+        transform_src,
+    ) -> DataFrame:
+        """JOIN-with-transform output: one transform row per surviving
+        tuple (plus singleton tuples for LEFT OUTER/ONLY), ordered by
+        the SORTED fields with left-major tuple enumeration on ties."""
+        from pyspark.sql.window import Window
+
+        _kind, fname, start, _close = transform_src
+        fn = self.functions[fname]
+
+        def apply_to(base):
+            saved_i = self.i
+            self.i = start + 1
+            roles: list = []
+            try:
+                while self.peek().text != ")":
+                    t = self.peek()
+                    nxt = self.toks[self.i + 1].text
+                    if t.text == "left" and nxt in (",", ")"):
+                        self.next()
+                        roles.append("left")
+                    elif t.text == "rows" and nxt == "(":
+                        self.next()
+                        self.expect("(")
+                        self.expect("left")
+                        self.expect(")")
+                        roles.append(
+                            ("arr", (F.col("__nary_rows__"), meta0))
+                        )
+                    else:
+                        roles.append(("expr", self.value(base)))
+                    if not self.accept(","):
+                        break
+            finally:
+                self.i = saved_i
+            out_cols, skip_cond, out_fields = self._named_transform_cols(
+                fn, roles, base, F.lit(0)
+            )
+            res = base
+            if skip_cond is not None:
+                res = res.where(~skip_cond)
+            keep = [F.col(f"__so{i}__") for i in range(n)]
+            return res.select(*out_cols, *keep), out_fields
+
+        res, out_fields = apply_to(tup)
+        if how == "only":
+            res, out_fields = apply_to(lo)
+        elif how == "outer":
+            res2, _f2 = apply_to(lo)
+            res = res.unionByName(res2)
+        okeys = [F.col(k) for k in sorted_keys] + [
+            F.col(f"__so{i}__") for i in range(n)
+        ]
+        final_cols = [c for c in res.columns if not c.startswith("__so")]
+        out = res.withColumn(
+            "__neword__",
+            F.row_number().over(Window.orderBy(*okeys)).cast("long"),
+        ).select(*final_cols, F.col("__neword__").alias("__ord__"))
+        self._set_order(out, [F.col("__ord__")])
+        self._ds_fields[id(out)] = out_fields
+        return out
+
     def _join_named_transform(self, fname: str, left, right):
         """A NAMED transform as a JOIN option: xfm(LEFT, RIGHT
         [, scalar args]) — body re-parsed in Column mode with the row
@@ -5333,6 +5811,50 @@ class _Parser:
             .drop("__cat__", "__cap__", "__rn__", "__tot__")
         )
         self._set_order(out, order)
+        return out
+
+    def _stepped(self) -> DataFrame:
+        """STEPPED(ds, sortfields..., [options]) (no_stepped; the
+        smart-stepping read-order contract, common/thorhelper/
+        thorstep.cpp): declares the stream is consumed in sortfields
+        order so a downstream merge can seek/skip. On this engine it is
+        a stable re-sort of the key-ordered read by the requested
+        leading components (stepping3/stepping5: an index read stepped
+        by a trailing key component)."""
+        from pyspark.sql.window import Window
+
+        self.expect("stepped")
+        self.expect("(")
+        df = self.dataset()
+        keys: list[str] = []
+        while self.accept(","):
+            k = self.peek()
+            if k.text in ("priority", "prefetch", "filtered", "hint") or (
+                k.kind != "ident"
+            ):
+                # stepping options — seek-side hints with no analogue
+                if self.toks[self.i + 1].text == "(":
+                    self.next()
+                    close = self._match_paren(self.i)
+                    self.i = close + 1
+                else:
+                    self.next()
+                continue
+            keys.append(self.next().text)
+        self.expect(")")
+        order = self._order.get(id(df))
+        if order is None and "__ord__" in df.columns:
+            order = [F.col("__ord__")]
+        tie = list(order or [])
+        keycols = [F.col(k) for k in keys]
+        keep = [c for c in df.columns if c != "__ord__"]
+        out = df.withColumn(
+            "__neword__",
+            F.row_number().over(Window.orderBy(*keycols, *tie)).cast("long"),
+        ).select(*keep, F.col("__neword__").alias("__ord__"))
+        self._set_order(out, [F.col("__ord__")])
+        if id(df) in self._ds_fields:
+            self._ds_fields[id(out)] = self._ds_fields[id(df)]
         return out
 
     def _sorted_assert(self) -> DataFrame:
@@ -6410,7 +6932,10 @@ class _Parser:
         self.expect("(")
         df = self.dataset()
         self.expect(",")
-        n = int(self.next().text)
+        nc = self._cget(self.value(self._dummy()))
+        if nc is None:
+            raise EclSyntaxError("LIMIT count must be constant")
+        n = int(nc[0])
         skip = False
         onfail = None
         keyed_opt = False
@@ -11354,7 +11879,23 @@ class _Parser:
         kids = self._child_field_names(df) if df is not None else {}
         arr = fields = None
         arr_name = t.text  # field/definition name the array came from
-        if t.kind == "ident" and t.text in kids:
+        ap = getattr(self, "_array_params", None) or {}
+        if t.kind == "ident" and t.text in ap:
+            # a dataset parameter bound to an array<struct> Column
+            # (stepjoin3's totalProbability(values) body: SUM(values,
+            # LN(prob)) over the n-ary ROWS(LEFT) tuple)
+            arr, fields = ap[t.text]
+        elif (
+            t.text == "rows"
+            and self.peek().text == "("
+            and "__nary_rows__" in ap
+        ):
+            # ROWS(LEFT) inside an n-ary join scope
+            self.next()
+            self.expect("left")
+            self.expect(")")
+            arr, fields = ap["__nary_rows__"]
+        elif t.kind == "ident" and t.text in kids:
             arr = df[t.text]
             fields = kids[t.text]
         elif t.kind == "ident" and t.text in self.ds_spans:

@@ -433,6 +433,18 @@ def files_members(multi_part: bool = False, use_local: bool = False) -> dict:
             "dataset", _dg_qfetchindex, DG_QFETCH_INDEX_REC,
         ),
         "dg_fetchindex1": ("dataset", _dg_fetchindex, DG_FETCH_INDEX_REC),
+        "dg_keyedindexfile": (
+            "dataset", _dg_keyedindex, DG_KEYEDINDEX_REC,
+        ),
+        "dg_keyedindexfiledelta": (
+            "dataset", _dg_keyedindex_delta, DG_KEYEDINDEX_REC,
+        ),
+        "dg_dupkeyedindexfile": (
+            "dataset", _dg_dupkeyedindex, DG_KEYEDINDEX_REC,
+        ),
+        "dg_dupkeyedindexsuperfilename": (
+            "const", iprefix + "dg_KEYED_INDEX_DUP", "string",
+        ),
     }
     for name, vals in s.items():
         m[name] = ("set", vals)
@@ -447,6 +459,56 @@ def _dg_index(spark):
     return df.withColumn(
         "__ord__", F.row_number().over(
             Window.orderBy("dg_firstname", "dg_lastname", "filepos")
+        ).cast("long"),
+    ).coalesce(1)
+
+
+DG_KEYEDINDEX_REC = [
+    ("dg_firstname", "string", 10, None),
+    ("dg_lastname", "string", 10, None),
+    ("dg_prange", "long", None, None),
+    ("filepos", "long", None, None),
+]
+
+
+def _dg_keyedindex(spark, delta: int = 0):
+    """DG_KeyedIndexFile (files.ecl:159): keys {DG_firstname,
+    DG_lastname, DG_Prange}, payload {filepos}, fileposition(false) —
+    reads come back in key order. The DELTA variant (files.ecl:160)
+    stores filepos+1."""
+    df = _dg_parents(spark).drop("__ord__")
+    df = df.select(
+        "dg_firstname", "dg_lastname", "dg_prange",
+        (F.col("filepos") + delta).alias("filepos"),
+    )
+    return df.withColumn(
+        "__ord__",
+        F.row_number().over(
+            Window.orderBy(
+                "dg_firstname", "dg_lastname", "dg_prange", "filepos"
+            )
+        ).cast("long"),
+    ).coalesce(1)
+
+
+def _dg_keyedindex_delta(spark):
+    return _dg_keyedindex(spark, 1)
+
+
+def _dg_dupkeyedindex(spark):
+    """DG_DupKeyedIndexFile (files.ecl:162): superfile merge of the
+    KEYED and KEYED_DELTA indexes, k-way merged on the key fields.
+    (The reference's within-key tie order between sub-indexes is a
+    B+tree node-interleaving artifact; here ties read filepos-ascending.)"""
+    a = _dg_keyedindex(spark).drop("__ord__")
+    b = _dg_keyedindex_delta(spark).drop("__ord__")
+    u = a.unionByName(b)
+    return u.withColumn(
+        "__ord__",
+        F.row_number().over(
+            Window.orderBy(
+                "dg_firstname", "dg_lastname", "dg_prange", "filepos"
+            )
         ).cast("long"),
     ).coalesce(1)
 

@@ -216,6 +216,13 @@ VERBATIM = [
     # modular truncation, ROW(transform()) appends, LENGTHSIZE caps,
     # .queryxml STORED submissions
     "crosstab_nfl", "appendoptimize", "output", "simplestored",
+    # smart-stepping (thorstep2.cpp CMergeJoinProcessor, Roxie
+    # ccdserver.cpp:17854-18026): n-way JOIN/MERGEJOIN over a SET of
+    # sorted datasets — match tuples, ROWS(LEFT) transforms and global
+    # tuple filters, LEFT ONLY/OUTER, STEPPED(index, components)
+    # re-sorted reads, stepped LIMIT-SKIP feeding MERGEJOIN
+    "stepjoin1", "stepjoin2", "stepjoin3", "stepjoin4", "stepskip",
+    "stepping3", "stepping5",
 ]
 
 
