@@ -275,6 +275,16 @@ class _FailedDs:
         self.exc = exc
 
 
+class _DsFn:
+    """A fixture-module member that is a parameterized dataset accessor
+    (Common/TextSearch.ecl's getWordIndex(multiPart, local)): the
+    arguments select storage variants with identical logical content,
+    so the call resolves to the one fixture frame."""
+
+    def __init__(self, spec: tuple):
+        self.spec = spec
+
+
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}
 
 
@@ -1207,6 +1217,22 @@ class _Parser:
                     self._bind_shim_members(
                         "serialtest", RF.serialtest_members()
                     )
+                if "ts" in texts:
+                    # import $.Setup.TS — the text-search constants
+                    # module (setup/ts.ecl): kindType enum, limits.
+                    # TS.kindType.TextEntry strips two shim qualifiers
+                    # down to the injected scalar.
+                    from hpcc_platform_spark import regress_fixtures as RF
+
+                    self._bind_shim_members("ts", RF.ts_members())
+                    self.shims.setdefault("kindtype", {})
+                if "textsearch" in texts:
+                    # import $.Common.TextSearch — word-index accessor
+                    from hpcc_platform_spark import regress_fixtures as RF
+
+                    self._bind_shim_members(
+                        "textsearch", RF.textsearch_members()
+                    )
                 if "from" in texts:
                     fi = texts.index("from")
                     tail = texts[fi + 1 :]
@@ -1507,6 +1533,8 @@ class _Parser:
                     # the member also names a logical FILE: name-based
                     # DATASET('name', rec, THOR) reads resolve to it
                     self.files[str(spec[3]).lower()] = d
+            elif spec[0] == "dsfunc":
+                self.env[mn] = _DsFn(spec)
 
     def _try_const_str(self) -> str | None:
         """Parse a constant string-valued expression at the cursor
@@ -2151,6 +2179,18 @@ class _Parser:
                 self.i = close + 1
                 ty = "dataset"
                 t = self.next()
+            elif t.text == "dataset" and self.peek().kind == "ident":
+                # bare `dataset x` parameter (sqfilt's protect(virtual
+                # dataset x)) — shape from the argument
+                ty = "dataset"
+                t = self.next()
+            elif t.text == "dictionary" and self.peek().text == "(":
+                # DICTIONARY({record}) typed parameter (dict15a's
+                # knownWords): shape comes from the argument
+                close = self._match_paren(self.i)
+                self.i = close + 1
+                ty = "dictionary"
+                t = self.next()
             elif t.text == "dataset" and self.peek().text == "(":
                 # dataset(rec) / dataset({inline record}) typed parameter
                 # — the record shape comes from the argument itself;
@@ -2344,6 +2384,13 @@ class _Parser:
                 ap0 = getattr(self, "_array_params", None) or {}
                 if (
                     self.peek().kind == "ident"
+                    and self.peek().text in self.dicts
+                    and self.toks[self.i + 1].text in (",", ")")
+                ):
+                    # dictionary argument (dict15a's knownWords)
+                    a = ("dict", self.dicts[self.next().text])
+                elif (
+                    self.peek().kind == "ident"
                     and self.peek().text in ap0
                     and self.toks[self.i + 1].text in (",", ")")
                 ):
@@ -2407,6 +2454,8 @@ class _Parser:
                     )
                 if kind == "ds":
                     self.env[pname] = aval
+                elif kind == "dict":
+                    self.dicts[pname] = aval
                 elif kind == "arr":
                     # array<struct>-backed dataset parameter: visible to
                     # the child-aggregate grammar under the param name
@@ -2743,6 +2792,16 @@ class _Parser:
                     self.env[name.text] = d
                     self._ds_fields[id(d)] = list(spec[2])
                     self._pins.append(d)
+                    if "__ord__" in d.columns:
+                        self._set_order(d, [F.col("__ord__")])
+                if (
+                    self.peek().text == "("
+                    and self.toks[self.i + 1].text == ")"
+                ):
+                    # zero-arg accessor member: wordIndex :=
+                    # Setup.Files(...).getWordIndex() (files.ecl:209)
+                    self.next()
+                    self.next()
             self.expect(";")
             return
         if self.peek().text == "dictionary":
@@ -3516,8 +3575,30 @@ class _Parser:
                 df = self.env[t.text]
                 if isinstance(df, _FailedDs):
                     raise df.exc  # per-reference failure propagation
+                if (
+                    self.peek().text == "("
+                    and self.toks[self.i + 1].text == ")"
+                ):
+                    # zero-arg accessor form of a fixture member
+                    # (Files.getWordIndex() — files.ecl:209)
+                    self.next()
+                    self.next()
                 if isinstance(df, _WuRef):
                     df = self._resolve_wu(df)
+                if isinstance(df, _DsFn):
+                    # parameterized accessor: args pick a storage
+                    # variant; the logical frame is the same
+                    spec = df.spec
+                    if self.peek().text == "(":
+                        close = self._match_paren(self.i)
+                        self.i = close + 1
+                    from hpcc_platform_spark import regress_fixtures as RF
+
+                    df = RF.build_df(self.spark(), spec[1])
+                    self._ds_fields[id(df)] = list(spec[2])
+                    self._pins.append(df)
+                    if "__ord__" in df.columns:
+                        self._set_order(df, [F.col("__ord__")])
                 if isinstance(df, list):
                     # dataset set: s[n] picks the n-th member (1-based)
                     self.expect("[")
@@ -4234,7 +4315,9 @@ class _Parser:
             self._ds_fields[id(out)] = [declared_meta[f] for f in declared]
         return out
 
-    def _project_named_transform(self, src: DataFrame) -> DataFrame:
+    def _project_named_transform(
+        self, src: DataFrame, counter_override=None
+    ) -> DataFrame:
         """PROJECT(ds, t(LEFT [, COUNTER])): the named transform body
         re-parses in Column mode — LEFT's fields read the input row,
         COUNTER is the 1-based ordinal, SKIP(cond) filters."""
@@ -4258,7 +4341,12 @@ class _Parser:
                 "__ord__",
                 F.row_number().over(Window.orderBy(*order, *tie)).cast("long"),
             )
-        if order is not None:
+        if counter_override is not None:
+            # caller supplies the ordinal (NORMALIZE counter form:
+            # COUNTER is 1..n within each input row, not the stream
+            # ordinal)
+            counter_col = counter_override
+        elif order is not None:
             from pyspark.sql.window import Window
 
             counter_col = F.row_number().over(Window.orderBy(*order))
@@ -4398,28 +4486,50 @@ class _Parser:
         self.expect("(")
         src = self.dataset()
         self.expect(",")
-        if self.peek().kind == "num" or (
-            self.peek().kind == "ident"
-            and self.peek().text in self.scalars
+        if not (
+            self.peek().text == "left"
+            and self.toks[self.i + 1].text == "."
         ):
             # counter form: NORMALIZE(ds, n, t(LEFT, COUNTER)) — n output
             # rows per input row (TAKnormalize :907), the transform
-            # re-parsed in Column mode with COUNTER = 1..n
-            nc = self._cget(self.value(self._dummy()))
-            if nc is None:
-                raise EclSyntaxError("NORMALIZE count must be constant")
-            n = int(nc[0])
-            self.expect(",")
-            exploded = src.withColumn(
-                "__ctr__",
-                F.explode(F.sequence(F.lit(1), F.lit(n))),
-            )
-            saved_counter = getattr(self, "_counter_col", None)
-            self._counter_col = F.col("__ctr__")
+            # re-parsed in Column mode with COUNTER = 1..n. n may be an
+            # expression over the input row (dict15's
+            # LENGTH(LEFT.Rest)) — a per-row sequence explode then.
+            saved_rp = getattr(self, "_row_params", None)
+            self._row_params = dict(saved_rp or {})
+            self._row_params.setdefault("left", src)
             try:
-                out = self._project_named_transform(exploded)
+                cnt = self.value(src)
             finally:
-                self._counter_col = saved_counter
+                self._row_params = saved_rp
+            self.expect(",")
+            nc = self._cget(cnt)
+            if nc is not None:
+                seq = F.sequence(F.lit(1), F.lit(int(nc[0])))
+            else:
+                c32 = cnt.cast("int")
+                seq = F.when(
+                    c32 >= 1, F.sequence(F.lit(1), c32)
+                ).otherwise(F.array().cast("array<int>"))
+            from pyspark.sql.window import Window
+
+            exploded = src.withColumn("__ctr__", F.explode(seq))
+            order0 = self._order.get(id(src))
+            if order0 is None and "__ord__" in src.columns:
+                order0 = [F.col("__ord__")]
+            if order0 is not None:
+                # copies of a row order by COUNTER within the input
+                # position (thnormalizeslave emission order)
+                exploded = exploded.withColumn(
+                    "__ord__",
+                    F.row_number().over(
+                        Window.orderBy(*order0, F.col("__ctr__"))
+                    ).cast("long"),
+                )
+                self._set_order(exploded, [F.col("__ord__")])
+            out = self._project_named_transform(
+                exploded, counter_override=F.col("__ctr__")
+            )
             return out
         lk = self.next()
         if lk.text != "left" or not self.accept("."):
@@ -5868,6 +5978,10 @@ class _Parser:
         self.expect("sorted")
         self.expect("(")
         df = self.dataset()
+        if self.accept(")"):
+            # SORTED(ds) with no keys: declares the input pre-sorted
+            # (an index read — dict15a's SORTED(wordIndex)); identity
+            return df
         self.expect(",")
         keys = self._sort_keys(df)
         self.expect(")")
@@ -6768,10 +6882,21 @@ class _Parser:
         row SET equals the union ordered by the keys; operators/sort.py
         merge_sorted is the streaming analogue — here the declarative
         union+orderBy lowers to the same range-exchange sort plan."""
+        from pyspark.sql.window import Window
+
         self.expect("merge")
         self.expect("(")
-        parts = [self.dataset()]
-        self.expect(",")
+        if self.peek().text == "[":
+            # MERGE([a, b, ...], SORTED(keys)) set form (mergenway)
+            self.next()
+            parts = [self.dataset()]
+            while self.accept(","):
+                parts.append(self.dataset())
+            self.expect("]")
+            self.expect(",")
+        else:
+            parts = [self.dataset()]
+            self.expect(",")
         keys = None
         while True:
             t = self.peek()
@@ -6780,7 +6905,7 @@ class _Parser:
                 self.expect("(")
                 dfu = parts[0]
                 for p in parts[1:]:
-                    dfu = dfu.unionByName(p)
+                    dfu = dfu.unionByName(p.select(*parts[0].columns))
                 keys = self._sort_keys(dfu)
                 self.expect(")")
             elif t.text in ("local", "dedup", "parallel"):
@@ -6790,9 +6915,6 @@ class _Parser:
             if not self.accept(","):
                 break
         self.expect(")")
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
         if keys is None:
             # no SORTED(...) option: inherit the first input's sort keys
             # (MERGE requires pre-sorted inputs; thmergeslave)
@@ -6801,8 +6923,36 @@ class _Parser:
                 raise EclSyntaxError(
                     "MERGE needs SORTED(keys) or pre-sorted inputs"
                 )
-        out = df.orderBy(*keys)
-        self._set_order(out, keys)
+        # tie-break equal keys by input index then input position — the
+        # k-way merge pulls from the earliest stream on ties
+        cols0 = [c for c in parts[0].columns if c != "__ord__"]
+        tagged = []
+        for i, p in enumerate(parts):
+            order = self._order.get(id(p))
+            if order is None and "__ord__" in p.columns:
+                order = [F.col("__ord__")]
+            so = (
+                F.row_number().over(Window.orderBy(*order)).cast("long")
+                if order is not None
+                else F.monotonically_increasing_id()
+            )
+            tagged.append(
+                p.select(
+                    *cols0, F.lit(i).alias("__msrc__"), so.alias("__mso__")
+                )
+            )
+        df = tagged[0]
+        for p in tagged[1:]:
+            df = df.unionByName(p)
+        out = df.withColumn(
+            "__neword__",
+            F.row_number().over(
+                Window.orderBy(*keys, F.col("__msrc__"), F.col("__mso__"))
+            ).cast("long"),
+        ).select(*cols0, F.col("__neword__").alias("__ord__"))
+        self._set_order(out, [F.col("__ord__")])
+        if id(parts[0]) in self._ds_fields:
+            self._ds_fields[id(out)] = self._ds_fields[id(parts[0])]
         return out
 
     def _sample_enth(self) -> DataFrame:
@@ -10390,6 +10540,27 @@ class _Parser:
                 df[t.text], self._child_field_names(df)[t.text]
             )
         if (
+            t.kind == "ident"
+            and isinstance(df, DataFrame)
+            and t.text in self._child_field_names(df)
+            and self.peek().text == "."
+            and self.toks[self.i + 2].text == "["
+            and any(
+                nm == self.toks[self.i + 1].text
+                and isinstance(d, tuple) and d and d[0] == "__child__"
+                for nm, _t2, _w2, d in self._child_field_names(df)[t.text]
+            )
+        ):
+            # grandchild element access: persons.books[1].name (sqagg) —
+            # flatten the path, then index the combined array
+            self.i -= 1
+            arr_g, fields_g = self._child_expr(df)
+            if self.peek().text == "[":
+                return self._child_elem_field(arr_g, fields_g)
+            raise EclSyntaxError(
+                f"expected '[' after child path at {t.pos}"
+            )
+        if (
             t.text
             in (
                 "table", "sort", "dedup", "choosen", "topn", "merge",
@@ -10577,6 +10748,33 @@ class _Parser:
                 elif dty_r.startswith("array"):
                     col_r = self._tag_arr(col_r)
                 return col_r
+            if self.peek().text == "." and not isinstance(df, DataFrame):
+                # element-context ancestor-qualified field (sqfilt's
+                # books(price > persons.booklimit): `persons` names the
+                # enclosing element's source array — walk the ctx chain)
+                c = df
+                while c is not None and not isinstance(c, DataFrame):
+                    sn = getattr(c, "_self_name", None)
+                    same = sn == t.text
+                    if not same and sn is not None:
+                        # WITHIN-style scope unification: two correlated
+                        # definitions over the SAME source dataset refer
+                        # to the same active element (sqfilt t3's
+                        # personsDs.booklimit inside personsDsDs)
+                        try:
+                            same = self._resolve_chain(
+                                [t.text]
+                            ) == self._resolve_chain([sn])
+                        except Exception:
+                            same = False
+                    if (
+                        same
+                        and self.toks[self.i + 1].kind == "ident"
+                        and self.toks[self.i + 1].text in c.columns
+                    ):
+                        self.next()
+                        return c[self.next().text]
+                    c = getattr(c, "_parent_ctx", None)
             if (
                 t.text in self.env
                 and self.peek().text == "."
@@ -11690,7 +11888,7 @@ class _Parser:
             for nm, _ty, _w, d in meta
             if isinstance(d, tuple) and len(d) >= 2 and d[0] == "__child__"
         }
-        if not out and df is not None:
+        if not out and df is not None and hasattr(df, "schema"):
             # no registered meta (frame derived through withColumn/join):
             # derive child fields from the Spark schema itself
             from pyspark.sql import types as T
@@ -11721,6 +11919,7 @@ class _Parser:
     def _child_agg(self, fn: str, df) -> Column:
         """fn is count/sum/min/max/ave/exists; at '(' of the call."""
         self.expect("(")
+        nm0 = self.peek().text if self.peek().kind == "ident" else None
         arr, fields = self._child_expr(df)
         if fn == "count":
             self.expect(")")
@@ -11744,13 +11943,18 @@ class _Parser:
         self.next()  # ')'
         fieldnames = [f[0] for f in fields]
 
-        def _mk_val(span_l, fnames):
+        pctx = df if df is not None and not isinstance(df, DataFrame) else None
+
+        def _mk_val(span_l, fnames, fmeta):
             def one(x):
-                return self._eval_elem_cond(span_l, x, fnames)
+                return self._eval_elem_cond(
+                    span_l, x, fnames, fields_meta=fmeta,
+                    self_name=nm0, parent_ctx=pctx,
+                )
 
             return one
 
-        vals = F.transform(arr, _mk_val(list(span), fieldnames))
+        vals = F.transform(arr, _mk_val(list(span), fieldnames, list(fields)))
         if fn == "sum":
             return F.aggregate(
                 vals, F.lit(0).cast("double"), lambda a, b: a + b
@@ -11854,15 +12058,22 @@ class _Parser:
             self.next()
             arr, fields = self._child_expr(df)
             keys: list[str] = []
+            allmode = False
             while self.accept(","):
                 k = self.next()
-                if k.text in ("all", "local", "hash"):
+                if k.text in ("all", "hash"):
+                    allmode = True  # kill duplicates anywhere
+                    continue
+                if k.text == "local":
                     continue
                 keys.append(k.text)
             self.expect(")")
             tymap = {nm: ty for nm, ty, _w, _d in fields}
             if keys:
-                def key_struct(x):
+                # DEDUP keeps the first WHOLE row per key run (ALL/HASH:
+                # first per key anywhere) — survivors keep every field
+                # (sqfilt4's dedup(persons, surname).books)
+                def _kstruct(x):
                     cols = []
                     for k in keys:
                         c = x[k]
@@ -11871,8 +12082,24 @@ class _Parser:
                         cols.append(c.alias(k))
                     return F.struct(*cols)
 
-                arr = F.array_distinct(F.transform(arr, key_struct))
-                fields = [f for f in fields if f[0] in keys]
+                prev_arr = arr
+                if allmode:
+                    arr = F.filter(
+                        prev_arr,
+                        lambda x, i: ~F.exists(
+                            F.slice(prev_arr, 1, i),
+                            lambda y: _kstruct(y) == _kstruct(x),
+                        ),
+                    )
+                else:
+                    arr = F.filter(
+                        prev_arr,
+                        lambda x, i: (i == F.lit(0))
+                        | (
+                            _kstruct(x)
+                            != _kstruct(F.element_at(prev_arr, i))
+                        ),
+                    )
             else:
                 arr = F.array_distinct(arr)
             return arr, fields
@@ -11919,17 +12146,27 @@ class _Parser:
                     self.next()  # ')'
                     fieldnames = [f[0] for f in fields]
 
-                    def _mk_filter(span_l, fnames, fmeta):
+                    pctx_f = (
+                        df if df is not None and not isinstance(df, DataFrame)
+                        else None
+                    )
+
+                    def _mk_filter(span_l, fnames, fmeta, snm, pcx):
                         # single-arg closure: pyspark dispatches on arity
                         def one(x):
                             return self._eval_elem_cond(
-                                span_l, x, fnames, fields_meta=fmeta
+                                span_l, x, fnames, fields_meta=fmeta,
+                                self_name=snm, parent_ctx=pcx,
                             )
 
                         return one
 
                     arr = F.filter(
-                        arr, _mk_filter(list(span), fieldnames, list(fields))
+                        arr,
+                        _mk_filter(
+                            list(span), fieldnames, list(fields),
+                            arr_name, pctx_f,
+                        ),
                     )
                     continue
                 if (
@@ -11992,6 +12229,23 @@ class _Parser:
                                 )
                                 outer_cs.append(c)
                                 j += 5
+                                continue
+                            if (
+                                j + 2 < len(span2)
+                                and span2[j].kind == "ident"
+                                and span2[j].text == arr_name
+                                and span2[j + 1].text == "."
+                                and span2[j + 2].kind == "ident"
+                                and span2[j + 2].text in pnames
+                            ):
+                                # bare child-name qualifier (sqagg's
+                                # persons.books(persons.booklimit > 0))
+                                c = span2[j + 2].text
+                                new_span.append(
+                                    _Tok("ident", f"__outer_{c}", span2[j].pos)
+                                )
+                                outer_cs.append(c)
+                                j += 3
                                 continue
                             new_span.append(span2[j])
                             j += 1
@@ -12400,10 +12654,18 @@ class _Parser:
             self.i = 0
             self._skip_shim_qual()
             head = self.peek().text
-            if not (
+            ok_head = (
                 self.env.get(head) is df
                 or (hasattr(df, "columns") and head in df.columns)
-            ):
+            )
+            c = df
+            while not ok_head and c is not None and not isinstance(c, DataFrame):
+                # element-context anchors: booksDs(personid = persons.id)
+                # inside a persons element (sqfilt t2)
+                if getattr(c, "_self_name", None) == head:
+                    ok_head = True
+                c = getattr(c, "_parent_ctx", None)
+            if not ok_head:
                 self.toks, self.i = saved_toks, saved_i
                 self.i = mark
                 return None
@@ -12848,6 +13110,7 @@ class _Parser:
     def _eval_elem_cond(
         self, span: list[_Tok], elem, fieldnames: list, outer: dict | None = None,
         fields_meta: list | None = None, elem_path: tuple | None = None,
+        self_name: str | None = None, parent_ctx=None,
     ) -> Column:
         """Evaluate a filter condition over one array element (the x of
         F.filter's lambda) by re-parsing the span with element-resolved
@@ -12865,6 +13128,11 @@ class _Parser:
             # provenance of the element's source array — dataset paths
             # extending it re-bind to the element (_rebind_parse_base)
             _elem_path = elem_path
+            # ancestor scoping: the array's NAME and the enclosing
+            # element context, so a nested filter can read
+            # persons.booklimit from a books element (sqfilt)
+            _self_name = self_name
+            _parent_ctx = parent_ctx
 
             def __getitem__(self, name):
                 if name in out_map:

@@ -445,6 +445,9 @@ def files_members(multi_part: bool = False, use_local: bool = False) -> dict:
         "dg_dupkeyedindexsuperfilename": (
             "const", iprefix + "dg_KEYED_INDEX_DUP", "string",
         ),
+        # ts text-search word index (files.ecl:206-209; fixture below)
+        "namewordindex": ("const", iprefix + "wordIndex", "string"),
+        "getwordindex": ("dataset", _ts_word_index, TS_WORDINDEX_REC),
     }
     for name, vals in s.items():
         m[name] = ("set", vals)
@@ -786,10 +789,17 @@ def _sq_person_book(spark):
 
 
 def _sq_house(spark):
-    rows = [
-        (h["id"], h["addr"], h["postcode"].ljust(10), h["yearbuilt"], n)
-        for n, h in enumerate(_sq_ids())
-    ]
+    # virtual(fileposition): byte offset in the stored variable-width
+    # layout — unsigned4 id + (4+len) addr + string10 postcode +
+    # unsigned2 yearbuilt = 20 + len(addr) per row (sqfilt_keyed pins
+    # 0/36/73/100)
+    rows = []
+    pos = 0
+    for h in _sq_ids():
+        rows.append(
+            (h["id"], h["addr"], h["postcode"].ljust(10), h["yearbuilt"], pos)
+        )
+        pos += 20 + len(h["addr"])
     return spark.createDataFrame(
         rows,
         "id long, addr string, postcode string, yearbuilt long, "
@@ -1059,4 +1069,343 @@ def serialtest_members() -> dict:
             "dataset", _serial_book_index, BOOK_KEY_REC,
             prefix + "serialbookkey",
         ),
+    }
+
+
+# --------------------------------------------------------------------------
+# ts text-search fixture (setup/ts.ecl + setup/setuptext.ecl)
+# --------------------------------------------------------------------------
+# The word index the stepping/textsearch regress family reads
+# (Setup.Files(...).getWordIndex(), files.ecl:209). setuptext.ecl's
+# createSimpleIndex pipeline — tokenize inline documents, normalize
+# sentence/paragraph markers into begin/end tags, assign word positions
+# (wpos += previous wip), match open/close tags into span widths, then
+# lowercase + case flags — re-implemented here as deterministic driver
+# Python over the ~100 inline documents (the document text and alias
+# rows are read from the reference file at run time, nothing vendored).
+# textSearchIndex layout: keys {kind, word, doc, segment, wpos, wip},
+# payload {flags, original, dpos} (setup/ts.ecl:57).
+
+TS_WORDINDEX_REC = [
+    ("kind", "long", None, None),
+    ("word", "string", 20, None),
+    ("doc", "long", None, None),
+    ("segment", "long", None, None),
+    ("wpos", "long", None, None),
+    ("wip", "long", None, None),
+    ("flags", "long", None, None),
+    ("original", "string", 20, None),
+    ("dpos", "long", None, None),
+]
+
+# kindType (setup/ts.ecl:33): UnknownEntry=0, TextEntry, OpenTagEntry,
+# CloseTagEntry, OpenCloseTagEntry, CloseOpenTagEntry
+_TS_TEXT, _TS_OPEN, _TS_CLOSE, _TS_OPENCLOSE, _TS_CLOSEOPEN = 1, 2, 3, 4, 5
+
+_TS_WORD_RX = re.compile(r"[A-Za-z][A-Za-z0-9]*")
+_TS_TAG_RX = re.compile(r"[A-Za-z][A-Za-z0-9_]*")
+_TS_VERSE_RX = re.compile(r"\{[0-9]+:[0-9]+\}")
+
+
+def _ecl_literal_rows(body: str) -> list[list]:
+    """Rows of an ECL inline-dataset literal: {num, num, 'str' + 'str'}
+    with //-comments, hex numbers and \\'-style escapes."""
+    toks: list[tuple] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "/" and body[i:i + 2] == "//":
+            j = body.find("\n", i)
+            i = n if j < 0 else j
+        elif c in " \t\r\n":
+            i += 1
+        elif c == "'":
+            j = i + 1
+            buf = []
+            while body[j] != "'":
+                if body[j] == "\\":
+                    e = body[j + 1]
+                    buf.append(
+                        {"n": "\n", "r": "\r", "t": "\t"}.get(e, e)
+                    )
+                    j += 2
+                else:
+                    buf.append(body[j])
+                    j += 1
+            toks.append(("str", "".join(buf)))
+            i = j + 1
+        elif c in "{},+":
+            toks.append((c, c))
+            i += 1
+        elif body[i:i + 2] in ("0x", "0X"):
+            j = i + 2
+            while j < n and body[j] in "0123456789abcdefABCDEF":
+                j += 1
+            toks.append(("num", int(body[i:j], 16)))
+            i = j
+        elif c.isdigit():
+            j = i
+            while j < n and body[j].isdigit():
+                j += 1
+            toks.append(("num", int(body[i:j])))
+            i = j
+        else:
+            i += 1
+    rows: list[list] = []
+    k = 0
+    while k < len(toks):
+        if toks[k][0] != "{":
+            k += 1
+            continue
+        k += 1
+        cells: list = []
+        cur = None
+        while toks[k][0] != "}":
+            kind, val = toks[k]
+            if kind == ",":
+                cells.append(cur)
+                cur = None
+            elif kind == "str":
+                cur = (cur or "") + val
+            elif kind == "num":
+                cur = val
+            k += 1
+        cells.append(cur)
+        rows.append(cells)
+        k += 1
+    return rows
+
+
+@lru_cache(maxsize=None)
+def _ts_source_rows():
+    """(documents, aliases) from setuptext.ecl's inline datasets."""
+    text = _read("setuptext.ecl")
+    m = re.search(
+        r"inputDocuments := dataset\(\[(.*?)\], inputDocumentRecord\);",
+        text, re.S,
+    )
+    docs = [
+        (r[0], r[1], r[2] or "") for r in _ecl_literal_rows(m.group(1))
+    ]
+    m2 = re.search(
+        r"inputAliases := dataset\(\[(.*?)\], inputAliasRecord\);",
+        text, re.S,
+    )
+    aliases = _ecl_literal_rows(m2.group(1))
+    return docs, aliases
+
+
+def _ts_match_token(s: str, j: int):
+    """matchPattern := patWord | sentenceTerminator | anyTag
+    (setuptext.ecl:90-103). Returns (kind, original, end) or None."""
+    c = s[j]
+    m = _TS_WORD_RX.match(s, j)
+    if m:
+        return (_TS_TEXT, m.group(0), m.end())
+    if c in ".?":
+        return (_TS_CLOSEOPEN, "s", j + 1)
+    if c == "<":
+        k = j + 1
+        if k < len(s) and s[k] == "/":
+            mt = _TS_TAG_RX.match(s, k + 1)
+            if mt:
+                e = mt.end()
+                while e < len(s) and s[e] in " \t":
+                    e += 1
+                if e < len(s) and s[e] == ">":
+                    return (_TS_CLOSE, mt.group(0), e + 1)
+            return None
+        mt = _TS_TAG_RX.match(s, k)
+        if mt:
+            e = mt.end()
+            while e < len(s) and s[e] in " \t":
+                e += 1
+            if e < len(s) and s[e] == ">":
+                return (_TS_OPEN, mt.group(0), e + 1)
+            if e + 1 < len(s) and s[e] == "/" and s[e + 1] == ">":
+                return (_TS_OPENCLOSE, mt.group(0), e + 2)
+    return None
+
+
+def _ts_scan_line(line: str, base: int, out: list) -> None:
+    """PARSE(splitFile, text, skipChars* matchPattern, FIRST, SCAN):
+    emit (kind, original, dpos 1-based, wip); scan resumes after each
+    match, advances one char on failure."""
+    i, n = 0, len(line)
+    while i < n:
+        j = i
+        while j < n:
+            if line[j] in " \t,;:()":
+                j += 1
+                continue
+            mv = _TS_VERSE_RX.match(line, j)
+            if mv:
+                j = mv.end()
+                continue
+            break
+        tok = _ts_match_token(line, j) if j < n else None
+        if tok is None:
+            i += 1
+            continue
+        kind, original, end = tok
+        wip = 0 if kind in (_TS_OPEN, _TS_CLOSE, _TS_OPENCLOSE) else 1
+        out.append([kind, original, base + j + 1, wip])
+        i = end
+
+
+def _ts_kind_order(kind: int, wip: int, tag: str) -> int:
+    """wordKindSortOrder (setuptext.ecl:85-90): open/wip0 tags, closes,
+    then p/s/other span opens, then everything else."""
+    if kind == _TS_OPEN and wip == 0:
+        return 1
+    if kind == _TS_CLOSE:
+        return 2
+    if kind == _TS_OPEN:
+        return 100 + {"p": 1, "s": 2}.get(tag, 3)
+    return 1000
+
+
+def _ts_invert_doc(text: str) -> list[list]:
+    """One document's inversion rows [kind, original, dpos, wip, wpos,
+    seq] after marker normalization, wpos assignment and open/close tag
+    matching (setuptext.ecl convertDocumentToInversion)."""
+    raw: list[list] = []
+    base = 0
+    for line in text.split("\n"):
+        if line.strip(" \t") == "":
+            raw.append([_TS_CLOSEOPEN, "p", base + 1, 1])
+        else:
+            _ts_scan_line(line, base, raw)
+        base += len(line) + 1
+    maxdpos = max((r[2] for r in raw), default=0)
+    # five merged streams: implicit starts, marker opens, non-markers,
+    # marker closes, implicit ends (processSentanceAndParagraphMarkers)
+    s0 = [[_TS_OPEN, "p", 0, 1], [_TS_OPEN, "s", 0, 1]]
+    s1 = [[_TS_OPEN, r[1], r[2], r[3]] for r in raw if r[0] == _TS_CLOSEOPEN]
+    s2 = [r for r in raw if r[0] != _TS_CLOSEOPEN]
+    s3 = [[_TS_CLOSE, r[1], r[2], 0] for r in raw if r[0] == _TS_CLOSEOPEN]
+    s4 = [
+        [_TS_CLOSE, "s", maxdpos + 1, 0],
+        [_TS_CLOSE, "p", maxdpos + 1, 0],
+    ]
+    merged: list[tuple] = []
+    for si, stream in enumerate([s0, s1, s2, s3, s4]):
+        for wi, r in enumerate(stream):
+            merged.append((r, si, wi))
+    merged.sort(
+        key=lambda t: (
+            t[0][2], _ts_kind_order(t[0][0], t[0][3], t[0][1]), t[1], t[2],
+        )
+    )
+    # assignWordPositions: wpos = prev wpos + prev wip, seq 1-based
+    rows: list[list] = []
+    wpos = 0
+    for seq, (r, _si, _wi) in enumerate(merged, start=1):
+        rows.append([r[0], r[1], r[2], r[3], wpos, seq])
+        wpos += r[3]
+    # matchOpenCloseTags: per-tag stack pairing; closes drop, opens take
+    # wip = close.wpos - open.wpos; unmatched opens drop (inner join)
+    opens = [r for r in rows if r[0] == _TS_OPEN]
+    closes = [r for r in rows if r[0] == _TS_CLOSE]
+    others = [r for r in rows if r[0] not in (_TS_OPEN, _TS_CLOSE)]
+    bytag: dict[str, list] = {}
+    for r in sorted(
+        opens + closes,
+        key=lambda r: (r[1], r[4], _ts_kind_order(r[0], r[3], r[1])),
+    ):
+        bytag.setdefault(r[1], []).append(r)
+    open_wip: dict[int, int] = {}
+    for rs in bytag.values():
+        stack: list = []
+        for r in rs:
+            if r[0] == _TS_OPEN:
+                stack.insert(0, r)
+            elif stack:
+                o = stack.pop(0)
+                open_wip[o[5]] = r[4] - o[4]
+    fixed = [
+        [_TS_OPEN, r[1], r[2], open_wip[r[5]], r[4], r[5]]
+        for r in opens
+        if r[5] in open_wip
+    ]
+    final = sorted(
+        [(r, 0, i) for i, r in enumerate(others)]
+        + [(r, 1, i) for i, r in enumerate(fixed)],
+        key=lambda t: (t[0][4], t[0][3], t[1], t[2]),
+    )
+    return [t[0] for t in final]
+
+
+@lru_cache(maxsize=None)
+def _ts_index_rows() -> tuple:
+    """All word-index rows (kind, word20, doc, segment, wpos, wip,
+    flags, original20, dpos) in BUILD key order."""
+    docs, aliases = _ts_source_rows()
+    out = []
+
+    def add(kind, original, doc, wpos, wip, dpos):
+        word = original.lower()
+        flags = (2 if any(c.isupper() for c in original) else 0) + (
+            1 if any(c.islower() for c in original) else 0
+        )
+        out.append(
+            (
+                kind, word.ljust(20), doc, 0, wpos, wip, flags,
+                original.ljust(20), dpos,
+            )
+        )
+
+    for src, sub, text in docs:
+        docid = (src << 48) | sub
+        for kind, original, dpos, wip, wpos, _seq in _ts_invert_doc(text):
+            add(kind, original, docid, wpos, wip, dpos)
+    for src, sub, word, wpos, wip in aliases:
+        add(_TS_TEXT, word, (src << 48) | sub, wpos, wip, 0)
+    out.sort(key=lambda r: (r[0], r[1], r[2], r[3], r[4], r[5]))
+    return tuple(out)
+
+
+def _ts_word_index(spark):
+    rows = [
+        r + (i + 1,) for i, r in enumerate(_ts_index_rows())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "kind long, word string, doc long, segment long, wpos long, "
+        "wip long, flags long, original string, dpos long, __ord__ long",
+    ).coalesce(1)
+
+
+def ts_members() -> dict:
+    """setup/ts.ecl module constants: the kindType enum (ts.ecl:33) and
+    search limits (ts.ecl:23-31). docid composition helpers live in the
+    front door's value grammar when needed."""
+    return {
+        "unknownentry": ("const", 0, "integer"),
+        "textentry": ("const", 1, "integer"),
+        "opentagentry": ("const", 2, "integer"),
+        "closetagentry": ("const", 3, "integer"),
+        "openclosetagentry": ("const", 4, "integer"),
+        "closeopentagentry": ("const", 5, "integer"),
+        "maxterms": ("const", 50, "integer"),
+        "maxstages": ("const", 50, "integer"),
+        "maxproximity": ("const", 10, "integer"),
+        "maxwildcard": ("const", 1000, "integer"),
+        "maxmatchperdocument": ("const", 1000, "integer"),
+        "maxfilenamelength": ("const", 255, "integer"),
+        "maxactions": ("const", 255, "integer"),
+        "maxtagnesting": ("const", 40, "integer"),
+        "maxcolumnsperline": ("const", 10000, "integer"),
+        "haslower": ("const", 1, "integer"),
+        "hasupper": ("const", 2, "integer"),
+    }
+
+
+def textsearch_members() -> dict:
+    """common/TextSearch.ecl surface used by the regress corpus: the
+    word-index accessor (TextSearch.ecl getWordIndex wraps
+    Setup.Files(...).getWordIndex(); arguments pick storage variants
+    with identical logical content)."""
+    return {
+        "getwordindex": ("dsfunc", _ts_word_index, TS_WORDINDEX_REC),
     }

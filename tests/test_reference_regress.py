@@ -223,6 +223,20 @@ VERBATIM = [
     # re-sorted reads, stepped LIMIT-SKIP feeding MERGEJOIN
     "stepjoin1", "stepjoin2", "stepjoin3", "stepjoin4", "stepskip",
     "stepping3", "stepping5",
+    # ts word-index fixture (setup/setuptext.ecl createSimpleIndex
+    # pipeline re-implemented in regress_fixtures._ts_invert_doc —
+    # tokenize, sentence/paragraph markers, wpos assignment, open/close
+    # tag matching, case flags; 1000 index rows pinned by the keys):
+    # stepped index reads, MERGE([...]) set form, n-way MERGEJOIN over
+    # stepped reads, LOOP+NORMALIZE(count-expr) anagram search over a
+    # word dictionary
+    "stepping2", "stepping4", "mergenway", "dict15", "dict15a",
+    # sq child-query tail: WITHIN-style ancestor scoping in nested
+    # element filters (books(price > persons.booklimit)), correlated
+    # separate-dataset filters anchored at elements, whole-row child
+    # DEDUP survivors, grandchild element paths, variable-width
+    # filepos offsets
+    "sqfilt", "sqfilt4", "sqfilt_an", "sqfilt_keyed",
 ]
 
 
