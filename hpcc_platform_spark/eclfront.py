@@ -595,6 +595,11 @@ class _Parser:
         self._when_actions: dict[int, list] = {}
         self._post_success: list[list] = []
         self._array_params: dict[str, tuple] = {}
+        # provenance of parent.child flatten frames (resolved dataset
+        # chain) — correlated definitions extending the chain re-bind
+        # per row of the flatten (sqagg's booksByRatingDesc over the
+        # persons stream)
+        self._frame_path: dict[int, tuple] = {}
         self._in_output = 0
         self.noop_actions: set[str] = set()
         self.action_once: set[str] = set()
@@ -1438,7 +1443,37 @@ class _Parser:
         }
         cols: list[Column] = []
         while True:
+            self._skip_shim_qual()
             t2 = self.peek()
+            if (
+                t2.kind == "ident"
+                and t2.text in self.env
+                and self.toks[self.i + 1].text == "."
+                and self.toks[self.i + 2].kind == "ident"
+                and (
+                    self.toks[self.i + 2].text in df.columns
+                    or f"__parent_{self.toks[self.i + 2].text}__"
+                    in df.columns
+                )
+                and self.toks[self.i + 3].text in (",", ";", "}")
+            ):
+                # parent-qualified field over a flattened child frame
+                # (sqagg's { sq.HousePersonBookDs.addr, surname, ... } —
+                # the flatten keeps parent columns as hidden
+                # __parent_* passengers)
+                self.next()
+                self.next()
+                nm2 = self.next().text
+                src_c = (
+                    df[nm2] if nm2 in df.columns
+                    else df[f"__parent_{nm2}__"]
+                )
+                cols.append(src_c.alias(nm2))
+                if not (self.accept(",") or self.accept(";")):
+                    break
+                if self.peek().text == "}":
+                    break
+                continue
             if (
                 t2.kind == "ident"
                 and t2.text in df.columns
@@ -1823,6 +1858,10 @@ class _Parser:
                     self._exec_actions_here()
                     if not (self.accept(",") or self.accept(";")):
                         break
+                    # a #end may close a conditional block between the
+                    # separator and the ')' (sqagg's trailing #end)
+                    while self._process_cond_directives():
+                        pass
                     if self.peek().text == ")":
                         break
             finally:
@@ -2945,6 +2984,9 @@ class _Parser:
                 self.i = mark
                 try:
                     self.scalars[name.text] = self.value(self._dummy())
+                    # keep the span: in an element context the scalar
+                    # re-binds to the element scope (sqsimple fullname)
+                    self.scalar_spans[name.text] = self.toks[mark : self.i]
                     kind = "scalar"
                 except EclFailError:
                     raise
@@ -2980,7 +3022,17 @@ class _Parser:
                 # bind a failure sentinel — the error re-raises at each
                 # reference instead (when6c's WHEN FAILURE / CATCH path)
                 self.i = mark
-                self._capture_stmt_span()
+                span_f = self._capture_stmt_span()
+                cut_f = next(
+                    (j for j, tk in enumerate(span_f) if tk.text == ":"),
+                    None,
+                )
+                # keep the span: the definition may still re-bind in a
+                # row context even though the global bind failed
+                # (sqaggds3's sort(persons, sq.HouseDs.addr, dob))
+                self.ds_spans[name.text] = (
+                    span_f[:cut_f] if cut_f is not None else span_f
+                )
                 self.env[name.text] = _FailedDs(bind_exc)
                 self.expect(";")
                 return
@@ -3136,12 +3188,15 @@ class _Parser:
         renders in that order — the tracked order wins over the inline
         ordinal (a SORT redefines row order; the ordinal only breaks
         ties for stability) — then internal columns drop."""
+        hidden = [c for c in df.columns if c.startswith("__parent_")]
         order = self._order.get(id(df))
         if order is not None:
             tie = [F.col("__ord__")] if "__ord__" in df.columns else []
             out = df.orderBy(*order, *tie)
-            return out.drop("__ord__") if tie else out
-        return self._clean(df)
+            out = out.drop("__ord__") if tie else out
+            return out.drop(*hidden) if hidden else out
+        out = self._clean(df)
+        return out.drop(*hidden) if hidden else out
 
     @staticmethod
     def _clean(df: DataFrame) -> DataFrame:
@@ -3520,12 +3575,21 @@ class _Parser:
                 if "__ord__" in parent.columns
                 else F.monotonically_increasing_id()
             )
+            # parent scalar fields stay in scope over the flattened
+            # stream (sqagg's { sq.HousePersonBookDs.addr, surname })
+            # as hidden __parent_* columns, dropped from results
+            pscalars = [
+                c for c, dt in parent.dtypes
+                if c != "__ord__" and not str(dt).startswith("array")
+            ]
             ex = parent.select(
                 base_ord.alias("__pord__"),
+                *[F.col(c).alias(f"__parent_{c}__") for c in pscalars],
                 F.posexplode(F.col(fld)).alias("__pos__", "__child__"),
             )
             df = ex.select(
                 F.col("__child__.*"),
+                *[F.col(f"__parent_{c}__") for c in pscalars],
                 (F.col("__pord__") * F.lit(1_000_000) + F.col("__pos__")).alias(
                     "__ord__"
                 ),
@@ -3533,6 +3597,9 @@ class _Parser:
             self._set_order(df, [F.col("__ord__")])
             if child_meta is not None:
                 self._ds_fields[id(df)] = child_meta
+            self._frame_path[id(df)] = tuple(
+                self._resolve_chain([t.text]) + [fld]
+            )
             # chained flattening: parent.child.subchild — each extra
             # level explodes again (aggsq3/aggsq4 occupants.extra)
             while (
@@ -3544,6 +3611,7 @@ class _Parser:
                 sub = self.next().text
                 sub_meta = self._child_field_names(df)[sub]
                 self._pins.append(df)
+                prevp0 = self._frame_path.get(id(df))
                 ex = df.select(
                     F.col("__ord__").alias("__pord__"),
                     F.posexplode(F.col(sub)).alias("__pos__", "__child__"),
@@ -3556,6 +3624,8 @@ class _Parser:
                 )
                 self._set_order(df, [F.col("__ord__")])
                 self._ds_fields[id(df)] = sub_meta
+                if prevp0:
+                    self._frame_path[id(df)] = prevp0 + (sub,)
         elif t.kind == "ident":
             self.next()
             if t.text in self.functions and self.peek().text == "(":
@@ -3743,6 +3813,10 @@ class _Parser:
                 df, order, None, a, None if b is None else b - a + 1
             )
             self._set_order(sliced, order)
+            if id(df) in self._ds_fields:
+                self._ds_fields[id(sliced)] = self._ds_fields[id(df)]
+            if id(df) in self._frame_path:
+                self._frame_path[id(sliced)] = self._frame_path[id(df)]
             df = sliced
         # dataset append: a + b (+ c ...) — ECL's inline FUNNEL
         # (TAKfunnel eclhelper.hpp:903); unordered concat, so any
@@ -3841,6 +3915,7 @@ class _Parser:
         saved_flag = getattr(self, "_table_has_group_agg", False)
         self._table_has_group_agg = False
         while True:
+            self._skip_shim_qual()
             t = self.peek()
             if (
                 t.text in ("sum", "count", "min", "max", "ave", "round",
@@ -3875,7 +3950,7 @@ class _Parser:
                         f"expected field at {t.pos}, got {t.text!r}"
                     )
                 if (
-                    self._TYPE_RX.match(t.text)
+                    (self._TYPE_RX.match(t.text) or t.text == "dataset")
                     and self.peek().kind == "ident"
                     and self.toks[self.i + 1].text == ":="
                 ):
@@ -3928,6 +4003,18 @@ class _Parser:
                 # strategy hints; SORTED's key order is already the
                 # emission order here
                 continue
+            if k.text in self.shims and self.peek().text == ".":
+                self.next()
+                k = self.next()
+            if (
+                k.kind == "ident"
+                and k.text in self.env
+                and self.peek().text == "."
+            ):
+                # dataset-qualified key (indexGroupAggregate's
+                # sq.SimplePersonBookIndex.surname)
+                self.next()
+                k = self.next()
             if k.kind != "ident":
                 raise EclSyntaxError(f"expected group key at {k.pos}")
             keys.append(k.text)
@@ -3953,6 +4040,45 @@ class _Parser:
                     ]
                     keep = ["__ord__"] if "__ord__" in out.columns else []
                     return out.select(*bare, *rest, *keep)
+                if bare and gkeys is None:
+                    # ungrouped aggregate TABLE with bare/member fields:
+                    # non-aggregate members take the FIRST row's values
+                    # in stream order (indexAggregate pins the first
+                    # index row's surname and books)
+                    from pyspark.sql.window import Window
+
+                    order0 = self._order.get(id(src))
+                    if order0 is None and "__ord__" in src.columns:
+                        order0 = [F.col("__ord__")]
+                    if order0 is None:
+                        raise EclSyntaxError(
+                            "bare fields need group keys in TABLE"
+                        )
+                    src2 = src.withColumn(
+                        "__rn__",
+                        F.row_number().over(Window.orderBy(*order0)),
+                    )
+                    agg_map = {
+                        nm: (raw, isagg) for nm, raw, isagg in raw_aggs
+                    }
+                    final = []
+                    for nm in member_order:
+                        if nm in agg_map:
+                            raw_m, isagg = agg_map[nm]
+                            final.append(
+                                raw_m.alias(nm)
+                                if isagg
+                                else F.min_by(
+                                    raw_m, F.col("__rn__")
+                                ).alias(nm)
+                            )
+                        else:
+                            final.append(
+                                F.min_by(
+                                    F.col(nm), F.col("__rn__")
+                                ).alias(nm)
+                            )
+                    return src2.agg(*final)
                 if bare:
                     raise EclSyntaxError("bare fields need group keys in TABLE")
                 if gkeys is not None:
@@ -3982,10 +4108,15 @@ class _Parser:
             else keys
         )
         extra = [b for b in bare if b not in all_keys]
-        if extra:
-            # non-key bare fields take the group's FIRST value in stream
-            # order (thhashaggregate keeps the first row's fields)
+        nonagg_m = [nm for nm, _raw, isagg in raw_aggs if not isagg]
+        if extra or nonagg_m:
+            # non-key bare fields AND non-aggregate computed members
+            # take the group's FIRST value in stream order
+            # (thhashaggregate keeps the first row's fields;
+            # indexGroupAggregate's books child member)
             order = self._order.get(id(src))
+            if order is None and "__ord__" in src.columns:
+                order = [F.col("__ord__")]
             if order is None:
                 raise EclSyntaxError(
                     f"non-key TABLE fields need an ordered input: {extra}"
@@ -3999,6 +4130,13 @@ class _Parser:
                 b: F.min_by(F.col(b), F.col("__rn__")).alias(b)
                 for b in extra
             }
+            if nonagg_m:
+                aggs = [
+                    raw.alias(nm)
+                    if isagg
+                    else F.min_by(raw, F.col("__rn__")).alias(nm)
+                    for nm, raw, isagg in raw_aggs
+                ]
         else:
             firsts = {}
         ordagg = (
@@ -5798,6 +5936,8 @@ class _Parser:
         self._set_order(out, keys)
         if id(df) in self._ds_fields:
             self._ds_fields[id(out)] = self._ds_fields[id(df)]
+        if id(df) in self._frame_path:
+            self._frame_path[id(out)] = self._frame_path[id(df)]
         return out
 
     def _subsort(self) -> DataFrame:
@@ -6471,8 +6611,19 @@ class _Parser:
         self.expect(")")
 
         gkeys = self._grouped.get(id(src))
-        if gkeys is None and not src.take(1):
-            src = self._quantile_default_row(src)
+        if gkeys is None:
+            # empty-input createDefault row, fused IN-PLAN (the old
+            # parse-time take(1) probe scheduled a Spark job per
+            # statement): the default row survives an anti-join against
+            # "src has rows", so it appears exactly when src is empty
+            marker = src.limit(1).select(F.lit(1).alias("__k__"))
+            dflt = (
+                self._quantile_default_row(src)
+                .withColumn("__k__", F.lit(1))
+                .join(F.broadcast(marker), "__k__", "left_anti")
+                .drop("__k__")
+            )
+            src = src.unionByName(dflt.select(*src.columns))
         keys = parse_keys(src)
         gcols = list(gkeys) if gkeys else []
         part = [F.col(k) for k in gcols] if gcols else [F.lit(1)]
@@ -6530,16 +6681,21 @@ class _Parser:
                     "selection itself would have n+1 rows)"
                     % self._QUANTILE_ENUM_CAP
                 )
-            nmax = base.agg(F.max("__nq__")).collect()[0][0] or 0
-            if nmax > n:
-                raise EclSyntaxError(
-                    "QUANTILE: division count exceeds the enum cap but "
-                    "is smaller than the row count"
-                )
             qcol = F.greatest(
                 F.lit(1),
                 F.ceil((F.col("__idx__") * n - init) / Ncol).cast("long"),
             )
+            # the closed-form inverse needs n > N per group; guard at
+            # RUN time (the old parse-time collect() scheduled a job)
+            qcol = F.when(
+                Ncol > F.lit(n),
+                F.raise_error(
+                    F.lit(
+                        "QUANTILE: division count exceeds the enum cap "
+                        "but is smaller than the row count"
+                    )
+                ).cast("long"),
+            ).otherwise(qcol)
             if first:
                 qcol = F.when(F.col("__idx__") == 0, F.lit(0)).otherwise(qcol)
             sel = base.withColumn("__q__", qcol)
@@ -10520,15 +10676,42 @@ class _Parser:
             t.kind == "ident"
             and t.text in self.ds_spans
             and self.peek().text == "["
-            and isinstance(df, DataFrame)
+            and df is not None
+            and hasattr(df, "columns")
             and t.text not in df.columns
         ):
-            # correlated element access inside a row context:
+            # correlated element access inside a row OR element context:
             # personByAgeDesc[1].forename — re-bind the child view and
             # index the array (out-of-range -> the field's empty value)
             rb = self._rebind_child(t.text, df)
             if rb is not None:
                 return self._child_elem_field(rb[0], rb[1])
+        if t.text == "evaluate" and self.peek().text == "(":
+            # EVALUATE(child[n], expr) value form (no_evaluate; sqagg's
+            # evaluate(persons[1], xbooks[1].name)): evaluate expr in
+            # the scope of the n-th child element of the current row —
+            # paths extending the element's provenance re-bind to it
+            self.next()
+            nm0e = self.peek().text
+            arr_e, fields_e = self._child_expr(df)
+            self.expect("[")
+            idxc = self._cget(self.value(self._dummy()))
+            if idxc is None:
+                raise EclSyntaxError("EVALUATE element index must be constant")
+            self.expect("]")
+            self.expect(",")
+            span_e = self._capture_arg_span()
+            self.expect(")")
+            elem_e = F.try_element_at(arr_e, F.lit(int(idxc[0])))
+            try:
+                ep_e = tuple(self._resolve_chain([nm0e]))
+            except Exception:
+                ep_e = None
+            return self._eval_elem_cond(
+                span_e, elem_e, [f[0] for f in fields_e],
+                fields_meta=fields_e, elem_path=ep_e, self_name=nm0e,
+                parent_ctx=df if not isinstance(df, DataFrame) else None,
+            )
         if (
             t.kind == "ident"
             and isinstance(df, DataFrame)
@@ -10616,6 +10799,8 @@ class _Parser:
             # no_select): needs a tracked order; out-of-range yields the
             # field's default value, cheaply (the reference's contract).
             src = self.env[t.text]
+            if isinstance(src, _FailedDs):
+                raise src.exc  # per-reference failure propagation
             self.next()  # '['
             idxc = self._cget(self.value(self._dummy()))
             if idxc is None:
@@ -10753,7 +10938,20 @@ class _Parser:
                 # books(price > persons.booklimit): `persons` names the
                 # enclosing element's source array — walk the ctx chain)
                 c = df
-                while c is not None and not isinstance(c, DataFrame):
+                while c is not None:
+                    if isinstance(c, DataFrame):
+                        # the chain ends at the row FRAME: a dataset-
+                        # qualified field names the parent row
+                        # (sqsimple's persons(id !=
+                        # sq.HousePersonBookDs.id))
+                        if (
+                            self.env.get(t.text) is c
+                            and self.toks[self.i + 1].kind == "ident"
+                            and self.toks[self.i + 1].text in c.columns
+                        ):
+                            self.next()
+                            return c[self.next().text]
+                        break
                     sn = getattr(c, "_self_name", None)
                     same = sn == t.text
                     if not same and sn is not None:
@@ -10796,6 +10994,16 @@ class _Parser:
                 return self.scalars[t.text][self.next().text]
             if t.text in self.scalars and t.text not in df.columns:
                 if t.text in self.scalar_spans and df is not None:
+                    if not isinstance(df, DataFrame):
+                        # scalar defined over the element scope
+                        # (sqsimple's fullname over persons fields):
+                        # re-parse the span against the element ctx
+                        try:
+                            return self._parse_span_value(
+                                list(self.scalar_spans[t.text]), df
+                            )
+                        except EclSyntaxError:
+                            pass
                     # a hoisted dataset aggregate referenced inside a
                     # row context re-binds to the row's child scope
                     # when its source chain derives from df (sqshare)
@@ -10803,6 +11011,31 @@ class _Parser:
                     if rb is not None:
                         return rb
                 return self.scalars[t.text]
+            if (
+                t.text in getattr(self, "scalar_spans", {})
+                and not isinstance(df, DataFrame)
+                and t.text not in df.columns
+            ):
+                # scalar definition whose global eval failed but whose
+                # span resolves in THIS element scope (sqsimple's
+                # fullname over persons fields)
+                return self._parse_span_value(
+                    list(self.scalar_spans[t.text]), df
+                )
+            if (
+                t.text in self.deferred
+                and not isinstance(df, DataFrame)
+                and t.text not in df.columns
+            ):
+                # a deferred definition (bound lazily because its span
+                # references row scope) used as a VALUE in an element
+                # context re-parses here (sqsimple's fullname)
+                try:
+                    return self._parse_span_value(
+                        list(self.deferred[t.text]), df
+                    )
+                except EclSyntaxError:
+                    pass
             return self._field_col(df, t.text)
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
 
@@ -11919,6 +12152,7 @@ class _Parser:
     def _child_agg(self, fn: str, df) -> Column:
         """fn is count/sum/min/max/ave/exists; at '(' of the call."""
         self.expect("(")
+        self._skip_shim_qual()
         nm0 = self.peek().text if self.peek().kind == "ident" else None
         arr, fields = self._child_expr(df)
         if fn == "count":
@@ -11943,22 +12177,39 @@ class _Parser:
         self.next()  # ')'
         fieldnames = [f[0] for f in fields]
 
-        pctx = df if df is not None and not isinstance(df, DataFrame) else None
+        pctx = df  # frames terminate the ancestor chain (sqsimple)
+        ep0 = None
+        if nm0 is not None:
+            try:
+                ep0 = tuple(self._resolve_chain([nm0]))
+            except Exception:
+                ep0 = None
 
         def _mk_val(span_l, fnames, fmeta):
             def one(x):
                 return self._eval_elem_cond(
                     span_l, x, fnames, fields_meta=fmeta,
-                    self_name=nm0, parent_ctx=pctx,
+                    self_name=nm0, parent_ctx=pctx, elem_path=ep0,
                 )
 
             return one
 
         vals = F.transform(arr, _mk_val(list(span), fieldnames, list(fields)))
         if fn == "sum":
-            return F.aggregate(
+            tymap0 = {f[0]: f[1] for f in fields}
+            integral = (
+                len(span) == 1
+                and span[0].kind == "ident"
+                and str(tymap0.get(span[0].text, "")).split("(")[0]
+                in (
+                    "long", "integer", "unsigned", "int", "bigint",
+                    "smallint", "tinyint",
+                )
+            ) or (bool(span) and span[0].text == "count")
+            res = F.aggregate(
                 vals, F.lit(0).cast("double"), lambda a, b: a + b
             )
+            return res.cast("long") if integral else res
         if fn == "ave":
             # empty child -> 0 (ECL division by zero yields 0)
             return F.when(
@@ -11983,6 +12234,7 @@ class _Parser:
     def _child_expr(self, df):
         """A child-dataset expression: child field, postfix filter,
         DEDUP(child, keys, ALL). Returns (array Column, child fields)."""
+        self._skip_shim_qual()
         t = self.next()
         rp0 = getattr(self, "_row_params", None) or {}
         if (
@@ -12129,6 +12381,20 @@ class _Parser:
             rb = self._rebind_child(t.text, df)
             if rb is not None:
                 arr, fields = rb
+        elif (
+            t.kind == "ident"
+            and isinstance(self.env.get(t.text), DataFrame)
+            and self.peek().text == "("
+        ):
+            # correlated filter of a separate dataset written inline
+            # (sqsimple's exists(sq.BookDs(personid = sq.PersonDs.id,
+            # ...)) inside a PersonDs element)
+            self.i -= 1
+            cf = self._corr_filter_array(df)
+            if cf is not None:
+                arr, fields = cf
+            else:
+                self.next()
         if arr is not None:
             while True:
                 if self.peek().text == "(":
@@ -12146,10 +12412,7 @@ class _Parser:
                     self.next()  # ')'
                     fieldnames = [f[0] for f in fields]
 
-                    pctx_f = (
-                        df if df is not None and not isinstance(df, DataFrame)
-                        else None
-                    )
+                    pctx_f = df  # frames terminate the ancestor chain
 
                     def _mk_filter(span_l, fnames, fmeta, snm, pcx):
                         # single-arg closure: pyspark dispatches on arity
@@ -12632,19 +12895,29 @@ class _Parser:
             depth -= tk.text == ")"
             span.append(tk)
         self.next()  # ')'
-        # shape: keyfield = dotted-parent-chain (either side order)
-        eq = next(
-            (k for k, tk in enumerate(span) if tk.text == "="), None
-        )
-        if eq is None:
-            self.i = mark
-            return None
-        lhs, rhs = span[:eq], span[eq + 1 :]
-        if len(lhs) == 1 and lhs[0].text in base_ds.columns:
-            keyf, pspan = lhs[0].text, rhs
-        elif len(rhs) == 1 and rhs[0].text in base_ds.columns:
-            keyf, pspan = rhs[0].text, lhs
-        else:
+        # split top-level comma parts: ONE part is the correlation
+        # equality (keyfield = dotted-parent-chain, either side order);
+        # the rest are residual per-element filters (sqsimple's
+        # sq.PersonDs(houseid=sq.HouseDs.id, exists(...)))
+        parts_cf = self._split_top_commas(span)
+        keyf = pspan = None
+        resid_spans: list[list] = []
+        for part in parts_cf:
+            if keyf is None:
+                eq = next(
+                    (k for k, tk in enumerate(part) if tk.text == "="),
+                    None,
+                )
+                if eq is not None:
+                    lhs, rhs = part[:eq], part[eq + 1 :]
+                    if len(lhs) == 1 and lhs[0].text in base_ds.columns:
+                        keyf, pspan = lhs[0].text, rhs
+                        continue
+                    if len(rhs) == 1 and rhs[0].text in base_ds.columns:
+                        keyf, pspan = rhs[0].text, lhs
+                        continue
+            resid_spans.append(list(part))
+        if keyf is None:
             self.i = mark
             return None
         # the parent side must reference df (a dotted chain over it)
@@ -12665,6 +12938,16 @@ class _Parser:
                 if getattr(c, "_self_name", None) == head:
                     ok_head = True
                 c = getattr(c, "_parent_ctx", None)
+            if not ok_head:
+                # WITHIN-style unification over frames: the head's
+                # resolved source IS the row frame (sqaggds o9's
+                # books(personid = persons.id) with PersonDs as outer)
+                try:
+                    rc = self._resolve_chain([head])
+                except Exception:
+                    rc = []
+                if len(rc) == 1 and self.env.get(rc[0]) is df:
+                    ok_head = True
             if not ok_head:
                 self.toks, self.i = saved_toks, saved_i
                 self.i = mark
@@ -12713,6 +12996,7 @@ class _Parser:
                                 tymap[nm]
                                 if tymap.get(nm)
                                 in ("string", "long", "double", "boolean")
+                                or str(tymap.get(nm)).startswith("decimal")
                                 else "string"
                                 if tymap.get(nm) in _STR_BASES
                                 else "double"
@@ -12738,6 +13022,7 @@ class _Parser:
                 nm,
                 tymap[nm]
                 if tymap.get(nm) in ("string", "long", "double", "boolean")
+                or str(tymap.get(nm)).startswith("decimal")
                 else "string"
                 if tymap.get(nm) in _STR_BASES
                 else "double",
@@ -12746,16 +13031,40 @@ class _Parser:
             )
             for nm in fnames
         ]
-        return F.coalesce(arr_col, F.array().cast(
+        out_arr = F.coalesce(arr_col, F.array().cast(
             "array<struct<"
             + ",".join(f"{nm}:{_SQL_TY.get(ty, ty)}" for nm, ty, _w, _d in fields)
             + ">>"
-        )), fields
+        ))
+        if resid_spans:
+            fnames2 = [f[0] for f in fields]
+            hd = t.text
+
+            def _mk_resid(span_l, fn_l, fm_l, snm, pcx):
+                def one(x):
+                    return self._eval_elem_cond(
+                        span_l, x, fn_l, fields_meta=fm_l,
+                        self_name=snm, parent_ctx=pcx,
+                    )
+
+                return one
+
+            for rs in resid_spans:
+                out_arr = F.filter(
+                    out_arr,
+                    _mk_resid(list(rs), fnames2, list(fields), hd, df),
+                )
+        return out_arr, fields
 
     def _rebind_parse_base(self, df):
         self._skip_shim_qual()
         t = self.peek()
         ep = getattr(df, "_elem_path", None)
+        if ep is None and isinstance(df, DataFrame):
+            # a parent.child flatten FRAME: rows are elements of the
+            # recorded chain, so paths extending it re-bind per row
+            # (sqagg's booksByRatingDesc over the persons stream)
+            ep = self._frame_path.get(id(df))
         if ep and t.kind == "ident":
             # inside a child ELEMENT context: a dataset path whose
             # resolved chain extends the element's provenance re-binds
@@ -12841,6 +13150,17 @@ class _Parser:
                     kspan.append(tk)
                 keys.append((kspan, asc))
             self.expect(")")
+            # keys that reference NO element field (parent-row columns,
+            # stored scalars — sqaggds3's sort(persons, xxid,
+            # sq.HouseDs.addr, dob)) are constant within the row's
+            # array: no-ops for the per-row sort
+            keys = [
+                k for k in keys
+                if any(
+                    tok.kind == "ident" and tok.text in fnames
+                    for tok in k[0]
+                )
+            ]
 
             def _mk_cmp(keys_l, fn_l, fm_l):
                 def kv(row, span):

@@ -949,12 +949,19 @@ def sq_members(multi_part: bool = False) -> dict:
 
 def _sq_simple_index(spark):
     """SimplePersonBookIndex: surname/forename/aage key order
-    (sq.ecl:205) — an index read returns key order."""
-    return (
+    (sq.ecl:205) — an index read returns key order (__ord__ carries
+    it for first-of-group TABLE members, indexAggregate)."""
+    df = (
         _sq_simple_person_book(spark)
         .orderBy("surname", "forename", "aage")
         .coalesce(1)
     )
+    return df.withColumn(
+        "__ord__",
+        F.row_number().over(
+            Window.orderBy("surname", "forename", "aage")
+        ).cast("long"),
+    ).coalesce(1)
 
 
 # --------------------------------------------------------------------------
