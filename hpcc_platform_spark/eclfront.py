@@ -7244,6 +7244,7 @@ class _Parser:
         n = int(nc[0])
         skip = False
         onfail = None
+        onfail_args: list[tuple] = []
         keyed_opt = False
         while self.accept(","):
             kw = self.next()
@@ -7267,6 +7268,19 @@ class _Parser:
                     onfail = self._inline_transform_fn()
                 else:
                     onfail = self.next().text
+                    if self.peek().text == "(":
+                        # transform-with-arguments (indexread4's
+                        # ONFAIL(createError(false))): bind the args as
+                        # expression roles
+                        self.next()
+                        onfail_args = []
+                        while self.peek().text != ")":
+                            onfail_args.append(
+                                ("expr", self.value(self._dummy()))
+                            )
+                            if not self.accept(","):
+                                break
+                        self.expect(")")
                 self.expect(")")
             else:
                 raise EclSyntaxError(f"unknown LIMIT option {kw.text!r}")
@@ -7281,9 +7295,28 @@ class _Parser:
             if fn is None or not fn.get("transform"):
                 raise EclSyntaxError(f"ONFAIL needs a transform: {onfail!r}")
             out_fields = self._resolve_record_fields(fn.get("rettype"))
-            assigned, skip_cond = self._parse_transform_body_columns(
-                fn["body"], self._dummy()
-            )
+            hidden_p = [
+                c for c in df.columns if c.startswith("__parent_")
+            ]
+            if hidden_p:
+                # flatten passenger columns don't survive an ONFAIL
+                # replacement row (indexlimit3 over a child flatten)
+                df = df.drop(*hidden_p)
+            saved_sc = self.scalars
+            self.scalars = dict(self.scalars)
+            try:
+                for idx_a, (pname, _pty, pdef) in enumerate(
+                    fn.get("params") or []
+                ):
+                    if idx_a < len(onfail_args):
+                        self.scalars[pname] = onfail_args[idx_a][1]
+                    elif pdef is not None:
+                        self.scalars[pname] = self._mkconst(*pdef)
+                assigned, skip_cond = self._parse_transform_body_columns(
+                    fn["body"], self._dummy()
+                )
+            finally:
+                self.scalars = saved_sc
             order = self._order.get(id(df))
             keep_cols = [c for c in df.columns if c != "__ord__"]
             cnt_df = (
@@ -9262,6 +9295,10 @@ class _Parser:
         self.expect("(")
         df = self.dataset()
         if fn == "count":
+            if self.accept(","):
+                # COUNT(index, KEYED) — a keyed count is served from
+                # the key alone (TAKindexcount); same rows here
+                self.expect("keyed")
             self.expect(")")
             if self._action_cse is not None:
                 # action-list CSE: identical aggregate text evaluates
@@ -10263,6 +10300,8 @@ class _Parser:
             self.next()
             inner = self.dataset()
             if t.text == "count":
+                if self.accept(","):
+                    self.expect("keyed")  # COUNT(index, KEYED)
                 self.expect(")")
                 cse_key = (t.text,) + tuple(
                     tok.text for tok in self.toks[kstart : self.i]

@@ -237,6 +237,17 @@ VERBATIM = [
     # DEDUP survivors, grandchild element paths, variable-width
     # filepos offsets
     "sqfilt", "sqfilt4", "sqfilt_an", "sqfilt_keyed",
+    # sq child-query tail 2: per-element EVALUATE scope, flatten-frame
+    # provenance (hoisted sorts/filters re-bind per flattened row),
+    # parent columns as hidden flatten passengers, WITHIN unification
+    # over frames, failed-bind spans kept for row-context rebinds,
+    # per-element sorts dropping parent-constant keys
+    "sqagg", "sqaggseq", "sqaggds", "sqaggds_an", "sqaggds3",
+    "sqaggds4", "sqsimple", "sqidxopt",
+    # index-family tail: first-of-group TABLE members over key order
+    # (ungrouped + grouped forms, child-dataset members), COUNT(index,
+    # KEYED), LIMIT ONFAIL(transform(args))
+    "indexAggregate", "indexGroupAggregate", "indexread4", "indexlimit2",
 ]
 
 
