@@ -248,6 +248,9 @@ VERBATIM = [
     # (ungrouped + grouped forms, child-dataset members), COUNT(index,
     # KEYED), LIMIT ONFAIL(transform(args))
     "indexAggregate", "indexGroupAggregate", "indexread4", "indexlimit2",
+    # round-11 sweep finds: pass with the round's generic machinery
+    "dictallnodes", "issue18633", "loopoutput", "rewrite", "tablecount",
+    "tablecount2",
 ]
 
 
