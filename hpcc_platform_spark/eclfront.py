@@ -287,6 +287,58 @@ class _DsFn:
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}
 
+_XML_ENTS = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": "\xa0",
+}
+
+
+def _xml_decode_str(s: str, unicode_mode: bool) -> str:
+    """rtlXmlDecode: entity and &#nn;/&#xHH; references decode;
+    malformed references pass through unchanged (xmldecode.ecl). In
+    STRING (byte) mode non-ASCII decodes to its UTF-8 bytes."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "&":
+            j = s.find(";", i)
+            if j > i:
+                body = s[i + 1 : j]
+                ch = None
+                if body[:2] in ("#x", "#X"):
+                    try:
+                        ch = chr(int(body[2:], 16))
+                    except ValueError:
+                        ch = None
+                elif body[:1] == "#":
+                    try:
+                        ch = chr(int(body[1:]))
+                    except ValueError:
+                        ch = None
+                elif body in _XML_ENTS:
+                    ch = _XML_ENTS[body]
+                if ch is not None:
+                    if not unicode_mode and ord(ch) > 127:
+                        ch = ch.encode("utf-8").decode("latin-1")
+                    out.append(ch)
+                    i = j + 1
+                    continue
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def _xml_encode_str(s: str, all_mode: bool) -> str:
+    """rtlXmlEncode: &, <, >, \" always; ALL adds apostrophes and
+    newline entities."""
+    out = (
+        s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;").replace('"', "&quot;")
+    )
+    if all_mode:
+        out = out.replace("'", "&apos;").replace("\n", "&#10;")
+    return out
+
 
 def _unquote(tok_text: str) -> str:
     """Strip quotes (and any u/u8/v/q type prefix) and interpret ECL
@@ -1368,6 +1420,8 @@ class _Parser:
         named = None
         extend = False
         file_write = False
+        out_fname = None
+        xml_opt = None
         while self.accept(","):
             if self.peek().text == ",":
                 continue  # empty positional slot: OUTPUT(ds,,NAMED(...))
@@ -1384,16 +1438,58 @@ class _Parser:
             elif self.peek().text == "extend":
                 self.next()
                 extend = True
+            elif self.peek().text == "xml":
+                # OUTPUT(..., XML[(rowtag | HEADING(h[,f]) | TRIM |
+                # OPT)]) — serialize each row as XML (TAKxmlwrite :933)
+                self.next()
+                xml_opt = {}
+                if self.accept("("):
+                    while self.peek().text != ")":
+                        o = self.peek()
+                        if o.kind == "str":
+                            xml_opt["rowtag"] = _unquote(self.next().text)
+                        elif o.text == "heading" and (
+                            self.toks[self.i + 1].text == "("
+                        ):
+                            self.next()
+                            self.next()
+                            xml_opt["header"] = _unquote(self.next().text)
+                            if self.accept(","):
+                                xml_opt["footer"] = _unquote(
+                                    self.next().text
+                                )
+                            else:
+                                xml_opt["footer"] = ""
+                            self.expect(")")
+                        elif o.text in ("trim", "opt"):
+                            self.next()
+                        else:
+                            raise EclSyntaxError(
+                                f"unknown XML option {o.text!r} at {o.pos}"
+                            )
+                        self.accept(",")
+                    self.next()
             elif self.peek().kind == "str":
                 # OUTPUT(ds,,'name') — write to a named logical file;
                 # the numbered result is empty (the rows went to the
                 # file), and later DATASET('name', rec, THOR) reads it
-                fname = _unquote(self.next().text).lower()
-                self.files[fname] = df
+                out_fname = _unquote(self.next().text).lower()
+                self.files[out_fname] = df
                 file_write = True
-            elif self.peek().text in ("thor", "all", "overwrite", "compressed"):
-                # storage-placement options — no-ops on a lazily planned
-                # engine
+            elif self.peek().text == "xmlns" and (
+                self.toks[self.i + 1].text == "("
+            ):
+                # XMLNS(prefix, uri) — namespace declarations on the
+                # result envelope; the value payload is unchanged
+                self.next()
+                close = self._match_paren(self.i)
+                self.i = close + 1
+            elif self.peek().text in (
+                "thor", "all", "overwrite", "compressed", "noxpath",
+            ):
+                # storage-placement / rendering options — no-ops on a
+                # lazily planned engine (NOXPATH: result rendering
+                # ignores xpath names, which is already our behavior)
                 self.next()
             else:
                 # OUTPUT(ds,,Files.QueryFilePrefix+'name') — a constant
@@ -1403,9 +1499,13 @@ class _Parser:
                     raise EclSyntaxError(
                         f"unsupported OUTPUT option at {self.peek().pos}"
                     )
-                self.files[fname2.lower()] = df
+                out_fname = fname2.lower()
+                self.files[out_fname] = df
                 file_write = True
         self.expect(")")
+        if xml_opt is not None and file_write and out_fname is not None:
+            # re-register the file as its XML text lines
+            self.files[out_fname] = self._xml_text_frame(df, xml_opt)
         if named is not None:
             seq = self._named_seq.get(named, 0)
             tagged = self._finalize(self._render_unsigned(df)).withColumn(
@@ -3225,6 +3325,23 @@ class _Parser:
             self.next()
             self.expect("(")
             df = self._nary_join("mergejoin")
+        elif (
+            t.text in ("fromxml", "fromjson")
+            and self.toks[self.i + 1].text == "("
+        ):
+            # FROMXML/FROMJSON in DATASET position: the parsed ROW as a
+            # one-row frame with the record's fields as columns
+            # (xmluint's rec := FROMXML(OutRecord, ...))
+            rec_name = self.toks[self.i + 2].text
+            col0 = self.value(self._dummy())
+            fields0 = self._resolve_record_fields(rec_name) or []
+            out0 = self._dummy().select(
+                *[col0[f[0]].alias(f[0]) for f in fields0],
+                F.lit(1).cast("long").alias("__ord__"),
+            )
+            self._set_order(out0, [F.col("__ord__")])
+            self._ds_fields[id(out0)] = list(fields0)
+            df = out0
         elif t.text == "sort":
             df = self._sort()
         elif t.text == "sorted" and self.toks[self.i + 1].text == "(":
@@ -7779,6 +7896,18 @@ class _Parser:
             if xp:
                 self._fxp[id(fld)] = xp
             return fld
+        m_bf = re.match(r"^bitfield(\d+)(?:_(\d+))?$", ty.text)
+        if m_bf:
+            # BITFIELDn[_b]: an n-bit unsigned packed member
+            # (rtlconst.hpp type_bitfield; xmlout2's b1..b5) — a long
+            # column, values already bit-bounded by declaration
+            nm = self.next()
+            if nm.kind != "ident":
+                raise EclSyntaxError(f"expected field name at {nm.pos}")
+            default = None
+            if self.accept(":="):
+                default = self._literal()
+            return (nm.text, "long", None, default)
         m = self._TYPE_RX.match(ty.text)
         if not m:
             raise EclSyntaxError(f"expected field type at {ty.pos}, got {ty.text!r}")
@@ -8351,7 +8480,13 @@ class _Parser:
 
         def coerce(v, ty, width):
             if ty.startswith("decimal("):
-                return Decimal(str(v))
+                # ECL decimal casts are lenient: blank or non-numeric
+                # text reads as 0 (xmlout's number := 'n/a')
+                s = str(v).strip()
+                try:
+                    return Decimal(s) if s else Decimal(0)
+                except Exception:
+                    return Decimal(0)
             if ty in ("double", "float") and isinstance(v, (int, str)):
                 return float(v)
             if ty == "long" and isinstance(v, str):
@@ -8450,6 +8585,200 @@ class _Parser:
             self._empty_literals.add(id(df))
         return df
 
+    # --- OUTPUT(,XML) writer --------------------------------------------
+    # Reference: TAKxmlwrite (rtl/include/eclhelper.hpp:933), rtl XML
+    # serialization (eclrtl rtlRowToXML / XmlWriter). Field rules pinned
+    # by testing/regress/ecl/xmlout.ecl's key: element names are the
+    # (lowercased) field names unless an xpath overrides them; xpath
+    # '@name' members render as ATTRIBUTES of the enclosing element; a
+    # nested record with only attribute members self-closes; IFBLOCK
+    # members vanish when absent; child datasets wrap each row in <Row>;
+    # SET members render <All/> or <Item>v</Item>; strings keep their
+    # fixed-width padding. All Column expressions — the writer is one
+    # JVM-side projection per row, no driver work.
+
+    @staticmethod
+    def _xml_escape(col: Column, attr: bool = False) -> Column:
+        c = F.regexp_replace(col, "&", "&amp;")
+        c = F.regexp_replace(c, "<", "&lt;")
+        c = F.regexp_replace(c, ">", "&gt;")
+        if attr:
+            c = F.regexp_replace(c, '"', "&quot;")
+        return c
+
+    def _xml_scalar(self, col: Column, ty: str) -> Column:
+        if ty == "boolean":
+            return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+        if str(ty).startswith("decimal") or ty in ("double", "float"):
+            s = col.cast("string")
+            s = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
+            s = F.regexp_replace(s, r"\.$", "")
+            return F.coalesce(s, F.lit("0"))
+        if ty == "string":
+            return F.coalesce(col, F.lit(""))
+        return F.coalesce(col.cast("string"), F.lit("0"))
+
+    def _xml_field_xpath(self, fld: tuple) -> str | None:
+        xp = getattr(self, "_fxp", {}).get(id(fld))
+        return xp
+
+    def _xml_element(self, fld: tuple, col: Column) -> Column:
+        """One record member rendered as XML (Column of string).
+        Attribute members are handled by the PARENT (they never reach
+        here on their own)."""
+        nm, ty, w, d = fld[0], fld[1], fld[2], fld[3]
+        xp = self._xml_field_xpath(fld)
+        tag = xp if xp and not xp.startswith("@") else nm
+        dd = d
+        optional = False
+        if isinstance(dd, tuple) and dd and dd[0] == "__optional__":
+            optional = True
+            dd = dd[2] if len(dd) > 2 else None
+        if isinstance(dd, tuple) and dd and dd[0] == "__struct__":
+            body = self._xml_struct_body(dd[1], col, tag)
+        elif isinstance(dd, tuple) and dd and dd[0] == "__child__":
+            rows = F.transform(
+                col, lambda x: self._xml_struct_body(dd[1], x, "Row")
+            )
+            inner = F.coalesce(
+                F.concat_ws("", rows), F.lit("")
+            )
+            body = F.concat(
+                F.lit(f"<{tag}>"), inner, F.lit(f"</{tag}>")
+            )
+        elif isinstance(dd, tuple) and dd and dd[0] == "__set__":
+            items = F.transform(
+                col,
+                lambda x: F.concat(
+                    F.lit("<Item>"),
+                    self._xml_escape(self._xml_scalar(x, dd[1])),
+                    F.lit("</Item>"),
+                ),
+            )
+            body = F.concat(
+                F.lit(f"<{tag}>"),
+                F.when(col.isNull(), F.lit("<All/>")).otherwise(
+                    F.coalesce(F.concat_ws("", items), F.lit(""))
+                ),
+                F.lit(f"</{tag}>"),
+            )
+        else:
+            body = F.concat(
+                F.lit(f"<{tag}>"),
+                self._xml_escape(self._xml_scalar(col, ty)),
+                F.lit(f"</{tag}>"),
+            )
+        if optional:
+            return F.when(col.isNull(), F.lit("")).otherwise(body)
+        return body
+
+    def _xml_struct_body(
+        self, subfields: list, col, tag: str
+    ) -> Column:
+        """A record (struct value) as <tag attrs>children</tag>; only-
+        attribute records self-close (xmlout's homephone)."""
+        attrs: list[Column] = []
+        elems: list[Column] = []
+        for sf in subfields:
+            snm, sty = sf[0], sf[1]
+            sxp = self._xml_field_xpath(sf)
+            sval = col[snm]
+            sd = sf[3]
+            sopt = isinstance(sd, tuple) and sd and sd[0] == "__optional__"
+            if sxp and sxp.startswith("@"):
+                a = F.concat(
+                    F.lit(f" {sxp[1:]}=\""),
+                    self._xml_escape(
+                        self._xml_scalar(sval, sty), attr=True
+                    ),
+                    F.lit('"'),
+                )
+                if sopt:
+                    a = F.when(sval.isNull(), F.lit("")).otherwise(a)
+                attrs.append(a)
+            else:
+                elems.append(self._xml_element(sf, sval))
+        attr_part = F.concat(*attrs) if attrs else F.lit("")
+        if not elems:
+            return F.concat(F.lit(f"<{tag}"), attr_part, F.lit("/>"))
+        return F.concat(
+            F.lit(f"<{tag}"), attr_part, F.lit(">"),
+            *elems,
+            F.lit(f"</{tag}>"),
+        )
+
+    def _xml_text_frame(self, df: DataFrame, xml_opt: dict) -> DataFrame:
+        """OUTPUT(ds,,file, XML(...)): the written file as a one-column
+        frame of text lines (header, one <Row> per record, footer) —
+        the same bytes the reference writes, readable back with a CSV
+        record (xmlout's TEMP_output.xml round-trip)."""
+        from pyspark.sql.window import Window
+
+        meta = self._ds_fields.get(id(df))
+        if meta is None:
+            meta = [
+                (c, dt, None, None)
+                for c, dt in df.dtypes
+                if c != "__ord__"
+            ]
+        rowtag = xml_opt.get("rowtag", "Row")
+        attrs: list[Column] = []
+        elems: list[Column] = []
+        for f in meta:
+            if f[0] not in df.columns:
+                continue
+            xp = self._xml_field_xpath(f)
+            if xp and xp.startswith("@"):
+                attrs.append(
+                    F.concat(
+                        F.lit(f" {xp[1:]}=\""),
+                        self._xml_escape(
+                            self._xml_scalar(df[f[0]], f[1]), attr=True
+                        ),
+                        F.lit('"'),
+                    )
+                )
+            else:
+                elems.append(self._xml_element(f, df[f[0]]))
+        attr_part = F.concat(*attrs) if attrs else F.lit("")
+        line = F.concat(
+            F.lit(f"<{rowtag}"), attr_part, F.lit(">"),
+            *elems,
+            F.lit(f"</{rowtag}>"),
+        )
+        order = self._order.get(id(df))
+        if order is None and "__ord__" in df.columns:
+            order = [F.col("__ord__")]
+        rn = (
+            F.row_number().over(Window.orderBy(*order))
+            if order is not None
+            else F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())
+            )
+        )
+        out = df.select(
+            line.alias("text"), rn.cast("long").alias("__ord__")
+        )
+        header = xml_opt.get("header", "<Dataset>")
+        footer = xml_opt.get("footer", "</Dataset>")
+        extra = []
+        if header:
+            extra.append((header, 0))
+        if footer:
+            extra.append((footer, 1 << 40))
+        if extra:
+            xdf = self.spark().createDataFrame(
+                extra, "text string, __ord__ long"
+            )
+            out = out.unionByName(xdf)
+        out = out.withColumn(
+            "__ord__",
+            F.row_number().over(Window.orderBy("__ord__")).cast("long"),
+        )
+        self._set_order(out, [F.col("__ord__")])
+        self._ds_fields[id(out)] = [("text", "string", None, None)]
+        return out
+
     def _resolve_wu(self, ref: _WuRef) -> DataFrame:
         """Current state of a named workunit result (empty frame with
         the declared record before the first append)."""
@@ -8509,6 +8838,13 @@ class _Parser:
                     "literal cap"
                 )
             return [tuple(r) for r in rows0]
+        if self.peek().text == "all" and self.toks[self.i + 1].text in (
+            ",", "}",
+        ):
+            # the ALL set marker as a row member (xmlout's colours):
+            # stored as NULL — renders <All/>, and IN over it is true
+            self.next()
+            return None
         return self._literal()
 
     def _dictionary_columns(self, df) -> list:
@@ -9751,6 +10087,22 @@ class _Parser:
                         col = F.coalesce(col, F.lit(dflt))
                     if w and w > 0:
                         col = F.rpad(col, w, " ")
+                elif ty == "long" and w == -8:
+                    # UNSIGNED8 text may exceed int64 (xmluint's
+                    # 18196239629641154791): wrap through decimal(20,0)
+                    # to the signed bit pattern, as stored
+                    d20 = col.cast("decimal(20,0)")
+                    col = F.when(
+                        d20 >= F.lit(Decimal(2 ** 63)).cast(
+                            "decimal(20,0)"
+                        ),
+                        (
+                            d20
+                            - F.lit(Decimal(2 ** 64)).cast("decimal(21,0)")
+                        ).try_cast("long"),
+                    ).otherwise(d20.try_cast("long"))
+                    if dflt is not None:
+                        col = F.coalesce(col, F.lit(dflt).cast("long"))
                 else:
                     col = col.cast(ty)
                     if dflt is not None:
@@ -10471,6 +10823,42 @@ class _Parser:
             except Exception:
                 return b
             return F.coalesce(a, b)
+        if (
+            t.text in ("xmldecode", "xmlencode")
+            and self.peek().text == "("
+        ):
+            # XMLDECODE/XMLENCODE (eclrtl rtlXmlDecode/Encode; regress
+            # xmldecode.ecl pins the entity table and that malformed
+            # references pass through unchanged). STRING inputs are
+            # byte strings, so &nbsp; decodes to the UTF-8 BYTES C2 A0;
+            # unicode inputs to the single code point.
+            is_dec = t.text == "xmldecode"
+            self.next()
+            is_uni = self.peek().kind == "str" and self.peek().text[
+                :1
+            ].lower() == "u"
+            arg = self.value(df)
+            all_flag = False
+            while self.accept(","):
+                if self.next().text == "all":
+                    all_flag = True
+            self.expect(")")
+            c = self._cget(arg)
+            if c is not None and isinstance(c[0], str):
+                v = (
+                    _xml_decode_str(c[0], is_uni)
+                    if is_dec
+                    else _xml_encode_str(c[0], all_flag)
+                )
+                return self._mkconst(v, "string")
+            if not is_dec:
+                col = self._xml_escape(arg, attr=True)
+                if all_flag:
+                    col = F.regexp_replace(col, "'", "&apos;")
+                return self._tag_str(col)
+            raise EclSyntaxError(
+                "XMLDECODE of a non-constant value is not supported"
+            )
         if t.text == "regexreplace" and self.peek().text == "(":
             # REGEXREPLACE(pattern, text, replacement [, NOCASE]) —
             # eclrtl rtlRegexReplace; JVM-side regexp_replace
@@ -10600,15 +10988,36 @@ class _Parser:
                     return self._tag_str(c2)
                 if base in _INT_BASES:
                     if self._is_strcol(operand):
+                        digits = F.regexp_extract(
+                            operand.cast("string"), r"^\s*([-+]?\d+)", 1
+                        )
+                        if base == "unsigned" and _ty_width(target) in (
+                            8, None,
+                        ):
+                            # (UNSIGNED8)text may exceed int64 (xmluint):
+                            # wrap through decimal(20,0) to the signed
+                            # bit pattern
+                            d20 = digits.try_cast("decimal(20,0)")
+                            return F.coalesce(
+                                F.when(
+                                    d20
+                                    >= F.lit(Decimal(2 ** 63)).cast(
+                                        "decimal(20,0)"
+                                    ),
+                                    (
+                                        d20
+                                        - F.lit(Decimal(2 ** 64)).cast(
+                                            "decimal(21,0)"
+                                        )
+                                    ).try_cast("long"),
+                                ).otherwise(d20.try_cast("long")),
+                                F.lit(0),
+                            )
                         # ECL rtlStrToInt: parse the leading numeric
                         # prefix, non-numeric -> 0 ((integer)'J' = 0,
                         # indexread3's fuzzy) — never an ANSI error
                         return F.coalesce(
-                            F.regexp_extract(
-                                operand.cast("string"),
-                                r"^\s*([-+]?\d+)",
-                                1,
-                            ).try_cast("long"),
+                            digits.try_cast("long"),
                             F.lit(0),
                         )
                     return operand.cast("long")
@@ -10652,7 +11061,7 @@ class _Parser:
                 elif dt_j.get(fld_j, "").startswith("array"):
                     col_j = self._tag_arr(col_j)
                 return col_j
-            return df[self.next().text]
+            return self._field_col(df, self.next().text)
         if t.text == "right" and self.peek().text == ".":
             # join right side / NORMALIZE exploded child element
             jf = getattr(self, "_join_frames", None)

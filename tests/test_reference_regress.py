@@ -251,6 +251,16 @@ VERBATIM = [
     # round-11 sweep finds: pass with the round's generic machinery
     "dictallnodes", "issue18633", "loopoutput", "rewrite", "tablecount",
     "tablecount2",
+    # XML output front door (TAKxmlwrite :933, rtl XmlWriter):
+    # OUTPUT(,XML(HEADING)) file round-trip with attribute xpaths,
+    # self-closing attribute-only records, IFBLOCK omission, <All/>
+    # sets; XMLDECODE/XMLENCODE entity tables; UNSIGNED8 beyond-int64
+    # text casts (decimal-wrapped bit pattern)
+    "xmlout", "xmldecode", "xmluint",
+    # BITFIELD record members; XMLNS result-envelope declarations
+    # (value payload unchanged; the key parser matches Dataset/Row by
+    # local name under a default namespace)
+    "xmlout2", "xmlns", "xmlns2",
 ]
 
 
@@ -287,8 +297,14 @@ def _expected(name: str) -> list[list[list[str]]]:
         msg = exc.findtext("Message") or ""
         return ("__exception__", msg.split(": ")[-1])
 
+    def _lname(tag):
+        # XMLNS keys default-namespace the envelope (xmlns.ecl):
+        # match Dataset/Row by LOCAL name
+        return tag.split("}", 1)[-1] if isinstance(tag, str) else tag
+
     out = []
-    for ds in root.findall("Dataset"):
+    datasets = [e for e in root if _lname(e.tag) == "Dataset"]
+    for ds in datasets:
         # a child-dataset field with a simple XPATH renders each child
         # row as its own repeated element (<Name>..</Name> <Name>..
         # </Name>, fromjson2). Array-typed columns are detected over the
@@ -297,7 +313,8 @@ def _expected(name: str) -> list[list[list[str]]]:
         # happens to hold one row in some rows still parses as a
         # one-element list there.
         array_tags: set = set()
-        for row in ds.findall("Row"):
+        ds_rows = [e for e in ds if _lname(e.tag) == "Row"]
+        for row in ds_rows:
             kids = list(row)
             j = 0
             while j < len(kids):
@@ -308,7 +325,7 @@ def _expected(name: str) -> list[list[list[str]]]:
                     array_tags.add(kids[j].tag)
                 j = k
         rows = []
-        for row in ds.findall("Row"):
+        for row in ds_rows:
             cells: list = []
             kids = list(row)
             j = 0
