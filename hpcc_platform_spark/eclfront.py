@@ -2303,12 +2303,14 @@ class _Parser:
             t = self.next()
             if t.kind != "ident" and t.kind != "kw":
                 raise EclSyntaxError(f"expected parameter at {t.pos}")
-            if self.peek().kind == "ident" and (
+            if self.peek().kind in ("ident", "kw") and (
                 self._TYPE_RX.match(t.text)
                 or t.text in self.records
                 or t.text in self.records_raw
                 or t.text in self.env
             ):
+                # kw-kinded parameter names allowed (indexread5's
+                # `sq.PersonBookRelatedIdRec in`) — body uses re-kind
                 ty = t.text
                 t = self.next()
             elif t.text == "typeof" and self.peek().text == "(":
@@ -8306,6 +8308,19 @@ class _Parser:
         fname = None
         if self.peek().kind == "str":
             fname = _unquote(self.next().text).lower()
+        elif (
+            self.peek().text == "dynamic"
+            and self.toks[self.i + 1].text == "("
+        ):
+            # DYNAMIC(name) — resolve the file name at run time; the
+            # name is still a constant expression here
+            self.next()
+            self.next()
+            s0 = self._try_const_str()
+            self.expect(")")
+            if s0 is None:
+                raise EclSyntaxError("DYNAMIC needs a constant name here")
+            fname = s0.lower()
         elif self.peek().text not in ("[", "workunit"):
             # DATASET(Files.QueryFilePrefix+'name', rec, THOR) — a
             # constant string expression names the logical file
@@ -8319,9 +8334,17 @@ class _Parser:
             # DATASET('logicalname', rec, THOR) — read a named file
             self.expect(",")
             fields = self._record_fields()
+            xml_path = None
             while self.accept(","):
-                self.next()  # THOR/FLAT/CSV format token
-                if self.peek().text == "(":
+                fmt = self.next()  # THOR/FLAT/CSV/XML format token
+                if fmt.text == "xml" and self.peek().text == "(":
+                    close = self._match_paren(self.i)
+                    for tk in self.toks[self.i : close]:
+                        if tk.kind == "str":
+                            xml_path = _unquote(tk.text)
+                            break
+                    self.i = close + 1
+                elif self.peek().text == "(":
                     # parenthesized option args: HINT(...), CSV(...)
                     close = self._match_paren(self.i)
                     self.i = close + 1
@@ -8329,6 +8352,33 @@ class _Parser:
             if fname not in self.files:
                 raise EclSyntaxError(f"unknown logical file {fname!r}")
             df = self.files[fname]
+            plain_cols = [c for c in df.columns if c != "__ord__"]
+            if xml_path is not None and plain_cols == ["text"]:
+                # XML read-back of a written XML file
+                # (xmloutScalarXpath): each row line parses through the
+                # FROMXML machinery with the declared record
+                rowtag = xml_path.rstrip("/").split("/")[-1]
+                lines = df.where(
+                    F.col("text").rlike(
+                        rf"^\s*<{re.escape(rowtag)}[ >/]"
+                    )
+                )
+                tree = self._fromtext_tree(fields, True)
+                schema = self._fromtext_schema(tree)
+                parsed = F.from_xml(F.col("text"), F.lit(schema))
+                built = self._fromtext_build(parsed, fields, False, True)
+                keep = ["__ord__"] if "__ord__" in df.columns else []
+                out = lines.select(built.alias("__r__"), *keep).select(
+                    *[
+                        F.col(f"__r__.{f[0]}").alias(f[0])
+                        for f in fields
+                    ],
+                    *keep,
+                )
+                if keep:
+                    self._set_order(out, [F.col("__ord__")])
+                self._ds_fields[id(out)] = fields
+                return out
             # record-layout translation on read (thorread.hpp actual->
             # expected): the DECLARED record's widths win — a string10
             # file read as {string11} pads (translatefixed.ecl)
@@ -8622,14 +8672,16 @@ class _Parser:
         xp = getattr(self, "_fxp", {}).get(id(fld))
         return xp
 
-    def _xml_element(self, fld: tuple, col: Column) -> Column:
+    def _xml_element(
+        self, fld: tuple, col: Column, tag: str, had_xpath: bool
+    ) -> Column:
         """One record member rendered as XML (Column of string).
-        Attribute members are handled by the PARENT (they never reach
-        here on their own)."""
-        nm, ty, w, d = fld[0], fld[1], fld[2], fld[3]
-        xp = self._xml_field_xpath(fld)
-        tag = xp if xp and not xp.startswith("@") else nm
-        dd = d
+        Attribute members are handled by the PARENT. A child dataset
+        with an explicit xpath renders one <tag> per ELEMENT (the
+        enclosing wrappers come from the path tree —
+        xmloutScalarXpath's deep{xpath('L1/L2')})."""
+        ty = fld[1]
+        dd = fld[3]
         optional = False
         if isinstance(dd, tuple) and dd and dd[0] == "__optional__":
             optional = True
@@ -8637,15 +8689,17 @@ class _Parser:
         if isinstance(dd, tuple) and dd and dd[0] == "__struct__":
             body = self._xml_struct_body(dd[1], col, tag)
         elif isinstance(dd, tuple) and dd and dd[0] == "__child__":
+            rowtag = tag if had_xpath else "Row"
             rows = F.transform(
-                col, lambda x: self._xml_struct_body(dd[1], x, "Row")
+                col, lambda x: self._xml_struct_body(dd[1], x, rowtag)
             )
-            inner = F.coalesce(
-                F.concat_ws("", rows), F.lit("")
-            )
-            body = F.concat(
-                F.lit(f"<{tag}>"), inner, F.lit(f"</{tag}>")
-            )
+            inner = F.coalesce(F.concat_ws("", rows), F.lit(""))
+            if had_xpath:
+                body = inner
+            else:
+                body = F.concat(
+                    F.lit(f"<{tag}>"), inner, F.lit(f"</{tag}>")
+                )
         elif isinstance(dd, tuple) and dd and dd[0] == "__set__":
             items = F.transform(
                 col,
@@ -8672,32 +8726,75 @@ class _Parser:
             return F.when(col.isNull(), F.lit("")).otherwise(body)
         return body
 
+    def _xml_members(self, fields: list, getcol) -> tuple[list, list]:
+        """(attribute Columns, element Columns) for a record's members.
+        '/'-path xpaths group into shared wrapper elements in declared
+        order (Rec/prange + Rec/street → one <Rec> — the reference's
+        scalar-xpath write shape)."""
+        attrs: list[Column] = []
+        tree: list = []  # ordered (segment, children|None, leaf|None)
+
+        def insert(segs, leaf):
+            node = tree
+            for s in segs[:-1]:
+                for ent in node:
+                    if ent[0] == s and ent[1] is not None:
+                        node = ent[1]
+                        break
+                else:
+                    new = (s, [], None)
+                    node.append(new)
+                    node = new[1]
+            node.append((segs[-1], None, leaf))
+
+        for f in fields:
+            xp = self._xml_field_xpath(f)
+            col = getcol(f)
+            if col is None:
+                continue
+            sd = f[3]
+            sopt = (
+                isinstance(sd, tuple) and sd and sd[0] == "__optional__"
+            )
+            if xp and xp.startswith("@"):
+                a = F.concat(
+                    F.lit(f" {xp[1:]}=\""),
+                    self._xml_escape(
+                        self._xml_scalar(col, f[1]), attr=True
+                    ),
+                    F.lit('"'),
+                )
+                if sopt:
+                    a = F.when(col.isNull(), F.lit("")).otherwise(a)
+                attrs.append(a)
+            elif xp:
+                insert(xp.split("/"), (f, col, True))
+            else:
+                insert([f[0]], (f, col, False))
+
+        def emit(nodes):
+            cols = []
+            for seg, sub, leaf in nodes:
+                if leaf is not None:
+                    fld, col, hx = leaf
+                    cols.append(self._xml_element(fld, col, seg, hx))
+                else:
+                    cols.append(
+                        F.concat(
+                            F.lit(f"<{seg}>"), *emit(sub),
+                            F.lit(f"</{seg}>"),
+                        )
+                    )
+            return cols
+
+        return attrs, emit(tree)
+
     def _xml_struct_body(
         self, subfields: list, col, tag: str
     ) -> Column:
         """A record (struct value) as <tag attrs>children</tag>; only-
         attribute records self-close (xmlout's homephone)."""
-        attrs: list[Column] = []
-        elems: list[Column] = []
-        for sf in subfields:
-            snm, sty = sf[0], sf[1]
-            sxp = self._xml_field_xpath(sf)
-            sval = col[snm]
-            sd = sf[3]
-            sopt = isinstance(sd, tuple) and sd and sd[0] == "__optional__"
-            if sxp and sxp.startswith("@"):
-                a = F.concat(
-                    F.lit(f" {sxp[1:]}=\""),
-                    self._xml_escape(
-                        self._xml_scalar(sval, sty), attr=True
-                    ),
-                    F.lit('"'),
-                )
-                if sopt:
-                    a = F.when(sval.isNull(), F.lit("")).otherwise(a)
-                attrs.append(a)
-            else:
-                elems.append(self._xml_element(sf, sval))
+        attrs, elems = self._xml_members(subfields, lambda f: col[f[0]])
         attr_part = F.concat(*attrs) if attrs else F.lit("")
         if not elems:
             return F.concat(F.lit(f"<{tag}"), attr_part, F.lit("/>"))
@@ -8722,24 +8819,10 @@ class _Parser:
                 if c != "__ord__"
             ]
         rowtag = xml_opt.get("rowtag", "Row")
-        attrs: list[Column] = []
-        elems: list[Column] = []
-        for f in meta:
-            if f[0] not in df.columns:
-                continue
-            xp = self._xml_field_xpath(f)
-            if xp and xp.startswith("@"):
-                attrs.append(
-                    F.concat(
-                        F.lit(f" {xp[1:]}=\""),
-                        self._xml_escape(
-                            self._xml_scalar(df[f[0]], f[1]), attr=True
-                        ),
-                        F.lit('"'),
-                    )
-                )
-            else:
-                elems.append(self._xml_element(f, df[f[0]]))
+        attrs, elems = self._xml_members(
+            meta,
+            lambda f: df[f[0]] if f[0] in df.columns else None,
+        )
         attr_part = F.concat(*attrs) if attrs else F.lit("")
         line = F.concat(
             F.lit(f"<{rowtag}"), attr_part, F.lit(">"),
