@@ -287,6 +287,14 @@ class _DsFn:
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}
 
+_SF_ACTIONS = {
+    "deletesuperfile", "createsuperfile", "addsuperfile",
+    "removesuperfile", "replacesuperfile", "swapsuperfile",
+    "clearsuperfile", "startsuperfiletransaction",
+    "finishsuperfiletransaction", "deletelogicalfile",
+    "promotesuperfilelist",
+}
+
 _XML_ENTS = {
     "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
     "nbsp": "\xa0",
@@ -647,6 +655,12 @@ class _Parser:
         self._when_actions: dict[int, list] = {}
         self._post_success: list[list] = []
         self._array_params: dict[str, tuple] = {}
+        # superfile registry: name -> ordered sub-file names; a pending
+        # transaction buffers ops until Finish (rollback discards) —
+        # Std.File superfile semantics (sources/superfile.py combinator;
+        # superfile1.ecl pins the op set)
+        self._superfiles: dict[str, list] = {}
+        self._sf_txn: list | None = None
         # provenance of parent.child flatten frames (resolved dataset
         # chain) — correlated definitions extending the chain re-bind
         # per row of the flatten (sqagg's booksByRatingDesc over the
@@ -1290,6 +1304,16 @@ class _Parser:
                     self._bind_shim_members(
                         "textsearch", RF.textsearch_members()
                     )
+                if "file" in texts:
+                    # Std.File record types (superfile5's
+                    # FsLogicalFileNameRecord) + qualifier stripping in
+                    # type/record positions
+                    self.records.setdefault(
+                        "fslogicalfilenamerecord",
+                        [("name", "string", None, None)],
+                    )
+                    self.shims.setdefault("fileservices", {})
+                    self.shims.setdefault("file", {})
                 if "from" in texts:
                     fi = texts.index("from")
                     tail = texts[fi + 1 :]
@@ -1941,6 +1965,18 @@ class _Parser:
         while self._process_cond_directives():
             pass
         t = self.peek()
+        if (
+            t.text in ("nothor", "nohoist", "nofold")
+            and self.toks[self.i + 1].text == "("
+            and self._arg_is_action(self.i + 2)
+        ):
+            # NOTHOR(action) — placement wrapper around an action
+            # (superfile5's NOTHOR(OUTPUT(...)))
+            self.next()
+            self.expect("(")
+            self._exec_actions_here()
+            self.expect(")")
+            return
         if t.text == "output":
             self._run_output_stmt()
             return
@@ -2049,10 +2085,62 @@ class _Parser:
             and self.toks[self.i + 1].text == "."
         ):
             # Std.System.Debug.Sleep/PrintStackReport, Std.System.Log.*,
-            # Std.File/FileServices maintenance calls — engine-side
-            # diagnostics/housekeeping; no workunit results (no-op)
+            # Std.File/FileServices maintenance calls — superfile ops
+            # run against the in-session registry; the rest are
+            # engine-side diagnostics/housekeeping (no-op)
+            member_sf = None
             while self.peek().text != "(" and self.peek().kind != "eof":
-                self.next()
+                member_sf = self.next().text
+            if member_sf in _SF_ACTIONS:
+                self.next()  # '('
+                args_sf = []
+                named_sf: dict = {}
+                while self.peek().text != ")":
+                    if self.peek().text == ",":
+                        # empty positional slot:
+                        # CreateSuperFile(name,,true)
+                        self.next()
+                        args_sf.append(None)
+                        continue
+                    if (
+                        self.peek().kind == "ident"
+                        and self.toks[self.i + 1].text == ":="
+                    ):
+                        # named argument (reverse := true)
+                        nm_na = self.next().text
+                        self.next()
+                        c_na = self._cget(self.value(self._dummy()))
+                        named_sf[nm_na] = (
+                            c_na[0] if c_na is not None else None
+                        )
+                        if not self.accept(","):
+                            break
+                        continue
+                    if self.peek().text == "[":
+                        # SET argument (PromoteSuperFileList's list) —
+                        # members are constant expressions
+                        self.next()
+                        vals_sf = []
+                        while self.peek().text != "]":
+                            c_el = self._cget(
+                                self.value(self._dummy())
+                            )
+                            vals_sf.append(
+                                c_el[0] if c_el is not None else None
+                            )
+                            self.accept(",")
+                        self.expect("]")
+                        args_sf.append(vals_sf)
+                    else:
+                        c_sf = self._cget(self.value(self._dummy()))
+                        args_sf.append(
+                            c_sf[0] if c_sf is not None else None
+                        )
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+                self._sf_exec(member_sf, args_sf, named_sf)
+                return
             close = self._match_paren(self.i)
             self.i = close + 1
             return
@@ -2642,9 +2730,14 @@ class _Parser:
                                 f"{name}: unsupported statement in FUNCTION body"
                             )
                     self.expect("return")
-                if self._arg_is_action(self.i):
+                if self._arg_is_action(self.i) or (
+                    self.peek().text == "if"
+                    and self.toks[self.i + 1].text == "("
+                    and self._if_has_action_branch(self.i + 1)
+                ):
                     # ACTION-returning FUNCTION (workflow_1's
-                    # RETURN OUTPUT(..., NAMED, EXTEND)): run it
+                    # RETURN OUTPUT(..., NAMED, EXTEND); superfile10's
+                    # RETURN IF(cond, FileServices action)): run it
                     self._exec_actions_here()
                     return _ACTION_DONE
                 mark = self.i
@@ -3328,6 +3421,51 @@ class _Parser:
             self.expect("(")
             df = self._nary_join("mergejoin")
         elif (
+            t.text in (
+                "superfilecontents", "logicalfilelist",
+                "logicalfilesuperowners",
+            )
+            and self.toks[self.i + 1].text == "("
+        ) or (
+            t.text in ("fileservices", "file")
+            and t.text not in self.env
+            and self.toks[self.i + 1].text == "."
+            and self.toks[self.i + 2].text in (
+                "superfilecontents", "logicalfilelist",
+                "logicalfilesuperowners",
+            )
+        ):
+            # FileServices.SuperFileContents(name) — the DIRECT sub
+            # names as {string name} rows (superfile5)
+            if t.text in ("fileservices", "file"):
+                self.next()
+                self.next()
+            which_fs = self.next().text
+            self.expect("(")
+            cfs = self._cget(self.value(self._dummy()))
+            while self.accept(","):
+                self.value(self._dummy())  # option args ignored
+            self.expect(")")
+            nm_fs = str(cfs[0]).lower() if cfs is not None else ""
+            if which_fs == "superfilecontents":
+                names_fs = list(self._superfiles.get(nm_fs, []))
+            elif which_fs == "logicalfilesuperowners":
+                # superfiles that DIRECTLY contain the file
+                names_fs = [
+                    k for k, subs in self._superfiles.items()
+                    if nm_fs in subs
+                ]
+            else:
+                names_fs = sorted(self.files)
+            rows_fs = [
+                (n2, i2 + 1) for i2, n2 in enumerate(names_fs)
+            ]
+            df = self.spark().createDataFrame(
+                rows_fs, "name string, __ord__ long"
+            )
+            self._set_order(df, [F.col("__ord__")])
+            self._ds_fields[id(df)] = [("name", "string", None, None)]
+        elif (
             t.text in ("fromxml", "fromjson")
             and self.toks[self.i + 1].text == "("
         ):
@@ -3981,6 +4119,18 @@ class _Parser:
             "distribute", "having", "denormalize", "dataset", "nofold",
             "nohoist", "nothor",
             "quantile", "loop", "fetch", "graph", "rowset", "row",
+            "superfilecontents", "logicalfilelist", "mergejoin",
+            "logicalfilesuperowners", "fromxml", "fromjson",
+        ):
+            return True
+        if (
+            t.text in ("file", "fileservices")
+            and t.text not in self.env
+            and self.toks[i + 1].text == "."
+            and self.toks[i + 2].text in (
+                "superfilecontents", "logicalfilelist",
+                "logicalfilesuperowners",
+            )
         ):
             return True
         if (
@@ -8144,6 +8294,21 @@ class _Parser:
             # nested WHEN: its kind follows its trigger — WHEN over a
             # dataset is a dataset, WHEN over an action is an action
             return self._arg_is_action(j + 2)
+        if (
+            t.text in ("file", "fileservices")
+            and t.text not in self.env
+            and self.toks[j + 1].text == "."
+            and self.toks[j + 2].kind == "ident"
+        ):
+            # FileServices maintenance calls are actions (superfile10's
+            # IF(FileExists(x), FileServices.DeleteLogicalFile(x)))
+            return True
+        if (
+            t.kind == "ident"
+            and t.text in _SF_ACTIONS
+            and self.toks[j + 1].text == "("
+        ):
+            return True
         if t.text in self._ACTION_HEADS:
             return True
         if (
@@ -8335,9 +8500,12 @@ class _Parser:
             self.expect(",")
             fields = self._record_fields()
             xml_path = None
+            opt_read = False
             while self.accept(","):
                 fmt = self.next()  # THOR/FLAT/CSV/XML format token
-                if fmt.text == "xml" and self.peek().text == "(":
+                if fmt.text == "opt":
+                    opt_read = True
+                elif fmt.text == "xml" and self.peek().text == "(":
                     close = self._match_paren(self.i)
                     for tk in self.toks[self.i : close]:
                         if tk.kind == "str":
@@ -8349,6 +8517,29 @@ class _Parser:
                     close = self._match_paren(self.i)
                     self.i = close + 1
             self.expect(")")
+            if fname.startswith("{") and fname.endswith("}"):
+                # implicit superfile: '{a,b}' reads the listed files
+                # in order (superfile11); re-binds at every use via the
+                # deferred machinery so later writes/deletes are seen
+                parts_i = [
+                    p.strip() for p in fname[1:-1].split(",") if p.strip()
+                ]
+                live_i = [p for p in parts_i if p in self.files]
+                if not live_i and not (
+                    opt_read and getattr(self, "_in_deferred_resolve", False)
+                ):
+                    raise EclSyntaxError(
+                        f"unknown logical file {fname!r}"
+                    )
+                syn = f"__implicit_sf_{len(self._superfiles)}__"
+                self._superfiles[syn] = live_i
+                out = self._sf_read(syn, fields)
+                self._ds_fields[id(out)] = fields
+                return out
+            if fname not in self.files and fname in self._superfiles:
+                out = self._sf_read(fname, fields)
+                self._ds_fields[id(out)] = fields
+                return out
             if fname not in self.files:
                 raise EclSyntaxError(f"unknown logical file {fname!r}")
             df = self.files[fname]
@@ -8862,6 +9053,173 @@ class _Parser:
         self._ds_fields[id(out)] = [("text", "string", None, None)]
         return out
 
+    # --- superfile registry (Std.File superfile surface) ---------------
+    # Reference: dali superfile transactions (dadfs.cpp),
+    # Std.File.AddSuperFile et al; combinator twin sources/superfile.py.
+    # superfile1.ecl pins: implicit creation on Add, transactions buffer
+    # ops until Finish (rollback discards), Replace keeps position,
+    # Swap exchanges sub lists, AddSuperFile(s2, s1, 0) nests a
+    # superfile while ,true) copies its CURRENT contents.
+
+    def _sf_exec(
+        self, member: str, args: list, named: dict | None = None
+    ) -> None:
+        if member == "startsuperfiletransaction":
+            self._sf_txn = []
+            return
+        if member == "finishsuperfiletransaction":
+            ops = self._sf_txn or []
+            self._sf_txn = None
+            rollback = bool(args[0]) if args else False
+            if not rollback:
+                for m, a, n in ops:
+                    self._sf_apply(m, a, n)
+            return
+        if self._sf_txn is not None and member in (
+            "addsuperfile", "removesuperfile", "replacesuperfile",
+            "swapsuperfile", "clearsuperfile", "deletelogicalfile",
+            "promotesuperfilelist",
+        ):
+            self._sf_txn.append((member, args, named))
+            return
+        self._sf_apply(member, args, named)
+
+    def _sf_apply(
+        self, member: str, args: list, named: dict | None = None
+    ) -> None:
+        named = named or {}
+        sf = self._superfiles
+        a = [
+            x.lower() if isinstance(x, str) else x for x in args
+        ]
+        if member == "createsuperfile":
+            sf.setdefault(a[0], [])
+        elif member == "deletesuperfile":
+            sf.pop(a[0], None)
+        elif member == "deletelogicalfile":
+            self.files.pop(a[0], None)
+        elif member == "addsuperfile":
+            addcontents = bool(a[3]) if len(a) > 3 else False
+            subs = sf.setdefault(a[0], [])
+            if addcontents and a[1] in sf:
+                subs.extend(list(sf[a[1]]))
+            else:
+                subs.append(a[1])
+        elif member == "removesuperfile":
+            if a[0] in sf and a[1] in sf[a[0]]:
+                sf[a[0]].remove(a[1])
+            delsub = len(a) > 2 and bool(a[2])
+            remcontents = len(a) > 3 and bool(a[3])
+            if delsub:
+                if remcontents:
+                    # delete the subfile AND its contents recursively
+                    # (superfile2's RemoveSuperFile(..., true, true))
+                    def _rip(n):
+                        for s2 in sf.pop(n, []):
+                            _rip(s2)
+                        self.files.pop(n, None)
+
+                    _rip(a[1])
+                else:
+                    sf.pop(a[1], None)
+                    self.files.pop(a[1], None)
+        elif member == "replacesuperfile":
+            if a[0] in sf:
+                sf[a[0]] = [
+                    a[2] if s == a[1] else s for s in sf[a[0]]
+                ]
+        elif member == "swapsuperfile":
+            x, y = sf.get(a[0], []), sf.get(a[1], [])
+            sf[a[0]], sf[a[1]] = y, x
+        elif member == "clearsuperfile":
+            if a[0] in sf:
+                sf[a[0]] = []
+        elif member == "promotesuperfilelist":
+            # contents shift DOWN the list (reverse := true shifts UP);
+            # the receiving end takes the comma-separated new sub names
+            # (Std.File promote; superfile5)
+            names_p = [
+                str(x).lower() for x in (a[0] or [])
+            ]
+            newsubs = []
+            if len(a) > 1 and a[1]:
+                newsubs = [
+                    x.strip() for x in str(a[1]).split(",") if x.strip()
+                ]
+            contents = [list(sf.get(n, [])) for n in names_p]
+            if named.get("reverse"):
+                for i2 in range(len(names_p) - 1):
+                    sf[names_p[i2]] = contents[i2 + 1]
+                if names_p:
+                    sf[names_p[-1]] = newsubs
+            else:
+                for i2 in range(len(names_p) - 1, 0, -1):
+                    sf[names_p[i2]] = contents[i2 - 1]
+                if names_p:
+                    sf[names_p[0]] = newsubs
+
+    def _sf_read(self, fname: str, fields: list) -> DataFrame:
+        """A superfile read: subfiles concatenate in registry order
+        (nested superfiles expand recursively); an empty superfile is
+        an empty frame in the declared record."""
+        from pyspark.sql.window import Window
+
+        frames: list[DataFrame] = []
+
+        def walk(name, path):
+            # `path` guards superfile CYCLES only — the same subfile
+            # may legitimately appear under two branches (superfile1's
+            # nested AddSuperFile read repeats sub3)
+            if name in self._superfiles:
+                if name in path:
+                    return
+                for s in self._superfiles[name]:
+                    walk(s, path | {name})
+            elif name in self.files:
+                frames.append(self.files[name])
+
+        walk(fname, frozenset())
+        schema = ", ".join(
+            f"{n} {t}" for n, t, _w, _d in fields
+        ) + ", __ord__ long"
+        if not frames:
+            out = self.spark().createDataFrame([], schema)
+            self._set_order(out, [F.col("__ord__")])
+            return out
+        cols0 = [f[0] for f in fields]
+        tagged = []
+        for i, fr in enumerate(frames):
+            order = self._order.get(id(fr))
+            if order is None and "__ord__" in fr.columns:
+                order = [F.col("__ord__")]
+            so = (
+                F.row_number().over(Window.orderBy(*order)).cast("long")
+                if order is not None
+                else F.monotonically_increasing_id()
+            )
+            tagged.append(
+                fr.select(
+                    *[
+                        F.col(c)
+                        for c in cols0
+                        if c in fr.columns
+                    ],
+                    F.lit(i).alias("__sfsrc__"),
+                    so.alias("__sfso__"),
+                )
+            )
+        u = tagged[0]
+        for fr in tagged[1:]:
+            u = u.unionByName(fr, allowMissingColumns=True)
+        out = u.withColumn(
+            "__ord__",
+            F.row_number().over(
+                Window.orderBy("__sfsrc__", "__sfso__")
+            ).cast("long"),
+        ).drop("__sfsrc__", "__sfso__")
+        self._set_order(out, [F.col("__ord__")])
+        return out
+
     def _resolve_wu(self, ref: _WuRef) -> DataFrame:
         """Current state of a named workunit result (empty frame with
         the declared record before the first append)."""
@@ -9340,6 +9698,8 @@ class _Parser:
         saved_toks, saved_i = self.toks, self.i
         self.toks = list(span) + [_Tok("eof", "", span[-1].pos)]
         self.i = 0
+        saved_dr = getattr(self, "_in_deferred_resolve", False)
+        self._in_deferred_resolve = True
         try:
             df = self.dataset()
         except EclSyntaxError:
@@ -9347,6 +9707,7 @@ class _Parser:
             raise
         finally:
             self.toks, self.i = saved_toks, saved_i
+            self._in_deferred_resolve = saved_dr
         if (
             len(span) >= 2
             and span[0].text == "dataset"
@@ -10843,6 +11204,18 @@ class _Parser:
             return F.length(inner)
         if t.text == "std" and self.peek().text == ".":
             return self._std_call(df)
+        if (
+            t.text in ("str", "uni")
+            and self.peek().text == "."
+            and t.text not in self.env
+            and t.text not in self.shims
+            and self.toks[self.i + 1].kind == "ident"
+            and self.toks[self.i + 2].text == "("
+        ):
+            # bare module alias: import Std.Str; Str.Find(...)
+            if t.text == "uni":
+                return self._std_uni_call(df)
+            return self._std_call(df, mod="str")
         if t.text == "nofold" and self.peek().text == "(":
             self.next()
             inner = self.value(df)
@@ -10906,6 +11279,67 @@ class _Parser:
             except Exception:
                 return b
             return F.coalesce(a, b)
+        sf_fns = {
+            "getsuperfilesubcount", "getsuperfilesubname",
+            "findsuperfilesubname", "superfileexists",
+            "logicalfileexists", "fileexists",
+            "getexpandlogicalname",
+        }
+        if (
+            t.text in ("fileservices", "file", "std", "thorlib")
+            and self.peek().text == "."
+        ) or (t.text in sf_fns and self.peek().text == "("):
+            # Std.File / thorlib scalar probes over the superfile
+            # registry (superfile1's GetSuperFileSubCount etc.) —
+            # qualified, or bare after shim-qualifier stripping
+            if t.text in sf_fns:
+                member_v = t.text
+                j = self.i  # the '(' position
+            else:
+                j = self.i
+                while self.toks[j].text != "(" and self.toks[j].kind != "eof":
+                    j += 1
+                member_v = self.toks[j - 1].text
+            if member_v in sf_fns:
+                self.i = j + 1
+                args_v: list = []
+                while self.peek().text != ")":
+                    cv = self._cget(self.value(self._dummy()))
+                    args_v.append(cv[0] if cv is not None else None)
+                    if not self.accept(","):
+                        break
+                self.expect(")")
+                av = [
+                    x.lower() if isinstance(x, str) else x
+                    for x in args_v
+                ]
+                sf = self._superfiles
+                if member_v == "getsuperfilesubcount":
+                    return self._mkconst(
+                        len(sf.get(av[0], [])), "integer"
+                    )
+                if member_v == "getsuperfilesubname":
+                    subs = sf.get(av[0], [])
+                    n_v = int(av[1])
+                    return self._mkconst(
+                        subs[n_v - 1] if 0 < n_v <= len(subs) else "",
+                        "string",
+                    )
+                if member_v == "findsuperfilesubname":
+                    subs = sf.get(av[0], [])
+                    return self._mkconst(
+                        subs.index(av[1]) + 1 if av[1] in subs else 0,
+                        "integer",
+                    )
+                if member_v == "superfileexists":
+                    return self._mkconst(av[0] in sf, "boolean")
+                if member_v in ("logicalfileexists", "fileexists"):
+                    return self._mkconst(
+                        av[0] in self.files or av[0] in sf, "boolean"
+                    )
+                # getexpandlogicalname: the scope-expanded name IS the
+                # name on this engine
+                return self._mkconst(str(args_v[0]), "string")
         if (
             t.text in ("xmldecode", "xmlencode")
             and self.peek().text == "("
@@ -14951,12 +15385,15 @@ class _Parser:
             return self._mkconst((fa > fb) - (fa < fb), "integer")
         raise EclSyntaxError(f"unsupported STD.Uni function {fn!r}")
 
-    def _std_call(self, df) -> Column:
+    def _std_call(self, df, mod: str | None = None) -> Column:
         """STD.Str.<fn>(args) — the everyday Std.Str plugin surface
         (plugins/stringlib; functions/strings.py is the combinator
-        layer). Name-matched case-insensitively like the reference."""
-        self.next()  # '.'
-        mod = self.next().text
+        layer). Name-matched case-insensitively like the reference.
+        ``mod`` pre-consumed for bare module aliases (import Std.Str;
+        Str.Find — superfile1)."""
+        if mod is None:
+            self.next()  # '.'
+            mod = self.next().text
         if mod == "uni":
             return self._std_uni_call(df)
         if mod == "system" and self.peek().text == ".":
@@ -15017,16 +15454,44 @@ class _Parser:
             if not isinstance(args[1], str):
                 raise EclSyntaxError("EndsWith needs a literal suffix")
             return S.ends_with(args[0], args[1])
+        def _pyarg(a):
+            # constant-foldable Column arguments reduce to their python
+            # value (superfile1's Find(qlfn, clusterLFNprefix, 1))
+            if isinstance(a, (str, int, float)):
+                return a
+            c = self._cget(a)
+            return c[0] if c is not None else a
+
         if fn == "find":
             # Std.Str.Find(src, target, instance) -> 1-based position of
             # the instance-th occurrence; 0 when absent. Only instance=1
             # maps to the JVM locate().
-            if not isinstance(args[1], str):
+            tgt = _pyarg(args[1])
+            if not isinstance(tgt, str):
                 raise EclSyntaxError("Find needs a literal target string")
-            inst = args[2] if len(args) > 2 else 1
+            inst = _pyarg(args[2]) if len(args) > 2 else 1
             if inst != 1:
                 raise EclSyntaxError("Find supports instance=1 only")
-            return F.locate(args[1], args[0])
+            return F.locate(tgt, args[0])
+        if fn == "findcount":
+            tgt = _pyarg(args[1])
+            if not isinstance(tgt, str):
+                raise EclSyntaxError("FindCount needs a literal target")
+            return (
+                (F.length(args[0]) - F.length(F.replace(
+                    args[0], F.lit(tgt), F.lit("")
+                ))) / F.lit(len(tgt))
+            ).cast("long")
+        if fn == "findreplace":
+            tgt = _pyarg(args[1])
+            rep = _pyarg(args[2]) if len(args) > 2 else ""
+            if not isinstance(tgt, str) or not isinstance(rep, str):
+                raise EclSyntaxError(
+                    "FindReplace needs literal target/replacement"
+                )
+            return self._tag_str(
+                F.replace(args[0], F.lit(tgt), F.lit(rep))
+            )
         raise EclSyntaxError(f"unsupported STD.Str function {fn!r}")
 
 

@@ -261,6 +261,14 @@ VERBATIM = [
     # (value payload unchanged; the key parser matches Dataset/Row by
     # local name under a default namespace)
     "xmlout2", "xmlns", "xmlns2",
+    # superfile front door (Std.File over the in-session registry;
+    # combinator sources/superfile.py): create/add/remove/replace/
+    # swap/clear/promote incl. reverse, transactions with rollback
+    # buffering DeleteLogicalFile, nested superfile reads, implicit
+    # '{a,b}' superfiles re-bound per use, SuperFileContents /
+    # LogicalFileSuperOwners datasets, Str.Find/FindReplace consts
+    "superfile1", "superfile2", "superfile5", "superfile10",
+    "superfile11",
 ]
 
 
