@@ -1566,6 +1566,7 @@ class _Parser:
             f[0]: f for f in (self._ds_fields.get(id(df)) or [])
         }
         cols: list[Column] = []
+        agg_proj = False
         while True:
             self._skip_shim_qual()
             t2 = self.peek()
@@ -1598,6 +1599,57 @@ class _Parser:
                 if self.peek().text == "}":
                     break
                 continue
+            if (
+                t2.text in ("count", "sum", "min", "max", "ave")
+                and self.toks[self.i + 1].text == "("
+                and self.toks[self.i + 2].text == "group"
+                and self.toks[self.i + 3].text == ")"
+            ):
+                # aggregate projection member: OUTPUT(p, {count(group)})
+                # — the whole projection is one aggregate row (pipe6)
+                fnm = self.next().text
+                self.next()
+                self.next()
+                self.next()
+                agg_c = (
+                    F.count(F.lit(1)).alias(
+                        f"_unnamed_{len(cols) + 1}"
+                    )
+                    if fnm == "count"
+                    else None
+                )
+                if agg_c is None:
+                    raise EclSyntaxError(
+                        f"unsupported aggregate projection {fnm!r}"
+                    )
+                cols.append(agg_c)
+                agg_proj = True
+                if not (self.accept(",") or self.accept(";")):
+                    break
+                if self.peek().text == "}":
+                    break
+                continue
+            if (
+                t2.kind == "ident"
+                and (
+                    self._TYPE_RX.match(t2.text)
+                    or t2.text == "dataset"
+                )
+                and self.toks[self.i + 1].kind == "ident"
+                and self.toks[self.i + 2].text == ":="
+            ):
+                # typed computed member: { string20 l := expr } (pipe)
+                self.next()
+                t2 = self.peek()
+            elif (
+                t2.text in getattr(self, "_line_types", set())
+                and self.toks[self.i + 1].text == "("
+            ):
+                # alien-type member prefix: mdstring('\n') l := line
+                self.next()
+                close_lt = self._match_paren(self.i)
+                self.i = close_lt + 1
+                t2 = self.peek()
             if (
                 t2.kind == "ident"
                 and t2.text in df.columns
@@ -1634,6 +1686,8 @@ class _Parser:
             if self.peek().text == "}":
                 break
         self.expect("}")
+        if agg_proj:
+            return df.agg(*cols)
         keep = [c for c in df.columns if c == "__ord__"]
         out = df.select(*cols, *keep)
         if id(df) in self._order:
@@ -2478,6 +2532,26 @@ class _Parser:
             # conditional compilation WRAPPING a definition body
             # (keyed_fetch's maybesort := #if (useLocal) ... #else ...)
             self._process_cond_directives()
+        if self.peek().text == "type":
+            # parameterized TYPE ... END (alien serialization type,
+            # pipe.ecl's mdstring(del)): register as a delimiter-framed
+            # string type — the load/store pair strips/appends the
+            # delimiter (schema.py AlienType is the combinator twin)
+            depth_t = 0
+            while True:
+                tk = self.next()
+                if tk.kind == "eof":
+                    raise EclSyntaxError("unterminated TYPE block")
+                if tk.text in ("type", "record", "module", "ifblock"):
+                    depth_t += 1
+                elif tk.text == "end":
+                    depth_t -= 1
+                    if depth_t == 0:
+                        break
+            if not hasattr(self, "_line_types"):
+                self._line_types = set()
+            self._line_types.add(name)
+            return
         if self.peek().text == "function" or (
             self.peek().text == "transform"
             and self.toks[self.i + 1].text != "("
@@ -3420,6 +3494,10 @@ class _Parser:
             self.next()
             self.expect("(")
             df = self._nary_join("mergejoin")
+        elif t.text == "pipe" and self.toks[self.i + 1].text == "(":
+            df = self._pipe()
+        elif t.text == "aggregate" and self.toks[self.i + 1].text == "(":
+            df = self._aggregate_fold()
         elif (
             t.text in (
                 "superfilecontents", "logicalfilelist",
@@ -4219,6 +4297,14 @@ class _Parser:
                         f"expected field at {t.pos}, got {t.text!r}"
                     )
                 if (
+                    t.text in getattr(self, "_line_types", set())
+                    and self.peek().text == "("
+                ):
+                    # alien-type member prefix: mdstring('\n') l := ...
+                    close_lt = self._match_paren(self.i)
+                    self.i = close_lt + 1
+                    t = self.next()
+                elif (
                     (self._TYPE_RX.match(t.text) or t.text == "dataset")
                     and self.peek().kind == "ident"
                     and self.toks[self.i + 1].text == ":="
@@ -8048,6 +8134,23 @@ class _Parser:
             if xp:
                 self._fxp[id(fld)] = xp
             return fld
+        if ty.text in getattr(self, "_line_types", set()):
+            # alien TYPE member (pipe.ecl's mdstring('\n') lout):
+            # logically a string; the delimiter drives PIPE framing
+            delim_lt = "\n"
+            if self.accept("("):
+                dtok = self.next()
+                if dtok.kind == "str":
+                    delim_lt = _unquote(dtok.text)
+                self.expect(")")
+            nm = self.next()
+            if nm.kind != "ident":
+                raise EclSyntaxError(f"expected field name at {nm.pos}")
+            fld = (nm.text, "string", None, None)
+            if not hasattr(self, "_ftype_delim"):
+                self._ftype_delim = {}
+            self._ftype_delim[id(fld)] = delim_lt
+            return fld
         m_bf = re.match(r"^bitfield(\d+)(?:_(\d+))?$", ty.text)
         if m_bf:
             # BITFIELDn[_b]: an n-bit unsigned packed member
@@ -9218,6 +9321,113 @@ class _Parser:
             ).cast("long"),
         ).drop("__sfsrc__", "__sfso__")
         self._set_order(out, [F.col("__ord__")])
+        return out
+
+    def _pipe(self) -> DataFrame:
+        """PIPE(ds, cmd, rec [, REPEAT] [, CSV | XML('path'[,NOROOT])]
+        [, OUTPUT(CSV|XML(...))]) (TAKpipethrough eclhelper.hpp:922;
+        thorlcr/activities/piperead/thprslave.cpp) — one subprocess per
+        partition, per ROW with REPEAT, executor-side
+        (sources/pipe.py pipe_exec; never driver data). The default
+        framing is the record's alien-TYPE line pair (pipe.ecl's
+        mdstring delimiters)."""
+        from hpcc_platform_spark.sources.pipe import pipe_exec
+
+        self.expect("pipe")
+        self.expect("(")
+        df = self.dataset()
+        self.expect(",")
+        cmdc = self._cget(self.value(self._dummy()))
+        if cmdc is None:
+            raise EclSyntaxError("PIPE command must be constant")
+        cmd = str(cmdc[0])
+        self.expect(",")
+        fields = self._record_fields()
+        ft_delim = getattr(self, "_ftype_delim", {})
+        read_mode = "raw"
+        read_delim = "\n"
+        for f in fields:
+            d0 = ft_delim.get(id(f))
+            if d0 is not None:
+                read_delim = d0
+        write_mode = "raw"
+        write_delim = "\n"
+        meta_in = self._ds_fields.get(id(df)) or []
+        for f in meta_in:
+            d0 = ft_delim.get(id(f))
+            if d0 is not None:
+                write_delim = d0
+        repeat = False
+        xml_read_path = "Row"
+        xml_write_path = "Row"
+        noroot_w = False
+        while self.accept(","):
+            o = self.next()
+            if o.text == "repeat":
+                repeat = True
+            elif o.text == "csv":
+                read_mode = "csv"
+                if self.peek().text == "(":
+                    close = self._match_paren(self.i)
+                    self.i = close + 1
+            elif o.text == "xml":
+                read_mode = "xml"
+                if self.accept("("):
+                    while self.peek().text != ")":
+                        tk = self.next()
+                        if tk.kind == "str":
+                            xml_read_path = _unquote(tk.text)
+                        self.accept(",")
+                    self.next()
+            elif o.text == "output" and self.peek().text == "(":
+                self.next()
+                o2 = self.next()
+                if o2.text == "csv":
+                    write_mode = "csv"
+                    if self.peek().text == "(":
+                        close = self._match_paren(self.i)
+                        self.i = close + 1
+                elif o2.text == "xml":
+                    write_mode = "xml"
+                    if self.accept("("):
+                        while self.peek().text != ")":
+                            tk = self.next()
+                            if tk.kind == "str":
+                                xml_write_path = _unquote(tk.text)
+                            elif tk.text == "noroot":
+                                noroot_w = True
+                            self.accept(",")
+                        self.next()
+                self.expect(")")
+            elif o.text in ("group", "opt"):
+                # GROUP: per-group process boundaries — partition
+                # boundaries serve here; OPT: tolerate a failing
+                # command (subprocess.run already ignores exit codes)
+                pass
+            else:
+                raise EclSyntaxError(
+                    f"unknown PIPE option {o.text!r} at {o.pos}"
+                )
+        self.expect(")")
+        out_schema = ", ".join(f"{n} {ty}" for n, ty, _w, _d in fields)
+        out = pipe_exec(
+            self._clean(df),
+            cmd,
+            out_schema,
+            write_mode=write_mode,
+            read_mode=read_mode,
+            write_delim=write_delim,
+            read_delim=read_delim,
+            xml_read_path=xml_read_path,
+            xml_write_path=xml_write_path,
+            noroot_write=noroot_w,
+            repeat=repeat,
+        )
+        out = out.withColumn(
+            "__ord__", (F.monotonically_increasing_id() + 1).cast("long")
+        )
+        self._set_order(out, [F.col("__ord__")])
+        self._ds_fields[id(out)] = fields
         return out
 
     def _resolve_wu(self, ref: _WuRef) -> DataFrame:
@@ -10669,6 +10879,9 @@ class _Parser:
             # the engine identifies as a thor-class batch platform
             # (ecl/hql consts __PLATFORM__)
             return self._mkconst("thor", "string")
+        if t.text == "__os__":
+            # host OS constant (pipe4's #IF(__OS__ = 'windows'))
+            return self._mkconst("linux", "string")
         if t.text == "clustersize":
             # one Spark application = one logical cluster; executors are
             # the intra-node parallelism (Thorlib.ecl nodes() analogue)
@@ -15144,6 +15357,47 @@ class _Parser:
         raise EclSyntaxError(
             f"expected TRANSFORM or named transform at {t.pos}"
         )
+
+    def _aggregate_fold(self) -> DataFrame:
+        """AGGREGATE(ds, rec, t(LEFT, RIGHT) [, hints]) (no_aggregate
+        eclhelper.hpp:446) — the user-transform fold; the combinator
+        twin is the applyInPandas fold (§2 #59). RIGHT starts as the
+        record's type-zero row; each input row folds through the
+        transform in stream order (pipe6's concat)."""
+        import pandas as pd
+
+        self.expect("aggregate")
+        self.expect("(")
+        src = self.dataset()
+        self.expect(",")
+        recname = self.next().text
+        fields = self._resolve_record_fields(recname)
+        self.expect(",")
+        body, params, out_fields, _roles = self._parse_transform_ref(2)
+        while self.accept(","):
+            self.next()  # LOCAL/FEW placement hints
+        self.expect(")")
+        out_fields = out_fields or fields
+        tf = self._compile_transform_tokens(body, params, out_fields)
+        pl = params[0] if params else "left"
+        pr = params[1] if len(params) > 1 else "right"
+        zeros = {
+            nm: _zero_value(ty, w, d) for nm, ty, w, d in out_fields
+        }
+
+        def fold_pdf(pdf):
+            pdf = pdf.sort_values("__ord__")
+            acc = dict(zeros)
+            for row in pdf.to_dict("records"):
+                ctx = {pl: row, pr: acc}
+                try:
+                    acc = tf(ctx)
+                except _SkipRow:
+                    pass
+            acc["__ord__"] = 1
+            return pd.DataFrame([acc])
+
+        return self._run_fold(src, out_fields, fold_pdf)
 
     def _rollup(self) -> DataFrame:
         """ROLLUP forms (TAKrollup :894 / TAKrollupgroup :983):

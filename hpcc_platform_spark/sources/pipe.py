@@ -198,3 +198,115 @@ def pipe_through(
             raise RuntimeError(f"PIPE command {command!r} exited with {rc}")
 
     return df.mapInPandas(run, schema=output_schema)
+
+
+def pipe_exec(
+    df: DataFrame,
+    command: str,
+    out_schema: str,
+    write_mode: str = "raw",
+    read_mode: str = "raw",
+    write_delim: str = "\n",
+    read_delim: str = "\n",
+    xml_read_path: str = "Row",
+    xml_write_path: str = "Row",
+    noroot_write: bool = False,
+    repeat: bool = False,
+) -> DataFrame:
+    """Front-door PIPE lowering with ASYMMETRIC framings (pipe.ecl's
+    TYPE-framed lines, pipe2's csv/output(csv), pipe7's xml paths):
+    one subprocess per partition (REPEAT: per row — TAKpipethrough's
+    re-execute form), executor-side via mapInPandas, no driver data.
+    ``raw`` framing writes a single string column delimiter-joined and
+    splits stdout on the read delimiter (the mdstring TYPE pair)."""
+    import csv as _csv
+    import io
+    import shlex
+    import xml.etree.ElementTree as _ET
+
+    struct = StructType.fromDDL(out_schema)
+    out_cols = struct.fieldNames()
+    in_cols = [c for c in df.columns if c != "__ord__"]
+    argv = shlex.split(command)
+
+    def _serialize(pdf: pd.DataFrame) -> bytes:
+        if write_mode == "csv":
+            buf = io.StringIO()
+            w = _csv.writer(buf, lineterminator="\n")
+            for row in pdf[in_cols].itertuples(index=False):
+                w.writerow(list(row))
+            return buf.getvalue().encode("utf-8")
+        if write_mode == "xml":
+            parts = []
+            if not noroot_write:
+                parts.append("<Dataset>\n")
+            for row in pdf[in_cols].itertuples(index=False):
+                cells = "".join(
+                    f"<{c}>{_xml_esc(str(v))}</{c}>"
+                    for c, v in zip(in_cols, row)
+                )
+                parts.append(f"<{xml_write_path}>{cells}</{xml_write_path}>\n")
+            if not noroot_write:
+                parts.append("</Dataset>\n")
+            return "".join(parts).encode("utf-8")
+        # raw: single string column, delimiter-terminated (TYPE store)
+        return "".join(
+            str(v) + write_delim for v in pdf[in_cols[0]]
+        ).encode("utf-8")
+
+    def _parse(out: bytes) -> pd.DataFrame:
+        text = out.decode("utf-8", errors="replace")
+        if read_mode == "csv":
+            rows = [
+                r for r in _csv.reader(io.StringIO(text))
+            ]
+            rows = [r[: len(out_cols)] for r in rows if r]
+        elif read_mode == "xml":
+            rowtag = xml_read_path.rstrip("/").split("/")[-1]
+            wrapped = f"<__p__>{text}</__p__>"
+            root = _ET.fromstring(wrapped)
+            rows = []
+            for el in root.iter(rowtag):
+                if len(el) == 0:
+                    rows.append([el.text or ""])
+                else:
+                    byname = {c.tag: (c.text or "") for c in el}
+                    rows.append(
+                        [byname.get(c, el.text or "") for c in out_cols]
+                    )
+        else:
+            parts = text.split(read_delim)
+            if parts and parts[-1] == "":
+                parts.pop()
+            rows = [[p] for p in parts]
+        pdf = pd.DataFrame(rows, columns=out_cols)
+        return _coerce_chunk(pdf, struct)
+
+    def _xml_esc(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches)) if batches else None
+        if pdf is None or len(pdf) == 0:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        if repeat:
+            outs = []
+            for k in range(len(pdf)):
+                proc = subprocess.run(
+                    argv,
+                    input=_serialize(pdf.iloc[k : k + 1]),
+                    stdout=subprocess.PIPE,
+                )
+                outs.append(_parse(proc.stdout))
+            yield pd.concat(outs) if outs else pd.DataFrame(columns=out_cols)
+            return
+        proc = subprocess.run(
+            argv, input=_serialize(pdf), stdout=subprocess.PIPE
+        )
+        yield _parse(proc.stdout)
+
+    return df.mapInPandas(run, schema=struct)

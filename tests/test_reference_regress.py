@@ -269,6 +269,11 @@ VERBATIM = [
     # LogicalFileSuperOwners datasets, Str.Find/FindReplace consts
     "superfile1", "superfile2", "superfile5", "superfile10",
     "superfile11",
+    # PIPE front door (TAKpipethrough :922; sources/pipe.py pipe_exec):
+    # alien TYPE line framings, asymmetric CSV/XML framings with paths
+    # and NOROOT, REPEAT per-row re-execution, __OS__ builtin,
+    # AGGREGATE(ds, rec, t(LEFT, RIGHT)) user fold
+    "pipe", "pipe2", "pipe3", "pipe4", "pipe5", "pipe7", "pipe9",
 ]
 
 
