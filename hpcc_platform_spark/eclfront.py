@@ -275,6 +275,15 @@ class _FailedDs:
         self.exc = exc
 
 
+class _LibInst:
+    """An instantiated LIBRARY module (plans/library.py combinator;
+    library1/library2): export members evaluated with the call's
+    arguments bound."""
+
+    def __init__(self, members: dict):
+        self.members = members
+
+
 class _DsFn:
     """A fixture-module member that is a parameterized dataset accessor
     (Common/TextSearch.ecl's getWordIndex(multiPart, local)): the
@@ -2532,6 +2541,52 @@ class _Parser:
             # conditional compilation WRAPPING a definition body
             # (keyed_fetch's maybesort := #if (useLocal) ... #else ...)
             self._process_cond_directives()
+        if self.peek().text == "interface":
+            # name(params) := INTERFACE export ... END — the library
+            # contract (library2): only the shape matters here, the
+            # implementing module binds positionally
+            depth_i = 0
+            while True:
+                tk = self.next()
+                if tk.kind == "eof":
+                    raise EclSyntaxError("unterminated INTERFACE")
+                if tk.text in ("interface", "record", "module", "ifblock"):
+                    depth_i += 1
+                elif tk.text == "end":
+                    depth_i -= 1
+                    if depth_i == 0:
+                        break
+            if not hasattr(self, "_interfaces"):
+                self._interfaces = set()
+            self._interfaces.add(name)
+            return
+        if self.peek().text == "module":
+            # name(params) := MODULE[,LIBRARY(iface)] ... END — a
+            # parameterized library module (plans/library.py combinator;
+            # library1's INTERNAL form). Captured for instantiation at
+            # LIBRARY() call sites.
+            start_m = self.i
+            depth_m = 0
+            while True:
+                tk = self.next()
+                if tk.kind == "eof":
+                    raise EclSyntaxError("unterminated MODULE")
+                if tk.text in (
+                    "module", "record", "ifblock", "interface",
+                ) or (
+                    tk.text in ("function", "transform")
+                    and self.toks[self.i].text != "("
+                ) or tk.text == "type":
+                    depth_m += 1
+                elif tk.text == "end":
+                    depth_m -= 1
+                    if depth_m == 0:
+                        break
+            span_m = self.toks[start_m : self.i]
+            if not hasattr(self, "_libmodules"):
+                self._libmodules = {}
+            self._libmodules[name] = ([p[0] for p in params], span_m)
+            return
         if self.peek().text == "type":
             # parameterized TYPE ... END (alien serialization type,
             # pipe.ecl's mdstring(del)): register as a delimiter-framed
@@ -3496,6 +3551,23 @@ class _Parser:
             df = self._nary_join("mergejoin")
         elif t.text == "pipe" and self.toks[self.i + 1].text == "(":
             df = self._pipe()
+        elif t.text == "library" and self.toks[self.i + 1].text == "(":
+            df = self._library_call()
+            if (
+                isinstance(df, _LibInst)
+                and self.peek().text == "."
+            ):
+                # direct member access on the call (library3's
+                # LIBRARY('aaaLibrary3b', ...).included)
+                self.next()
+                mem = self.next().text
+                if mem not in df.members:
+                    raise EclSyntaxError(
+                        f"unknown library member {mem!r}"
+                    )
+                df = df.members[mem]
+            else:
+                return df
         elif t.text == "aggregate" and self.toks[self.i + 1].text == "(":
             df = self._aggregate_fold()
         elif (
@@ -3882,6 +3954,20 @@ class _Parser:
         elif (
             t.kind == "ident"
             and t.text in self.env
+            and isinstance(self.env[t.text], _LibInst)
+            and self.toks[self.i + 1].text == "."
+        ):
+            # library-instance member access (library2's
+            # filtered.matches)
+            inst = self.env[self.next().text]
+            self.next()
+            mem = self.next().text
+            if mem not in inst.members:
+                raise EclSyntaxError(f"unknown library member {mem!r}")
+            df = inst.members[mem]
+        elif (
+            t.kind == "ident"
+            and t.text in self.env
             and self.toks[self.i + 1].text == "."
             and self.toks[self.i + 2].kind == "ident"
         ):
@@ -3967,11 +4053,25 @@ class _Parser:
                 r = self._call_function(t.text, self._dummy())
                 if r is _ACTION_DONE:
                     return r  # action-returning FUNCTION already ran
-                if not isinstance(r, DataFrame):
+                if isinstance(r, _LibInst):
+                    # library-call FUNCTION: member access follows
+                    # (library2's filterDataset(...).matches), or the
+                    # instance itself binds to a definition
+                    if self.accept("."):
+                        mem = self.next().text
+                        if mem not in r.members:
+                            raise EclSyntaxError(
+                                f"unknown library member {mem!r}"
+                            )
+                        df = r.members[mem]
+                    else:
+                        return r
+                elif not isinstance(r, DataFrame):
                     raise EclSyntaxError(
                         f"{t.text} returns a scalar; a dataset was expected at {t.pos}"
                     )
-                df = r
+                else:
+                    df = r
             elif t.text in self.deferred:
                 df = self._resolve_deferred(t.text)
             elif t.text not in self.env:
@@ -3990,6 +4090,15 @@ class _Parser:
                     self.next()
                 if isinstance(df, _WuRef):
                     df = self._resolve_wu(df)
+                if isinstance(df, _LibInst):
+                    # library-instance member access: filtered.matches
+                    self.expect(".")
+                    mem = self.next().text
+                    if mem not in df.members:
+                        raise EclSyntaxError(
+                            f"unknown library member {mem!r}"
+                        )
+                    df = df.members[mem]
                 if isinstance(df, _DsFn):
                     # parameterized accessor: args pick a storage
                     # variant; the logical frame is the same
@@ -4198,7 +4307,8 @@ class _Parser:
             "nohoist", "nothor",
             "quantile", "loop", "fetch", "graph", "rowset", "row",
             "superfilecontents", "logicalfilelist", "mergejoin",
-            "logicalfilesuperowners", "fromxml", "fromjson",
+            "logicalfilesuperowners", "fromxml", "fromjson", "library",
+            "pipe", "aggregate",
         ):
             return True
         if (
@@ -9322,6 +9432,181 @@ class _Parser:
         ).drop("__sfsrc__", "__sfso__")
         self._set_order(out, [F.col("__ord__")])
         return out
+
+    # --- LIBRARY modules (TAKlibrarycall :992) --------------------------
+    # Reference: query libraries (ecl/hqlcpp library call generation,
+    # roxie dll plugins); combinator twin plans/library.py. A library is
+    # a parameterized MODULE implementing an INTERFACE; LIBRARY('svc',
+    # Iface(args)) / LIBRARY(INTERNAL(mod), Iface(args)) instantiates it
+    # with the call's arguments. External services resolve to their
+    # defining file (setup/aaalibraryN.ecl) the way the reference
+    # resolves a published query DLL by service name.
+
+    def _library_call(self):
+        self.expect("library")
+        self.expect("(")
+        if self.peek().text == "internal":
+            self.next()
+            self.expect("(")
+            self._skip_shim_qual()
+            libname = self.next().text
+            self.expect(")")
+            lib = getattr(self, "_libmodules", {}).get(libname)
+            if lib is None:
+                raise EclSyntaxError(f"unknown internal library {libname!r}")
+            params, span = lib
+        else:
+            c = self._cget(self.value(self._dummy()))
+            svc = str(c[0] if c is not None else "").lower()
+            params, span = self._load_extern_library(svc)
+        self.expect(",")
+        self._skip_shim_qual()
+        self.next()  # interface name
+        self.expect("(")
+        args: list = []
+        while self.peek().text != ")":
+            if self._at_dataset_start(self.i) and not (
+                self.toks[self.i].kind == "ident"
+                and self.toks[self.i + 1].text == "["
+            ):
+                args.append(("ds", self.dataset()))
+            else:
+                args.append(("val", self.value(self._dummy())))
+            if not self.accept(","):
+                break
+        self.expect(")")
+        while self.accept(","):  # hints
+            self.next()
+            if self.peek().text == "(":
+                close = self._match_paren(self.i)
+                self.i = close + 1
+        self.expect(")")
+        return self._instantiate_library(params, span, args)
+
+    def _load_extern_library(self, svc: str):
+        """The module definition from the service's defining file
+        (setup/<svc>.ecl): (param names, module body span)."""
+        cache = getattr(self, "_extern_libs", None)
+        if cache is None:
+            cache = self._extern_libs = {}
+        if svc in cache:
+            return cache[svc]
+        import os as _os
+
+        from hpcc_platform_spark import regress_fixtures as RF
+
+        path = _os.path.join(RF._ECL_SETUP, svc + ".ecl")
+        if not _os.path.exists(path):
+            raise EclSyntaxError(f"unknown library service {svc!r}")
+        with open(path) as fh:
+            toks = _lex(fh.read())
+        for j in range(len(toks)):
+            if not (
+                toks[j].text == ":=" and toks[j + 1].text == "module"
+            ):
+                continue
+            # backward: name ( params ) :=
+            k = j - 1
+            if toks[k].text != ")":
+                continue
+            depth = 0
+            o = k
+            while o >= 0:
+                if toks[o].text == ")":
+                    depth += 1
+                elif toks[o].text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                o -= 1
+            pnames: list[str] = []
+            part: list = []
+            d2 = 0
+            for tk in toks[o + 1 : k]:
+                if tk.text in ("(", "[", "{"):
+                    d2 += 1
+                elif tk.text in (")", "]", "}"):
+                    d2 -= 1
+                if d2 == 0 and tk.text == ",":
+                    if part:
+                        pnames.append(part[-1].text)
+                    part = []
+                else:
+                    part.append(tk)
+            if part:
+                pnames.append(part[-1].text)
+            # forward: module body to its matching END
+            m = j + 1
+            depth = 0
+            while m < len(toks):
+                tx = toks[m].text
+                if tx in (
+                    "module", "record", "ifblock", "interface", "type",
+                ) or (
+                    tx in ("function", "transform")
+                    and toks[m + 1].text != "("
+                ):
+                    depth += 1
+                elif tx == "end":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                m += 1
+            cache[svc] = (pnames, toks[j + 1 : m + 1])
+            return cache[svc]
+        raise EclSyntaxError(f"no MODULE definition in {svc}.ecl")
+
+    def _instantiate_library(
+        self, params: list, span: list, args: list
+    ) -> "_LibInst":
+        """Run the module body's definitions with the arguments bound;
+        collect the member values (eager — library members are small
+        derived views of the bound inputs)."""
+        saved = (
+            self.env, self.scalars, self.sets, self.dicts, self.records,
+            self.ds_spans,
+        )
+        self.env = dict(self.env)
+        self.scalars = dict(self.scalars)
+        self.sets = dict(self.sets)
+        self.dicts = dict(self.dicts)
+        self.records = dict(self.records)
+        self.ds_spans = dict(self.ds_spans)
+        for pname, (kind, val) in zip(params, args):
+            if kind == "ds":
+                self.env[pname] = val
+            else:
+                self.scalars[pname] = val
+        saved_toks, saved_i = self.toks, self.i
+        self.toks = list(span) + [_Tok("eof", "", span[-1].pos)]
+        self.i = 0
+        base_env = set(self.env)
+        base_sca = set(self.scalars)
+        try:
+            self.expect("module")
+            if self.accept(","):
+                self.expect("library")
+                close = self._match_paren(self.i)
+                self.i = close + 1
+            while self.peek().text not in ("end",) and self.peek().kind != "eof":
+                if self.accept(";"):
+                    continue
+                if self.peek().text in ("shared", "export"):
+                    self.next()
+                    continue
+                self._definition()
+            members: dict = {}
+            for k2, v2 in self.env.items():
+                if k2 not in base_env or k2 in params:
+                    members[k2] = v2
+            for k2, v2 in self.scalars.items():
+                if k2 not in base_sca:
+                    members.setdefault(k2, v2)
+            return _LibInst(members)
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+            (self.env, self.scalars, self.sets, self.dicts,
+             self.records, self.ds_spans) = saved
 
     def _pipe(self) -> DataFrame:
         """PIPE(ds, cmd, rec [, REPEAT] [, CSV | XML('path'[,NOROOT])]

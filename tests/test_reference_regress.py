@@ -274,6 +274,11 @@ VERBATIM = [
     # and NOROOT, REPEAT per-row re-execution, __OS__ builtin,
     # AGGREGATE(ds, rec, t(LEFT, RIGHT)) user fold
     "pipe", "pipe2", "pipe3", "pipe4", "pipe5", "pipe7", "pipe9",
+    # LIBRARY front door (TAKlibrarycall :992; plans/library.py
+    # combinator): INTERFACE contracts, MODULE,LIBRARY definitions
+    # (INTERNAL and external service files resolved like published
+    # query DLLs), instance member access
+    "library1", "library2", "library2a", "library3", "library8",
 ]
 
 
