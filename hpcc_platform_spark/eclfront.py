@@ -5766,6 +5766,8 @@ class _Parser:
         how = "inner"
         sorted_keys: list[str] = []
         transform_src = None
+        mofn_min = mofn_max = None
+        dedup_opt = False
         while self.accept(","):
             t = self.next()
             if t.text == "left" and self.peek().text in ("only", "outer"):
@@ -5782,10 +5784,21 @@ class _Parser:
                         sorted_keys.append(k.text)
                     self.accept(",")
                 self.next()
-            elif t.text in ("internal", "mofn") and self.peek().text == "(":
+            elif t.text == "mofn" and self.peek().text == "(":
+                # MJFmofn (rtl/include/eclhelper.hpp): a stepped-key
+                # class qualifies when between min and max DISTINCT
+                # inputs match (stepping.ecl doMofNTerms)
+                self.expect("(")
+                mofn_min = self.value(self._dummy())
+                if self.accept(","):
+                    mofn_max = self.value(self._dummy())
+                self.expect(")")
+            elif t.text == "internal" and self.peek().text == "(":
                 close = self._match_paren(self.i)
                 self.i = close + 1
-            elif t.text in ("dedup", "local"):
+            elif t.text == "dedup":
+                dedup_opt = True
+            elif t.text == "local":
                 pass
             elif (
                 t.text in self.functions
@@ -5795,7 +5808,7 @@ class _Parser:
                 close = self._match_paren(self.i)
                 transform_src = ("named", t.text, self.i, close)
                 self.i = close + 1
-            elif t.kind == "ident":
+            elif t.kind == "ident" and t.text in inputs[0].columns:
                 sorted_keys.append(t.text)  # bare sort field (stepskip)
             else:
                 raise EclSyntaxError(
@@ -5804,6 +5817,21 @@ class _Parser:
         self.expect(")")
 
         eq_pairs, pair_spans, tuple_spans = self._nary_cond_parts(cond_span)
+        if mofn_min is not None:
+            if transform_src is not None:
+                raise EclSyntaxError(
+                    f"{kw.upper()}: MOFN with a JOIN transform is not"
+                    " supported"
+                )
+            if pair_spans or tuple_spans or how != "inner":
+                raise EclSyntaxError(
+                    f"{kw.upper()}: MOFN combines only with a pure"
+                    " stepped key equality"
+                )
+            return self._nary_mofn_rows(
+                inputs, eq_pairs, sorted_keys, mofn_min, mofn_max,
+                dedup_opt,
+            )
         n = len(inputs)
         orig_cols = [c for c in inputs[0].columns if c != "__ord__"]
         meta0 = self._ds_fields.get(id(inputs[0]))
@@ -5820,20 +5848,25 @@ class _Parser:
 
         # per-input frames: fields renamed c -> c__jn<i>, plus the
         # stream ordinal __so<i>__ (tie-break / identity)
+        from .operators.numbering import global_row_number
+
         sides = []
         for i, d in enumerate(inputs):
             order = self._order.get(id(d))
             if order is None and "__ord__" in d.columns:
                 order = [F.col("__ord__")]
-            so = (
-                F.row_number().over(Window.orderBy(*order)).cast("long")
-                if order is not None
-                else F.monotonically_increasing_id()
-            )
+            if order is not None:
+                # two-phase range rank (operators/numbering.py): stream
+                # ordinals without a single-partition exchange
+                nd = global_row_number(d, order, name=f"__so{i}__")
+            else:
+                nd = d.withColumn(
+                    f"__so{i}__", F.monotonically_increasing_id()
+                )
             sides.append(
-                d.select(
+                nd.select(
                     *[F.col(c).alias(f"{c}__jn{i}") for c in orig_cols],
-                    so.alias(f"__so{i}__"),
+                    F.col(f"__so{i}__").cast("long").alias(f"__so{i}__"),
                 )
             )
 
@@ -5926,6 +5959,91 @@ class _Parser:
                 )
         finally:
             self._array_params = saved_ap
+        return out
+
+    def _nary_mofn_rows(
+        self, inputs, eq_pairs, sorted_keys, mofn_min, mofn_max, dedup_opt
+    ) -> DataFrame:
+        """MERGEJOIN(..., MOFN(min[,max])): a stepped-key equivalence
+        class qualifies when between min and max DISTINCT inputs have at
+        least one row in it; the output merges every row of each
+        qualifying class in SORTED order (MJFmofn,
+        common/thorhelper/thorstep2.cpp CMofNMergeJoinProcessor; pinned
+        by stepping.ecl doMofNTerms + key Results 3/4).
+
+        Spark lowering: union the tagged inputs, one window over the
+        stepped key computes the distinct-input count (a single shuffle
+        on the key — never a k-way join), filter to [min, max]."""
+        from pyspark.sql.window import Window
+
+        from .operators.numbering import global_row_number
+
+        keys = [lf for lf, _rf in eq_pairs]
+        if not keys:
+            raise EclSyntaxError("MOFN: no stepped key equality")
+        orig_cols = [c for c in inputs[0].columns if c != "__ord__"]
+        parts = []
+        for i, d in enumerate(inputs):
+            order = self._order.get(id(d))
+            if order is None and "__ord__" in d.columns:
+                order = [F.col("__ord__")]
+            if order is not None:
+                nd = global_row_number(d, order, name="__so__")
+            else:
+                nd = d.withColumn(
+                    "__so__", F.monotonically_increasing_id()
+                )
+            parts.append(
+                nd.select(
+                    *[F.col(c) for c in orig_cols],
+                    F.lit(i).alias("__src__"),
+                    F.col("__so__").cast("long").alias("__so__"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        nsrc = F.size(
+            F.collect_set(F.col("__src__")).over(
+                Window.partitionBy(*[F.col(k) for k in keys])
+            )
+        )
+        mn = mofn_min if isinstance(mofn_min, Column) else F.lit(mofn_min)
+        cond = nsrc >= mn.cast("int")
+        if mofn_max is not None:
+            mx = (
+                mofn_max
+                if isinstance(mofn_max, Column)
+                else F.lit(mofn_max)
+            )
+            cond = cond & (nsrc <= mx.cast("int"))
+        u = u.withColumn("__mofn_ok__", cond).where(F.col("__mofn_ok__"))
+        if dedup_opt:
+            # merged-output dedup: first row (input index, stream
+            # position) per identical record wins
+            u = (
+                u.withColumn(
+                    "__dd__",
+                    F.row_number().over(
+                        Window.partitionBy(
+                            *[F.col(c) for c in orig_cols]
+                        ).orderBy(F.col("__src__"), F.col("__so__"))
+                    ),
+                )
+                .where(F.col("__dd__") == 1)
+                .drop("__dd__")
+            )
+        okeys = [F.col(k) for k in sorted_keys] + [
+            F.col("__src__"), F.col("__so__"),
+        ]
+        out = u.withColumn(
+            "__neword__",
+            F.row_number().over(Window.orderBy(*okeys)).cast("long"),
+        ).select(*orig_cols, F.col("__neword__").alias("__ord__"))
+        self._set_order(out, [F.col("__ord__")])
+        meta0 = self._ds_fields.get(id(inputs[0]))
+        if meta0 is not None:
+            self._ds_fields[id(out)] = meta0
         return out
 
     def _nary_cond_parts(self, span: list):
@@ -9351,9 +9469,11 @@ class _Parser:
             # contents shift DOWN the list (reverse := true shifts UP);
             # the receiving end takes the comma-separated new sub names
             # (Std.File promote; superfile5)
-            names_p = [
-                str(x).lower() for x in (a[0] or [])
-            ]
+            arg0 = a[0] or []
+            if isinstance(arg0, str):
+                # a plain comma-separated string instead of a SET literal
+                arg0 = [x.strip() for x in arg0.split(",") if x.strip()]
+            names_p = [str(x).lower() for x in arg0]
             newsubs = []
             if len(a) > 1 and a[1]:
                 newsubs = [

@@ -260,11 +260,29 @@ def pipe_exec(
             rows = [
                 r for r in _csv.reader(io.StringIO(text))
             ]
-            rows = [r[: len(out_cols)] for r in rows if r]
+            # asymmetric row widths: truncate long rows, pad short ones
+            # with "" so ragged command output coerces to field defaults
+            rows = [
+                r[: len(out_cols)] + [""] * (len(out_cols) - len(r))
+                for r in rows
+                if r
+            ]
         elif read_mode == "xml":
             rowtag = xml_read_path.rstrip("/").split("/")[-1]
-            wrapped = f"<__p__>{text}</__p__>"
-            root = _ET.fromstring(wrapped)
+            # tolerate a leading <?xml ...?> declaration (the reference's
+            # streaming XML reader does)
+            stripped = text.lstrip()
+            if stripped.startswith("<?"):
+                end = stripped.find("?>")
+                if end != -1:
+                    stripped = stripped[end + 2 :]
+            wrapped = f"<__p__>{stripped}</__p__>"
+            try:
+                root = _ET.fromstring(wrapped)
+            except _ET.ParseError as e:
+                raise ValueError(
+                    f"PIPE({argv!r}): cannot parse command XML output: {e}"
+                ) from None
             rows = []
             for el in root.iter(rowtag):
                 if len(el) == 0:
@@ -289,7 +307,8 @@ def pipe_exec(
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches)) if batches else None
+        chunks = list(batches)
+        pdf = pd.concat(chunks) if chunks else None
         if pdf is None or len(pdf) == 0:
             yield pd.DataFrame(columns=out_cols)
             return
