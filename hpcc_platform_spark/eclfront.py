@@ -294,6 +294,41 @@ class _DsFn:
         self.spec = spec
 
 
+class _ConstRow:
+    """A ROW-typed parameter folded to constants: one collect of the
+    single-row argument (the reference's GLOBAL(..., FEW) command rows,
+    stepping.ecl searchRecord), fields read as typed literal Columns."""
+
+    def __init__(self, parser, df: DataFrame):
+        self._p = parser
+        rows = df.limit(2).collect()
+        if len(rows) != 1:
+            raise EclSyntaxError(
+                f"a ROW-typed argument must have exactly one row,"
+                f" got {len(rows)}"
+            )
+        self._vals = rows[0].asDict()
+        self.columns = list(df.columns)
+        self.dtypes = list(df.dtypes)
+        self._dt = dict(df.dtypes)
+
+    def __getitem__(self, name: str):
+        v = self._vals.get(name)
+        dty = self._dt.get(name, "")
+        if dty in ("bigint", "int", "smallint", "tinyint"):
+            return self._p._mkconst(int(v or 0), "integer8")
+        if dty in ("double", "float"):
+            return self._p._mkconst(float(v or 0.0), "real8")
+        if dty == "boolean":
+            return self._p._mkconst(bool(v), "boolean")
+        if dty == "string":
+            return self._p._mkconst(v or "", "string")
+        if dty.startswith("array"):
+            # a child-dataset member: surfaces as a literal array Column
+            return F.lit(v if v is not None else [])
+        return F.lit(v)
+
+
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}
 
 _SF_ACTIONS = {
@@ -542,7 +577,7 @@ _TOKEN_RX = re.compile(
             |\d+)
   | (?P<str>(?:[uU]8?|[vV]|[qQ])?'(?:[^'\\]|\\.)*')
   | (?P<directive>\#[A-Za-z]+)
-  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:^$@|?&])
+  | (?P<op>:=|<=|>=|<>|!=|=>|<<|>>|[-+*/%(){},;=<>\[\].:^$@|?&~!])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -563,9 +598,25 @@ class _Tok:
     pos: int
 
 
+_CPP_RX = re.compile(r"beginc\+\+(?s:.*?)endc\+\+", re.I)
+
+
 def _lex(src: str) -> list[_Tok]:
     out, i = [], 0
+    if src.startswith("\ufeff"):  # UTF-8 BOM (issue13336)
+        src = "\ufeff" + src[1:]  # keep offsets; BOM handled below
     while i < len(src):
+        if src[i] == "\ufeff":
+            i += 1
+            continue
+        m2 = _CPP_RX.match(src, i)
+        if m2:
+            # BEGINC++ ... ENDC++ — an embedded C++ body captured as
+            # one opaque token (childds assertTrue); the call site
+            # decides whether its semantics are emulatable
+            out.append(_Tok("cppbody", m2.group(), i))
+            i = m2.end()
+            continue
         m = _TOKEN_RX.match(src, i)
         if not m:
             raise EclSyntaxError(f"cannot lex at position {i}: {src[i:i+20]!r}")
@@ -749,6 +800,14 @@ class _Parser:
         # hoisted child queries per parent row (ecl/hqlcpp/hqlttcpp.cpp
         # normalizeHqlTree; regress aggsq1 'p' re-bound under TABLE)
         self.ds_spans: dict[str, list] = {}
+        # user type definitions: typedefs maps an alias to its base ECL
+        # type text (sourceType := TS.sourceType); enums maps an ENUM
+        # name to {member -> (value, ecl_type)} (hqlgram.y no_enum,
+        # stepping.ecl actionEnum); dslists holds SET OF DATASET values
+        # (python lists of DataFrames) bound to names
+        self.typedefs: dict[str, str] = {}
+        self.enums: dict[str, dict[str, tuple]] = {}
+        self.dslists: dict[str, list] = {}
 
     # --- token helpers ---
     def peek(self) -> _Tok:
@@ -870,15 +929,16 @@ class _Parser:
         if ca is not None and cb is not None:
             (va, ta), (vb, tb) = ca, cb
             str_a, str_b = _ty_base(ta) in _STR_BASES, _ty_base(tb) in _STR_BASES
-            if op == "+" and (str_a or str_b):
-                # ECL '+' on strings is concatenation; mixed operands
-                # coerce to string first (hqlgram concat productions)
+            if op in ("+", "&") and (str_a or str_b):
+                # ECL '+'/'&' on strings is concatenation; mixed
+                # operands coerce to string first (hqlgram concat)
                 sa = va if str_a else self._coerce_const(va, "string")
                 sb = vb if str_b else self._coerce_const(vb, "string")
                 return self._mkconst(sa + sb, "string")
-            if op in ("+", "-", "*", "/", "%", "<<", ">>", "div") and not (
-                str_a or str_b
-            ):
+            if op in (
+                "+", "-", "*", "/", "%", "<<", ">>", "div",
+                "&", "|", "^",
+            ) and not (str_a or str_b):
                 ty = self._arith_ty(ta, tb, division=(op == "/"))
                 x, y = va, vb
                 if _ty_base(ty) == "real":
@@ -912,6 +972,15 @@ class _Parser:
                 elif op == "<<":
                     r = self._coerce_const(int(x) << int(y), ta)
                     ty = ta
+                elif op == "&":
+                    r = int(x) & int(y)
+                    ty = self._arith_ty(ta, tb)
+                elif op == "|":
+                    r = int(x) | int(y)
+                    ty = self._arith_ty(ta, tb)
+                elif op == "^":
+                    r = int(x) ^ int(y)
+                    ty = self._arith_ty(ta, tb)
                 else:  # >>
                     r = int(x) >> int(y)
                     ty = ta
@@ -986,10 +1055,24 @@ class _Parser:
             if self.dbz_fail:
                 return self._dbz_guard(q, b, cast_to)
             return F.when(b.cast("double") != 0, q).otherwise(zero)
-        if op == "<<":
-            return F.shiftleft(a, b)
-        if op == ">>":
-            return F.shiftright(a, b)
+        if op in ("<<", ">>"):
+            fn_s = "shiftleft" if op == "<<" else "shiftright"
+            if cb is not None:
+                return getattr(F, fn_s)(a.cast("long"), int(cb[0]))
+            # variable shift amount (complexhoist5): the SQL function
+            # accepts a column bit count even though the python wrapper
+            # insists on an int
+            return F.call_function(
+                fn_s, a.cast("long"), b.cast("int")
+            )
+        if op == "&":
+            if self._is_strcol(a) or self._is_strcol(b):
+                return self._tag_str(F.concat(a, b))
+            return a.cast("long").bitwiseAND(b.cast("long"))
+        if op == "|":
+            return a.cast("long").bitwiseOR(b.cast("long"))
+        if op == "^":
+            return a.cast("long").bitwiseXOR(b.cast("long"))
         return _cmp(op, a, b)
 
     def _dbz_guard(self, expr: Column, divisor: Column, cast_to: str) -> Column:
@@ -1757,6 +1840,383 @@ class _Parser:
                     self.files[str(spec[3]).lower()] = d
             elif spec[0] == "dsfunc":
                 self.env[mn] = _DsFn(spec)
+            elif spec[0] == "typealias":
+                self.typedefs[mn] = spec[1]
+            elif spec[0] == "func":
+                # an ECL-level scalar helper — ("func", [(param, ty)],
+                # body_src, rettype); re-parsed per call like any user
+                # function (ts.ecl docid2doc/docid2source)
+                self.functions[mn] = {
+                    "params": [(p, t, None) for (p, t) in spec[1]],
+                    "body": [
+                        tk for tk in _lex(spec[2]) if tk.kind != "eof"
+                    ],
+                    "compound": False,
+                    "rettype": spec[3] if len(spec) > 3 else None,
+                    "action_fn": False,
+                }
+
+    def _dataset_arg2_is_record(self, open_i: int) -> bool:
+        """For a DATASET(a, b) at the '(' at ``open_i``: is b a record
+        ({...} or a named record), distinguishing the SET-reshape form
+        from DATASET(count, transform(...)) (childds createMain)?"""
+        close_d = self._match_paren(open_i)
+        if close_d is None:
+            return False
+        depth = 0
+        comma = None
+        for k in range(open_i + 1, close_d):
+            tx = self.toks[k].text
+            if tx in ("(", "[", "{"):
+                depth += 1
+            elif tx in (")", "]", "}"):
+                depth -= 1
+            elif depth == 0 and tx == ",":
+                comma = k
+                break
+        if comma is None:
+            return False
+        nx = self.toks[comma + 1]
+        return nx.text == "{" or (
+            nx.kind in ("ident", "kw")
+            and nx.text in self.records
+            and self.toks[comma + 2].text in (")", ",")
+        )
+
+    def _dataset_arg2_is_transform(self, open_i: int) -> bool:
+        """For DATASET(a, b) at '(' == ``open_i``: is b a call to a
+        TRANSFORM-valued function (childds DATASET(num, createId(...)))?"""
+        close_d = self._match_paren(open_i)
+        if close_d is None:
+            return False
+        depth = 0
+        comma = None
+        for k in range(open_i + 1, close_d):
+            tx = self.toks[k].text
+            if tx in ("(", "[", "{"):
+                depth += 1
+            elif tx in (")", "]", "}"):
+                depth -= 1
+            elif depth == 0 and tx == ",":
+                comma = k
+                break
+        if comma is None:
+            return False
+        nx = self.toks[comma + 1]
+        return (
+            nx.kind in ("ident", "kw")
+            and nx.text in self.functions
+            and self.toks[comma + 2].text == "("
+            and (
+                self.functions[nx.text].get("transform")
+                or self._fn_transform_alias(nx.text)
+            )
+        )
+
+    def _child_count_transform(self, df):
+        """DATASET(count, t(args...)) as a child-array expression: lower
+        to F.transform(F.sequence(1, count), elem) with the transform
+        body's SELF assignments evaluated per element and COUNTER bound
+        to the element index (TAKtemptable over a child scope; pinned by
+        childds1-7b createMain)."""
+        self.next()  # dataset
+        self.expect("(")
+        nval = self.value(df)
+        self.expect(",")
+        fname3 = self.next().text
+        fn3 = self.functions[fname3]
+        while not fn3.get("transform"):
+            body_a = fn3["body"]
+            fname3 = body_a[0].text
+            fn3 = self.functions[fname3]
+        self.expect("(")
+        spans3: list[list] = [[]]
+        depth = 0
+        while not (depth == 0 and self.peek().text == ")"):
+            tk = self.next()
+            if tk.kind == "eof":
+                raise EclSyntaxError("unterminated transform call")
+            depth += tk.text in ("(", "[", "{")
+            depth -= tk.text in (")", "]", "}")
+            if depth == 0 and tk.text == ",":
+                spans3.append([])
+            else:
+                spans3[-1].append(tk)
+        if spans3 == [[]]:
+            spans3 = []
+        self.expect(")")
+        self.expect(")")
+        out_fields3 = self._resolve_record_fields(fn3.get("rettype"))
+        # split the body into (field, expr span) assignments
+        assigns: list[tuple] = []
+        body3 = fn3["body"]
+        k = 0
+        while k < len(body3):
+            if body3[k].text in (";", ","):
+                k += 1
+                continue
+            if (
+                body3[k].text == "self"
+                and k + 3 < len(body3)
+                and body3[k + 1].text == "."
+                and body3[k + 3].text == ":="
+            ):
+                fld3 = body3[k + 2].text
+                k += 4
+                sp3: list = []
+                d3 = 0
+                while k < len(body3) and not (
+                    d3 == 0 and body3[k].text in (";", ",")
+                ):
+                    d3 += body3[k].text in ("(", "[", "{")
+                    d3 -= body3[k].text in (")", "]", "}")
+                    sp3.append(body3[k])
+                    k += 1
+                assigns.append((fld3, sp3))
+                continue
+            if (
+                body3[k].text == "self"
+                and k + 1 < len(body3)
+                and body3[k + 1].text == ":="
+            ):
+                # SELF := [] — remaining fields default
+                while k < len(body3) and body3[k].text != ";":
+                    k += 1
+                continue
+            raise EclSyntaxError(
+                f"{fname3}: unsupported transform member at"
+                f" {body3[k].pos}"
+            )
+        params3 = fn3["params"]
+
+        def elem(ctr):
+            saved_sc = self.scalars
+            saved_cc = getattr(self, "_counter_col", None)
+            self.scalars = dict(self.scalars)
+            self._counter_col = ctr
+            try:
+                for k2, (pname, _pty, pdflt) in enumerate(params3):
+                    if k2 < len(spans3):
+                        self.scalars[pname] = self._parse_span_value(
+                            list(spans3[k2]), df
+                        )
+                    elif pdflt is not None and pdflt[0] != "__span__":
+                        self.scalars[pname] = self._mkconst(*pdflt)
+                cols3 = {}
+                for fld3, sp3 in assigns:
+                    cols3[fld3] = self._parse_span_value(list(sp3), df)
+                parts3 = []
+                for nm3, ty3, w3, d3v in out_fields3:
+                    c3 = cols3.get(nm3)
+                    if c3 is None:
+                        c3 = F.lit("") if ty3 == "string" else F.lit(0)
+                    parts3.append(
+                        self._coerce_field_col(c3, ty3, w3, d3v).alias(nm3)
+                    )
+                return F.struct(*parts3)
+            finally:
+                self.scalars = saved_sc
+                self._counter_col = saved_cc
+
+        arr3 = F.transform(
+            F.sequence(F.lit(1).cast("long"), nval.cast("long")), elem
+        )
+        return arr3, list(out_fields3)
+
+    def _cpp_body_call(self, name: str, fn: dict, src: str):
+        """A BEGINC++ embedded function call. The only emulated shape is
+        the pure assert idiom `if (!x) rtlFail(n, msg); return x;`
+        (childds1-7b assertTrue) — anything else raises honestly: a
+        PySpark engine does not embed C++; the native analogue is a
+        pandas_udf (SURVEY §2.15)."""
+        m = re.search(
+            r"if\s*\(\s*!\s*(\w+)\s*\)\s*rtlFail\s*\([^)]*\)\s*;\s*"
+            r"return\s+(\w+)\s*;",
+            src,
+        )
+        if m and m.group(1) == m.group(2):
+            pname = m.group(1).lower()
+            cond = self.scalars.get(pname)
+            msg_v = None
+            for p in fn["params"]:
+                if p[0] != pname and p[0] in self.scalars:
+                    c2 = self._cget(self.scalars[p[0]])
+                    if c2 is not None:
+                        msg_v = c2[0]
+            if msg_v is None:
+                msg_v = "Condition should have been true"
+            if cond is None:
+                raise EclSyntaxError(f"{name}: missing assert condition")
+            cm = self._cget(cond)
+            # the reference's rtlFail renders "<msg>, " (childds1err key:
+            # "...: seq > 10, ")
+            msg_r = f"{msg_v}, "
+            if cm is not None:
+                if not cm[0]:
+                    raise EclFailError(msg_r)
+                return self._mkconst(True, "boolean")
+            return F.when(cond, F.lit(True)).otherwise(
+                F.raise_error(F.lit(msg_r)).cast("boolean")
+            )
+        raise EclSyntaxError(
+            f"{name}: BEGINC++ bodies are not executable in this"
+            " engine (emulated idiom: pure assert); the PySpark-native"
+            " analogue is a pandas_udf"
+        )
+
+    def _fn_transform_alias(self, fname: str) -> bool:
+        """Is ``fname`` a non-TRANSFORM function whose body is a single
+        call that (transitively) reaches a TRANSFORM function?"""
+        seen = set()
+        while True:
+            if fname in seen or fname not in self.functions:
+                return False
+            seen.add(fname)
+            fn = self.functions[fname]
+            if fn.get("transform"):
+                return True
+            body = fn["body"]
+            if (
+                len(body) >= 3
+                and body[0].kind == "ident"
+                and body[1].text == "("
+                and body[-1].text == ")"
+            ):
+                fname = body[0].text
+                continue
+            return False
+
+    def _splice_fn_call(self, j: int) -> None:
+        """Inline-expand the function call at token index ``j``
+        (``alias(args)``): replace it with the alias body, parameter
+        names substituted by the argument token spans (defaults fill
+        omitted trailing arguments). Token-level macro expansion, the
+        way hqlgram expands simple forwarding attributes."""
+        fname = self.toks[j].text
+        fn = self.functions[fname]
+        close = self._match_paren(j + 1)
+        if close is None:
+            raise EclSyntaxError(f"unterminated call to {fname}")
+        # split args on top-level commas
+        spans: list[list] = [[]]
+        depth = 0
+        for tk in self.toks[j + 2 : close]:
+            if tk.text in ("(", "[", "{"):
+                depth += 1
+            elif tk.text in (")", "]", "}"):
+                depth -= 1
+            if depth == 0 and tk.text == ",":
+                spans.append([])
+            else:
+                spans[-1].append(tk)
+        if spans == [[]]:
+            spans = []
+        sub: dict[str, list] = {}
+        pos = self.toks[j].pos
+        for k, (pname, _pty, pdefault) in enumerate(fn["params"]):
+            if k < len(spans):
+                sub[pname] = list(spans[k])
+            elif pdefault is not None:
+                if pdefault[0] == "__span__":
+                    sub[pname] = list(pdefault[1])
+                else:
+                    v = pdefault[0]
+                    if isinstance(v, str):
+                        sub[pname] = [_Tok("str", v, pos)]
+                    elif isinstance(v, bool):
+                        sub[pname] = [
+                            _Tok("kw", "true" if v else "false", pos)
+                        ]
+                    else:
+                        sub[pname] = [_Tok("num", str(v), pos)]
+        out: list = []
+        for tk in fn["body"]:
+            if tk.kind in ("ident", "kw") and tk.text in sub:
+                out.extend(sub[tk.text])
+            else:
+                out.append(tk)
+        self.toks[j : close + 1] = out
+
+    def _enum_def(self, name: str) -> None:
+        """ENUM([type,] member[=value], ...): values default to
+        previous+1 starting at 1 when the first member is unvalued, 0
+        continues from an explicit 0 (ECL enum semantics,
+        ecl/hql/hqlgram.y enumTypeId)."""
+        self.expect("enum")
+        self.expect("(")
+        base = "unsigned4"
+        if (
+            self._TYPE_RX.match(self.peek().text)
+            and self.toks[self.i + 1].text == ","
+        ):
+            base = self.peek().text
+            self.next()
+            self.next()
+        members: dict[str, tuple] = {}
+        nxt = 1
+        while self.peek().text != ")":
+            m = self.next()
+            if m.kind not in ("ident", "kw"):
+                raise EclSyntaxError(f"expected ENUM member at {m.pos}")
+            v = nxt
+            if self.accept("="):
+                c = self._cget(self.value(self._dummy()))
+                if c is None:
+                    raise EclSyntaxError(
+                        f"ENUM member {m.text!r} value must be constant"
+                    )
+                v = int(c[0])
+            members[m.text] = (v, "integer")
+            nxt = v + 1
+            if not self.accept(","):
+                break
+        self.expect(")")
+        self.enums[name] = members
+        self.typedefs[name] = base
+
+    def _try_type_alias(self, name: str) -> bool:
+        """A definition whose whole body is a reference to a known type,
+        enum, record, or fixture module registers an alias (stepping.ecl
+        sourceType := TS.sourceType; wordIndexRecord :=
+        TS.wordIndexRecord). Returns False (cursor restored) when the
+        body is anything else."""
+        mark = self.i
+        self._skip_shim_qual()
+        t0 = self.peek()
+        if t0.kind not in ("ident", "kw") or (
+            self.toks[self.i + 1].text != ";"
+        ):
+            self.i = mark
+            return False
+        tgt = t0.text
+        if tgt in self.typedefs or self._TYPE_RX.match(tgt):
+            self.next()
+            self.expect(";")
+            self.typedefs[name] = self.typedefs.get(tgt, tgt)
+            if tgt in self.enums:
+                self.enums[name] = self.enums[tgt]
+            return True
+        if tgt in self.enums:
+            self.next()
+            self.expect(";")
+            self.enums[name] = self.enums[tgt]
+            self.typedefs[name] = self.typedefs.get(tgt, "unsigned4")
+            return True
+        if tgt in self.records:
+            self.next()
+            self.expect(";")
+            self.records[name] = self.records[tgt]
+            if tgt in self.records_raw:
+                self.records_raw[name] = self.records_raw[tgt]
+            return True
+        if tgt in self.shims and tgt == name:
+            # X := TS.X where X is already the flattened shim member
+            # (kindType := TS.kindType) — a no-op alias
+            self.next()
+            self.expect(";")
+            return True
+        self.i = mark
+        return False
 
     def _try_const_str(self) -> str | None:
         """Parse a constant string-valued expression at the cursor
@@ -2454,15 +2914,32 @@ class _Parser:
             t = self.next()
             if t.kind != "ident" and t.kind != "kw":
                 raise EclSyntaxError(f"expected parameter at {t.pos}")
+            if t.text == "set" and self.peek().text == "of":
+                # SET OF <type> / SET OF DATASET(rec) parameter
+                # (stepping.ecl stageSet x, SetOfInputs inputs)
+                self.next()  # OF
+                if self.peek().text == "dataset":
+                    self.next()
+                    if self.peek().text == "(":
+                        close = self._match_paren(self.i)
+                        self.i = close + 1
+                    ty = "setofdataset"
+                else:
+                    self.next()  # element type
+                    ty = "set"
+                t = self.next()
             if self.peek().kind in ("ident", "kw") and (
                 self._TYPE_RX.match(t.text)
                 or t.text in self.records
                 or t.text in self.records_raw
                 or t.text in self.env
+                or t.text in self.typedefs
+                or t.text in self.enums
             ):
                 # kw-kinded parameter names allowed (indexread5's
-                # `sq.PersonBookRelatedIdRec in`) — body uses re-kind
-                ty = t.text
+                # `sq.PersonBookRelatedIdRec in`) — body uses re-kind;
+                # typedef/enum-typed params resolve to their base type
+                ty = self.typedefs.get(t.text, t.text)
                 t = self.next()
             elif t.text == "typeof" and self.peek().text == "(":
                 # TYPEOF(ds) typed parameter (keyed_fetch's maybesort):
@@ -2511,8 +2988,34 @@ class _Parser:
             name = t.text
             default = None
             if self.accept("="):
+                if ty in ("dataset", "set", "setofdataset") or (
+                    self.peek().text in ("dataset", "[")
+                ):
+                    # dataset/set default (ExecuteQuery's initialResults
+                    # = dataset([], matchRecord)): capture the span,
+                    # re-parsed lazily when a call omits the argument
+                    depth = 0
+                    span_d: list = []
+                    while not (
+                        depth == 0 and self.peek().text in (",", ")")
+                    ):
+                        tk = self.next()
+                        if tk.kind == "eof":
+                            raise EclSyntaxError(
+                                "unterminated parameter default"
+                            )
+                        depth += tk.text in ("(", "[", "{")
+                        depth -= tk.text in (")", "]", "}")
+                        span_d.append(tk)
+                    default = ("__span__", span_d)
+                    params.append((name, ty, default))
+                    if not self.accept(","):
+                        break
+                    continue
                 v = self._literal()
-                if ty is not None and ty != "dataset":
+                if ty is not None and ty not in (
+                    "dataset", "set", "setofdataset",
+                ):
                     default = (self._coerce_const(v, ty), ty)
                 else:
                     dty = (
@@ -2541,6 +3044,28 @@ class _Parser:
             # conditional compilation WRAPPING a definition body
             # (keyed_fetch's maybesort := #if (useLocal) ... #else ...)
             self._process_cond_directives()
+        if self.peek().text == "macro":
+            # name(params) := MACRO tokens ENDMACRO — token-level
+            # substitution (hqlgram.y macro expansion; complexhoist5's
+            # HOIST): body captured raw, spliced at each call site
+            self.next()
+            start_m = self.i
+            while self.peek().text != "endmacro":
+                if self.peek().kind == "eof":
+                    raise EclSyntaxError(f"unterminated MACRO {name}")
+                self.next()
+            body_m = self.toks[start_m : self.i]
+            self.next()  # ENDMACRO
+            self.accept(";")
+            self.functions[name] = {
+                "params": params,
+                "body": list(body_m),
+                "compound": False,
+                "rettype": None,
+                "action_fn": False,
+                "macro": True,
+            }
+            return
         if self.peek().text == "interface":
             # name(params) := INTERFACE export ... END — the library
             # contract (library2): only the shape matters here, the
@@ -2726,6 +3251,20 @@ class _Parser:
         stored body. Returns a Column or a DataFrame, whichever the body
         produces."""
         fn = self.functions[name]
+        if fn.get("macro"):
+            # MACRO call: splice the body with arguments substituted,
+            # then re-dispatch as a dataset or value expression
+            j_m = self.i - 1
+            self._splice_fn_call(j_m)
+            self.i = j_m
+            mark_m = self.i
+            try:
+                return self.dataset()
+            except EclFailError:
+                raise
+            except Exception:
+                self.i = mark_m
+                return self.value(df)
         self.expect("(")
         args: list[tuple] = []
         named: dict[str, tuple] = {}
@@ -2749,6 +3288,43 @@ class _Parser:
                     a = ("dict", self.dicts[self.next().text])
                 elif (
                     self.peek().kind == "ident"
+                    and self.peek().text
+                    in (getattr(self, "_row_params", None) or {})
+                    and self.peek().text not in self.env
+                    and self.toks[self.i + 1].text in (",", ")")
+                ):
+                    # forwarding a bound ROW parameter (childds3's
+                    # evalFilter(l) inside a transform)
+                    a = (
+                        "row",
+                        (self._row_params or {})[self.next().text],
+                    )
+                elif (
+                    self.peek().kind == "ident"
+                    and self.peek().text in self.dslists
+                    and self.peek().text not in self.scalars
+                    and self.toks[self.i + 1].text in (",", ")")
+                ):
+                    # forwarding a bound SET OF DATASET parameter
+                    # (stepping.ecl doAndTerms(..., stages)); an inner
+                    # scalar binding of the same name shadows it
+                    # (CmdMofNTerms' stageSet stages)
+                    a = ("dslist", self.dslists[self.next().text])
+                elif self.peek().text == "[" and (
+                    self._at_dataset_start(self.i + 1)
+                    or self.toks[self.i + 1].text in self.ds_spans
+                ) and self.toks[self.i + 2].text in (",", "]"):
+                    # SET OF DATASET literal argument ([x1, x2])
+                    self.next()
+                    lst: list = []
+                    while True:
+                        lst.append(self.dataset())
+                        if not self.accept(","):
+                            break
+                    self.expect("]")
+                    a = ("dslist", lst)
+                elif (
+                    self.peek().kind == "ident"
                     and self.peek().text in ap0
                     and self.toks[self.i + 1].text in (",", ")")
                 ):
@@ -2770,6 +3346,13 @@ class _Parser:
                 elif self._at_dataset_start(self.i) and not (
                     self.toks[self.i].kind == "ident"
                     and self.toks[self.i + 1].text == "["
+                ) and not (
+                    # a row-alias field read (stepping.ecl
+                    # docMatchesSource(wIndex.doc, ...)) is a VALUE
+                    self.toks[self.i].kind == "ident"
+                    and self.toks[self.i].text
+                    in (getattr(self, "_row_params", None) or {})
+                    and self.toks[self.i + 1].text == "."
                 ):
                     # a bare `ds[n]...` argument is a row/field READ
                     # (dict_case's getBandValue(bands[1].band)) — the
@@ -2792,11 +3375,14 @@ class _Parser:
             )
         saved_scopes = (self.env, self.scalars, self.sets, self.dicts, self.records)
         saved_ap = getattr(self, "_array_params", None)
+        saved_rp_cf = getattr(self, "_row_params", None)
+        saved_dsl = self.dslists
         self.env = dict(self.env)
         self.scalars = dict(self.scalars)
         self.sets = dict(self.sets)
         self.dicts = dict(self.dicts)
         self.records = dict(self.records)
+        self.dslists = dict(self.dslists)
         self._array_params = dict(saved_ap or {})
         try:
             for idx, (pname, pty, pdefault) in enumerate(params):
@@ -2805,13 +3391,71 @@ class _Parser:
                 elif idx < len(args):
                     kind, aval = args[idx]
                 elif pdefault is not None:
-                    kind, aval = "val", self._mkconst(pdefault[0], pdefault[1])
+                    if pdefault[0] == "__span__":
+                        # dataset/set default span — re-parse in the
+                        # caller's scope
+                        saved_tk, saved_ix = self.toks, self.i
+                        self.toks = list(pdefault[1]) + [
+                            _Tok("eof", "", 0)
+                        ]
+                        self.i = 0
+                        try:
+                            if self._at_dataset_start(0):
+                                kind, aval = "ds", self.dataset()
+                            else:
+                                kind, aval = "val", self.value(
+                                    self._dummy()
+                                )
+                        finally:
+                            self.toks, self.i = saved_tk, saved_ix
+                    else:
+                        kind, aval = "val", self._mkconst(
+                            pdefault[0], pdefault[1]
+                        )
                 else:
                     raise EclSyntaxError(
                         f"missing argument {pname!r} in call to {name}"
                     )
-                if kind == "ds":
+                if kind == "row":
+                    rp0 = dict(getattr(self, "_row_params", None) or {})
+                    rp0[pname] = aval
+                    self._row_params = rp0
+                elif kind == "ds":
                     self.env[pname] = aval
+                    if (
+                        pty is not None
+                        and pty in self.records
+                        and aval is df
+                    ):
+                        # the frame under evaluation passed as a
+                        # ROW-typed argument (childds3's
+                        # ds(evalFilter(ds))): a row ALIAS
+                        rp0 = dict(getattr(self, "_row_params", None) or {})
+                        rp0[pname] = df
+                        self._row_params = rp0
+                    elif pty is not None and pty in self.records:
+                        # ROW-typed parameter (stepping.ecl doReadWord's
+                        # `searchRecord search` bound to a ROW(...)):
+                        # the argument is a single command row — fold
+                        # its fields to constants (the reference stores
+                        # query definitions GLOBAL(..., FEW))
+                        rp0 = dict(getattr(self, "_row_params", None) or {})
+                        rp0[pname] = _ConstRow(self, aval)
+                        self._row_params = rp0
+                    elif (
+                        pty is not None
+                        and pty in saved_scopes[0]
+                        and isinstance(df, DataFrame)
+                    ):
+                        # a DATASET name as the parameter type
+                        # (stepping.ecl matchSingleWord's `wordIndex
+                        # wIndex`): the parameter is a row ALIAS of the
+                        # frame under evaluation
+                        rp0 = dict(getattr(self, "_row_params", None) or {})
+                        rp0[pname] = df
+                        self._row_params = rp0
+                elif kind == "dslist":
+                    self.dslists[pname] = aval
                 elif kind == "dict":
                     self.dicts[pname] = aval
                 elif kind == "arr":
@@ -2830,6 +3474,11 @@ class _Parser:
                     self.scalars[pname] = col
             saved_toks, saved_i = self.toks, self.i
             body = fn["body"]
+            cpp = next(
+                (tk.text for tk in body if tk.kind == "cppbody"), None
+            )
+            if cpp is not None:
+                return self._cpp_body_call(name, fn, cpp)
             kwnames = {p[0] for p in params if p[0] in _KEYWORDS}
             if kwnames:
                 # a parameter named by a lexer keyword (quantile1a's
@@ -2871,7 +3520,17 @@ class _Parser:
                     return _ACTION_DONE
                 mark = self.i
                 try:
-                    return self.dataset()
+                    out_ds = self.dataset()
+                    if self.peek().kind != "eof" and self.peek().text not in (
+                        ";", "end",
+                    ):
+                        # trailing expression tokens (childds3's RETURN
+                        # count(...) = 3): the body is a VALUE
+                        raise EclSyntaxError(
+                            "trailing tokens after dataset body at"
+                            f" {self.peek().pos}"
+                        )
+                    return out_ds
                 except EclFailError:
                     raise
                 except Exception as dataset_err:
@@ -2885,14 +3544,22 @@ class _Parser:
                         return self._ret_coerce(self.value(df), fn)
                     except EclFailError:
                         raise
-                    except Exception:
+                    except Exception as value_err:
+                        import os as _os
+
+                        if _os.environ.get("ECLFRONT_DEBUG"):
+                            import traceback as _tb
+
+                            _tb.print_exception(value_err)
                         raise dataset_err from None
             finally:
                 self.toks, self.i = saved_toks, saved_i
         finally:
             (self.env, self.scalars, self.sets, self.dicts,
              self.records) = saved_scopes
+            self.dslists = saved_dsl
             self._array_params = saved_ap
+            self._row_params = saved_rp_cf
 
     def _definition(self) -> None:
         self._skip_shim_qual()
@@ -3011,6 +3678,29 @@ class _Parser:
             # whole definition table executor-side
             self._pattern_def(name.text, decl_ty)
             self.expect(";")
+            return
+        if self.peek().text == "enum" and self.toks[self.i + 1].text == "(":
+            # name := ENUM([type,] member[=value], ...) — members fold
+            # to integer constants read as name.member (hqlgram.y
+            # no_enum; stepping.ecl actionEnum)
+            self._enum_def(name.text)
+            self.expect(";")
+            return
+        if (
+            self.peek().text == "set"
+            and self.toks[self.i + 1].text == "of"
+            and self.toks[self.i + 3].text in (";", "(")
+        ):
+            # name := SET OF DATASET(rec) | SET OF <type> — a set TYPE
+            # definition (stepping.ecl SetOfInputs / stageSet); dataset
+            # sets are python lists of DataFrames bound via self.dslists
+            is_ds = self.toks[self.i + 2].text == "dataset"
+            while self.peek().text != ";" and self.peek().kind != "eof":
+                self.next()
+            self.expect(";")
+            self.typedefs[name.text] = "setofdataset" if is_ds else "set"
+            return
+        if self._try_type_alias(name.text):
             return
         if (
             self.peek().text == "transform"
@@ -3275,7 +3965,23 @@ class _Parser:
             # parent, the aggregate re-binds per row (sqshare's
             # ave(oldest5People, age(dob)) per house).
             agg_mark = self.i
-            self.scalars[name.text] = self.value(self._dummy())
+            try:
+                self.scalars[name.text] = self.value(self._dummy())
+            except EclSyntaxError:
+                raise
+            except Exception:
+                # runtime failure inside the eager evaluation
+                # (childds1's cntBad: an assert that must only fire if
+                # the definition is USED — ECL definitions bind lazily).
+                # Record the span; the failure surfaces on use.
+                self.i = agg_mark
+                depth0 = 0
+                while self.peek().kind != "eof" and not (
+                    depth0 == 0 and self.peek().text in (";", ":")
+                ):
+                    tk0 = self.next()
+                    depth0 += tk0.text in ("(", "[", "{")
+                    depth0 -= tk0.text in (")", "]", "}")
             self.scalar_spans[name.text] = self.toks[agg_mark : self.i]
             kind = "scalar"
         else:
@@ -3307,10 +4013,16 @@ class _Parser:
             except EclSyntaxError as dataset_err:
                 self.i = mark
                 try:
-                    self.scalars[name.text] = self.value(self._dummy())
+                    col_d = self.value(self._dummy())
+                    self.scalars[name.text] = col_d
                     # keep the span: in an element context the scalar
                     # re-binds to the element scope (sqsimple fullname)
                     self.scalar_spans[name.text] = self.toks[mark : self.i]
+                    if self._coltype.get(id(col_d)) == "array":
+                        # a child-array-valued local (childds3's
+                        # sortedIds := nofold(sort(l.ids, id))): uses in
+                        # child positions re-bind through the span
+                        self.ds_spans[name.text] = self.toks[mark : self.i]
                     kind = "scalar"
                 except EclFailError:
                     raise
@@ -3725,6 +4437,20 @@ class _Parser:
                 self._resolve_record_fields(fn_r.get("rettype")),
             )
             self._row_ids.add(id(df))
+        elif (
+            t.text == "row"
+            and self.toks[self.i + 1].text == "("
+            and self.toks[self.i + 2].kind == "ident"
+            and self.toks[self.i + 2].text in self.functions
+            and self.toks[self.i + 3].text == "("
+            and self._fn_transform_alias(self.toks[self.i + 2].text)
+        ):
+            # ROW(alias(args)) where the alias body forwards to a
+            # TRANSFORM function (stepping.ecl CmdAndTerms →
+            # defineCmdTermCombineTerm): splice the alias body inline
+            # with the arguments substituted, then re-dispatch
+            self._splice_fn_call(self.i + 2)
+            df = self.dataset()
         elif t.text == "fetch" and self.toks[self.i + 1].text == "(":
             df = self._fetch()
         elif t.text == "graph" and self.toks[self.i + 1].text == "(":
@@ -5756,11 +6482,19 @@ class _Parser:
     def _nary_join(self, kw: str) -> DataFrame:
         from pyspark.sql.window import Window
 
-        self.expect("[")
-        inputs = [self.dataset()]
-        while self.accept(","):
-            inputs.append(self.dataset())
-        self.expect("]")
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.dslists
+        ):
+            # a SET OF DATASET variable (stepping.ecl doAndTerms's
+            # mergejoin(inputs, ...))
+            inputs = list(self.dslists[self.next().text])
+        else:
+            self.expect("[")
+            inputs = [self.dataset()]
+            while self.accept(","):
+                inputs.append(self.dataset())
+            self.expect("]")
         self.expect(",")
         cond_span = self._capture_arg_span()
         how = "inner"
@@ -8261,6 +8995,10 @@ class _Parser:
         declare nested child datasets (array<struct> columns)."""
         self._skip_shim_qual()
         ty = self.next()
+        if ty.kind in ("ident", "kw") and ty.text in self.typedefs:
+            # typedef'd field type (stepping.ecl stageType stage) —
+            # substitute the base ECL type text
+            ty = _Tok(ty.kind, self.typedefs[ty.text], ty.pos)
         if ty.text == "set" and self.peek().text == "of":
             # SET OF <type> member — an array column ("__set__" mark;
             # fromjson's colours renders {"All"}/<All/> as [''])
@@ -8296,11 +9034,36 @@ class _Parser:
             self.next()
             self._skip_shim_qual()
             rec = self.next()
-            child_fields = (
-                self.records[rec.text]
-                if rec.text in self.records
-                else None
-            )
+            child_fields = None
+            if (
+                rec.text in ("recordof", "typeof")
+                and self.peek().text == "("
+            ):
+                # DATASET(RECORDOF(ds)) member (groupglobal's
+                # dataset(recordof(gr)) cd): shape from the dataset
+                self.next()
+                self._skip_shim_qual()
+                dsn = self.next()
+                dfr = self.env.get(dsn.text)
+                if dfr is not None:
+                    child_fields = self._ds_fields.get(id(dfr))
+                    if child_fields is None:
+                        tmap_r = {
+                            "bigint": "long", "int": "long",
+                            "smallint": "long", "tinyint": "long",
+                        }
+                        child_fields = [
+                            (c, tmap_r.get(dt, dt), None, None)
+                            for c, dt in dfr.dtypes
+                            if c != "__ord__"
+                        ]
+                self.expect(")")
+            else:
+                child_fields = (
+                    self.records[rec.text]
+                    if rec.text in self.records
+                    else None
+                )
             if child_fields is None:
                 raise EclSyntaxError(
                     f"unknown child record {rec.text!r} at {rec.pos}"
@@ -10587,6 +11350,23 @@ class _Parser:
         else:
             truth = bool(dummy.select(cond.alias("c")).collect()[0].c)
         chosen = then_span if truth else else_span
+        dropped = else_span if truth else then_span
+        if dropped and not any(tk.text == "nofold" for tk in dropped):
+            # the reference HOISTS an unconditional filter expression
+            # out of a conditional branch when workunitTemporaries are
+            # disabled, so a failing definition referenced by the
+            # untaken branch STILL aborts — unless NOFOLD blocks the
+            # hoist (childds1err pins the abort; childds1's NOFOLD
+            # variant pins the non-abort)
+            for tk in dropped:
+                if (
+                    tk.kind == "ident"
+                    and tk.text in self.scalar_spans
+                    and tk.text not in self.scalars
+                ):
+                    self._parse_span_value(
+                        list(self.scalar_spans[tk.text]), self._dummy()
+                    )
         if chosen is None:
             return self._parse_span_dataset(then_span).limit(0)
         if self._span_is_action(chosen):
@@ -10741,7 +11521,8 @@ class _Parser:
         return c
 
     def _not(self, df) -> Column:
-        if self.peek().text == "not":
+        if self.peek().text in ("not", "~", "!"):
+            # ~ / ! are NOT spellings (regex_cache's res(~is_matching))
             self.next()
             inner = self._not(df)
             ci = self._cget(inner)
@@ -10899,7 +11680,9 @@ class _Parser:
 
     def _shift(self, df) -> Column:
         c = self._addsub(df)
-        while self.peek().text in ("<<", ">>"):
+        while self.peek().text in ("<<", ">>", "&", "|", "^"):
+            # shifts plus bitwise AND/OR/XOR (ECL & | ^; on strings &
+            # concatenates — stepping.ecl flags & wordFlagMask)
             op = self.next().text
             c = self._fold2(op, c, self._addsub(df))
         return c
@@ -11172,6 +11955,21 @@ class _Parser:
     def _atom(self, df) -> Column:
         self._skip_shim_qual()  # Files.DG_Fnames[2] -> DG_Fnames[2]
         t = self.next()
+        if (
+            t.kind in ("ident", "kw")
+            and t.text in self.enums
+            and self.peek().text == "."
+        ):
+            # qualified ENUM member read: actionEnum.ReadWord
+            self.next()
+            m = self.next().text
+            members = self.enums[t.text]
+            if m not in members:
+                raise EclSyntaxError(
+                    f"unknown {t.text.upper()} member {m!r}"
+                )
+            v, vty = members[m]
+            return self._mkconst(v, vty)
         if t.kind == "directive":
             if t.text == "#ifdefined":
                 # #IFDEFINED(symbol, default): this single-file front
@@ -11234,6 +12032,42 @@ class _Parser:
                     "cap; use a JOIN for large-set membership"
                 )
             return F.array(*[F.lit(r[0]) for r in rows_s])
+        if (
+            t.text == "dataset"
+            and self.peek().text == "("
+            and self._dataset_arg2_is_transform(self.i)
+        ):
+            # value-mode DATASET(count, t(COUNTER...)): a child array
+            # built by a sequence + per-element transform (childds)
+            self.i -= 1
+            arr_ct, _f_ct = self._child_count_transform(df)
+            return self._tag_arr(arr_ct)
+        if (
+            t.text == "dataset"
+            and self.peek().text == "("
+            and not self._at_dataset_start(self.i + 1)
+            and self.toks[self.i + 1].text != "["
+            and self._dataset_arg2_is_record(self.i)
+        ):
+            # value-mode DATASET(<set>, rec): a SET value reshaped as a
+            # one-field child dataset (stepping.ecl StageSetToDataset)
+            self.expect("(")
+            arr_v = self.value(df)
+            self.expect(",")
+            fields_v = self._record_fields()
+            self.expect(")")
+            if len(fields_v) != 1:
+                raise EclSyntaxError(
+                    f"DATASET(set, rec) needs a one-field record at {t.pos}"
+                )
+            fname_v = fields_v[0][0]
+            fty_v = fields_v[0][1]
+            return self._tag_arr(
+                F.transform(
+                    arr_v,
+                    lambda v: F.struct(v.cast(fty_v).alias(fname_v)),
+                )
+            )
         if t.text in ("fromjson", "fromxml") and self.peek().text == "(":
             return self._fromtext(t.text == "fromxml", df)
         if (
@@ -11245,7 +12079,7 @@ class _Parser:
             # SELF.ids := SORT(l.ids, id)(filter)) — child-expr grammar
             self.i -= 1
             arr_s, _fs = self._child_expr(df)
-            return arr_s
+            return self._tag_arr(arr_s)
         if t.text == "wild" and self.peek().text == "(":
             # WILD(field) — an index wildcard-access hint (KEYED/WILD
             # jhtree segment monitors); no row filtering
@@ -12575,6 +13409,18 @@ class _Parser:
                 # the record-typed local's struct Column
                 self.next()
                 return self.scalars[t.text][self.next().text]
+            if (
+                t.text in getattr(self, "scalar_spans", {})
+                and t.text not in self.scalars
+                and t.text not in getattr(df, "columns", [])
+            ):
+                # a scalar whose eager evaluation FAILED at definition
+                # (childds1 cntBad) — re-evaluate on USE so the failure
+                # surfaces exactly when the reference's lazy binding
+                # would surface it
+                return self._parse_span_value(
+                    list(self.scalar_spans[t.text]), df
+                )
             if t.text in self.scalars and t.text not in df.columns:
                 if t.text in self.scalar_spans and df is not None:
                     if not isinstance(df, DataFrame):
@@ -14551,11 +15397,28 @@ class _Parser:
                 (f.name, f.dataType.simpleString(), None, None)
                 for f in base_ds.schema.fields
             ]
-        rows = base_ds.limit(5001).collect()
+        # trim to the keys the parent actually references (a broadcast
+        # left_semi against the DISTINCT parent keys) so the map cap
+        # binds on RELEVANT child rows, not on the child dataset's
+        # size — the 100 TB plan is this same semi-join with the map
+        # replaced by a full join (operators/join.py, SCALE.md)
+        trimmed = base_ds
+        if isinstance(df, DataFrame):
+            try:
+                pkeys = df.select(parent_col.alias("__pk__")).distinct()
+                trimmed = base_ds.join(
+                    F.broadcast(pkeys),
+                    base_ds[keyf] == F.col("__pk__"),
+                    "left_semi",
+                )
+            except Exception:
+                trimmed = base_ds
+        rows = trimmed.limit(5001).collect()
         if len(rows) > 5000:
             raise EclFailError(
                 "correlated dataset filter exceeds the front-door map "
-                "cap (5000 rows) — use the join combinator instead"
+                "cap (5000 referenced rows) — use the join combinator "
+                "instead"
             )
         # meta may carry virtual fields (filepos) absent from the frame
         fnames = [m[0] for m in meta if m[0] in base_ds.columns]
@@ -14856,7 +15719,7 @@ class _Parser:
             return out_arr, fields
         if (
             t.kind == "ident"
-            and t.text in getattr(self, "_rebind_arrays", {})
+            and t.text in (getattr(self, "_rebind_arrays", None) or {})
             and self.toks[self.i + 1].text != "("
         ):
             # a dataset parameter bound to a child array by the
@@ -14919,7 +15782,12 @@ class _Parser:
                 if out2 is not None and self.peek().kind != "eof":
                     out2 = None
                 return out2
-            except EclSyntaxError:
+            except EclFailError:
+                raise
+            except Exception:
+                # not only EclSyntaxError: an unresolvable column in
+                # the attempted Column plan (AnalysisException) also
+                # means "this body needs the per-row fallback"
                 return None
             finally:
                 self.toks, self.i = saved_toks2, saved_i2

@@ -1383,11 +1383,53 @@ def _ts_word_index(spark):
     ).coalesce(1)
 
 
+TS_TEXTSOURCE_REC = TS_WORDINDEX_REC[:5]
+
+
 def ts_members() -> dict:
-    """setup/ts.ecl module constants: the kindType enum (ts.ecl:33) and
-    search limits (ts.ecl:23-31). docid composition helpers live in the
-    front door's value grammar when needed."""
+    """setup/ts.ecl module surface: the kindType enum (ts.ecl:33),
+    search limits (:23-31), the EXPORTed type aliases (:34-56), the
+    docid composition helpers (:48-51) and the index records (:57-66)
+    — everything the stepping framework imports via $.Setup.TS."""
     return {
+        # type aliases (ts.ecl:34-56)
+        "sourcetype": ("typealias", "unsigned2"),
+        "wordcounttype": ("typealias", "unsigned8"),
+        "segmenttype": ("typealias", "unsigned1"),
+        "wordpostype": ("typealias", "unsigned8"),
+        "docpostype": ("typealias", "unsigned8"),
+        "documentid": ("typealias", "unsigned8"),
+        "termtype": ("typealias", "unsigned1"),
+        "distancetype": ("typealias", "integer8"),
+        "indexwiptype": ("typealias", "unsigned1"),
+        "wiptype": ("typealias", "unsigned8"),
+        "stagetype": ("typealias", "unsigned1"),
+        "datetype": ("typealias", "unsigned8"),
+        "wordtype": ("typealias", "string20"),
+        "wordflags": ("typealias", "unsigned1"),
+        "wordidtype": ("typealias", "unsigned4"),
+        "kindtype": ("typealias", "unsigned1"),
+        # records (ts.ecl:57-66)
+        "wordindexrecord": ("record", TS_WORDINDEX_REC),
+        "textsourcerecord": ("record", TS_TEXTSOURCE_REC),
+        # docid composition (ts.ecl:48-51)
+        "docid2source": (
+            "func", [("x", "unsigned8")], "(x >> 48)", "unsigned2",
+        ),
+        "docid2doc": (
+            "func", [("x", "unsigned8")],
+            "(x & 0xFFFFFFFFFFFF)", "unsigned8",
+        ),
+        "createdocid": (
+            "func", [("source", "unsigned2"), ("doc", "unsigned8")],
+            "((source << 48) | doc)", "unsigned8",
+        ),
+        "docmatchessource": (
+            "func", [("docid", "unsigned8"), ("source", "unsigned2")],
+            "(docid BETWEEN (source << 48) AND"
+            " (((source + 1) << 48) - 1))",
+            "boolean",
+        ),
         "unknownentry": ("const", 0, "integer"),
         "textentry": ("const", 1, "integer"),
         "opentagentry": ("const", 2, "integer"),

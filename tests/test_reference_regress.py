@@ -3,7 +3,18 @@ compared against the reference's own expected-output key files
 (testing/regress/ecl/*.ecl vs testing/regress/ecl/key/*.xml) — the
 literal "switch engines, keep your queries and your expected answers"
 check. Files are read from the reference tree at test time; nothing is
-copied into this repo."""
+copied into this repo.
+
+Out-of-scope key files (see SURVEY.md §5 "Verbatim-denominator scope
+cuts"): other-language embed/plugin/spray surfaces (javaembed*,
+embedpy*/py*, embedjs*, parquet*, spray* — ~45 files whose
+PySpark-native analogues are pandas_udf/mapInPandas and native parquet
+I/O), and the 15 searchIndex-gated text-search files (stepping7-9*,
+steplimit1-3) whose fixture derives from Project Gutenberg texts the
+reference downloads at setup time and which are absent here
+(testing/regress/download/ ships only donQuixote.txt); stepping.ecl
+itself pins the same MOFN/PROXIMITY framework over the reproducible
+wordIndex and IS in the list below."""
 
 from __future__ import annotations
 
@@ -279,6 +290,21 @@ VERBATIM = [
     # (INTERNAL and external service files resolved like published
     # query DLLs), instance member access
     "library1", "library2", "library2a", "library3", "library8",
+    # the smart-stepping text-search FRAMEWORK itself (thorstep2.cpp
+    # engine surface): ENUM defs, type aliases, SET OF DATASET params,
+    # ROW(transform-alias) command rows, dataset-typed row aliases in
+    # filter helpers, bitwise &/|, MERGEJOIN over a set variable with
+    # LEFT ONLY and MOFN(min[,max]) — key Results 3/4 pin m-of-n
+    "stepping",
+    # child-query laziness pins (thorlcr child queries; ECL lazy
+    # definition binding): BEGINC++ assert emulation, lazy failing
+    # scalar aggregates (cntBad only aborts when USED), the
+    # no-workunitTemporaries hoist that childds1err pins as an abort,
+    # FUNCTION-local child-array definitions re-bound per row
+    "childds1", "childds1err", "childds2", "childds3",
+    # global grouped datasets read through RECORDOF child members
+    # (ExplicitGlobalTransformer pins, hqlhoist.cpp)
+    "groupglobal1a", "groupglobal2a", "groupglobal3a",
 ]
 
 
