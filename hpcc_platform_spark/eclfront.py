@@ -417,7 +417,14 @@ def _unquote(tok_text: str) -> str:
         else:
             out.append(ch)
             i += 1
-    return "".join(out)
+    s = "".join(out)
+    if is_unicode:
+        # the reference normalizes unicode constants to NFC at parse
+        # time (issue10475's decomposed u'noël' renders composed)
+        import unicodedata as _ud
+
+        s = _ud.normalize("NFC", s)
+    return s
 
 
 def _parse_num(text: str):
@@ -475,6 +482,26 @@ _INT_BASES = {"integer", "unsigned"}
 # spark-type name → DDL type (array<struct<...>> literals)
 _SQL_TY = {"long": "bigint", "string": "string", "double": "double",
            "boolean": "boolean", "int": "int", "float": "float"}
+
+
+_POSIX_JAVA = {
+    "alpha": "Alpha", "digit": "Digit", "alnum": "Alnum",
+    "space": "Space", "upper": "Upper", "lower": "Lower",
+    "punct": "Punct", "xdigit": "XDigit", "cntrl": "Cntrl",
+    "print": "Print", "graph": "Graph", "blank": "Blank",
+}
+
+
+def _posix_java(rx: str) -> str:
+    """POSIX bracket classes ([:alpha:]) to Java \\p{Alpha} form —
+    eclregex uses PCRE which accepts both; Java only the latter."""
+    return re.sub(
+        r"\[:(\w+):\]",
+        lambda m: "\\p{" + _POSIX_JAVA.get(
+            m.group(1), m.group(1).title()
+        ) + "}",
+        rx,
+    )
 
 
 def _rx_groups(rx: str) -> int:
@@ -1361,6 +1388,17 @@ class _Parser:
                 continue
             if self._process_cond_directives():
                 continue
+            if (
+                t.kind == "ident"
+                and t.text in self.functions
+                and self.functions[t.text].get("macro")
+                and self.toks[self.i + 1].text == "("
+            ):
+                # statement-level MACRO call (normalize2's
+                # MAC_simplenorm(...)): splice and re-parse in place
+                self._splice_fn_call(self.i)
+                self.accept(";")
+                continue
             if t.text == "import":
                 # IMPORT resolves module scopes in the reference's
                 # multi-file layout; this single-file front door binds
@@ -1856,6 +1894,67 @@ class _Parser:
                     "action_fn": False,
                 }
 
+    def _splice_recordof_left(self, src) -> None:
+        """Inside an inline record whose '{' is at self.i: replace
+        RECORDOF(LEFT) [- [f1, f2]] members with the input's TYPED
+        field declarations (regex_cache's {RECORDOF(LEFT), STRING
+        via_regex, ...}; regex_patterns' RECORDOF(LEFT) - [regex])."""
+        close = self._match_brace(self.i)
+        if close is None:
+            return
+        meta = self._ds_fields.get(id(src))
+        if meta is None:
+            tmap_r = {
+                "bigint": "integer8", "int": "integer4",
+                "smallint": "integer2", "tinyint": "integer1",
+                "double": "real8", "float": "real4",
+                "boolean": "boolean", "string": "string",
+            }
+            meta = [
+                (c, tmap_r.get(dt, dt), None, None)
+                for c, dt in src.dtypes
+                if c != "__ord__"
+            ]
+        j = self.i
+        while j < close:
+            if (
+                self.toks[j].text == "recordof"
+                and self.toks[j + 1].text == "("
+                and self.toks[j + 2].text == "left"
+                and self.toks[j + 3].text == ")"
+            ):
+                end = j + 4
+                excl: set = set()
+                if (
+                    self.toks[end].text == "-"
+                    and self.toks[end + 1].text == "["
+                ):
+                    k = end + 2
+                    while self.toks[k].text != "]":
+                        if self.toks[k].kind in ("ident", "kw"):
+                            excl.add(self.toks[k].text)
+                        k += 1
+                    end = k + 1
+                pos = self.toks[j].pos
+                repl: list = []
+                for nm_f, ty_f, w_f, _d in meta:
+                    if nm_f in excl or nm_f == "__ord__":
+                        continue
+                    if repl:
+                        repl.append(_Tok("op", ",", pos))
+                    base_f = {"long": "integer8", "double": "real8"}.get(
+                        ty_f, ty_f
+                    )
+                    if base_f == "string" and w_f:
+                        base_f = f"string{w_f}"
+                    repl.append(_Tok("ident", base_f, pos))
+                    repl.append(_Tok("ident", nm_f, pos))
+                self.toks[j:end] = repl
+                close = self._match_brace(self.i)
+                j += max(len(repl), 1)
+            else:
+                j += 1
+
     def _dataset_arg2_is_record(self, open_i: int) -> bool:
         """For a DATASET(a, b) at the '(' at ``open_i``: is b a record
         ({...} or a named record), distinguishing the SET-reshape form
@@ -2121,8 +2220,20 @@ class _Parser:
                     sub[pname] = list(pdefault[1])
                 else:
                     v = pdefault[0]
-                    if isinstance(v, str):
-                        sub[pname] = [_Tok("str", v, pos)]
+                    if isinstance(v, str) and fn.get("macro"):
+                        # MACRO string defaults are TOKEN TEXT
+                        # (normalize2's filters='TRUE')
+                        sub[pname] = [
+                            tk for tk in _lex(v) if tk.kind != "eof"
+                        ]
+                    elif isinstance(v, str):
+                        sub[pname] = [
+                            _Tok(
+                                "str",
+                                "'" + v.replace("'", "\\'") + "'",
+                                pos,
+                            )
+                        ]
                     elif isinstance(v, bool):
                         sub[pname] = [
                             _Tok("kw", "true" if v else "false", pos)
@@ -2137,6 +2248,72 @@ class _Parser:
                 out.append(tk)
         self.toks[j : close + 1] = out
 
+    def _service_def(self, name: str) -> None:
+        """name := SERVICE [: attrs] <decls> END; — external function
+        declarations (hqlgram service definitions). Emulated
+        entrypoints: eclrtl's rtlCast(U)IntN sign/zero truncating casts
+        (eclrtl.cpp; issue12644 pins the value matrix). Anything else
+        registers a member that raises on CALL."""
+        self.expect("service")
+        if self.accept(":"):
+            self.next()
+            while self.accept(","):
+                self.next()
+        members: dict = {}
+        while self.peek().text != "end":
+            if self.peek().kind == "eof":
+                raise EclSyntaxError(f"unterminated SERVICE {name}")
+            if self.accept(";"):
+                continue
+            rty = self.next().text
+            fname = self.next().text
+            params = self._parse_params()
+            entry = None
+            if self.accept(":"):
+                while self.peek().text not in (";",) and (
+                    self.peek().kind != "eof"
+                ):
+                    tk = self.next()
+                    if (
+                        tk.text == "entrypoint"
+                        and self.peek().text == "("
+                    ):
+                        self.next()
+                        entry = _unquote(self.next().text)
+                        self.expect(")")
+                    elif self.peek().text == "(":
+                        close = self._match_paren(self.i)
+                        self.i = close + 1
+            self.accept(";")
+            m_c = re.match(
+                r"^rtlCast(U?)Int(\d)$", entry or "", re.I
+            )
+            pname = params[0][0] if params else "value"
+            if m_c:
+                nbytes = int(m_c.group(2))
+                if m_c.group(1):
+                    expr = f"({pname} & {hex((1 << (8 * nbytes)) - 1)})"
+                else:
+                    lo = (1 << (8 * nbytes - 1)) - 1
+                    sign = 1 << (8 * nbytes - 1)
+                    expr = (
+                        f"(({pname} & {hex(lo)}) -"
+                        f" ({pname} & {hex(sign)}))"
+                    )
+                self.functions[fname] = {
+                    "params": params,
+                    "body": [
+                        tk for tk in _lex(expr) if tk.kind != "eof"
+                    ],
+                    "compound": False,
+                    "rettype": rty,
+                    "action_fn": False,
+                }
+                members[fname] = ("func", entry)
+        self.expect("end")
+        self.accept(";")
+        self.shims.setdefault(name, members)
+
     def _enum_def(self, name: str) -> None:
         """ENUM([type,] member[=value], ...): values default to
         previous+1 starting at 1 when the first member is unvalued, 0
@@ -2147,9 +2324,9 @@ class _Parser:
         base = "unsigned4"
         if (
             self._TYPE_RX.match(self.peek().text)
-            and self.toks[self.i + 1].text == ","
-        ):
-            base = self.peek().text
+            or self.peek().text in self.typedefs
+        ) and self.toks[self.i + 1].text == ",":
+            base = self.typedefs.get(self.peek().text, self.peek().text)
             self.next()
             self.next()
         members: dict[str, tuple] = {}
@@ -3357,7 +3534,16 @@ class _Parser:
                     # a bare `ds[n]...` argument is a row/field READ
                     # (dict_case's getBandValue(bands[1].band)) — the
                     # value grammar owns ds[n].field
-                    a = ("ds", self.dataset())
+                    mark_a2 = self.i
+                    try:
+                        a = ("ds", self.dataset())
+                    except EclFailError:
+                        raise
+                    except Exception:
+                        # dataset-keyword head over a scalar
+                        # (issue12644's NOFOLD(10) argument)
+                        self.i = mark_a2
+                        a = ("val", self.value(df))
                 else:
                     a = ("val", self.value(df))
                 if argname is not None:
@@ -3678,6 +3864,14 @@ class _Parser:
             # whole definition table executor-side
             self._pattern_def(name.text, decl_ty)
             self.expect(";")
+            return
+        if self.peek().text == "service" and self.toks[self.i + 1].text in (
+            ":", ";",
+        ) or (
+            self.peek().text == "service"
+            and self.toks[self.i + 1].kind in ("ident", "kw")
+        ):
+            self._service_def(name.text)
             return
         if self.peek().text == "enum" and self.toks[self.i + 1].text == "(":
             # name := ENUM([type,] member[=value], ...) — members fold
@@ -5076,14 +5270,39 @@ class _Parser:
                 + self.toks[self.i :]
             )
         elif self.peek().kind == "ident" and self.peek().text in self.records:
-            # plain named record as format: a vertical slice of its fields
+            # plain named record as format: a vertical slice of its
+            # fields; a field ABSENT from the source with a literal
+            # default becomes a computed member (normalize2's OutRec
+            # string20 name := '')
             fields = self.records[self.next().text]
             pos = self.peek().pos
             spliced: list[_Tok] = [_Tok("op", "{", pos)]
             for k, f in enumerate(fields):
                 if k:
                     spliced.append(_Tok("op", ",", pos))
-                spliced.append(_Tok("ident", f[0], pos))
+                if (
+                    f[0] not in src.columns
+                    and len(f) >= 4
+                    and f[3] is not None
+                    and not isinstance(f[3], tuple)
+                ):
+                    if f[1] == "string" and f[2]:
+                        # keep the declared fixed width (string20
+                        # name := '' renders padded)
+                        spliced.append(
+                            _Tok("ident", f"string{f[2]}", pos)
+                        )
+                    spliced.append(_Tok("ident", f[0], pos))
+                    spliced.append(_Tok("op", ":=", pos))
+                    dv = f[3]
+                    if isinstance(dv, str):
+                        spliced.append(
+                            _Tok("str", "'" + dv.replace("'", "\\'") + "'", pos)
+                        )
+                    else:
+                        spliced.append(_Tok("num", str(dv), pos))
+                else:
+                    spliced.append(_Tok("ident", f[0], pos))
             spliced.append(_Tok("op", "}", pos))
             self.toks = self.toks[: self.i] + spliced + self.toks[self.i :]
         self.expect("{")
@@ -5128,6 +5347,7 @@ class _Parser:
                 member_order.append(nm_u)
             else:
                 t = self.next()
+                ty_m = None
                 if t.kind != "ident":
                     raise EclSyntaxError(
                         f"expected field at {t.pos}, got {t.text!r}"
@@ -5145,7 +5365,8 @@ class _Parser:
                     and self.peek().kind == "ident"
                     and self.toks[self.i + 1].text == ":="
                 ):
-                    t = self.next()  # typed computed field: unsigned x := 0
+                    ty_m = t.text  # typed computed field: unsigned x := 0
+                    t = self.next()
                 if (
                     t.text in self.env
                     and self.peek().text == "."
@@ -5159,6 +5380,13 @@ class _Parser:
                     member_order.append(nm_q)
                 elif self.accept(":="):
                     raw_m = self._field_value(src)
+                    m_w = re.match(r"^string(\d+)$", ty_m or "")
+                    if m_w:
+                        # declared fixed width pads the computed member
+                        # (normalize2's string20 name := '')
+                        raw_m = self._tag_str(
+                            F.rpad(raw_m, int(m_w.group(1)), " ")
+                        )
                     col_m = raw_m.alias(t.text)
                     aggs.append(col_m)
                     raw_aggs.append(
@@ -5166,6 +5394,18 @@ class _Parser:
                     )
                     ordered_members.append(col_m)
                     member_order.append(t.text)
+                elif self.peek().text not in (",", ";", "}"):
+                    # unnamed computed member (issue13081's x[3]+x[1])
+                    self.i -= 1
+                    nm_u = f"_unnamed_{len(aggs) + 1}"
+                    raw_m = self._field_value(src)
+                    col_m = raw_m.alias(nm_u)
+                    aggs.append(col_m)
+                    raw_aggs.append(
+                        (nm_u, raw_m, self._last_field_isagg)
+                    )
+                    ordered_members.append(col_m)
+                    member_order.append(nm_u)
                 else:
                     bare.append(t.text)
                     ordered_members.append(src[t.text])
@@ -5208,6 +5448,15 @@ class _Parser:
                 k = self.next()
             if k.kind != "ident":
                 raise EclSyntaxError(f"expected group key at {k.pos}")
+            if self.peek().text not in (",", ")"):
+                # EXPRESSION group key (issue13081's f1 DIV 2): compute
+                # it as a hidden column and group on that
+                self.i -= 1
+                kexpr = self.value(src)
+                nm_k = f"__gk{len(keys)}__"
+                src = src.withColumn(nm_k, kexpr)
+                keys.append(nm_k)
+                continue
             keys.append(k.text)
         self.expect(")")
         grouped = self._table_has_group_agg
@@ -5545,6 +5794,7 @@ class _Parser:
         declared: list[str] | None = None
         declared_meta: dict | None = None
         if self.peek().text == "{":
+            self._splice_recordof_left(src)
             # try the full typed-record grammar first (inheritance,
             # defaults); fall back to the bare-name list
             mark = self.i
@@ -5579,23 +5829,41 @@ class _Parser:
             )
         assigned: dict[str, Column] = {}
         copy_rest = False
-        while self.accept(",") or self.accept(";"):
-            if self.peek().text == ")":
-                break  # trailing separator
-            s = self.next()
-            if s.text != "self":
-                raise EclSyntaxError(f"expected SELF at {s.pos}")
-            if self.accept("."):
-                field = self.next().text
-                self.expect(":=")
-                assigned[field] = self.value(src)
-            else:
-                self.expect(":=")
-                lk = self.next()
-                if lk.text != "left":
-                    raise EclSyntaxError("only SELF := LEFT is supported")
-                copy_rest = True
+        saved_sa_p = getattr(self, "_self_assigned", None)
+        self._self_assigned = assigned
+        try:
+            while self.accept(",") or self.accept(";"):
+                if self.peek().text == ")":
+                    break  # trailing separator
+                s = self.next()
+                if s.text != "self":
+                    raise EclSyntaxError(f"expected SELF at {s.pos}")
+                if self.accept("."):
+                    field = self.next().text
+                    self.expect(":=")
+                    assigned[field] = self.value(src)
+                else:
+                    self.expect(":=")
+                    lk = self.next()
+                    if lk.text != "left":
+                        raise EclSyntaxError(
+                            "only SELF := LEFT is supported"
+                        )
+                    copy_rest = True
+        finally:
+            self._self_assigned = saved_sa_p
         self.expect(")")
+        while self.accept(","):
+            # trailing PROJECT options: PARALLEL(n) etc. — execution
+            # hints Spark schedules itself (regex_cache)
+            opt_p = self.next()
+            if self.peek().text == "(":
+                close_p = self._match_paren(self.i)
+                self.i = close_p + 1
+            if opt_p.text not in ("parallel", "local", "ordered", "stable"):
+                raise EclSyntaxError(
+                    f"unsupported PROJECT option {opt_p.text!r}"
+                )
         self.expect(")")
         order = declared if declared is not None else list(src.columns)
         cols: list[Column] = []
@@ -5815,10 +6083,32 @@ class _Parser:
         self.expect("(")
         src = self.dataset()
         self.expect(",")
-        if not (
-            self.peek().text == "left"
-            and self.toks[self.i + 1].text == "."
-        ):
+        # child form iff the second argument references LEFT.<child
+        # array> anywhere (normalize3's sort(left.books, ...) wraps it)
+        dt_src = dict(src.dtypes)
+        j0 = self.i
+        depth0 = 0
+        is_child_form = False
+        while j0 < len(self.toks):
+            tx0 = self.toks[j0].text
+            if tx0 in ("(", "[", "{"):
+                depth0 += 1
+            elif tx0 in (")", "]", "}"):
+                if depth0 == 0:
+                    break
+                depth0 -= 1
+            elif tx0 == "," and depth0 == 0:
+                break
+            if (
+                self.toks[j0].text == "left"
+                and self.toks[j0 + 1].text == "."
+                and str(
+                    dt_src.get(self.toks[j0 + 2].text, "")
+                ).startswith("array")
+            ):
+                is_child_form = True
+            j0 += 1
+        if not is_child_form:
             # counter form: NORMALIZE(ds, n, t(LEFT, COUNTER)) — n output
             # rows per input row (TAKnormalize :907), the transform
             # re-parsed in Column mode with COUNTER = 1..n. n may be an
@@ -5860,31 +6150,94 @@ class _Parser:
                 exploded, counter_override=F.col("__ctr__")
             )
             return out
-        lk = self.next()
-        if lk.text != "left" or not self.accept("."):
-            raise EclSyntaxError(f"expected LEFT.<child field> at {lk.pos}")
-        child = self.next().text
-        if child not in src.columns:
-            raise EclSyntaxError(f"unknown child dataset field {child!r}")
+        child_meta = None
+        if (
+            self.peek().text == "left"
+            and self.toks[self.i + 1].text == "."
+            and self.toks[self.i + 3].text == ","
+        ):
+            lk = self.next()
+            self.next()  # '.'
+            child = self.next().text
+            if child not in src.columns:
+                raise EclSyntaxError(
+                    f"unknown child dataset field {child!r}"
+                )
+            child_col = F.col(child)
+        else:
+            # a child EXPRESSION source (normalize3's
+            # sort(left.books, -rating100)): the child grammar owns it
+            saved_rp_n = getattr(self, "_row_params", None)
+            self._row_params = dict(saved_rp_n or {})
+            self._row_params.setdefault("left", src)
+            try:
+                child_col, child_meta = self._child_expr(src)
+            finally:
+                self._row_params = saved_rp_n
+            child = None
         self.expect(",")
         t = self.next()
         if t.text != "transform":
             raise EclSyntaxError(f"expected TRANSFORM at {t.pos}")
         self.expect("(")
+        if self.peek().text == "right" and self.toks[self.i + 1].text == ")":
+            # TRANSFORM(RIGHT) — the child element verbatim
+            # (normalize3's o1/o2)
+            self.next()
+            self.expect(")")
+            self.expect(")")
+            exploded = src.withColumn(
+                "__child__", F.explode(child_col)
+            )
+            if child_meta is not None:
+                names_r = [f[0] for f in child_meta]
+            else:
+                names_r = [
+                    f.name
+                    for f in src.schema[child].dataType.elementType.fields
+                ]
+            gk = self._grouped.get(id(src))
+            sel_r = [F.col("__child__")[n].alias(n) for n in names_r]
+            if gk:
+                # grouped NORMALIZE keeps the PARENT grouping even
+                # though the key fields leave the record (normalize3's
+                # o5/o6): carry them as hidden emit-dropped columns
+                sel_r += [
+                    F.col(k).alias(f"__parent_gk{j}__")
+                    for j, k in enumerate(gk)
+                ]
+            if "__ord__" in exploded.columns:
+                sel_r.append(F.col("__ord__"))
+            out_r = exploded.select(*sel_r)
+            if gk:
+                self._set_grouped(
+                    out_r,
+                    [f"__parent_gk{j}__" for j in range(len(gk))],
+                )
+            if child_meta is not None:
+                self._ds_fields[id(out_r)] = list(child_meta)
+            return out_r
         if self.peek().kind == "ident" and self.peek().text in self.records:
             declared = [f[0] for f in self.records[self.next().text]]
         else:
-            self.expect("{")
-            declared = []
-            while True:
-                f = self.next()
-                if f.kind != "ident":
-                    raise EclSyntaxError(f"expected field at {f.pos}")
-                declared.append(f.text)
-                if not self.accept(","):
-                    break
-            self.expect("}")
-        exploded = src.withColumn("__child__", F.explode(F.col(child)))
+            # typed inline record first (normalize3's {string name,
+            # string author}); fall back to the bare-name list
+            mark_nr = self.i
+            try:
+                declared = [f[0] for f in self._record_fields()]
+            except EclSyntaxError:
+                self.i = mark_nr
+                self.expect("{")
+                declared = []
+                while True:
+                    f = self.next()
+                    if f.kind != "ident":
+                        raise EclSyntaxError(f"expected field at {f.pos}")
+                    declared.append(f.text)
+                    if not self.accept(","):
+                        break
+                self.expect("}")
+        exploded = src.withColumn("__child__", F.explode(child_col))
         saved_right = getattr(self, "_right_struct", None)
         self._right_struct = F.col("__child__")
         copy_sources: list[str] = []
@@ -5916,9 +6269,13 @@ class _Parser:
             self._right_struct = saved_right
         self.expect(")")
         self.expect(")")
-        child_fields = {
-            f.name for f in src.schema[child].dataType.elementType.fields
-        }
+        if child_meta is not None:
+            child_fields = {f[0] for f in child_meta}
+        else:
+            child_fields = {
+                f.name
+                for f in src.schema[child].dataType.elementType.fields
+            }
         parent_fields = set(src.columns) - {"__ord__", child}
         for f in declared:
             if f in assigned:
@@ -8729,6 +9086,11 @@ class _Parser:
         self.expect("distribute")
         self.expect("(")
         df = self.dataset()
+        if self.accept(")"):
+            # bare DISTRIBUTE(ds) — a random redistribution
+            # (issue13081): plan-only; rows and their stream order are
+            # unchanged (the reference's single-node engines no-op it)
+            return df
         self.expect(",")
         cols: list[Column] = []
         if self.peek().text in ("hash", "hash32", "hash64"):
@@ -9532,6 +9894,44 @@ class _Parser:
                     fields.extend(self.records[nx.text])
                 else:
                     fields.extend(self._ds_fields[id(self.env[nx.text])])
+            elif (
+                nx.kind == "ident"
+                and self.toks[self.i + 1].text == "."
+                and self.toks[self.i + 2].kind in ("ident", "kw")
+                and self.toks[self.i + 3].text in (";", ",", "end")
+                and (
+                    nx.text in self.records
+                    or (
+                        nx.text in self.env
+                        and isinstance(self.env[nx.text], DataFrame)
+                    )
+                )
+            ):
+                # qualified single-field inheritance (normalize.ecl's
+                # OutRec := RECORD FlatFile.Value1; END)
+                self.next()
+                self.next()
+                fldn = self.next().text
+                if nx.text in self.records:
+                    src_f = self.records[nx.text]
+                else:
+                    dsrc = self.env[nx.text]
+                    src_f = self._ds_fields.get(id(dsrc))
+                    if src_f is None:
+                        tmap_q = {
+                            "bigint": "long", "int": "long",
+                            "smallint": "long", "tinyint": "long",
+                        }
+                        src_f = [
+                            (c, tmap_q.get(dt, dt), None, None)
+                            for c, dt in dsrc.dtypes
+                        ]
+                hit = next((f for f in src_f if f[0] == fldn), None)
+                if hit is None:
+                    raise EclSyntaxError(
+                        f"unknown field {nx.text}.{fldn} at {nx.pos}"
+                    )
+                fields.append(hit)
             else:
                 fields.append(self._record_member())
             if not (self.accept(";") or self.accept(",")):
@@ -9558,6 +9958,20 @@ class _Parser:
             self.expect(")")
             for p_w in self._when_actions.pop(id(d0), []):
                 self._fire_when(*p_w)
+            out0 = d0.select("*")
+            if id(d0) in self._order:
+                self._set_order(out0, self._order[id(d0)])
+            if id(d0) in self._ds_fields:
+                self._ds_fields[id(out0)] = self._ds_fields[id(d0)]
+            return out0
+        if (
+            self.peek().text == "row"
+            and self.toks[self.i + 1].text == "("
+        ):
+            # DATASET(ROW(t(args))) — an inline one-row dataset
+            # (normalize-dataset-opt's dataset(ROW(myTransf(100))))
+            d0 = self.dataset()
+            self.expect(")")
             out0 = d0.select("*")
             if id(d0) in self._order:
                 self._set_order(out0, self._order[id(d0)])
@@ -11956,6 +12370,18 @@ class _Parser:
         self._skip_shim_qual()  # Files.DG_Fnames[2] -> DG_Fnames[2]
         t = self.next()
         if (
+            t.text == "self"
+            and self.peek().text == "."
+            and getattr(self, "_self_assigned", None) is not None
+            and self.toks[self.i + 1].text
+            in (getattr(self, "_self_assigned", None) or {})
+        ):
+            # read of an already-assigned SELF field inside the same
+            # TRANSFORM (regex_cache's SELF.is_matching :=
+            # SELF.via_regex = SELF.via_find)
+            self.next()
+            return self._self_assigned[self.next().text]
+        if (
             t.kind in ("ident", "kw")
             and t.text in self.enums
             and self.peek().text == "."
@@ -12068,6 +12494,38 @@ class _Parser:
                     lambda v: F.struct(v.cast(fty_v).alias(fname_v)),
                 )
             )
+        if (
+            t.text == "sizeof"
+            and self.peek().text == "("
+            and self.toks[self.i + 2].text == ")"
+        ):
+            # SIZEOF(type|enum|typedef) — folds to the storage byte
+            # width (rtlconst sizes; issue10026 pins enum bases)
+            self.expect("(")
+            tgt_s = self.next().text
+            self.expect(")")
+            base_s = self.typedefs.get(tgt_s, tgt_s)
+            m_s = re.match(
+                r"^(unsigned|integer|string|qstring|varstring|unicode|"
+                r"real|decimal|udecimal|boolean)(\d*)(?:_\d+)?$",
+                base_s,
+            )
+            if not m_s:
+                raise EclSyntaxError(
+                    f"SIZEOF of non-type {tgt_s!r} at {t.pos}"
+                )
+            b_s, d_s = m_s.group(1), m_s.group(2)
+            if b_s == "boolean":
+                n_s = 1
+            elif b_s in ("unsigned", "integer", "real"):
+                n_s = int(d_s or 8)
+            elif b_s in ("decimal", "udecimal"):
+                n_s = (int(d_s or 32) + 1) // 2 + (b_s == "decimal")
+            elif b_s == "unicode":
+                n_s = 2 * int(d_s or 0)
+            else:
+                n_s = int(d_s or 0)
+            return self._mkconst(n_s, "integer")
         if t.text in ("fromjson", "fromxml") and self.peek().text == "(":
             return self._fromtext(t.text == "fromxml", df)
         if (
@@ -12454,13 +12912,42 @@ class _Parser:
             return expr.otherwise(default) if default is not None else expr
         if t.text == "choose" and self.peek().text == "(":
             # CHOOSE(n, v1, ..., vk) — 1-based pick; out-of-range yields
-            # the LAST value (the reference's default-is-last contract)
+            # the LAST value (the reference's default-is-last contract).
+            # A bare SKIP arm drops the row when selected (normalize2's
+            # makeRecSkip)
             self.next()
             n = self.value(df)
             vals = []
+            skip_arms: list[int] = []
             while self.accept(","):
+                if self.peek().text == "skip" and self.toks[
+                    self.i + 1
+                ].text in (",", ")"):
+                    self.next()
+                    skip_arms.append(len(vals) + 1)
+                    vals.append(F.lit(None))
+                    continue
                 vals.append(self.value(df))
             self.expect(")")
+            if skip_arms:
+                sk = None
+                for k_a in skip_arms:
+                    c_a = n == k_a
+                    sk = c_a if sk is None else (sk | c_a)
+                ps = getattr(self, "_pending_skip", None)
+                self._pending_skip = sk if ps is None else (ps | sk)
+                expr = None
+                for i, v in enumerate(vals[:-1]):
+                    expr = (
+                        F.when(n == i + 1, v)
+                        if expr is None
+                        else expr.when(n == i + 1, v)
+                    )
+                return (
+                    expr.otherwise(vals[-1])
+                    if expr is not None
+                    else vals[-1]
+                )
             cn = self._cget(n)
             cvals = [self._cget(v) for v in vals]
             if cn is not None and all(c is not None for c in cvals):
@@ -12843,8 +13330,24 @@ class _Parser:
             self.expect(")")
             cp = self._cget(pat)
             if cp is None:
-                raise EclSyntaxError("REGEXREPLACE needs a constant pattern")
-            rx = ("(?i)" if nc else "") + str(cp[0])
+                # per-row pattern COLUMN (regex_cache's
+                # REGEXREPLACE(LEFT.a[1], LEFT.a, 'x')): group-ref-free
+                # constant replacements only
+                cr0 = self._cget(rep)
+                if cr0 is None or re.search(r"[$\\]", str(cr0[0])):
+                    raise EclSyntaxError(
+                        "REGEXREPLACE with a non-constant pattern needs"
+                        " a plain constant replacement"
+                    )
+                pat_c = pat.cast("string")
+                if nc:
+                    pat_c = F.concat(F.lit("(?i)"), pat_c)
+                return self._tag_str(
+                    F.regexp_replace(
+                        txt.cast("string"), pat_c, F.lit(str(cr0[0]))
+                    )
+                )
+            rx = ("(?i)" if nc else "") + _posix_java(str(cp[0]))
             cr = self._cget(rep)
             if cr is None:
                 raise EclSyntaxError(
@@ -12863,6 +13366,30 @@ class _Parser:
                 txt.cast("string"), rx, _repl_to_java(toks)
             )
             return self._tag_str(out)
+        if t.text == "regexfindset" and self.peek().text == "(":
+            # REGEXFINDSET(pattern, text [, NOCASE]) — SET OF STRING of
+            # every match (eclregex rtlRegexFindSet*); lowered to JVM
+            # regexp_extract_all with POSIX classes translated to Java
+            # \p{...} form
+            self.next()
+            pat = self.value(df)
+            self.expect(",")
+            txt = self.value(df)
+            nc = False
+            while self.accept(","):
+                nc = self.next().text == "nocase" or nc
+            self.expect(")")
+            cp = self._cget(pat)
+            if cp is None:
+                raise EclSyntaxError(
+                    "REGEXFINDSET needs a constant pattern"
+                )
+            rx = ("(?i)" if nc else "") + _posix_java(str(cp[0]))
+            return self._tag_arr(
+                F.regexp_extract_all(
+                    txt.cast("string"), F.lit(rx), F.lit(0)
+                )
+            )
         if t.text == "regexfind" and self.peek().text == "(":
             # REGEXFIND(pattern, text [, group] [, NOCASE]) — boolean
             # match, or the numbered capture group's text
@@ -12882,7 +13409,7 @@ class _Parser:
             cp = self._cget(pat)
             if cp is None:
                 raise EclSyntaxError("REGEXFIND needs a constant pattern")
-            rx = ("(?i)" if nc else "") + str(cp[0])
+            rx = ("(?i)" if nc else "") + _posix_java(str(cp[0]))
             if group is None:
                 return txt.cast("string").rlike(rx)
             if group > _rx_groups(rx) and group > 0:
@@ -14667,7 +15194,7 @@ class _Parser:
         t = self.next()
         rp0 = getattr(self, "_row_params", None) or {}
         if (
-            t.kind == "ident"
+            t.kind in ("ident", "kw")
             and t.text in rp0
             and isinstance(rp0[t.text], DataFrame)
             and self.peek().text == "."
@@ -14690,6 +15217,8 @@ class _Parser:
                 if k.text == "-":
                     k = self.next()
                     desc = True
+                elif k.text == "+":
+                    k = self.next()
                 keys.append((k.text, desc))
             self.expect(")")
             tymap0 = {nm: ty for nm, ty, _w, _d in fields}
@@ -16286,6 +16815,10 @@ class _Parser:
         self.i = 0
         assigned: dict[str, Column] = {}
         skip_cond = None
+        saved_sa = getattr(self, "_self_assigned", None)
+        # later members may READ already-assigned SELF fields
+        # (regex_cache's SELF.is_matching := SELF.via_regex = ...)
+        self._self_assigned = assigned
         try:
             # leading attributes: TRANSFORM, SKIP(cond) ...
             while self.peek().text == ",":
@@ -16382,6 +16915,7 @@ class _Parser:
             self.toks, self.i = saved_toks, saved_i
             self._struct_locals = saved_sl
             self._col_dicts = saved_cd
+            self._self_assigned = saved_sa
             ps = getattr(self, "_pending_skip", None)
             self._pending_skip = saved_ps
         if ps is not None:
@@ -16910,6 +17444,117 @@ class _Parser:
 
             fa, fb = fold(a), fold(b)
             return self._mkconst((fa > fb) - (fa < fb), "integer")
+        if fn in (
+            "localefind", "localefindatstrength", "localefindreplace",
+            "localefindatstrengthreplace",
+        ):
+            # ICU locale find/replace surface (Std/Uni.ecl:97-140,
+            # lib_unicodelib): collation-strength folding driver-side —
+            # strength 1 ignores case+accents, 2 ignores case, other
+            # values compare exact (issue9879 pins the matrix)
+            consts = [
+                self._cget(a) if isinstance(a, Column) else (a, "string")
+                for a in args
+            ]
+            if any(c is None for c in consts):
+                raise EclSyntaxError(
+                    f"{fn} supports constant arguments here"
+                )
+            vals = [c[0] for c in consts]
+
+            def _fold_s(x: str, s: int) -> str:
+                if s <= 0 or s >= 3:
+                    return x
+                x = x.lower()
+                if s == 1:
+                    x = "".join(
+                        ch
+                        for ch in unicodedata.normalize("NFD", x)
+                        if not unicodedata.combining(ch)
+                    )
+                return x
+
+            src_s, tgt = str(vals[0]), str(vals[1])
+            if fn in ("localefind", "localefindatstrength"):
+                inst = int(vals[2])
+                s_v = int(vals[4]) if fn == "localefindatstrength" else 3
+                if not tgt or not src_s:
+                    return self._mkconst(0, "integer")
+                fs, ft = _fold_s(src_s, s_v), _fold_s(tgt, s_v)
+                k, start = 0, 0
+                while True:
+                    j = fs.find(ft, start)
+                    if j < 0:
+                        return self._mkconst(0, "integer")
+                    k += 1
+                    if k == inst:
+                        return self._mkconst(j + 1, "integer")
+                    start = j + 1
+            rep = str(vals[2])
+            s_v = (
+                int(vals[4])
+                if fn == "localefindatstrengthreplace"
+                else 3
+            )
+            if not tgt or not src_s:
+                return self._mkconst(src_s, "string")
+            fs, ft = _fold_s(src_s, s_v), _fold_s(tgt, s_v)
+            out_l: list = []
+            i0 = 0
+            while i0 < len(fs):
+                if ft and fs[i0 : i0 + len(ft)] == ft:
+                    out_l.append(rep)
+                    i0 += len(ft)
+                else:
+                    out_l.append(src_s[i0])
+                    i0 += 1
+            return self._mkconst("".join(out_l), "string")
+        if fn in ("reverse", "touppercase", "tolowercase"):
+            # Std.Uni scalar surface (Std/Uni.ecl): python str
+            # semantics are the unicode semantics here — .upper()
+            # expands ligatures like the reference (issue10475's
+            # baﬄe → BAFFLE)
+            a0 = args[0]
+            c0 = self._cget(a0) if isinstance(a0, Column) else (a0, "string")
+            if c0 is not None:
+                s0 = str(c0[0])
+                r0 = (
+                    s0[::-1]
+                    if fn == "reverse"
+                    else s0.upper() if fn == "touppercase" else s0.lower()
+                )
+                return self._mkconst(r0, "string")
+            col0 = a0 if isinstance(a0, Column) else F.lit(a0)
+            if fn == "reverse":
+                return self._tag_str(F.reverse(col0.cast("string")))
+            if fn == "touppercase":
+                return self._tag_str(F.upper(col0.cast("string")))
+            return self._tag_str(F.lower(col0.cast("string")))
+        if fn in ("substituteincluded", "substituteexcluded"):
+            # unicode twin of the Str form (Std.Uni.ecl): same JVM
+            # char-array transform
+            src0, flt, repc = (
+                a if isinstance(a, Column) else F.lit(a)
+                for a in (args[0], args[1], args[2])
+            )
+            want_in = fn == "substituteincluded"
+
+            def _sub1u(c):
+                hit = F.contains(flt.cast("string"), c)
+                return F.when(F.length(c) == 0, c).otherwise(
+                    F.when(
+                        hit if want_in else ~hit, repc.cast("string")
+                    ).otherwise(c)
+                )
+
+            return self._tag_str(
+                F.array_join(
+                    F.transform(
+                        F.split(src0.cast("string"), ""), _sub1u
+                    ),
+                    "",
+                )
+            )
         raise EclSyntaxError(f"unsupported STD.Uni function {fn!r}")
 
     def _std_call(self, df, mod: str | None = None) -> Column:
@@ -17018,6 +17663,31 @@ class _Parser:
                 )
             return self._tag_str(
                 F.replace(args[0], F.lit(tgt), F.lit(rep))
+            )
+        if fn in ("substituteincluded", "substituteexcluded"):
+            # replace every char of src IN (resp. NOT IN) the filter
+            # with the replacement char (Std.Str.ecl:118-135); filter
+            # may be a per-row COLUMN (regex_cache) — a JVM char-array
+            # transform, no python in the row path
+            src0, flt, repc = (
+                a if isinstance(a, Column) else F.lit(a)
+                for a in (args[0], args[1], args[2])
+            )
+            want_in = fn == "substituteincluded"
+
+            def _sub1(c):
+                hit = F.contains(flt.cast("string"), c)
+                return F.when(F.length(c) == 0, c).otherwise(
+                    F.when(
+                        hit if want_in else ~hit, repc.cast("string")
+                    ).otherwise(c)
+                )
+
+            return self._tag_str(
+                F.array_join(
+                    F.transform(F.split(src0.cast("string"), ""), _sub1),
+                    "",
+                )
             )
         raise EclSyntaxError(f"unsupported STD.Str function {fn!r}")
 

@@ -305,6 +305,26 @@ VERBATIM = [
     # global grouped datasets read through RECORDOF child members
     # (ExplicitGlobalTransformer pins, hqlhoist.cpp)
     "groupglobal1a", "groupglobal2a", "groupglobal3a",
+    # NORMALIZE front-door breadth (TAKnormalize/TAKnormalizechild
+    # :907/:910): counter form over LEFT.<count field>, statement-level
+    # MACRO expansion with token-text defaults, SKIP inside CHOOSE,
+    # TRANSFORM(RIGHT) shorthand, sorted/typed child sources, grouped
+    # NORMALIZE keeping parent groups, DATASET(ROW(t(...)))
+    "normalize", "normalize2", "normalize3", "normalize-dataset-opt",
+    # regex breadth (eclregex rtlRegex*): REGEXFINDSET via
+    # regexp_extract_all, POSIX [:class:] → Java \p{...} translation,
+    # per-row pattern COLUMNS (the regex-cache stress), SELF-field
+    # reads inside a TRANSFORM, Str/Uni SubstituteIncluded/Excluded as
+    # JVM char-array transforms
+    "regexfindset", "regex_replace_fixed", "regex_cache_string",
+    "regex_cache_unicode", "regex_cache_utf8",
+    # issue-number pins: UTF-16LE sources + NFC-normalized unicode
+    # constants (issue10475), ICU LocaleFind/Replace strength matrix
+    # (issue9879), SERVICE rtlCast(U)IntN truncating casts
+    # (issue12644), TABLE expression keys + unnamed computed members +
+    # bare DISTRIBUTE (issue13081), SIZEOF of enums (issue10026)
+    "issue10475", "issue9879", "issue12644", "issue13081",
+    "issue10026",
 ]
 
 
@@ -428,11 +448,20 @@ def _render(v):
     return str(v)
 
 
+def read_ecl(path: str) -> str:
+    """Read a regress .ecl source honouring its BOM (issue10475 is
+    UTF-16LE; issue13336 carries a UTF-8 BOM)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return raw.decode("utf-16")
+    return raw.decode("utf-8-sig")
+
+
 @pytest.mark.skipif(not os.path.isdir(_ECL_DIR), reason="reference tree absent")
 @pytest.mark.parametrize("name", VERBATIM)
 def test_reference_regress_file_verbatim(name, spark):
-    with open(os.path.join(_ECL_DIR, f"{name}.ecl")) as f:
-        text = f.read()
+    text = read_ecl(os.path.join(_ECL_DIR, f"{name}.ecl"))
     expected = _expected(name)
     if isinstance(expected, tuple) and expected[0] == "__exception__":
         with pytest.raises(Exception, match=re.escape(expected[1])):

@@ -29,8 +29,8 @@ sys.path.insert(0, os.path.join(_REPO, "tests"))
 from test_reference_regress import _expected, _render
 
 for name in sys.argv[1:]:
-    with open(os.path.join(_ECL, f"{name}.ecl")) as f:
-        text = f.read()
+    from test_reference_regress import read_ecl
+    text = read_ecl(os.path.join(_ECL, f"{name}.ecl"))
     print(f"==== {name} ====")
     try:
         from test_reference_regress import _queryxml

@@ -48,8 +48,8 @@ else:
 npass = 0
 for name in names:
     try:
-        with open(os.path.join(_ECL, f"{name}.ecl")) as f:
-            text = f.read()
+        from test_reference_regress import read_ecl
+        text = read_ecl(os.path.join(_ECL, f"{name}.ecl"))
         expected = _expected(name)
         if isinstance(expected, tuple) and expected[0] == "__exception__":
             try:
