@@ -412,6 +412,12 @@ def _unquote(tok_text: str) -> str:
                 out.append(chr(int(raw[i + 2 : i + 6], 16)))
                 i += 6
                 continue
+            if re.match(r"[0-7]{3}", raw[i + 1 : i + 4]):
+                # 3-digit OCTAL escape (hqlparse.cpp
+                # processStringLiteral; regex_patterns' '\006')
+                out.append(chr(int(raw[i + 1 : i + 4], 8)))
+                i += 4
+                continue
             out.append(_ESCAPES.get(nxt, nxt))
             i += 2
         else:
@@ -502,6 +508,83 @@ def _posix_java(rx: str) -> str:
         ) + "}",
         rx,
     )
+
+
+_POSIX_PY = {
+    "alpha": "a-zA-Z", "digit": "0-9", "alnum": "a-zA-Z0-9",
+    "space": r" \t\r\n\f\v", "upper": "A-Z", "lower": "a-z",
+    "xdigit": "0-9A-Fa-f", "blank": r" \t",
+    "cntrl": r"\x00-\x1f\x7f", "print": r"\x20-\x7e",
+    "graph": r"\x21-\x7e",
+    "punct": r"!-/:-@\[-`{-~",
+}
+
+
+def _posix_py(rx: str) -> str:
+    """POSIX bracket classes to python `re` ranges (python has no
+    \\p{...}); used by the per-row pattern evaluator."""
+    return re.sub(
+        r"\[:(\w+):\]",
+        lambda m: _POSIX_PY.get(m.group(1), m.group(0)),
+        rx,
+    )
+
+
+def _pcre_to_py(rx: str) -> str:
+    """Best-effort PCRE → python-regex pattern translation for the
+    per-row evaluator (regex_patterns compat matrix): \\Z end-before-
+    final-newline, \\V/\\R newline classes, (?(<name>)...)
+    conditionals, \\g absolute/relative backrefs, (*PRUNE) as a
+    never-match. Constructs with no analogue are left alone — they
+    fail to compile and read as no-match."""
+    rx = _posix_py(rx)
+    rx = rx.replace("\\Z", "(?=\\n?\\Z)")
+    rx = rx.replace("\\V", "[^\\n\\x0b\\f\\r\\x85\\u2028\\u2029]")
+    rx = rx.replace(
+        "\\R", "(?:\\r\\n|[\\n\\x0b\\f\\r\\x85\\u2028\\u2029])"
+    )
+    rx = re.sub(r"\(\?\(<(\w+)>\)", r"(?(\1)", rx)
+    # (?(R)...)/(?(R&name)...)/(?(Rn)...) recursion conditionals: the
+    # branch is optional outside recursion
+    rx = re.sub(r"\(\?\(R(?:&\w+|\d+)?\)([^)]*)\)", r"(?:\1)?", rx)
+    rx = rx.replace("(*PRUNE)", "(?!)")
+    # \gN / \g{N} / \g-N / \g{-N} backrefs → absolute \N
+    out: list = []
+    i = 0
+    gcount = 0
+    while i < len(rx):
+        c = rx[i]
+        if c == "\\" and rx[i + 1 : i + 2] == "g":
+            j = i + 2
+            if j < len(rx) and rx[j] == "{":
+                k = rx.find("}", j)
+                body, j2 = rx[j + 1 : k], k + 1
+            else:
+                mm = re.match(r"-?\d+", rx[j:])
+                body = mm.group(0) if mm else ""
+                j2 = j + len(body)
+            if body.lstrip("-").isdigit() and body:
+                n = int(body)
+                absn = gcount + 1 + n if n < 0 else n
+                out.append("\\" + str(absn))
+                i = j2
+                continue
+        if c == "(" and not rx.startswith("(?", i):
+            gcount += 1
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _pcre_compile(pp: str, flags: int):
+    """Compile via the `regex` module (closest to PCRE) when present,
+    else stdlib re."""
+    try:
+        import regex as _rex
+
+        return _rex.compile(_pcre_to_py(pp), flags | _rex.VERSION1)
+    except ImportError:
+        return re.compile(_pcre_to_py(pp), flags)
 
 
 def _rx_groups(rx: str) -> int:
@@ -754,7 +837,9 @@ class _Parser:
         # persons stream)
         self._frame_path: dict[int, tuple] = {}
         self._in_output = 0
-        self.noop_actions: set[str] = set()
+        # dbglog is the builtin engine-log action (issue23168) — a
+        # no-op here like the Std.System.Debug members
+        self.noop_actions: set[str] = {"dbglog"}
         self.action_once: set[str] = set()
         self._action_ran: set[str] = set()
         self.action_handlers: dict[str, dict] = {}
@@ -2002,6 +2087,10 @@ class _Parser:
         if comma is None:
             return False
         nx = self.toks[comma + 1]
+        if nx.text == "transform" and self.toks[comma + 2].text == "(":
+            # anonymous inline TRANSFORM(rec, SELF... ) (issue16322's
+            # nested SELF.child := DATASET(n, TRANSFORM(r1, ...)))
+            return True
         return (
             nx.kind in ("ident", "kw")
             and nx.text in self.functions
@@ -2022,6 +2111,33 @@ class _Parser:
         self.expect("(")
         nval = self.value(df)
         self.expect(",")
+        if self.peek().text == "transform":
+            # anonymous inline TRANSFORM(rec, SELF.f := ..., ...)
+            self.next()
+            self.expect("(")
+            recn = self.next().text
+            if recn not in self.records:
+                raise EclSyntaxError(
+                    f"unknown transform record {recn!r}"
+                )
+            out_fields3 = self.records[recn]
+            self.accept(",")
+            body3: list = []
+            depth = 0
+            while not (depth == 0 and self.peek().text == ")"):
+                tk = self.next()
+                if tk.kind == "eof":
+                    raise EclSyntaxError("unterminated TRANSFORM")
+                depth += tk.text in ("(", "[", "{")
+                depth -= tk.text in (")", "]", "}")
+                body3.append(tk)
+            self.expect(")")
+            self.expect(")")
+            spans3: list[list] = []
+            params3 = []
+            return self._count_transform_arr(
+                nval, body3, out_fields3, params3, spans3, df
+            )
         fname3 = self.next().text
         fn3 = self.functions[fname3]
         while not fn3.get("transform"):
@@ -2046,9 +2162,17 @@ class _Parser:
         self.expect(")")
         self.expect(")")
         out_fields3 = self._resolve_record_fields(fn3.get("rettype"))
+        return self._count_transform_arr(
+            nval, fn3["body"], out_fields3, fn3["params"], spans3, df
+        )
+
+    def _count_transform_arr(
+        self, nval, body3, out_fields3, params3, spans3, df
+    ):
+        """Shared tail of _child_count_transform: sequence + element
+        struct builder from a transform body token list."""
         # split the body into (field, expr span) assignments
         assigns: list[tuple] = []
-        body3 = fn3["body"]
         k = 0
         while k < len(body3):
             if body3[k].text in (";", ","):
@@ -2083,10 +2207,9 @@ class _Parser:
                     k += 1
                 continue
             raise EclSyntaxError(
-                f"{fname3}: unsupported transform member at"
+                "unsupported transform member at"
                 f" {body3[k].pos}"
             )
-        params3 = fn3["params"]
 
         def elem(ctr):
             saved_sc = self.scalars
@@ -2313,6 +2436,43 @@ class _Parser:
         self.expect("end")
         self.accept(";")
         self.shims.setdefault(name, members)
+
+    def _regexextract_const(self) -> list:
+        """Parse and fold REGEXEXTRACT(pattern, text [, NOCASE]): ONE
+        match attempt; element 1 is the subject with every matched
+        GROUP's characters erased, elements 2..N+1 the capture groups
+        ('' when unset); no match → just [subject]
+        (rtl/eclrtl/eclregex.cpp getExtract)."""
+        self.expect("regexextract")
+        self.expect("(")
+        pat = self.value(self._dummy())
+        self.expect(",")
+        txt = self.value(self._dummy())
+        nc = False
+        while self.accept(","):
+            nc = self.next().text == "nocase" or nc
+        self.expect(")")
+        cp, ct = self._cget(pat), self._cget(txt)
+        if cp is None or ct is None:
+            raise EclSyntaxError(
+                "REGEXEXTRACT needs constant arguments here"
+            )
+        rx, s = str(cp[0]), str(ct[0])
+        m = re.search(rx, s, re.I if nc else 0)
+        if m is None or m.re.groups == 0:
+            return [s]
+        erase = [False] * len(s)
+        groups: list = []
+        for gi in range(1, m.re.groups + 1):
+            sp = m.span(gi)
+            if sp == (-1, -1):
+                groups.append("")
+            else:
+                groups.append(m.group(gi) or "")
+                for y in range(sp[0], sp[1]):
+                    erase[y] = True
+        src2 = "".join(ch for k2, ch in enumerate(s) if not erase[k2])
+        return [src2] + groups
 
     def _enum_def(self, name: str) -> None:
         """ENUM([type,] member[=value], ...): values default to
@@ -2899,6 +3059,13 @@ class _Parser:
         if (
             t.kind == "ident"
             and t.text in self.dicts
+            and self.toks[self.i + 1].text in (")", ",")
+        ):
+            # OUTPUT(dict) — the whole dictionary as rows (dict_matrix)
+            return self._dict_to_df(self.dicts[self.next().text])
+        if (
+            t.kind == "ident"
+            and t.text in self.dicts
             and self.toks[self.i + 1].text == "["
         ):
             mark = self.i
@@ -2993,9 +3160,16 @@ class _Parser:
             and self.toks[self.i + 4].text == ":="
         ):
             return True
-        # TYPEOF(ds)/RECORDOF(ds) rettype prefix (keyed_fetch, fetch2)
+        # TYPEOF(ds)/RECORDOF(ds) rettype prefix (keyed_fetch, fetch2;
+        # dict_if's zero-param TYPEOF(dict) definition)
         if t.text in ("typeof", "recordof") and nxt.text == "(":
             close = self._match_paren(self.i + 1)
+            if (
+                close is not None
+                and self.toks[close + 1].kind in ("ident", "kw")
+                and self.toks[close + 2].text == ":="
+            ):
+                return True
             if (
                 close is not None
                 and self.toks[close + 1].kind in ("ident", "kw")
@@ -3794,7 +3968,7 @@ class _Parser:
             and self.toks[self.i].text == "("
             and (close_t := self._match_paren(self.i)) is not None
             and self.toks[close_t + 1].kind in ("ident", "kw")
-            and self.toks[close_t + 2].text == "("
+            and self.toks[close_t + 2].text in ("(", ":=")
         ):
             # TYPEOF/RECORDOF(ds) return-type prefix: synthesize a
             # record from the dataset's field meta (keyed_fetch, fetch2)
@@ -3802,6 +3976,23 @@ class _Parser:
             self._skip_shim_qual()
             dsname = self.next().text
             self.i = close_t + 1
+            if dsname in self.dicts:
+                # TYPEOF(dict) rettype — a DICTIONARY-valued function
+                # (dict_func's _color2code) or plain definition
+                # (dict_if's color2code := IF(...))
+                name = self.next()
+                if self.peek().text == ":=":
+                    self.next()
+                    self.dicts[name.text] = self._fold_dict_expr(
+                        name.text
+                    )
+                    self.accept(";")
+                    return
+                params = self._parse_params()
+                self.expect(":=")
+                self._last_rettype = "__dict__"
+                self._capture_function_body(name.text, params)
+                return
             dfd = self.env.get(dsname)
             meta = (
                 self._ds_fields.get(id(dfd)) if dfd is not None else None
@@ -3893,6 +4084,31 @@ class _Parser:
                 self.next()
             self.expect(";")
             self.typedefs[name.text] = "setofdataset" if is_ds else "set"
+            return
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.functions
+            and self.functions[self.peek().text].get("rettype")
+            == "__dict__"
+            and self.toks[self.i + 1].text == "("
+        ):
+            # a DICTIONARY-valued function call (dict_func's
+            # color2code := _color2code(lang)): the body is a dict name
+            # or an IF tree over dict names, folded driver-side
+            self.dicts[name.text] = self._call_dict_function(
+                self.next().text
+            )
+            self.accept(";")
+            return
+        if (
+            self.peek().text == "regexextract"
+            and self.toks[self.i + 1].text == "("
+        ):
+            # name := REGEXEXTRACT(pat, text [, NOCASE]) — a SET OF
+            # STRING: [source-with-group-chars-erased, group1, ...]
+            # (eclregex.cpp getExtract; regex_extract pins the shape)
+            self.sets[name.text] = self._regexextract_const()
+            self.expect(";")
             return
         if self._try_type_alias(name.text):
             return
@@ -4116,8 +4332,25 @@ class _Parser:
             self.modules[name.text] = self._parse_module()
             kind = "module"
         elif self.peek().text == "{":
-            # brace-form record definition: r := { string text; };
-            self.records[name.text] = self._record_fields()
+            close_r = self._match_brace(self.i)
+            has_kv = close_r is not None and any(
+                tk.text == "=>" for tk in self.toks[self.i : close_r]
+            )
+            if has_kv:
+                # named DICTIONARY layout (dict_matrix's
+                # { integer4 X, integer4 Y => real8 V {default} })
+                kv = self._dict_record()
+                if not hasattr(self, "records_kv"):
+                    self.records_kv = {}
+                self.records_kv[name.text] = kv
+                # a flat field view for DATASET(dict)/renders
+                self.records[name.text] = [
+                    (nm, ty or "long", None, None)
+                    for nm, ty in kv[0] + kv[1]
+                ]
+            else:
+                # brace-form record definition: r := { string text; };
+                self.records[name.text] = self._record_fields()
             kind = "record"
         elif (
             self.peek().text == "["
@@ -4351,6 +4584,18 @@ class _Parser:
     def _bare_action(self) -> None:
         """A bare expression statement — the reference emits it as the
         next numbered result (``Result N``)."""
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.noop_actions
+            and self.toks[self.i + 1].text == "("
+        ):
+            # no-op diagnostic action (dbglog; issue23168): evaluate
+            # nothing, emit nothing
+            self.next()
+            close_n = self._match_paren(self.i)
+            self.i = close_n + 1
+            self.accept(";")
+            return
         mark = self.i
         try:
             df = self.dataset()
@@ -4994,6 +5239,10 @@ class _Parser:
                     df = r
             elif t.text in self.deferred:
                 df = self._resolve_deferred(t.text)
+            elif t.text in self.dicts and self.peek().text != "[":
+                # a bare dictionary in dataset position (dict_matrix's
+                # `m1;` statement)
+                df = self._dict_to_df(self.dicts[t.text])
             elif t.text not in self.env:
                 raise EclSyntaxError(f"unknown dataset {t.text!r} at {t.pos}")
             else:
@@ -5976,8 +6225,12 @@ class _Parser:
         self.expect(")")
         while self.accept(","):
             opt = self.next()
-            if opt.text not in ("local", "parallel"):
+            if opt.text not in ("local", "parallel", "ordered", "stable"):
                 raise EclSyntaxError(f"unknown PROJECT option {opt.text!r}")
+            if self.peek().text == "(":
+                # PARALLEL(n) — a worker-count hint (issue16322)
+                close_o = self._match_paren(self.i)
+                self.i = close_o + 1
         self.expect(")")
         out_cols, skip_cond, out_fields = self._named_transform_cols(
             fn, roles, base, counter_col
@@ -9965,6 +10218,15 @@ class _Parser:
                 self._ds_fields[id(out0)] = self._ds_fields[id(d0)]
             return out0
         if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.dicts
+            and self.toks[self.i + 1].text == ")"
+        ):
+            # DATASET(dict) — the dictionary's rows (dict_matrix)
+            d0d = self._dict_to_df(self.dicts[self.next().text])
+            self.expect(")")
+            return d0d
+        if (
             self.peek().text == "row"
             and self.toks[self.i + 1].text == "("
         ):
@@ -11116,6 +11378,11 @@ class _Parser:
         A NAMED record (all fields keys, no values — serial7a's
         wordRec) also accepts."""
         self._skip_shim_qual()
+        if self.peek().kind == "ident" and self.peek().text in getattr(
+            self, "records_kv", {}
+        ):
+            # named {keys => values} layout (dict_matrix's matrix)
+            return self.records_kv[self.next().text]
         if (
             self.peek().kind == "ident"
             and self.peek().text in self.records
@@ -11335,6 +11602,127 @@ class _Parser:
             "value_fields": value_fields,
             "defaults": defaults,
         }
+
+    def _call_dict_function(self, fname: str) -> dict:
+        """Call a TYPEOF(dict)-returning function: bind scalar args,
+        fold the body's IF tree to a dictionary (dict_func)."""
+        fn = self.functions[fname]
+        self.expect("(")
+        args = []
+        if self.peek().text != ")":
+            while True:
+                args.append(self.value(self._dummy()))
+                if not self.accept(","):
+                    break
+        self.expect(")")
+        saved_sc = self.scalars
+        self.scalars = dict(self.scalars)
+        saved_toks, saved_i = self.toks, self.i
+        try:
+            for k, (pname, pty, pdflt) in enumerate(fn["params"]):
+                if k < len(args):
+                    self.scalars[pname] = args[k]
+                elif pdflt is not None and pdflt[0] != "__span__":
+                    self.scalars[pname] = self._mkconst(*pdflt)
+            body = fn["body"]
+            self.toks = body + [_Tok("eof", "", 0)]
+            self.i = 0
+            return self._fold_dict_expr(fname)
+        finally:
+            self.toks, self.i = saved_toks, saved_i
+            self.scalars = saved_sc
+
+    def _fold_dict_expr(self, label: str) -> dict:
+        """Fold a dictionary-valued expression at the cursor: a dict
+        name or an IF tree over dict names with a constant condition
+        (dict_func/dict_if)."""
+        self._skip_shim_qual()
+        t0 = self.peek()
+        if t0.kind == "ident" and t0.text in self.dicts:
+            return self.dicts[self.next().text]
+        if t0.text == "if" and self.toks[self.i + 1].text == "(":
+            self.next()
+            self.expect("(")
+            cond = self.value(self._dummy())
+            cc = self._cget(cond)
+            if cc is None:
+                raise EclSyntaxError(
+                    f"{label}: dictionary IF needs a constant condition"
+                )
+            self.expect(",")
+            a = self._fold_dict_expr(label)
+            self.expect(",")
+            b = self._fold_dict_expr(label)
+            self.expect(")")
+            return a if bool(cc[0]) else b
+        raise EclSyntaxError(
+            f"{label}: unsupported dictionary expression at {t0.pos}"
+        )
+
+    def _dict_to_df(self, d: dict) -> DataFrame:
+        """A whole DICTIONARY rendered as rows — key fields then value
+        fields, in load order (dict_matrix's output(m1))."""
+        kf = d["key_fields"]
+        vf = d["value_fields"]
+        tymap = dict(vf)
+        rows = []
+        for k in d["keys"]:
+            kt = k if isinstance(k, tuple) else (k,)
+            entry = d["values"].get(k, {})
+            vals = []
+            for n, ty in vf:
+                v = entry.get(n)
+                if v is None:
+                    v = d["defaults"].get(n, self._type_zero(ty))
+                if ty in ("double", "float") and v is not None:
+                    v = float(v)
+                vals.append(v)
+            rows.append(tuple(kt) + tuple(vals))
+        names = kf + [n for n, _ in vf]
+
+        first_entry = (
+            d["values"].get(d["keys"][0], {}) if d["keys"] else {}
+        )
+
+        def sqlty(ty, nm=None):
+            if ty is None and nm is not None:
+                v0 = first_entry.get(nm, d["defaults"].get(nm))
+                if isinstance(v0, str):
+                    return "string"
+                if isinstance(v0, bool):
+                    return "boolean"
+                if isinstance(v0, float):
+                    return "double"
+                return "long"
+            return {
+                None: "long", "long": "long", "double": "double",
+                "string": "string", "boolean": "boolean",
+                "float": "float",
+            }.get(ty, ty or "long")
+
+        k0 = (
+            d["keys"][0]
+            if d["keys"]
+            else None
+        )
+        k0t = k0 if isinstance(k0, tuple) else (k0,)
+        ktypes = [
+            "string" if isinstance(v, str)
+            else "double" if isinstance(v, float)
+            else "long"
+            for v in (k0t if k0 is not None else [0] * len(kf))
+        ]
+        schema = ", ".join(
+            f"{n} {t}"
+            for n, t in zip(
+                names, ktypes + [sqlty(ty, _n) for _n, ty in vf]
+            )
+        )
+        out = self.spark().createDataFrame(rows, schema).coalesce(1)
+        self._ds_fields[id(out)] = [
+            (n, kt, None, None) for n, kt in zip(kf, ktypes)
+        ] + [(n, sqlty(ty, n), None, None) for n, ty in vf]
+        return out
 
     def _index_def(self) -> DataFrame:
         """INDEX(base, {keys} [, {payload}] [, nameexpr] [, opts]) /
@@ -13408,7 +13796,38 @@ class _Parser:
             self.expect(")")
             cp = self._cget(pat)
             if cp is None:
-                raise EclSyntaxError("REGEXFIND needs a constant pattern")
+                if group is not None:
+                    raise EclSyntaxError(
+                        "REGEXFIND group extraction needs a constant"
+                        " pattern"
+                    )
+                # per-row pattern COLUMN, boolean form (regex_patterns'
+                # PCRE-compat matrix): arbitrary patterns may not even
+                # COMPILE under Java regex, which would abort the whole
+                # job — an Arrow-batched python `re` evaluator with a
+                # per-pattern cache; an uncompilable pattern reads as
+                # no-match (the reference's harness skips them)
+                import pandas as _pd
+                from pyspark.sql.functions import pandas_udf
+
+                flags0 = re.I if nc else 0
+
+                def _refind_fn(p, s):
+                    cache: dict = {}
+                    out = []
+                    for pp, ss in zip(p, s):
+                        try:
+                            cre = cache.get(pp)
+                            if cre is None:
+                                cre = _pcre_compile(pp or "", flags0)
+                                cache[pp] = cre
+                            out.append(bool(cre.search(ss or "")))
+                        except Exception:
+                            out.append(False)
+                    return _pd.Series(out)
+
+                _refind = pandas_udf(_refind_fn, "boolean")
+                return _refind(pat.cast("string"), txt.cast("string"))
             rx = ("(?i)" if nc else "") + _posix_java(str(cp[0]))
             if group is None:
                 return txt.cast("string").rlike(rx)
@@ -13605,7 +14024,18 @@ class _Parser:
                     self.expect("]")
                     if a is None:
                         raise EclSyntaxError(f"set index needed at {t.pos}")
-                    ev = v[a - 1]
+                    if a < 1 or a > len(v):
+                        # out-of-range set index reads the element
+                        # type's empty value (rtl set deref;
+                        # regex_extract's r2[3] on a 1-element set)
+                        ev0 = v[0] if v else ""
+                        ev = (
+                            "" if isinstance(ev0, str)
+                            else False if isinstance(ev0, bool)
+                            else 0
+                        )
+                    else:
+                        ev = v[a - 1]
                     ety = (
                         "string" if isinstance(ev, str)
                         else "boolean" if isinstance(ev, bool)
@@ -16815,6 +17245,7 @@ class _Parser:
         self.i = 0
         assigned: dict[str, Column] = {}
         skip_cond = None
+        local_spans: dict = {}
         saved_sa = getattr(self, "_self_assigned", None)
         # later members may READ already-assigned SELF fields
         # (regex_cache's SELF.is_matching := SELF.via_regex = ...)
@@ -16860,6 +17291,28 @@ class _Parser:
                     self.next()  # ':='
                     self.scalars[lname] = self.value(df)
                     self._struct_locals[lname] = lrec
+                    continue
+                if (
+                    st.kind == "ident"
+                    and st.text != "self"
+                    and self.peek().text == ":="
+                ):
+                    # transform-body LOCAL definition (issue16322's
+                    # d := DEDUP(l.child, id)): captured as a span —
+                    # uses re-bind through the child grammar, exactly
+                    # the reference's per-row child-query scoping
+                    self.next()  # ':='
+                    span_l: list = []
+                    d_l = 0
+                    while self.peek().kind != "eof" and not (
+                        d_l == 0 and self.peek().text in (";", ",")
+                    ):
+                        tk_l = self.next()
+                        d_l += tk_l.text in ("(", "[", "{")
+                        d_l -= tk_l.text in (")", "]", "}")
+                        span_l.append(tk_l)
+                    local_spans[st.text] = self.ds_spans.get(st.text)
+                    self.ds_spans[st.text] = span_l
                     continue
                 if st.text != "self":
                     raise EclSyntaxError(f"expected SELF at {st.pos}")
@@ -16916,6 +17369,11 @@ class _Parser:
             self._struct_locals = saved_sl
             self._col_dicts = saved_cd
             self._self_assigned = saved_sa
+            for nm_l, prev_l in local_spans.items():
+                if prev_l is None:
+                    self.ds_spans.pop(nm_l, None)
+                else:
+                    self.ds_spans[nm_l] = prev_l
             ps = getattr(self, "_pending_skip", None)
             self._pending_skip = saved_ps
         if ps is not None:

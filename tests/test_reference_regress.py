@@ -325,6 +325,13 @@ VERBATIM = [
     # bare DISTRIBUTE (issue13081), SIZEOF of enums (issue10026)
     "issue10475", "issue9879", "issue12644", "issue13081",
     "issue10026",
+    # REGEXEXTRACT (eclregex getExtract: erased-source + groups) and
+    # the 835-row PCRE compat matrices — per-row patterns evaluated by
+    # an Arrow-batched python engine with PCRE→python translation
+    # (\Z, \V/\R, \g backrefs, recursion conditionals, octal escapes);
+    # each file's own ≥95% agreement gate is the pass condition
+    "regex_extract", "regex_patterns_string_1",
+    "regex_patterns_unicode_1", "regex_patterns_utf8_1",
 ]
 
 
