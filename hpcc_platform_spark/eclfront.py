@@ -122,6 +122,92 @@ def _zero_value(ty: str, width, dflt):
     return None
 
 
+def _refdict_key_hash(kvals) -> int:
+    """Chained HASH32 of dictionary key fields — the reference hashes
+    each key field into the running FNV-1 32 state
+    (CHThorDictHelper::hash rtlds.cpp:982 → RtlTypeInfo::hash chain,
+    rtlfield.cpp:1576 strings trim trailing blanks, :767 ints hash 8
+    LE bytes)."""
+    from .functions.eclhash import FNV32_INIT, fnv1_32
+
+    h = FNV32_INIT
+    for v in kvals:
+        if isinstance(v, bool):
+            h = fnv1_32(v, init=h)
+        elif isinstance(v, float):
+            import struct as _st
+
+            hh = h
+            for b in _st.pack("<d", v):
+                hh = ((hh * 0x1000193) & 0xFFFFFFFF) ^ b
+            h = hh
+        else:
+            h = fnv1_32(v, init=h)
+    return h
+
+
+def _refdict_order(rows: list, nkeys: int, initial: int = 8) -> list:
+    """Reorder dictionary entries into the reference's hash-table slot
+    order (RtlLinkedDictionaryBuilder rtlds.cpp:556-652: linear-probe
+    open addressing, min size 4, grow x2 at 3/4 load rehashing in slot
+    order; duplicate keys keep the FIRST insertion). ``rows`` may be
+    tuples or dicts whose first ``nkeys`` members are the keys; inline
+    dictionary literals size the initial table rows*4/3+1
+    (hqlcppds.cpp:3204), runtime merges default to 8 (rtlds_imp.hpp
+    two-arg ctor)."""
+    def keyof(r):
+        vals = list(r.values()) if isinstance(r, dict) else list(r)
+        ks = []
+        for v in vals[:nkeys]:
+            if isinstance(v, str):
+                ks.append(v.rstrip(" "))
+            elif hasattr(v, "item"):  # numpy scalar from pandas
+                ks.append(v.item())
+            else:
+                ks.append(v)
+        return tuple(ks)
+
+    size = max(4, initial)
+    table: list = [None] * size
+    used = 0
+    limit = size * 3 // 4
+
+    def append(entry, size, used, limit, table):
+        k, hv, r = entry
+        if table is None or used >= limit:
+            old = [e for e in (table or []) if e is not None]
+            size = size if table is None else size * 2
+            table = [None] * size
+            limit = size * 3 // 4
+            used = 0
+            for e in old:
+                size, used, limit, table = append(
+                    e, size, used, limit, table
+                )
+        idx = hv % size
+        while True:
+            e = table[idx]
+            if e is not None and e[0] == k:
+                return size, used, limit, table
+            if e is None:
+                table[idx] = entry
+                return size, used + 1, limit, table
+            idx += 1
+            if idx == size:
+                idx = 0
+
+    seen = set()
+    for r in rows:
+        k = keyof(r)
+        if k in seen:
+            continue  # first insertion wins (appendOwn compare hit)
+        seen.add(k)
+        size, used, limit, table = append(
+            (k, _refdict_key_hash(k), r), size, used, limit, table
+        )
+    return [e[2] for e in table if e is not None]
+
+
 def _coerce_scalar(v, ty: str):
     """Cast a python value to an ECL type tag — the (TYPE)expr cast and
     typed-definition semantics (rtlField casts). Module-level so compiled
@@ -1708,11 +1794,25 @@ class _Parser:
                             )
                         self.accept(",")
                     self.next()
-            elif self.peek().kind == "str":
+            elif (
+                self.peek().kind == "str"
+                and self.toks[self.i + 1].text != "+"
+            ):
                 # OUTPUT(ds,,'name') — write to a named logical file;
                 # the numbered result is empty (the rows went to the
                 # file), and later DATASET('name', rec, THOR) reads it
                 out_fname = _unquote(self.next().text).lower()
+                self.files[out_fname] = df
+                file_write = True
+            elif self.peek().kind == "str":
+                # OUTPUT(ds,,'~REGRESS::'+WORKUNIT+'::name', ...) —
+                # constant-folded concatenation (keyed_join5)
+                fname3 = self._try_const_str()
+                if fname3 is None:
+                    raise EclSyntaxError(
+                        f"expected constant file name at {self.peek().pos}"
+                    )
+                out_fname = fname3.lower()
                 self.files[out_fname] = df
                 file_write = True
             elif self.peek().text == "xmlns" and (
@@ -3284,6 +3384,7 @@ class _Parser:
                 or t.text in self.records
                 or t.text in self.records_raw
                 or t.text in self.env
+                or t.text in self.deferred
                 or t.text in self.typedefs
                 or t.text in self.enums
             ):
@@ -3292,9 +3393,10 @@ class _Parser:
                 # typedef/enum-typed params resolve to their base type
                 ty = self.typedefs.get(t.text, t.text)
                 t = self.next()
-            elif t.text == "typeof" and self.peek().text == "(":
-                # TYPEOF(ds) typed parameter (keyed_fetch's maybesort):
-                # shape comes from the argument
+            elif t.text in ("typeof", "recordof") and self.peek().text == "(":
+                # TYPEOF(ds)/RECORDOF(i) typed parameter (keyed_fetch's
+                # maybesort, keyed_join5's doHKJoinTrans): shape comes
+                # from the argument
                 close = self._match_paren(self.i)
                 self.i = close + 1
                 ty = "dataset"
@@ -4394,8 +4496,27 @@ class _Parser:
             agg_mark = self.i
             try:
                 self.scalars[name.text] = self.value(self._dummy())
-            except EclSyntaxError:
-                raise
+            except EclSyntaxError as agg_err:
+                if not any(
+                    s in str(agg_err)
+                    for s in (
+                        "unknown logical file", "unknown dataset",
+                        "not built yet",
+                    )
+                ):
+                    raise
+                # forward file reference inside the aggregate
+                # (keyed_join5's j7sumid2 := SUM(j7, id2) over a JOIN
+                # against a file only written by the later SEQUENTIAL):
+                # keep the span, re-evaluate on use
+                self.i = agg_mark
+                depth0 = 0
+                while self.peek().kind != "eof" and not (
+                    depth0 == 0 and self.peek().text in (";", ":")
+                ):
+                    tk0 = self.next()
+                    depth0 += tk0.text in ("(", "[", "{")
+                    depth0 -= tk0.text in (")", "]", "}")
             except Exception:
                 # runtime failure inside the eager evaluation
                 # (childds1's cntBad: an assert that must only fire if
@@ -5729,6 +5850,34 @@ class _Parser:
                     ]
                     keep = ["__ord__"] if "__ord__" in out.columns else []
                     return out.select(*bare, *rest, *keep)
+                if (
+                    bare
+                    and gkeys is not None
+                    and "__ord__" in src.columns
+                ):
+                    # bare NON-key fields over a GROUPed input read the
+                    # group's FIRST row (hthor grouped-aggregate start
+                    # row; keyed_join5's j5 TABLE(grouped-join,
+                    # {lhsKey, COUNT(GROUP)}))
+                    extra = [F.min("__ord__").alias("__ord__")]
+                    bare_aggs = [
+                        F.min_by(F.col(b), F.col("__ord__")).alias(b)
+                        for b in bare
+                        if b not in gkeys
+                    ]
+                    out = src.groupBy(*gkeys).agg(
+                        *bare_aggs, *aggs, *extra
+                    )
+                    rest = [
+                        c
+                        for c in out.columns
+                        if c not in gkeys
+                        and c != "__ord__"
+                        and c not in bare
+                    ]
+                    out = out.select(*bare, *rest, "__ord__")
+                    self._set_order(out, [F.col("__ord__")])
+                    return out
                 if bare and gkeys is None:
                     # ungrouped aggregate TABLE with bare/member fields:
                     # non-aggregate members take the FIRST row's values
@@ -6668,6 +6817,53 @@ class _Parser:
         # condition with the general value grammar (arbitrary expressions
         # — arithmetic, functions — resolve against the two sides)
         cond_span = self._capture_arg_span()
+        # side-free conjuncts (no LEFT/RIGHT reference — keyed_join5's
+        # `v>20 AND v<80 AND LEFT.someid=RIGHT.key` where v is an outer
+        # row's scalar) GATE the join per outer row rather than joining:
+        # the reference evaluates them as helper->leftCanMatch()
+        # (thkeyedjoinslave.cpp). The join plan builds ungated; the gate
+        # Column rides on the frame and conditions scalar reads
+        # (COUNT/EXISTS/SUM) downstream.
+        join_gate = None
+        if not any(
+            tk.text == "or" for tk in cond_span
+        ):  # top-level OR would make conjunct-splitting unsound
+            conjs: list[list] = []
+            cur: list = []
+            depth = 0
+            for tk in cond_span:
+                if depth == 0 and tk.text == "and":
+                    conjs.append(cur)
+                    cur = []
+                    continue
+                depth += tk.text in ("(", "[", "{")
+                depth -= tk.text in (")", "]", "}")
+                cur.append(tk)
+            conjs.append(cur)
+            gate_spans = [
+                c
+                for c in conjs
+                if c and not any(t.text in ("left", "right") for t in c)
+            ]
+            side_spans = [
+                c
+                for c in conjs
+                if c and any(t.text in ("left", "right") for t in c)
+            ]
+            if gate_spans and side_spans:
+                try:
+                    for gs in gate_spans:
+                        g = self._parse_span_value(list(gs), self._dummy())
+                        join_gate = g if join_gate is None else join_gate & g
+                except Exception:
+                    join_gate = None  # not side-free after all
+                else:
+                    new_span: list = []
+                    for k2, cs in enumerate(side_spans):
+                        if k2:
+                            new_span.append(_Tok("kw", "and", cs[0].pos))
+                        new_span.extend(cs)
+                    cond_span = new_span
         eq_pairs = []
         for k in range(len(cond_span) - 6):
             w = cond_span[k : k + 7]
@@ -6842,6 +7038,21 @@ class _Parser:
             for lf, rf in eq_pairs:
                 c = lref[lf] == rref[rf]
                 cond = c if cond is None else cond & c
+        keep_post = None
+        if (
+            keep_n is not None
+            and eq_pairs
+            and (
+                not pure_eq
+                or (transform_spec is not None and transform_spec[4] is not None)
+            )
+        ):
+            # KEEP(n) with a residual (RIGHT.f1 != 'a2' / transform
+            # SKIP — keyed_join5): count matches per LEFT ROW after the
+            # residual and any SKIP filter, post-join; the pre-join
+            # right-side trim below is only valid for pure equality
+            keep_post = keep_n
+            keep_n = None
         if atmost_n is not None or keep_n is not None:
             if not (pure_eq and eq_pairs):
                 raise EclSyntaxError(
@@ -6875,6 +7086,8 @@ class _Parser:
             # per-left-row match cap (LIMIT(n[,SKIP]) / ONFAIL): tag each
             # left row so match groups can be counted post-join
             lw = lw.withColumn("__lid__", F.monotonically_increasing_id())
+        if keep_post is not None:
+            lw = lw.withColumn("__kid__", F.monotonically_increasing_id())
         rhs = F.broadcast(rw) if (lookup or use_all) else rw
         if how == "right_anti":
             out = rw.join(
@@ -6894,6 +7107,23 @@ class _Parser:
             if join_onfail is not None:
                 failing = out.where(over).dropDuplicates(["__lid__"])
             out = out.where(~over)
+        if keep_post is not None:
+            from pyspark.sql.window import Window
+
+            if transform_spec is not None and transform_spec[4] is not None:
+                # transform SKIP removes the match BEFORE it counts
+                # against KEEP (thkeyedjoinslave transform-reject path)
+                out = out.where(~F.coalesce(transform_spec[4], F.lit(False)))
+                transform_spec = transform_spec[:4] + (None,)
+            okp = (
+                [rref["__ord__"]] if "__ord__" in rw.columns else [F.lit(1)]
+            )
+            wkp = Window.partitionBy("__kid__").orderBy(*okp)
+            out = (
+                out.withColumn("__kpn__", F.row_number().over(wkp))
+                .where(F.col("__kpn__") <= keep_post)
+                .drop("__kpn__")
+            )
         def apply_spec(frame, spec, extra=()):
             declared, assigned, copy_side, meta, skip_cond = spec
             if skip_cond is not None:
@@ -6902,6 +7132,23 @@ class _Parser:
             for f in declared:
                 if f in assigned:
                     col2 = assigned[f]
+                elif (
+                    isinstance(copy_side, tuple)
+                    and copy_side[0] == "multi"
+                ):
+                    _sides, _lc, _rc = copy_side[1], copy_side[2], copy_side[3]
+                    col2 = None
+                    for s0 in _sides:
+                        if s0 == "left" and f in _lc:
+                            col2 = lref[f]
+                            break
+                        if s0 == "right" and f in _rc:
+                            col2 = rref[f]
+                            break
+                    if col2 is None:
+                        raise EclSyntaxError(
+                            f"JOIN TRANSFORM field {f!r} not assigned"
+                        )
                 elif copy_side == "left":
                     col2 = lref[f]
                 elif copy_side == "right":
@@ -6961,9 +7208,9 @@ class _Parser:
                 main = main.unionByName(fo)
             if has_ords:
                 self._set_order(main, [F.col("__ord__")])
-            return main
+            return self._reg_gate(main, join_gate, left)
         if how in ("left_anti", "right_anti"):
-            return out.drop("__ord__")
+            return self._reg_gate(out.drop("__ord__"), join_gate, left)
         # Default (no TRANSFORM) join record: LEFT's fields, then RIGHT
         # fields whose names LEFT doesn't have (hqlgram default join
         # transform) — same-named fields take the LEFT side's value.
@@ -7010,8 +7257,26 @@ class _Parser:
                 *lcols, *rcols, lref["__ord__"].alias("__ord__")
             )
             self._set_order(res, [F.col("__ord__")])
-            return res
-        return out.select(*lcols, *rcols)
+            return self._reg_gate(res, join_gate, left)
+        return self._reg_gate(out.select(*lcols, *rcols), join_gate, left)
+
+    def _reg_gate(self, frame, gate, left=None):
+        """Attach a per-outer-row gate Column to a join result (the
+        side-free-conjunct split above): scalar reads (COUNT/EXISTS/
+        SUM/ds[n].f) condition on it, matching helper->leftCanMatch()
+        semantics without a per-row child query."""
+        if gate is not None:
+            if not hasattr(self, "_ds_gate"):
+                self._ds_gate = {}
+            self._ds_gate[id(frame)] = gate
+        if left is not None:
+            gk = self._grouped.get(id(left))
+            if gk is not None:
+                # JOIN preserves the LEFT input's grouping (thorlcr
+                # join slaves keep group boundaries; keyed_join5's j5
+                # TABLE(..., COUNT(GROUP)) counts per lhs group)
+                self._grouped[id(frame)] = gk
+        return frame
 
     def _defaulting_side(self, frame, meta=None):
         """Wrap a join side so field reads COALESCE to the field type's
@@ -7683,7 +7948,7 @@ class _Parser:
                 f"expected record in JOIN TRANSFORM at {self.peek().pos}"
             )
         assigned: dict[str, Column] = {}
-        copy_side = None
+        copy_sides: list[str] = []
         saved = getattr(self, "_join_frames", None)
         self._join_frames = (left, right)
         try:
@@ -7702,10 +7967,20 @@ class _Parser:
                     side = self.next().text
                     if side not in ("left", "right"):
                         raise EclSyntaxError("SELF := LEFT|RIGHT expected")
-                    copy_side = side
+                    copy_sides.append(side)
         finally:
             self._join_frames = saved
         self.expect(")")
+        # SELF := LEFT; SELF := RIGHT fills each remaining field from
+        # the FIRST copy whose side carries it (hqlgram assignment
+        # precedence; keyed_join5's TRANSFORM({lhsRec, rhsRec}, ...))
+        copy_side = (
+            copy_sides[0]
+            if len(copy_sides) == 1
+            else ("multi", copy_sides, left.columns, right.columns)
+            if copy_sides
+            else None
+        )
         return declared, assigned, copy_side, None, None
 
     def _join_cond(self, left: DataFrame, right: DataFrame) -> Column:
@@ -9354,11 +9629,33 @@ class _Parser:
                 cols.append(df[self.next().text])
             self.expect(")")
         else:
-            cols.append(df[self.next().text])
-            while self.accept(","):
-                cols.append(df[self.next().text])
+            while True:
+                if (
+                    self.peek().kind == "ident"
+                    and self.toks[self.i + 1].text == "."
+                    and self.peek().text in self.env
+                    and isinstance(self.env[self.peek().text], DataFrame)
+                ):
+                    # dataset-qualified key: DISTRIBUTE(x, x.node)
+                    # (keyed_join4) — the qualifier is the source
+                    self.next()
+                    self.next()
+                    cols.append(df[self.next().text])
+                elif self.peek().kind == "ident" and self.toks[
+                    self.i + 1
+                ].text in (",", ")"):
+                    cols.append(df[self.next().text])
+                else:
+                    # expression key (DISTRIBUTE(ds, 0)): plan-only —
+                    # constants collapse to one partition on the
+                    # reference too (node 0); rows unchanged here
+                    c0 = self.value(df)
+                    if self._cget(c0) is None:
+                        cols.append(c0)
+                if not self.accept(","):
+                    break
         self.expect(")")
-        out = df.repartition(*cols)
+        out = df.repartition(*cols) if cols else df.select("*")
         # partitioning hint only: rows and their stream order are
         # unchanged (node-local order in the reference; the global
         # input order here, the single-stream analogue)
@@ -9644,6 +9941,46 @@ class _Parser:
             if xp:
                 self._fxp[id(fld)] = xp
             return fld
+        if ty.text == "dictionary" and self.peek().text == "(":
+            # DICTIONARY({k => v}) member (dict1's nest; type_dictionary
+            # hqlexpr.hpp:73 as a child field): stored as an
+            # array<struct> column whose rows sit in the reference's
+            # hash-table slot order (RtlLinkedDictionaryBuilder
+            # rtlds.cpp:556) — the "__dict__" tail on the child mark
+            # carries the key arity for merge/reorder semantics.
+            self.next()
+            dfields: list = []
+            ksplit = None
+            if self.accept("{"):
+                while True:
+                    dfields.append(self._one_field())
+                    if self.accept("=>"):
+                        ksplit = len(dfields)
+                        continue
+                    if not self.accept(","):
+                        break
+                self.expect("}")
+            else:
+                recn = self.next()
+                sub = self.records.get(recn.text)
+                if sub is None:
+                    raise EclSyntaxError(
+                        f"unknown DICTIONARY record {recn.text!r} at {recn.pos}"
+                    )
+                dfields = list(sub)
+            self.expect(")")
+            if ksplit is None:
+                ksplit = len(dfields)
+            nm = self.next()
+            if nm.kind != "ident":
+                raise EclSyntaxError(f"expected field name at {nm.pos}")
+            inner = ", ".join(f"{n}: {t}" for n, t, _w, _d in dfields)
+            return (
+                nm.text,
+                f"array<struct<{inner}>>",
+                None,
+                ("__child__", dfields, None, ("__dict__", ksplit)),
+            )
         if ty.text == "dataset" and self.peek().text == "(":
             # child dataset member: DATASET(recname) fieldname
             self.next()
@@ -9816,7 +10153,23 @@ class _Parser:
             attr_span = self.toks[self.i : close]
             xp = self._scan_xpath(attr_span)
             ls = self._scan_lengthsize(attr_span)
+            vfp = any(
+                tk.text == "virtual"
+                and self.toks[self.i + j + 2].text
+                in ("fileposition", "localfileposition")
+                for j, tk in enumerate(attr_span)
+            )
             self.i = close + 1
+            if vfp:
+                # {virtual(fileposition)}: the file read synthesizes the
+                # row's byte offset (thorread VirtualFieldCallback;
+                # keyed_join5's filePos) — marked for the read branch
+                return (
+                    nm.text,
+                    self._SPARK_TYPE[base],
+                    width,
+                    ("__virtual_fpos__",),
+                )
         spark_ty = self._SPARK_TYPE[base]
         if base == "real" and digits == "4":
             spark_ty = "float"  # REAL4 is float32; values round on store
@@ -10241,8 +10594,20 @@ class _Parser:
                 self._ds_fields[id(out0)] = self._ds_fields[id(d0)]
             return out0
         fname = None
-        if self.peek().kind == "str":
+        if (
+            self.peek().kind == "str"
+            and self.toks[self.i + 1].text != "+"
+        ):
             fname = _unquote(self.next().text).lower()
+        elif self.peek().kind == "str":
+            # '~REGRESS::'+WORKUNIT+'::name' — a constant-folded
+            # concatenation names the file (keyed_join5's rhsDs)
+            s0 = self._try_const_str()
+            if s0 is None:
+                raise EclSyntaxError(
+                    f"expected constant file name at {self.peek().pos}"
+                )
+            fname = s0.lower()
         elif (
             self.peek().text == "dynamic"
             and self.toks[self.i + 1].text == "("
@@ -10345,8 +10710,55 @@ class _Parser:
             # file read as {string11} pads (translatefixed.ecl)
             sel = []
             declared = {f[0] for f in fields}
+            # {virtual(fileposition)} member: synthesize the byte
+            # offset of each row in the serialized file — the fixed
+            # record width times the 0-based write ordinal
+            # (keyed_join5's filePos; thorread virtual-field fill)
+            rww = 0
+            for f in fields:
+                if (
+                    isinstance(f[3], tuple)
+                    and f[3]
+                    and f[3][0] == "__virtual_fpos__"
+                ):
+                    continue
+                w0 = f[2]
+                if w0 is not None:
+                    rww += -w0 if w0 < 0 else w0
+                elif f[1] == "long":
+                    rww += 8
+                elif f[1] == "double":
+                    rww += 8
+                elif f[1] == "float":
+                    rww += 4
+                elif f[1] == "boolean":
+                    rww += 1
+                else:
+                    rww = 0
+                    break
             for f in fields:
                 nm_r, ty_r, w_r = f[0], f[1], f[2]
+                if (
+                    isinstance(f[3], tuple)
+                    and f[3]
+                    and f[3][0] == "__virtual_fpos__"
+                    and nm_r not in df.columns
+                ):
+                    if "__ord__" in df.columns and rww:
+                        # __ord__ may be 0- or 1-based depending on the
+                        # producer — normalize to a 0-based ordinal
+                        from pyspark.sql.window import Window as _W
+
+                        fpos_c = (
+                            F.row_number().over(
+                                _W.orderBy(F.col("__ord__"))
+                            )
+                            - F.lit(1)
+                        ) * F.lit(rww)
+                    else:
+                        fpos_c = F.lit(0)
+                    sel.append(fpos_c.cast("long").alias(nm_r))
+                    continue
                 if nm_r in df.columns:
                     sel.append(
                         self._coerce_field_col(
@@ -10557,6 +10969,17 @@ class _Parser:
                     if pos < len(vals):
                         pos += 1
                     v2 = coerce_child(raw, dd[1])
+                    if (
+                        len(dd) > 3
+                        and isinstance(dd[3], tuple)
+                        and dd[3][0] == "__dict__"
+                    ):
+                        # inline dictionary literal: reference slot
+                        # order, table sized rows*4/3+1
+                        # (createInlineDictionaryRows hqlcppds.cpp:3204)
+                        v2 = _refdict_order(
+                            v2, dd[3][1], initial=len(v2) * 4 // 3 + 1
+                        )
                     if len(dd) > 2 and dd[2] is not None:
                         # DATASET(rec, COUNT(SELF.n)): resize to n with
                         # zero rows (the serialized-layout contract)
@@ -11734,6 +12157,7 @@ class _Parser:
         self.expect("(")
         base = self.dataset()
         keys: list[str] = []
+        payload_names: list[str] = []
         fname = None
         ds_payload = False
         while self.accept(","):
@@ -11748,6 +12172,32 @@ class _Parser:
                         and mem[0].text in self.env
                         for mem in members
                     )
+                    # named payload members: the key stores ONLY these
+                    # (plus the keys) — reads must not expose other
+                    # base columns (keyed_join5's i has no f2)
+                    for mem in members:
+                        asg2 = next(
+                            (
+                                j
+                                for j, tk in enumerate(mem)
+                                if tk.text == ":="
+                            ),
+                            None,
+                        )
+                        nm2 = (
+                            mem[asg2 - 1].text
+                            if asg2 is not None
+                            else next(
+                                (
+                                    tk.text
+                                    for tk in reversed(mem)
+                                    if tk.kind == "ident"
+                                ),
+                                None,
+                            )
+                        )
+                        if nm2 is not None:
+                            payload_names.append(nm2)
                 if not keys:
                     for mem in members:
                         asg = next(
@@ -11815,6 +12265,28 @@ class _Parser:
             if ordcols is not None:
                 self._set_order(df, ordcols)
             meta = list(meta) + [("__internal_fpos__", "long", None, None)]
+        if (
+            keys
+            and payload_names
+            and not ds_payload
+            and all(n in df.columns for n in keys + payload_names)
+            and any(
+                c not in keys + payload_names + ["__ord__"]
+                for c in df.columns
+            )
+        ):
+            # project to the declared key+payload columns only — the
+            # serialized key holds nothing else (jhtree layout;
+            # keyed_join5's default join record must not see f2)
+            proj = keys + [n for n in payload_names if n not in keys]
+            keep_o = ["__ord__"] if "__ord__" in df.columns else []
+            ordc0 = self._order.get(id(df))
+            df = df.select(*proj, *keep_o)
+            if ordc0 is not None:
+                self._set_order(df, ordc0)
+            if meta is not None:
+                mm = {f[0]: f for f in meta}
+                meta = [mm.get(n, (n, "long", None, None)) for n in proj]
         if meta is not None:
             self._ds_fields[id(df)] = meta
         self._pins.append(df)
@@ -13451,6 +13923,13 @@ class _Parser:
                     val = inner.agg(agg(e)).collect()[0][0]
                     if self._action_cse is not None:
                         self._action_cse[cse_key] = val
+            gate0 = getattr(self, "_ds_gate", {}).get(id(inner))
+            if gate0 is not None:
+                # gated join (side-free conjuncts over an outer row):
+                # the aggregate reads 0 whenever the gate is false
+                # (keyed_join5's IF(COUNT(j)>0, ...) per parent row)
+                z0 = 0.0 if isinstance(val, float) else 0
+                return F.when(gate0, F.lit(val)).otherwise(F.lit(z0))
             if isinstance(val, bool):
                 return self._mkconst(val, "boolean")
             if isinstance(val, int):
@@ -13612,6 +14091,27 @@ class _Parser:
             "logicalfileexists", "fileexists",
             "getexpandlogicalname",
         }
+        if t.text == "thorlib" and self.peek().text == ".":
+            # bare thorlib.x() after IMPORT std.system.thorlib
+            # (keyed_join4's thorlib.nodes()/node()): one Spark app =
+            # one logical node; executors are intra-node parallelism
+            mark_tl = self.i
+            self.next()
+            fn_tl = self.next().text
+            if self.peek().text == "(":
+                close_tl = self._match_paren(self.i)
+                if close_tl is None:
+                    raise EclSyntaxError("unbalanced thorlib call")
+                self.i = close_tl + 1
+            if fn_tl == "platform":
+                return self._mkconst("thor", "string")
+            if fn_tl in ("nodes", "node"):
+                return self._mkconst(
+                    1 if fn_tl == "nodes" else 0, "integer"
+                )
+            if fn_tl == "daliserver":
+                return self._mkconst("localhost", "string")
+            self.i = mark_tl  # other members: fall through
         if (
             t.text in ("fileservices", "file", "std", "thorlib")
             and self.peek().text == "."
@@ -15263,6 +15763,15 @@ class _Parser:
                         xs = x if isinstance(x, str) else _coerce_scalar(x, "string")
                         ys = y if isinstance(y, str) else _coerce_scalar(y, "string")
                         return xs + ys
+                    if op == "+" and (
+                        isinstance(x, list)
+                        or (hasattr(x, "ndim") and getattr(x, "ndim", 0))
+                    ):
+                        # child-dataset/dictionary append: pandas hands
+                        # array<struct> columns back as numpy object
+                        # arrays — + is row concatenation, never
+                        # elementwise (dict1's L.nest + R.nest)
+                        return list(x) + list(y)
                     return x + y if op == "+" else x - y
 
                 return run
@@ -17472,6 +17981,22 @@ class _Parser:
             _nm, ty, width, _d = meta[f]
             if v is None:
                 return None
+            if (
+                isinstance(_d, tuple)
+                and len(_d) > 3
+                and _d[0] == "__child__"
+                and isinstance(_d[3], tuple)
+                and _d[3][0] == "__dict__"
+            ):
+                # dictionary-typed member: a runtime build/merge keeps
+                # the FIRST entry per key and lands rows in the default
+                # size-8 table's slot order (rtlds.cpp appendOwn /
+                # rtlds_imp.hpp two-arg ctor; dict1's L.nest + R.nest)
+                rows = [
+                    dict(r) if isinstance(r, dict) else r
+                    for r in (list(v) if v is not None else [])
+                ]
+                return _refdict_order(rows, _d[3][1], initial=8)
             if ty == "long":
                 return int(v)
             if ty in ("double", "float"):

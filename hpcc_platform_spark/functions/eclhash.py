@@ -51,8 +51,12 @@ def _data(v) -> bytes:
     raise TypeError(f"unhashable ECL value {type(v).__name__}")
 
 
-def fnv1_32(v) -> int:
-    h = FNV32_INIT
+def fnv1_32(v, init: int = FNV32_INIT) -> int:
+    """FNV-1 32 with a chainable ``init`` — multi-field hashes chain
+    field hashes through ``inhash`` exactly as the reference's
+    RtlTypeInfo::hash chain does (rtlfield.cpp:1576 string trims
+    trailing blanks, :767 int hashes 8 LE bytes)."""
+    h = init
     for b in _data(v):
         h = ((h * FNV32_PRIME) & _M32) ^ b
     return h

@@ -184,6 +184,11 @@ VERBATIM = [
     # element_at over a map literal), per-row TRANSFORM dictionaries
     # (IN -> equality chain), child SORT(arr, key)(filter), u64 render
     "dict10", "dict11", "dict12", "dict16", "dict17",
+    # r13 dict residue: DICTIONARY({k => v}) child fields merged with
+    # L.nest + R.nest in ROLLUP — rows land in the reference's linear-
+    # probe slot order (rtlds.cpp:556 builder, hqlcppds.cpp:3204 inline
+    # sizing); dict-returning FUNCTIONs, dict IF trees, matrix layouts
+    "dict1", "dict_func", "dict_if", "dict_matrix",
     # index-read tail over the DG_Fetch fixture (setup_fetch.ecl two-way
     # distribute + record sort, BUILDINDEX key order, blob payload):
     # KEYED/WILD hints as filters, keyed LIMIT hints, blank-insensitive
