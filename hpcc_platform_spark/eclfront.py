@@ -412,6 +412,8 @@ class _ConstRow:
         if dty.startswith("array"):
             # a child-dataset member: surfaces as a literal array Column
             return F.lit(v if v is not None else [])
+        if name not in self._vals:
+            raise EclSyntaxError(f"unknown field {name!r} in command row")
         return F.lit(v)
 
 
@@ -586,14 +588,19 @@ _POSIX_JAVA = {
 
 def _posix_java(rx: str) -> str:
     """POSIX bracket classes ([:alpha:]) to Java \\p{Alpha} form —
-    eclregex uses PCRE which accepts both; Java only the latter."""
-    return re.sub(
-        r"\[:(\w+):\]",
-        lambda m: "\\p{" + _POSIX_JAVA.get(
-            m.group(1), m.group(1).title()
-        ) + "}",
-        rx,
-    )
+    eclregex uses PCRE which accepts both; Java only the latter. An
+    unknown class name raises a clear front-door error instead of
+    producing an invalid Java pattern."""
+
+    def _one(m):
+        cls = m.group(1)
+        if cls not in _POSIX_JAVA:
+            raise EclSyntaxError(
+                f"unknown POSIX character class [:{cls}:]"
+            )
+        return "\\p{" + _POSIX_JAVA[cls] + "}"
+
+    return re.sub(r"\[:(\w+):\]", _one, rx)
 
 
 _POSIX_PY = {
@@ -799,8 +806,8 @@ _CPP_RX = re.compile(r"beginc\+\+(?s:.*?)endc\+\+", re.I)
 
 def _lex(src: str) -> list[_Tok]:
     out, i = [], 0
-    if src.startswith("\ufeff"):  # UTF-8 BOM (issue13336)
-        src = "\ufeff" + src[1:]  # keep offsets; BOM handled below
+    # a leading UTF-8 BOM (issue13336) is skipped by the per-char
+    # \ufeff check below, keeping source offsets intact
     while i < len(src):
         if src[i] == "\ufeff":
             i += 1
@@ -1802,7 +1809,7 @@ class _Parser:
                 # the numbered result is empty (the rows went to the
                 # file), and later DATASET('name', rec, THOR) reads it
                 out_fname = _unquote(self.next().text).lower()
-                self.files[out_fname] = df
+                self.files[out_fname] = self._freeze_file(df)
                 file_write = True
             elif self.peek().kind == "str":
                 # OUTPUT(ds,,'~REGRESS::'+WORKUNIT+'::name', ...) —
@@ -1813,7 +1820,7 @@ class _Parser:
                         f"expected constant file name at {self.peek().pos}"
                     )
                 out_fname = fname3.lower()
-                self.files[out_fname] = df
+                self.files[out_fname] = self._freeze_file(df)
                 file_write = True
             elif self.peek().text == "xmlns" and (
                 self.toks[self.i + 1].text == "("
@@ -1839,7 +1846,7 @@ class _Parser:
                         f"unsupported OUTPUT option at {self.peek().pos}"
                     )
                 out_fname = fname2.lower()
-                self.files[out_fname] = df
+                self.files[out_fname] = self._freeze_file(df)
                 file_write = True
         self.expect(")")
         if xml_opt is not None and file_write and out_fname is not None:
@@ -3654,6 +3661,40 @@ class _Parser:
             and body[0].text == "transform"
             and body[1].text == "("
             and body[-1].text == ")"
+            and body[2].text == "{"
+        ):
+            # one-line transform({inline rec}, ...) definition
+            # (complexhoist2's mkRow): register the record under a
+            # synthetic name and fall into the named-record form
+            depth_tr = 0
+            jbr = 2
+            for jbr in range(2, len(body)):
+                depth_tr += body[jbr].text == "{"
+                depth_tr -= body[jbr].text == "}"
+                if depth_tr == 0 and body[jbr].text == "}":
+                    break
+            saved_toks_tr, saved_i_tr = self.toks, self.i
+            self.toks = body[2 : jbr + 1] + [
+                _Tok("eof", "", body[jbr].pos)
+            ]
+            self.i = 0
+            try:
+                rec_tr = self._record_fields()
+            finally:
+                self.toks, self.i = saved_toks_tr, saved_i_tr
+            syn_tr = f"__trrec_{len(self.records)}__"
+            self.records[syn_tr] = rec_tr
+            body = (
+                body[:2]
+                + [_Tok("ident", syn_tr, body[2].pos)]
+                + body[jbr + 1 :]
+            )
+        if (
+            not compound
+            and len(body) > 4
+            and body[0].text == "transform"
+            and body[1].text == "("
+            and body[-1].text == ")"
             and body[2].kind == "ident"
             and body[3].text == ","
         ):
@@ -3751,6 +3792,34 @@ class _Parser:
                     a = (
                         "row",
                         (self._row_params or {})[self.next().text],
+                    )
+                elif (
+                    self.peek().kind == "ident"
+                    and isinstance(
+                        self.env.get(self.peek().text), DataFrame
+                    )
+                    and self.toks[self.i + 1].text == "["
+                ):
+                    # ds[n] as a ROW-typed argument (looprpn's
+                    # processNext(..., actions[counter])): a constant
+                    # index folds to a one-row command row
+                    nm_ra = self.next().text
+                    self.next()  # '['
+                    idx_c = self._cget(self.value(self._dummy()))
+                    self.expect("]")
+                    if idx_c is None:
+                        raise EclSyntaxError(
+                            "ds[n] argument needs a constant index here"
+                        )
+                    d_ra = self._clean(self.env[nm_ra])
+                    a = (
+                        "row",
+                        _ConstRow(
+                            self,
+                            d_ra.offset(int(idx_c[0]) - 1).limit(1)
+                            if int(idx_c[0]) > 1
+                            else d_ra.limit(1),
+                        ),
                     )
                 elif (
                     self.peek().kind == "ident"
@@ -4096,9 +4165,18 @@ class _Parser:
                 self._capture_function_body(name.text, params)
                 return
             dfd = self.env.get(dsname)
+            if dfd is None and dsname in self.deferred:
+                try:
+                    dfd = self._resolve_deferred(dsname)
+                except Exception:
+                    dfd = None
             meta = (
                 self._ds_fields.get(id(dfd)) if dfd is not None else None
             )
+            if meta is None and dfd is not None:
+                # no recorded field specs: derive them from the frame's
+                # Spark dtypes (RECORDOF(slimPeople) in keyed_join3)
+                meta = self._fields_from_frame(dfd)
             if meta is None:
                 raise EclSyntaxError(f"TYPEOF of unknown dataset {dsname!r}")
             syn_t = f"__rec_{len(self.records)}__"
@@ -4714,6 +4792,10 @@ class _Parser:
             # nothing, emit nothing
             self.next()
             close_n = self._match_paren(self.i)
+            if close_n is None:
+                raise EclSyntaxError(
+                    f"unbalanced parentheses at {self.peek().pos}"
+                )
             self.i = close_n + 1
             self.accept(";")
             return
@@ -4916,18 +4998,101 @@ class _Parser:
         ):
             # BUILD(i [, OVERWRITE]) — resolving the index expression
             # registers its logical name; the build itself is a no-op on
-            # a lazily planned engine (the index IS a key-ordered view)
+            # a lazily planned engine (the index IS a key-ordered view).
+            # BUILDINDEX(ds, {keys} [, {payload}], 'name' [, opts])
+            # (keyed_join4) registers the key-ordered projection under
+            # the name so INDEX(empty, rec, rec, 'name') reads it back.
             self.next()
             self.expect("(")
             bdf = self.dataset()
-            depth = 0
-            while not (depth == 0 and self.peek().text == ")"):
-                tk = self.next()
-                if tk.kind == "eof":
-                    raise EclSyntaxError("unterminated BUILD")
-                depth += tk.text == "("
-                depth -= tk.text == ")"
-            self.next()  # ')'
+            bi_braces: list[list] = []
+            bi_name = None
+            while self.accept(","):
+                if self.peek().text == "{":
+                    bi_braces.append(self._capture_brace_members())
+                    continue
+                if self.peek().text == ")":
+                    break
+                s_b = self._try_const_str()
+                if s_b is not None:
+                    bi_name = s_b.lower()
+                    continue
+                depth = 0
+                while not (
+                    depth == 0 and self.peek().text in (",", ")")
+                ):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated BUILD")
+                    depth += tk.text == "("
+                    depth -= tk.text == ")"
+            self.expect(")")
+            if bi_name is not None and bi_braces:
+                def _mem_names(members):
+                    out_n = []
+                    for mem in members:
+                        asg = next(
+                            (
+                                j
+                                for j, tk in enumerate(mem)
+                                if tk.text == ":="
+                            ),
+                            None,
+                        )
+                        nm_b = (
+                            mem[asg - 1].text
+                            if asg is not None
+                            else next(
+                                (
+                                    tk.text
+                                    for tk in reversed(mem)
+                                    if tk.kind == "ident"
+                                ),
+                                None,
+                            )
+                        )
+                        if nm_b is not None:
+                            out_n.append(nm_b)
+                    return out_n
+
+                bkeys = [
+                    n for n in _mem_names(bi_braces[0])
+                    if n in bdf.columns
+                ]
+                bpay = [
+                    n
+                    for br in bi_braces[1:]
+                    for n in _mem_names(br)
+                    if n in bdf.columns
+                ]
+                proj_b = bkeys + [n for n in bpay if n not in bkeys]
+                if bkeys:
+                    built_i = (
+                        bdf.orderBy(*[F.col(k) for k in bkeys])
+                        .coalesce(1)
+                        .select(*proj_b)
+                    )
+                    from pyspark.sql.window import Window as _Wb
+
+                    built_i = built_i.withColumn(
+                        "__ord__",
+                        F.row_number().over(
+                            _Wb.orderBy(*[F.col(k) for k in bkeys])
+                        ).cast("long"),
+                    )
+                    built_i = self._freeze_file(built_i)
+                    self.files[bi_name] = built_i
+                    self._set_order(
+                        self.files[bi_name],
+                        [F.col(k) for k in bkeys],
+                    )
+                    meta_b = self._ds_fields.get(id(bdf))
+                    if meta_b is not None:
+                        mm_b = {f[0]: f for f in meta_b}
+                        self._ds_fields[id(built_i)] = [
+                            mm_b.get(n, (n, "long", None, None))
+                            for n in proj_b
+                        ]
             # the build consumes the rows; its numbered result is empty
             self.actions.append(self._clean(bdf).limit(0))
             return _ACTION_DONE
@@ -4996,6 +5161,57 @@ class _Parser:
                 [args_r],
                 self._resolve_record_fields(fn_r.get("rettype")),
             )
+            self._row_ids.add(id(df))
+        elif (
+            t.text == "row"
+            and self.toks[self.i + 1].text == "("
+            and self.toks[self.i + 2].text == "transform"
+            and self.toks[self.i + 3].text == "("
+        ):
+            # ROW(TRANSFORM(rec, SELF.f := v, ...)) — a one-row dataset
+            # built from inline assignments (looprpn's result row);
+            # values evaluate in the enclosing (function) scope
+            self.next()  # ROW
+            self.expect("(")
+            self.expect("transform")
+            self.expect("(")
+            self._skip_shim_qual()
+            recn_rw = self.next().text
+            fields_rw = self._resolve_record_fields(recn_rw)
+            if fields_rw is None:
+                raise EclSyntaxError(
+                    f"unknown record {recn_rw!r} in ROW(TRANSFORM)"
+                )
+            asg_rw: dict[str, Column] = {}
+            while self.accept(",") or self.accept(";"):
+                if self.peek().text == ")":
+                    break
+                st_rw = self.next()
+                if st_rw.text != "self" or not self.accept("."):
+                    raise EclSyntaxError(
+                        f"expected SELF.<field> at {st_rw.pos}"
+                    )
+                fn_rw = self.next().text
+                self.expect(":=")
+                asg_rw[fn_rw] = self.value(self._dummy())
+            self.expect(")")
+            self.expect(")")
+            cols_rw = []
+            for nm_rw, ty_rw, w_rw, d_rw in fields_rw:
+                if nm_rw in asg_rw:
+                    c_rw = self._coerce_field_col(
+                        asg_rw[nm_rw], ty_rw, w_rw
+                    )
+                else:
+                    c_rw = self._zero_col(ty_rw, w_rw)
+                cols_rw.append(c_rw.alias(nm_rw))
+            df = (
+                self.spark()
+                .range(1)
+                .select(*cols_rw, F.lit(1).cast("long").alias("__ord__"))
+            )
+            self._set_order(df, [F.col("__ord__")])
+            self._ds_fields[id(df)] = list(fields_rw)
             self._row_ids.add(id(df))
         elif (
             t.text == "row"
@@ -6239,7 +6455,33 @@ class _Parser:
                 if self.accept("."):
                     field = self.next().text
                     self.expect(":=")
-                    assigned[field] = self.value(src)
+                    mark_pv = self.i
+                    saved_cj = getattr(self, "_corr_join_ok", None)
+                    # a PROJECT assignment can RE-BASE its source: a
+                    # correlated child filter joins the per-parent
+                    # arrays on instead of driver-mapping them
+                    self._corr_join_ok = src
+                    try:
+                        assigned[field] = self.value(src)
+                    except EclFailError:
+                        raise
+                    except Exception:
+                        # child-query shaped assignment the value
+                        # grammar can't type (groupglobal1b's
+                        # ungroup(f(left.val))): the rebind grammar
+                        # yields the array<struct> Column
+                        self.i = mark_pv
+                        rb_pv = self._rebind_parse(src)
+                        if rb_pv is None:
+                            raise
+                        assigned[field] = rb_pv[0]
+                    finally:
+                        self._corr_join_ok = saved_cj
+                    swap_pv = getattr(self, "_corr_swaps", {}).pop(
+                        id(src), None
+                    )
+                    if swap_pv is not None:
+                        src = swap_pv
                 else:
                     self.expect(":=")
                     lk = self.next()
@@ -6263,7 +6505,9 @@ class _Parser:
                     f"unsupported PROJECT option {opt_p.text!r}"
                 )
         self.expect(")")
-        order = declared if declared is not None else list(src.columns)
+        order = declared if declared is not None else [
+            c for c in src.columns if not c.startswith("__corr_arr_")
+        ]
         cols: list[Column] = []
         for f in order:
             if f in assigned:
@@ -6449,6 +6693,7 @@ class _Parser:
             self.scalars = saved_scalars
             self._array_params = saved_ap
         copy_from = assigned.pop("__copy_from__", None)
+        assigned.pop("__copy_list__", None)
         fill_dflt = assigned.pop("__fill_defaults__", False)
         out_cols = []
         for nm2, ty2, w2, d2 in out_fields:
@@ -6789,7 +7034,11 @@ class _Parser:
         # carries the fixed side's lineage, and raw attribute references
         # would be ambiguous (loop10/looplookup re-join the same rhs)
         self._join_seq = getattr(self, "_join_seq", 0) + 1
-        if left is right or getattr(self, "_loop_depth", 0) > 0:
+        if (
+            left is right
+            or getattr(self, "_loop_depth", 0) > 0
+            or self._shares_lineage(left, right)
+        ):
             ltag = f"__jl{self._join_seq}__"
             rtag = f"__jr{self._join_seq}__"
             lw, rw = left.alias(ltag), right.alias(rtag)
@@ -6878,26 +7127,9 @@ class _Parser:
         pure_eq = len(cond_span) == 7 * len(eq_pairs) + max(
             0, len(eq_pairs) - 1
         )
-        if pure_eq and eq_pairs:
-            ldt, rdt = dict(lref.dtypes), dict(rref.dtypes)
-            cond = None
-            for lf, rf in eq_pairs:
-                if ldt.get(lf) == "string" and rdt.get(rf) == "string":
-                    c = F.rtrim(lref[lf]) == F.rtrim(rref[rf])
-                else:
-                    c = lref[lf] == rref[rf]
-                cond = c if cond is None else cond & c
-        else:
-            saved_jf = getattr(self, "_join_frames", None)
-            self._join_frames = (lref, rref)
-            saved_toks, saved_i = self.toks, self.i
-            self.toks = cond_span + [_Tok("eof", "", cond_span[-1].pos)]
-            self.i = 0
-            try:
-                cond = self.value(self._dummy())
-            finally:
-                self.toks, self.i = saved_toks, saved_i
-                self._join_frames = saved_jf
+        # cond builds AFTER the option loop: a KEYED(index) option can
+        # substitute the right frame (emission order), so side refs
+        # must bind to the FINAL frames
         how = "inner"
         lookup = False
         many = False
@@ -6992,10 +7224,46 @@ class _Parser:
                 self.i = close + 1  # physical hints — Catalyst plans here
             elif t == "keyed" and self.peek().text == "(":
                 # KEYED(index) — full-keyed-join access path via the
-                # named index (thkeyedjoinslave); the join's semantics
-                # are unchanged, so the hint parses and drops
+                # named index (thkeyedjoinslave). Row SEMANTICS are
+                # unchanged, but match EMISSION follows the index's key
+                # order — when the index payload carries every right
+                # field the read substitutes the index frame (same
+                # rows, key-ordered ordinal; keyed_join3's Full joins)
                 close = self._match_paren(self.i)
+                kspan = self.toks[self.i + 1 : close]
                 self.i = close + 1
+                try:
+                    kidx = self._parse_span_dataset(list(kspan))
+                except Exception:
+                    kidx = None
+                if kidx is not None and set(
+                    c for c in right.columns if c != "__ord__"
+                ) <= set(kidx.columns):
+                    kmeta = self._ds_fields.get(id(kidx))
+                    rw = right = kidx
+                    if not (
+                        left is right
+                        or getattr(self, "_loop_depth", 0) > 0
+                        or self._shares_lineage(left, right)
+                    ):
+                        rref = right
+                    else:
+                        rtag = f"__jr{self._join_seq}k__"
+                        rw = right.alias(rtag)
+
+                        class _KSide:
+                            columns = right.columns
+
+                            def __getitem__(self2, name):
+                                return F.col(f"{rtag}.{name}")
+
+                            @property
+                            def dtypes(self2):
+                                return right.dtypes
+
+                        rref = _KSide()
+                    if kmeta is not None:
+                        self._ds_fields[id(right)] = kmeta
             elif t in (
                 "local", "nosort", "few", "many", "parallel", "grouped",
                 "smart", "unordered", "ordered", "stable", "unstable",
@@ -7010,6 +7278,26 @@ class _Parser:
             else:
                 raise EclSyntaxError(f"unknown JOIN option {t!r}")
         self.expect(")")
+        if pure_eq and eq_pairs:
+            ldt, rdt = dict(lref.dtypes), dict(rref.dtypes)
+            cond = None
+            for lf, rf in eq_pairs:
+                if ldt.get(lf) == "string" and rdt.get(rf) == "string":
+                    c = F.rtrim(lref[lf]) == F.rtrim(rref[rf])
+                else:
+                    c = lref[lf] == rref[rf]
+                cond = c if cond is None else cond & c
+        else:
+            saved_jf = getattr(self, "_join_frames", None)
+            self._join_frames = (lref, rref)
+            saved_toks, saved_i = self.toks, self.i
+            self.toks = cond_span + [_Tok("eof", "", cond_span[-1].pos)]
+            self.i = 0
+            try:
+                cond = self.value(self._dummy())
+            finally:
+                self.toks, self.i = saved_toks, saved_i
+                self._join_frames = saved_jf
         if transform_src is not None:
             saved_it = self.i
             lmeta0 = self._ds_fields.get(id(left))
@@ -7128,6 +7416,23 @@ class _Parser:
             declared, assigned, copy_side, meta, skip_cond = spec
             if skip_cond is not None:
                 frame = frame.where(~skip_cond)
+            # an anti join's dead side never reaches the output frame:
+            # its fields read as type defaults (LEFT ONLY keeps only
+            # left columns — keyed_join4's testkjlo over opti)
+            dead = (
+                "right"
+                if how == "left_anti"
+                else "left" if how == "right_anti" else None
+            )
+
+            def side_col(s0, f):
+                if s0 == dead:
+                    fm0 = (meta or {}).get(f)
+                    return self._zero_col(
+                        fm0[1] if fm0 else None, fm0[2] if fm0 else None
+                    )
+                return lref[f] if s0 == "left" else rref[f]
+
             cols = []
             for f in declared:
                 if f in assigned:
@@ -7140,19 +7445,19 @@ class _Parser:
                     col2 = None
                     for s0 in _sides:
                         if s0 == "left" and f in _lc:
-                            col2 = lref[f]
+                            col2 = side_col("left", f)
                             break
                         if s0 == "right" and f in _rc:
-                            col2 = rref[f]
+                            col2 = side_col("right", f)
                             break
                     if col2 is None:
                         raise EclSyntaxError(
                             f"JOIN TRANSFORM field {f!r} not assigned"
                         )
                 elif copy_side == "left":
-                    col2 = lref[f]
+                    col2 = side_col("left", f)
                 elif copy_side == "right":
-                    col2 = rref[f]
+                    col2 = side_col("right", f)
                 elif copy_side == "__defaults__":
                     fm0 = (meta or {}).get(f)
                     col2 = self._zero_col(
@@ -7278,6 +7583,67 @@ class _Parser:
                 self._grouped[id(frame)] = gk
         return frame
 
+    @staticmethod
+    def _shares_lineage(a, b) -> bool:
+        """Do two frames derive from at least one COMMON leaf plan
+        (same fixture/file frame)? Such joins need alias-qualified
+        sides — Spark dedupes the conflicting attribute ids and
+        side-references silently bind to the wrong side (keyed_join3's
+        PersonBookDs ⋈ its own index)."""
+        try:
+            ja = a._jdf.queryExecution().analyzed().collectLeaves()
+            jb = b._jdf.queryExecution().analyzed().collectLeaves()
+            sa = {ja.apply(i).toString() for i in range(ja.size())}
+            sb = {jb.apply(i).toString() for i in range(jb.size())}
+            return bool(sa & sb)
+        except Exception:
+            return False
+
+    @staticmethod
+    def _fields_from_frame(df) -> list:
+        """Field specs derived from a frame's Spark schema — the
+        RECORDOF fallback when no declared record rode along
+        (keyed_join3's RECORDOF(slimPeople) over a TABLE result)."""
+        tmap_f = {
+            "bigint": "long", "int": "long", "smallint": "long",
+            "tinyint": "long",
+        }
+        out = []
+        for c, dt in df.dtypes:
+            if c == "__ord__":
+                continue
+            if dt.startswith("array<struct<"):
+                inner = dt[len("array<") : -1]
+                sub = [
+                    (m.group(1), tmap_f.get(m.group(2), m.group(2)), None, None)
+                    for m in re.finditer(r"(\w+):(\w+)", inner)
+                ]
+                out.append((c, dt, None, ("__child__", sub)))
+            else:
+                out.append((c, tmap_f.get(dt, dt), None, None))
+        return out
+
+    def _freeze_file(self, df: DataFrame) -> DataFrame:
+        """Materialize a frame at file-write registration (OUTPUT to a
+        logical name / BUILDINDEX). Two reasons, both reference
+        semantics: the write is EAGER (volatile expressions like
+        keyed_join4's RANDOM() payload are fixed once, every later read
+        sees the same bytes), and a file read starts a FRESH lineage —
+        a join between a table and an index both derived from the same
+        written file must not alias-collide (kjsuper)."""
+        try:
+            out = df.localCheckpoint(eager=True)
+        except Exception:
+            return df
+        if id(df) in self._order:
+            self._set_order(out, self._order[id(df)])
+        if id(df) in self._ds_fields:
+            self._ds_fields[id(out)] = self._ds_fields[id(df)]
+        if id(df) in self._grouped:
+            self._grouped[id(out)] = self._grouped[id(df)]
+        self._pins.append(out)
+        return out
+
     def _defaulting_side(self, frame, meta=None):
         """Wrap a join side so field reads COALESCE to the field type's
         default — ECL has no NULLs: an outer-join miss reads as 0/''/
@@ -7291,10 +7657,17 @@ class _Parser:
             # expose dtypes so readers string-tag text fields (ECL '+'
             # concatenation inside join transforms, keyed_join)
             dtypes = getattr(frame, "dtypes", [])
+            _frame = frame if isinstance(frame, DataFrame) else getattr(
+                frame, "_frame", None
+            )
 
             def __getitem__(self, name):
                 ty = dt.get(name, "")
-                if ty in ("bigint", "int", "smallint", "tinyint"):
+                if ty.startswith("array"):
+                    d = F.expr("array()").cast(ty)
+                elif ty.startswith(("struct", "map")):
+                    return frame[name]
+                elif ty in ("bigint", "int", "smallint", "tinyint"):
                     d = F.lit(0)
                 elif ty in ("double", "float"):
                     d = F.lit(0.0)
@@ -7316,6 +7689,9 @@ class _Parser:
         class _Blank:
             columns = getattr(frame, "columns", [])
             dtypes = getattr(frame, "dtypes", [])
+            _frame = frame if isinstance(frame, DataFrame) else getattr(
+                frame, "_frame", None
+            )
 
             def __getitem__(self, name):
                 ty = dt.get(name, "")
@@ -7916,11 +8292,26 @@ class _Parser:
             self._row_params = saved_rp
             self.scalars = saved_scalars
         copy_from = assigned.pop("__copy_from__", None)
+        copy_list = assigned.pop("__copy_list__", None)
         if assigned.pop("__fill_defaults__", False):
             copy_map[None] = "__defaults__"
         copy_side = copy_map.get(copy_from)
         declared = [f[0] for f in out_fields]
         meta = {f[0]: f for f in out_fields}
+        if copy_list and len(copy_list) > 1:
+            # SELF := l; SELF := r — ordered fills: each remaining
+            # field reads the FIRST copied side that carries it
+            # (hqlgram assignment precedence; keyed_join4's joinFunc)
+            sides_o = [
+                copy_map[p0] for p0 in copy_list if p0 in copy_map
+            ]
+            if len(sides_o) > 1:
+                copy_side = (
+                    "multi",
+                    sides_o,
+                    list(getattr(left, "columns", [])),
+                    list(getattr(right, "columns", [])),
+                )
         if copy_side is None and copy_map.get(None):
             copy_side = "__defaults__"
         return declared, assigned, copy_side, meta, skip_cond
@@ -12158,6 +12549,8 @@ class _Parser:
         base = self.dataset()
         keys: list[str] = []
         payload_names: list[str] = []
+        rec_args: list[list] = []
+        idx_opt = False
         fname = None
         ds_payload = False
         while self.accept(","):
@@ -12226,11 +12619,29 @@ class _Parser:
             elif self.peek().text == ")":
                 break
             else:
+                if (
+                    self.peek().text == "opt"
+                    and self.toks[self.i + 1].text in (",", ")")
+                ):
+                    # OPT: a missing key file reads as empty
+                    # (keyed_join4's opti)
+                    self.next()
+                    idx_opt = True
+                    continue
+                if (
+                    self.peek().kind == "ident"
+                    and self.peek().text in self.records
+                    and self.toks[self.i + 1].text in (",", ")")
+                ):
+                    # record-name key/payload args:
+                    # INDEX(ds, iRec, payloadRec, name) (keyed_join4)
+                    rec_args.append(self.records[self.next().text])
+                    continue
                 s = self._try_const_str()
                 if s is not None:
                     fname = s.lower()
                 else:
-                    # option token(s): OPT / SORTED / fileposition(...)
+                    # option token(s): SORTED / fileposition(...)
                     depth = 0
                     while not (
                         depth == 0 and self.peek().text in (",", ")")
@@ -12302,6 +12713,62 @@ class _Parser:
                 if id(built) in self._ds_fields:
                     self._ds_fields[id(out)] = self._ds_fields[id(built)]
                 return out
+            if (
+                id(base) in self._empty_literals
+                and fname in self._superfiles
+            ):
+                # a SUPERFILE of built indexes (keyed_join4's superi):
+                # the read is the member keys in superfile order, each
+                # member keeping its own key order
+                parts = []
+                for si, sub in enumerate(self._superfiles[fname]):
+                    fdf = self.files.get(sub)
+                    if fdf is None:
+                        continue
+                    cols_s = [c for c in fdf.columns if c != "__ord__"]
+                    ord_s = (
+                        F.col("__ord__")
+                        if "__ord__" in fdf.columns
+                        else F.lit(0)
+                    )
+                    parts.append(
+                        fdf.select(
+                            *cols_s,
+                            (F.lit(si * 1_000_000_000) + ord_s)
+                            .cast("long")
+                            .alias("__ord__"),
+                        )
+                    )
+                if parts:
+                    out = parts[0]
+                    for p in parts[1:]:
+                        out = out.unionByName(p)
+                    self._set_order(out, [F.col("__ord__")])
+                    m0 = self._ds_fields.get(
+                        id(self.files.get(self._superfiles[fname][0]))
+                    )
+                    if m0 is not None:
+                        self._ds_fields[id(out)] = m0
+                    return out
+            if (
+                id(base) in self._empty_literals
+                and idx_opt
+                and fname not in self.files
+                and fname not in self._superfiles
+            ):
+                # OPT read of a missing key: empty, with the declared
+                # record-arg layout (keyed_join4's opti)
+                flds_o = [f for rec in rec_args for f in rec]
+                if not flds_o:
+                    flds_o = meta or []
+                if flds_o:
+                    schema_o = ", ".join(
+                        f"{n} {t}" for n, t, _w, _d in flds_o
+                    ) + ", __ord__ long"
+                    out = self.spark().createDataFrame([], schema_o)
+                    self._set_order(out, [F.col("__ord__")])
+                    self._ds_fields[id(out)] = list(flds_o)
+                    return out
             if id(base) in self._empty_literals:
                 # empty-literal base names an index that is not built
                 # YET — keep the definition lazy so it re-binds after
@@ -12373,6 +12840,11 @@ class _Parser:
             return df
         self.env[name] = df
         self.ds_spans[name] = list(span)
+        # keep the span available for re-resolution: env may be a
+        # scoped COPY (FUNCTION call binding, keyed_join4's
+        # testkj(ds, i) twice) whose writes vanish on restore — env
+        # hits take precedence, so this only fires in fresh scopes
+        self.deferred[name] = span
         return df
 
 
@@ -12734,7 +13206,15 @@ class _Parser:
         self.toks = span + [_Tok("eof", "", span[-1].pos)]
         self.i = 0
         try:
-            return self.dataset()
+            out = self.dataset()
+            if self.peek().kind != "eof" and self.peek().text != ";":
+                # trailing tokens (j[1].key) mean the span is NOT a
+                # dataset — a row-field read belongs to the value
+                # grammar (keyed_join5's IF(cond, j[1].key, 0))
+                raise EclSyntaxError(
+                    f"trailing tokens after dataset at {self.peek().pos}"
+                )
+            return out
         finally:
             self.toks, self.i = saved_toks, saved_i
 
@@ -12760,11 +13240,41 @@ class _Parser:
                 )
             return df.agg(F.count(F.lit(1)).alias("cnt"))
         self.expect(",")
+        emark_sd = self.i
         e = self.value(df)
+        espan_sd = self.toks[emark_sd : self.i]
         self.expect(")")
         agg = {"sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg}[fn]
         alias = {"sum": "total", "min": "minval", "max": "maxval", "ave": "aveval"}[fn]
-        return df.agg(agg(e).alias(alias))
+        col_sd = agg(e)
+        if fn in ("sum", "min", "max"):
+            # ECL aggregate typing follows the argument: integer
+            # expressions stay INTEGER even when an inlined function
+            # accumulated through a double (complexhoist's outerSum2)
+            dt_sd = dict(df.dtypes)
+            if all(
+                not (
+                    tk.text == "/"
+                    or (
+                        tk.kind == "num"
+                        and ("." in tk.text or "e" in tk.text.lower())
+                    )
+                    or (
+                        tk.kind == "ident"
+                        and dt_sd.get(tk.text) in ("double", "float")
+                    )
+                )
+                for tk in espan_sd
+            ):
+                try:
+                    widened = dict(
+                        df.select(e.alias("__e__")).dtypes
+                    ).get("__e__") in ("double", "float")
+                except Exception:
+                    widened = False  # cross-frame arg: caller retries
+                if widened:
+                    col_sd = agg(e).cast("long")
+        return df.agg(col_sd.alias(alias))
 
     # --- value expressions (filters, computed fields) ---
     def value(self, df: DataFrame) -> Column:
@@ -12953,10 +13463,11 @@ class _Parser:
         return a
 
     def _shift(self, df) -> Column:
+        # hqlgram.y %left tiers (tightest last): & · |/^ · */'/'/%/DIV
+        # · +/- · <</>> — bitwise ops bind TIGHTER than arithmetic in
+        # ECL (flags & mask + 1 is (flags & mask) + 1)
         c = self._addsub(df)
-        while self.peek().text in ("<<", ">>", "&", "|", "^"):
-            # shifts plus bitwise AND/OR/XOR (ECL & | ^; on strings &
-            # concatenates — stepping.ecl flags & wordFlagMask)
+        while self.peek().text in ("<<", ">>"):
             op = self.next().text
             c = self._fold2(op, c, self._addsub(df))
         return c
@@ -12970,11 +13481,27 @@ class _Parser:
         return c
 
     def _muldiv(self, df) -> Column:
-        c = self._unary(df)
+        c = self._bitor(df)
         while self.peek().text in ("*", "/", "%", "div"):
             op = self.next().text
-            rhs = self._unary(df)
+            rhs = self._bitor(df)
             c = self._fold2(op, c, rhs)
+        return c
+
+    def _bitor(self, df) -> Column:
+        c = self._bitand(df)
+        while self.peek().text in ("|", "^"):
+            op = self.next().text
+            c = self._fold2(op, c, self._bitand(df))
+        return c
+
+    def _bitand(self, df) -> Column:
+        c = self._unary(df)
+        while self.peek().text == "&":
+            # on strings & concatenates (stepping.ecl flags &
+            # wordFlagMask is the integer form)
+            op = self.next().text
+            c = self._fold2(op, c, self._unary(df))
         return c
 
     def _unary(self, df) -> Column:
@@ -13311,13 +13838,22 @@ class _Parser:
             self.expect(",")
             fld_s = self.next().text
             self.expect(")")
-            rows_s = src_s.select(fld_s).limit(100_001).collect()
-            if len(rows_s) > 100_000:
+            rows_s = src_s.select(fld_s).limit(1_000_001).collect()
+            if len(rows_s) > 1_000_000:
                 raise EclSyntaxError(
-                    "SET(ds, field) exceeds the 100,000-row driver-side "
-                    "cap; use a JOIN for large-set membership"
+                    "SET(ds, field) exceeds the 1,000,000-value "
+                    "driver-side cap; use a JOIN (broadcast left_semi) "
+                    "for larger-set membership"
                 )
-            return F.array(*[F.lit(r[0]) for r in rows_s])
+            vals_s = [r[0] for r in rows_s]
+            if vals_s and all(
+                isinstance(v, (int, float, str, bool)) or v is None
+                for v in vals_s
+            ) and len({type(v) for v in vals_s if v is not None}) <= 1:
+                # ONE array literal (Arrow-serialized), not N expression
+                # nodes — a 100k-value set stays a constant-size plan
+                return F.lit(vals_s)
+            return F.array(*[F.lit(v) for v in vals_s])
         if (
             t.text == "dataset"
             and self.peek().text == "("
@@ -13328,6 +13864,25 @@ class _Parser:
             self.i -= 1
             arr_ct, _f_ct = self._child_count_transform(df)
             return self._tag_arr(arr_ct)
+        if (
+            t.text == "dataset"
+            and self.peek().text == "("
+            and self.toks[self.i + 1].kind == "ident"
+            and self.toks[self.i + 1].text in getattr(df, "columns", [])
+            and self.toks[self.i + 2].text == ")"
+            and str(
+                dict(getattr(df, "dtypes", [])).get(
+                    self.toks[self.i + 1].text, ""
+                )
+            ).startswith("array")
+        ):
+            # DATASET(dictfield) in a value/member context: the
+            # dictionary's rows as a plain child dataset
+            # (dict_dsout's cc := DATASET(c))
+            self.next()
+            col_dd = df[self.next().text]
+            self.expect(")")
+            return self._tag_arr(col_dd)
         if (
             t.text == "dataset"
             and self.peek().text == "("
@@ -13883,7 +14438,20 @@ class _Parser:
             except EclSyntaxError:
                 self.i = mark
         if t.text in ("sum", "count", "min", "max", "ave") and (
-            self.peek().text == "(" and self._at_dataset_start(self.i + 1)
+            self.peek().text == "("
+            and (
+                self._at_dataset_start(self.i + 1)
+                or (
+                    # dataset-returning FUNCTION call argument
+                    # (keyed_join4's COUNT(testkj(lhsf3, superi)))
+                    self.toks[self.i + 1].kind == "ident"
+                    and self.toks[self.i + 1].text in self.functions
+                    and self.toks[self.i + 2].text == "("
+                    and not self.functions[
+                        self.toks[self.i + 1].text
+                    ].get("transform")
+                )
+            )
         ):
             # scalar dataset aggregate inside a value expression:
             # ds(x > AVE(ds2, y)) — ECL evaluates the global aggregate
@@ -13893,54 +14461,118 @@ class _Parser:
             # (workload_idle_rich_customers Q22 shape).
             kstart = self.i  # span start ('(' of the aggregate call)
             self.next()
-            inner = self.dataset()
-            if t.text == "count":
-                if self.accept(","):
-                    self.expect("keyed")  # COUNT(index, KEYED)
-                self.expect(")")
-                cse_key = (t.text,) + tuple(
-                    tok.text for tok in self.toks[kstart : self.i]
-                )
-                if self._action_cse is not None and cse_key in self._action_cse:
-                    val = self._action_cse[cse_key]
-                else:
-                    val = inner.count()
-                    if self._action_cse is not None:
-                        self._action_cse[cse_key] = val
-            else:
-                self.expect(",")
-                e = self.value(inner)
-                self.expect(")")
-                cse_key = (t.text,) + tuple(
-                    tok.text for tok in self.toks[kstart : self.i]
-                )
-                if self._action_cse is not None and cse_key in self._action_cse:
-                    val = self._action_cse[cse_key]
-                else:
-                    agg = {
-                        "sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg
-                    }[t.text]
-                    val = inner.agg(agg(e)).collect()[0][0]
-                    if self._action_cse is not None:
-                        self._action_cse[cse_key] = val
-            gate0 = getattr(self, "_ds_gate", {}).get(id(inner))
-            if gate0 is not None:
-                # gated join (side-free conjuncts over an outer row):
-                # the aggregate reads 0 whenever the gate is false
-                # (keyed_join5's IF(COUNT(j)>0, ...) per parent row)
-                z0 = 0.0 if isinstance(val, float) else 0
-                return F.when(gate0, F.lit(val)).otherwise(F.lit(z0))
-            if isinstance(val, bool):
-                return self._mkconst(val, "boolean")
-            if isinstance(val, int):
-                return self._mkconst(val, "integer")
-            if isinstance(val, float):
-                return self._mkconst(val, "real")
-            if isinstance(val, Decimal):
-                return self._mkconst(val, "decimal")
-            if isinstance(val, str):
-                return self._mkconst(val, "string")
-            return F.lit(val)
+            try:
+                inner = self.dataset()
+            except EclSyntaxError as agg_ds_err:
+                if any(
+                    s in str(agg_ds_err)
+                    for s in (
+                        "unknown logical file", "unknown dataset",
+                        "not built yet",
+                    )
+                ):
+                    # lazy-binding miss: the MESSAGE drives the
+                    # caller's deferral — propagate it untouched
+                    raise
+                # scalar-returning function argument after all —
+                # rewind and let the plain value grammar own the call
+                self.i = kstart
+                inner = None
+            if inner is not None:
+              if t.text == "count":
+                  if self.accept(","):
+                      self.expect("keyed")  # COUNT(index, KEYED)
+                  self.expect(")")
+                  cse_key = (t.text,) + tuple(
+                      tok.text for tok in self.toks[kstart : self.i]
+                  )
+                  if self._action_cse is not None and cse_key in self._action_cse:
+                      val = self._action_cse[cse_key]
+                  else:
+                      val = inner.count()
+                      if self._action_cse is not None:
+                          self._action_cse[cse_key] = val
+              else:
+                  self.expect(",")
+                  emark_ag = self.i
+                  try:
+                      e = self.value(inner)
+                  except EclFailError:
+                      raise
+                  except Exception:
+                      # cross-frame aggregate argument (complexhoist's
+                      # SUM(dsInner1, i * x) with x an outer Column):
+                      # re-route through the hoisted-literal child path
+                      self.i = kstart
+                      return self._rebound_child_agg(t.text, df)
+                  espan_ag = self.toks[emark_ag : self.i]
+                  self.expect(")")
+                  cse_key = (t.text,) + tuple(
+                      tok.text for tok in self.toks[kstart : self.i]
+                  )
+                  if self._action_cse is not None and cse_key in self._action_cse:
+                      val = self._action_cse[cse_key]
+                  else:
+                      agg = {
+                          "sum": F.sum, "min": F.min, "max": F.max, "ave": F.avg
+                      }[t.text]
+                      try:
+                          val = inner.agg(agg(e)).collect()[0][0]
+                      except EclFailError:
+                          raise
+                      except Exception:
+                          self.i = kstart
+                          return self._rebound_child_agg(t.text, df)
+                      if (
+                          t.text in ("sum", "min", "max")
+                          and isinstance(val, float)
+                          and val.is_integer()
+                      ):
+                          # ECL aggregate typing follows the argument:
+                          # integer expressions stay INTEGER even when
+                          # an inlined function body accumulated
+                          # through a double (complexhoist's 310827375)
+                          dt_ag = dict(inner.dtypes)
+                          intish = all(
+                              not (
+                                  tk.text == "/"
+                                  or (
+                                      tk.kind == "num"
+                                      and (
+                                          "." in tk.text
+                                          or "e" in tk.text.lower()
+                                      )
+                                  )
+                                  or (
+                                      tk.kind == "ident"
+                                      and dt_ag.get(tk.text)
+                                      in ("double", "float")
+                                  )
+                              )
+                              for tk in espan_ag
+                          )
+                          if intish:
+                              val = int(val)
+                      if self._action_cse is not None:
+                          self._action_cse[cse_key] = val
+              gate0 = getattr(self, "_ds_gate", {}).get(id(inner))
+              if gate0 is not None:
+                  # gated join (side-free conjuncts over an outer row):
+                  # the aggregate reads 0 whenever the gate is false
+                  # (keyed_join5's IF(COUNT(j)>0, ...) per parent row)
+                  z0 = 0.0 if isinstance(val, float) else 0
+                  return F.when(gate0, F.lit(val)).otherwise(F.lit(z0))
+              if isinstance(val, bool):
+                  return self._mkconst(val, "boolean")
+              if isinstance(val, int):
+                  return self._mkconst(val, "integer")
+              if isinstance(val, float):
+                  return self._mkconst(val, "real")
+              if isinstance(val, Decimal):
+                  return self._mkconst(val, "decimal")
+              if isinstance(val, str):
+                  return self._mkconst(val, "string")
+              return F.lit(val)
         if (
             t.text in ("exists", "count")
             and self.peek().text == "("
@@ -13956,6 +14588,58 @@ class _Parser:
             if t.text == "exists":
                 return self._mkconst(n > 0, "boolean")
             return self._mkconst(n, "integer")
+        if (
+            t.text == "exists"
+            and self.peek().text == "("
+            and getattr(self, "_join_frames", None) is not None
+            and self.toks[self.i + 1].text in ("left", "right")
+            and self.toks[self.i + 2].text == "."
+        ):
+            # EXISTS(LEFT.child(filter)) inside a JOIN condition
+            # (keyed_join3's not exists(left.books(id in
+            # set(right.books, id)))): pure Column plan —
+            # F.exists/F.filter over the side's child array
+            jf_e = self._join_frames
+            self.next()  # '('
+            side_e = self.next().text
+            self.next()  # '.'
+            fld_e = self.next().text
+            ref_e = jf_e[0] if side_e == "left" else jf_e[1]
+            arr_e = ref_e[fld_e]
+            frame_e = (
+                ref_e
+                if isinstance(ref_e, DataFrame)
+                else getattr(ref_e, "_frame", None)
+            )
+            names_e: list = []
+            meta_e = None
+            if frame_e is not None:
+                try:
+                    et = frame_e.schema[fld_e].dataType.elementType
+                    names_e = list(et.names)
+                except Exception:
+                    names_e = []
+                fm_e = self._ds_fields.get(id(frame_e))
+                if fm_e is not None:
+                    for f0 in fm_e:
+                        d0 = f0[3]
+                        if f0[0] == fld_e and isinstance(d0, tuple) and (
+                            d0 and d0[0] == "__child__"
+                        ):
+                            meta_e = d0[1]
+            if self.peek().text == "(":
+                close_e = self._match_paren(self.i)
+                span_e = self.toks[self.i + 1 : close_e]
+                self.i = close_e + 1
+
+                arr_e = F.filter(
+                    arr_e,
+                    lambda x: self._eval_elem_cond(
+                        span_e, x, names_e, fields_meta=meta_e
+                    ),
+                )
+            self.expect(")")
+            return F.size(arr_e) > 0
         if t.text == "exists" and self.peek().text == "(":
             # EXISTS(ds) — true when the dataset is non-empty; probes at
             # most one row (limit(1)), not a full count.
@@ -14683,6 +15367,76 @@ class _Parser:
             self.expect("]")
             self.expect(".")
             fld = self.next().text
+            fmeta_dr = {
+                f[0]: f for f in (self._ds_fields.get(id(src)) or [])
+            }
+            fm_dr = fmeta_dr.get(fld)
+            if (
+                fm_dr is not None
+                and isinstance(fm_dr[3], tuple)
+                and len(fm_dr[3]) > 3
+                and fm_dr[3][0] == "__child__"
+                and isinstance(fm_dr[3][3], tuple)
+                and fm_dr[3][3][0] == "__dict__"
+                and self.peek().text == "["
+            ):
+                # d[1].dictfield[key].member — a DICTIONARY-typed child
+                # probed by KEY (dict_indep's d[1].c['c'].c2): driver
+                # read of the single row, slot scan by trimmed key
+                self.next()
+                kvals_dr = [self._cget(self.value(self._dummy()))]
+                while self.accept(","):
+                    kvals_dr.append(self._cget(self.value(self._dummy())))
+                self.expect("]")
+                self.expect(".")
+                mem_dr = self.next().text
+                if any(k is None for k in kvals_dr):
+                    raise EclSyntaxError(
+                        "dictionary probe keys must be constant here"
+                    )
+                sub_dr = fm_dr[3][1]
+                nk_dr = fm_dr[3][3][1]
+                order_dr = self._order.get(id(src))
+                ordered_dr = (
+                    src.orderBy(*order_dr) if order_dr is not None else src
+                )
+                rows_dr = ordered_dr.limit(max(n, 1)).collect()
+                lst_dr = (
+                    rows_dr[n - 1][fld] if 1 <= n <= len(rows_dr) else []
+                )
+                want_dr = tuple(
+                    k[0].rstrip() if isinstance(k[0], str) else k[0]
+                    for k in kvals_dr
+                )
+                knames_dr = [f[0] for f in sub_dr[:nk_dr]]
+                hit_dr = None
+                for e_dr in lst_dr or []:
+                    got_dr = tuple(
+                        e_dr[kn].rstrip()
+                        if isinstance(e_dr[kn], str)
+                        else e_dr[kn]
+                        for kn in knames_dr
+                    )
+                    if got_dr == want_dr:
+                        hit_dr = e_dr
+                        break
+                mm_dr = {f[0]: f for f in sub_dr}
+                ty_dr = mm_dr.get(mem_dr, (mem_dr, "string", None, None))
+                v_dr = hit_dr[mem_dr] if hit_dr is not None else None
+                if v_dr is None:
+                    v_dr = _zero_value(
+                        ty_dr[1], ty_dr[2], None
+                    )
+                if isinstance(v_dr, bool):
+                    return self._mkconst(v_dr, "boolean")
+                if isinstance(v_dr, int):
+                    return self._mkconst(v_dr, "integer")
+                if isinstance(v_dr, float):
+                    return self._mkconst(v_dr, "real")
+                w_dr = ty_dr[2]
+                return self._mkconst(
+                    v_dr, f"string{w_dr}" if w_dr else "string"
+                )
             return self._ds_row_field(src, n, fld)
         if t.kind == "ident" and t.text in self.dicts and self.peek().text == "[":
             # dict[key].field — miss yields the field's DEFAULT, else the
@@ -14771,6 +15525,24 @@ class _Parser:
             if t.text in self.functions and self.peek().text == "(":
                 r = self._call_function(t.text, df)
                 if isinstance(r, DataFrame):
+                    if [
+                        c for c in r.columns if c != "__ord__"
+                    ] in (["total"], ["cnt"], ["minval"], ["maxval"], ["aveval"]):
+                        # a FUNCTION whose body folded to the eager
+                        # one-row aggregate frame, used as a SCALAR
+                        # (complexhoist's innerSum2(i) inside SUM):
+                        # the frame is caller-independent — read it
+                        rows_fr = r.limit(1).collect()
+                        v_fr = rows_fr[0][0] if rows_fr else 0
+                        if isinstance(v_fr, bool):
+                            return self._mkconst(v_fr, "boolean")
+                        if isinstance(v_fr, int):
+                            return self._mkconst(v_fr, "integer")
+                        if isinstance(v_fr, float):
+                            return self._mkconst(v_fr, "real")
+                        if isinstance(v_fr, Decimal):
+                            return self._mkconst(v_fr, "decimal")
+                        return F.lit(v_fr)
                     raise EclSyntaxError(
                         f"{t.text} returns a dataset; a scalar was expected at {t.pos}"
                     )
@@ -16044,12 +16816,42 @@ class _Parser:
                     ]
         return out
 
-    def _child_agg(self, fn: str, df) -> Column:
+    def _rebound_child_agg(self, fn: str, df) -> Column:
+        """The eager global-aggregate path failed on a cross-frame
+        argument — rerun the aggregate through the hoisted-literal
+        child grammar (complexhoist). Cursor sits at '('."""
+        return self._child_agg(fn, df, force_rebind=True)
+
+    def _child_agg(self, fn: str, df, force_rebind: bool = False) -> Column:
         """fn is count/sum/min/max/ave/exists; at '(' of the call."""
         self.expect("(")
         self._skip_shim_qual()
         nm0 = self.peek().text if self.peek().kind == "ident" else None
-        arr, fields = self._child_expr(df)
+        mark_ca = self.i
+        try:
+            if force_rebind:
+                raise EclSyntaxError("forced rebind")
+            arr, fields = self._child_expr(df)
+        except EclFailError:
+            raise
+        except Exception:
+            # not plain-child-shaped (EclSyntaxError, or an
+            # AnalysisException from a cross-frame column): the rebind
+            # grammar owns function inlining / hoisted globals
+            # (groupglobal1b's count(table(f(left.val), ...)),
+            # complexhoist's SUM(dsInner1, i * x)). A BARE dataset
+            # head stays with the eager global-aggregate path — its
+            # result must FOLD (looprpn's LOOP(.., COUNT(actions), ..))
+            self.i = mark_ca
+            if not force_rebind and (
+                self._at_dataset_start(self.i)
+                and self.toks[self.i + 1].text in (",", ")")
+            ):
+                raise
+            rb_ca = self._rebind_parse(df)
+            if rb_ca is None:
+                raise
+            arr, fields = rb_ca
         if fn == "count":
             self.expect(")")
             return F.size(arr).cast("long")
@@ -16092,15 +16894,37 @@ class _Parser:
         vals = F.transform(arr, _mk_val(list(span), fieldnames, list(fields)))
         if fn == "sum":
             tymap0 = {f[0]: f[1] for f in fields}
+            _int_tys = (
+                "long", "integer", "unsigned", "int", "bigint",
+                "smallint", "tinyint",
+            )
+
+            def _span_integral(sp):
+                # ECL SUM takes its argument's type: an expression of
+                # integer fields/literals under * + - stays INTEGER
+                # (complexhoist's SUM(ds, x * innerSum1(i)) renders
+                # 6075, not 6075.0); '/' or any real operand widens
+                for tk0 in sp:
+                    if tk0.text == "/":
+                        return False
+                    if tk0.kind == "num" and (
+                        "." in tk0.text or "e" in tk0.text.lower()
+                    ):
+                        return False
+                    if tk0.kind == "ident" and tk0.text in tymap0:
+                        ty0 = str(tymap0[tk0.text]).split("(")[0]
+                        if ty0 not in _int_tys:
+                            return False
+                return True
+
             integral = (
                 len(span) == 1
                 and span[0].kind == "ident"
                 and str(tymap0.get(span[0].text, "")).split("(")[0]
-                in (
-                    "long", "integer", "unsigned", "int", "bigint",
-                    "smallint", "tinyint",
-                )
-            ) or (bool(span) and span[0].text == "count")
+                in _int_tys
+            ) or (bool(span) and span[0].text == "count") or _span_integral(
+                span
+            )
             res = F.aggregate(
                 vals, F.lit(0).cast("double"), lambda a, b: a + b
             )
@@ -16619,10 +17443,31 @@ class _Parser:
             arr, _mk_val(list(inner), fieldnames, fields, elem_path)
         )
         tymap = {f[0]: f[1] for f in fields}
+        _int_tys_g = (
+            "long", "integer", "unsigned", "int", "bigint",
+            "smallint", "tinyint",
+        )
         is_int = espan[4].text == "count" or (
             len(inner) == 1
             and inner[0].kind == "ident"
             and tymap.get(inner[0].text) == "long"
+        ) or all(
+            # integer expression under * + -: ECL SUM keeps INTEGER
+            # (complexhoist's SUM(dsOuter, innerSum2(i)))
+            not (
+                tk.text == "/"
+                or (
+                    tk.kind == "num"
+                    and ("." in tk.text or "e" in tk.text.lower())
+                )
+                or (
+                    tk.kind == "ident"
+                    and tk.text in tymap
+                    and str(tymap[tk.text]).split("(")[0]
+                    not in _int_tys_g
+                )
+            )
+            for tk in inner
         )
         if fn == "sum":
             s = F.aggregate(vals, F.lit(0).cast("double"), lambda a, b: a + b)
@@ -16865,11 +17710,83 @@ class _Parser:
                 (f.name, f.dataType.simpleString(), None, None)
                 for f in base_ds.schema.fields
             ]
+        if (
+            isinstance(df, DataFrame)
+            and getattr(self, "_corr_join_ok", None) is df
+        ):
+            # UNBOUNDED plan (the caller can re-base its source frame,
+            # e.g. a PROJECT assignment): groupBy(key) + collect_list
+            # builds the per-parent child arrays EXECUTOR-side and a
+            # plain left join attaches them — no driver map, no cap;
+            # this IS the reference's child-query fetch re-expressed as
+            # one co-partitioned shuffle (SCALE.md; r11 ask #2)
+            fnames_j = [m[0] for m in meta if m[0] in base_ds.columns]
+            self._corr_seq = getattr(self, "_corr_seq", 0) + 1
+            arr_nm = f"__corr_arr_{self._corr_seq}__"
+            payload = F.struct(*[F.col(n) for n in fnames_j])
+            if "__ord__" in base_ds.columns:
+                # child order inside each array = the child dataset's
+                # own row order (collect_list alone is partition-luck)
+                lst = F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__ord__").alias("_o"),
+                            payload.alias("_r"),
+                        )
+                    )
+                )
+                arr_agg = F.transform(lst, lambda x: x["_r"])
+            else:
+                arr_agg = F.collect_list(payload)
+            grouped_j = base_ds.groupBy(
+                F.col(keyf).alias("__ck__")
+            ).agg(arr_agg.alias(arr_nm))
+            joined_j = df.join(
+                grouped_j, parent_col == F.col("__ck__"), "left"
+            ).drop("__ck__")
+            # metadata rides to the re-based frame
+            if id(df) in self._order:
+                self._set_order(joined_j, self._order[id(df)])
+            if id(df) in self._grouped:
+                self._grouped[id(joined_j)] = self._grouped[id(df)]
+            if id(df) in self._ds_fields:
+                self._ds_fields[id(joined_j)] = self._ds_fields[id(df)]
+            if not hasattr(self, "_corr_swaps"):
+                self._corr_swaps = {}
+            self._corr_swaps[id(df)] = joined_j
+            ety = (
+                base_ds.select(payload.alias("s"))
+                .schema["s"]
+                .dataType.simpleString()
+            )
+            out_arr_j = F.coalesce(
+                F.col(arr_nm), F.array().cast(f"array<{ety}>")
+            )
+            fields_j = [
+                m for m in meta if m[0] in base_ds.columns
+            ]
+            if resid_spans:
+                fn_j = [f[0] for f in fields_j]
+
+                def _mk_rj(span_l, fn_l, fm_l):
+                    def one(x):
+                        return self._eval_elem_cond(
+                            span_l, x, fn_l, fields_meta=fm_l
+                        )
+
+                    return one
+
+                for rs_j in resid_spans:
+                    out_arr_j = F.filter(
+                        out_arr_j,
+                        _mk_rj(list(rs_j), fn_j, list(fields_j)),
+                    )
+            return out_arr_j, fields_j
         # trim to the keys the parent actually references (a broadcast
         # left_semi against the DISTINCT parent keys) so the map cap
         # binds on RELEVANT child rows, not on the child dataset's
-        # size — the 100 TB plan is this same semi-join with the map
-        # replaced by a full join (operators/join.py, SCALE.md)
+        # size — callers that cannot re-base their frame keep the
+        # literal-map fallback below
         trimmed = base_ds
         if isinstance(df, DataFrame):
             try:
@@ -16973,6 +17890,54 @@ class _Parser:
     def _rebind_parse_base(self, df):
         self._skip_shim_qual()
         t = self.peek()
+        entry_i_rb = self.i
+        rp0 = getattr(self, "_row_params", None) or {}
+        if (
+            t.kind == "ident"
+            and t.text in rp0
+            and self.toks[self.i + 1].text == "."
+            and self.toks[self.i + 2].kind == "ident"
+        ):
+            # row-parameter child access: r.books where r is a bound
+            # TRANSFORM row param (keyed_join3's gatherOtherBooks —
+            # project(r.books, ...)); the param's frame carries the
+            # child array column
+            side_r = rp0[t.text]
+            fld_r = self.toks[self.i + 2].text
+            cols_r = list(getattr(side_r, "columns", []))
+            if fld_r in cols_r:
+                dt_r = dict(getattr(side_r, "dtypes", [])).get(fld_r, "")
+                if str(dt_r).startswith("array<"):
+                    self.next()
+                    self.next()
+                    self.next()
+                    arr_r = side_r[fld_r]
+                    flds_r = None
+                    fr_r = (
+                        side_r
+                        if isinstance(side_r, DataFrame)
+                        else getattr(side_r, "_frame", None)
+                    )
+                    if fr_r is not None:
+                        for f0 in self._ds_fields.get(id(fr_r)) or []:
+                            if (
+                                f0[0] == fld_r
+                                and isinstance(f0[3], tuple)
+                                and f0[3]
+                                and f0[3][0] == "__child__"
+                            ):
+                                flds_r = list(f0[3][1])
+                    if flds_r is None and fr_r is not None:
+                        try:
+                            et_r = fr_r.schema[fld_r].dataType.elementType
+                            flds_r = [
+                                (n_r, None, None, None)
+                                for n_r in et_r.names
+                            ]
+                        except Exception:
+                            flds_r = None
+                    if flds_r is not None:
+                        return arr_r, flds_r
         ep = getattr(df, "_elem_path", None)
         if ep is None and isinstance(df, DataFrame):
             # a parent.child flatten FRAME: rows are elements of the
@@ -17224,7 +18189,21 @@ class _Parser:
                         bind_arr[pname] = got
                     else:
                         self.i = mark_a
-                        bind_sca[pname] = self.value(df)
+                        try:
+                            bind_sca[pname] = self.value(df)
+                        except EclFailError:
+                            raise
+                        except EclSyntaxError:
+                            raise
+                        except Exception as arg_err:
+                            # an untypable argument (a macro-wrapped
+                            # dataset span read as a column) is a clean
+                            # "not function-inlinable" signal, not a
+                            # hard failure (complexhoist's
+                            # HOIST(DATASET(...)) spans)
+                            raise EclSyntaxError(
+                                f"uninlinable argument: {arg_err}"
+                            ) from None
                     k += 1
                     if not self.accept(","):
                         break
@@ -17261,14 +18240,131 @@ class _Parser:
                 self.toks, self.i = saved_toks2, saved_i2
                 self._rebind_arrays = saved_arrs
                 self.scalars = saved_scal
+        if t.text == "project" and self.toks[self.i + 1].text == "(":
+            # project(<child expr>, transform(rec, self.f := expr |
+            # self := left)) — per-element reshape of a child array
+            # (keyed_join3's project(r.books, transform(sq.BookIdRec,
+            # self := left))): F.transform, fully JVM-side
+            self.next()
+            self.next()
+            inner_p = self._rebind_parse(df)
+            if inner_p is None:
+                return None
+            arr_p, fields_p = inner_p
+            self.expect(",")
+            self.expect("transform")
+            self.expect("(")
+            self._skip_shim_qual()
+            recn_p = self.next()
+            if recn_p.text == "recordof" and self.peek().text == "(":
+                # TRANSFORM(RECORDOF(x), ...): the output shape IS the
+                # element shape of the projected child (groupglobal1b)
+                close_ro = self._match_paren(self.i)
+                self.i = close_ro + 1
+                out_fields_p = list(fields_p)
+            else:
+                out_fields_p = self._resolve_record_fields(recn_p.text)
+            if out_fields_p is None:
+                raise EclSyntaxError(
+                    f"unknown record {recn_p.text!r} in child PROJECT"
+                )
+            fnames_p = [f[0] for f in fields_p]
+            asg_p: dict[str, list] = {}
+            copy_elem = False
+            while self.accept(",") or self.accept(";"):
+                if self.peek().text == ")":
+                    break
+                st_p = self.next()
+                if st_p.text != "self":
+                    raise EclSyntaxError(
+                        f"expected SELF in child PROJECT at {st_p.pos}"
+                    )
+                if self.accept("."):
+                    fn_p = self.next().text
+                    self.expect(":=")
+                    span_p: list = []
+                    d_p = 0
+                    while not (
+                        d_p == 0 and self.peek().text in (",", ";", ")")
+                    ):
+                        tk_p = self.next()
+                        if tk_p.kind == "eof":
+                            raise EclSyntaxError(
+                                "unterminated child PROJECT transform"
+                            )
+                        d_p += tk_p.text in ("(", "[", "{")
+                        d_p -= tk_p.text in (")", "]", "}")
+                        span_p.append(tk_p)
+                    asg_p[fn_p] = span_p
+                else:
+                    self.expect(":=")
+                    side_p = self.next().text
+                    if side_p not in ("left",):
+                        raise EclSyntaxError(
+                            "child PROJECT copies only SELF := LEFT"
+                        )
+                    copy_elem = True
+            self.expect(")")
+            self.expect(")")
+
+            def _mk_elem(asg_l, out_f, fnames_l, fmeta_l):
+                def one(x):
+                    cols_e = []
+                    for nm_e, ty_e, w_e, _d_e in out_f:
+                        if nm_e in asg_l:
+                            c_e = self._eval_elem_cond(
+                                asg_l[nm_e], x, fnames_l,
+                                fields_meta=fmeta_l,
+                            )
+                        elif copy_elem and nm_e in fnames_l:
+                            c_e = x[nm_e]
+                        else:
+                            c_e = self._zero_col(ty_e, w_e)
+                        if w_e and w_e > 0 and ty_e == "string":
+                            c_e = F.rpad(c_e.cast("string"), w_e, " ")
+                        cols_e.append(c_e.alias(nm_e))
+                    return F.struct(*cols_e)
+
+                return one
+
+            arr_p = F.transform(
+                arr_p,
+                _mk_elem(asg_p, out_fields_p, fnames_p, list(fields_p)),
+            )
+            return arr_p, list(out_fields_p)
+        if t.text == "ungroup" and self.toks[self.i + 1].text == "(":
+            # UNGROUP(child) — grouping is metadata here; rows pass
+            # through (groupglobal1b's ungroup(f(left.val)))
+            self.next()
+            self.next()
+            inner_u = self._rebind_parse(df)
+            self.expect(")")
+            return inner_u
         if t.text == "table" and self.toks[self.i + 1].text == "(":
             # table(<child expr>, {f1, f2, ...}) — project each element
             self.next()
             self.next()
+            self._rebind_group_sizes = None
             inner = self._rebind_parse(df)
             if inner is None:
                 return None
             arr, fields = inner
+            gsizes = getattr(self, "_rebind_group_sizes", None)
+            if gsizes is not None and [
+                tk.text for tk in self.toks[self.i : self.i + 7]
+            ] == [",", "{", "count", "(", "group", ")", "}"]:
+                # TABLE(grouped-hoisted child, { COUNT(GROUP) }) — one
+                # row per group of the hoisted global (groupglobal1b's
+                # cnt): group sizes are known at hoist time
+                self.i += 7
+                self.expect(")")
+                arr_g = F.array(
+                    *[
+                        F.struct(F.lit(n).cast("long").alias("cnt"))
+                        for n in gsizes
+                    ]
+                )
+                return arr_g, [("cnt", "long", None, None)]
             if self.accept(","):
                 self.expect("{")
                 body: list[_Tok] = []
@@ -17343,8 +18439,123 @@ class _Parser:
         # definitions, DEDUP — is the child-expression grammar
         try:
             return self._child_expr(df)
-        except EclSyntaxError:
-            return None
+        except EclFailError:
+            raise
+        except Exception:
+            # EclSyntaxError, or an AnalysisException from a global
+            # name read as a column — the hoist fallback below owns
+            # those (complexhoist's SUM(dsInner1, i * x))
+            pass
+        if (
+            t.kind == "ident"
+            and t.text in self.env
+            and isinstance(self.env[t.text], DataFrame)
+        ):
+            # a GLOBAL dataset referenced inside a per-row child query
+            # (groupglobal1b's project(gr, ...) where gr := GROUP(...)
+            # : global): the reference HOISTS the global, evaluates it
+            # once, and serializes it to the child query
+            # (ExplicitGlobalTransformer, hqlhoist.cpp) — here that is
+            # a cap-guarded literal array; grouping rides along for
+            # TABLE(..., {COUNT(GROUP)}) over the hoisted rows
+            self.i = entry_i_rb  # failed attempts may have advanced
+            frame_gl = self.env[self.toks[self.i].text]
+            if id(frame_gl) in getattr(self, "_ds_gate", {}):
+                # a gated join result (per-outer-row leftCanMatch)
+                # must stay a FRAME: the gated COUNT/EXISTS readers
+                # own it (keyed_join5's childFunc)
+                return None
+            self.next()
+            try:
+                arr_gl, fields_gl = self._global_literal_array(frame_gl)
+            except EclSyntaxError:
+                raise
+            except Exception:
+                return None
+            while self.peek().text == "(":
+                # postfix element filter over the hoisted rows
+                # (complexhoist3's dsInner1(x != i))
+                close_gl = self._match_paren(self.i)
+                span_gl = self.toks[self.i + 1 : close_gl]
+                self.i = close_gl + 1
+                fnames_gl = [f[0] for f in fields_gl]
+
+                def _mk_f(span_c, fn_c, fm_c):
+                    def one(x):
+                        return self._eval_elem_cond(
+                            span_c, x, fn_c, fields_meta=fm_c
+                        )
+
+                    return one
+
+                arr_gl = F.filter(
+                    arr_gl,
+                    _mk_f(list(span_gl), fnames_gl, list(fields_gl)),
+                )
+            return arr_gl, fields_gl
+        return None
+
+    def _global_literal_array(self, frame: DataFrame):
+        """Materialize a small global frame as a literal array<struct>
+        Column (the reference's global-hoist serialization). Records
+        run-length group sizes in self._rebind_group_sizes when the
+        frame is GROUPed."""
+        rows = self._clean(frame).limit(10_001).collect()
+        if len(rows) > 10_000:
+            raise EclSyntaxError(
+                "global dataset exceeds the 10,000-row child-query "
+                "hoist cap; restructure as a JOIN for large inputs"
+            )
+        gkeys = self._grouped.get(id(frame))
+        if gkeys:
+            sizes: list[int] = []
+            prev = object()
+            for r in rows:
+                k = tuple(r[g] for g in gkeys)
+                if k != prev:
+                    sizes.append(1)
+                    prev = k
+                else:
+                    sizes[-1] += 1
+            self._rebind_group_sizes = sizes
+        from pyspark.sql.types import ArrayType, StructType
+
+        schema = frame.schema
+
+        def lit_val(v, dt):
+            if isinstance(dt, StructType):
+                return F.struct(
+                    *[
+                        lit_val(
+                            None if v is None else v[f.name], f.dataType
+                        ).alias(f.name)
+                        for f in dt.fields
+                    ]
+                )
+            if isinstance(dt, ArrayType):
+                if not v:
+                    return F.expr("array()").cast(dt)
+                return F.array(
+                    *[lit_val(e, dt.elementType) for e in v]
+                ).cast(dt)
+            return F.lit(v).cast(dt)
+
+        cols = [f for f in schema.fields if f.name != "__ord__"]
+        arr = F.array(
+            *[
+                F.struct(
+                    *[
+                        lit_val(r[f.name], f.dataType).alias(f.name)
+                        for f in cols
+                    ]
+                )
+                for r in rows
+            ]
+        )
+        meta = self._ds_fields.get(id(frame))
+        if meta is None:
+            meta = self._fields_from_frame(frame)
+        return arr, [f for f in meta if f[0] != "__ord__"]
 
     def _eval_elem_cond(
         self, span: list[_Tok], elem, fieldnames: list, outer: dict | None = None,
@@ -17776,6 +18987,16 @@ class _Parser:
                 if self.accept(";") or self.accept(","):
                     continue
                 st = self.next()
+                if st.text == "skip" and self.peek().text == "(":
+                    # SKIP(cond) as a body member (complexhoist2's
+                    # mkRow: TRANSFORM({...}, SKIP(v = n); SELF.i := v))
+                    self.next()
+                    sc0 = self.value(df)
+                    self.expect(")")
+                    skip_cond = (
+                        sc0 if skip_cond is None else (skip_cond | sc0)
+                    )
+                    continue
                 if (
                     st.kind == "ident"
                     and self.peek().text == ":="
@@ -17873,6 +19094,7 @@ class _Parser:
                             f"SELF := {src_p}: not a row parameter"
                         )
                     assigned["__copy_from__"] = src_p
+                    assigned.setdefault("__copy_list__", []).append(src_p)
         finally:
             self.toks, self.i = saved_toks, saved_i
             self._struct_locals = saved_sl

@@ -777,14 +777,16 @@ def _sq_person_book(spark):
             ]
             rows.append(
                 (p["id"], p["forename"], p["surname"], _dec(p["dob"], 0),
-                 _dec(p["booklimit"], 0), p["aage"], books, h["id"])
+                 _dec(p["booklimit"], 0), p["aage"], books, h["id"],
+                 len(rows) + 1)
             )
     return spark.createDataFrame(
         rows,
         "id long, forename string, surname string, dob decimal(8,0), "
         "booklimit decimal(8,0), aage long, "
         "books array<struct<id: long, name: string, author: string, "
-        "rating100: long, price: decimal(8,2)>>, houseid long",
+        "rating100: long, price: decimal(8,2)>>, houseid long, "
+        "__ord__ long",
     ).coalesce(1)
 
 

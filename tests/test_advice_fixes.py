@@ -577,3 +577,76 @@ def test_promote_superfile_list_string_argument(spark):
     """
     dfs = run_ecl_actions(ecl, {}, spark=spark)
     assert [int(r[0]) for r in dfs[-1].collect()] == [1]
+
+
+def test_bitwise_precedence_matches_hqlgram(spark):
+    """hqlgram.y %left tiers: & binds tighter than |/^, and both bind
+    tighter than * and + (r12 ADVICE #1) — `flags & mask + 1` is
+    `(flags & mask) + 1`."""
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    OUTPUT(5 & 3 + 1);
+    OUTPUT(4 | 2 & 6);
+    OUTPUT(2 * 3 & 1);
+    OUTPUT(1 << 2 + 1);
+    """
+    dfs = run_ecl_actions(ecl, {}, spark=spark)
+    assert [int(df.collect()[0][0]) for df in dfs] == [2, 6, 2, 8]
+
+
+def test_unknown_posix_class_raises(spark):
+    """An unknown [:class:] raises a clear front-door error instead of
+    an invalid Java pattern (r12 ADVICE #5)."""
+    import pytest
+
+    from hpcc_platform_spark.eclfront import EclSyntaxError, run_ecl_actions
+
+    from hpcc_platform_spark.eclfront import _posix_java
+
+    with pytest.raises(EclSyntaxError, match="bogus"):
+        _posix_java("[[:bogus:]]")
+    assert _posix_java("[[:alpha:]]") == "[\\p{Alpha}]"
+
+
+def test_unbalanced_dbglog_paren_raises_syntax_error(spark):
+    """An unbalanced paren in a no-op diagnostic action raises
+    EclSyntaxError, not TypeError (r12 ADVICE #2)."""
+    import pytest
+
+    from hpcc_platform_spark.eclfront import EclSyntaxError, run_ecl_actions
+
+    with pytest.raises(EclSyntaxError):
+        run_ecl_actions("dbglog('x';", {}, spark=spark)
+
+
+def test_correlated_filter_scales_without_driver_map(spark):
+    """A correlated child filter inside a PROJECT assignment lowers to
+    groupBy+collect_list+join — no driver-side map, no row cap
+    (r11/r12 ask: 1M child rows pass; the old path raised at 5000)."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    parent = spark.range(1, 1001).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    child = spark.range(0, 1_000_000).select(
+        (F.col("id") % 1000 + 1).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    ecl = """
+    p := parentds;
+    c := childds;
+    out := PROJECT(p, TRANSFORM({unsigned k, unsigned cnt},
+        SELF.k := LEFT.k;
+        SELF.cnt := COUNT(c(k = p.k))));
+    OUTPUT(SORT(out, k));
+    """
+    dfs = run_ecl_actions(
+        ecl, {"parentds": parent, "childds": child}, spark=spark
+    )
+    rows = dfs[-1].limit(5).collect()
+    assert [(int(r[0]), int(r[1])) for r in rows] == [
+        (1, 1000), (2, 1000), (3, 1000), (4, 1000), (5, 1000)
+    ]

@@ -202,6 +202,23 @@ VERBATIM = [
     # file position over the DG and sq fixtures, TYPEOF/RECORDOF
     # rettypes, SELF := [] typed-zero fills, child-array '+' append
     "keyed_join", "keyed_join6", "keyed_fetch", "fetch", "fetch2",
+    # r13: half/full-keyed joins against a WORKUNIT-named file — gated
+    # side-free conjuncts (leftCanMatch), residual/SKIP-aware KEEP(n),
+    # virtual(fileposition) payloads, grouped-join TABLE counts
+    "keyed_join5",
+    # r13: full-keyed joins against superfiles of built indexes,
+    # KEYED(index) emission order, BUILDINDEX name registration, OPT
+    # missing-key reads, join-side lineage aliasing, child-array EXISTS
+    # join conditions, child PROJECT reshapes
+    "keyed_join3", "keyed_join4",
+    # r13: §4.1 global-hoist executable spec — GLOBAL grouped datasets
+    # hoisted into per-row child queries as literal arrays
+    # (ExplicitGlobalTransformer analogue), TABLE(hoisted, {COUNT
+    # (GROUP)}), correlated nested scalar SUM chains, one-line
+    # TRANSFORM({rec}, SKIP(...)) definitions
+    "groupglobal1b", "groupglobal2b", "groupglobal3b",
+    "groupglobal1c", "groupglobal2c", "groupglobal3c",
+    "complexhoist", "complexhoist2", "complexhoist3",
     # sweep finds: pass with the round's generic fixes
     "aggds1", "regex1u", "sqagg2", "sqfiltsubstring", "sqshare",
     "sqshare2",
