@@ -1524,7 +1524,12 @@ class _Parser:
         )
 
     def _dummy(self) -> DataFrame:
-        return self.spark().range(1)
+        d = getattr(self, "_dummy_df", None)
+        if d is None:
+            d = self.spark().range(1)
+            d._ecl_dummy = True  # no row context: global-eager semantics
+            self._dummy_df = d
+        return d
 
     def program(self) -> DataFrame:
         try:
@@ -1757,6 +1762,15 @@ class _Parser:
         while self.accept(","):
             if self.peek().text == ",":
                 continue  # empty positional slot: OUTPUT(ds,,NAMED(...))
+            if (
+                self.peek().kind == "ident"
+                and self.peek().text in self.functions
+                and self.functions[self.peek().text].get("macro")
+                and self.toks[self.i + 1].text == "("
+            ):
+                # a MACRO invocation in option position expands first
+                # (aggsqx1's output(ds, forceSubQuery(a1)) → {...})
+                self._splice_fn_call(self.i)
             if self.peek().text == "{":
                 df = self._output_projection(df)
             elif self.peek().text == "named":
@@ -3802,25 +3816,33 @@ class _Parser:
                 ):
                     # ds[n] as a ROW-typed argument (looprpn's
                     # processNext(..., actions[counter])): a constant
-                    # index folds to a one-row command row
+                    # index folds to a one-row command row.  ds[n].fld
+                    # is a FIELD read (dict_func's
+                    # getBandValue(bands[1].band)) — rewind to the
+                    # value grammar when a '.' follows the ']'.
+                    mark_ra = self.i
                     nm_ra = self.next().text
                     self.next()  # '['
                     idx_c = self._cget(self.value(self._dummy()))
                     self.expect("]")
-                    if idx_c is None:
-                        raise EclSyntaxError(
-                            "ds[n] argument needs a constant index here"
+                    if self.peek().text == ".":
+                        self.i = mark_ra
+                        a = ("val", self.value(df))
+                    else:
+                        if idx_c is None:
+                            raise EclSyntaxError(
+                                "ds[n] argument needs a constant index here"
+                            )
+                        d_ra = self._clean(self.env[nm_ra])
+                        a = (
+                            "row",
+                            _ConstRow(
+                                self,
+                                d_ra.offset(int(idx_c[0]) - 1).limit(1)
+                                if int(idx_c[0]) > 1
+                                else d_ra.limit(1),
+                            ),
                         )
-                    d_ra = self._clean(self.env[nm_ra])
-                    a = (
-                        "row",
-                        _ConstRow(
-                            self,
-                            d_ra.offset(int(idx_c[0]) - 1).limit(1)
-                            if int(idx_c[0]) > 1
-                            else d_ra.limit(1),
-                        ),
-                    )
                 elif (
                     self.peek().kind == "ident"
                     and self.peek().text in self.dslists
@@ -5425,14 +5447,30 @@ class _Parser:
             self.expect("(")
             df = self.dataset()
             self.expect(")")
-        elif t.text in ("nofold", "nohoist", "nothor"):
-            # NOFOLD/NOHOIST/NOTHOR — folding/hoisting/placement
-            # barriers in the reference (hqlfold.cpp); Catalyst owns
-            # those decisions here, so they are the identity
+        elif t.text in ("nofold", "nohoist", "nothor", "preload"):
+            # NOFOLD/NOHOIST/NOTHOR/PRELOAD — folding/hoisting/
+            # placement/caching hints in the reference (hqlfold.cpp;
+            # PRELOAD pins a file in memory, eclagent); Catalyst and
+            # Spark's own caching own those decisions here, so they
+            # are the identity. NOFOLD/NOHOIST do block the eager
+            # child-query hoist probe (childds1 vs childds1err).
+            barrier = t.text in ("nofold", "nohoist")
             self.next()
             self.expect("(")
-            df = self.dataset()
+            if barrier:
+                self._nofold_depth = getattr(self, "_nofold_depth", 0) + 1
+            try:
+                df = self.dataset()
+            finally:
+                if barrier:
+                    self._nofold_depth -= 1
             self.expect(")")
+            if barrier:
+                # a postfix filter over NOFOLD(ds) keeps the barrier
+                # (childds1's NOFOLD(ds)(seq != cntBad, ...))
+                if not hasattr(self, "_nofold_frames"):
+                    self._nofold_frames = set()
+                self._nofold_frames.add(id(df))
         elif (
             t.text in ("allnodes", "local", "thisnode")
             and self.toks[self.i + 1].text == "("
@@ -15312,9 +15350,52 @@ class _Parser:
             # inline-dataset row-field read: table(...)[1].cnt (sqcond3)
             mark_r = self.i - 1
             saved_i = self.i
+            if hasattr(df, "_elem_path") or (
+                isinstance(df, DataFrame) and self._child_field_names(df)
+            ):
+                # row context: the CORRELATED child interpretation wins
+                # when the source derives from the row scope — the
+                # reference's implicit-relationship rule (hqlttcpp).
+                # aggsqx1's { dedup(a1(...), true)[1] } member computes
+                # a1 per house, never globally.
+                try:
+                    self.i = mark_r
+                    rb_ce = self._rebind_parse(df)
+                    if rb_ce is None:
+                        raise EclSyntaxError(
+                            f"not child-shaped at {t.pos}"
+                        )
+                    arr_ce, fields_ce = rb_ce
+                except EclFailError:
+                    raise
+                except Exception:
+                    self.i = saved_i
+                    arr_ce = None
+                if arr_ce is not None:
+                    if (
+                        self.peek().text == "["
+                        and self.toks[self.i + 3].text == "."
+                    ):
+                        return self._child_elem_field(arr_ce, fields_ce)
+                    if self.peek().text == "[":
+                        # bare [n]: the whole element row as a struct
+                        self.next()
+                        idxc = self._cget(self.value(self._dummy()))
+                        if idxc is None:
+                            raise EclSyntaxError(
+                                "dataset row index must be constant"
+                            )
+                        self.expect("]")
+                        return F.try_element_at(
+                            arr_ce, F.lit(int(idxc[0]))
+                        )
+                    return arr_ce  # dataset-valued member (array)
+            src_r = None
             try:
                 self.i = mark_r
                 src_r = self.dataset()
+            except EclFailError:
+                raise
             except EclSyntaxError:
                 self.i = saved_i
             else:
@@ -17032,6 +17113,7 @@ class _Parser:
             arr, fields = self._child_expr(df)
             keys: list[str] = []
             allmode = False
+            first_only = False
             while self.accept(","):
                 k = self.next()
                 if k.text in ("all", "hash"):
@@ -17039,8 +17121,18 @@ class _Parser:
                     continue
                 if k.text == "local":
                     continue
+                if k.text == "true":
+                    # DEDUP(ds, true): every adjacent pair "matches" —
+                    # only the first row survives (aggsqx's
+                    # forceSubQuery macro)
+                    first_only = True
+                    continue
+                if k.text == "false":
+                    continue  # never matches: no-op
                 keys.append(k.text)
             self.expect(")")
+            if first_only:
+                return F.slice(arr, 1, 1), fields
             tymap = {nm: ty for nm, ty, _w, _d in fields}
             if keys:
                 # DEDUP keeps the first WHOLE row per key run (ALL/HASH:
@@ -17076,6 +17168,39 @@ class _Parser:
             else:
                 arr = F.array_distinct(arr)
             return arr, fields
+        if t.text == "table" and self.peek().text == "(":
+            # TABLE over a child dataset — a correlated child query
+            # (aggsqx1's table(persons, {aggregates}) used per parent
+            # row; the reference compiles these as child-query
+            # aggregate activities, hqlcppds.cpp). Stays a JVM array
+            # expression — no shuffle, no per-row Python.
+            self.next()
+            src_mark_t = self.i
+            arr, fields = self._child_expr(df)
+            ep_t = None
+            try:
+                ep_t = tuple(
+                    self._resolve_chain(
+                        self._span_chain(self.toks[src_mark_t : self.i])
+                    )
+                )
+            except Exception:
+                ep_t = None
+            self.expect(",")
+            self.expect("{")
+            body_t: list[_Tok] = []
+            depth = 0
+            while not (depth == 0 and self.peek().text == "}"):
+                tk = self.next()
+                if tk.kind == "eof":
+                    raise EclSyntaxError("unterminated TABLE record")
+                depth += tk.text in ("(", "[", "{")
+                depth -= tk.text in (")", "]", "}")
+                body_t.append(tk)
+            self.next()  # '}'
+            keys_t = self._child_table_keys()
+            self.expect(")")
+            return self._child_table(arr, fields, body_t, keys_t, ep_t)
         kids = self._child_field_names(df) if df is not None else {}
         arr = fields = None
         arr_name = t.text  # field/definition name the array came from
@@ -17276,6 +17401,203 @@ class _Parser:
             f"not a child-dataset expression at {t.pos}: {t.text!r}"
         )
 
+    @staticmethod
+    def _member_ty_guess(span: list, tymap: dict):
+        """Best-effort ECL-ish result type of a member expression span
+        ('string'/'long'/'double'/None) — drives blank-insensitive
+        compares and empty-group zero values downstream."""
+        if len(span) == 1 and span[0].kind == "ident":
+            return tymap.get(span[0].text)
+        if (
+            len(span) >= 3
+            and span[0].text == "("
+            and span[1].kind == "ident"
+            and span[2].text == ")"
+        ):
+            b = span[1].text
+            if b.startswith(("string", "qstring", "varstring", "unicode")):
+                return "string"
+            if b.startswith(("real", "decimal")):
+                return "double"
+            return "long"
+        if any(tk.kind == "str" for tk in span):
+            # a string literal in the expression: string-typed
+            # concatenation (aggsqx2's trim(surname)+', '+...)
+            return "string"
+        if span and span[0].text in ("trim", "intformat", "realformat"):
+            return "string"
+        return None
+
+    def _child_table_keys(self) -> list[list]:
+        """Group-key spans of a child TABLE, cursor after the record's
+        '}' — plain fields OR expressions (aggsqx3's count(books)),
+        options few/many/local skipped. Stops before ')'."""
+        keys: list[list] = []
+        while self.accept(","):
+            if self.peek().text in (
+                "few", "many", "local", "merge", "unsorted",
+            ) and self.toks[self.i + 1].text in (",", ")"):
+                self.next()
+                continue
+            kspan: list = []
+            depth = 0
+            while not (depth == 0 and self.peek().text in (",", ")")):
+                tk = self.next()
+                if tk.kind == "eof":
+                    raise EclSyntaxError("unterminated TABLE group key")
+                depth += tk.text in ("(", "[", "{")
+                depth -= tk.text in (")", "]", "}")
+                kspan.append(tk)
+            if kspan:
+                keys.append(kspan)
+        return keys
+
+    @staticmethod
+    def _split_top_members(span: list) -> list[list]:
+        """Split a TABLE record body on top-level ',' AND ';'
+        (aggsqx2's trailing ';' member separator)."""
+        out: list[list] = []
+        cur: list = []
+        depth = 0
+        for tk in span:
+            if depth == 0 and tk.text in (",", ";"):
+                out.append(cur)
+                cur = []
+                continue
+            depth += tk.text in ("(", "[", "{")
+            depth -= tk.text in (")", "]", "}")
+            cur.append(tk)
+        if cur:
+            out.append(cur)
+        return [s for s in out if s]
+
+    def _child_table(self, arr, fields, body, keys, ep):
+        """TABLE over a CHILD dataset (correlated child query). Three
+        forms, all JVM array expressions — never a shuffle:
+          * no keys, any AGG(group) member -> ONE aggregate row
+            (aggsqx1; empty child -> zero-valued row, the reference's
+            disk-aggregate contract);
+          * group keys -> one row per distinct key, first-appearance
+            order (aggsqx4's table(pr2(...), {surname, ave(group,
+            aage)}, surname, few));
+          * no keys, no aggregates -> per-element projection (aggsqx2's
+            pr := table(persons, {fullname, aage}))."""
+        members: list[tuple] = []  # (name, decl_ty|None, span)
+        for k, span in enumerate(self._split_top_members(body)):
+            ty0 = None
+            if (
+                len(span) >= 3
+                and span[0].kind == "ident"
+                and (
+                    self._TYPE_RX.match(span[0].text)
+                    or span[0].text == "dataset"
+                )
+                and span[1].kind == "ident"
+                and span[2].text == ":="
+            ):
+                ty0 = span[0].text
+                span = span[1:]
+            if (
+                len(span) >= 2
+                and span[0].kind == "ident"
+                and span[1].text == ":="
+            ):
+                members.append((span[0].text, ty0, span[2:]))
+            elif len(span) == 1 and span[0].kind == "ident":
+                # bare field member keeps its own name (aggsqx4's
+                # {surname, ave(group, aage)})
+                members.append((span[0].text, ty0, list(span)))
+            else:
+                members.append((f"_unnamed_{k + 1}", ty0, list(span)))
+        fieldnames = [f[0] for f in fields]
+        tymap = {f[0]: f[1] for f in fields}
+
+        def _is_agg(span):
+            return (
+                len(span) >= 4
+                and span[0].text
+                in ("count", "sum", "max", "min", "ave", "exists")
+                and span[1].text == "("
+                and span[2].text == "group"
+            )
+
+        def _mty(span):
+            if _is_agg(span):
+                return {
+                    "count": "long", "exists": "boolean", "ave": "double",
+                }.get(span[0].text, "long")
+            return self._member_ty_guess(span, tymap)
+
+        out_fields = [
+            (nm, _mty(sp) or "long", None, None) for nm, _t0, sp in members
+        ]
+
+        def _elem_val(span, x):
+            return self._eval_elem_cond(
+                span, x, fieldnames, fields_meta=list(fields), elem_path=ep
+            )
+
+        any_agg = any(_is_agg(sp) for _nm, _t0, sp in members)
+        if not any_agg and not keys:
+
+            def _mk_row(mems):
+                def one(x):
+                    return F.struct(
+                        *[
+                            _elem_val(sp, x).alias(nm)
+                            for nm, _t0, sp in mems
+                        ]
+                    )
+
+                return one
+
+            return F.transform(arr, _mk_row(list(members))), out_fields
+
+        def _agg_struct(sub):
+            cols = []
+            first = F.try_element_at(sub, F.lit(1))
+            for nm, _t0, sp in members:
+                if _is_agg(sp):
+                    c = self._group_agg_col(sp, sub, fields, elem_path=ep)
+                    if c is None:
+                        raise EclSyntaxError(
+                            f"unsupported child TABLE aggregate {nm!r}"
+                        )
+                else:
+                    c = _elem_val(sp, first)
+                cols.append(c.alias(nm))
+            return F.struct(*cols)
+
+        if not keys:
+            return F.array(_agg_struct(arr)), out_fields
+
+        def _kstruct(x):
+            cols = []
+            for j, ksp in enumerate(keys):
+                if (
+                    len(ksp) == 1
+                    and ksp[0].kind == "ident"
+                    and ksp[0].text in fieldnames
+                ):
+                    c = x[ksp[0].text]
+                    kty = tymap.get(ksp[0].text)
+                else:
+                    # expression key (aggsqx3's count(books) /
+                    # rebound scalar secondBookName)
+                    c = _elem_val(ksp, x)
+                    kty = self._member_ty_guess(ksp, tymap)
+                if kty == "string":
+                    c = F.rtrim(c)  # blank-insensitive grouping
+                cols.append(c.alias(f"k{j}"))
+            return F.struct(*cols)
+
+        uniq = F.array_distinct(F.transform(arr, _kstruct))
+
+        def _per_key(k):
+            return _agg_struct(F.filter(arr, lambda x: _kstruct(x) == k))
+
+        return F.transform(uniq, _per_key), out_fields
+
     def _child_elem_field(self, arr: Column, rfields: list) -> Column:
         """Parse ``[n].field`` after a child array and return the
         element's field; out-of-range yields the field type's empty
@@ -17422,14 +17744,39 @@ class _Parser:
         ):
             return None
         fn = espan[0].text
-        if fn == "count":
-            return F.size(arr).cast("long") if len(espan) == 4 else None
-        if fn == "exists":
-            return (F.size(arr) > 0) if len(espan) == 4 else None
+        fieldnames = [f[0] for f in fields]
+        if fn in ("count", "exists"):
+            if len(espan) == 4:
+                return (
+                    F.size(arr).cast("long")
+                    if fn == "count"
+                    else (F.size(arr) > 0)
+                )
+            if espan[3].text != ",":
+                return None
+            # COUNT(group, cond) / EXISTS(group, cond) — filter the
+            # elements, then size (aggsqx1)
+            cspan = espan[4:-1]
+
+            def _mk_cond(span_l, fnames, fmeta, ep_l):
+                def one(x):
+                    return self._eval_elem_cond(
+                        span_l, x, fnames, fields_meta=fmeta, elem_path=ep_l
+                    )
+
+                return one
+
+            filt = F.filter(
+                arr, _mk_cond(list(cspan), fieldnames, list(fields), elem_path)
+            )
+            return (
+                F.size(filt).cast("long")
+                if fn == "count"
+                else (F.size(filt) > 0)
+            )
         if espan[3].text != ",":
             return None
         inner = espan[4:-1]
-        fieldnames = [f[0] for f in fields]
 
         def _mk_val(span_l, fnames, fmeta, ep_l):
             def one(x):
@@ -17537,6 +17884,11 @@ class _Parser:
             if fn in ("count", "exists"):
                 if not self.accept(")"):
                     return None
+                if self.peek().kind != "eof":
+                    # trailing arithmetic (childds1's COUNT(ds(..)) +
+                    # NOFOLD(100000)) — a partial rebind silently
+                    # truncates the value; the eager binding owns it
+                    return None
                 return (
                     F.size(arr).cast("long")
                     if fn == "count"
@@ -17621,6 +17973,12 @@ class _Parser:
             and self.env[t.text] is not df
             and self.toks[self.i + 1].text == "("
         ):
+            return None
+        if df is not None and t.text in self._child_field_names(df):
+            # the name is a CHILD FIELD of the row context — the
+            # implicit-relationship (per-row child) interpretation
+            # wins over the global-dataset filter (aggsqx1's
+            # persons(forename='Gavin') per house)
             return None
         base_ds = self.env[t.text]
         mark = self.i
@@ -17959,6 +18317,14 @@ class _Parser:
                     break
             resolved = self._resolve_chain(list(raw))
             epl = list(ep)
+            if epl and resolved[: len(epl)] != epl and epl[0] in resolved:
+                # the element path is a bare child-field chain (aggsqx3's
+                # table(persons, ...) with persons a FIELD of the output
+                # parent): anchor it at the dataset root so the prefix
+                # test below sees the same origin
+                k0 = resolved.index(epl[0])
+                if resolved[k0 : k0 + len(epl)] == epl:
+                    epl = list(resolved[:k0]) + epl
             if (
                 len(resolved) > len(epl)
                 and resolved[: len(epl)] == epl
@@ -18345,10 +18711,20 @@ class _Parser:
             self.next()
             self.next()
             self._rebind_group_sizes = None
+            src_mark_rb = self.i
             inner = self._rebind_parse(df)
             if inner is None:
                 return None
             arr, fields = inner
+            ep_rb = None
+            try:
+                ep_rb = tuple(
+                    self._resolve_chain(
+                        self._span_chain(self.toks[src_mark_rb : self.i])
+                    )
+                )
+            except Exception:
+                ep_rb = None
             gsizes = getattr(self, "_rebind_group_sizes", None)
             if gsizes is not None and [
                 tk.text for tk in self.toks[self.i : self.i + 7]
@@ -18377,6 +18753,32 @@ class _Parser:
                     depth -= tk.text in (")", "]")
                     body.append(tk)
                 self.next()  # '}'
+                _is_gagg = lambda sp: (  # noqa: E731
+                    len(sp) >= 4
+                    and sp[0].text
+                    in ("count", "sum", "max", "min", "ave", "exists")
+                    and sp[1].text == "("
+                    and sp[2].text == "group"
+                )
+                if self.peek().text == "," or any(
+                    _is_gagg(
+                        ms[ms.index(next(
+                            tk for tk in ms if tk.text == ":="
+                        )) + 1 :]
+                        if any(tk.text == ":=" for tk in ms)
+                        else ms
+                    )
+                    for ms in self._split_top_members(body)
+                ):
+                    # aggregate / grouped child TABLE (aggsqx1's
+                    # {cast, sum(group,..), exists(group,..)}; aggsqx4's
+                    # {surname, ave(group, aage)}, surname, few) — the
+                    # child-table builder owns these
+                    keys_rb = self._child_table_keys()
+                    self.expect(")")
+                    return self._child_table(
+                        arr, fields, body, keys_rb, ep_rb
+                    )
                 fieldmap = {f[0]: f for f in fields}
                 fnames = [f[0] for f in fields]
                 # members: bare field | [type] name := expr (computed,
@@ -18414,9 +18816,19 @@ class _Parser:
                     return one
 
                 arr = F.transform(arr, _mk_proj(list(members)))
+                tymap_pj = {f[0]: f[1] for f in fields}
                 fields = [
-                    fieldmap.get(nm, (nm, "integer", None, None))
-                    for nm, _sp in members
+                    fieldmap.get(
+                        nm,
+                        (
+                            nm,
+                            self._member_ty_guess(sp or [], tymap_pj)
+                            or "integer",
+                            None,
+                            None,
+                        ),
+                    )
+                    for nm, sp in members
                 ]
             self.expect(")")
             return arr, fields
@@ -18450,6 +18862,7 @@ class _Parser:
             t.kind == "ident"
             and t.text in self.env
             and isinstance(self.env[t.text], DataFrame)
+            and not getattr(df, "_ecl_dummy", False)
         ):
             # a GLOBAL dataset referenced inside a per-row child query
             # (groupglobal1b's project(gr, ...) where gr := GROUP(...)
@@ -18472,6 +18885,7 @@ class _Parser:
                 raise
             except Exception:
                 return None
+            filtered_gl = False
             while self.peek().text == "(":
                 # postfix element filter over the hoisted rows
                 # (complexhoist3's dsInner1(x != i))
@@ -18492,6 +18906,35 @@ class _Parser:
                     arr_gl,
                     _mk_f(list(span_gl), fnames_gl, list(fields_gl)),
                 )
+                filtered_gl = True
+            if (
+                filtered_gl
+                and not getattr(self, "_nofold_depth", 0)
+                and not (
+                    isinstance(df, DataFrame)
+                    and id(df) in getattr(self, "_nofold_frames", set())
+                )
+            ):
+                # the reference evaluates hoisted globals EAGERLY — a
+                # filter carrying an assertion fires NOW (childds1err
+                # pins the abort; childds1's NOFOLD form stays lazy).
+                # Conditions referencing an outer element can't probe
+                # standalone — those stay lazy by construction.
+                try:
+                    self.spark().range(1).select(F.size(arr_gl)).collect()
+                except EclFailError:
+                    raise
+                except Exception as probe_exc:
+                    low = str(probe_exc)
+                    if (
+                        "UNRESOLVED" in low
+                        or "unresolved" in low
+                        or "lambda" in low
+                        or "LAMBDA" in low
+                    ):
+                        pass  # references the enclosing element scope
+                    else:
+                        raise
             return arr_gl, fields_gl
         return None
 

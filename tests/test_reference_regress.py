@@ -222,6 +222,15 @@ VERBATIM = [
     # sweep finds: pass with the round's generic fixes
     "aggds1", "regex1u", "sqagg2", "sqfiltsubstring", "sqshare",
     "sqshare2",
+    # r13: correlated child TABLE aggregates (the aggsqx family —
+    # hqlcppds child-query aggregate activities as JVM array
+    # expressions): ungrouped mixed-member child TABLE → one aggregate
+    # row per parent, grouped child TABLE with expression keys
+    # (count(books)) in first-appearance order, per-element projection
+    # tables, conditional COUNT/EXISTS(group, cond), DEDUP(ds, true),
+    # PRELOAD passthrough, per-element rebinding scalar keys
+    "aggsqx1", "aggsqx1b", "aggsqx2", "aggsqx3", "aggsqx3err",
+    "aggsqx4",
     # dict tail 2: CASE/CHOOSE/MAP over dictionaries, dict[key].keyfield
     # reads, blank-insensitive constant probes, scalar ERROR branches,
     # ONCE-annotated dicts, ds[n].field function arguments
