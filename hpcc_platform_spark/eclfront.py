@@ -282,10 +282,33 @@ def _coerce_scalar(v, ty: str):
 def _py_cmp_vals(op, x, y):
     if isinstance(x, str) and isinstance(y, str):
         x, y = x.rstrip(), y.rstrip()  # fixed-width blanks ignored
-    return {
-        "=": x == y, "<>": x != y, "!=": x != y,
-        "<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y,
-    }[op]
+    def _k(v):
+        # rows / child arrays (dicts, lists, numpy arrays from pandas)
+        # normalize to tuples: ECL compares field-by-field (childds8's
+        # ROLLUP(SORT(ds, ids), ..., ids))
+        if isinstance(v, dict):
+            return tuple(_k(t) for t in v.values())
+        if isinstance(v, (list, tuple)):
+            return tuple(_k(t) for t in v)
+        if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+            out = v.tolist()
+            return (
+                tuple(_k(t) for t in out)
+                if isinstance(out, list)
+                else out
+            )
+        return v
+
+    if not (
+        isinstance(x, (int, float, str, bytes, bool, type(None)))
+        and isinstance(y, (int, float, str, bytes, bool, type(None)))
+    ):
+        x, y = _k(x), _k(y)
+    if op == "=":
+        return x == y
+    if op in ("<>", "!="):
+        return x != y
+    return {"<": x < y, "<=": x <= y, ">": x > y, ">=": x >= y}[op]
 
 
 class _SkipRow(Exception):
@@ -15731,6 +15754,18 @@ class _Parser:
                 return self._parse_span_value(
                     list(self.scalar_spans[t.text]), df
                 )
+            if (
+                t.text in self.scalars
+                and t.text in self.ds_spans
+                and self.peek().text == "("
+                and t.text not in getattr(df, "columns", [])
+            ):
+                # postfix filter over a child-array local (childds6's
+                # bad := sortedIds(assertTrue(...))) — the child
+                # grammar owns name(cond)
+                self.i -= 1
+                arr_pf, _f_pf = self._child_expr(df)
+                return self._tag_arr(arr_pf)
             if t.text in self.scalars and t.text not in df.columns:
                 if t.text in self.scalar_spans and df is not None:
                     if not isinstance(df, DataFrame):
@@ -15774,6 +15809,21 @@ class _Parser:
                         list(self.deferred[t.text]), df
                     )
                 except EclSyntaxError:
+                    pass
+            if (
+                t.text not in getattr(df, "columns", [])
+                and isinstance(self.env.get(t.text), DataFrame)
+            ):
+                # a global dataset read as a VALUE (childds8's filter
+                # ids != emptyIds): cap-guarded literal array
+                try:
+                    arr_gv, _f_gv = self._global_literal_array(
+                        self.env[t.text]
+                    )
+                    return self._tag_arr(arr_gv)
+                except EclFailError:
+                    raise
+                except Exception:
                     pass
             return self._field_col(df, t.text)
         raise EclSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
@@ -17047,6 +17097,16 @@ class _Parser:
             # read the child field of that parameter's row frame
             self.next()  # '.'
             return self._child_expr(rp0[t.text])
+        if (
+            t.text in ("nofold", "nohoist", "nothor")
+            and self.peek().text == "("
+        ):
+            # optimizer barriers are the identity over child arrays
+            # (childds4's COUNT(NOFOLD(f)))
+            self.next()
+            arr, fields = self._child_expr(df)
+            self.expect(")")
+            return arr, fields
         if t.text == "sort" and self.peek().text == "(":
             # SORT(child, keys): array_sort with a field comparator
             # (dict17's SORT(l.ids, id)); stays a JVM array expression
@@ -17223,7 +17283,13 @@ class _Parser:
         elif t.kind == "ident" and t.text in kids:
             arr = df[t.text]
             fields = kids[t.text]
-        elif t.kind == "ident" and t.text in self.ds_spans:
+        elif t.kind == "ident" and (
+            t.text in self.ds_spans or t.text in self.deferred
+        ):
+            # deferred definitions (bound lazily because the global
+            # parse failed — childds4's f := IF(stored, sortedIds,
+            # NOFOLD(...)) over function-local child arrays) rebind
+            # through the same span machinery
             rb = self._rebind_child(t.text, df)
             if rb is not None:
                 arr, fields = rb
@@ -17642,7 +17708,7 @@ class _Parser:
         binding). Mirrors the reference's implicit-relationship
         normalization (hqlttcpp.cpp) that turns hoisted definitions
         back into child queries (regress aggsq1/aggsq1seq Result 4)."""
-        span = self.ds_spans.get(name)
+        span = self.ds_spans.get(name) or self.deferred.get(name)
         if span is None or df is None:
             return None
         saved_toks, saved_i = self.toks, self.i

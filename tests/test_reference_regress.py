@@ -333,6 +333,12 @@ VERBATIM = [
     # no-workunitTemporaries hoist that childds1err pins as an abort,
     # FUNCTION-local child-array definitions re-bound per row
     "childds1", "childds1err", "childds2", "childds3",
+    # r13: the childds tail — deferred IF-over-child-array locals
+    # rebinding through spans, NOFOLD barriers over child arrays,
+    # postfix filters on array locals, global-dataset VALUE compares
+    # (ids != emptyIds), ROLLUP keyed on child-dataset columns
+    "childds4", "childds5", "childds6", "childds7", "childds7b",
+    "childds8",
     # global grouped datasets read through RECORDOF child members
     # (ExplicitGlobalTransformer pins, hqlhoist.cpp)
     "groupglobal1a", "groupglobal2a", "groupglobal3a",
