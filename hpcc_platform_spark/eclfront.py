@@ -1493,9 +1493,18 @@ class _Parser:
             if isinstance(v, float):
                 return self._mkconst(v, "real")
             return self._mkconst(v, f"string{w}" if w else "string")
-        # out of range: the field type's default value
-        ty, w = meta.get(fld, ("string", None))
-        if ty == "long":
+        # out of range: the field type's default value; with no recorded
+        # meta (a LOOP rows frame — looprpn's thisLeft[1].value) the
+        # Spark dtype decides
+        ty, w = meta.get(fld, (None, None))
+        if ty is None:
+            dt0 = dict(src.dtypes).get(fld, "string")
+            ty = {
+                "bigint": "long", "int": "long", "smallint": "long",
+                "tinyint": "long", "double": "double", "float": "double",
+                "boolean": "boolean",
+            }.get(dt0, "string")
+        if ty in ("long", "integer", "unsigned"):
             return self._mkconst(0, "integer")
         if ty == "double":
             return self._mkconst(0.0, "real")
@@ -2384,8 +2393,17 @@ class _Parser:
                 self.scalars = saved_sc
                 self._counter_col = saved_cc
 
-        arr3 = F.transform(
-            F.sequence(F.lit(1).cast("long"), nval.cast("long")), elem
+        nn3 = nval.cast("long")
+        # sequence(1, 0) would DESCEND ([1,0]) — a non-positive count
+        # is the EMPTY child (issue16322's DATASET(COUNTER % 30, ...)
+        # at COUNTER = 30); the slice keeps the element type
+        arr3 = F.slice(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), F.greatest(nn3, F.lit(1))),
+                elem,
+            ),
+            F.lit(1),
+            F.greatest(nn3, F.lit(0)).cast("int"),
         )
         return arr3, list(out_fields3)
 
@@ -3846,6 +3864,9 @@ class _Parser:
                     mark_ra = self.i
                     nm_ra = self.next().text
                     self.next()  # '['
+                    # NOBOUNDCHECK: out-of-range yields the empty row,
+                    # which limit/offset already give (looprpn2)
+                    self.accept("noboundcheck")
                     idx_c = self._cget(self.value(self._dummy()))
                     self.expect("]")
                     if self.peek().text == ".":
@@ -5145,6 +5166,8 @@ class _Parser:
             df = self._rollup()
         elif t.text == "trace" and self.toks[self.i + 1].text == "(":
             df = self._trace()
+        elif t.text == "combine":
+            df = self._combine_ds()
         elif t.text == "iterate":
             df = self._iterate()
         elif t.text == "dedup":
@@ -6505,6 +6528,33 @@ class _Parser:
         assigned: dict[str, Column] = {}
         copy_rest = False
         saved_sa_p = getattr(self, "_self_assigned", None)
+        saved_cc_p = getattr(self, "_counter_col", None)
+        # COUNTER inside an inline PROJECT transform is the ROW ordinal
+        # (loopft's SELF.id := LEFT.id + COUNTER inside a LOOP body —
+        # NOT the loop counter); bound only when the body mentions it
+        jt = self.i
+        depth_tb = 0
+        while jt < len(self.toks):
+            tx_tb = self.toks[jt].text
+            if tx_tb in ("(", "[", "{"):
+                depth_tb += 1
+            elif tx_tb in (")", "]", "}"):
+                if depth_tb == 0:
+                    break
+                depth_tb -= 1
+            jt += 1
+        if any(
+            tk.text == "counter" for tk in self.toks[self.i : jt]
+        ):
+            order_cc = self._order.get(id(src))
+            if order_cc is None and "__ord__" in src.columns:
+                order_cc = [F.col("__ord__")]
+            if order_cc is not None:
+                from pyspark.sql.window import Window
+
+                self._counter_col = F.row_number().over(
+                    Window.orderBy(*order_cc)
+                ).cast("long")
         self._self_assigned = assigned
         try:
             while self.accept(",") or self.accept(";"):
@@ -6553,6 +6603,7 @@ class _Parser:
                     copy_rest = True
         finally:
             self._self_assigned = saved_sa_p
+            self._counter_col = saved_cc_p
         self.expect(")")
         while self.accept(","):
             # trailing PROJECT options: PARALLEL(n) etc. — execution
@@ -6718,8 +6769,10 @@ class _Parser:
         saved_ap = getattr(self, "_array_params", None)
         rp = dict(saved_rp or {})
         saved_scalars = self.scalars
+        saved_shadow = getattr(self, "_param_shadow", None)
         self.scalars = dict(self.scalars)
         self._array_params = dict(saved_ap or {})
+        shadow: dict = {}
         try:
             for idx, role in enumerate(roles):
                 if idx >= len(params):
@@ -6727,8 +6780,10 @@ class _Parser:
                 pname = params[idx][0]
                 if role == "counter":
                     self.scalars[pname] = counter_col
+                    shadow[pname] = counter_col
                 elif isinstance(role, tuple) and role[0] == "expr":
                     self.scalars[pname] = role[1]
+                    shadow[pname] = role[1]
                 elif isinstance(role, tuple) and role[0] == "arr":
                     # ROWS(LEFT)-style dataset argument: an array<struct>
                     # Column + element fields (n-ary join transforms)
@@ -6740,11 +6795,12 @@ class _Parser:
                 # unpassed trailing parameters take their declared
                 # defaults (stepjoin3's skipFilter = true)
                 if pdefault is not None:
-                    self.scalars[pname] = self._mkconst(
-                        pdefault[0], pdefault[1]
-                    )
+                    dcol = self._mkconst(pdefault[0], pdefault[1])
+                    self.scalars[pname] = dcol
+                    shadow[pname] = dcol
             self._row_params = rp
             self._counter_col = counter_col
+            self._param_shadow = shadow
             assigned, skip_cond = self._parse_transform_body_columns(
                 fn["body"], base
             )
@@ -6753,6 +6809,7 @@ class _Parser:
             self._counter_col = saved_counter
             self.scalars = saved_scalars
             self._array_params = saved_ap
+            self._param_shadow = saved_shadow
         copy_from = assigned.pop("__copy_from__", None)
         assigned.pop("__copy_list__", None)
         fill_dflt = assigned.pop("__fill_defaults__", False)
@@ -6854,6 +6911,51 @@ class _Parser:
                     ).cast("long"),
                 )
                 self._set_order(exploded, [F.col("__ord__")])
+            if (
+                self.peek().text == "transform"
+                and self.toks[self.i + 1].text == "("
+                and self.toks[self.i + 2].kind == "ident"
+                and self.toks[self.i + 3].text == ","
+            ):
+                # inline one-line transform(rec, assignments) counter
+                # form (loopparallel's normalize(initial, n,
+                # transform(rec, self.id1 := counter; self := [])))
+                self.next()
+                self.next()
+                rec_tr = self.next().text
+                self.expect(",")
+                body_tr: list[_Tok] = []
+                depth_tr = 0
+                while not (depth_tr == 0 and self.peek().text == ")"):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated TRANSFORM")
+                    depth_tr += tk.text in ("(", "[", "{")
+                    depth_tr -= tk.text in (")", "]", "}")
+                    body_tr.append(tk)
+                self.next()  # ')'
+                self.expect(")")
+                fn_syn = {
+                    "params": [("left", None, None), ("counter", None, None)],
+                    "body": body_tr,
+                    "compound": False,
+                    "rettype": rec_tr,
+                    "transform": True,
+                }
+                out_cols, skip_tr, out_fields_tr = self._named_transform_cols(
+                    fn_syn, ["left", "counter"], exploded, F.col("__ctr__")
+                )
+                out = exploded
+                if skip_tr is not None:
+                    out = out.where(~skip_tr)
+                keep_tr = (
+                    ["__ord__"] if "__ord__" in exploded.columns else []
+                )
+                out = out.select(*out_cols, *keep_tr)
+                if keep_tr:
+                    self._set_order(out, [F.col("__ord__")])
+                self._ds_fields[id(out)] = out_fields_tr
+                return out
             out = self._project_named_transform(
                 exploded, counter_override=F.col("__ctr__")
             )
@@ -8476,6 +8578,24 @@ class _Parser:
             f"JOIN condition expects LEFT.f / RIGHT.f / literal at {t.pos}"
         )
 
+    def _u64_field(self, df) -> str | None:
+        """If the cursor sits on a BARE field key whose meta marks it a
+        bare-UNSIGNED u64 (ty long, width -8), consume it and return
+        the name; else leave the cursor and return None."""
+        t = self.peek()
+        if not (
+            t.kind == "ident"
+            and self.toks[self.i + 1].text in (",", ")", "}")
+            and t.text in getattr(df, "columns", [])
+        ):
+            return None
+        meta = self._ds_fields.get(id(df)) or []
+        for f in meta:
+            if f[0] == t.text and len(f) >= 3 and f[1] == "long" and f[2] == -8:
+                self.next()
+                return t.text
+        return None
+
     def _sort_keys(self, df: DataFrame) -> list[Column]:
         """Sort key list: fields, -field (descending), RECORD (whole
         row), or computed expressions (HASH32(id % 256)); the placement
@@ -8518,7 +8638,12 @@ class _Parser:
                 close = self._match_paren(self.i)
                 self.i = close + 1
             elif self.accept("-"):
-                keys.append(self.value(df).desc())
+                u64d = self._u64_field(df)
+                if u64d is not None:
+                    keys.append((df[u64d] < 0).desc())
+                    keys.append(df[u64d].desc())
+                else:
+                    keys.append(self.value(df).desc())
             elif t.text == "record" or (
                 t.text == "whole" and self.toks[self.i + 1].text == "record"
             ):
@@ -8536,7 +8661,15 @@ class _Parser:
                     rec_names[c] = len(keys)
                     keys.append(df[c].asc())
             else:
-                keys.append(self.value(df).asc())
+                u64a = self._u64_field(df)
+                if u64a is not None:
+                    # bare-UNSIGNED (u64) keys order by the UNSIGNED
+                    # value: wrapped (negative-long) values sort AFTER
+                    # the positives (loopparallel's topn(.., score))
+                    keys.append((df[u64a] < 0).asc())
+                    keys.append(df[u64a].asc())
+                else:
+                    keys.append(self.value(df).asc())
             if not self.accept(","):
                 break
         keys = [k for k in keys if k is not None]
@@ -9127,17 +9260,122 @@ class _Parser:
             cond = cond & (F.col("__rn__") < start + n)
         return out.where(cond).drop("__rn__")
 
+    def _combine_ds(self) -> DataFrame:
+        """COMBINE(l, r, TRANSFORM(rec, SELF.f := LEFT.x ⊕ RIGHT.y),
+        [LOCAL]) — positional zip (TAKcombine eclhelper.hpp:981;
+        operators/transform.py:352 is the bare combinator). Position
+        is made explicit via the two-phase rank (no single-partition
+        exchange), then an equi-join on position (loopft)."""
+        from .operators.numbering import global_row_number
+
+        self.expect("combine")
+        self.expect("(")
+        l = self.dataset()
+        self.expect(",")
+        r = self.dataset()
+        self.expect(",")
+        self.expect("transform")
+        self.expect("(")
+        rec_c = self.next().text
+        out_fields = self._resolve_record_fields(rec_c)
+        if out_fields is None:
+            raise EclSyntaxError(f"unknown record {rec_c!r} in COMBINE")
+        asg_c: dict[str, list] = {}
+        while self.accept(",") or self.accept(";"):
+            if self.peek().text == ")":
+                break
+            self.expect("self")
+            self.expect(".")
+            nm_c = self.next().text
+            self.expect(":=")
+            span_c: list = []
+            d_c = 0
+            while not (d_c == 0 and self.peek().text in (",", ";", ")")):
+                tk = self.next()
+                if tk.kind == "eof":
+                    raise EclSyntaxError("unterminated COMBINE transform")
+                d_c += tk.text in ("(", "[", "{")
+                d_c -= tk.text in (")", "]", "}")
+                span_c.append(tk)
+            asg_c[nm_c] = span_c
+        self.expect(")")
+        while self.accept(","):
+            self.next()  # LOCAL — placement hint
+        self.expect(")")
+
+        def _num(d):
+            order = self._order.get(id(d))
+            if order is None and "__ord__" in d.columns:
+                order = [F.col("__ord__")]
+            if order is None:
+                raise EclSyntaxError(
+                    "COMBINE needs ordered inputs (inline/SORT upstream)"
+                )
+            return global_row_number(d, order, name="__pos__")
+
+        lz = _num(l).drop("__ord__", "__pid__")
+        rz = _num(r).drop("__ord__", "__pid__")
+        rz = rz.select(
+            "__pos__",
+            *[
+                F.col(c).alias(f"__r_{c}")
+                for c in rz.columns
+                if c != "__pos__"
+            ],
+        )
+        j = lz.join(rz, "__pos__", "inner")
+        saved_rp_c = getattr(self, "_row_params", None)
+        saved_rs_c = getattr(self, "_right_struct", None)
+        self._row_params = dict(saved_rp_c or {})
+        self._row_params["left"] = j
+        self._right_struct = F.struct(
+            *[
+                j[c].alias(c[4:])
+                for c in j.columns
+                if c.startswith("__r_")
+            ]
+        )
+        cols_c = []
+        try:
+            for nm2, ty2, w2, _d2 in out_fields:
+                if nm2 not in asg_c:
+                    raise EclSyntaxError(f"COMBINE must assign {nm2!r}")
+                c2 = self._parse_span_value(list(asg_c[nm2]), j)
+                if w2 and w2 > 0 and ty2 == "string":
+                    c2 = F.rpad(c2.cast("string"), w2, " ")
+                elif ty2 in ("long", "double", "float", "boolean", "string"):
+                    c2 = c2.cast(ty2)
+                cols_c.append(c2.alias(nm2))
+        finally:
+            self._row_params = saved_rp_c
+            self._right_struct = saved_rs_c
+        out = j.select(*cols_c, F.col("__pos__").alias("__ord__"))
+        self._set_order(out, [F.col("__ord__")])
+        self._ds_fields[id(out)] = list(out_fields)
+        return out
+
     def _topn(self) -> DataFrame:
         self.expect("topn")
         self.expect("(")
         df = self.dataset()
         self.expect(",")
-        n = self.next()
+        # n may be a named constant (loopparallel's finalNumber)
+        nc_t = self._cget(self.value(self._dummy()))
+        if nc_t is None:
+            raise EclSyntaxError("TOPN count must be constant")
         self.expect(",")
         keys = self._sort_keys(df)
         self.expect(")")
-        out = df.orderBy(*keys).limit(int(n.text))
-        self._set_order(out, keys)
+        order_t = self._order.get(id(df))
+        tie_t = (
+            list(order_t)
+            if order_t is not None
+            else ([F.col("__ord__").asc()] if "__ord__" in df.columns else [])
+        )
+        # equal keys keep INPUT order (thtopn's stable heap —
+        # loopparallel's score=4 tie picks the earliest id1s)
+        out = df.orderBy(*keys, *tie_t).limit(int(nc_t[0]))
+        self._set_order(out, list(keys) + tie_t)
         return out
 
     # largest division count the enumerated (q, idx) table handles; above
@@ -9456,6 +9694,12 @@ class _Parser:
         while self.accept(","):
             spans.append(self._capture_arg_span())
         self.expect(")")
+        while spans and spans[-1] and spans[-1][0].text in (
+            "few", "many", "all", "parallel",
+        ) and (len(spans[-1]) == 1 or spans[-1][1].text == "("):
+            # trailing execution hints (looprpn2's LOOP(..., FEW)) —
+            # the body is the last non-option argument
+            spans.pop()
         if not spans:
             raise EclSyntaxError("LOOP needs a body")
         body_span = self._loop_rewrite_rows(spans[-1])
@@ -9505,6 +9749,13 @@ class _Parser:
                     rowfilter_span, current, i
                 )
                 stay = current.where(fcol)
+                meta_rf = self._ds_fields.get(id(current))
+                if meta_rf is not None:
+                    # field meta survives the filter: the body's sort /
+                    # u64 semantics need it (loopparallel Result 3)
+                    self._ds_fields[id(stay)] = meta_rf
+                if id(current) in self._order:
+                    self._set_order(stay, self._order[id(current)])
                 # rows leave the loop the iteration their filter fails;
                 # the final stream is exit-iteration-major, stream-order
                 # minor (loopthor Result 3 pins it)
@@ -9603,6 +9854,27 @@ class _Parser:
             # second iteration, when the current frame already contains
             # that dataset's lineage
             meta = self._ds_fields.get(id(out))
+            order_b = self._order.get(id(out))
+            if order_b is not None and not (
+                len(order_b) == 1
+                and "__ord__" in out.columns
+                and str(order_b[0]) == str(F.col("__ord__"))
+            ):
+                # the body ends in an ORDERING operator (loopparallel's
+                # topn(input, 40, score)): materialize ITS order as the
+                # ordinal before re-ranking, else the pre-body order
+                # wins
+                from pyspark.sql.window import Window
+
+                tie_b = (
+                    [F.col("__ord__")] if "__ord__" in out.columns else []
+                )
+                out = out.withColumn(
+                    "__ord__",
+                    F.row_number().over(
+                        Window.orderBy(*order_b, *tie_b)
+                    ).cast("long"),
+                )
             out2 = out.select(
                 *[F.col(c).alias(c) for c in out.columns]
             )
@@ -13817,6 +14089,17 @@ class _Parser:
     def _atom(self, df) -> Column:
         self._skip_shim_qual()  # Files.DG_Fnames[2] -> DG_Fnames[2]
         t = self.next()
+        shadow_p = getattr(self, "_param_shadow", None)
+        if (
+            shadow_p
+            and t.kind == "ident"
+            and t.text in shadow_p
+            and self.peek().text not in (".", "(", "[")
+        ):
+            # a bound TRANSFORM/FUNCTION parameter SHADOWS a same-named
+            # input column (looprpn2's mkState(step, value, docid) over
+            # stateRecord{step, value, docid})
+            return shadow_p[t.text]
         if (
             t.text == "self"
             and self.peek().text == "."
@@ -15366,15 +15649,20 @@ class _Parser:
             t.text
             in (
                 "table", "sort", "dedup", "choosen", "topn", "merge",
-                "project", "normalize", "nofold",
+                "project", "normalize", "nofold", "loop",
             )
             and self.peek().text == "("
         ):
             # inline-dataset row-field read: table(...)[1].cnt (sqcond3)
             mark_r = self.i - 1
             saved_i = self.i
-            if hasattr(df, "_elem_path") or (
-                isinstance(df, DataFrame) and self._child_field_names(df)
+            if (
+                hasattr(df, "_elem_path")
+                or (
+                    isinstance(df, DataFrame)
+                    and self._child_field_names(df)
+                )
+                or getattr(self, "_array_params", None)
             ):
                 # row context: the CORRELATED child interpretation wins
                 # when the source derives from the row scope — the
@@ -15412,7 +15700,12 @@ class _Parser:
                         return F.try_element_at(
                             arr_ce, F.lit(int(idxc[0]))
                         )
-                    return arr_ce  # dataset-valued member (array)
+                    # dataset-valued member (array)
+                    self._arr_fields_by_id = getattr(
+                        self, "_arr_fields_by_id", {}
+                    )
+                    self._arr_fields_by_id[id(arr_ce)] = fields_ce
+                    return self._tag_arr(arr_ce)
             src_r = None
             try:
                 self.i = mark_r
@@ -15755,14 +16048,18 @@ class _Parser:
                     list(self.scalar_spans[t.text]), df
                 )
             if (
-                t.text in self.scalars
-                and t.text in self.ds_spans
-                and self.peek().text == "("
+                self.peek().text == "("
                 and t.text not in getattr(df, "columns", [])
+                and (
+                    (t.text in self.scalars and t.text in self.ds_spans)
+                    or t.text
+                    in (getattr(self, "_array_params", None) or {})
+                )
             ):
                 # postfix filter over a child-array local (childds6's
-                # bad := sortedIds(assertTrue(...))) — the child
-                # grammar owns name(cond)
+                # bad := sortedIds(assertTrue(...))) or a bound array
+                # param (loopall's q := ds(age < threshold)) — the
+                # child grammar owns name(cond)
                 self.i -= 1
                 arr_pf, _f_pf = self._child_expr(df)
                 return self._tag_arr(arr_pf)
@@ -15810,6 +16107,18 @@ class _Parser:
                     )
                 except EclSyntaxError:
                     pass
+            if t.text not in getattr(df, "columns", []) and (
+                t.text in self.ds_spans or t.text in self.deferred
+            ):
+                # a child-array local read as a VALUE (loopcqcond's
+                # IF(l.id > 0, newchildren, l.children)): rebind per row
+                rb_v = self._rebind_child(t.text, df)
+                if rb_v is not None:
+                    self._arr_fields_by_id = getattr(
+                        self, "_arr_fields_by_id", {}
+                    )
+                    self._arr_fields_by_id[id(rb_v[0])] = rb_v[1]
+                    return self._tag_arr(rb_v[0])
             if (
                 t.text not in getattr(df, "columns", [])
                 and isinstance(self.env.get(t.text), DataFrame)
@@ -17261,11 +17570,80 @@ class _Parser:
             keys_t = self._child_table_keys()
             self.expect(")")
             return self._child_table(arr, fields, body_t, keys_t, ep_t)
+        if t.text == "loop" and self.peek().text == "(":
+            # LOOP over a CHILD dataset (loopcqcond's newchildren :=
+            # LOOP(l.children, 4, loopBody(ROWS(LEFT), COUNTER)) inside
+            # a TRANSFORM) — bounded unroll as JVM array expressions
+            self.next()
+            arr, fields = self._child_expr(df)
+            spans_cl: list[list] = []
+            while self.accept(","):
+                span_cl: list = []
+                d_cl = 0
+                while not (
+                    d_cl == 0 and self.peek().text in (",", ")")
+                ):
+                    tk = self.next()
+                    if tk.kind == "eof":
+                        raise EclSyntaxError("unterminated child LOOP")
+                    d_cl += tk.text in ("(", "[", "{")
+                    d_cl -= tk.text in (")", "]", "}")
+                    span_cl.append(tk)
+                if span_cl:
+                    spans_cl.append(span_cl)
+            self.expect(")")
+            while spans_cl and len(spans_cl[-1]) == 1 and spans_cl[-1][
+                0
+            ].text in ("few", "many", "all", "parallel"):
+                spans_cl.pop()
+            if not spans_cl:
+                raise EclSyntaxError("child LOOP needs a body")
+            return self._child_loop(df, arr, fields, spans_cl)
         kids = self._child_field_names(df) if df is not None else {}
         arr = fields = None
         arr_name = t.text  # field/definition name the array came from
         ap = getattr(self, "_array_params", None) or {}
-        if t.kind == "ident" and t.text in ap:
+        if (
+            t.kind == "ident"
+            and t.text in self.functions
+            and t.text not in ap
+            and self.peek().text == "("
+            and not self.functions[t.text].get("transform")
+            and not self.functions[t.text].get("macro")
+        ):
+            # a FUNCTION returning a dataset, called in child context
+            # (loopcqcond's loopBody(ROWS(LEFT), COUNTER)): the call
+            # evaluates over bound array params and must come back as
+            # an array Column
+            r_cf = self._call_function(t.text, df)
+            if (
+                isinstance(r_cf, Column)
+                and self._coltype.get(id(r_cf)) == "array"
+            ):
+                rt_cf = self.functions[t.text].get("rettype")
+                flds_cf = None
+                if rt_cf:
+                    try:
+                        flds_cf = self._resolve_record_fields(rt_cf)
+                    except Exception:
+                        flds_cf = None
+                if flds_cf is None:
+                    # untyped FUNCTION (loopall's addNum): the array's
+                    # tracked element fields were registered where the
+                    # body built it
+                    flds_cf = getattr(self, "_arr_fields_by_id", {}).get(
+                        id(r_cf)
+                    )
+                if flds_cf is None:
+                    raise EclSyntaxError(
+                        f"{t.text} returned an untyped child array"
+                    )
+                arr, fields = r_cf, flds_cf
+            else:
+                raise EclSyntaxError(
+                    f"{t.text} is not child-shaped at {t.pos}"
+                )
+        elif t.kind == "ident" and t.text in ap:
             # a dataset parameter bound to an array<struct> Column
             # (stepjoin3's totalProbability(values) body: SUM(values,
             # LN(prob)) over the n-ary ROWS(LEFT) tuple)
@@ -17493,6 +17871,157 @@ class _Parser:
         if span and span[0].text in ("trim", "intformat", "realformat"):
             return "string"
         return None
+
+    _CHILD_LOOP_CAP = 24  # condition-form unroll bound (child arrays
+    # are row-local; the reference's loop-in-child-query fixtures
+    # converge in single digits — loopall/loopcqcond)
+
+    def _child_loop(self, df, arr, fields, spans):
+        """LOOP over a child array, unrolled as array expressions.
+        ``spans`` = LOOP's comma args after the source: an optional
+        constant count, an optional per-element row filter
+        (left.<field> ...), an optional loop condition (reads
+        ROWS(LEFT)/COUNTER), and the body LAST — the discrimination
+        _loop uses (thloopslave). Rows leaving via the filter exit
+        into the result in exit-iteration order."""
+        body = spans[-1]
+        count = rowfilter = cond = None
+        for sp in spans[:-1]:
+            has_leftdot = any(
+                sp[k].text == "left"
+                and k + 1 < len(sp)
+                and sp[k + 1].text == "."
+                for k in range(len(sp))
+            )
+            has_rows = any(tk.text == "rows" for tk in sp)
+            has_counter = any(tk.text == "counter" for tk in sp)
+            if has_leftdot and not has_rows:
+                rowfilter = list(sp)
+            elif has_rows or has_counter:
+                cond = list(sp)
+            else:
+                nc = self._cget(self._parse_span_value(sp, self._dummy()))
+                if nc is None:
+                    raise EclSyntaxError(
+                        "child LOOP count must be constant"
+                    )
+                count = int(nc[0])
+        n = count if count is not None else self._CHILD_LOOP_CAP
+        if count is None and cond is None and rowfilter is None:
+            raise EclSyntaxError("child LOOP needs a count or condition")
+        fieldnames = [f[0] for f in fields]
+        # strip the leading LEFT. qualifiers of a row filter: elements
+        # ARE the rows (loopall's left.age <= 60)
+        if rowfilter is not None:
+            rf: list = []
+            j = 0
+            while j < len(rowfilter):
+                if (
+                    rowfilter[j].text == "left"
+                    and j + 1 < len(rowfilter)
+                    and rowfilter[j + 1].text == "."
+                ):
+                    j += 2
+                    continue
+                rf.append(rowfilter[j])
+                j += 1
+            rowfilter = rf
+        saved_ap_cl = getattr(self, "_array_params", None)
+        saved_cc_cl = getattr(self, "_counter_col", None)
+        # iterate over a (rows, done, exited) STATE packed behind a
+        # one-element transform lambda — the previous state binds ONCE
+        # per unroll, keeping the expression tree LINEAR in n (a naive
+        # unroll re-embeds the whole prefix ~4x per level)
+        state = F.struct(
+            arr.alias("a"),
+            F.lit(False).alias("d"),
+            F.slice(arr, 1, 0).alias("e"),
+        )
+
+        def _mk_step(c):
+            def step(s):
+                arr_c = s["a"]
+                done_c = s["d"]
+                exited_c = s["e"]
+                self._array_params = dict(saved_ap_cl or {})
+                self._array_params["__nary_rows__"] = (
+                    arr_c, list(fields),
+                )
+                self._counter_col = self._mkconst(c, "integer")
+                done_new = done_c
+                if cond is not None:
+                    cond_c = self._parse_span_value(list(cond), df)
+                    done_new = done_c | ~cond_c
+                stay = arr_c
+                leave = None
+                if rowfilter is not None:
+
+                    def _mk_rf(span_l, fn_l, fm_l, neg):
+                        def one(x):
+                            cnd = self._eval_elem_cond(
+                                span_l, x, fn_l, fields_meta=fm_l
+                            )
+                            return ~cnd if neg else cnd
+
+                        return one
+
+                    stay = F.filter(
+                        arr_c,
+                        _mk_rf(
+                            list(rowfilter), fieldnames, list(fields),
+                            False,
+                        ),
+                    )
+                    leave = F.filter(
+                        arr_c,
+                        _mk_rf(
+                            list(rowfilter), fieldnames, list(fields),
+                            True,
+                        ),
+                    )
+                    self._array_params["__nary_rows__"] = (
+                        stay, list(fields),
+                    )
+                saved_toks_cl, saved_i_cl = self.toks, self.i
+                self.toks = list(body) + [
+                    _Tok("eof", "", body[-1].pos if body else 0)
+                ]
+                self.i = 0
+                try:
+                    rb_cl = self._rebind_parse(df)
+                finally:
+                    self.toks, self.i = saved_toks_cl, saved_i_cl
+                if rb_cl is None:
+                    raise EclSyntaxError(
+                        "child LOOP body is not child-shaped"
+                    )
+                new_arr = rb_cl[0]
+                arr_new = F.when(~done_new, new_arr).otherwise(arr_c)
+                exited_new = exited_c
+                if leave is not None:
+                    exited_new = F.when(
+                        ~done_new, F.concat(exited_c, leave)
+                    ).otherwise(exited_c)
+                return F.struct(
+                    arr_new.alias("a"),
+                    done_new.alias("d"),
+                    exited_new.alias("e"),
+                )
+
+            return step
+
+        try:
+            for c in range(1, n + 1):
+                state = F.try_element_at(
+                    F.transform(F.array(state), _mk_step(c)), F.lit(1)
+                )
+        finally:
+            self._array_params = saved_ap_cl
+            self._counter_col = saved_cc_cl
+        arr = state["a"]
+        if rowfilter is not None:
+            arr = F.concat(state["e"], arr)
+        return arr, fields
 
     def _child_table_keys(self) -> list[list]:
         """Group-key spans of a child TABLE, cursor after the record's
@@ -18600,9 +19129,17 @@ class _Parser:
             # function call in child position: inline the body with
             # dataset args bound as child arrays and scalars as Columns
             # (quantile5's SELF.ids := selectMedian(l.ids))
-            fn = self.functions[self.next().text]
+            fn = self.functions[self.peek().text]
             if fn.get("compound"):
-                return None
+                # compound FUNCTION ... END: _child_expr's call head
+                # owns it (loopcqcond's loopBody(ROWS(LEFT), COUNTER))
+                try:
+                    return self._child_expr(df)
+                except EclFailError:
+                    raise
+                except EclSyntaxError:
+                    return None
+            self.next()  # name
             self.next()  # '('
             params = fn["params"]
             bind_arr: dict = {}
@@ -18727,7 +19264,25 @@ class _Parser:
                         d_p += tk_p.text in ("(", "[", "{")
                         d_p -= tk_p.text in (")", "]", "}")
                         span_p.append(tk_p)
-                    asg_p[fn_p] = span_p
+                    # LEFT.<field> reads the element itself (loopall's
+                    # self.age := left.age + num)
+                    span_q: list = []
+                    jq = 0
+                    while jq < len(span_p):
+                        if (
+                            span_p[jq].text == "left"
+                            and jq + 2 < len(span_p) + 1
+                            and jq + 1 < len(span_p)
+                            and span_p[jq + 1].text == "."
+                            and jq + 2 < len(span_p)
+                            and span_p[jq + 2].text in fnames_p
+                        ):
+                            span_q.append(span_p[jq + 2])
+                            jq += 3
+                            continue
+                        span_q.append(span_p[jq])
+                        jq += 1
+                    asg_p[fn_p] = span_q
                 else:
                     self.expect(":=")
                     side_p = self.next().text

@@ -171,6 +171,13 @@ VERBATIM = [
     # termination, LEFT-only bodies re-joining fixed datasets
     # (fresh attribute ids per iteration), COUNTER in body filters
     "loop3", "loop10", "loopagain2", "loopif", "looplookup", "loopthor",
+    # r13: the loop tail — LOOP-in-child-query via linear-unrolled
+    # array state (loopall cases 6/7, loopcqcond), RPN evaluators with
+    # dataset-CASE bodies and NOBOUNDCHECK row args (looprpn/looprpn2),
+    # LOOP PARALLEL hints + body-order materialization + stable TOPN
+    # (loopparallel), COMBINE positional zip front door (loopft)
+    "loopall", "looprpn", "looprpn2", "loopparallel", "loopcqcond",
+    "loopft",
     # FROMJSON/FROMXML Column mode (no_json/no_xml hqlexpr.hpp:518-519)
     # — native from_json/from_xml with RECORD-derived schemas, XPATH
     # input names, record-typed TRANSFORM locals (lClaim.field)
