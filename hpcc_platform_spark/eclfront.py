@@ -6037,6 +6037,19 @@ class _Parser:
                 ):
                     ty_m = t.text  # typed computed field: unsigned x := 0
                     t = self.next()
+                elif t.text == "dataset" and self.peek().text == "(":
+                    # DATASET(recname) member := expr (serial8a's
+                    # DATASET(SerialTest.bookDsrec) books := ...) — the
+                    # record reference is declaration only
+                    close_dm = self._match_paren(self.i)
+                    if (
+                        close_dm is not None
+                        and self.toks[close_dm + 1].kind == "ident"
+                        and self.toks[close_dm + 2].text == ":="
+                    ):
+                        ty_m = "dataset"
+                        self.i = close_dm + 1
+                        t = self.next()
                 if (
                     t.text in self.env
                     and self.peek().text == "."
@@ -7720,10 +7733,17 @@ class _Parser:
             rcols.append(col2.alias(c))
         if "__ord__" in left.columns and how in ("inner", "left"):
             # keep the LEFT stream position: the reference's join
-            # emission follows the left input (serial5a key order)
-            res = out.select(
-                *lcols, *rcols, lref["__ord__"].alias("__ord__")
-            )
+            # emission follows the left input, with the RIGHT side's
+            # ordinal (index key order) breaking ties within a match
+            # group (serial5a/serial5b key order)
+            if "__ord__" in right.columns:
+                ordc_j = (
+                    lref["__ord__"] * F.lit(1_000_000)
+                    + F.coalesce(rref["__ord__"], F.lit(0))
+                ).alias("__ord__")
+            else:
+                ordc_j = lref["__ord__"].alias("__ord__")
+            res = out.select(*lcols, *rcols, ordc_j)
             self._set_order(res, [F.col("__ord__")])
             return self._reg_gate(res, join_gate, left)
         return self._reg_gate(out.select(*lcols, *rcols), join_gate, left)
@@ -13766,6 +13786,14 @@ class _Parser:
                 # blank-insensitive (keyed_join2's padded RIGHT.Lname
                 # IN LEFT.Lnames)
                 arr = self._addsub(df)
+                flds_in = getattr(self, "_arr_fields_by_id", {}).get(
+                    id(arr)
+                )
+                if flds_in is not None and len(flds_in) == 1:
+                    # a 1-field child dataset: membership compares the
+                    # FIELD values (serial6d's word IN LEFT.words)
+                    fn_in = flds_in[0][0]
+                    arr = F.transform(arr, lambda e: e[fn_in])
                 if self._is_strcol(a):
                     ra = F.rtrim(a)
                     m = F.exists(arr, lambda e: F.rtrim(e) == ra)
@@ -14171,7 +14199,19 @@ class _Parser:
             self.next()
             mark_s = self.i
             try:
+                wrapped_s = False
+                if (
+                    self.peek().text == "dataset"
+                    and self.toks[self.i + 1].text == "("
+                ):
+                    # SET(DATASET(LEFT.books), f): the dictionary-to-
+                    # dataset cast is the identity (serial5c)
+                    self.next()
+                    self.next()
+                    wrapped_s = True
                 arr_s = self.value(df)
+                if wrapped_s:
+                    self.expect(")")
                 self.expect(",")
                 fld_s = self.next().text
                 self.expect(")")
@@ -14224,8 +14264,17 @@ class _Parser:
             # dictionary's rows as a plain child dataset
             # (dict_dsout's cc := DATASET(c))
             self.next()
-            col_dd = df[self.next().text]
+            fld_dd = self.next().text
+            col_dd = df[fld_dd]
             self.expect(")")
+            if (
+                self.peek().text == "["
+                and self.toks[self.i + 3].text == "."
+            ):
+                # DATASET(books)[1].title (serial4b's sort key)
+                flds_dd = self._child_field_names(df).get(fld_dd)
+                if flds_dd is not None:
+                    return self._child_elem_field(col_dd, flds_dd)
             return self._tag_arr(col_dd)
         if (
             t.text == "dataset"
@@ -15503,6 +15552,7 @@ class _Parser:
                     col_j = self._tag_str(col_j)
                 elif dt_j.get(fld_j, "").startswith("array"):
                     col_j = self._tag_arr(col_j)
+                    self._register_arr_fields(col_j, jf[0], fld_j)
                 return col_j
             return self._field_col(df, self.next().text)
         if t.text == "right" and self.peek().text == ".":
@@ -15649,7 +15699,7 @@ class _Parser:
             t.text
             in (
                 "table", "sort", "dedup", "choosen", "topn", "merge",
-                "project", "normalize", "nofold", "loop",
+                "project", "normalize", "nofold", "loop", "dataset",
             )
             and self.peek().text == "("
         ):
@@ -15683,6 +15733,28 @@ class _Parser:
                     self.i = saved_i
                     arr_ce = None
                 if arr_ce is not None:
+                    while self.peek().text == "(":
+                        # postfix element filter (serial8a's
+                        # SORT(books, title)(EXISTS(words(...))))
+                        close_pf = self._match_paren(self.i)
+                        span_pf = self.toks[self.i + 1 : close_pf]
+                        self.i = close_pf + 1
+                        fn_pf = [f[0] for f in fields_ce]
+
+                        def _mk_pf(span_l, fn_l, fm_l):
+                            def one(x):
+                                return self._eval_elem_cond(
+                                    span_l, x, fn_l, fields_meta=fm_l
+                                )
+
+                            return one
+
+                        arr_ce = F.filter(
+                            arr_ce,
+                            _mk_pf(
+                                list(span_pf), fn_pf, list(fields_ce)
+                            ),
+                        )
                     if (
                         self.peek().text == "["
                         and self.toks[self.i + 3].text == "."
@@ -17416,6 +17488,26 @@ class _Parser:
             arr, fields = self._child_expr(df)
             self.expect(")")
             return arr, fields
+        if (
+            t.text == "dataset"
+            and self.peek().text == "("
+            and self.toks[self.i + 1].kind in ("ident", "kw")
+        ):
+            # DATASET(dictfield) — the dictionary-to-dataset cast is
+            # the identity over the child array (serial4b's
+            # SORT(x, DATASET(books)[1].title); serial6d's
+            # NORMALIZE(ds, DATASET(LEFT.books), ...))
+            mark_dc = self.i - 1
+            try:
+                self.next()
+                arr_dc, f_dc = self._child_expr(df)
+                self.expect(")")
+                return arr_dc, f_dc
+            except EclFailError:
+                raise
+            except EclSyntaxError:
+                self.i = mark_dc
+                t = self.next()  # re-establish position, fall through
         if t.text == "sort" and self.peek().text == "(":
             # SORT(child, keys): array_sort with a field comparator
             # (dict17's SORT(l.ids, id)); stays a JVM array expression
@@ -17844,6 +17936,27 @@ class _Parser:
         raise EclSyntaxError(
             f"not a child-dataset expression at {t.pos}: {t.text!r}"
         )
+
+    def _register_arr_fields(self, col, frame, fld: str) -> None:
+        """Record an array column's ELEMENT fields (from the frame's
+        schema) so IN-membership over 1-field child datasets can
+        project the field (serial6d's ... IN LEFT.words)."""
+        try:
+            from pyspark.sql import types as T
+
+            dt = frame.schema[fld].dataType
+            if isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, T.StructType
+            ):
+                self._arr_fields_by_id = getattr(
+                    self, "_arr_fields_by_id", {}
+                )
+                self._arr_fields_by_id[id(col)] = [
+                    (f.name, f.dataType.simpleString(), None, None)
+                    for f in dt.elementType.fields
+                ]
+        except Exception:
+            pass
 
     @staticmethod
     def _member_ty_guess(span: list, tymap: dict):

@@ -1031,6 +1031,27 @@ def _serial_library(spark):
     ).coalesce(1)
 
 
+def _serial_library_dict(spark):
+    """The DICTIONARY-serialized twin: child/grand-child entries land
+    in the reference's hash-table slot order (RtlLinkedDictionaryBuilder
+    linear probing — eclfront._refdict_order; serial4b's key pins
+    eragon before the hobbit, words probe-scrambled)."""
+    from .eclfront import _refdict_order
+
+    rows = []
+    for i, (owner, books) in enumerate(_LIBRARY_ROWS):
+        bd = [
+            (title, list(_refdict_order(list(words), 1)))
+            for (title, words) in _refdict_order(list(books), 1)
+        ]
+        rows.append((owner, bd, i + 1))
+    return spark.createDataFrame(
+        rows,
+        "owner string, books array<struct<title: string, "
+        "words: array<struct<word: string>>>>, __ord__ long",
+    ).coalesce(1)
+
+
 def _serial_book_index(spark):
     """bookIndex (serialtest.ecl:40): the flattened books keyed by
     string20 title — an index read returns key order, titles padded."""
@@ -1068,10 +1089,12 @@ def serialtest_members() -> dict:
             "dataset", _serial_library, LIBRARY_DS_REC,
             prefix + "seriallibraryds",
         ),
-        # the DICTIONARY-serialized twin holds the same logical content;
-        # layout-translated dataset reads see identical rows
+        # the DICTIONARY-serialized twin holds the same logical content
+        # with children in dictionary slot order (serial4b)
+        "librarydictrec": ("record", LIBRARY_DS_REC),
+        "bookdictrec": ("record", BOOK_DS_REC),
         "librarydictionaryfile": (
-            "dataset", _serial_library, LIBRARY_DS_REC,
+            "dataset", _serial_library_dict, LIBRARY_DS_REC,
             prefix + "seriallibrarydict",
         ),
         "bookindex": (

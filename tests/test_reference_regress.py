@@ -123,6 +123,14 @@ VERBATIM = [
     # joins against the book index (LEFT stream order), WILD index
     # hints, SET(child, field) membership, [WHOLE] RECORD / EXCEPT
     # sort keys, blank-insensitive string-column equality
+    # r13: the serial dictionary tail — DICTIONARY-layout files hold
+    # children in reference hash-table slot order (_refdict_order over
+    # the fixture), DATASET(dictfield) identity casts, right-ordinal
+    # tie-break inside keyed-join match groups, SET(DATASET(...), f),
+    # 1-field child-dataset IN membership, DATASET(rec) TABLE members,
+    # postfix filters on rebind results
+    "serial3c", "serial3d", "serial4b", "serial5b", "serial5c",
+    "serial6d", "serial8a",
     "serial3a", "serial3b", "serial4a", "serial5a", "serial6a",
     "serial6b", "serial7a", "serial7b", "serial7c", "serial7d",
     "serial9a", "serial9b", "serial9d",
