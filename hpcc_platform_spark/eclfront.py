@@ -6753,6 +6753,12 @@ class _Parser:
         out_cols, skip_cond, out_fields = self._named_transform_cols(
             fn, roles, base, counter_col
         )
+        swapped_nt = getattr(self, "_ntc_swapped_base", None)
+        if swapped_nt is not None:
+            # a body assignment re-based the source (correlated child
+            # join — indexread5); output selects from the joined frame
+            base = swapped_nt
+            self._ntc_swapped_base = None
         out = base
         if skip_cond is not None:
             out = out.where(~skip_cond)
@@ -6814,9 +6820,15 @@ class _Parser:
             self._row_params = rp
             self._counter_col = counter_col
             self._param_shadow = shadow
+            saved_bbs = getattr(self, "_body_base_swap", None)
+            self._body_base_swap = None
             assigned, skip_cond = self._parse_transform_body_columns(
                 fn["body"], base
             )
+            self._ntc_swapped_base = getattr(
+                self, "_body_base_swap", None
+            )
+            self._body_base_swap = saved_bbs
         finally:
             self._row_params = saved_rp
             self._counter_col = saved_counter
@@ -14117,6 +14129,32 @@ class _Parser:
     def _atom(self, df) -> Column:
         self._skip_shim_qual()  # Files.DG_Fnames[2] -> DG_Fnames[2]
         t = self.next()
+        if (
+            t.kind == "kw"
+            and t.text in (getattr(self, "_row_params", None) or {})
+            and self.peek().text == "."
+            and isinstance(self._row_params[t.text], DataFrame)
+        ):
+            # a row param NAMED by a keyword (indexread5's
+            # `sq.PersonBookRelatedIdRec in` — IN the membership
+            # operator): the ident-only branch below can't claim it
+            frame_kw = self._row_params[t.text]
+            self.next()  # '.'
+            fld_kw = self.next().text
+            kids_kw = self._child_field_names(frame_kw)
+            if fld_kw in kids_kw:
+                col_kw = frame_kw[fld_kw]
+                if self.peek().text == "[":
+                    return self._child_elem_field(col_kw, kids_kw[fld_kw])
+                self._arr_fields_by_id = getattr(
+                    self, "_arr_fields_by_id", {}
+                )
+                self._arr_fields_by_id[id(col_kw)] = kids_kw[fld_kw]
+                return self._tag_arr(col_kw)
+            col_kw = frame_kw[fld_kw]
+            if dict(frame_kw.dtypes).get(fld_kw) == "string":
+                col_kw = self._tag_str(col_kw)
+            return col_kw
         shadow_p = getattr(self, "_param_shadow", None)
         if (
             shadow_p
@@ -14213,7 +14251,12 @@ class _Parser:
                 if wrapped_s:
                     self.expect(")")
                 self.expect(",")
+                # the field may be chain-qualified (indexread5's
+                # set(in.books, in.books.id)) — the LAST component names
+                # the element field
                 fld_s = self.next().text
+                while self.accept("."):
+                    fld_s = self.next().text
                 self.expect(")")
                 return F.transform(arr_s, lambda x: x[fld_s])
             except EclSyntaxError:
@@ -15638,6 +15681,48 @@ class _Parser:
             rb = self._rebind_child(t.text, df)
             if rb is not None:
                 return self._child_elem_field(rb[0], rb[1])
+        ep_at = getattr(df, "_elem_path", None)
+        if (
+            ep_at
+            and t.kind in ("ident", "kw")
+            and self.peek().text == "."
+            and self.toks[self.i + 1].kind in ("ident", "kw")
+        ):
+            # a dataset path whose chain resolves to THIS element plus
+            # one scalar field reads the element's field (indexread5's
+            # sq.SimplePersonBookIndex.books.id inside a books element)
+            raw_at = [t.text]
+            k_at = self.i
+            while (
+                self.toks[k_at].text == "."
+                and self.toks[k_at + 1].kind in ("ident", "kw")
+            ):
+                raw_at.append(self.toks[k_at + 1].text)
+                k_at += 2
+            try:
+                resolved_at = list(self._resolve_chain(list(raw_at)))
+            except Exception:
+                resolved_at = None
+            if resolved_at:
+                epl_at = list(ep_at)
+                if (
+                    resolved_at[: len(epl_at)] != epl_at
+                    and epl_at
+                    and epl_at[0] in resolved_at
+                ):
+                    k0_at = resolved_at.index(epl_at[0])
+                    if (
+                        resolved_at[k0_at : k0_at + len(epl_at)]
+                        == epl_at
+                    ):
+                        epl_at = resolved_at[:k0_at] + epl_at
+                if (
+                    len(resolved_at) == len(epl_at) + 1
+                    and resolved_at[: len(epl_at)] == epl_at
+                    and resolved_at[-1] in getattr(df, "columns", [])
+                ):
+                    self.i = k_at
+                    return df[resolved_at[-1]]
         if t.text == "evaluate" and self.peek().text == "(":
             # EVALUATE(child[n], expr) value form (no_evaluate; sqagg's
             # evaluate(persons[1], xbooks[1].name)): evaluate expr in
@@ -16191,6 +16276,19 @@ class _Parser:
                     )
                     self._arr_fields_by_id[id(rb_v[0])] = rb_v[1]
                     return self._tag_arr(rb_v[0])
+                spn_v = self.ds_spans.get(t.text) or self.deferred.get(
+                    t.text
+                )
+                if spn_v and t.text not in self.scalars:
+                    # a VALUE-shaped body local (indexread5's
+                    # myBookIds := set(in.books, in.books.id)) —
+                    # re-parse the span in this context
+                    try:
+                        return self._parse_span_value(list(spn_v), df)
+                    except EclFailError:
+                        raise
+                    except Exception:
+                        pass
             if (
                 t.text not in getattr(df, "columns", [])
                 and isinstance(self.env.get(t.text), DataFrame)
@@ -17662,6 +17760,46 @@ class _Parser:
             keys_t = self._child_table_keys()
             self.expect(")")
             return self._child_table(arr, fields, body_t, keys_t, ep_t)
+        if t.text == "normalize" and self.peek().text == "(":
+            # NORMALIZE(child, LEFT.<sub>, TRANSFORM(RIGHT)) — flatten
+            # the sub-child of each element (indexread5's
+            # normalize(otherPeople, left.books, transform(right)))
+            self.next()
+            arr, fields = self._child_expr(df)
+            self.expect(",")
+            self.expect("left")
+            self.expect(".")
+            sub_n = self.next().text
+            subfields_n = None
+            for nm2, _t2, _w2, d2 in fields:
+                if (
+                    nm2 == sub_n
+                    and isinstance(d2, tuple)
+                    and len(d2) >= 2
+                    and d2[0] == "__child__"
+                ):
+                    subfields_n = d2[1]
+            if subfields_n is None:
+                raise EclSyntaxError(
+                    f"unknown sub-child {sub_n!r} in child NORMALIZE"
+                )
+            self.expect(",")
+            self.expect("transform")
+            self.expect("(")
+            self.expect("right")
+            self.expect(")")
+            self.expect(")")
+
+            def _mk_subn(s):
+                def one(x):
+                    return x[s]
+
+                return one
+
+            return (
+                F.flatten(F.transform(arr, _mk_subn(sub_n))),
+                list(subfields_n),
+            )
         if t.text == "loop" and self.peek().text == "(":
             # LOOP over a CHILD dataset (loopcqcond's newchildren :=
             # LOOP(l.children, 4, loopBody(ROWS(LEFT), COUNTER)) inside
@@ -17795,13 +17933,22 @@ class _Parser:
                     fieldnames = [f[0] for f in fields]
 
                     pctx_f = df  # frames terminate the ancestor chain
+                    ep_parent_pf = getattr(df, "_elem_path", None)
+                    if ep_parent_pf is None and isinstance(df, DataFrame):
+                        ep_parent_pf = self._frame_path.get(id(df))
+                    ep_pf = (
+                        tuple(ep_parent_pf) + (arr_name,)
+                        if ep_parent_pf
+                        else None
+                    )
 
-                    def _mk_filter(span_l, fnames, fmeta, snm, pcx):
+                    def _mk_filter(span_l, fnames, fmeta, snm, pcx, epl):
                         # single-arg closure: pyspark dispatches on arity
                         def one(x):
                             return self._eval_elem_cond(
                                 span_l, x, fnames, fields_meta=fmeta,
                                 self_name=snm, parent_ctx=pcx,
+                                elem_path=epl,
                             )
 
                         return one
@@ -17810,7 +17957,7 @@ class _Parser:
                         arr,
                         _mk_filter(
                             list(span), fieldnames, list(fields),
-                            arr_name, pctx_f,
+                            arr_name, pctx_f, ep_pf,
                         ),
                     )
                     continue
@@ -18565,6 +18712,42 @@ class _Parser:
             self.expect("]")
             arr, fields = out
             out = (F.slice(arr, lo, max(hi - lo + 1, 0)), fields)
+        if (
+            self.peek().text == "["
+            and self.toks[self.i + 1].kind == "num"
+            and self.toks[self.i + 2].text == "]"
+            and self.toks[self.i + 3].text == "."
+        ):
+            # [n].<subchild> — the n-th element's child array
+            # (indexread5's otherPeople[1].books)
+            arr, fields = out
+            sub_rb = self.toks[self.i + 4].text
+            subf_rb = None
+            for nm2, _t2, _w2, d2 in fields:
+                if (
+                    nm2 == sub_rb
+                    and isinstance(d2, tuple)
+                    and len(d2) >= 2
+                    and d2[0] == "__child__"
+                ):
+                    subf_rb = d2[1]
+            if subf_rb is not None:
+                self.next()
+                n_rb = int(self.next().text)
+                self.next()  # ']'
+                self.next()  # '.'
+                self.next()  # field
+                el_rb = F.try_element_at(arr, F.lit(n_rb))
+                empty_rb = F.slice(arr, 1, 0)
+                out = (
+                    F.coalesce(
+                        el_rb[sub_rb],
+                        F.flatten(
+                            F.transform(empty_rb, lambda x: x[sub_rb])
+                        ),
+                    ),
+                    list(subf_rb),
+                )
         return out
 
     def _rebind_scalar(self, name: str, df):
@@ -18707,7 +18890,35 @@ class _Parser:
         # equality (keyfield = dotted-parent-chain, either side order);
         # the rest are residual per-element filters (sqsimple's
         # sq.PersonDs(houseid=sq.HouseDs.id, exists(...)))
-        parts_cf = self._split_top_commas(span)
+        parts_cf0 = self._split_top_commas(span)
+        # AND-conjoined conditions split like commas; KEYED(...) is an
+        # access-path hint around a real condition (indexread5's
+        # KEYED(surname = in.surname) and not exists(...))
+        parts_cf: list[list] = []
+        for p0 in parts_cf0:
+            cur0: list = []
+            d0 = 0
+            for tk0 in p0:
+                if d0 == 0 and tk0.text == "and":
+                    parts_cf.append(cur0)
+                    cur0 = []
+                    continue
+                d0 += tk0.text in ("(", "[", "{")
+                d0 -= tk0.text in (")", "]", "}")
+                cur0.append(tk0)
+            parts_cf.append(cur0)
+        parts_cf = [
+            p[2:-1]
+            if (
+                len(p) >= 4
+                and p[0].text == "keyed"
+                and p[1].text == "("
+                and p[-1].text == ")"
+            )
+            else p
+            for p in parts_cf
+            if p
+        ]
         keyf = pspan = None
         resid_spans: list[list] = []
         for part in parts_cf:
@@ -18738,6 +18949,12 @@ class _Parser:
             ok_head = (
                 self.env.get(head) is df
                 or (hasattr(df, "columns") and head in df.columns)
+                or (getattr(self, "_row_params", None) or {}).get(head)
+                is df
+                # a bound scalar param carrying an outer-row expression
+                # (serial8b's filteredBooks(books[1].title, ...) —
+                # KEYED(title = searchName))
+                or head in self.scalars
             )
             c = df
             while not ok_head and c is not None and not isinstance(c, DataFrame):
@@ -18760,9 +18977,21 @@ class _Parser:
                 self.toks, self.i = saved_toks, saved_i
                 self.i = mark
                 return None
-            parent_col = self.value(df)
-            if self.peek().kind != "eof":
-                parent_col = None
+            if (
+                (getattr(self, "_row_params", None) or {}).get(head)
+                is df
+                and self.toks[self.i + 1].text == "."
+                and self.toks[self.i + 2].kind == "ident"
+                and self.toks[self.i + 3].kind == "eof"
+            ):
+                # row-param qualifier whose NAME is a keyword
+                # (indexread5's in.surname — IN is the membership
+                # operator, the value grammar can't start with it)
+                parent_col = df[self.toks[self.i + 2].text]
+            else:
+                parent_col = self.value(df)
+                if self.peek().kind != "eof":
+                    parent_col = None
         except EclSyntaxError:
             parent_col = None
         finally:
@@ -18807,9 +19036,15 @@ class _Parser:
             grouped_j = base_ds.groupBy(
                 F.col(keyf).alias("__ck__")
             ).agg(arr_agg.alias(arr_nm))
-            joined_j = df.join(
-                grouped_j, parent_col == F.col("__ck__"), "left"
-            ).drop("__ck__")
+            keq_j = parent_col == F.col("__ck__")
+            if dict(base_ds.dtypes).get(keyf) == "string":
+                # ECL string keys compare blank-insensitively (the
+                # index side is fixed-width padded — indexread5's
+                # string20 surname vs the person's plain string)
+                keq_j = F.rtrim(parent_col.cast("string")) == F.rtrim(
+                    F.col("__ck__")
+                )
+            joined_j = df.join(grouped_j, keq_j, "left").drop("__ck__")
             # metadata rides to the re-based frame
             if id(df) in self._order:
                 self._set_order(joined_j, self._order[id(df)])
@@ -18833,11 +19068,16 @@ class _Parser:
             ]
             if resid_spans:
                 fn_j = [f[0] for f in fields_j]
+                try:
+                    ep_cf = tuple(self._resolve_chain([t.text]))
+                except Exception:
+                    ep_cf = None
 
-                def _mk_rj(span_l, fn_l, fm_l):
+                def _mk_rj(span_l, fn_l, fm_l, ep_l):
                     def one(x):
                         return self._eval_elem_cond(
-                            span_l, x, fn_l, fields_meta=fm_l
+                            span_l, x, fn_l, fields_meta=fm_l,
+                            elem_path=ep_l, self_name=t.text,
                         )
 
                     return one
@@ -18845,7 +19085,7 @@ class _Parser:
                 for rs_j in resid_spans:
                     out_arr_j = F.filter(
                         out_arr_j,
-                        _mk_rj(list(rs_j), fn_j, list(fields_j)),
+                        _mk_rj(list(rs_j), fn_j, list(fields_j), ep_cf),
                     )
             return out_arr_j, fields_j
         # trim to the keys the parent actually references (a broadcast
@@ -20242,6 +20482,12 @@ class _Parser:
                     if rb is not None:
                         assigned[fname] = rb[0]
                         continue
+                    saved_cj_b = getattr(self, "_corr_join_ok", None)
+                    # assignments can RE-BASE the source: a correlated
+                    # filter of a separate dataset joins per-parent
+                    # arrays on (indexread5's otherPeople :=
+                    # index(KEYED(surname = in.surname), ...))
+                    self._corr_join_ok = df
                     try:
                         assigned[fname] = self.value(df)
                     except EclFailError:
@@ -20255,6 +20501,14 @@ class _Parser:
                         if rb is None:
                             raise
                         assigned[fname] = rb[0]
+                    finally:
+                        self._corr_join_ok = saved_cj_b
+                    swap_b = getattr(self, "_corr_swaps", {}).pop(
+                        id(df), None
+                    )
+                    if swap_b is not None:
+                        df = swap_b
+                        self._body_base_swap = df
                 else:
                     self.expect(":=")
                     if self.peek().text == "[":

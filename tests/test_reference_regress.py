@@ -209,6 +209,11 @@ VERBATIM = [
     # KEYED/WILD hints as filters, keyed LIMIT hints, blank-insensitive
     # string IN, lenient (integer)/(real) string casts, positional
     # CHOOSEN over the key order
+    # r13: per-row keyed-index child queries (the reference's keyed-join
+    # child fetch as ONE co-partitioned groupBy+join, blank-insensitive
+    # keys, KEYED()/AND-conjunct correlated filters, keyword-named row
+    # params, [n].subchild element reads, child NORMALIZE flatten)
+    "indexread5",
     "indexread", "indexread3", "indexread8", "indexagg",
     "indexagg_choosen",
     # keyed-join/FETCH family (thkeyedjoinslave, TAKfetch :926): join
