@@ -10488,6 +10488,344 @@ class _Parser:
         self._set_grouped(out, keys)  # result is still grouped
         return out
 
+    def _denormalize_named(
+        self, parent, child, pairs, resid, group_form
+    ) -> DataFrame:
+        """DENORMALIZE with a NAMED transform (TAKdenormalize :1056):
+        the iterative form t(LEFT, RIGHT, COUNTER) folds each parent's
+        matched children one at a time (thdenormslave loop) — lowered
+        to F.aggregate over the per-parent child array (one groupBy +
+        one join, the fold itself is whole-stage codegen); the GROUP
+        form t(LEFT, ROWS(RIGHT)) applies once with the child array
+        bound. Output follows key order (the reference's sorted-join
+        emission — denormalize.ecl Result 2 pins A,B,C)."""
+        fname = self.next().text
+        fn = self.functions[fname]
+        self.expect("(")
+        roles: list = []
+        while self.peek().text != ")":
+            if self.accept(","):
+                continue
+            if self.peek().text in (
+                "left", "right", "counter",
+            ) and self.toks[self.i + 1].text in (",", ")"):
+                roles.append(self.next().text)
+            elif (
+                self.peek().text == "rows"
+                and self.toks[self.i + 1].text == "("
+            ):
+                self.next()
+                self.expect("(")
+                self.expect("right")
+                self.expect(")")
+                roles.append("rows")
+            else:
+                # extra scalar argument (denormalize2's
+                # makeRec(LEFT, RIGHT, 'simple'))
+                roles.append(("expr", self.value(self._dummy())))
+        self.next()  # ')'
+        while self.accept(","):
+            o = self.next()  # LOCAL / NOSORT hints
+            if self.peek().text == "(":
+                close_o = self._match_paren(self.i)
+                self.i = close_o + 1
+        self.expect(")")
+        params = fn["params"]
+        pmap: dict[str, str] = {}  # param name -> role
+        for k, role in enumerate(roles):
+            if k < len(params):
+                pmap[params[k][0]] = role
+        lparam = next((p for p, r in pmap.items() if r == "left"), None)
+        rparam = next(
+            (p for p, r in pmap.items() if r in ("right", "rows")), None
+        )
+        cparam = next((p for p, r in pmap.items() if r == "counter"), None)
+        sparams = {
+            p: r[1]
+            for p, r in pmap.items()
+            if isinstance(r, tuple) and r[0] == "expr"
+        }
+        lkeys = [lf for lf, _rf in pairs]
+        rkeys = [rf for _lf, rf in pairs]
+        # per-parent child arrays in child INPUT order
+        base_c = self._clean(child)
+        ord_c = (
+            F.col("__ord__")
+            if "__ord__" in child.columns
+            else F.monotonically_increasing_id()
+        )
+        pay_c = F.struct(
+            *[F.col(c) for c in base_c.columns if c != "__ord__"]
+        )
+        nested_d = (
+            child.select(
+                *[F.col(rf).alias(f"__dk{j}__") for j, rf in enumerate(rkeys)],
+                ord_c.alias("__o__"),
+                pay_c.alias("__p__"),
+            )
+            .groupBy(*[f"__dk{j}__" for j in range(len(rkeys))])
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__o__").alias("_o"),
+                                F.col("__p__").alias("_r"),
+                            )
+                        )
+                    ),
+                    lambda x: x["_r"],
+                ).alias("__darr__")
+            )
+        )
+        cond = None
+        for j, (lf, _rf) in enumerate(pairs):
+            lcol = parent[lf]
+            rcol = F.col(f"__dk{j}__")
+            if dict(parent.dtypes).get(lf) == "string":
+                c = F.rtrim(lcol) == F.rtrim(rcol)
+            else:
+                c = lcol == rcol
+            cond = c if cond is None else cond & c
+        joined = parent.join(nested_d, cond, "left").drop(
+            *[f"__dk{j}__" for j in range(len(rkeys))]
+        )
+        cmeta = self._ds_fields.get(id(child)) or self._fields_from_frame(
+            child
+        )
+        cfields = [f for f in cmeta if f[0] != "__ord__"]
+        cfnames = [f[0] for f in cfields]
+        empty_d = F.slice(F.col("__darr__"), 1, 0)
+        arr_d = F.coalesce(F.col("__darr__"), empty_d)
+        if resid:
+            # residual conjuncts filter the matched pairs; LEFT reads
+            # the ORIGINAL parent row (denormalize1's LEFT.i < 30 over
+            # the zeroed parent)
+            for rs in resid:
+                span_r: list = []
+                outer_r: dict = {}
+                j = 0
+                while j < len(rs):
+                    if (
+                        rs[j].text == "left"
+                        and j + 2 < len(rs) + 1
+                        and j + 1 < len(rs)
+                        and rs[j + 1].text == "."
+                    ):
+                        cfld = rs[j + 2].text
+                        key_o = f"__l_{cfld}"
+                        outer_r[key_o] = parent[cfld]
+                        span_r.append(_Tok("ident", key_o, rs[j].pos))
+                        j += 3
+                        continue
+                    if (
+                        rs[j].text == "right"
+                        and j + 1 < len(rs)
+                        and rs[j + 1].text == "."
+                    ):
+                        span_r.append(rs[j + 2])
+                        j += 3
+                        continue
+                    span_r.append(rs[j])
+                    j += 1
+
+                def _mk_rd(span_l, out_l):
+                    def one(x):
+                        return self._eval_elem_cond(
+                            span_l, x, cfnames, outer=out_l,
+                            fields_meta=list(cfields),
+                        )
+
+                    return one
+
+                arr_d = F.filter(arr_d, _mk_rd(list(span_r), outer_r))
+        # transform body: SELF.f := expr | SELF := <lparam>
+        asg_d: dict[str, list] = {}
+        copy_l = False
+        for sp in self._split_top_members(fn["body"]):
+            if (
+                len(sp) >= 4
+                and sp[0].text == "self"
+                and sp[1].text == "."
+                and sp[3].text == ":="
+            ):
+                asg_d[sp[2].text] = sp[4:]
+            elif (
+                len(sp) == 3
+                and sp[0].text == "self"
+                and sp[1].text == ":="
+                and sp[2].text == lparam
+            ):
+                copy_l = True
+            elif sp:
+                raise EclSyntaxError(
+                    "unsupported DENORMALIZE transform member"
+                )
+        out_fields = self._resolve_record_fields(fn.get("rettype"))
+        if out_fields is None:
+            out_fields = self._ds_fields.get(id(parent)) or (
+                self._fields_from_frame(parent)
+            )
+        ofnames = [f[0] for f in out_fields if f[0] != "__ord__"]
+
+        def _rw(sp, accref, relemref, ctr):
+            """Rewrite l./r./counter refs and evaluate over the child
+            element ctx."""
+            span2: list = []
+            outer2: dict = {}
+            j = 0
+            while j < len(sp):
+                if (
+                    lparam is not None
+                    and sp[j].text == lparam
+                    and j + 1 < len(sp)
+                    and sp[j + 1].text == "."
+                ):
+                    cfld = sp[j + 2].text
+                    key_o = f"__l_{cfld}"
+                    outer2[key_o] = accref[cfld]
+                    span2.append(_Tok("ident", key_o, sp[j].pos))
+                    j += 3
+                    continue
+                if (
+                    rparam is not None
+                    and sp[j].text == rparam
+                    and j + 1 < len(sp)
+                    and sp[j + 1].text == "."
+                ):
+                    span2.append(sp[j + 2])
+                    j += 3
+                    continue
+                if cparam is not None and sp[j].text == cparam:
+                    key_o = "__ctr__d"
+                    outer2[key_o] = ctr
+                    span2.append(_Tok("ident", key_o, sp[j].pos))
+                    j += 1
+                    continue
+                if sp[j].text in sparams:
+                    key_o = f"__sp_{sp[j].text}"
+                    outer2[key_o] = sparams[sp[j].text]
+                    span2.append(_Tok("ident", key_o, sp[j].pos))
+                    j += 1
+                    continue
+                span2.append(sp[j])
+                j += 1
+            return self._eval_elem_cond(
+                span2, relemref, cfnames, outer=outer2,
+                fields_meta=list(cfields),
+            )
+
+        tym_d = {f[0]: (f[1], f[2]) for f in out_fields}
+
+        def _coerce_d(col, nm):
+            ty0, w0 = tym_d.get(nm, (None, None))
+            if w0 and w0 > 0 and ty0 == "string":
+                return F.rpad(col.cast("string"), w0, " ")
+            if ty0 in ("long", "double", "boolean", "string"):
+                return col.cast(ty0)
+            return col
+
+        rows_form = any(r == "rows" for r in pmap.values())
+        if group_form or rows_form:
+            # one application with the whole child array bound
+            saved_ap_d = getattr(self, "_array_params", None)
+            self._array_params = dict(saved_ap_d or {})
+            if rparam is not None:
+                self._array_params[rparam] = (arr_d, list(cfields))
+            saved_rp_d = getattr(self, "_row_params", None)
+            self._row_params = dict(saved_rp_d or {})
+            if lparam is not None:
+                self._row_params[lparam] = joined
+            saved_sc_d = self.scalars
+            self.scalars = dict(self.scalars)
+            self.scalars.update(sparams)
+            try:
+                cols_d = []
+                for nm in ofnames:
+                    if nm in asg_d:
+                        c2 = self._parse_span_value(
+                            list(asg_d[nm]), joined
+                        )
+                    elif copy_l and nm in parent.columns:
+                        c2 = parent[nm]
+                    else:
+                        raise EclSyntaxError(
+                            f"DENORMALIZE must assign {nm!r}"
+                        )
+                    cols_d.append(_coerce_d(c2, nm).alias(nm))
+            finally:
+                self._array_params = saved_ap_d
+                self._row_params = saved_rp_d
+                self.scalars = saved_sc_d
+        else:
+            # iterative fold: acc starts as the parent row, one
+            # transform application per matched child with COUNTER
+            arr_i = F.transform(
+                arr_d,
+                lambda x, i: F.struct(
+                    x.alias("_r"), (i + 1).alias("_c")
+                ),
+            )
+            init_d = F.struct(
+                *[
+                    _coerce_d(parent[nm], nm).alias(nm)
+                    if nm in parent.columns
+                    else _coerce_d(
+                        self._zero_col(
+                            tym_d.get(nm, ("string", None))[0],
+                            tym_d.get(nm, (None, None))[1],
+                        ),
+                        nm,
+                    ).alias(nm)
+                    for nm in ofnames
+                ]
+            )
+
+            def _step_d(acc, p):
+                saved_ps_d = getattr(self, "_pending_skip", None)
+                self._pending_skip = None
+                try:
+                    cols2 = []
+                    for nm in ofnames:
+                        if nm in asg_d:
+                            c2 = _rw(asg_d[nm], acc, p["_r"], p["_c"])
+                        elif copy_l:
+                            c2 = acc[nm]
+                        else:
+                            raise EclSyntaxError(
+                                f"DENORMALIZE must assign {nm!r}"
+                            )
+                        cols2.append(_coerce_d(c2, nm).alias(nm))
+                    sc_d = self._pending_skip
+                finally:
+                    self._pending_skip = saved_ps_d
+                new_d = F.struct(*cols2)
+                if sc_d is not None:
+                    # SKIP inside the transform drops THAT child: the
+                    # accumulator passes through (denormalize2's
+                    # makeRecSkip)
+                    return F.when(sc_d, acc).otherwise(new_d)
+                return new_d
+
+            folded = F.aggregate(arr_i, init_d, _step_d)
+            cols_d = [folded[nm].alias(nm) for nm in ofnames]
+        out = joined.select(*cols_d)
+        # key-order emission (the reference's sorted denormalize join)
+        okeys = [
+            F.rtrim(F.col(lf)).asc()
+            if dict(out.dtypes).get(lf) == "string"
+            else F.col(lf).asc()
+            for lf in lkeys
+            if lf in out.columns
+        ]
+        if okeys:
+            out = out.orderBy(*okeys)
+            self._set_order(out, okeys)
+        self._ds_fields[id(out)] = [
+            f for f in out_fields if f[0] != "__ord__"
+        ]
+        return out
+
     def _denormalize(self) -> DataFrame:
         """DENORMALIZE(parent, child, LEFT.k = RIGHT.k [AND ...], GROUP,
         TRANSFORM(SELF.f := ROWS(RIGHT) [, SELF := LEFT]))
@@ -10502,26 +10840,71 @@ class _Parser:
         self.expect(",")
         child = self.dataset()
         self.expect(",")
-        # equality key chain LEFT.a = RIGHT.b [AND ...]
+        # condition: LEFT.a = RIGHT.b equality conjuncts + residual
+        # conjuncts (denormalize1's AND (LEFT.i < 30))
+        cond_span_d: list = []
+        d_d = 0
+        while not (d_d == 0 and self.peek().text == ","):
+            tk = self.next()
+            if tk.kind == "eof":
+                raise EclSyntaxError("unterminated DENORMALIZE condition")
+            d_d += tk.text in ("(", "[", "{")
+            d_d -= tk.text in (")", "]", "}")
+            cond_span_d.append(tk)
         pairs: list[tuple[str, str]] = []
-        while True:
-            lk = self.next()
-            if lk.text != "left" or not self.accept("."):
-                raise EclSyntaxError(f"expected LEFT.<key> at {lk.pos}")
-            lfield = self.next().text
-            self.expect("=")
-            rk = self.next()
-            if rk.text != "right" or not self.accept("."):
-                raise EclSyntaxError(f"expected RIGHT.<key> at {rk.pos}")
-            pairs.append((lfield, self.next().text))
-            if self.peek().text != "and":
-                break
+        resid_d: list[list] = []
+        parts_d: list[list] = []
+        cur_d: list = []
+        d_d = 0
+        for tk in cond_span_d:
+            if d_d == 0 and tk.text == "and":
+                parts_d.append(cur_d)
+                cur_d = []
+                continue
+            d_d += tk.text in ("(", "[", "{")
+            d_d -= tk.text in (")", "]", "}")
+            cur_d.append(tk)
+        parts_d.append(cur_d)
+        for p_d in parts_d:
+            while (
+                len(p_d) >= 2
+                and p_d[0].text == "("
+                and p_d[-1].text == ")"
+            ):
+                p_d = p_d[1:-1]
+            if (
+                len(p_d) == 7
+                and p_d[0].text == "left"
+                and p_d[1].text == "."
+                and p_d[3].text == "="
+                and p_d[4].text == "right"
+                and p_d[5].text == "."
+            ):
+                pairs.append((p_d[2].text, p_d[6].text))
+            else:
+                resid_d.append(list(p_d))
+        if not pairs:
+            raise EclSyntaxError(
+                "DENORMALIZE needs a LEFT.k = RIGHT.k condition"
+            )
+        self.expect(",")
+        group_form = False
+        if self.peek().text == "group" and self.toks[self.i + 1].text == ",":
             self.next()
-        self.expect(",")
-        g = self.next()
-        if g.text != "group":
-            raise EclSyntaxError("only the GROUP form of DENORMALIZE is supported")
-        self.expect(",")
+            self.expect(",")
+            group_form = True
+        if (
+            self.peek().kind == "ident"
+            and self.peek().text in self.functions
+            and self.functions[self.peek().text].get("transform")
+        ):
+            return self._denormalize_named(
+                parent, child, pairs, resid_d, group_form
+            )
+        if not group_form:
+            raise EclSyntaxError(
+                "only the GROUP form of DENORMALIZE is supported"
+            )
         t = self.next()
         if t.text != "transform":
             raise EclSyntaxError(f"expected TRANSFORM at {t.pos}")
@@ -14155,6 +14538,17 @@ class _Parser:
             if dict(frame_kw.dtypes).get(fld_kw) == "string":
                 col_kw = self._tag_str(col_kw)
             return col_kw
+        ap_el = getattr(self, "_array_params", None) or {}
+        if (
+            t.kind == "ident"
+            and t.text in ap_el
+            and self.peek().text == "["
+            and self.toks[self.i + 3].text == "."
+        ):
+            # array-param element-field read (denormalize's GROUP
+            # transform R[1].Value2 with R = ROWS(RIGHT))
+            arr_ap, flds_ap = ap_el[t.text]
+            return self._child_elem_field(arr_ap, flds_ap)
         shadow_p = getattr(self, "_param_shadow", None)
         if (
             shadow_p

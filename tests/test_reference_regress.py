@@ -214,6 +214,12 @@ VERBATIM = [
     # keys, KEYED()/AND-conjunct correlated filters, keyword-named row
     # params, [n].subchild element reads, child NORMALIZE flatten)
     "indexread5",
+    # r13: DENORMALIZE named-transform forms (TAKdenormalize :1056) —
+    # the iterative t(LEFT, RIGHT[, COUNTER]) fold as F.aggregate over
+    # per-parent child arrays (one groupBy + one join, fold in
+    # whole-stage codegen), GROUP t(LEFT, ROWS(RIGHT)), residual
+    # conjuncts, extra scalar args, SKIP-per-child, key-order emission
+    "denormalize", "denormalize1", "denormalize2",
     "indexread", "indexread3", "indexread8", "indexagg",
     "indexagg_choosen",
     # keyed-join/FETCH family (thkeyedjoinslave, TAKfetch :926): join
