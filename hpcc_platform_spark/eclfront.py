@@ -7988,7 +7988,19 @@ class _Parser:
                 close = self._match_paren(self.i)
                 transform_src = ("named", t.text, self.i, close)
                 self.i = close + 1
-            elif t.kind == "ident" and t.text in inputs[0].columns:
+            elif (
+                t.kind == "ident"
+                and t.text in inputs[0].columns
+                and t.text
+                not in (
+                    # reference option names (thorstep2/hqlgram joins)
+                    # must never silently become sort keys even when a
+                    # column shares the name (r12 ask #8)
+                    "assert", "skew", "threshold", "prefetch",
+                    "unordered", "ordered", "stable", "unstable",
+                    "parallel", "hint", "atmost", "limit", "keep",
+                )
+            ):
                 sorted_keys.append(t.text)  # bare sort field (stepskip)
             else:
                 raise EclSyntaxError(
@@ -8216,10 +8228,13 @@ class _Parser:
         okeys = [F.col(k) for k in sorted_keys] + [
             F.col("__src__"), F.col("__so__"),
         ]
-        out = u.withColumn(
-            "__neword__",
-            F.row_number().over(Window.orderBy(*okeys)).cast("long"),
-        ).select(*orig_cols, F.col("__neword__").alias("__ord__"))
+        # two-phase range rank — no single-partition exchange (r12
+        # ask #7; the input ordinals already use it)
+        from .operators.numbering import global_row_number
+
+        out = global_row_number(u, okeys, name="__neword__").select(
+            *orig_cols, F.col("__neword__").cast("long").alias("__ord__")
+        )
         self._set_order(out, [F.col("__ord__")])
         meta0 = self._ds_fields.get(id(inputs[0]))
         if meta0 is not None:
@@ -8367,10 +8382,13 @@ class _Parser:
         okeys = [F.col(k) for k in sorted_keys] + [
             F.col("__src__"), F.col("__so__"),
         ]
-        out = out.withColumn(
-            "__neword__",
-            F.row_number().over(Window.orderBy(*okeys)).cast("long"),
-        ).select(*orig_cols, F.col("__neword__").alias("__ord__"))
+        # two-phase range rank — no single-partition exchange (r12
+        # ask #7)
+        from .operators.numbering import global_row_number
+
+        out = global_row_number(out, okeys, name="__neword__").select(
+            *orig_cols, F.col("__neword__").cast("long").alias("__ord__")
+        )
         self._set_order(out, [F.col("__ord__")])
         return out
 

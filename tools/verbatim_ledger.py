@@ -1,0 +1,83 @@
+"""Regenerate the verbatim-coverage ledger (COVERAGE.md §verbatim).
+
+Prints a per-family table of the reference's key-XML files (the
+denominator), how many are pinned VERBATIM by
+tests/test_reference_regress.py, the documented scope cuts, and the
+remaining frontier. Usage:
+
+    python tools/verbatim_ledger.py            # markdown table to stdout
+"""
+import os
+import re
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_KEYDIR = os.environ.get(
+    "SPARK_GRAFT_REF_KEYS", "/root/reference/testing/regress/ecl/key"
+)
+
+# Documented scope cuts (SURVEY.md §5): fixtures that derive from
+# Project Gutenberg texts the reference downloads at setup time and
+# which are verifiably absent from /root/reference/testing/regress/
+# download/ — the searchIndex/searchSource family — plus the
+# C++-emulation family (arbitrary BEGINC++ dataset bodies).
+SCOPE_CUTS = {
+    "stepping7", "stepping8", "stepping9", "steplimit",
+    "indexmerge",  # getSearchIndex() over the downloaded texts
+    "normalize4",  # _LINKCOUNTED_ BEGINC++ dataset bodies (rtlMalloc)
+}
+
+
+def families(names):
+    out = {}
+    for n in names:
+        fam = re.match(r"^[A-Za-z_]+", n)
+        key = fam.group(0).rstrip("_").lower() if fam else n
+        out.setdefault(key, []).append(n)
+    return out
+
+
+def main():
+    txt = open(
+        os.path.join(_REPO, "tests", "test_reference_regress.py")
+    ).read()
+    m = re.search(r"VERBATIM = \[(.*?)\n\]", txt, re.S)
+    verbatim = set(re.findall(r'"([^"]+)"', m.group(1)))
+    keys = sorted(
+        f[:-4] for f in os.listdir(_KEYDIR) if f.endswith(".xml")
+    )
+    keyset = set(keys)
+    missing_v = sorted(verbatim - keyset)
+    fams = families(keys)
+    rows = []
+    for fam, members in sorted(fams.items()):
+        v = sum(1 for x in members if x in verbatim)
+        c = sum(1 for x in members if x in SCOPE_CUTS)
+        r = len(members) - v - c
+        rows.append((fam, len(members), v, c, r))
+    big = [r for r in rows if r[1] >= 4 or r[2] > 0 or r[3] > 0]
+    small_tot = [r for r in rows if r not in big]
+    print("| family | keys | verbatim | scope-cut | remaining |")
+    print("|---|---|---|---|---|")
+    for fam, n, v, c, r in sorted(big, key=lambda x: -x[4]):
+        print(f"| {fam} | {n} | {v} | {c} | {r} |")
+    sn = sum(r[1] for r in small_tot)
+    sv = sum(r[2] for r in small_tot)
+    sc = sum(r[3] for r in small_tot)
+    print(
+        f"| (untouched families with <4 keys, {len(small_tot)}"
+        f" families) | {sn} | {sv} | {sc} | {sn - sv - sc} |"
+    )
+    tot_v = len(verbatim & keyset)
+    tot_c = len(SCOPE_CUTS & keyset)
+    print(
+        f"| **total** | **{len(keys)}** | **{tot_v}** | **{tot_c}** |"
+        f" **{len(keys) - tot_v - tot_c}** |"
+    )
+    if missing_v:
+        print(f"\nverbatim entries with no key file: {missing_v}",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
