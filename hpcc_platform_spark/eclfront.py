@@ -1791,6 +1791,7 @@ class _Parser:
         file_write = False
         out_fname = None
         xml_opt = None
+        csv_write = False
         while self.accept(","):
             if self.peek().text == ",":
                 continue  # empty positional slot: OUTPUT(ds,,NAMED(...))
@@ -1876,6 +1877,14 @@ class _Parser:
                 self.next()
                 close = self._match_paren(self.i)
                 self.i = close + 1
+            elif self.peek().text == "csv":
+                # OUTPUT(ds,,'name', CSV(...)) — the file serializes as
+                # CSV text lines (csvoptions round-trip)
+                self.next()
+                csv_write = True
+                if self.peek().text == "(":
+                    self.next()
+                    self._csv_opts()
             elif self.peek().text in (
                 "thor", "all", "overwrite", "compressed", "noxpath",
             ):
@@ -1898,6 +1907,9 @@ class _Parser:
         if xml_opt is not None and file_write and out_fname is not None:
             # re-register the file as its XML text lines
             self.files[out_fname] = self._xml_text_frame(df, xml_opt)
+        if csv_write and out_fname is not None:
+            # re-register the file as its CSV text lines
+            self.files[out_fname] = self._csv_text_frame(df)
         if named is not None:
             seq = self._named_seq.get(named, 0)
             tagged = self._finalize(self._render_unsigned(df)).withColumn(
@@ -9310,6 +9322,158 @@ class _Parser:
             cond = cond & (F.col("__rn__") < start + n)
         return out.where(cond).drop("__rn__")
 
+    @staticmethod
+    def _csv_opts_default() -> dict:
+        return {
+            "quotes": ['"'], "seps": [","], "terms": ["\n", "\r\n"],
+            "escapes": [], "notrim": False, "heading": 0,
+        }
+
+    def _csv_opts(self) -> dict:
+        """Parse the inside of CSV( ... ) — cursor after the '(';
+        consumes through the matching ')'. Returns splitter options
+        (QUOTE/SEPARATOR/TERMINATOR/ESCAPE accept single values or
+        ['a','b'] sets; NOTRIM preserves whitespace; HEADING(n) skips
+        records; format words and MAXSIZE/MAXLENGTH are storage
+        hints)."""
+        o = {
+            "quotes": ['"'], "seps": [","], "terms": ["\n", "\r\n"],
+            "escapes": [], "notrim": False, "heading": 0,
+        }
+
+        def _esc(v: str) -> str:
+            return (
+                v.replace("\\r\\n", "\r\n")
+                .replace("\\n", "\n")
+                .replace("\\t", "\t")
+            )
+
+        while self.peek().text != ")":
+            if self._process_cond_directives():
+                # #EXPAND(options) splices dialect tokens (csvoptions'
+                # generateOutput macros)
+                continue
+            t = self.next()
+            tx = t.text
+            if tx == ",":
+                continue
+            if tx in ("ascii", "unicode", "ebcdic"):
+                continue
+            if tx == "notrim":
+                o["notrim"] = True
+            elif tx in (
+                "quote", "separator", "terminator", "escape",
+            ) and self.peek().text == "(":
+                self.next()
+                vals: list = []
+                if self.peek().text == "[":
+                    self.next()
+                    while self.peek().text != "]":
+                        if self.accept(","):
+                            continue
+                        vals.append(_esc(_unquote(self.next().text)))
+                    self.next()
+                else:
+                    while self.peek().text != ")":
+                        if self.accept(","):
+                            continue
+                        vals.append(_esc(_unquote(self.next().text)))
+                self.expect(")")
+                key = {
+                    "quote": "quotes", "separator": "seps",
+                    "terminator": "terms", "escape": "escapes",
+                }[tx]
+                o[key] = [v for v in vals if v != ""]
+            elif tx in (
+                "maxsize", "maxlength", "heading",
+            ) and self.peek().text == "(":
+                self.next()
+                nv = self._cget(self.value(self._dummy()))
+                self.expect(")")
+                if tx == "heading":
+                    o["heading"] = int(nv[0]) if nv else 0
+            elif self.peek().text == "(":
+                close = self._match_paren(self.i)
+                self.i = close + 1
+        self.next()  # ')'
+        return o
+
+    def _csv_text_frame(self, df: DataFrame) -> DataFrame:
+        """Serialize a frame as CSV text lines (raw field join — the
+        reference's CSVOutputStream with default dialect; csvoptions'
+        single-field lines round-trip verbatim)."""
+        cols = [c for c in df.columns if c != "__ord__"]
+        line = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+        keep = [F.col("__ord__")] if "__ord__" in df.columns else []
+        out = df.select(line.alias("__csvline__"), *keep)
+        if keep:
+            self._set_order(out, [F.col("__ord__")])
+        return out
+
+    _CSV_READ_CAP = 100_000
+
+    def _csv_read_frame(
+        self, df: DataFrame, fields: list, opts: dict
+    ) -> DataFrame:
+        """Read a CSV-text file through the reference-exact stream
+        splitter (sources/files.py ecl_csv_split — the csvsplitter.cpp
+        port; quoted terminators span records, so the whole stream
+        parses as one unit). Driver-side, cap-guarded: the regress
+        dialect corners need the sequential state machine; standard
+        dialects take the Spark csv reader (sources/files.read_csv)."""
+        from .sources.files import ecl_csv_split
+
+        order = self._order.get(id(df))
+        ordered = df.orderBy(*order) if order is not None else df
+        rows = ordered.select("__csvline__").limit(
+            self._CSV_READ_CAP + 1
+        ).collect()
+        if len(rows) > self._CSV_READ_CAP:
+            raise EclSyntaxError(
+                f"CSV dialect read exceeds the {self._CSV_READ_CAP}-line"
+                " front-door cap; use the sources/files.read_csv"
+                " combinator for bulk reads"
+            )
+        term0 = (opts["terms"] or ["\n"])[0]
+        stream = "".join(str(r[0]) + term0 for r in rows)
+        recs = ecl_csv_split(
+            stream,
+            quotes=tuple(opts["quotes"]),
+            seps=tuple(opts["seps"]),
+            terms=tuple(opts["terms"]),
+            escapes=tuple(opts["escapes"]),
+            preserve_ws=opts["notrim"],
+            max_cols=len(fields),
+        )
+        recs = recs[opts["heading"] :]
+        nf = len(fields)
+        data = []
+        for k, rec in enumerate(recs):
+            vals = (list(rec) + [""] * nf)[:nf]
+            row = []
+            for v, f in zip(vals, fields):
+                if f[1] == "long":
+                    try:
+                        row.append(int(v.strip() or 0))
+                    except ValueError:
+                        row.append(0)
+                elif f[1] in ("double", "float"):
+                    try:
+                        row.append(float(v.strip() or 0))
+                    except ValueError:
+                        row.append(0.0)
+                else:
+                    row.append(v)
+            data.append(tuple(row) + (k + 1,))
+        schema = ", ".join(
+            f"{f[0]} {'string' if f[1] not in ('long', 'double', 'float', 'boolean') else f[1]}"
+            for f in fields
+        ) + ", __ord__ long"
+        out = self.spark().createDataFrame(data, schema).coalesce(1)
+        self._set_order(out, [F.col("__ord__")])
+        self._ds_fields[id(out)] = list(fields)
+        return out
+
     def _combine_ds(self) -> DataFrame:
         """COMBINE(l, r, TRANSFORM(rec, SELF.f := LEFT.x ⊕ RIGHT.y),
         [LOCAL]) — positional zip (TAKcombine eclhelper.hpp:981;
@@ -11793,6 +11957,7 @@ class _Parser:
             fields = self._record_fields()
             xml_path = None
             opt_read = False
+            csv_read = None
             while self.accept(","):
                 fmt = self.next()  # THOR/FLAT/CSV/XML format token
                 if fmt.text == "opt":
@@ -11804,8 +11969,14 @@ class _Parser:
                             xml_path = _unquote(tk.text)
                             break
                     self.i = close + 1
+                elif fmt.text == "csv":
+                    if self.peek().text == "(":
+                        self.next()
+                        csv_read = self._csv_opts()
+                    else:
+                        csv_read = self._csv_opts_default()
                 elif self.peek().text == "(":
-                    # parenthesized option args: HINT(...), CSV(...)
+                    # parenthesized option args: HINT(...)
                     close = self._match_paren(self.i)
                     self.i = close + 1
             self.expect(")")
@@ -11836,6 +12007,8 @@ class _Parser:
                 raise EclSyntaxError(f"unknown logical file {fname!r}")
             df = self.files[fname]
             plain_cols = [c for c in df.columns if c != "__ord__"]
+            if csv_read is not None and plain_cols == ["__csvline__"]:
+                return self._csv_read_frame(df, fields, csv_read)
             if xml_path is not None and plain_cols == ["text"]:
                 # XML read-back of a written XML file
                 # (xmloutScalarXpath): each row line parses through the

@@ -248,6 +248,11 @@ VERBATIM = [
     # sweep finds: pass with the round's generic fixes
     "aggds1", "regex1u", "sqagg2", "sqfiltsubstring", "sqshare",
     "sqshare2",
+    # r13 sweep finds
+    "bcd1", "chooseds5", "dict_dsout", "dict_indep", "ifblock4",
+    "issue12103", "issue16322", "issue23168", "issue8914", "macro",
+    "once", "platform", "project2", "remote", "remoteonce",
+    "workflow_9b",
     # r13: correlated child TABLE aggregates (the aggsqx family —
     # hqlcppds child-query aggregate activities as JVM array
     # expressions): ungrouped mixed-member child TABLE → one aggregate
