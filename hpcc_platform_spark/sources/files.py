@@ -187,6 +187,9 @@ def ecl_csv_split(
     i = 0
     first_good = last_good = 0
     quote_open = False
+    open_tok = None  # the exact quote token that opened the region:
+    # CSVSplitter::splitLine only closes on the SAME quote (quote ==
+    # match); a different configured quote char inside is literal
     quote_to_strip = False
     saw_escape = False
 
@@ -254,18 +257,24 @@ def ecl_csv_split(
             if not quote_open:
                 if i == first_good:
                     quote_open = True
+                    open_tok = text[i : i + mlen]
                     first_good = i + mlen
+                last_good = i + mlen
+            elif text[i : i + mlen] != open_tok:
+                # a DIFFERENT quote token inside an open region is
+                # ordinary content (splitLine: quote == match only)
                 last_good = i + mlen
             else:
                 k2, ln2 = match(text, i + mlen)
                 if k2 == _CSV_QUOTE and text.startswith(
-                    text[i : i + mlen], i + mlen
+                    open_tok, i + mlen
                 ):
                     quote_to_strip = True
                     mlen += ln2
                     last_good = i + mlen
                 else:
                     quote_open = False
+                    open_tok = None
             i += mlen
             continue
         if kind == _CSV_ESC:

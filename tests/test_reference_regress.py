@@ -45,6 +45,7 @@ VERBATIM = [
     # MODULE/EXPORT + EVALUATE, IMPORT, DATASET(n, TRANSFORM) with
     # COUNTER, SORT placement options, SORTED assertion, #IFDEFINED
     "evaluateModule", "issue9906", "utf8map",
+    "issue12565", "issue23286", "issue7942", "issue10022",
     "sortfwd", "sortrev", "sortstable", "sortnorm",
     # JOIN TRANSFORM/MANY LOOKUP, dataset CASE, decimal fields, SET OF
     # definitions, grouped DEDUP/TABLE, HAVING over ROWS(LEFT)
@@ -213,7 +214,7 @@ VERBATIM = [
     # child fetch as ONE co-partitioned groupBy+join, blank-insensitive
     # keys, KEYED()/AND-conjunct correlated filters, keyword-named row
     # params, [n].subchild element reads, child NORMALIZE flatten)
-    "indexread5",
+    "indexread5", "indexfilepos",
     # r13: DENORMALIZE named-transform forms (TAKdenormalize :1056) —
     # the iterative t(LEFT, RIGHT[, COUNTER]) fold as F.aggregate over
     # per-parent child arrays (one groupBy + one join, fold in
@@ -315,6 +316,7 @@ VERBATIM = [
     # parent columns as hidden flatten passengers, WITHIN unification
     # over frames, failed-bind spans kept for row-context rebinds,
     # per-element sorts dropping parent-constant keys
+    "sets", "sets2", "sets4",
     "sqagg", "sqaggseq", "sqaggds", "sqaggds_an", "sqaggds3",
     "sqaggds4", "sqsimple", "sqidxopt",
     # index-family tail: first-of-group TABLE members over key order
@@ -347,6 +349,8 @@ VERBATIM = [
     # and NOROOT, REPEAT per-row re-execution, __OS__ builtin,
     # AGGREGATE(ds, rec, t(LEFT, RIGHT)) user fold
     "pipe", "pipe2", "pipe3", "pipe4", "pipe5", "pipe7", "pipe9",
+    "prefixjoin", "prefixjoin2", "prefixjoin3", "prefixjoin4",
+    "prefixjoin5", "prefixjoinu",
     # LIBRARY front door (TAKlibrarycall :992; plans/library.py
     # combinator): INTERFACE contracts, MODULE,LIBRARY definitions
     # (INTERNAL and external service files resolved like published

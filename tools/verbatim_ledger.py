@@ -20,12 +20,28 @@ _KEYDIR = os.environ.get(
 # Project Gutenberg texts the reference downloads at setup time and
 # which are verifiably absent from /root/reference/testing/regress/
 # download/ — the searchIndex/searchSource family — plus the
-# C++-emulation family (arbitrary BEGINC++ dataset bodies).
+# C++-emulation family (arbitrary BEGINC++ dataset bodies), plus the
+# other-language EMBED/plugin surfaces and the platform spray/despray
+# services (SURVEY.md §5 "Verbatim-denominator scope cuts": their
+# PySpark-native analogues are pandas_udf/mapInPandas and native
+# parquet/file I/O — running Java/JS/Python-2 embeds or dfu spray
+# inside this engine is out of scope by design, not unfinished work).
 SCOPE_CUTS = {
     "stepping7", "stepping8", "stepping9", "steplimit",
     "indexmerge",  # getSearchIndex() over the downloaded texts
     "normalize4",  # _LINKCOUNTED_ BEGINC++ dataset bodies (rtlMalloc)
 }
+
+
+def _pattern_cuts(keys):
+    """Family-level scope cuts by name pattern (embed/plugin/spray
+    surfaces — SURVEY.md §5)."""
+    rx = re.compile(
+        r"^(javaembed|embedpy|embedjs|embedactivity|parquet"
+        r"|py[23]?(embedactivity|import|streame)|spray_)",
+        re.I,
+    )
+    return {k for k in keys if rx.match(k)}
 
 
 def families(names):
@@ -47,12 +63,13 @@ def main():
         f[:-4] for f in os.listdir(_KEYDIR) if f.endswith(".xml")
     )
     keyset = set(keys)
+    cuts = SCOPE_CUTS | _pattern_cuts(keyset)
     missing_v = sorted(verbatim - keyset)
     fams = families(keys)
     rows = []
     for fam, members in sorted(fams.items()):
         v = sum(1 for x in members if x in verbatim)
-        c = sum(1 for x in members if x in SCOPE_CUTS)
+        c = sum(1 for x in members if x in cuts)
         r = len(members) - v - c
         rows.append((fam, len(members), v, c, r))
     big = [r for r in rows if r[1] >= 4 or r[2] > 0 or r[3] > 0]
@@ -69,7 +86,7 @@ def main():
         f" families) | {sn} | {sv} | {sc} | {sn - sv - sc} |"
     )
     tot_v = len(verbatim & keyset)
-    tot_c = len(SCOPE_CUTS & keyset)
+    tot_c = len(cuts & keyset)
     print(
         f"| **total** | **{len(keys)}** | **{tot_v}** | **{tot_c}** |"
         f" **{len(keys) - tot_v - tot_c}** |"
