@@ -451,7 +451,7 @@ _SF_ACTIONS = {
     "removesuperfile", "replacesuperfile", "swapsuperfile",
     "clearsuperfile", "startsuperfiletransaction",
     "finishsuperfiletransaction", "deletelogicalfile",
-    "promotesuperfilelist",
+    "promotesuperfilelist", "renamelogicalfile",
 }
 
 _XML_ENTS = {
@@ -6448,12 +6448,19 @@ class _Parser:
                         spliced.append(
                             _Tok("ident", f"string{f[2]}", pos)
                         )
+                    elif f[1] == "boolean":
+                        spliced.append(_Tok("ident", "boolean", pos))
                     spliced.append(_Tok("ident", f[0], pos))
                     spliced.append(_Tok("op", ":=", pos))
                     dv = f[3]
                     if isinstance(dv, str):
                         spliced.append(
                             _Tok("str", "'" + dv.replace("'", "\\'") + "'", pos)
+                        )
+                    elif isinstance(dv, bool):
+                        # boolean default (rollup3's rolledup := false)
+                        spliced.append(
+                            _Tok("kw", "true" if dv else "false", pos)
                         )
                     else:
                         spliced.append(_Tok("num", str(dv), pos))
@@ -12640,6 +12647,19 @@ class _Parser:
                 if self.peek().text == "}":
                     break
                 continue
+            if (
+                self.peek().kind == "str"
+                and self.toks[self.i + 1].text in (",", "}")
+            ):
+                # a bare string-literal member consumes a row slot but
+                # never renders (rollup2's {'', string20 _Process})
+                self.next()
+                fields.append(
+                    (f"__pad{len(fields)}__", "string", None, None)
+                )
+                if not self.accept(","):
+                    break
+                continue
             fields.append(self._record_member())
             if self.accept("=>"):
                 # dictionary-shaped record ({key => value}): remember the
@@ -13700,7 +13720,8 @@ class _Parser:
         if self._sf_txn is not None and member in (
             "addsuperfile", "removesuperfile", "replacesuperfile",
             "swapsuperfile", "clearsuperfile", "deletelogicalfile",
-            "promotesuperfilelist",
+            "promotesuperfilelist", "deletesuperfile",
+            "createsuperfile", "renamelogicalfile",
         ):
             self._sf_txn.append((member, args, named))
             return
@@ -13717,9 +13738,25 @@ class _Parser:
         if member == "createsuperfile":
             sf.setdefault(a[0], [])
         elif member == "deletesuperfile":
-            sf.pop(a[0], None)
+            subs_d = sf.pop(a[0], None) or []
+            # DeleteSuperFile(name, TRUE) also deletes the subfiles
+            # (superfile8's "del subs, yes really")
+            delsubs_d = bool(a[1]) if len(a) > 1 and a[1] is not None else False
+            if delsubs_d:
+                for s_d in subs_d:
+                    self.files.pop(s_d, None)
         elif member == "deletelogicalfile":
             self.files.pop(a[0], None)
+        elif member == "renamelogicalfile":
+            # RenameLogicalFile(old, new) — registry move; superfile
+            # memberships follow the name (superfile9)
+            d_rn = self.files.pop(a[0], None)
+            if d_rn is not None:
+                self.files[a[1]] = d_rn
+            for subs_rn in sf.values():
+                for k_rn, s_rn in enumerate(subs_rn):
+                    if s_rn == a[0]:
+                        subs_rn[k_rn] = a[1]
         elif member == "addsuperfile":
             addcontents = bool(a[3]) if len(a) > 3 else False
             subs = sf.setdefault(a[0], [])
@@ -16091,7 +16128,12 @@ class _Parser:
                     fld_s = self.next().text
                 self.expect(")")
                 return F.transform(arr_s, lambda x: x[fld_s])
-            except EclSyntaxError:
+            except EclFailError:
+                raise
+            except Exception:
+                # not child-shaped (including an AnalysisException from
+                # a global dataset name read as a column) — the
+                # dataset form below owns it
                 self.i = mark_s
             src_s = self.dataset()
             self.expect(",")
@@ -19315,6 +19357,11 @@ class _Parser:
             field = self.next().text
             pname = t.text
             return lambda ctx: ctx[pname].get(field)
+        if t.text in params:
+            # bare SCALAR parameter (rollup2's
+            # makeRec(rec L, rec R, string name) bound per call site)
+            pname_b = t.text
+            return lambda ctx: ctx.get(pname_b)
         if t.kind == "ident" and t.text in self.scalars:
             c = self._cget(self.scalars[t.text])
             if c is not None:
@@ -22608,6 +22655,7 @@ class _Parser:
         self.i = 0
         assigns: list[tuple[str, object]] = []
         copy_param: str | None = None
+        copy_fn = None
         try:
             while self.peek().kind != "eof":
                 if self.accept(";") or self.accept(","):
@@ -22624,6 +22672,26 @@ class _Parser:
                 else:
                     self.expect(":=")
                     cp = self.next()
+                    if cp.text == "if" and self.peek().text == "(":
+                        # SELF := IF(cond, L, R) — whole-row pick
+                        # (rollup4's t4)
+                        self.next()
+                        cfn_if = self._compile_pyexpr(params)
+                        self.expect(",")
+                        ta_if = self.next().text
+                        self.expect(",")
+                        tb_if = self.next().text
+                        self.expect(")")
+                        if ta_if not in params or tb_if not in params:
+                            raise EclSyntaxError(
+                                "SELF := IF(c, a, b) needs row params"
+                            )
+                        copy_fn = (
+                            lambda c0, x0, y0: lambda ctx: ctx[x0]
+                            if c0(ctx)
+                            else ctx[y0]
+                        )(cfn_if, ta_if, tb_if)
+                        continue
                     if cp.text not in params:
                         raise EclSyntaxError(
                             f"SELF := {cp.text} is not a TRANSFORM parameter"
@@ -22673,11 +22741,18 @@ class _Parser:
             out = {}
             for fname, fn in assigns:
                 out[fname] = fn(ctx)  # may raise _SkipRow
+            src_row = (
+                ctx[copy_param]
+                if copy_param is not None
+                else copy_fn(ctx)
+                if copy_fn is not None
+                else None
+            )
             for f in field_order:
                 if f in out:
                     out[f] = coerce_field(f, out[f])
-                elif copy_param is not None and f in ctx[copy_param]:
-                    out[f] = ctx[copy_param][f]
+                elif src_row is not None and f in src_row:
+                    out[f] = src_row[f]
                 else:
                     _nm, ty, width, dflt = meta[f]
                     if dflt is not None:
@@ -22718,12 +22793,27 @@ class _Parser:
                 "ROLLUP/ITERATE need an ordered input (SORT or inline "
                 "dataset): adjacency is undefined otherwise"
             )
-        if "__ord__" not in src.columns:
-            from pyspark.sql.window import Window
+        from pyspark.sql.window import Window
 
-            src = src.withColumn(
-                "__ord__", F.row_number().over(Window.orderBy(*order))
+        # Re-rank from the TRACKED order: a stale __ord__ from before a
+        # SORT would fold in the wrong adjacency (rollup2's
+        # sortedseed100 := sort(seed100, sequence, value)). Order keys
+        # captured against an ANCESTOR frame may not resolve here —
+        # fall back to the carried __ord__ (which those frames keep
+        # in sync themselves).
+        tie_f = [F.col("__ord__")] if "__ord__" in src.columns else []
+        try:
+            src2 = src.withColumn(
+                "__ord__",
+                F.row_number()
+                .over(Window.orderBy(*order, *tie_f))
+                .cast("long"),
             )
+            src2.schema  # force analysis
+            src = src2
+        except Exception:
+            if "__ord__" not in src.columns:
+                raise
         schema = self._fold_schema(out_fields)
         cap = FOLD_ROWS_CAP
 
@@ -22861,6 +22951,10 @@ class _Parser:
         self.expect(",")
         group_form = False
         cond_fn = None
+        match_input = False  # bare-field conditions compare the
+        # previous INPUT row, not the rolled accumulator (hthor.cpp
+        # CHThorRollupActivity prev.set(right) vs RFrolledismatchleft;
+        # rollup4's Result 3 vs Result 4)
         key_fields: list[str] = []
         if self.peek().text == "group":
             self.next()
@@ -22886,7 +22980,28 @@ class _Parser:
                 else:
                     cond_fn = self._compile_pyexpr(["left", "right"])
         else:
-            cond_fn = self._compile_pyexpr(["left", "right"])
+            # a bare field (or AND-chain of fields) as the condition
+            # means EQUALITY on those fields (rollup4's
+            # ROLLUP(SomeFile, value1, t1(LEFT,RIGHT)); hqlgram lowers
+            # a non-boolean condition to left=right on it)
+            j_bf = self.i
+            flds_bf: list[str] = []
+            while (
+                self.peek().kind == "ident"
+                and self.peek().text in src.columns
+                and self.toks[self.i + 1].text in (",", "and")
+            ):
+                flds_bf.append(self.next().text)
+                if self.peek().text == "and":
+                    self.next()
+                    continue
+                break
+            if flds_bf and self.peek().text == ",":
+                key_fields.extend(flds_bf)
+                match_input = True
+            else:
+                self.i = j_bf
+                cond_fn = self._compile_pyexpr(["left", "right"])
             self.expect(",")
             body, params, out_fields, roles = self._parse_transform_ref(2)
             while self.accept(","):
@@ -22896,6 +23011,21 @@ class _Parser:
                     key_fields.append(self.next().text)
         self.expect(")")
         tf = self._compile_transform_tokens(body, params, out_fields)
+        # extra SCALAR arguments beyond LEFT/RIGHT bind per call site
+        # (rollup2's makeRec(left, right, 'simple'))
+        extra_binds: dict = {}
+        for kx in range(2, min(len(params), len(roles))):
+            rv = roles[kx]
+            if isinstance(rv, str) and rv[:1] in ("'", '"'):
+                extra_binds[params[kx]] = rv[1:-1]
+            elif isinstance(rv, str) and re.fullmatch(r"-?\d+", rv):
+                extra_binds[params[kx]] = int(rv)
+            elif isinstance(rv, str) and rv in ("true", "false"):
+                extra_binds[params[kx]] = rv == "true"
+            elif isinstance(rv, str) and rv in self.scalars:
+                cx = self._cget(self.scalars[rv])
+                if cx is not None:
+                    extra_binds[params[kx]] = cx[0]
 
         if group_form:
             gkeys = self._grouped.get(id(src))
@@ -22947,9 +23077,11 @@ class _Parser:
                 return pd.DataFrame()
             out_rows = []
             acc = dict(rows[0])
+            prev = dict(rows[0])
             for r in rows[1:]:
-                if cond_fn({"left": acc, "right": r}):
-                    ctx = {"left": acc, "right": r}
+                cmp_l = prev if match_input else acc
+                if cond_fn({"left": cmp_l, "right": r}):
+                    ctx = {"left": acc, "right": r, **extra_binds}
                     if len(p_map) >= 2:
                         ctx[p_map[0]] = acc
                         ctx[p_map[1]] = r
@@ -22959,9 +23091,11 @@ class _Parser:
                         acc = new
                     except _SkipRow:
                         pass  # RIGHT discarded, accumulator unchanged
+                    prev = dict(r)
                 else:
                     out_rows.append(acc)
                     acc = dict(r)
+                    prev = dict(r)
             out_rows.append(acc)
             return pd.DataFrame(out_rows)
 

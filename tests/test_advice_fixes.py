@@ -650,3 +650,58 @@ def test_correlated_filter_scales_without_driver_map(spark):
     assert [(int(r[0]), int(r[1])) for r in rows] == [
         (1, 1000), (2, 1000), (3, 1000), (4, 1000), (5, 1000)
     ]
+
+
+def test_postfix_filter_correlated_child_scales(spark):
+    """A correlated child filter inside a dataset's POSTFIX FILTER also
+    takes the join plan (r13 ask: the filter re-bases its frame via
+    _corr_swaps) — 1M child rows pass where the driver map capped at
+    5000."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    parent = spark.range(1, 1001).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    child = spark.range(0, 1_000_000).select(
+        (F.col("id") % 2000 + 1).alias("ck"),
+        F.col("id").alias("payload"),
+    )
+    ecl = """
+    p := parentds;
+    c := childds;
+    out := p(EXISTS(c(ck = p.k)));
+    OUTPUT(COUNT(out));
+    """
+    dfs = run_ecl_actions(
+        ecl, {"parentds": parent, "childds": child}, spark=spark
+    )
+    # every parent key 1..1000 appears among ck = 1..2000
+    assert int(dfs[-1].collect()[0][0]) == 1000
+
+
+def test_set_of_dataset_scales_without_literal(spark):
+    """SET(ds, field) feeding IN in a re-base context folds executor-
+    side (broadcast crossJoin of ONE aggregated row) — 100k values pass
+    where the driver literal caps at 10k (r13 ask #2: the 1M literal
+    went the wrong direction)."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    parent = spark.range(0, 1000).select(F.col("id").alias("k"))
+    vals = spark.range(0, 100_000).select(
+        (F.col("id") * 2).alias("ev")
+    )
+    ecl = """
+    p := parentds;
+    v := valsds;
+    out := p(k IN SET(v, ev));
+    OUTPUT(COUNT(out));
+    """
+    dfs = run_ecl_actions(
+        ecl, {"parentds": parent, "valsds": vals}, spark=spark
+    )
+    # even keys 0..998 are present
+    assert int(dfs[-1].collect()[0][0]) == 500

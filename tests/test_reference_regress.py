@@ -46,6 +46,8 @@ VERBATIM = [
     # COUNTER, SORT placement options, SORTED assertion, #IFDEFINED
     "evaluateModule", "issue9906", "utf8map",
     "issue12565", "issue23286", "issue7942", "issue10022",
+    "rollup", "rollup2", "rollup3", "rollup4",
+    "superfile8", "superfile9",
     "sortfwd", "sortrev", "sortstable", "sortnorm",
     # JOIN TRANSFORM/MANY LOOKUP, dataset CASE, decimal fields, SET OF
     # definitions, grouped DEDUP/TABLE, HAVING over ROWS(LEFT)
