@@ -3532,6 +3532,7 @@ class _Parser:
                 or t.text in self.records_raw
                 or t.text in self.env
                 or t.text in self.deferred
+                or t.text in self.ds_spans
                 or t.text in self.typedefs
                 or t.text in self.enums
             ):
@@ -4493,7 +4494,11 @@ class _Parser:
         else:
             decl_ty = first.text
             name = self.next()  # first was a type prefix
-        if name.kind != "ident":
+        if name.kind != "ident" and not (
+            name.kind == "kw" and name.text == "in"
+        ):
+            # `in := dataset(...)` — a keyword as a definition name
+            # (indexread2); dataset resolution accepts it back
             raise EclSyntaxError(f"expected definition name at {name.pos}")
         self.expect(":=")
         if decl_ty in ("pattern", "token", "rule"):
@@ -6090,7 +6095,9 @@ class _Parser:
                 self._ds_fields[id(df)] = sub_meta
                 if prevp0:
                     self._frame_path[id(df)] = prevp0 + (sub,)
-        elif t.kind == "ident":
+        elif t.kind == "ident" or (
+            t.kind == "kw" and t.text == "in" and t.text in self.env
+        ):
             self.next()
             if t.text in self.functions and self.peek().text == "(":
                 r = self._call_function(t.text, self._dummy())
@@ -6121,6 +6128,34 @@ class _Parser:
                 # a bare dictionary in dataset position (dict_matrix's
                 # `m1;` statement)
                 df = self._dict_to_df(self.dicts[t.text])
+            elif (
+                t.text not in self.env
+                and t.text in self.scalars
+                and self._coltype.get(id(self.scalars[t.text])) == "array"
+                and getattr(self, "_arr_fields_by_id", {}).get(
+                    id(self.scalars[t.text])
+                )
+                is not None
+            ):
+                # a child-array-valued definition read as a DATASET
+                # (issue13863's ds2 := DATASET(10, TRANSFORM(ro, ...,
+                # SELF.child := ds(COUNTER))) — the value grammar built
+                # a self-contained array): explode to a frame
+                arr_dc = self.scalars[t.text]
+                flds_dc = self._arr_fields_by_id[id(arr_dc)]
+                d0_dc = self._dummy().select(
+                    F.posexplode(arr_dc).alias("__pos__", "__e__")
+                )
+                df = d0_dc.select(
+                    *[
+                        F.col("__e__")[f[0]].alias(f[0])
+                        for f in flds_dc
+                    ],
+                    (F.col("__pos__") + 1).cast("long").alias("__ord__"),
+                )
+                self._set_order(df, [F.col("__ord__")])
+                self._ds_fields[id(df)] = list(flds_dc)
+                self._pins.append(df)
             elif t.text not in self.env:
                 raise EclSyntaxError(f"unknown dataset {t.text!r} at {t.pos}")
             else:
@@ -8003,6 +8038,12 @@ class _Parser:
             hard_eq = h0 if hard_eq is None else hard_eq & h0
         if hard_eq is not None:
             v = F.when(hard_eq, v).otherwise(F.lit(1))
+        # equality conjuncts OUTSIDE the ATMOST are re-checked on EVERY emitted
+        # pair (helper->match: JoinSortInfo splits them into extraMatch
+        # when optional [1..*] equalities exist — issue13336's
+        # LEFT.id=RIGHT.id drops the rolling cache's cross-key quirk
+        # rows; the pure-prefix form has no such gate and keeps them,
+        # prefixjoinu's spritney)
         resid_col = None
         if resid:
             span2: list = []
@@ -8023,6 +8064,7 @@ class _Parser:
         ctx = {
             "v": v,
             "resid": resid_col,
+            "hard_eq": hard_eq,
             "lord": lref["__ord__"],
             "pos1": lref["__pos1__"],
             "pprev": lref["__pprev__"],
@@ -8077,6 +8119,8 @@ class _Parser:
                 | ((F.col("__pex__") + F.col("__pge__")) <= n)
             )
         ).drop("__pv__", "__pex__", "__pge__")
+        if ctx["hard_eq"] is not None:
+            out = out.where(ctx["hard_eq"])
         if ctx["resid"] is not None:
             out = out.where(ctx["resid"])
         return out
@@ -13264,7 +13308,21 @@ class _Parser:
                         raise EclSyntaxError(f"expected SELF.<field> at {st.pos}")
                     fname = self.next().text
                     self.expect(":=")
-                    assigned[fname] = self.value(base)
+                    mark_cv = self.i
+                    try:
+                        assigned[fname] = self.value(base)
+                    except EclFailError:
+                        raise
+                    except Exception:
+                        # a child-dataset-valued assignment the value
+                        # grammar can't type (issue13863's SELF.child
+                        # := ds(COUNTER)) — the rebind grammar yields
+                        # the array<struct> Column
+                        self.i = mark_cv
+                        rb_cv = self._rebind_parse(base)
+                        if rb_cv is None:
+                            raise
+                        assigned[fname] = rb_cv[0]
             finally:
                 self._counter_col = saved_counter
             self.expect(")")
@@ -16213,8 +16271,13 @@ class _Parser:
             # value-mode DATASET(count, t(COUNTER...)): a child array
             # built by a sequence + per-element transform (childds)
             self.i -= 1
-            arr_ct, _f_ct = self._child_count_transform(df)
-            return self._tag_arr(arr_ct)
+            arr_ct, f_ct = self._child_count_transform(df)
+            arr_ct = self._tag_arr(arr_ct)
+            if f_ct:
+                if not hasattr(self, "_arr_fields_by_id"):
+                    self._arr_fields_by_id = {}
+                self._arr_fields_by_id[id(arr_ct)] = list(f_ct)
+            return arr_ct
         if (
             t.text == "dataset"
             and self.peek().text == "("
@@ -22474,6 +22537,20 @@ class _Parser:
                     # correlated Columns; IN lowers to an equality chain
                     self.next()  # ':='
                     self._col_dicts[st.text] = self._dictionary_columns(df)
+                    continue
+                if (
+                    st.kind == "ident"
+                    and st.text in self.records
+                    and self.peek().kind == "ident"
+                    and self.toks[self.i + 1].text == "("
+                ):
+                    # nested NAMED TRANSFORM/FUNCTION definition inside
+                    # a transform body (indexread2's t2 over deduped)
+                    nname = self.next().text
+                    nparams = self._parse_params()
+                    self.expect(":=")
+                    self._last_rettype = st.text
+                    self._capture_function_body(nname, nparams)
                     continue
                 if (
                     st.kind == "ident"

@@ -45,7 +45,7 @@ VERBATIM = [
     # MODULE/EXPORT + EVALUATE, IMPORT, DATASET(n, TRANSFORM) with
     # COUNTER, SORT placement options, SORTED assertion, #IFDEFINED
     "evaluateModule", "issue9906", "utf8map",
-    "issue12565", "issue23286", "issue7942", "issue10022",
+    "issue12565", "issue23286", "issue7942", "issue10022", "issue13336",
     "rollup", "rollup2", "rollup3", "rollup4",
     "superfile8", "superfile9",
     "sortfwd", "sortrev", "sortstable", "sortnorm",
