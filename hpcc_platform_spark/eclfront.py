@@ -1546,7 +1546,7 @@ class _Parser:
     # Spark types, so the prefix is validated-and-dropped.
     _TYPE_RX = re.compile(
         r"^(string|varstring|varunicode|qstring|utf8|unicode|integer|unsigned|real|"
-        r"boolean|decimal|udecimal)\d*(_\d+)?$"
+        r"boolean|decimal|udecimal|data)\d*(_\d+)?$"
     )
 
     def spark(self):
@@ -16102,6 +16102,22 @@ class _Parser:
             v, vty = members[m]
             return self._mkconst(v, vty)
         if t.kind == "directive":
+            if t.text == "#text":
+                # #TEXT(arg) — the argument's TOKEN TEXT as a string
+                # constant (issue10921's output(func + '(' +
+                # #TEXT(value) + ')')); string tokens keep their quotes
+                self.expect("(")
+                parts_tt: list[str] = []
+                depth_tt = 0
+                while not (depth_tt == 0 and self.peek().text == ")"):
+                    tk_tt = self.next()
+                    if tk_tt.kind == "eof":
+                        raise EclSyntaxError("unterminated #TEXT")
+                    depth_tt += tk_tt.text == "("
+                    depth_tt -= tk_tt.text == ")"
+                    parts_tt.append(tk_tt.text)
+                self.next()  # ')'
+                return self._mkconst(" ".join(parts_tt), "string")
             if t.text == "#ifdefined":
                 # #IFDEFINED(symbol, default): externally-defined
                 # symbols come from the submitted version parameters
