@@ -27,10 +27,15 @@ _KEYDIR = os.environ.get(
 # parquet/file I/O — running Java/JS/Python-2 embeds or dfu spray
 # inside this engine is out of scope by design, not unfinished work).
 SCOPE_CUTS = {
-    "stepping7", "stepping8", "stepping9", "steplimit",
     "indexmerge",  # getSearchIndex() over the downloaded texts
     "normalize4",  # _LINKCOUNTED_ BEGINC++ dataset bodies (rtlMalloc)
 }
+
+# Prefix-form scope cuts: the whole Gutenberg-fixture stepping tail
+# (stepping7/7a-h, 8/8a/8b, 9a/9b, steplimit1-3 — all drive
+# getSearchIndex() over texts the reference downloads at setup time,
+# absent from /root/reference/testing/regress/download/).
+SCOPE_CUT_PREFIXES = ("stepping7", "stepping8", "stepping9", "steplimit")
 
 
 def _pattern_cuts(keys):
@@ -64,6 +69,7 @@ def main():
     )
     keyset = set(keys)
     cuts = SCOPE_CUTS | _pattern_cuts(keyset)
+    cuts |= {k for k in keyset if k.startswith(SCOPE_CUT_PREFIXES)}
     missing_v = sorted(verbatim - keyset)
     fams = families(keys)
     rows = []
