@@ -407,6 +407,19 @@ class _DsFn:
         self.spec = spec
 
 
+class _BatchFn:
+    """A fixture-module member that maps a QUERY dataset through a
+    python combinator (TextSearch.executeBatchAgainstWordIndex /
+    doBatchExecute — operators/tsquery.batch_execute_df): the first
+    call argument is the query dataset; the remaining arguments
+    (useLocal/multiPart/internalFlags, or the LEFT row inside a
+    PROJECT transform) select execution variants with identical
+    results, so they are skipped."""
+
+    def __init__(self, spec: tuple):
+        self.spec = spec
+
+
 class _ConstRow:
     """A ROW-typed parameter folded to constants: one collect of the
     single-row argument (the reference's GLOBAL(..., FEW) command rows,
@@ -880,9 +893,13 @@ class _Parser:
         catalog: Mapping[str, DataFrame],
         persist_cache=None,
         spark=None,
+        src: str | None = None,
     ):
         self.toks = toks
         self.i = 0
+        # raw source text: #TEXT reconstructs verbatim argument
+        # spelling from token offsets (None for synthetic token lists)
+        self.src = src
         # #option('divideByZero','fail') — zero divisors abort the
         # workunit instead of yielding 0 (dbz2a/b/c; eclagent
         # "Division by zero"). Set by run_ecl* from the raw source.
@@ -1648,10 +1665,20 @@ class _Parser:
                     self.shims.setdefault("kindtype", {})
                 if "textsearch" in texts:
                     # import $.Common.TextSearch — word-index accessor
+                    # + batch-query executor (operators/tsquery.py)
                     from hpcc_platform_spark import regress_fixtures as RF
 
                     self._bind_shim_members(
                         "textsearch", RF.textsearch_members()
+                    )
+                if "textsearchqueries" in texts:
+                    # import $.Common.TextSearchQueries — the WordTests
+                    # battery parsed from the reference at runtime
+                    from hpcc_platform_spark import regress_fixtures as RF
+
+                    self._bind_shim_members(
+                        "textsearchqueries",
+                        RF.textsearchqueries_members(),
                     )
                 if "file" in texts:
                     # Std.File record types (superfile5's
@@ -2132,6 +2159,8 @@ class _Parser:
                     self.files[str(spec[3]).lower()] = d
             elif spec[0] == "dsfunc":
                 self.env[mn] = _DsFn(spec)
+            elif spec[0] == "dsbatch":
+                self.env[mn] = _BatchFn(spec)
             elif spec[0] == "typealias":
                 self.typedefs[mn] = spec[1]
             elif spec[0] == "func":
@@ -3061,13 +3090,21 @@ class _Parser:
                 ),
                 None,
             )
+            if fld_pa is None or fld_pa not in dfa.columns:
+                # a computed argument ('~'+name, a function call)
+                # must fail loudly rather than silently no-op on
+                # every row (r14 ADVICE)
+                raise EclSyntaxError(
+                    "APPLY DeleteLogicalFile: the argument must be a"
+                    f" bare column of the APPLY dataset, got {fld_pa!r}"
+                )
             rows_pa = dfa.limit(10_001).collect()
             if len(rows_pa) > 10_000:
                 raise EclFailError(
                     "APPLY registry-action row cap (10,000) exceeded"
                 )
             for r_pa in rows_pa:
-                v_pa = r_pa[fld_pa] if fld_pa in dfa.columns else None
+                v_pa = r_pa[fld_pa]
                 if isinstance(v_pa, str):
                     self.files.pop(v_pa.lower(), None)
             self.accept(";")
@@ -4332,9 +4369,9 @@ class _Parser:
                 self.expect("(")
                 vals_c = self._set_ref()
                 self.expect(")")
-                m_w = re.match(r"^u?integer(\d)$", cast_ty)
+                m_w = re.match(r"^(unsigned|u?integer)(\d)$", cast_ty)
                 if m_w and vals_c is not _ALL_SET:
-                    nb = int(m_w.group(1))
+                    nb = int(m_w.group(2))
                     mask = (1 << (8 * nb)) - 1
                     sign = 1 << (8 * nb - 1)
                     vals_c = [
@@ -5175,7 +5212,15 @@ class _Parser:
             t0.kind == "ident"
             and t0.text in self.sets
             and self.toks[self.i + 1].text in ("=", "!=", "<>")
-            and self.toks[self.i + 2].text in ("all", "[")
+            and (
+                self.toks[self.i + 2].text == "all"
+                or (
+                    # only the EMPTY literal folds here; a non-empty
+                    # list comparison takes the generic value path
+                    self.toks[self.i + 2].text == "["
+                    and self.toks[self.i + 3].text == "]"
+                )
+            )
         ):
             # bare set comparison statement (sets.ecl's `set1 = ALL;`)
             # — folds driver-side like any set constant
@@ -6195,6 +6240,34 @@ class _Parser:
                     self._pins.append(df)
                     if "__ord__" in df.columns:
                         self._set_order(df, [F.col("__ord__")])
+                if isinstance(df, _BatchFn):
+                    # batch combinator: first argument is the query
+                    # dataset; the rest (flags/locality) are variant
+                    # selectors with identical results — skipped
+                    fn = df.spec[1]
+                    self.expect("(")
+                    qds = self.dataset()
+                    while self.peek().text == ",":
+                        self.next()
+                        depth = 0
+                        while not (
+                            depth == 0 and self.peek().text in (",", ")")
+                        ):
+                            tk = self.next()
+                            if tk.kind == "eof":
+                                raise EclSyntaxError(
+                                    "unterminated batch call"
+                                )
+                            depth += tk.text == "("
+                            depth -= tk.text == ")"
+                    self.expect(")")
+                    order = self._order.get(id(qds))
+                    if order is not None:
+                        qds = qds.orderBy(*order)
+                    df = fn(self.spark(), qds.coalesce(1))
+                    if "__ord__" in df.columns:
+                        self._set_order(df, [F.col("__ord__")])
+                    self._pins.append(df)
                 if isinstance(df, list):
                     # dataset set: s[n] picks the n-th member (1-based)
                     self.expect("[")
@@ -6438,9 +6511,12 @@ class _Parser:
             and self.toks[i + 1].text == "."
             and self.toks[i + 2].kind == "ident"
         ):
-            # shim-qualified fixture dataset (sq.HouseDs)
+            # shim-qualified fixture dataset (sq.HouseDs) or dataset
+            # combinator (TextSearch.executeBatchAgainstWordIndex)
             m = self.shims[t.text].get(self.toks[i + 2].text)
-            return m is not None and m[0] == "dataset"
+            return m is not None and m[0] in (
+                "dataset", "dsfunc", "dsbatch",
+            )
         return t.kind == "ident" and (
             t.text in self.env or t.text in self.deferred
         )
@@ -7020,6 +7096,30 @@ class _Parser:
         self.expect("(")
         src = self.dataset()
         self.expect(",")
+        mark_bf = self.i
+        self._skip_shim_qual()
+        if (
+            self.peek().kind == "ident"
+            and isinstance(self.env.get(self.peek().text), _BatchFn)
+        ):
+            # per-row batch combinator as the PROJECT transform
+            # (textsearch1_thorlocal: project(q1, TextSearch.
+            # doBatchExecute(wordIndex, LEFT, useLocal, flags))) —
+            # the source rows ARE the batch; the other arguments pick
+            # variants with identical results
+            fn = self.env[self.next().text].spec[1]
+            close_bf = self._match_paren(self.i)
+            self.i = close_bf + 1
+            self.expect(")")
+            order = self._order.get(id(src))
+            if order is not None:
+                src = src.orderBy(*order)
+            out_bf = fn(self.spark(), src.coalesce(1))
+            if "__ord__" in out_bf.columns:
+                self._set_order(out_bf, [F.col("__ord__")])
+            self._pins.append(out_bf)
+            return out_bf
+        self.i = mark_bf
         if (
             self.peek().kind == "ident"
             and self.peek().text in self.functions
@@ -14834,6 +14934,14 @@ class _Parser:
                 s = self._try_const_str()
                 if s is not None:
                     fname = s.lower()
+                    if (
+                        self.peek().text == "("
+                        and self.toks[self.i + 1].text == ")"
+                    ):
+                        # zero-arg accessor parens on a fixture const
+                        # (Files.NameWordIndex() — files.ecl:206)
+                        self.next()
+                        self.next()
                 else:
                     # option token(s): SORTED / fileposition(...)
                     depth = 0
@@ -16108,6 +16216,7 @@ class _Parser:
                 # #TEXT(value) + ')')); string tokens keep their quotes
                 self.expect("(")
                 parts_tt: list[str] = []
+                span_tt: list[_Tok] = []
                 depth_tt = 0
                 while not (depth_tt == 0 and self.peek().text == ")"):
                     tk_tt = self.next()
@@ -16116,7 +16225,26 @@ class _Parser:
                     depth_tt += tk_tt.text == "("
                     depth_tt -= tk_tt.text == ")"
                     parts_tt.append(tk_tt.text)
-                self.next()  # ')'
+                    span_tt.append(tk_tt)
+                close_tt = self.next()  # ')'
+                # the reference emits the VERBATIM source spelling of
+                # the argument ('a+b' stays 'a+b'); slice the raw text
+                # between the argument tokens when offsets are sound
+                # (synthetic/MACRO-spliced tokens fall back to the
+                # space-joined token texts)
+                if (
+                    self.src is not None
+                    and span_tt
+                    and 0 <= span_tt[0].pos < close_tt.pos <= len(self.src)
+                    and all(
+                        a.pos < b.pos
+                        for a, b in zip(span_tt, span_tt[1:] + [close_tt])
+                    )
+                ):
+                    return self._mkconst(
+                        self.src[span_tt[0].pos: close_tt.pos].strip(),
+                        "string",
+                    )
                 return self._mkconst(" ".join(parts_tt), "string")
             if t.text == "#ifdefined":
                 # #IFDEFINED(symbol, default): externally-defined
@@ -16152,6 +16280,33 @@ class _Parser:
                     )
                     return self._mkconst(v_vd, ty_vd)
                 return dflt
+            if t.text == "#isdefined":
+                # #ISDEFINED(symbol): TRUE when the symbol is a known
+                # definition or a submitted version parameter
+                # (textsearch1's optional SingleQuery override)
+                self.expect("(")
+                syms: list = []
+                depth_sd = 0
+                while not (depth_sd == 0 and self.peek().text == ")"):
+                    tok = self.next()
+                    if tok.kind == "eof":
+                        raise EclSyntaxError("unterminated #ISDEFINED")
+                    depth_sd += tok.text == "("
+                    depth_sd -= tok.text == ")"
+                    if tok.kind in ("ident", "kw"):
+                        syms.append(tok.text)
+                self.next()  # ')'
+                if syms and syms[0] == "root":
+                    syms = syms[1:]
+                key_sd = ".".join(syms)
+                vdefs_sd = getattr(self, "_version_defs", None) or {}
+                known = (
+                    key_sd in vdefs_sd
+                    or key_sd in self.env
+                    or key_sd in self.scalars
+                    or key_sd in self.functions
+                )
+                return self._mkconst(bool(known), "boolean")
             raise EclSyntaxError(f"unsupported directive {t.text!r} at {t.pos}")
         if t.kind == "num":
             v, ty = _parse_num(t.text)
@@ -23587,7 +23742,7 @@ def run_ecl(
     ``persist_cache`` (a plans.PersistCache) activates the
     ``: PERSIST('name')`` workflow annotation on definitions; ``spark``
     is only needed when the catalog is empty (inline-dataset programs)."""
-    p = _Parser(_lex(text), catalog, persist_cache, spark)
+    p = _Parser(_lex(text), catalog, persist_cache, spark, src=text)
     p.dbz_fail = bool(_DBZ_FAIL_RX.search(text))
     return p.program()
 
@@ -23608,15 +23763,25 @@ def run_ecl_actions(
     the reference's one-result-per-action workunit shape (regress key
     files list them as Result 1..N). ``stored`` supplies external
     STORED inputs (the reference's <name>.queryxml submission values)."""
+    prior_max_iter = _sentinel = object()
     if spark is not None:
         try:
             # unrolled child LOOPs build deeply-nested lambda trees;
             # the analyzer's default 100-iteration fixpoint bound is
-            # too small for the convergence-check expression (loopall)
+            # too small for the convergence-check expression (loopall).
+            # Save the caller's value and restore it after the run so
+            # the setting doesn't leak into non-ECL workloads sharing
+            # the session.
+            try:
+                prior_max_iter = spark.conf.get(
+                    "spark.sql.analyzer.maxIterations", None
+                )
+            except Exception:
+                prior_max_iter = None
             spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
         except Exception:
-            pass
-    p = _Parser(_lex(text), catalog, persist_cache, spark)
+            prior_max_iter = _sentinel
+    p = _Parser(_lex(text), catalog, persist_cache, spark, src=text)
     p.dbz_fail = bool(_DBZ_FAIL_RX.search(text))
     m_ver = re.search(r"^//version\s+(.+)$", text, re.M)
     if m_ver:
@@ -23643,5 +23808,23 @@ def run_ecl_actions(
         p._stored_overrides.update(
             {k.lower(): v for k, v in stored.items()}
         )
-    p.program()
+    try:
+        p.program()
+        # force ANALYSIS of every returned (lazy) frame while the
+        # raised bound is still in effect — the analyzed plan caches
+        # on the DataFrame, so the later collect doesn't re-analyze
+        for d_act in p.actions:
+            if isinstance(d_act, DataFrame):
+                _ = d_act.schema
+    finally:
+        if spark is not None and prior_max_iter is not _sentinel:
+            try:
+                if prior_max_iter is None:
+                    spark.conf.unset("spark.sql.analyzer.maxIterations")
+                else:
+                    spark.conf.set(
+                        "spark.sql.analyzer.maxIterations", prior_max_iter
+                    )
+            except Exception:
+                pass
     return p.actions

@@ -1437,6 +1437,9 @@ def ts_members() -> dict:
         # records (ts.ecl:57-66)
         "wordindexrecord": ("record", TS_WORDINDEX_REC),
         "textsourcerecord": ("record", TS_TEXTSOURCE_REC),
+        # the index definition itself (ts.ecl:57): INDEX(i, name)
+        # re-binds it to the built word-index fixture
+        "textsearchindex": ("dataset", _ts_word_index, TS_WORDINDEX_REC),
         # docid composition (ts.ecl:48-51)
         "docid2source": (
             "func", [("x", "unsigned8")], "(x >> 48)", "unsigned2",
@@ -1479,7 +1482,59 @@ def textsearch_members() -> dict:
     """common/TextSearch.ecl surface used by the regress corpus: the
     word-index accessor (TextSearch.ecl getWordIndex wraps
     Setup.Files(...).getWordIndex(); arguments pick storage variants
-    with identical logical content)."""
+    with identical logical content) and the batch-query executor
+    (operators/tsquery.py — textsearch1-3)."""
     return {
         "getwordindex": ("dsfunc", _ts_word_index, TS_WORDINDEX_REC),
+        "executebatchagainstwordindex": ("dsbatch", ts_batch_execute),
+        "dobatchexecute": ("dsbatch", ts_batch_execute),
+    }
+
+
+@lru_cache(maxsize=None)
+def _ts_wordtests() -> tuple:
+    """The WordTests query battery, parsed at runtime from
+    common/TextSearchQueries.ecl:31-369 (nothing vendored): every
+    single-quoted literal in the dataset body, comment lines
+    stripped."""
+    with open(
+        "/root/reference/testing/regress/ecl/common/TextSearchQueries.ecl"
+    ) as f:
+        text = f.read()
+    m = re.search(
+        r"WordTests := dataset\(\[(.*?)\]\s*,\s*TextSearch\."
+        r"queryInputRecord\)",
+        text,
+        re.S,
+    )
+    body = re.sub(r"//[^\n]*", "", m.group(1))
+    return tuple(re.findall(r"'([^']*)'", body))
+
+
+def _ts_wordtests_df(spark):
+    rows = [(q, i + 1) for i, q in enumerate(_ts_wordtests())]
+    return spark.createDataFrame(
+        rows, "query string, __ord__ long"
+    ).coalesce(1)
+
+
+def ts_batch_execute(spark, queries_df):
+    """TextSearch.executeBatchAgainstWordIndex /
+    project(q, doBatchExecute(wordIndex, LEFT, ...)) — one output row
+    per query, computed executor-side (operators/tsquery.py). The
+    useLocal/multiPart/internalFlags arguments pick execution variants
+    with identical results (all four textsearch key files are
+    byte-identical)."""
+    from hpcc_platform_spark.operators import tsquery
+
+    return tsquery.batch_execute_df(queries_df, _ts_index_rows())
+
+
+def textsearchqueries_members() -> dict:
+    """common/TextSearchQueries.ecl: the WordTests battery."""
+    return {
+        "wordtests": (
+            "dataset", _ts_wordtests_df,
+            [("query", "string", 2048, None)],
+        ),
     }

@@ -353,6 +353,11 @@ VERBATIM = [
     "pipe", "pipe2", "pipe3", "pipe4", "pipe5", "pipe7", "pipe9",
     "prefixjoin", "prefixjoin2", "prefixjoin3", "prefixjoin4",
     "prefixjoin5", "prefixjoinu",
+    # the TextSearch batch-query front end (common/TextSearch.ecl:
+    # query-language parser, atleast/notin/in plan rewrites, stage
+    # executor — operators/tsquery.py; all four keys byte-identical)
+    "textsearch1", "textsearch2", "textsearch3",
+    "textsearch1_thorlocal",
     # LIBRARY front door (TAKlibrarycall :992; plans/library.py
     # combinator): INTERFACE contracts, MODULE,LIBRARY definitions
     # (INTERNAL and external service files resolved like published

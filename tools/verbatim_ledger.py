@@ -28,6 +28,8 @@ _KEYDIR = os.environ.get(
 # inside this engine is out of scope by design, not unfinished work).
 SCOPE_CUTS = {
     "indexmerge",  # getSearchIndex() over the downloaded texts
+    "textsearch4",  # executeBatchAgainstSearchIndex: same Gutenberg
+    #                 searchIndex fixture as stepping7-9
     "normalize4",  # _LINKCOUNTED_ BEGINC++ dataset bodies (rtlMalloc)
 }
 
