@@ -89,6 +89,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                # machine-contention self-adjudication (r14 verdict
+                # #10): a loaded box shows medians far above mins and
+                # a high loadavg — future gates can discount the run
+                "loadavg_1m": round(os.getloadavg()[0], 2),
                 "skew_demo": skew_demo(spark),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

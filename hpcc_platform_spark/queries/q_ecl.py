@@ -261,3 +261,97 @@ def ecl_front_append_scalar_fns(spark, sf_dir):
         capped := MIN(o_totalprice, 100000.0) }));
     """
     return run_ecl(ecl, _catalog(spark, sf_dir, "orders"))
+
+
+@query(
+    "prefix_join_atmost",
+    oracle="""
+    WITH L AS (
+      SELECT substr(p_name, 1, 9) AS name, p_partkey AS val
+      FROM part WHERE p_partkey % 7 = 0
+    ), R AS (
+      SELECT substr(p_name, 1, CAST(9 + p_partkey % 4 AS BIGINT)) AS name,
+             p_partkey AS val
+      FROM part WHERE p_partkey % 3 = 0
+    ), ln AS (
+      SELECT name, val, ROW_NUMBER() OVER (ORDER BY name, val) AS uid FROM L
+    ), rn AS (
+      SELECT name, val, ROW_NUMBER() OVER (ORDER BY name, val) AS uid FROM R
+    ), u AS (
+      SELECT name, 0 AS side, uid FROM ln
+      UNION ALL SELECT name, 1 AS side, uid FROM rn
+    ), urn AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY name, side, uid) AS urn FROM u
+    ), pos AS (
+      SELECT uid, urn - uid + 1 AS pos1 FROM urn WHERE side = 0
+    ), lp AS (
+      SELECT ln.name, ln.val, ln.uid, pos.pos1,
+             COALESCE(LAG(pos.pos1) OVER (ORDER BY ln.uid), 1) AS pprev
+      FROM ln JOIN pos USING (uid)
+    ), band AS (
+      SELECT lp.*, UNNEST(range(CAST(greatest(pos1 - 4, 1) AS BIGINT),
+                                CAST(pos1 + 4 AS BIGINT))) AS j
+      FROM lp
+    ), cand AS (
+      SELECT band.*, rn.name AS rname FROM band JOIN rn ON rn.uid = band.j
+    ), vt AS (
+      SELECT *,
+        CASE WHEN name = rname THEN 0
+             ELSE len(list_filter(
+                    range(1, CAST(least(length(name), length(rname))
+                                  AS BIGINT) + 1),
+                    k -> substr(name, 1, CAST(k AS BIGINT))
+                       = substr(rname, 1, CAST(k AS BIGINT)))) + 1
+        END AS v
+      FROM cand
+    ), mem AS (
+      SELECT * FROM vt
+      WHERE (j < pos1 AND (j >= pprev OR v >= 2))
+         OR j = pos1
+         OR (j > pos1 AND (v >= 2 OR v = 0))
+    ), trimd AS (
+      SELECT *,
+        SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY uid) AS pex,
+        COUNT(CASE WHEN v > 0 THEN 1 END) OVER (
+          PARTITION BY uid ORDER BY v DESC
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pge
+      FROM mem
+    )
+    SELECT DISTINCT name AS lname, rname
+    FROM trimd
+    WHERE pex <= 3 AND (v = 0 OR pex + pge <= 3)
+    ORDER BY lname, rname
+    """,
+    category="join",
+)
+def prefix_join_atmost(spark, sf_dir):
+    """Limited prefix-match JOIN (JFlimitedprefixjoin eclhelper.hpp
+    :1740; CRollingCache thsortu.cpp:67,110,1424-1506): LEFT.name[1..*]
+    = RIGHT.name[1..*] matches on the shorter string's length with
+    ATMOST(cond, 3) — the rolling-cache membership + whole-class
+    trimming semantics. Runs the eclfront physical operator (two-phase
+    global ranking + positional band join, _prefix_join_prepare /
+    _prefix_join_filter) over derived part-name prefixes; the DuckDB
+    oracle replicates the same algorithm (union rank -> pos, band,
+    composite prefix-diff v, membership, class trim) with window
+    functions. Output is the DISTINCT matched name-pair set, which is
+    invariant to equal-key tie-breaks at the band edges."""
+    from hpcc_platform_spark.eclfront import run_ecl
+
+    ecl = """
+    L := TABLE(part(p_partkey % 7 = 0),
+        { STRING name := p_name[1..9]; UNSIGNED8 val := p_partkey; });
+    R := TABLE(part(p_partkey % 3 = 0),
+        { STRING name := p_name[1..(9 + p_partkey % 4)];
+          UNSIGNED8 val := p_partkey; });
+    rec := { STRING lname; STRING rname; };
+    rec t(L le, R ri) := TRANSFORM
+        SELF.lname := le.name; SELF.rname := ri.name;
+    END;
+    J := JOIN(L, R, LEFT.name[1..*] = RIGHT.name[1..*],
+        t(LEFT, RIGHT), ATMOST(LEFT.name[1..*] = RIGHT.name[1..*], 3));
+    OUTPUT(DEDUP(SORT(J, lname, rname), lname, rname));
+    """
+    out = run_ecl(ecl, _catalog(spark, sf_dir, "part"))
+    return out.select("lname", "rname")

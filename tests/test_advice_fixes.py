@@ -705,3 +705,25 @@ def test_set_of_dataset_scales_without_literal(spark):
     )
     # even keys 0..998 are present
     assert int(dfs[-1].collect()[0][0]) == 500
+
+
+def test_csv_dialect_read_scales_without_driver_collect(spark):
+    """r14 verdict #8: the dialect-corner CSV reader must work beyond
+    the old 100k-line driver cap with NO driver .collect() — the whole
+    stream is one executor-side mapInPandas task (quoted terminators
+    span records, so the split is inherently sequential)."""
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    n = 150_000
+    ecl = f"""
+    rec := {{ unsigned id; string name; }};
+    src := DATASET({n}, TRANSFORM(rec, SELF.id := COUNTER-1;
+                                       SELF.name := 'n'));
+    OUTPUT(src,,'bigcsv', CSV(SEPARATOR(',')), OVERWRITE);
+    d := DATASET('bigcsv', rec, CSV(SEPARATOR(',')));
+    OUTPUT(COUNT(d));
+    OUTPUT(SUM(d, id));
+    """
+    dfs = run_ecl_actions(ecl, {}, spark=spark)
+    assert int(dfs[-2].collect()[0][0]) == n
+    assert int(dfs[-1].collect()[0][0]) == n * (n - 1) // 2

@@ -248,6 +248,13 @@ VERBATIM = [
     "groupglobal1b", "groupglobal2b", "groupglobal3b",
     "groupglobal1c", "groupglobal2c", "groupglobal3c",
     "complexhoist", "complexhoist2", "complexhoist3",
+    # the hard hoisting shapes (hqlcpp/hqlhoist.cpp,
+    # transforms.txt:162-176): grandchild SET(DATASET(n, transform))
+    # correlated with the enclosing row stays in the child scope
+    # (a JVM array expression), named transforms with call-site
+    # scalars + SKIP lower to F.filter, and the user-fold AGGREGATE
+    # to F.aggregate — no hoist, no driver loop
+    "complexhoist5", "complexhoist5b", "complexhoist6",
     # sweep finds: pass with the round's generic fixes
     "aggds1", "regex1u", "sqagg2", "sqfiltsubstring", "sqshare",
     "sqshare2",
