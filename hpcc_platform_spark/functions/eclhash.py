@@ -42,6 +42,8 @@ def _int_bytes(v: int) -> bytes:
 
 
 def _data(v) -> bytes:
+    if isinstance(v, bytes):
+        return v  # pre-typed bytes (typed_bytes)
     if isinstance(v, bool):
         return b"\x01" if v else b"\x00"
     if isinstance(v, int):
@@ -49,6 +51,51 @@ def _data(v) -> bytes:
     if isinstance(v, str):
         return v.rstrip(" ").encode("utf-8", "replace")
     raise TypeError(f"unhashable ECL value {type(v).__name__}")
+
+
+def strip_ignorable(s: str) -> str:
+    """Remove ICU default-ignorable code points (category Cf: soft
+    hyphen U+00AD, zero-width space U+200B, joiners, bidi marks) — they
+    carry no collation weight, so unicode equality and rtlHashUnicode
+    both ignore them (eclrtl rtlHashUnicode normalizes; issue10957)."""
+    import unicodedata
+
+    return "".join(
+        c for c in s if unicodedata.category(c) != "Cf"
+    )
+
+
+def typed_bytes(v, ty, mode: str = "hash") -> "bytes | object":
+    """The byte stream the reference's typed hash helpers feed the hash
+    cores (rtlfield.cpp RtlTypeInfo::hash; issue10921/issue10957 keys):
+
+    - string/varstring/qstring — bytes, trailing spaces trimmed
+      (rtlTrimStrLen);
+    - unicode/varunicode/utf8 — UTF-16LE code units, trailing spaces
+      trimmed; HASH/HASH32/HASH64 additionally strip default-ignorable
+      code points (rtlHashUnicode normalizes), HASHCRC does not, and
+      HASHMD5 hashes the RAW code units untrimmed (``mode``:
+      "hash" | "crc" | "md5");
+    - data — the RAW bytes, nothing trimmed;
+    - everything else — unchanged (ints/bools take _data's rules).
+    """
+    if not isinstance(v, str) or not isinstance(ty, str):
+        return v
+    base = ty.lower()
+    if base != "utf8":
+        base = base.rstrip("0123456789_")
+    if base in ("unicode", "varunicode", "utf8"):
+        s = v
+        if mode == "hash":
+            s = strip_ignorable(s).rstrip(" ")
+        elif mode == "crc":
+            s = s.rstrip(" ")
+        return s.encode("utf-16-le", "replace")
+    if base == "data":
+        return v.encode("utf-8", "replace")
+    if mode == "md5":
+        return v.encode("utf-8", "replace")  # raw, untrimmed
+    return v
 
 
 def fnv1_32(v, init: int = FNV32_INIT) -> int:
@@ -169,3 +216,40 @@ def ecl_crc_col(col: Column) -> Column:
         return vs.apply(lambda v: None if v is None else ecl_crc(int(v)))
 
     return F.pandas_udf(_crc, "long")(col.cast("long"))
+
+
+def _mix_col(a: Column, b: Column, c: Column):
+    """Column form of the lookup2 mix macro — 32-bit wrapping
+    subtraction/xor/shift over longs masked to 32 bits."""
+    m32 = F.lit(_M32)
+
+    def sub(x, y, z):
+        return (x - y - z).bitwiseAND(m32)
+
+    a = sub(a, b, c); a = a.bitwiseXOR(F.shiftright(c, 13))  # noqa: E702
+    b = sub(b, c, a); b = b.bitwiseXOR(F.shiftleft(a, 8).bitwiseAND(m32))  # noqa: E702,E501
+    c = sub(c, a, b); c = c.bitwiseXOR(F.shiftright(b, 13))  # noqa: E702
+    a = sub(a, b, c); a = a.bitwiseXOR(F.shiftright(c, 12))  # noqa: E702
+    b = sub(b, c, a); b = b.bitwiseXOR(F.shiftleft(a, 16).bitwiseAND(m32))  # noqa: E702,E501
+    c = sub(c, a, b); c = c.bitwiseXOR(F.shiftright(b, 5))  # noqa: E702
+    a = sub(a, b, c); a = a.bitwiseXOR(F.shiftright(c, 3))  # noqa: E702
+    b = sub(b, c, a); b = b.bitwiseXOR(F.shiftleft(a, 10).bitwiseAND(m32))  # noqa: E702,E501
+    c = sub(c, a, b); c = c.bitwiseXOR(F.shiftright(b, 15))  # noqa: E702
+    return a, b, c
+
+
+def jenkins_int_col(col: Column) -> Column:
+    """Pure-Column Jenkins lookup2 over an integer's 8 LE bytes — the
+    len==8 tail unrolled (a += word0; b += word1; c += 8; mix). No UDF,
+    so it composes inside higher-order-function lambdas (gsoc2's
+    SORT(l.children, HASH(cid)))."""
+    m32 = F.lit(_M32)
+    v = col.cast("long")
+    # little-endian words of the two's-complement 64-bit value
+    w0 = v.bitwiseAND(F.lit(0xFFFFFFFF))
+    w1 = F.shiftrightunsigned(v, 32).bitwiseAND(F.lit(0xFFFFFFFF))
+    a = (F.lit(0x9E3779B9) + w0).bitwiseAND(m32)
+    b = (F.lit(0x9E3779B9) + w1).bitwiseAND(m32)
+    c = F.lit(8).cast("long")
+    _a, _b, c = _mix_col(a, b, c)
+    return c

@@ -88,6 +88,26 @@ def _extent(children: tuple, pos: int, e: int) -> tuple:
     return ts, _content_end(children, e)
 
 
+def _content_start(children: tuple, pos: int) -> int:
+    """Content start of a match: advance over the LEADING separator
+    chain only — a rule whose first token skipped a separator starts
+    AT the token (dpat2's MATCHTEXT(NounPhrase[2]) must not absorb the
+    gap), but unrecorded pattern elements (pat2b's repeat(any)) keep
+    the rule's own start."""
+    starts: dict = {}
+
+    def w(recs):
+        for nm, s, e, cs in recs:
+            if nm == "__sep__" and e > s:
+                starts[s] = max(starts.get(s, e), e)
+            w(cs)
+
+    w(children)
+    while pos in starts:
+        pos = starts[pos]
+    return pos
+
+
 def _content_end(children: tuple, e: int) -> int:
     """Content end of a match: the consumed end minus any trailing
     separator chain.  Separator consumption is recorded as ``__sep__``
@@ -170,39 +190,44 @@ class Matcher:
         ci = ci or self.nocase
         if kind == "lit":
             s = node[1]
+            pos0 = pos
+            if ir and self.skip is not None and len(s) > 0:
+                # separators skip BEFORE tokens (hqlregex.cpp
+                # insertSeparators with scan-side skipping — tpat5's
+                # empty afterId pins position 4: NO trailing
+                # consumption, and beforeId pins 7: pre-token skip)
+                pos = self._skip_end(pos)
             e = pos + len(s)
             seg = text[pos:e]
             if seg == s or (ci and seg.lower() == s.lower()):
                 if ir:
-                    # implicit token in rule scope: record the terminal
-                    # (parse-tree leaves) and any trailing separator
                     rec = (("__t__", pos, e, ()),)
-                    e2 = self._skip_end(e) if self.skip is not None else e
-                    if e2 > e:
-                        yield (e2, rec + (("__sep__", e, e2, ()),))
-                    else:
-                        yield (e, rec)
+                    if pos > pos0:
+                        rec = (("__sep__", pos0, pos, ()),) + rec
+                    yield (e, rec)
                 else:
                     yield (e, ())
         elif kind == "regex":
             rx = _rx(node[1], ci)
+            pos0 = pos
+            if ir and self.skip is not None:
+                pos2 = self._skip_end(pos)
+                # zero-width regexes bind tight (tpat5's pattern('')):
+                # only skip when the token actually consumes here
+                if pos2 > pos and rx.match(text, pos2) is not None and (
+                    rx.match(text, pos2).end() > pos2
+                ):
+                    pos = pos2
             m = rx.match(text, pos)
             if m is not None:
                 greedy = m.end()
                 if ir:
-                    # rule scope: implicit token — maximal munch only,
-                    # trailing separator consumed (parse.ecl); the
-                    # terminal records for parse-tree leaves
+                    # rule scope: implicit token — maximal munch only;
+                    # separators skip BEFORE tokens (see the lit arm)
                     rec = (("__t__", pos, greedy, ()),)
-                    e2 = (
-                        self._skip_end(greedy)
-                        if self.skip is not None
-                        else greedy
-                    )
-                    if e2 > greedy:
-                        yield (e2, rec + (("__sep__", greedy, e2, ()),))
-                    else:
-                        yield (greedy, rec)
+                    if pos > pos0:
+                        rec = (("__sep__", pos0, pos, ()),) + rec
+                    yield (greedy, rec)
                 else:
                     flag = [False]
                     self._rx_open.append(flag)
@@ -254,6 +279,11 @@ class Matcher:
                 # shorter opt-less 'Hamor' (contrast dpat1's rule form)
                 dkind = "token"
             if dkind == "token":
+                pos0_t = pos
+                if self.skip is not None:
+                    pos2_t = self._skip_end(pos)
+                    if pos2_t > pos:
+                        pos = pos2_t
                 # a TOKEN is a lexical unit: maximal munch, no
                 # backtracking into shorter matches (pat5.ecl: patWord
                 # lexes 'gavinxxx' whole, so `noun IN target` fails).
@@ -271,18 +301,25 @@ class Matcher:
                         best = (te, e, c)
                 if best is not None:
                     te, e, c = best
-                    rec = ((name, pos, te, c),)
-                    if e == te and self.skip is not None:
-                        e2 = self._skip_end(te)
-                        if e2 > te:
-                            yield (e2, rec + (("__sep__", te, e2, ()),))
-                        else:
-                            yield (te, rec)
-                    else:
-                        yield (e, rec)
+                    rec_t = ((name, pos, te, c),)
+                    if pos > pos0_t:
+                        rec_t = (
+                            ("__sep__", pos0_t, pos, ()),
+                        ) + rec_t
+                    yield (max(e, te), rec_t)
             elif dkind == "rule":
                 for e, c in self.enum(inner, pos, ci, True):
-                    yield (e, ((name, pos, _content_end(c, e), c),))
+                    yield (
+                        e,
+                        (
+                            (
+                                name,
+                                _content_start(c, pos),
+                                _content_end(c, e),
+                                c,
+                            ),
+                        ),
+                    )
             else:
                 for e, c in self.enum(inner, pos, ci, False):
                     yield (e, ((name, pos, e, c),))
@@ -502,15 +539,24 @@ def run_parse(
                 break
     elif scan == "scan":
         p = 0
+        last_try = -1
         while p <= n:
-            g = at(p)
+            # the scanner skips separators before each attempt, so a
+            # rule OPENING with a zero-width pattern anchors after the
+            # gap (tpat5's beforeId at 7, not 6)
+            pe = m._skip_end(p) if skip is not None else p
+            if pe == last_try:
+                p += 1
+                continue
+            last_try = pe
+            g = at(pe)
             if not g:
                 p += 1
                 continue
             emit(g)
             # SCAN recommences at the earliest end of this position's
             # matches (reference nextScanPosition = min end, onMatch)
-            p = max(min(e for _s, e, _c in g), p + 1)
+            p = max(min(e for _s, e, _c in g), pe + 1)
     elif scan == "scanall":
         if asc:
             # tomita mode lexes the input once: matches start only at

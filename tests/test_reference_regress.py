@@ -46,6 +46,19 @@ VERBATIM = [
     # COUNTER, SORT placement options, SORTED assertion, #IFDEFINED
     "evaluateModule", "issue9906", "utf8map",
     "issue12565", "issue23286", "issue7942", "issue10022", "issue13336",
+    # r15 issue sweep: grouped-child flatten keeps parent groups
+    # (18735), virtual(logicalfilename) + lazy superfile defs + value
+    # Std.File probes (10142), typed hash bytes incl. qstring/data and
+    # UTF-16 unicode (10921), action-list functions + ICU-ignorable
+    # unicode equality + HASHMD5 (10957), transform-local child
+    # datasets as JVM arrays (13590), nested child PROJECT with body
+    # locals and global-shadowing (13863)
+    "issue18735", "issue10142", "issue10921", "issue10957",
+    "issue13590", "issue13863",
+    # workflow RECOVERY retry + END:FAILURE contingencies + FAILMESSAGE
+    # + Std.System.Workunit message store (22196). issue16712 has a key
+    # but NO source file anywhere in the reference tree — unreachable.
+    "issue22196",
     "rollup", "rollup2", "rollup3", "rollup4",
     "superfile8", "superfile9",
     "sortfwd", "sortrev", "sortstable", "sortnorm",
@@ -326,6 +339,10 @@ VERBATIM = [
     # over frames, failed-bind spans kept for row-context rebinds,
     # per-element sorts dropping parent-constant keys
     "sets", "sets2", "sets4",
+    # sets3: generated per-row child (DATASET(n, transform) as a JVM
+    # array), SERVICE set functions with row-correlated args, nested
+    # named-transform child PROJECT without caller-scalar shadowing
+    "sets3",
     "sqagg", "sqaggseq", "sqaggds", "sqaggds_an", "sqaggds3",
     "sqaggds4", "sqsimple", "sqidxopt",
     # index-family tail: first-of-group TABLE members over key order
@@ -370,6 +387,27 @@ VERBATIM = [
     # (INTERNAL and external service files resolved like published
     # query DLLs), instance member access
     "library1", "library2", "library2a", "library3", "library8",
+    # whole-record DEDUP ALL emits hthor's qsort order
+    "library4",
+    # dataset CHOOSE (statement-level lazy pick + per-row child pick)
+    # and DATASET(ROW(TRANSFORM(...))) one-row children
+    "chooseds2", "chooseds3", "chooseds4", "chooseds5",
+    # RECORD-typed (struct) transform fields: IF/CASE over
+    # ROW(named-transform) with child-array arguments, per-row child
+    # DEDUP/CHOOSEN, postfix filters on child locals, pure-Column
+    # Jenkins HASH inside HOF lambdas
+    "gsoc1", "gsoc2", "gsoc3", "gsoc4", "gsoc5", "gsoc6",
+    # ASSERT surfaces: scalar action form (soft / FAIL / CONST),
+    # dataset-passthrough form, per-row transform asserts; CASE string
+    # branches unify to the widest literal; Std.Date.DateToString
+    "assert", "date2str",
+    # COMBINE default-transform (LOCAL) and ordered SELF := side copies
+    "combine", "combinelocal",
+    # PARSE separator semantics: separators skip BEFORE tokens, the
+    # scanner pre-skips attempt positions, and zero-width patterns
+    # bind tight (thorrparse; tpat5's empty beforeId/afterId pins all
+    # three)
+    "tpat5",
     # the smart-stepping text-search FRAMEWORK itself (thorstep2.cpp
     # engine surface): ENUM defs, type aliases, SET OF DATASET params,
     # ROW(transform-alias) command rows, dataset-typed row aliases in

@@ -31,6 +31,8 @@ SCOPE_CUTS = {
     "textsearch4",  # executeBatchAgainstSearchIndex: same Gutenberg
     #                 searchIndex fixture as stepping7-9
     "normalize4",  # _LINKCOUNTED_ BEGINC++ dataset bodies (rtlMalloc)
+    "issue16712",  # key XML exists but NO .ecl source anywhere in the
+    #                reference tree — unrunnable by construction
 }
 
 # Prefix-form scope cuts: the whole Gutenberg-fixture stepping tail
