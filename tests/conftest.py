@@ -53,7 +53,7 @@ QUICK_VERBATIM = {
     "sort", "rollup1", "choosesets", "normalize2",
     "denormalize", "dict1", "keyed_join3", "indexread5",
     "indexfilepos", "prefixjoin", "sets",
-    "loopall", "aggsqx1", "childds7", "sqsimple",
+    "loopall", "aggsqx1", "aggsqx1b", "aggsqx2", "childds7", "sqsimple",
     "sqaggds3", "mergenway", "csvoptions",
     "when6", "issue10022",
 }

@@ -456,6 +456,17 @@ VERBATIM = [
     # each file's own ≥95% agreement gate is the pass condition
     "regex_extract", "regex_patterns_string_1",
     "regex_patterns_unicode_1", "regex_patterns_utf8_1",
+    # r16: child-graph JOIN of a correlated child TABLE against a
+    # global index (rebind-grammar JOIN branch + no-equality-key
+    # correlated filter fallback, eclfront _rebind_parse_base /
+    # _corr_filter_array / _ds_literal_array)
+    "indexread2",
+    # r16: record-typed (struct) dictionary keys via ROW(TRANSFORM),
+    # const-foldable / nested-row ROW probes (dict_field); DICTIONARY-
+    # typed index payloads — ds(filter)[n].dictfield[key].member value
+    # reads, 'k' IN RIGHT.dictfield key membership, dict + dict concat
+    # lookups, outer-miss wholesale-copy defaults (dict_index)
+    "dict_field", "dict_index",
 ]
 
 

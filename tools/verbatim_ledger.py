@@ -6,6 +6,12 @@ tests/test_reference_regress.py, the documented scope cuts, and the
 remaining frontier. Usage:
 
     python tools/verbatim_ledger.py            # markdown table to stdout
+    python tools/verbatim_ledger.py --write    # ALSO rewrite the table
+                                               # block in COVERAGE.md in
+                                               # place (keeps the totals
+                                               # honest — r14/r15 both
+                                               # shipped stale hand-
+                                               # committed totals)
 """
 import os
 import re
@@ -44,10 +50,23 @@ SCOPE_CUT_PREFIXES = ("stepping7", "stepping8", "stepping9", "steplimit")
 
 def _pattern_cuts(keys):
     """Family-level scope cuts by name pattern (embed/plugin/spray
-    surfaces — SURVEY.md §5)."""
+    surfaces — SURVEY.md §5). Each matched file was verified to drive
+    an other-language EMBED (Java/JS/Python/R/C++/mysql/wasm — e.g.
+    embed.ecl is EMBED(C++), javagather.ecl EMBED(Java), libraryjava /
+    aaalibraryjava build a Java-embedded library), the reference's
+    parquet PLUGIN surface (this engine's parquet I/O is native), or
+    the dfu spray/despray Dali services. Their PySpark-native analogues
+    are pandas_udf / mapInPandas and spark.read/write — running a JVM/
+    CPython-2/V8/R/wasm embed inside this engine is out of scope by
+    design, not unfinished work."""
     rx = re.compile(
         r"^(javaembed|embedpy|embedjs|embedactivity|parquet"
-        r"|py[23]?(embedactivity|import|streame)|spray_)",
+        r"|py[23]?(embedactivity|import|streame)|spray_|despray$"
+        r"|embedjava|embedr\d*$|embed$|embedforward$|embedcppinline$"
+        r"|cppembed|mysqlembed|wasmembed"
+        r"|java-(activity|fold|stream)$|javagather$|javaimport$"
+        r"|javalibrary$|javapersist$|javascope$|libraryjava$"
+        r"|aaalibraryjava$)",
         re.I,
     )
     return {k for k in keys if rx.match(k)}
