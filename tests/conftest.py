@@ -62,6 +62,7 @@ QUICK_VERBATIM = {
 def pytest_collection_modifyitems(config, items):
     fast_files = {
         "test_advice_fixes.py", "test_registry_order.py",
+        "test_coverage_totals.py",
         "test_schema.py", "test_operators.py",
         "test_numbering_plans.py", "test_sources_plans.py",
         "test_functions.py", "test_collation.py",

@@ -81,7 +81,9 @@ def families(names):
     return out
 
 
-def main():
+def build_table():
+    """The ledger table as a list of markdown lines (plus the set of
+    verbatim names with no key file, for the stderr warning)."""
     txt = open(
         os.path.join(_REPO, "tests", "test_reference_regress.py")
     ).read()
@@ -103,27 +105,59 @@ def main():
         rows.append((fam, len(members), v, c, r))
     big = [r for r in rows if r[1] >= 4 or r[2] > 0 or r[3] > 0]
     small_tot = [r for r in rows if r not in big]
-    print("| family | keys | verbatim | scope-cut | remaining |")
-    print("|---|---|---|---|---|")
+    lines = [
+        "| family | keys | verbatim | scope-cut | remaining |",
+        "|---|---|---|---|---|",
+    ]
     for fam, n, v, c, r in sorted(big, key=lambda x: -x[4]):
-        print(f"| {fam} | {n} | {v} | {c} | {r} |")
+        lines.append(f"| {fam} | {n} | {v} | {c} | {r} |")
     sn = sum(r[1] for r in small_tot)
     sv = sum(r[2] for r in small_tot)
     sc = sum(r[3] for r in small_tot)
-    print(
+    lines.append(
         f"| (untouched families with <4 keys, {len(small_tot)}"
         f" families) | {sn} | {sv} | {sc} | {sn - sv - sc} |"
     )
     tot_v = len(verbatim & keyset)
     tot_c = len(cuts & keyset)
-    print(
+    lines.append(
         f"| **total** | **{len(keys)}** | **{tot_v}** | **{tot_c}** |"
         f" **{len(keys) - tot_v - tot_c}** |"
     )
+    return lines, missing_v
+
+
+def write_coverage(lines):
+    """Replace the ledger table block in COVERAGE.md in place (from the
+    '| family | ...' header through the trailing '| **total** |' row)."""
+    path = os.path.join(_REPO, "COVERAGE.md")
+    doc = open(path).read().split("\n")
+    try:
+        start = doc.index(lines[0])
+    except ValueError:
+        print("COVERAGE.md: ledger table header not found", file=sys.stderr)
+        return 1
+    end = start
+    while end < len(doc) and doc[end].startswith("|"):
+        end += 1
+    doc[start:end] = lines
+    open(path, "w").write("\n".join(doc))
+    print(f"COVERAGE.md: table rewritten ({end - start} -> {len(lines)}"
+          " lines)", file=sys.stderr)
+    return 0
+
+
+def main():
+    lines, missing_v = build_table()
+    for ln in lines:
+        print(ln)
     if missing_v:
         print(f"\nverbatim entries with no key file: {missing_v}",
               file=sys.stderr)
+    if "--write" in sys.argv:
+        return write_coverage(lines)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
