@@ -451,6 +451,7 @@ def run_parse(
     asc: bool = False,
     best: bool = False,
     choose: str | None = None,
+    many: bool = False,
     max_len: int | None = None,
 ) -> list[list[tuple[int, int, tuple]]]:
     """Enumerate matches of ``root`` over ``text`` under PARSE's scan
@@ -525,6 +526,7 @@ def run_parse(
         # at each position (parse.ecl Result 2); regex mode preserves
         # enumeration order
         groups.append(sorted(g, key=lambda x: x[1]) if asc else g)
+        return g
 
     groups: list[list] = []
     if whole:
@@ -553,10 +555,13 @@ def run_parse(
             if not g:
                 p += 1
                 continue
-            emit(g)
+            g2 = emit(g)
             # SCAN recommences at the earliest end of this position's
-            # matches (reference nextScanPosition = min end, onMatch)
-            p = max(min(e for _s, e, _c in g), pe + 1)
+            # KEPT matches (reference nextScanPosition = min end,
+            # onMatch; with MANY MAX the kept match is the longest, so
+            # the scan resumes past it — tpat1's LongestManyNoOverlap
+            # keeps 'Florida Marlins' then resumes at 'After')
+            p = max(min(e for _s, e, _c in g2), pe + 1)
     elif scan == "scanall":
         if asc:
             # tomita mode lexes the input once: matches start only at
@@ -570,6 +575,21 @@ def run_parse(
                 emit(g)
     else:  # pragma: no cover
         raise ValueError(f"unknown scan mode {scan!r}")
+    if choose and not many and groups:
+        # MAX/MIN without MANY keep ONE match for the whole row — the
+        # globally longest/shortest, earliest on ties (tpat1's
+        # LongestMatch: one 'Bicentennial Park' row per document)
+        allm = [mch for g0 in groups for mch in g0]
+
+        def _grank(mch):
+            ln = mch[1] - mch[0]
+            return (
+                ln if choose == "max" else -ln,
+                -mch[0],
+                _score(mch[2]),
+            )
+
+        groups = [[max(allm, key=_grank)]]
     return groups
 
 
@@ -590,7 +610,14 @@ def _token_starts(m: Matcher, defs: dict, root, n: int) -> list:
         elif k == "rep":
             walk(node[1])
         elif k == "named":
-            walk(node[2])
+            if node[3] == "token":
+                # a NAMED TOKEN is an atomic lexeme: the lexer munches
+                # it maximally and never offers boundaries inside it
+                # (tpat1's scan-all must not match 'IAMI' inside the
+                # 'MIAMI' token)
+                terms.append(node)
+            else:
+                walk(node[2])
         elif k in ("nocase", "check", "validate", "len"):
             walk(node[1])
         elif k == "ref":

@@ -110,3 +110,94 @@ def textsearch_proximity(spark, sf_dir):
 def textsearch_phrase(spark, sf_dir):
     """Exact phrase 'the batch' — consecutive-position conjunction."""
     return search_phrase(_index(spark, sf_dir), ["the", "batch"])
+
+
+# --- batch-query engine (operators/tsquery.py) ---------------------------
+# The TextSearch.ecl stage algebra on a driver-built broadcast index over
+# a deterministic 5% document sample (doc_id % 20 = 0) — sampled so no
+# query's match count approaches the engine's MAX_RESULTS cap (10,000)
+# at any test SF. One output row per matched word position per query.
+
+_BATCH_QUERIES = [
+    '"spark"',
+    'AND("spark", "join")',
+    'OR("sort", "merge")',
+    'ANDNOT("hash", "slow")',
+]
+
+_BATCH_WORDS_CTE = """
+    WITH words AS (
+      SELECT doc_id AS doc,
+             lower(unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))) AS word,
+             CAST(unnest(range(1, len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) + 1)) AS BIGINT) AS wpos
+      FROM documents WHERE doc_id % 20 = 0
+    )
+"""
+
+
+@query(
+    "textsearch_batch",
+    oracle=_BATCH_WORDS_CTE
+    + """
+    SELECT '"spark"' AS query, doc, wpos FROM words WHERE word = 'spark'
+    UNION ALL
+    SELECT 'AND("spark", "join")', doc, wpos FROM words
+    WHERE word IN ('spark', 'join')
+      AND doc IN (SELECT doc FROM words WHERE word = 'spark')
+      AND doc IN (SELECT doc FROM words WHERE word = 'join')
+    UNION ALL
+    SELECT 'OR("sort", "merge")', doc, wpos FROM words
+    WHERE word IN ('sort', 'merge')
+    UNION ALL
+    SELECT 'ANDNOT("hash", "slow")', doc, wpos FROM words
+    WHERE word = 'hash'
+      AND doc NOT IN (SELECT doc FROM words WHERE word = 'slow')
+    """,
+    category="textsearch",
+)
+def textsearch_batch(spark, sf_dir):
+    """The TextSearch BATCH-QUERY engine (TextSearch.ecl parseQuery +
+    SearchExecutor, operators/tsquery.py): a query table fans out via
+    mapInPandas with the word index broadcast — the Spark shape of
+    Roxie's one-agent-per-query model. Flat (query, doc, wpos) output
+    so DuckDB recomputes the stage algebra in SQL. Driver-built index
+    is cap-guarded; the large-corpus path is operators/textsearch.py."""
+    from pyspark.sql import functions as F
+
+    from hpcc_platform_spark.operators.tsquery import batch_execute_df
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sample = docs.where(F.col("doc_id") % 20 == 0)
+    rows = sample.select("doc_id", "text").limit(100_001).collect()
+    if len(rows) > 100_000:
+        raise RuntimeError(
+            "textsearch_batch index sample exceeds 100k docs — the "
+            "broadcast-index batch engine is for small indexes; use "
+            "operators/textsearch.py plans for large corpora"
+        )
+    index = []
+    for r in rows:
+        toks = [w for w in (r.text or "").split() if w]
+        for i, w in enumerate(toks, start=1):
+            flags = (
+                2 if any(c.isupper() for c in w) else 0
+            ) + (1 if any(c.islower() for c in w) else 0)
+            index.append(
+                (
+                    1, w.lower().ljust(20), (1 << 48) | r.doc_id, 0,
+                    i, 1, flags, w.ljust(20), 0,
+                )
+            )
+    index.sort(key=lambda t: (t[0], t[1], t[2], t[3], t[4], t[5]))
+    qdf = spark.createDataFrame(
+        [(q,) for q in _BATCH_QUERIES], "query string"
+    )
+    out = batch_execute_df(qdf, tuple(index))
+    return out.select(
+        F.col("query"),
+        F.explode("result").alias("m"),
+    ).select(
+        "query",
+        F.col("m.subdoc").cast("long").alias("doc"),
+        F.col("m.wpos").cast("long").alias("wpos"),
+    )

@@ -467,6 +467,31 @@ VERBATIM = [
     # reads, 'k' IN RIGHT.dictfield key membership, dict + dict concat
     # lookups, outer-miss wholesale-copy defaults (dict_index)
     "dict_field", "dict_index",
+    # r16: published-library BUILD actions (setup/aaalibraryN.ecl —
+    # empty key XML: a library publish emits no result sets) and the
+    # CORRELATED library call (library5's per-house filterDataset over
+    # a child dataset: _LibArrSpans lazy member lowering through the
+    # rebind grammar, fully JVM child-array expressions)
+    "aaalibrary2", "aaalibrary3a", "aaalibrary3b", "aaalibrary4",
+    "aaalibrary5", "aaalibrary6", "library5",
+    # r16: parameterized PATTERN definitions (token NotCommon(token
+    # Test) := VALIDATE(...)) with token-kinded args munched maximally
+    # before VALIDATE; PARSE MANY MAX (per-position longest,
+    # scan-resume past the match) vs MAX (one global longest per row);
+    # token-atomic scan-all boundaries; user scalar functions and
+    # Std.Str.Find inside compiled transforms; {MAXLENGTH(n)}
+    # attribute blocks on computed record members
+    "tpat1",
+    # r16: breadth sweep — generic fixes (RECORD,MAXLENGTH attributes,
+    # DEDUP(ds, RECORD), GLOBAL(ds, FEW) wrappers, __TARGET_PLATFORM__,
+    # postfix .child flatten after record filters, parent-qualified
+    # TABLE keys/members over flattened children, KEYED table option)
+    "workflow", "aggidx2", "nest2", "superfile7", "diskread",
+    "sqnormds1", "sqnormds1_an", "sqnormds2", "sqnormidx1",
+    "sqnormidx2", "combine-nothor", "countindex", "emptycompressed",
+    "globalresult", "nullif", "pathologicalindex1", "persist_refresh",
+    "sqregress", "targetplatform", "threadedConcat",
+    "workflow_persist_1",
 ]
 
 
@@ -603,7 +628,13 @@ def read_ecl(path: str) -> str:
 @pytest.mark.skipif(not os.path.isdir(_ECL_DIR), reason="reference tree absent")
 @pytest.mark.parametrize("name", VERBATIM)
 def test_reference_regress_file_verbatim(name, spark):
-    text = read_ecl(os.path.join(_ECL_DIR, f"{name}.ecl"))
+    path = os.path.join(_ECL_DIR, f"{name}.ecl")
+    if not os.path.exists(path):
+        # library-build sources live under setup/ (aaalibraryN.ecl —
+        # their key XML pins an EMPTY result set: a BUILD of a
+        # published library emits no datasets)
+        path = os.path.join(_ECL_DIR, "setup", f"{name}.ecl")
+    text = read_ecl(path)
     expected = _expected(name)
     if isinstance(expected, tuple) and expected[0] == "__exception__":
         with pytest.raises(Exception, match=re.escape(expected[1])):
