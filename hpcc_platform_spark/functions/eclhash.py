@@ -53,16 +53,35 @@ def _data(v) -> bytes:
     raise TypeError(f"unhashable ECL value {type(v).__name__}")
 
 
-def strip_ignorable(s: str) -> str:
-    """Remove ICU default-ignorable code points (category Cf: soft
-    hyphen U+00AD, zero-width space U+200B, joiners, bidi marks) — they
-    carry no collation weight, so unicode equality and rtlHashUnicode
-    both ignore them (eclrtl rtlHashUnicode normalizes; issue10957)."""
-    import unicodedata
+# Unicode Default_Ignorable_Code_Point ranges (DerivedCoreProperties;
+# inclusive). NOT the same set as category Cf — e.g. U+0600 ARABIC
+# NUMBER SIGN is Cf yet carries collation weight and must NOT be
+# stripped (r15 ADVICE), while U+3164 HANGUL FILLER is Lo yet ignorable.
+_DEFAULT_IGNORABLE = (
+    (0x00AD, 0x00AD), (0x034F, 0x034F), (0x061C, 0x061C),
+    (0x115F, 0x1160), (0x17B4, 0x17B5), (0x180B, 0x180F),
+    (0x200B, 0x200F), (0x202A, 0x202E), (0x2060, 0x206F),
+    (0x3164, 0x3164), (0xFE00, 0xFE0F), (0xFEFF, 0xFEFF),
+    (0xFFA0, 0xFFA0), (0xFFF0, 0xFFF8), (0x1BCA0, 0x1BCA3),
+    (0x1D173, 0x1D17A), (0xE0000, 0xE0FFF), (0xE0100, 0xE01EF),
+)
 
-    return "".join(
-        c for c in s if unicodedata.category(c) != "Cf"
-    )
+
+def _is_default_ignorable(cp: int) -> bool:
+    for lo, hi in _DEFAULT_IGNORABLE:
+        if lo <= cp <= hi:
+            return True
+    return False
+
+
+def strip_ignorable(s: str) -> str:
+    """Remove ICU default-ignorable code points (soft hyphen U+00AD,
+    zero-width space U+200B, joiners, bidi marks, variation selectors)
+    — they carry no collation weight, so unicode equality and
+    rtlHashUnicode both ignore them (eclrtl rtlHashUnicode normalizes;
+    issue10957). Filters on the Default_Ignorable_Code_Point property,
+    not category Cf (the sets differ — r15 ADVICE)."""
+    return "".join(c for c in s if not _is_default_ignorable(ord(c)))
 
 
 def typed_bytes(v, ty, mode: str = "hash") -> "bytes | object":
@@ -92,7 +111,10 @@ def typed_bytes(v, ty, mode: str = "hash") -> "bytes | object":
             s = s.rstrip(" ")
         return s.encode("utf-16-le", "replace")
     if base == "data":
-        return v.encode("utf-8", "replace")
+        # DATA carried as str is a byte-per-char latin-1 round trip
+        # (r15 ADVICE: utf-8 would expand bytes >0x7F to multi-byte
+        # sequences and diverge from the reference's raw-byte hashing)
+        return v.encode("latin-1", "replace")
     if mode == "md5":
         return v.encode("utf-8", "replace")  # raw, untrimmed
     return v

@@ -727,3 +727,70 @@ def test_csv_dialect_read_scales_without_driver_collect(spark):
     dfs = run_ecl_actions(ecl, {}, spark=spark)
     assert int(dfs[-2].collect()[0][0]) == n
     assert int(dfs[-1].collect()[0][0]) == n * (n - 1) // 2
+
+
+def test_hashmd5_nonconstant_column(spark):
+    """r15 ADVICE: HASHMD5 over a non-constant single argument used to
+    fall into a dispatch dict with no 'hashmd5' key (raw KeyError);
+    now it lowers to JVM md5 over the raw string bytes, matching the
+    constant fold's uppercase hex."""
+    import hashlib
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    d := DATASET([{'abc'}, {'xyz'}], { string3 v });
+    OUTPUT(TABLE(NOFOLD(d), { string h := HASHMD5(v) }));
+    """
+    got = [r.h for r in run_ecl_actions(ecl, {}, spark=spark)[-1].collect()]
+    assert got == [
+        hashlib.md5(b"abc").hexdigest().upper(),
+        hashlib.md5(b"xyz").hexdigest().upper(),
+    ]
+
+
+def test_data_hash_latin1_bytes():
+    """r15 ADVICE: DATA values carried as str must hash their RAW bytes
+    (latin-1 byte-per-char), not a multi-byte UTF-8 expansion."""
+    from hpcc_platform_spark.functions.eclhash import typed_bytes
+
+    raw = bytes([0x0A, 0x80, 0xFF]).decode("latin-1")
+    assert typed_bytes(raw, "data") == bytes([0x0A, 0x80, 0xFF])
+    assert typed_bytes(raw, "data", mode="md5") == bytes(
+        [0x0A, 0x80, 0xFF]
+    )
+
+
+def test_strip_ignorable_is_property_not_category():
+    """r15 ADVICE: strip on Default_Ignorable_Code_Point, not category
+    Cf — U+0600 ARABIC NUMBER SIGN is Cf but carries collation weight
+    (kept); U+3164 HANGUL FILLER is Lo but default-ignorable
+    (stripped); U+200B zero-width space stays stripped."""
+    from hpcc_platform_spark.functions.eclhash import strip_ignorable
+
+    assert strip_ignorable("a؀b") == "a؀b"
+    assert strip_ignorable("aㅤb") == "ab"
+    assert strip_ignorable("a​b") == "ab"
+    assert strip_ignorable("a­b") == "ab"
+
+
+def test_assert_dataset_row_dependent_fail_aborts(spark):
+    """r15 ADVICE: ASSERT(ds, cond, FAIL) with a ROW-DEPENDENT
+    condition used to silently degrade to a soft no-op; a failing row
+    must abort at collect time."""
+    import pytest as _pt
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ok = """
+    d := DATASET([{1}, {2}, {3}], { unsigned v });
+    OUTPUT(ASSERT(NOFOLD(d), v < 10, FAIL));
+    """
+    rows = run_ecl_actions(ok, {}, spark=spark)[-1].collect()
+    assert [int(r.v) for r in rows] == [1, 2, 3]
+    bad = """
+    d := DATASET([{1}, {2}, {3}], { unsigned v });
+    OUTPUT(ASSERT(NOFOLD(d), v < 3, FAIL));
+    """
+    with _pt.raises(Exception, match="assert failed"):
+        run_ecl_actions(bad, {}, spark=spark)[-1].collect()

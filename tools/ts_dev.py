@@ -90,7 +90,7 @@ def main():
                 for i in range(max(len(areq), len(ereq))):
                     a = areq[i] if i < len(areq) else None
                     e = ereq[i] if i < len(ereq) else None
-                    if a != tuple(e) if e else a is not None:
+                    if a != (tuple(e) if e else None):
                         print(f"  req[{i}] got {a}")
                         print(f"  req[{i}] exp {tuple(e) if e else None}")
             if not res_ok:
