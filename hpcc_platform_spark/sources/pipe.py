@@ -212,6 +212,7 @@ def pipe_exec(
     xml_write_path: str = "Row",
     noroot_write: bool = False,
     repeat: bool = False,
+    group: bool = False,
 ) -> DataFrame:
     """Front-door PIPE lowering with ASYMMETRIC framings (pipe.ecl's
     TYPE-framed lines, pipe2's csv/output(csv), pipe7's xml paths):
@@ -224,8 +225,18 @@ def pipe_exec(
     import shlex
     import xml.etree.ElementTree as _ET
 
-    struct = StructType.fromDDL(out_schema)
-    out_cols = struct.fieldNames()
+    struct0 = StructType.fromDDL(out_schema)
+    out_cols = struct0.fieldNames()
+    struct = struct0
+    if group and repeat:
+        # per-invocation GROUP key: each row's re-execution forms one
+        # group (pipe6's REPEAT, GROUP — count(group) counts the rows
+        # one subprocess emitted)
+        from pyspark.sql.types import LongType, StructField
+
+        struct = StructType(
+            struct0.fields + [StructField("__pgrp__", LongType())]
+        )
     in_cols = [c for c in df.columns if c != "__ord__"]
     argv = shlex.split(command)
 
@@ -298,7 +309,7 @@ def pipe_exec(
                 parts.pop()
             rows = [[p] for p in parts]
         pdf = pd.DataFrame(rows, columns=out_cols)
-        return _coerce_chunk(pdf, struct)
+        return _coerce_chunk(pdf, struct0)
 
     def _xml_esc(s: str) -> str:
         return (
@@ -310,7 +321,7 @@ def pipe_exec(
         chunks = list(batches)
         pdf = pd.concat(chunks) if chunks else None
         if pdf is None or len(pdf) == 0:
-            yield pd.DataFrame(columns=out_cols)
+            yield pd.DataFrame(columns=struct.fieldNames())
             return
         if repeat:
             outs = []
@@ -320,8 +331,20 @@ def pipe_exec(
                     input=_serialize(pdf.iloc[k : k + 1]),
                     stdout=subprocess.PIPE,
                 )
-                outs.append(_parse(proc.stdout))
-            yield pd.concat(outs) if outs else pd.DataFrame(columns=out_cols)
+                chunk = _parse(proc.stdout)
+                if group:
+                    gid = (
+                        int(pdf.iloc[k]["__ord__"])
+                        if "__ord__" in pdf.columns
+                        else k
+                    )
+                    chunk = chunk.assign(__pgrp__=gid)
+                outs.append(chunk)
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame(columns=struct.fieldNames())
+            )
             return
         proc = subprocess.run(
             argv, input=_serialize(pdf), stdout=subprocess.PIPE

@@ -492,6 +492,13 @@ VERBATIM = [
     "globalresult", "nullif", "pathologicalindex1", "persist_refresh",
     "sqregress", "targetplatform", "threadedConcat",
     "workflow_persist_1",
+    # r16: PIPE REPEAT,GROUP — each invocation forms one output group
+    # (per-group count(group) projections; grouped AGGREGATE folds run
+    # one applyInPandas group per key, parallel across groups)
+    "pipe6",
+    # r16: AddSuperFile self-add is a HARD Dali abort (Exception-only
+    # key; partial results discarded)
+    "superfile6",
 ]
 
 
