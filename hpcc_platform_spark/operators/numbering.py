@@ -16,8 +16,11 @@ This module is the Spark-first equivalent:
 2. Cache the ranged data, then count rows per partition — an action that
    moves ONE ROW PER PARTITION to the driver (thousands at most).
 3. Broadcast cumulative offsets back as a literal map expression.
-4. ``row_number() over (partitionBy(partition_id) orderBy(keys))`` + offset —
-   fully parallel, no single-partition exchange anywhere in the plan.
+4. ``sortWithinPartitions(keys)`` + a projection adding ``offset[pid] +
+   local position`` (low bits of monotonically_increasing_id) — fully
+   parallel, no single-partition exchange anywhere in the plan, and
+   (unlike a window partitioned by ``__pid__``) no second all-rows
+   exchange either.
 
 The cache between steps 2 and 4 is required for correctness: without it the
 count job and the numbering job would each re-plan the range exchange, and
@@ -30,7 +33,7 @@ from __future__ import annotations
 from collections import deque
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PID = "__pid__"
@@ -159,15 +162,32 @@ def numbered(
     """Attach a 1-based global row number in ``order_by`` order.
 
     Returns ``(numbered_df, total_rows)``; ``numbered_df`` still carries the
-    ``__pid__`` column (callers drop it). The window is partitioned by
-    ``__pid__`` so the plan contains NO single-partition exchange.
+    ``__pid__`` column (callers drop it).
+
+    The numbering pass is ``sortWithinPartitions`` + a projection adding
+    ``offset[pid] + partition-local position``, where the local position
+    comes from the low bits of ``monotonically_increasing_id()``. The
+    earlier implementation used ``row_number() OVER (PARTITION BY
+    __pid__)``, whose required ClusteredDistribution(__pid__) re-shuffled
+    every row a SECOND time (Exchange hashpartitioning(__pid__)) even
+    though rows are already physically grouped by __pid__ by construction
+    — Catalyst cannot know that spark_partition_id() matches the physical
+    partitioning. Dropping that exchange halves the shuffled bytes of
+    every numbering consumer (guide §2.4 remove shuffles outright), and
+    the sort+project pipeline whole-stage-codegens with no window
+    buffering. 64-bit counters: the reference's row counts are unsigned8
+    (rtl); 32 bits would wrap past 2^31-1 rows, well within 100 TB scale.
     """
     ranged, _counts, offsets = ranged_partitions(df, order_by, num_partitions)
-    w = Window.partitionBy(PID).orderBy(*_cols(order_by))
-    # 64-bit: the reference's row counts are unsigned8 (rtl); a 32-bit cast
-    # would silently wrap past 2^31-1 rows, well within 100 TB scale.
-    out = ranged.withColumn(
-        name, (F.row_number().over(w) + _offset_col(offsets)).cast("long")
+    sorted_local = ranged.sortWithinPartitions(*_cols(order_by))
+    # monotonically_increasing_id() == partition_id * 2^33 + row position in
+    # the delivered (sorted) order, so the partition-local position is its
+    # low 33 bits. Being non-deterministic, the projection cannot be
+    # reordered below the sort. Caps out at 2^33 rows per partition —
+    # partition sizing puts real workloads orders of magnitude below that.
+    local_pos = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    out = sorted_local.withColumn(
+        name, (local_pos + _offset_col(offsets) + 1).cast("long")
     )
     return out, sum(_counts.values())
 

@@ -42,9 +42,21 @@ def _nest_lineitems(li):
 def denormalize_summary(spark, sf_dir):
     """DENORMALIZE (TAKdenormalize :1056): fold children into a nested child
     dataset, then summarize it with array lambdas (child aggregates à la the
-    reference's aggsq tests)."""
+    reference's aggsq tests).
+
+    The child array is nested UNSORTED and carries only the two fields the
+    child aggregates read: count/max/sum are order-independent, so the
+    array_sort (O(k log k) per parent) and the l_linenumber tiebreak field
+    the sorted variant needs (see _nest_lineitems, which
+    normalize_roundtrip still uses because child POSITION is its output)
+    would be computed and shuffled only to be thrown away (guide §1.2:
+    don't compute what you discard; §2.3: shuffle fewer bytes). Sum order
+    over the unsorted child list is engine-arbitrary — the same guarantee
+    class as every groupBy SUM, handled by ROUND(x, 4) on both sides."""
     (li,) = tables(spark, sf_dir, "lineitem")
-    nested = _nest_lineitems(li)
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_quantity", "l_extendedprice")).alias("items")
+    )
     return nested.select(
         "l_orderkey",
         F.size("items").cast("long").alias("n_items"),
