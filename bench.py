@@ -44,14 +44,8 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    spark = get_spark("hpcc_platform_spark_bench")
-    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
-
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # plan, not first-touch setup.
-    REGISTRY["global_agg"].fn(spark, SF_DIR).collect()
-
+def run_pass(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """One full headline pass with the unchanged per-query methodology."""
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
@@ -79,6 +73,39 @@ def main() -> None:
         spark.catalog.clearCache()
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
+    return timings, medians
+
+
+def main() -> None:
+    spark = get_spark("hpcc_platform_spark_bench")
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch setup.
+    REGISTRY["global_agg"].fn(spark, SF_DIR).collect()
+
+    # Contention self-retry (r16 verdict ask #7): r14 and r16 shipped
+    # totals inflated purely by machine contention (loadavg 7, ~2% steal
+    # time on this host class even when idle). If the box is loaded at
+    # start, or the pass itself shows the contention signature (medians
+    # far above mins across the board), run ONE more identical pass and
+    # report the lower-total pass. The per-query methodology (warm + 5
+    # timed noop runs, min & median) is unchanged; both pass totals and
+    # loadavgs are recorded for adjudication.
+    load_start = round(os.getloadavg()[0], 2)
+    timings, medians = run_pass(spark)
+    passes = [
+        {"total": round(sum(timings.values()), 3), "loadavg_1m": load_start}
+    ]
+    contended = load_start > 4.0 or (
+        sum(medians.values()) > 1.35 * sum(timings.values())
+    )
+    if contended:
+        load2 = round(os.getloadavg()[0], 2)
+        t2, m2 = run_pass(spark)
+        passes.append({"total": round(sum(t2.values()), 3), "loadavg_1m": load2})
+        if sum(t2.values()) < sum(timings.values()):
+            timings, medians = t2, m2
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +120,8 @@ def main() -> None:
                 # #10): a loaded box shows medians far above mins and
                 # a high loadavg — future gates can discount the run
                 "loadavg_1m": round(os.getloadavg()[0], 2),
+                "contention_retry": contended,
+                "passes": passes,
                 "skew_demo": skew_demo(spark),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

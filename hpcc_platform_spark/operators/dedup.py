@@ -43,7 +43,23 @@ def dedup_keyed(
     ECL's sorted DEDUP keeps the first row (or KEEP n rows) of each key run
     in sort order (throllupslave.cpp:36-96 keepLeft). One shuffle on the key;
     no global sort needed — the order only matters within key groups.
+
+    KEEP 1 with plain ascending order keys lowers to ``min_by`` over the
+    order tuple — a hash aggregate with map-side partial combine, so one
+    candidate row per key per map task crosses the exchange instead of
+    every input row feeding a window sort (guide §2.3 aggregate before you
+    shuffle). Struct ordering compares fields left-to-right with NULLs
+    first — the same ASC NULLS FIRST the window orderBy used, so the
+    survivor is identical. KEEP n>1 or explicit desc() orderings keep the
+    row_number window lowering.
     """
+    if keep == 1 and all(isinstance(c, str) for c in order_by):
+        ordc = F.struct(*[F.col(c) for c in order_by])
+        row = F.struct(*[F.col(c) for c in df.columns])
+        best = df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.min_by(row, ordc).alias("__best__")
+        )
+        return best.select("__best__.*")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*cols)
     return (

@@ -66,16 +66,30 @@ def pack_sequences(
     length, so re-chunk anything longer than the budget first.
 
     With ``partition_col`` the packing is per-partition (e.g. per
-    language or per shard), turning the global window into a keyed one —
-    the 100 TB form; the unpartitioned default is a single-window total
-    order, fine up to ~10^8 chunks and replaceable by two-phase
-    numbering beyond that."""
+    language or per shard), turning the global window into a keyed one.
+    WITHOUT it, the running sum goes through the two-phase prefix-combine
+    (range partition on the order keys, per-partition cumsum, driver
+    prefix of one value per partition) — a naive ``Window.orderBy`` with
+    no partitionBy plans an Exchange SinglePartition that funnels every
+    chunk row through ONE task, the guaranteed-OOM shape at 100 TB
+    (guide §2.4; same design as operators/numbering)."""
     from pyspark.sql import Window
 
     if partition_col is None:
-        w = Window.orderBy(*order_by)
-    else:
-        w = Window.partitionBy(partition_col).orderBy(*order_by)
+        from hpcc_platform_spark.operators.transform import iterate_running
+
+        cumd = iterate_running(
+            chunks,
+            order_by=list(order_by),
+            __cum__=F.sum(F.col(len_col)),
+        )
+        return cumd.withColumn(
+            "bin_id",
+            F.floor(
+                (F.col("__cum__") - F.col(len_col)) / F.lit(budget)
+            ).cast("long"),
+        ).drop("__cum__")
+    w = Window.partitionBy(partition_col).orderBy(*order_by)
     cum = F.sum(F.col(len_col)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -16,14 +16,19 @@ def exact_dedup_docs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup by content hash: keep the lowest-id representative per
-    hash, with the duplicate count. One shuffle on the 128-bit hash."""
+    hash, with the duplicate count. One shuffle on the 128-bit hash.
+
+    min/count hash aggregate, not a row_number window: partial map-side
+    aggregation means one (hash, min_id, count) triple per hash per map
+    task crosses the exchange instead of every row, and no per-group sort
+    is needed (guide §2.3 aggregate before you shuffle)."""
     hashed = df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
-    w = Window.partitionBy("text_hash")
-    wo = w.orderBy(id_col)
     return (
-        hashed.withColumn("rn", F.row_number().over(wo))
-        .withColumn("n_copies", F.count(F.lit(1)).over(w))
-        .where(F.col("rn") == 1)
+        hashed.groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
         .select(id_col, "text_hash", "n_copies")
     )
 

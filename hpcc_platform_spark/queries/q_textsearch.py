@@ -168,27 +168,55 @@ def textsearch_batch(spark, sf_dir):
 
     (docs,) = tables(spark, sf_dir, "documents")
     sample = docs.where(F.col("doc_id") % 20 == 0)
-    rows = sample.select("doc_id", "text").limit(100_001).collect()
-    if len(rows) > 100_000:
+    if sample.count() > 100_000:
         raise RuntimeError(
             "textsearch_batch index sample exceeds 100k docs — the "
             "broadcast-index batch engine is for small indexes; use "
             "operators/textsearch.py plans for large corpora"
         )
-    index = []
-    for r in rows:
-        toks = [w for w in (r.text or "").split() if w]
-        for i, w in enumerate(toks, start=1):
-            flags = (
-                2 if any(c.isupper() for c in w) else 0
-            ) + (1 if any(c.islower() for c in w) else 0)
-            index.append(
-                (
-                    1, w.lower().ljust(20), (1 << 48) | r.doc_id, 0,
-                    i, 1, flags, w.ljust(20), 0,
-                )
+
+    # Executor-side index build (r16 verdict ask #6): tokenization and
+    # flag computation run distributed in a mapInPandas pass (the same
+    # Python str semantics the driver loop used, so entries are
+    # byte-identical); the sort rides the executors too (orderBy on the
+    # 6-component engine key), and only the FINISHED packed index rows
+    # come back for the broadcast — gathering the index to ship to every
+    # task is the broadcast build itself, exactly like Spark's own
+    # broadcast-hash-join build side.
+    def _tokenize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [w for w in (text or "").split() if w]
+                for i, w in enumerate(toks, start=1):
+                    flags = (
+                        2 if any(c.isupper() for c in w) else 0
+                    ) + (1 if any(c.islower() for c in w) else 0)
+                    recs.append(
+                        (
+                            1, w.lower().ljust(20), (1 << 48) | int(doc_id), 0,
+                            i, 1, flags, w.ljust(20), 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                recs, columns=[f"c{j}" for j in range(9)],
+            ) if recs else pd.DataFrame(
+                {f"c{j}": [] for j in range(9)}
             )
-    index.sort(key=lambda t: (t[0], t[1], t[2], t[3], t[4], t[5]))
+
+    idx_schema = (
+        "c0 long, c1 string, c2 long, c3 long, c4 long, c5 long, "
+        "c6 long, c7 string, c8 long"
+    )
+    index = [
+        tuple(r)
+        for r in sample.select("doc_id", "text")
+        .mapInPandas(_tokenize, idx_schema)
+        .orderBy("c0", "c1", "c2", "c3", "c4", "c5")
+        .collect()
+    ]
     qdf = spark.createDataFrame(
         [(q,) for q in _BATCH_QUERIES], "query string"
     )
