@@ -152,12 +152,21 @@ def embedding_near_dup_pairs(
     norm = F.sqrt(
         F.aggregate(F.transform(v_dbl, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    bucketed = df.select(
+    # The bucketed projection feeds BOTH sides of the self-join; without
+    # an explicit persist Spark recomputes the scan + per-row norm/bucket
+    # folds once per side (no CSE across join branches — SURVEY §4.1).
+    # auto_persist halves the per-row signature work and the input scan;
+    # MEMORY_AND_DISK spills rather than OOMing at corpus scale, and the
+    # cached relation is the lightweight (id, v, norm, bucket) projection,
+    # never the full row.
+    from hpcc_platform_spark.plans.persist import auto_persist
+
+    bucketed = auto_persist(df.select(
         F.col(id_col),
         v_dbl.alias("__v__"),
         norm.alias("__norm__"),
         _sign_bucket(F.col(vec_col), hyperplanes).alias("__bucket__"),
-    )
+    ))
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col("__v__").alias("va"),
         F.col("__norm__").alias("na"), "__bucket__",
