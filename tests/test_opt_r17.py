@@ -1,0 +1,122 @@
+"""Round-17 optimization gates: the rewritten operator internals must be
+(a) plan-shaped as claimed and (b) value-identical to the lowering they
+replaced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_numbered_plans_single_exchange(spark):
+    """numbered() must range-exchange once and NOT re-shuffle by __pid__
+    (the pre-r17 window lowering added Exchange hashpartitioning(__pid__))."""
+    from hpcc_platform_spark.operators.numbering import (
+        numbered,
+        release_numbering_caches,
+    )
+
+    df = spark.range(0, 5000).withColumn("k", (F.col("id") * 37) % 4999)
+    out, total = numbered(df, ["k"], name="rn", num_partitions=8)
+    plan = _executed_plan(out)
+    assert total == 5000
+    assert "hashpartitioning(__pid__" not in plan
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    release_numbering_caches()
+
+
+def test_numbered_ties_are_dense_and_complete(spark):
+    """Heavy ties: every rank 1..N exactly once, ordered by the key."""
+    from hpcc_platform_spark.operators.numbering import (
+        numbered,
+        release_numbering_caches,
+    )
+
+    df = spark.range(0, 2000).withColumn("k", F.col("id") % 7)
+    out, _ = numbered(df, ["k"], name="rn", num_partitions=8)
+    rows = out.select("k", "rn").collect()
+    release_numbering_caches()
+    assert sorted(r.rn for r in rows) == list(range(1, 2001))
+    by_rank = [r.k for r in sorted(rows, key=lambda r: r.rn)]
+    assert by_rank == sorted(by_rank)
+
+
+def test_dedup_keyed_min_by_equals_window_path(spark):
+    """The KEEP 1 min_by fast path must pick the same survivors as the
+    row_number window lowering, including NULL order keys (NULLS FIRST)."""
+    from hpcc_platform_spark.operators.dedup import dedup_keyed
+
+    rows = [
+        (k, v if v % 5 else None, f"p{k}_{v}")
+        for k in range(40)
+        for v in range((k % 7) + 1)
+    ]
+    df = spark.createDataFrame(rows, "k int, o int, payload string")
+    fast = dedup_keyed(df, ["k"], ["o", "payload"])
+    # reference lowering (what dedup_keyed did before r17)
+    w = Window.partitionBy("k").orderBy("o", "payload")
+    ref = (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, ref.collect()))
+    assert fast.columns == df.columns
+    # desc() orderings must still take the window path (struct ordering
+    # cannot express them)
+    plan_desc = dedup_keyed(
+        df, ["k"], [F.col("o").desc(), F.col("payload")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan_desc
+
+
+def test_exact_dedup_docs_aggregate_semantics(spark):
+    """groupBy(min,count) rewrite: lowest id survives, copies counted."""
+    from hpcc_platform_spark.pipeline.dedup import exact_dedup_docs
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (5, "aa"), (3, "aa"), (2, "bb"), (9, "cc"), (7, "cc")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_copies for r in exact_dedup_docs(df).collect()}
+    assert got == {1: 3, 2: 1, 7: 2}
+    plan = exact_dedup_docs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_pack_sequences_global_no_single_partition(spark):
+    """Global packing must not funnel through one task, and must bin
+    exactly like the naive unpartitioned window it replaced."""
+    from hpcc_platform_spark.pipeline.chunking import pack_sequences
+    from hpcc_platform_spark.operators.numbering import (
+        release_numbering_caches,
+    )
+
+    chunks = spark.createDataFrame(
+        [(d, c, (d * 13 + c * 7) % 90 + 10) for d in range(30) for c in range(4)],
+        "doc_id long, chunk_index long, n_chunk_tokens int",
+    )
+    out = pack_sequences(chunks, budget=200)
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_numbering_caches()
+    assert "SinglePartition" not in plan
+    w = Window.orderBy("doc_id", "chunk_index").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = chunks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")) / 200
+        ).cast("long"),
+    )
+    expect = {(r.doc_id, r.chunk_index): r.bin_id for r in ref.collect()}
+    got = {(r.doc_id, r.chunk_index): r.bin_id for r in rows}
+    assert got == expect
