@@ -42,10 +42,23 @@ def get_spark(app_name: str = "hpcc_platform_spark", cpus: int | None = None) ->
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # Shuffle parallelism is deployment-derived, not a magic constant:
+    # default = this deployment's core count (every shuffle fills the
+    # machine at test SFs, where partitions are KB-sized and AQE's
+    # size-based coalescing would otherwise shrink small-data shuffles
+    # below the core count — parallelism beats 64 MB targets there,
+    # guide §2.2). On a real cluster, set SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # so post-shuffle partitions land in the 100 MB–1 GB band (e.g.
+    # ~count of 256 MB units in the largest shuffled stage); AQE
+    # coalescing then right-sizes every smaller stage at runtime, so an
+    # over-estimate is safe.
+    shuffle_parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(cpus, 8))
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -54,6 +67,12 @@ def get_spark(app_name: str = "hpcc_platform_spark", cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Allow shuffled-hash where a side fits per-partition (guide
+        # §3.1/§9): sort-merge stays available, hash skips both sorts.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Anything we write (scratch, PERSIST cache, index builds) —
+        # zstd is smaller than snappy at similar read speed (guide §6).
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
