@@ -333,11 +333,18 @@ def pipe_exec(
                 )
                 chunk = _parse(proc.stdout)
                 if group:
-                    gid = (
-                        int(pdf.iloc[k]["__ord__"])
-                        if "__ord__" in pdf.columns
-                        else k
-                    )
+                    if "__ord__" in pdf.columns:
+                        gid = int(pdf.iloc[k]["__ord__"])
+                    else:
+                        # partition-local k alone is NOT globally unique
+                        # — rows in different partitions would silently
+                        # merge groups; offset by the task's partition
+                        # id (same 2^33 packing as the numbering ops)
+                        from pyspark import TaskContext
+
+                        ctx = TaskContext.get()
+                        pid = ctx.partitionId() if ctx is not None else 0
+                        gid = (pid << 33) + k
                     chunk = chunk.assign(__pgrp__=gid)
                 outs.append(chunk)
             yield (

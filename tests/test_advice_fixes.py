@@ -794,3 +794,49 @@ def test_assert_dataset_row_dependent_fail_aborts(spark):
     """
     with _pt.raises(Exception, match="assert failed"):
         run_ecl_actions(bad, {}, spark=spark)[-1].collect()
+
+
+def test_pipe_repeat_group_gid_unique_across_partitions(spark):
+    """r16 ADVICE: the REPEAT,GROUP fallback gid was the partition-local
+    row index — rows in different partitions could share a __pgrp__ and
+    silently merge groups. The fallback now offsets by the task's
+    partition id (2^33 packing), so group ids are globally unique."""
+    from hpcc_platform_spark.sources.pipe import pipe_exec
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "k long, v string"
+    ).repartition(4)
+    out = pipe_exec(
+        df,
+        "cat",
+        "k long, v string",
+        write_mode="csv",
+        read_mode="csv",
+        repeat=True,
+        group=True,
+    )
+    rows = out.collect()
+    # one input row per REPEAT invocation -> 8 distinct group ids
+    assert len({r["__pgrp__"] for r in rows}) == 8
+
+
+def test_corr_literal_fallback_rejects_nested_fields(spark):
+    """r16 ADVICE: _ds_literal_array coerced unknown field types to
+    double — a nested child-dataset column would become NULL silently.
+    It must fail loudly instead."""
+    import pytest as _pt
+
+    from hpcc_platform_spark import eclfront as ef
+    from pyspark.sql import functions as F
+
+    parser = ef._Parser.__new__(ef._Parser)
+    ds = spark.range(3).select(
+        F.col("id").alias("a"),
+        F.array(F.struct(F.col("id").alias("x"))).alias("kids"),
+    )
+    parser._ds_fields = {
+        id(ds): [("a", "long", None, None),
+                 ("kids", "array<struct<x:bigint>>", None, None)]
+    }
+    with _pt.raises(ef.EclFailError, match="nested"):
+        parser._ds_literal_array(ds)
