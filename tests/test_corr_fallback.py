@@ -1,15 +1,19 @@
 """Correlated-filter literal-map fallback census gate (r15 verdict #7).
 
-`_corr_filter_array` prefers the UNBOUNDED re-based join plan
-(groupBy(key) + collect_list + one co-partitioned join); the cap-guarded
-driver literal map is the fallback for contexts that cannot re-base
-their frame. A full census over the VERBATIM suite (tools/corr_census.py, r16)
-found the fallback takes concentrated in two files: sqshare (10 — its
-hoisted scalars over correlated separate datasets resolve source chains
-against the ORIGINAL frame, so the projection cannot swap to the joined
-plan mid-member; r16 attempt reverted) and sqfilt2 (1). This test pins
-that frontier so a regression that silently pushes more shapes onto the
-driver-collect path fails loudly.
+`_corr_filter_array` prefers the UNBOUNDED re-based plans — the
+groupBy(key) + collect_list + co-partitioned join for row contexts, and
+the one-row broadcast map<key, array<row>> crossJoin for element
+contexts (sqfilt2's sum(booksDs, price) inside a persons-element
+filter). The cap-guarded driver literal map remains only for contexts
+that cannot re-base their frame.
+
+r16 census frontier: sqshare 10 + sqfilt2 1 (11 total driver-collect
+takes). r17 closed it: OUTPUT projections re-base via _member_value
+(joins COMPOSE onto one swap frame keyed on the original df, so name
+resolution never re-bases mid-projection — the failure mode of the r16
+attempt), and element contexts re-base via the broadcast-map plan. This
+test pins the frontier at ZERO for both files so a regression that
+pushes any shape back onto the driver-collect path fails loudly.
 """
 import os
 import sys
@@ -27,7 +31,6 @@ def test_fallback_census_frontier(spark):
     from test_reference_regress import _queryxml, read_ecl
 
     hits = {}
-    # the r16 census frontier: sqshare 10, sqfilt2 1
     for name in ("sqfilt2", "sqshare"):
         ef._Parser._corr_fallback_hits = 0
         acts = ef.run_ecl_actions(
@@ -39,11 +42,11 @@ def test_fallback_census_frontier(spark):
         for df in acts:
             df.collect()
         hits[name] = ef._Parser._corr_fallback_hits
-    assert hits["sqshare"] <= 10, (
-        "sqshare's fallback takes grew past the r16 census (10): "
-        f"{hits['sqshare']} hits"
+    assert hits["sqshare"] == 0, (
+        "sqshare regressed onto the driver-collect correlated fallback "
+        f"(was 0 after the r17 re-base): {hits['sqshare']} hits"
     )
-    assert hits["sqfilt2"] <= 1, (
-        "sqfilt2's fallback takes grew past the r16 census (1): "
-        f"{hits['sqfilt2']} hits"
+    assert hits["sqfilt2"] == 0, (
+        "sqfilt2 regressed onto the driver-collect correlated fallback "
+        f"(was 0 after the r17 element-map re-base): {hits['sqfilt2']} hits"
     )
