@@ -840,3 +840,89 @@ def test_corr_literal_fallback_rejects_nested_fields(spark):
     }
     with _pt.raises(ef.EclFailError, match="nested"):
         parser._ds_literal_array(ds)
+
+
+# ---- round-17 ADVICE items -------------------------------------------------
+
+
+def test_hashmd5_numeric_column_hashes_le_value_bytes(spark):
+    """r16 ADVICE: non-constant HASHMD5 of a numeric column must hash
+    the value's 8 little-endian bytes (rtlHashMd5 over the raw value,
+    mirroring typed_bytes/_int_bytes), not its decimal text."""
+    import hashlib
+    import struct
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    d := DATASET([{1}, {255}, {-2}], { integer v });
+    OUTPUT(TABLE(NOFOLD(d), { string h := HASHMD5(v) }));
+    """
+    got = [r.h for r in run_ecl_actions(ecl, {}, spark=spark)[-1].collect()]
+    want = [
+        hashlib.md5(struct.pack("<q", n)).hexdigest().upper()
+        for n in (1, 255, -2)
+    ]
+    assert got == want
+
+
+def test_hashmd5_data_column_hashes_latin1_bytes(spark):
+    """r16 ADVICE: a DATA-tagged column carries one char per byte
+    (latin-1 round trip); HASHMD5 must hash those raw bytes, not their
+    UTF-8 expansion (0xE9 -> 0xC3 0xA9)."""
+    import hashlib
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    d := DATASET([{'aé'}], { string2 v });
+    OUTPUT(TABLE(NOFOLD(d), { string h := HASHMD5((DATA)v) }));
+    """
+    got = [r.h for r in run_ecl_actions(ecl, {}, spark=spark)[-1].collect()]
+    assert got == [hashlib.md5(b"a\xe9").hexdigest().upper()]
+
+
+def test_hashmd5_string_column_keeps_utf8_contract(spark):
+    """Plain STRING columns keep the typed_bytes md5-mode contract the
+    constant fold uses: raw untrimmed UTF-8 bytes."""
+    import hashlib
+
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    ecl = """
+    d := DATASET([{'aé'}, {'b '}], { string2 v });
+    OUTPUT(TABLE(NOFOLD(d), { string h := HASHMD5(v) }));
+    """
+    got = [r.h for r in run_ecl_actions(ecl, {}, spark=spark)[-1].collect()]
+    assert got == [
+        hashlib.md5("aé".encode("utf-8")).hexdigest().upper(),
+        hashlib.md5(b"b ").hexdigest().upper(),
+    ]
+
+
+def test_when_cron_count_replay_is_structural(spark):
+    """r16 ADVICE: the WHEN(CRON(...), COUNT(n)) replay detection was a
+    bag-of-words token scan — any annotation containing the tokens
+    when/cron/count replayed the OUTPUT. It must fire only when
+    COUNT(n) is a direct argument of a WHEN whose first argument is a
+    CRON(...) call."""
+    from hpcc_platform_spark.eclfront import run_ecl_actions
+
+    # positive control: a real cron schedule fires the statement n times
+    pos = """
+    ds := DATASET([{1}], { unsigned v });
+    OUTPUT(ds, NAMED('acc'), EXTEND) : WHEN(CRON('* * * * *'), COUNT(3));
+    OUTPUT(DATASET(WORKUNIT('acc'), { unsigned v }));
+    """
+    dfs = run_ecl_actions(pos, {}, spark=spark)
+    assert dfs[-1].count() == 3
+
+    # spurious shape: when/cron/count tokens all present, but COUNT is
+    # an argument of a non-CRON event — must NOT replay
+    neg = """
+    ds := DATASET([{1}], { unsigned v });
+    OUTPUT(ds, NAMED('acc2'), EXTEND) : WHEN(EVENT(cron, tick), COUNT(2));
+    OUTPUT(DATASET(WORKUNIT('acc2'), { unsigned v }));
+    """
+    dfs2 = run_ecl_actions(neg, {}, spark=spark)
+    assert dfs2[-1].count() == 1
