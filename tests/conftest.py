@@ -68,7 +68,11 @@ def pytest_collection_modifyitems(config, items):
         "test_functions.py", "test_collation.py",
         "test_decimal_bcd.py", "test_parse.py",
     }
-    slow_names = {"test_parser_never_crashes_on_garbage"}
+    slow_names = {
+        "test_parser_never_crashes_on_garbage",
+        # whole-registry plan sweep (~3 min) — real gate, not quick tier
+        "test_registry_single_partition_exchanges_carry_only_partials",
+    }
     for item in items:
         fname = os.path.basename(str(item.fspath))
         if item.name in slow_names:

@@ -120,6 +120,36 @@ def test_headline_bench_queries_scale_clean(spark, sf_dir):
         assert "Cartesian" not in plan, name
 
 
+def test_registry_single_partition_exchanges_carry_only_partials(spark, sf_dir):
+    """r17 gate, whole registry: an ``Exchange SinglePartition`` is the
+    guaranteed-OOM funnel at 100 TB UNLESS it only carries aggregate
+    partials (one row per upstream task) into a 1-row final aggregate.
+    Every declared query must either plan no single-partition exchange at
+    all, or every such exchange's child must be a partial Hash/Sort
+    aggregate. Pins the r17 funnel-removal work (numbering two-phase,
+    MERGE/SAMPLE/ENTH ordinals, sequence packing, correlated re-base)
+    against regression anywhere in the registry."""
+    import re
+
+    from hpcc_platform_spark.operators.numbering import (
+        release_numbering_caches,
+    )
+
+    bad: list[str] = []
+    for name, q in REGISTRY.items():
+        release_numbering_caches()
+        plan = _plan(q.fn(spark, sf_dir))
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln or "ReusedExchange" in ln:
+                continue
+            child = "\n".join(lines[i + 1 : i + 3])
+            if not re.search(r"(HashAggregate|SortAggregate)\(.*partial_", child):
+                bad.append(f"{name}: {ln.strip()} -> {child.strip()[:120]}")
+    release_numbering_caches()
+    assert not bad, "data-carrying single-partition exchanges:\n" + "\n".join(bad)
+
+
 def test_entry_queries_release_prior_numbering_caches(spark, monkeypatch):
     """r6 VERDICT ask #4: the driver-contract queries() callables release
     the numbering caches of the previous query before running, so a long
