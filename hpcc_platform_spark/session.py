@@ -73,6 +73,18 @@ def get_spark(app_name: str = "hpcc_platform_spark", cpus: int | None = None) ->
         # Anything we write (scratch, PERSIST cache, index builds) —
         # zstd is smaller than snappy at similar read speed (guide §6).
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Shuffle/spill/broadcast block codec (guide §2.3 shuffle fewer
+        # bytes): deployment parameter like shuffle partitions. Local
+        # default stays lz4 (Spark's default): at sf0.1 shuffle blocks
+        # are KB-sized and CPU-bound, and zstd measured consistently
+        # ~14% slower end-to-end (A/B in OPTIMIZATION_r17.md). On a
+        # network- or disk-bound cluster set SPARK_GRAFT_IO_CODEC=zstd:
+        # markedly smaller shuffle blocks buy back far more than the
+        # compression CPU there.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
