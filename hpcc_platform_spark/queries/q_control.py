@@ -17,6 +17,7 @@ from hpcc_platform_spark.operators import (
 )
 from hpcc_platform_spark.plans import PersistCache
 from hpcc_platform_spark.queries.registry import query, tables
+from hpcc_platform_spark.sources.inline import inline_dataset
 from hpcc_platform_spark.sources import pipe_through
 
 
@@ -335,7 +336,8 @@ def distribute_merge_sorted(spark, sf_dir):
     parts.sort(key=lambda r: r.lo)
     disjoint = all(parts[i].hi <= parts[i + 1].lo for i in range(len(parts) - 1))
     n = sum(r.cnt for r in parts)
-    return spark.createDataFrame(
+    return inline_dataset(
+        spark,
         [(n, all(r.ok for r in parts), disjoint)],
         "n_rows long, locally_sorted boolean, ranges_disjoint boolean",
     )
@@ -389,7 +391,7 @@ def loop_transitive_closure(spark, sf_dir):
 
     closure = loop_count(edges, rounds, square, checkpoint_every=2)
     reach = closure.where(F.col("a") == 0).select(F.col("b").alias("node"))
-    start = spark.createDataFrame([(0,)], "node long")
+    start = inline_dataset(spark, [(0,)], "node long")
     return start.unionAll(reach).distinct()
 
 @query(
@@ -589,6 +591,6 @@ def apply_action_counts(spark, sf_dir):
         keysum_acc.add(ks)
 
     apply_action(supp.select("s_suppkey", "s_nationkey"), per_partition)
-    return spark.createDataFrame(
-        [(rows_acc.value, keysum_acc.value)], "n_rows bigint, key_sum bigint"
+    return inline_dataset(
+        spark, [(rows_acc.value, keysum_acc.value)], "n_rows bigint, key_sum bigint"
     )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from hpcc_platform_spark.functions.phonetic import metaphone_key, soundex_key
 from hpcc_platform_spark.queries.registry import query, tables
+from hpcc_platform_spark.sources.inline import inline_dataset
 
 
 @query(
@@ -332,8 +333,8 @@ def phonetic_soundex(spark, sf_dir):
     functions/phonetic.py, value-checked against precomputed keys for the
     classic test-vector names via an inline VALUES oracle (the same
     technique the scheduler query uses for its non-SQL surface)."""
-    df = spark.createDataFrame(
-        [(i, n) for i, n, _, _ in _PHONETIC_NAMES], "id int, name string"
+    df = inline_dataset(
+        spark, [(i, n) for i, n, _, _ in _PHONETIC_NAMES], "id int, name string"
     )
     return df.select(
         "id",
@@ -577,8 +578,8 @@ def collated_sort_locale(spark, sf_dir):
     from hpcc_platform_spark.functions.collation import collated
     from hpcc_platform_spark.operators.numbering import global_row_number
 
-    df = spark.createDataFrame(
-        list(enumerate(_COLLATION_NAMES)), "id int, name string"
+    df = inline_dataset(
+        spark, list(enumerate(_COLLATION_NAMES)), "id int, name string"
     )
     return global_row_number(
         df, [collated("name", "de"), "id"], name="pos", num_partitions=4
@@ -609,7 +610,11 @@ def collation_compare_strengths(spark, sf_dir):
         compare_at_strength,
     )
 
-    df = spark.createDataFrame(
+    # JVM literal frame: createDataFrame parallelizes even 8 literal rows
+    # into defaultParallelism Python-scan partitions, and the pair cartesian
+    # multiplies that into cores^2 tasks (measured 17.5 s for 28 output rows).
+    df = inline_dataset(
+        spark,
         [(i, n) for i, n in enumerate(_COLLATION_NAMES) if i < 8],
         "id int, name string",
     )
@@ -697,8 +702,8 @@ def exotic_ingest_types(spark, sf_dir):
         ifblock,
     )
 
-    df = spark.createDataFrame(
-        _EXOTIC_ROWS, "id int, name_raw binary, packed long, code int"
+    df = inline_dataset(
+        spark, _EXOTIC_ROWS, "id int, name_raw binary, packed long, code int"
     )
     return df.select(
         "id",
@@ -900,8 +905,8 @@ def ebcdic_collated_sort(spark, sf_dir):
     from hpcc_platform_spark.functions.collation import ebcdic_sort_key
     from hpcc_platform_spark.operators.numbering import global_row_number
 
-    df = spark.createDataFrame(
-        list(enumerate(_EBCDIC_FIXTURE)), "id int, s string"
+    df = inline_dataset(
+        spark, list(enumerate(_EBCDIC_FIXTURE)), "id int, s string"
     )
     return global_row_number(
         df, [ebcdic_sort_key("s"), "id"], name="pos", num_partitions=4

@@ -11,6 +11,7 @@ from hpcc_platform_spark.pipeline.dedup import exact_dedup_docs
 from hpcc_platform_spark.pipeline.similarity import brute_force_topk
 from hpcc_platform_spark.pipeline.textstats import quality_features, token_count
 from hpcc_platform_spark.queries.registry import query, tables
+from hpcc_platform_spark.sources.inline import inline_dataset
 
 
 @query(
@@ -778,14 +779,14 @@ def pii_redact_q(spark, sf_dir):
     the oracle."""
     from hpcc_platform_spark.pipeline.cleaning import pii_redact
 
-    df = spark.createDataFrame(
-        [(i, t) for i, t, _, _ in _PII_CASES], "id int, text string"
+    df = inline_dataset(
+        spark, [(i, t) for i, t, _, _ in _PII_CASES], "id int, text string"
     )
     return pii_redact(df).select(
         "id", F.col("text").alias("redacted"), "pii_found"
     ).join(
-        spark.createDataFrame(
-            [(i, t) for i, t, _, _ in _PII_CASES], "id int, original string"
+        inline_dataset(
+            spark, [(i, t) for i, t, _, _ in _PII_CASES], "id int, original string"
         ),
         "id",
     ).select("id", "original", F.col("redacted").alias("text"), "pii_found")
@@ -1305,7 +1306,7 @@ def url_domain_stats_q(spark, sf_dir):
     trailing punctuation, quoting, case-folding hosts)."""
     from hpcc_platform_spark.pipeline.cleaning import domain_stats
 
-    docs = spark.createDataFrame(_URL_CASES, "doc_id int, text string")
+    docs = inline_dataset(spark, _URL_CASES, "doc_id int, text string")
     return domain_stats(docs)
 
 
@@ -1527,5 +1528,5 @@ def multimodal_jpeg_metadata_q(spark, sf_dir):
              (3, 320, 200, 3, False), (4, 8, 1024, 1, True)]
     rows = [(i, bytearray(synth_jpeg_header(w, h, c, p))) for i, w, h, c, p in specs]
     rows.append((5, bytearray(b"corrupt not a jpeg")))
-    df = spark.createDataFrame(rows, "media_id long, data binary")
+    df = inline_dataset(spark, rows, "media_id long, data binary")
     return jpeg_metadata(df)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from hpcc_platform_spark.operators import global_sort, merge_sorted, project_counter, topn
 from hpcc_platform_spark.queries.registry import query, tables
+from hpcc_platform_spark.sources.inline import inline_dataset
 
 
 @query(
@@ -140,7 +141,9 @@ def terasort_verify(spark, sf_dir):
     is_sorted = all(r.ok for r in parts) and all(
         parts[i].last <= parts[i + 1].first for i in range(len(parts) - 1)
     )
-    return spark.createDataFrame([(total, is_sorted)], "n_rows long, is_sorted boolean")
+    return inline_dataset(
+        spark, [(total, is_sorted)], "n_rows long, is_sorted boolean"
+    )
 
 
 @query(

@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from hpcc_platform_spark.queries.registry import query, tables
+from hpcc_platform_spark.sources.inline import inline_dataset
 from hpcc_platform_spark.sources import (
     build_index,
     inline_dataset,
@@ -511,7 +512,8 @@ def index_scan_aggregate(spark, sf_dir):
     path = f"{sf_dir}/lineitem.parquet"
     n = scan_count(spark, path)
     mm = scan_min_max(spark, path, ["l_orderkey", "l_extendedprice"])
-    return spark.createDataFrame(
+    return inline_dataset(
+        spark,
         [
             (
                 n,

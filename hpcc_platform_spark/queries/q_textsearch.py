@@ -13,6 +13,7 @@ from hpcc_platform_spark.operators.textsearch import (
     search_proximity,
 )
 from hpcc_platform_spark.queries.registry import query, tables
+from hpcc_platform_spark.sources.inline import inline_dataset
 
 _WORDS_CTE = """
     WITH words AS (
@@ -217,8 +218,8 @@ def textsearch_batch(spark, sf_dir):
         .orderBy("c0", "c1", "c2", "c3", "c4", "c5")
         .collect()
     ]
-    qdf = spark.createDataFrame(
-        [(q,) for q in _BATCH_QUERIES], "query string"
+    qdf = inline_dataset(
+        spark, [(q,) for q in _BATCH_QUERIES], "query string"
     )
     out = batch_execute_df(qdf, tuple(index))
     return out.select(

@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hpcc_platform_spark.queries.registry import query, tables
+from hpcc_platform_spark.sources.inline import inline_dataset
 
 
 @query(
@@ -160,8 +161,8 @@ def interval_bucket_join(spark, sf_dir):
     equi-join on the bucket with the precise range predicate as the
     residual — candidate pairs are |events| × overlapping-buckets, never
     |events| × |intervals|. Skewed buckets split via AQE."""
-    windows = spark.createDataFrame(
-        _MAINT_WINDOWS, "win_id string, w_start_s string, w_end_s string"
+    windows = inline_dataset(
+        spark, _MAINT_WINDOWS, "win_id string, w_start_s string, w_end_s string"
     ).select(
         "win_id",
         F.col("w_start_s").cast("timestamp").alias("w_start"),

@@ -480,3 +480,45 @@ def test_index_bloom_filter_written_and_lookup_pushed(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_inline_dataset_lowers_literals_to_jvm_plan(spark):
+    """r17: inline_dataset must build a pure-JVM literal plan (no
+    Python-RDD scan — `Scan ExistingRDD` re-runs a Python worker
+    handshake per partition per action) whenever the rows are literal-
+    expressible, with exact value/type parity against createDataFrame,
+    and fall back to createDataFrame for shapes literals can't express."""
+    import datetime
+    import decimal
+
+    from hpcc_platform_spark.sources.inline import inline_dataset
+
+    schema = (
+        "i int, l long, s string, b boolean, f double, "
+        "dec decimal(10,2), d date, ts timestamp, raw binary, arr array<int>"
+    )
+    rows = [
+        (
+            1, 2**40, "héllo", True, 1.5,
+            decimal.Decimal("12.34"), datetime.date(2024, 2, 29),
+            datetime.datetime(2024, 2, 29, 12, 0, 1), bytearray(b"\x00\xff"),
+            [1, 2, 3],
+        ),
+        (None, None, None, None, None, None, None, None, None, []),
+    ]
+    got = inline_dataset(spark, rows, schema)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "EvalPython" not in plan, plan
+    ref = spark.createDataFrame(rows, schema)
+    # dtypes (not full schema): literal plans legitimately carry tighter
+    # nullability than the Python-RDD path; values must match exactly
+    assert got.dtypes == ref.dtypes
+    assert got.collect() == ref.collect()
+
+    # Shapes literals can't express fall back to createDataFrame, still correct.
+    nested = inline_dataset(
+        spark, [((1, "x"),)], "st struct<a:int,b:string>"
+    )
+    assert nested.head().st.asDict() == {"a": 1, "b": "x"}
+    empty = inline_dataset(spark, [], "x int, y string")
+    assert empty.count() == 0 and empty.schema.fieldNames() == ["x", "y"]
