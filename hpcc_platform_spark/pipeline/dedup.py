@@ -391,30 +391,38 @@ def dedup_clusters(
     unpaired docs are their own cluster and need no row.
     """
     a, b = F.col(id_col_a), F.col(id_col_b)
-    sym = pairs.select(a.alias("src"), b.alias("dst")).unionByName(
-        pairs.select(b.alias("src"), a.alias("dst"))
-    ).distinct()
+    sym = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        # eager checkpoint: each round joins sym, and without truncation
+        # every round re-executes the whole upstream pair pipeline
+        # (LSH + verification) — the same discipline as the star variant
+        .localCheckpoint(eager=True)
+    )
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
+    id_type = sym.schema["src"].dataType
     changed = 0
     for _ in range(max_iters):
+        # Carry each vertex's own (previous) label through the min-fold so
+        # convergence is a filter over the checkpointed result — no extra
+        # join + shuffle pair per round just to detect "nothing changed".
         msgs = labels.join(sym, labels["id"] == sym["src"]).select(
-            F.col("dst").alias("id"), "comp"
+            F.col("dst").alias("id"),
+            "comp",
+            F.lit(None).cast(id_type).alias("own"),
         )
         new = (
-            labels.unionByName(msgs)
+            labels.select("id", "comp", F.col("comp").alias("own"))
+            .unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("own").alias("own"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.withColumnRenamed("comp", "new_comp")
-            .join(labels, "id")
-            .where(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("comp") != F.col("own")).count()
+        labels = new.select("id", "comp")
         if changed == 0:
             break
     if changed != 0:
@@ -453,17 +461,19 @@ def dedup_clusters_star(
     for every id appearing in any input pair.
     """
     a, b = F.col(id_col_a), F.col(id_col_b)
-    nodes = (
-        pairs.select(a.alias("id"))
-        .unionByName(pairs.select(b.alias("id")))
-        .distinct()
-    )
-    edges = (
+    # Materialize the projected pair list ONCE: nodes and edges otherwise
+    # each re-execute the whole upstream candidate pipeline.
+    pairs0 = (
         pairs.select(a.alias("src"), b.alias("dst"))
-        .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    nodes = (
+        pairs0.select(F.col("src").alias("id"))
+        .unionByName(pairs0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    edges = pairs0.where(F.col("src") != F.col("dst"))
 
     def _mins(sym: DataFrame) -> DataFrame:
         return (

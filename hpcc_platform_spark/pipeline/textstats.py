@@ -31,9 +31,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Cheap quality features: token count, mean token length (chars per
     token), distinct-token count, type/token ratio. NULL-safe on empty
     docs (ratios null, not NaN)."""
-    ws = _TOKENS(text_col)
-    n = F.size(ws)
-    n_uniq = F.size(F.array_distinct(ws))
+    # Bind the tokenization once: as a free expression it would be inlined
+    # into every consumer below (size / mean / distinct / ratio), and the
+    # interpreted higher-order-function eval re-runs each copy per row.
+    # CollapseProject keeps the boundary for non-cheap multiply-referenced
+    # aliases, so the split+filter runs once per row.
+    df = df.withColumn("__ws__", _TOKENS(text_col)).withColumn(
+        "__nu__", F.size(F.array_distinct(F.col("__ws__")))
+    )
+    n = F.size(F.col("__ws__"))
+    n_uniq = F.col("__nu__")
     return (
         df.withColumn("n_tokens", n.cast("int"))
         .withColumn(
@@ -49,6 +56,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 n_uniq.cast("double") / F.nullif(n.cast("double"), F.lit(0.0)), 4
             ),
         )
+        .drop("__ws__", "__nu__")
     )
 
 
@@ -60,7 +68,13 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     deployment swaps in a fastText/CLD3 Pandas UDF with the same output
     contract (adds ``lang_pred``, ``lang_score``).
     """
-    ws = F.transform(_TOKENS(text_col), F.lower)
+    # Bind tokenization and the argmax struct as real columns: as free
+    # expressions they are textually inlined per consumer (5 language
+    # scores × (filter + size) + 2 output columns × the whole 5-way argmax),
+    # and interpreted HOF eval re-runs every copy per row. CollapseProject
+    # keeps projection boundaries for non-cheap multiply-referenced aliases.
+    df = df.withColumn("__ws__", F.transform(_TOKENS(text_col), F.lower))
+    ws = F.col("__ws__")
     n = F.size(ws).cast("double")
     def stop_match(stop_list: list[str]):
         # Closure factory: a 2-param/default-arg lambda would be bound by
@@ -80,11 +94,16 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             for lang, stop in STOPWORDS.items()
         ]
     )
-    best = F.array_max(scores)
-    return df.withColumn(
-        "lang_pred",
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
-    ).withColumn("lang_score", F.round(F.coalesce(best["score"], F.lit(0.0)), 4))
+    best = F.col("__best__")
+    return (
+        df.withColumn("__best__", F.array_max(scores))
+        .withColumn(
+            "lang_pred",
+            F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_score", F.round(F.coalesce(best["score"], F.lit(0.0)), 4))
+        .drop("__ws__", "__best__")
+    )
 
 
 # -- character-trigram language ID (the production-shaped path) -------------
@@ -144,22 +163,31 @@ def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
     map-only at any scale, no Python, no shuffle."""
     # CASE guard: Spark's sequence(1, stop) counts DOWN when stop < 1, so a
     # too-short string must short-circuit to an empty array.
-    tri = F.expr(
+    # Bound as a real column (see language_id): as a free expression the
+    # extraction is inlined into every aggregate fold AND each fold's
+    # denominator — ~2 copies per language per output column, all re-run
+    # per row by the interpreted HOF eval.
+    tri_expr = F.expr(
         f"CASE WHEN length({text_col}) >= 3 THEN"
         f" transform(sequence(1, length({text_col}) - 2),"
         f" i -> lower(substr({text_col}, i, 3)))"
         f" ELSE array() END"
     )
+    df = df.withColumn("__tri__", tri_expr)
+    tri = F.col("__tri__")
     n = F.size(tri)
 
     def lang_score(profile: dict[str, float]):
         pairs = [x for g, lp in profile.items() for x in (F.lit(g), F.lit(lp))]
         m = F.create_map(*pairs)
+        # nullif guard: __best__ is now computed unconditionally (bound
+        # column), so an empty doc must yield NULL, not ANSI divide-by-zero
+        # (the n>=1 output guard below makes the NULL unused).
         return F.aggregate(
             tri,
             F.lit(0.0),
             lambda acc, t: acc + F.coalesce(m[t], F.lit(_UNSEEN_LOGP)),
-        ) / n.cast("double")
+        ) / F.nullif(n.cast("double"), F.lit(0.0))
 
     scored = F.array(
         *[
@@ -170,9 +198,10 @@ def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
             for lang, prof in TRIGRAM_PROFILES.items()
         ]
     )
-    best = F.array_max(scored)
+    best = F.col("__best__")
     return (
         df.withColumn("__n_tri__", n)
+        .withColumn("__best__", F.array_max(scored))
         .withColumn(
             "lang_pred",
             F.when(F.col("__n_tri__") >= 1, best["lang"]).otherwise(F.lit("und")),
@@ -181,7 +210,7 @@ def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
             "lang_score",
             F.when(F.col("__n_tri__") >= 1, best["score"]).otherwise(F.lit(None).cast("double")),
         )
-        .drop("__n_tri__")
+        .drop("__n_tri__", "__tri__", "__best__")
     )
 
 
@@ -202,9 +231,11 @@ def bigram_lm_scores(
     no smoothing needed, no -inf. Returns (id, n_bigrams, mean_logp,
     perplexity), floats rounded to 4."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    base = docs.select(
-        F.col(id_col), ws.alias("ws"), F.size(ws).alias("n")
-    ).where(F.col("n") > 1)
+    base = (
+        docs.select(F.col(id_col), ws.alias("ws"))  # tokenize once, not per use
+        .select(id_col, "ws", F.size("ws").alias("n"))
+        .where(F.col("n") > 1)
+    )
     grams = base.select(
         id_col,
         F.explode(

@@ -120,3 +120,51 @@ def test_pack_sequences_global_no_single_partition(spark):
     expect = {(r.doc_id, r.chunk_index): r.bin_id for r in ref.collect()}
     got = {(r.doc_id, r.chunk_index): r.bin_id for r in rows}
     assert got == expect
+
+
+def test_textstats_tokenize_once_per_row(spark):
+    """r17 session 5: the tokenization / trigram extraction / argmax
+    struct must be bound as real columns so each is evaluated once per
+    row — as free expressions they get textually inlined into every
+    consumer (per-language scores, both output columns) and interpreted
+    higher-order-function eval re-runs each copy (measured language_id
+    3.4 s -> 1.1 s at sf0.1). CollapseProject keeps the boundary only
+    while the alias stays non-cheap and multiply-referenced; this pins
+    that shape."""
+    from hpcc_platform_spark.pipeline.textstats import (
+        language_id,
+        language_id_ngram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog"), (2, "")],
+        "doc_id long, text string",
+    )
+    plan = language_id(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("split(text") == 1, plan
+    plan = language_id_ngram(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("sequence(1,") == 1, plan
+    # values unchanged by the rebinding
+    got = {r.doc_id: (r.lang_pred, r.lang_score) for r in language_id(df).collect()}
+    assert got[1] == ("en", 0.375) and got[2] == ("und", 0.0)
+
+
+def test_dedup_clusters_single_shuffle_convergence(spark):
+    """r17 session 5: dedup_clusters carries each vertex's previous label
+    through the min-fold, so convergence detection is a filter over the
+    checkpointed round result — no extra join per round — and the
+    symmetrized pair set is checkpointed once so rounds never re-execute
+    the upstream pair pipeline. Clusters and star must agree."""
+    from hpcc_platform_spark.pipeline.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 2), (2, 9), (9, 7), (20, 30), (30, 20), (40, 40)],
+        "id_a long, id_b long",
+    )
+    a = {(r.id, r.canonical_id) for r in dedup_clusters(pairs).collect()}
+    b = {(r.id, r.canonical_id) for r in dedup_clusters_star(pairs).collect()}
+    assert a == b
+    assert {(5, 2), (2, 2), (9, 2), (7, 2), (20, 20), (30, 20), (40, 40)} == a
