@@ -61,16 +61,27 @@ def minhash_signatures(
     """
     sh = _shingles(text_col, shingle_k).alias("sh")
     base = df.select(F.col(id_col), sh)
-    def perm(i: int):
-        # Closure factory, NOT a default-arg lambda: PySpark binds 2-param
-        # lambdas as (element, array_index), which would silently replace
-        # the permutation seed with the shingle position.
-        if hash_mode == "md5":
-            return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary"))
-        return lambda s: F.xxhash64(s, F.lit(i))
+    # ONE fold over the shingle array updating all num_hashes minima per
+    # shingle (array accumulator) instead of num_hashes separate
+    # array_min(transform(...)) traversals: min is order-insensitive so the
+    # signatures are identical, but the expression tree is constant-size
+    # (the per-permutation folds made plan analysis dominate at small
+    # scale) and the shingles are traversed once per row. ``least`` skips
+    # NULLs, so a NULL-seeded accumulator works for both hash modes;
+    # _shingles always yields >= 1 element, so no NULL survives.
+    if hash_mode == "md5":
+        seeds = F.array(*[F.lit(f"{i}:") for i in range(num_hashes)])
+        acc0 = F.array_repeat(F.lit(None).cast("string"), num_hashes)
+        step = lambda s: lambda a, p: F.least(  # noqa: E731
+            a, F.md5(F.concat(p, s).cast("binary"))
+        )
+    else:
+        seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+        acc0 = F.array_repeat(F.lit(None).cast("long"), num_hashes)
+        step = lambda s: lambda a, p: F.least(a, F.xxhash64(s, p))  # noqa: E731
 
-    sig = F.array(
-        *[F.array_min(F.transform("sh", perm(i))) for i in range(num_hashes)]
+    sig = F.aggregate(
+        F.col("sh"), acc0, lambda acc, s: F.zip_with(acc, seeds, step(s))
     ).alias("signature")
     return base.select(F.col(id_col), sig)
 
@@ -152,19 +163,30 @@ def simhash64(
     Pure array lambdas over the token list — map-only. Output (id, simhash).
     """
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # Bind the hash array once: as a free expression it is inlined into
+    # every one of the 64 bit-vote folds below, and interpreted HOF eval
+    # re-tokenizes and re-hashes the document 64× per row.
+    df = df.select(F.col(id_col), F.transform(words, lambda w: F.xxhash64(w)).alias("__h__"))
+    hashes = F.col("__h__")
 
-    def bit_vote(i: int):
-        # Closure factory (see perm() above for why default args break).
-        # Bit 63's mask must be the signed-long representation: 1<<63
-        # overflows Java long as an unsigned literal.
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
-
-    bit_sums = F.array(
-        *[F.aggregate(hashes, F.lit(0), bit_vote(i)) for i in range(64)]
+    # Bit 63's mask must be the signed-long representation: 1<<63
+    # overflows Java long as an unsigned literal.
+    masks = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    # ONE fold over the hash array updating all 64 vote counters per token
+    # (array accumulator) instead of 64 separate folds: same per-bit ±1
+    # integer sums in the same order, but a constant-size expression tree
+    # (64 folds made analysis/optimization dominate at small scale) and a
+    # single traversal of the hash array per row.
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
     )
     # Materialize the 64 votes once, then assemble the word from the stored
     # array — referencing the raw expression 64 more times would square the
@@ -251,20 +273,33 @@ def simhash16_portable(
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     hexdigits = "0123456789abcdef"
 
-    def vote(i: int):
-        q, k = divmod(i, 4)
-
-        def _v(acc, h):
-            nib = F.instr(F.lit(hexdigits), F.substring(h, q + 1, 1)) - 1
-            bit = F.shiftright(nib, k).bitwiseAND(F.lit(1))
-            return acc + (bit * 2 - 1)
-
-        return _v
-
     hashes = F.transform(words, lambda w: F.md5(w.cast("binary")))
     staged = df.select(F.col(id_col), hashes.alias("__h__"))
-    votes = F.array(
-        *[F.aggregate("__h__", F.lit(0), vote(i)) for i in range(16)]
+    # ONE fold updating all 16 vote counters per token (see simhash64):
+    # bit i lives in hex digit i div 4 (1-based substring pos p), nibble
+    # mask 1 << (i mod 4) — identical ±1 integer sums to the original 16
+    # separate folds, but a constant-size expression tree and one
+    # traversal of the hash array per row.
+    bitpos = F.array(
+        *[
+            F.struct(F.lit(i // 4 + 1).alias("p"), F.lit(1 << (i % 4)).alias("m"))
+            for i in range(16)
+        ]
+    )
+    votes = F.aggregate(
+        F.col("__h__"),
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            bitpos,
+            lambda a, s: a
+            + F.when(
+                (F.instr(F.lit(hexdigits), F.substring(h, s["p"], F.lit(1))) - 1)
+                .bitwiseAND(s["m"])
+                != 0,
+                1,
+            ).otherwise(-1),
+        ),
     )
     staged = staged.select(F.col(id_col), votes.alias("__votes__"))
     fp = F.lit(0)

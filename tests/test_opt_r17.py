@@ -168,3 +168,64 @@ def test_dedup_clusters_single_shuffle_convergence(spark):
     b = {(r.id, r.canonical_id) for r in dedup_clusters_star(pairs).collect()}
     assert a == b
     assert {(5, 2), (2, 2), (9, 2), (7, 2), (20, 20), (30, 20), (40, 40)} == a
+
+
+def test_single_fold_signatures_match_per_permutation_folds(spark):
+    """r17 session 5: simhash64 and minhash_signatures fold ONCE over the
+    token/shingle array with an array accumulator (constant-size
+    expression tree, one traversal) instead of one fold per bit /
+    permutation. The fingerprints must be bit-for-bit identical to the
+    original per-permutation construction, rebuilt here as the reference."""
+    from hpcc_platform_spark.pipeline.dedup import (
+        _shingles,
+        minhash_signatures,
+        simhash64,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "sphinx of black quartz judge my vow")],
+        "doc_id long, text string",
+    )
+
+    # simhash64 reference: 64 independent ±1 vote folds, sign -> bit.
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def vote(i):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    ref = 0
+    votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(64)]
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        sim = sim.bitwiseOR(
+            F.when(votes[i] > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    expect = {r.doc_id: r.ref for r in df.select("doc_id", sim.alias("ref")).collect()}
+    got = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert got == expect
+
+    # minhash reference: per-permutation array_min(transform(...)), both modes.
+    for mode in ("xxhash64", "md5"):
+        def perm(i):
+            if mode == "md5":
+                return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary"))
+            return lambda s: F.xxhash64(s, F.lit(i))
+
+        sh = _shingles("text", 3).alias("sh")
+        ref_sig = df.select(
+            "doc_id",
+            F.array(*[F.array_min(F.transform(sh, perm(i))) for i in range(16)]).alias("s"),
+        )
+        expect = {r.doc_id: list(r.s) for r in ref_sig.collect()}
+        got = {
+            r.doc_id: list(r.signature)
+            for r in minhash_signatures(df, num_hashes=16, hash_mode=mode).collect()
+        }
+        assert got == expect, mode
