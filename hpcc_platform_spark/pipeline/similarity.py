@@ -362,11 +362,31 @@ def _assign(df: DataFrame, cents: DataFrame, vec_col: str, id_col: str) -> DataF
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Group by the scalar id ONLY, riding the vector inside the max-struct
+    # as a trailing field: grouping by the array column itself made the
+    # SortAggregate sort and compare every 64-dim vector lexicographically
+    # on both sides of the exchange and ship it as a shuffle KEY. The
+    # max-struct comparison never reaches the vector — ncid is unique
+    # within a group, and the vector is constant there anyway — so the
+    # argmax is unchanged; the aggregate stays sort-based (struct-max has
+    # no mutable hash buffer) but now sorts/keys a bare long.
     return (
         df.withColumn("__vnorm__", _norm(F.col(vec_col)))
         .crossJoin(broadcast(cents))
         .withColumn("__ccos__", dot / (F.col("__vnorm__") * F.col("cnorm")))
-        .groupBy(id_col, vec_col)
-        .agg(F.max(F.struct(F.col("__ccos__"), (-F.col("cid")).alias("ncid"))).alias("best"))
-        .select(F.col(id_col), F.col(vec_col), (-F.col("best.ncid")).alias("cid"))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__ccos__"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col(vec_col).alias("v"),
+                )
+            ).alias("best")
+        )
+        .select(
+            F.col(id_col),
+            F.col("best.v").alias(vec_col),
+            (-F.col("best.ncid")).alias("cid"),
+        )
     )
