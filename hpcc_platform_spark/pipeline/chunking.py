@@ -31,9 +31,15 @@ def chunk_documents(
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    base = docs.select(
-        F.col(id_col), ws.alias("ws"), F.size(ws).alias("n")
-    ).where(F.col("n") > 0)
+    # Non-empty guard as a RAW-TEXT regex (any non-whitespace char): a
+    # `where(size(ws) > 0)` is predicate-pushed below the tokenizing
+    # projection with the alias re-inlined, re-tokenizing every row at
+    # the scan just to test emptiness.
+    base = (
+        docs.where(F.col(text_col).rlike(r"\S"))
+        .select(F.col(id_col), ws.alias("ws"))  # tokenize once, not per use
+        .select(id_col, "ws", F.size("ws").alias("n"))
+    )
     start = F.explode(
         F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
     ).alias("start")

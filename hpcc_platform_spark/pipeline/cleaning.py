@@ -36,8 +36,15 @@ def segment_docs(
     segment-level pass consumes."""
     if delim is not None:
         segs = F.split(F.col(text_col), delim, -1)
+        staged = df
     else:
-        words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        # Bind the tokenization once (it is consumed by both the segment
+        # count and every slice — see textstats.py for the inlining trap).
+        staged = df.withColumn(
+            "__wseg__",
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""),
+        )
+        words = F.col("__wseg__")
         n_seg = F.ceil(F.size(words) / F.lit(words_per_segment)).cast("int")
         segs = F.transform(
             F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0))),
@@ -46,7 +53,7 @@ def segment_docs(
             ),
         )
     pos = F.posexplode(segs)
-    return df.select(F.col(id_col), pos.alias("seg_idx", "segment")).where(
+    return staged.select(F.col(id_col), pos.alias("seg_idx", "segment")).where(
         F.col("segment") != ""
     )
 
@@ -111,12 +118,15 @@ def repetition_scores(
 
     One key shuffle: explode bigrams, groupBy (doc, bigram), then a
     per-doc max/sum — partial aggregation keeps the map side light."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # Tokenize once (the free-expression form inlined three copies here).
     base = df.select(
         F.col(id_col),
-        F.size(words).alias("__n__"),
-        F.size(F.array_distinct(words)).alias("__d__"),
-        words.alias("__ws__"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "").alias("__ws__"),
+    ).select(
+        F.col(id_col),
+        F.size("__ws__").alias("__n__"),
+        F.size(F.array_distinct("__ws__")).alias("__d__"),
+        F.col("__ws__"),
     )
     bigrams = base.select(
         F.col(id_col),

@@ -11,6 +11,15 @@ from pyspark.sql import functions as F
 
 _TOKENS = lambda c: F.filter(F.split(F.col(c), r"\s+"), lambda w: w != "")  # noqa: E731
 
+
+def _grams_persist(grams: DataFrame) -> DataFrame:
+    """Dataset-level CSE for the bigram stream: three consumers (bigram
+    counts, unigram counts, the per-doc score join) would each re-run
+    tokenize + zip_with + explode over the corpus otherwise."""
+    from hpcc_platform_spark.plans.persist import auto_persist
+
+    return auto_persist(grams)
+
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
 # Deterministic + embedded (no model files); real pipelines swap in fastText.
 STOPWORDS = {
@@ -231,12 +240,16 @@ def bigram_lm_scores(
     no smoothing needed, no -inf. Returns (id, n_bigrams, mean_logp,
     perplexity), floats rounded to 4."""
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # The >=2-tokens guard as a RAW-TEXT regex (two non-ws runs separated
+    # by whitespace): a `where(size(ws) > 1)` gets predicate-pushed below
+    # the tokenizing projection with the alias re-inlined, so the filter
+    # itself would re-tokenize every row at the scan.
     base = (
-        docs.select(F.col(id_col), ws.alias("ws"))  # tokenize once, not per use
+        docs.where(F.col(text_col).rlike(r"\S\s+\S"))
+        .select(F.col(id_col), ws.alias("ws"))  # tokenize once, not per use
         .select(id_col, "ws", F.size("ws").alias("n"))
-        .where(F.col("n") > 1)
     )
-    grams = base.select(
+    grams = _grams_persist(base.select(
         id_col,
         F.explode(
             F.zip_with(
@@ -245,7 +258,7 @@ def bigram_lm_scores(
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("g"),
-    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")))
     big_c = grams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("c12")
     )
