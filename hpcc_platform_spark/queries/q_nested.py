@@ -183,12 +183,22 @@ def child_dataset_hof(spark, sf_dir):
     nested = li.groupBy("l_orderkey").agg(
         F.collect_list(F.struct("l_quantity", "l_extendedprice")).alias("items")
     )
-    big = F.filter("items", lambda x: x["l_quantity"] > 30)
-    return nested.select(
+    # Bind the filtered child list once: as a free expression the filter
+    # would be inlined into both consumers and run twice per row (the
+    # change-#14 pattern).
+    staged = nested.select(
         "l_orderkey",
-        F.size(big).alias("n_big"),
+        "items",
+        F.filter("items", lambda x: x["l_quantity"] > 30).alias("__big__"),
+    )
+    return staged.select(
+        "l_orderkey",
+        F.size("__big__").alias("n_big"),
         F.round(
-            F.aggregate(big, F.lit(0.0), lambda acc, x: acc + x["l_extendedprice"]), 4
+            F.aggregate(
+                "__big__", F.lit(0.0), lambda acc, x: acc + x["l_extendedprice"]
+            ),
+            4,
         ).alias("big_value"),
         F.size("items").alias("n_children"),
     )

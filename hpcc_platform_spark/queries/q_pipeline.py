@@ -1245,7 +1245,14 @@ def corpus_bigrams_q(spark, sf_dir):
     TakeOrderedAndProject for the top-k."""
     (docs,) = tables(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    base = docs.select(ws.alias("ws"), F.size(ws).alias("n")).where(F.col("n") > 1)
+    # >=2-tokens guard on RAW text + tokenize once (the change-#19
+    # pattern: a size(ws)>1 guard predicate-pushes below the projection
+    # re-inlining the tokenizer into the scan filter).
+    base = (
+        docs.where(F.col("text").rlike(r"\S\s+\S"))
+        .select(ws.alias("ws"))
+        .select("ws", F.size("ws").alias("n"))
+    )
     grams = F.zip_with(
         F.slice(F.col("ws"), 1, F.col("n") - 1),
         F.slice(F.col("ws"), 2, F.col("n") - 1),
