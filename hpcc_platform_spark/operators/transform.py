@@ -227,12 +227,54 @@ def iterate_pandas(
     (the reference's PROCESS right-hand state record, TAKprocess :994).
     Groups run in parallel across executors; within a group the scan is
     sequential — same contract as the reference's single-stream ITERATE.
+
+    Lowering: ``groupBy().applyInPandas`` pays a per-GROUP Arrow round trip
+    (each group is its own batch + Python invocation — milliseconds of
+    fixed cost per group, ruinous for many small groups). Instead the rows
+    are hash-partitioned by key and key-clustered within each partition,
+    and ONE ``mapInPandas`` stream per partition slices its batches into
+    groups (same shuffle, same per-group ``fn`` contract); only a group
+    straddling a batch boundary is carried over, so extra memory is
+    bounded by one group, as before.
     """
+    keys = list(keys)
+    order = list(order_by)
 
-    def run(pdf):
-        return fn(pdf.sort_values(list(order_by), kind="stable"))
+    def run(batches):
+        import pandas as pd
 
-    return df.groupBy(*keys).applyInPandas(run, schema=schema)
+        def emit(pdf):
+            return fn(pdf.sort_values(order, kind="stable"))
+
+        pending = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            # Partition rows are sorted by the keys → groups are contiguous;
+            # a group id increments wherever any key column changes
+            # (null-safe: NaN vs NaN is NOT a change — groupBy keys nulls
+            # together).
+            cur, prev = pdf[keys], pdf[keys].shift()
+            changed = (cur != prev) & ~(cur.isna() & prev.isna())
+            gid = changed.any(axis=1).cumsum()
+            last = gid.iloc[-1]
+            # The last group may continue in the next batch — hold it back.
+            pending = pdf[gid == last]
+            head = pdf[gid != last]
+            if len(head):
+                out = [emit(g) for _, g in head.groupby(gid[gid != last], sort=False)]
+                yield pd.concat(out, ignore_index=True)
+        if pending is not None and len(pending):
+            yield emit(pending)
+
+    return (
+        df.repartition(*keys)
+        .sortWithinPartitions(*keys)
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def rollup_adjacent(

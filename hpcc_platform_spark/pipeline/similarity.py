@@ -315,7 +315,12 @@ def ivf_index_build(
         _norm(F.col(vec_col)).alias("cnorm"),
     )
     assigned = _assign(df, cents, vec_col, id_col)
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    # _assign is map-only now, so cluster rows by cell before the
+    # partitioned write: one shuffle keyed on cid gives one file per cell
+    # (the probe-pruning layout) instead of scan-tasks × cells fragments.
+    assigned.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path)
     cents.write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
@@ -344,7 +349,18 @@ def ivf_index_probe(
 def _assign(df: DataFrame, cents: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Nearest-centroid assignment (argmax cosine, ties → lowest cid) —
     the shared first half of _assign_and_probe, reused by the persisted
-    index builder."""
+    index builder.
+
+    Map-only lowering: the centroid table collapses to ONE row carrying an
+    array<struct(cid, cvec, cnorm)> (a 1-row IdentityBroadcast — the
+    centroid table is the small side by IVF's own contract), and each
+    vector picks its centroid with array_max over per-centroid
+    (cos, -cid) structs. The former crossJoin(C) + groupBy(id) max-struct
+    form exploded every row ×C and shuffled the whole vector corpus
+    through a SortAggregate; the fold does the identical argmax
+    (same dot/norm expression per pair, same lexicographic
+    (cos desc, cid asc) tie-break) with ZERO exchanges — at corpus scale
+    that removes the full shuffle of every embedding."""
     from pyspark.sql.functions import broadcast
 
     def _norm(vcol):
@@ -353,40 +369,34 @@ def _assign(df: DataFrame, cents: DataFrame, vec_col: str, id_col: str) -> DataF
             F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
         )
 
-    dot = F.aggregate(
-        F.zip_with(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
-            F.transform(F.col("cvec"), lambda x: x.cast("double")),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cents_row = cents.agg(
+        F.collect_list(F.struct("cid", "cvec", "cnorm")).alias("__cents__")
     )
-    # Group by the scalar id ONLY, riding the vector inside the max-struct
-    # as a trailing field: grouping by the array column itself made the
-    # SortAggregate sort and compare every 64-dim vector lexicographically
-    # on both sides of the exchange and ship it as a shuffle KEY. The
-    # max-struct comparison never reaches the vector — ncid is unique
-    # within a group, and the vector is constant there anyway — so the
-    # argmax is unchanged; the aggregate stays sort-based (struct-max has
-    # no mutable hash buffer) but now sorts/keys a bare long.
+
+    def scored(c):
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.transform(c["cvec"], lambda x: x.cast("double")),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            (dot / (F.col("__vnorm__") * c["cnorm"])).alias("__ccos__"),
+            (-c["cid"]).alias("ncid"),
+        )
+
     return (
         df.withColumn("__vnorm__", _norm(F.col(vec_col)))
-        .crossJoin(broadcast(cents))
-        .withColumn("__ccos__", dot / (F.col("__vnorm__") * F.col("cnorm")))
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__ccos__"),
-                    (-F.col("cid")).alias("ncid"),
-                    F.col(vec_col).alias("v"),
-                )
-            ).alias("best")
-        )
+        .crossJoin(broadcast(cents_row))
+        # Empty centroid table ≡ the old crossJoin-with-empty: no output.
+        .where(F.size(F.col("__cents__")) > 0)
+        .withColumn("__best__", F.array_max(F.transform(F.col("__cents__"), scored)))
         .select(
             F.col(id_col),
-            F.col("best.v").alias(vec_col),
-            (-F.col("best.ncid")).alias("cid"),
+            F.col(vec_col),
+            (-F.col("__best__.ncid")).alias("cid"),
         )
     )

@@ -68,6 +68,40 @@ def test_iterate_pandas_general_recurrence(small):
     assert by_key[(2, "e")] == 0.5 * 25 + 0.5 * (0.5 * 15 + 0.5 * 5)
 
 
+def test_iterate_pandas_group_spanning_arrow_batches(spark):
+    """The mapInPandas lowering slices each partition's Arrow stream into
+    key-contiguous groups, carrying a group that straddles a batch boundary
+    into the next batch. Pin that carry-over: with a 7-row batch cap, a
+    60-row group MUST span batches yet still fold as one sequential scan
+    (running sum over the whole group, not per-fragment resets)."""
+    rows = [(g, i, 1.0) for g in (1, 2) for i in range(60)]
+
+    def running(pdf: pd.DataFrame) -> pd.DataFrame:
+        out, acc = [], 0.0
+        for v in pdf["val"]:
+            acc += v
+            out.append(acc)
+        return pdf.assign(run=out)[["grp", "seq", "run"]]
+
+    df = spark.createDataFrame(rows, "grp int, seq int, val double")
+    old_cap = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = iterate_pandas(
+            df, ["grp"], ["seq"], running, "grp int, seq int, run double"
+        ).collect()
+    finally:
+        if old_cap is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_cap)
+    assert len(got) == 120
+    by_key = {(r.grp, r.seq): r.run for r in got}
+    # A per-fragment reset would restart the sum at each 7-row batch.
+    assert by_key[(1, 59)] == 60.0 and by_key[(2, 59)] == 60.0
+    assert by_key[(2, 6)] == 7.0 and by_key[(2, 7)] == 8.0
+
+
 def test_rollup_pandas_adjacent_merge(small):
     """Order-dependent pairwise merge: concat tags in sort order per group."""
 

@@ -229,3 +229,78 @@ def test_single_fold_signatures_match_per_permutation_folds(spark):
             for r in minhash_signatures(df, num_hashes=16, hash_mode=mode).collect()
         }
         assert got == expect, mode
+
+
+def test_ivf_assign_is_map_only_and_matches_crossjoin_argmax(spark):
+    """r17 session 6: _assign lowers nearest-centroid assignment to a
+    map-only array_max fold over a 1-row broadcast centroid array — no
+    shuffle Exchange anywhere (the old form crossJoined ×C and shuffled
+    every vector through a groupBy(id) SortAggregate). Values must match
+    the old crossJoin+max(struct) lowering bit-for-bit, including the
+    (cos desc, cid asc) tie-break."""
+    from pyspark.sql.functions import broadcast
+
+    from hpcc_platform_spark.pipeline.similarity import _assign
+
+    def _norm(vcol):
+        vd = F.transform(vcol, lambda x: x.cast("double"))
+        return F.sqrt(
+            F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+
+    # 40 vectors incl. exact duplicates of centroid vectors (cos ties).
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(40)
+    ]
+    rows += [(100 + i, rows[i][1]) for i in range(4)]  # tie-break exercisers
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.where((F.col("vec_id") % 10) == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        _norm(F.col("embedding")).alias("cnorm"),
+    )
+
+    new = _assign(df, cents, "embedding", "vec_id")
+
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    # The data side must carry zero shuffles: the only exchanges allowed
+    # are the centroid collect_list's 1-row SinglePartition final and its
+    # broadcast. No keyed exchange, no sort aggregate over the corpus.
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortAggregate" not in plan
+
+    old = (
+        df.withColumn("__vnorm__", _norm(F.col("embedding")))
+        .crossJoin(broadcast(cents))
+        .withColumn(
+            "__ccos__",
+            F.aggregate(
+                F.zip_with(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    F.transform(F.col("cvec"), lambda x: x.cast("double")),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("__vnorm__") * F.col("cnorm")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__ccos__"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("embedding").alias("v"),
+                )
+            ).alias("best")
+        )
+        .select(
+            F.col("vec_id"),
+            F.col("best.v").alias("embedding"),
+            (-F.col("best.ncid")).alias("cid"),
+        )
+    )
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
