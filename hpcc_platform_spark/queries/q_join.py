@@ -331,7 +331,14 @@ def bucketed_join(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         key = cols[0]
         (
+            # Cluster by the bucket key BEFORE the write: repartition's
+            # pmod(murmur3) is the same function as the bucket id, so each
+            # task holds exactly one bucket — the write parallelizes
+            # bucket-wise AND still emits one file per bucket. Without it a
+            # single-split scan sorts+writes the whole table in ONE task
+            # (and a many-split scan writes tasks×buckets fragments).
             df.select(*cols)
+            .repartition(8, key)
             .write.mode("overwrite")
             .format("parquet")
             .option("path", loc)
