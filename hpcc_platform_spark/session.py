@@ -91,6 +91,24 @@ def get_spark(app_name: str = "hpcc_platform_spark", cpus: int | None = None) ->
     return spark
 
 
+# Inferred parquet schemas per testdata path (pure metadata, like the
+# catalog a production deployment would already hold; guide §6 file
+# metadata caching). Schema inference costs a JVM footer read + listing
+# round trip per spark.read.parquet call — measured ~104 ms -> ~23 ms per
+# read when the schema is passed explicitly — and EVERY query pays it per
+# table per run. Caching only the StructType (never data, never listings
+# of files we write) keeps every action computing from the parquet inputs.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
+def _read_parquet_pinned(spark: SparkSession, path: str) -> DataFrame:
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = sch
+    return spark.read.schema(sch).parquet(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one TESTDATA parquet table, normalizing physical quirks.
 
@@ -110,7 +128,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = spark.read.parquet(path)
+        df = _read_parquet_pinned(spark, path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             # nanos-as-long: integer division keeps exact µs (a double
@@ -121,7 +139,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # and keeps the column type identical across Spark versions.
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _read_parquet_pinned(spark, path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
