@@ -190,16 +190,23 @@ def skew_demo(spark) -> dict[str, float]:
                 salted_join(sk.hint("merge"), sm, ["skew_key"], salt_n=32)
             ),
         }
-        out: dict[str, float] = {}
-        for label, build in variants.items():
+        # INTERLEAVE the variants' timed runs (u,s,u,s,u,s) instead of
+        # timing each variant's trio back-to-back: BENCH_r17 recorded
+        # salted 24.05 s vs unsalted 7.96 s — a host-contention burst
+        # spanning the salted trio inverted the comparison, which
+        # min-of-3 cannot defend against when the burst covers all three
+        # runs. Interleaved, both variants sample the same contention
+        # windows, so a burst inflates both rather than one. Same
+        # methodology (warm + 3 timed noop runs, min) per variant.
+        runs: dict[str, list[float]] = {label: [] for label in variants}
+        for build in variants.values():
             build().write.mode("overwrite").format("noop").save()  # warm
-            runs = []
-            for _ in range(3):
+        for _ in range(3):
+            for label, build in variants.items():
                 t0 = time.perf_counter()
                 build().write.mode("overwrite").format("noop").save()
-                runs.append(time.perf_counter() - t0)
-            out[label] = round(min(runs), 3)
-        return out
+                runs[label].append(time.perf_counter() - t0)
+        return {label: round(min(r), 3) for label, r in runs.items()}
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)

@@ -69,14 +69,18 @@ def minhash_signatures(
     # scale) and the shingles are traversed once per row. ``least`` skips
     # NULLs, so a NULL-seeded accumulator works for both hash modes;
     # _shingles always yields >= 1 element, so no NULL survives.
+    # Literal seed arrays in ONE driver call (F.lit(list)) instead of one
+    # py4j round trip per element; the xxhash64 seeds keep their original
+    # IntegerType via an explicit cast — the hash covers the argument's
+    # TYPE, so an inferred long would change every signature.
     if hash_mode == "md5":
-        seeds = F.array(*[F.lit(f"{i}:") for i in range(num_hashes)])
+        seeds = F.lit([f"{i}:" for i in range(num_hashes)])
         acc0 = F.array_repeat(F.lit(None).cast("string"), num_hashes)
         step = lambda s: lambda a, p: F.least(  # noqa: E731
             a, F.md5(F.concat(p, s).cast("binary"))
         )
     else:
-        seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+        seeds = F.lit(list(range(num_hashes))).cast("array<int>")
         acc0 = F.array_repeat(F.lit(None).cast("long"), num_hashes)
         step = lambda s: lambda a, p: F.least(a, F.xxhash64(s, p))  # noqa: E731
 
@@ -171,9 +175,9 @@ def simhash64(
 
     # Bit 63's mask must be the signed-long representation: 1<<63
     # overflows Java long as an unsigned literal.
-    masks = F.array(
-        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
-    )
+    masks = F.lit(
+        [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    ).cast("array<long>")
     # ONE fold over the hash array updating all 64 vote counters per token
     # (array accumulator) instead of 64 separate folds: same per-bit ±1
     # integer sums in the same order, but a constant-size expression tree
@@ -308,7 +312,7 @@ def simhash16_portable(
     # One fold over (votes, bit values) instead of a 16-step `+ when(...)`
     # chain (see simhash64): disjoint powers of two, so addition order is
     # immaterial and the fold is value-identical.
-    bitvals = F.array(*[F.lit(1 << i) for i in range(16)])
+    bitvals = F.lit([1 << i for i in range(16)]).cast("array<int>")
     fp = F.aggregate(
         F.zip_with(
             F.col("__votes__"),

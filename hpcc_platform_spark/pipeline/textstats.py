@@ -88,7 +88,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     def stop_match(stop_list: list[str]):
         # Closure factory: a 2-param/default-arg lambda would be bound by
         # PySpark as (element, array_index) and corrupt the capture.
-        lits = F.array(*[F.lit(s) for s in stop_list])
+        lits = F.lit(list(stop_list))  # one py4j call, not one per word
         return lambda w: F.array_contains(lits, w)
 
     scores = F.array(

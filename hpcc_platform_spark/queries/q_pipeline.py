@@ -498,8 +498,7 @@ def pipeline_compose_clean(spark, sf_dir):
     ws = F.transform(
         F.filter(F.split("text", r"\s+"), lambda w: w != ""), F.lower
     )
-    en_stop = F.array(*[F.lit(s) for s in
-                        ["the","a","of","and","to","in","is","that","it","for"]])
+    en_stop = F.lit(["the","a","of","and","to","in","is","that","it","for"])
     scored = docs.select(
         "doc_id", "text",
         F.size(ws).alias("n_tokens"),
