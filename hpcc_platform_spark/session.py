@@ -88,7 +88,52 @@ def get_spark(app_name: str = "hpcc_platform_spark", cpus: int | None = None) ->
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _enable_py4j_nodelay(spark)
     return spark
+
+
+def _enable_py4j_nodelay(spark: SparkSession) -> None:
+    """Set TCP_NODELAY on the py4j driver↔JVM command sockets.
+
+    py4j never sets it (checked py4j 0.10.9 sources), so every DataFrame
+    API call — one small write + one small read — can trip over Nagle +
+    delayed-ACK interplay on the loopback RPC. Measured here: ~280 µs per
+    py4j round trip stock vs ~47 µs raw-socket floor; with NODELAY the
+    500-call probe dropped ~15–20%. Query CONSTRUCTION is py4j-bound for
+    expression-heavy plans (profiles in OPTIMIZATION_r18.md), so this is
+    a global build-time win. Socket-option only — no protocol or
+    semantics change; best-effort (never raises)."""
+    import socket as _sock
+
+    try:
+        client = spark.sparkContext._gateway._gateway_client
+        for conn in list(getattr(client, "deque", [])):
+            try:
+                conn.socket.setsockopt(
+                    _sock.IPPROTO_TCP, _sock.TCP_NODELAY, 1
+                )
+            except Exception:
+                pass
+        from py4j.clientserver import ClientServerConnection
+
+        if not getattr(ClientServerConnection, "_hps_nodelay", False):
+            orig = ClientServerConnection.connect_to_java_server
+
+            def connect_with_nodelay(self):
+                orig(self)
+                try:
+                    self.socket.setsockopt(
+                        _sock.IPPROTO_TCP, _sock.TCP_NODELAY, 1
+                    )
+                except Exception:
+                    pass
+
+            ClientServerConnection.connect_to_java_server = (
+                connect_with_nodelay
+            )
+            ClientServerConnection._hps_nodelay = True
+    except Exception:
+        pass
 
 
 # Inferred parquet schemas per testdata path (pure metadata, like the
